@@ -1,0 +1,72 @@
+"""Benchmark runner: times every registered query at the bench scale.
+
+Prints ONE JSON line:
+  {"metric": "total_runtime", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Env:
+  SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local parallelism (default 32)
+  SPARK_GRAFT_BENCH_QUERIES  comma-separated subset to run
+
+Each query is forced end-to-end with the no-op sink (full computation,
+no driver collect bottleneck) — the same shape a cluster job has.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from soccerpredictor_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("soccerpredictor_spark-bench")
+    qs = entry_mod.queries()
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        names = [n for n in subset.split(",") if n in qs]
+    else:
+        names = list(qs)
+
+    # Warm the JVM + parquet footer caches once so per-query times
+    # measure the queries, not session startup.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 4)
+        times[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
