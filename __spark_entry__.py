@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from soccerpredictor_spark.operators import dedup, similarity, textops
 from soccerpredictor_spark.operators.relational import (
     assemble_features,
     label_odds,
@@ -169,6 +170,38 @@ def _q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.text_profile(read_table(spark, sf, "documents"))
+
+
+def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup(read_table(spark, sf, "documents"))
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.jaccard_pairs(read_table(spark, sf, "documents"))
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(read_table(spark, sf, "documents"))
+
+
+def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(read_table(spark, sf, "documents"))
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.cosine_topk(read_table(spark, sf, "embeddings"))
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.lsh_ann_topk(read_table(spark, sf, "embeddings"))
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.cosine_near_dup(read_table(spark, sf, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "top_k_count": _q_top_k_count,
@@ -183,6 +216,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "text_profile": _q_text_profile,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
     }
 
 
@@ -247,4 +288,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": tpch.Q1_SQL,
         "tpch_q3": tpch.Q3_SQL,
         "tpch_q5": tpch.Q5_SQL,
+        "text_profile": textops.text_profile_sql(),
+        "dedup_exact": dedup.exact_dedup_sql(),
+        "dedup_jaccard": dedup.jaccard_pairs_sql(),
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
+        "dedup_simhash": dedup.simhash_sql(),
+        "ann_cosine_topk": similarity.cosine_topk_sql(),
+        "ann_lsh_topk": similarity.lsh_ann_topk_sql(),
+        "embedding_near_dup": similarity.cosine_near_dup_sql(),
     }

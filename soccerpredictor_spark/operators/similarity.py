@@ -1,0 +1,175 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Training-data-pipeline ANN layer (BASELINE.json north star):
+
+- cosine_topk        brute-force exact top-k against a query vector —
+                     the correctness baseline; one scan, no shuffle,
+                     TakeOrderedAndProject for the top-k
+- lsh_ann_topk       sign-LSH bucketed top-k: only the query's bucket
+                     is scanned — the scale path (buckets prune the
+                     candidate set ~2^planes-fold on uniform data)
+- cosine_near_dup    all-pairs near-duplicate detection restricted to
+                     LSH-bucket-colliding pairs (banded OR-construction
+                     for recall), never materializing n^2
+
+All similarity math uses the exact-decimal dot product
+(functions/vectors.py) so Spark and the DuckDB oracle agree on every
+bit; hyperplanes are md5-seeded literals shared by both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from soccerpredictor_spark.functions import vectors as V
+
+#: default LSH geometry: 4 bands x 4 planes = 16 hyperplanes.
+BANDS = 4
+PLANES_PER_BAND = 4
+DIM = 64
+
+
+def _planes() -> list[list[float]]:
+    return V.hyperplanes(BANDS * PLANES_PER_BAND, DIM)
+
+
+def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact top-k by cosine similarity to one stored vector.
+
+    The single-row query side is broadcast; similarity is a per-row
+    expression, so the plan is scan -> project -> TakeOrderedAndProject
+    (partial top-k per partition, no global sort).
+    """
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            V.cosine(F.col("embedding"), F.col("q_emb")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    cos = V.sql_cosine("embedding", "qe")
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT vec_id, label, {cos} AS sim
+FROM embeddings, q
+ORDER BY sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def with_bucket(emb: DataFrame, band: int) -> DataFrame:
+    """Attach the sign-LSH bucket id for one band."""
+    planes = _planes()[band * PLANES_PER_BAND : (band + 1) * PLANES_PER_BAND]
+    return emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), planes))
+
+
+def lsh_ann_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Approximate top-k: scan only vectors in the query's band-0
+    bucket. At scale the bucket column is a partition/cluster key, so
+    this touches 1/2^planes of the data instead of all of it."""
+    b = with_bucket(emb, 0)
+    q = b.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    return (
+        b.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "vec_id",
+            "label",
+            V.cosine(F.col("embedding"), F.col("q_emb")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def lsh_ann_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    planes = _planes()[:PLANES_PER_BAND]
+    bucket = V.sql_lsh_bucket("embedding", planes)
+    q_bucket = V.sql_lsh_bucket("qe", planes)
+    cos = V.sql_cosine("embedding", "qe")
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT vec_id, label, {cos} AS sim
+FROM embeddings, q
+WHERE ({bucket}) = ({q_bucket})
+ORDER BY sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def cosine_near_dup(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
+    """Near-duplicate vector pairs via banded sign-LSH candidates +
+    exact cosine verification.
+
+    Candidates = pairs agreeing on ALL planes of at least one band
+    (OR over bands boosts recall; AND within a band keeps buckets
+    selective). Only bucket-colliding pairs are compared — the n^2
+    comparison never happens. Returns (vec_a, vec_b, sim), vec_a < vec_b.
+    """
+    planes = _planes()
+    band_entries = []
+    for bi in range(BANDS):
+        band_planes = planes[bi * PLANES_PER_BAND : (bi + 1) * PLANES_PER_BAND]
+        band_entries.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                V.lsh_bucket(F.col("embedding"), band_planes).alias("bucket"),
+            )
+        )
+    bnd = emb.select(
+        "vec_id", "embedding", F.explode(F.array(*band_entries)).alias("e")
+    ).select("vec_id", "embedding", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+    a = bnd.alias("a")
+    b = bnd.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select(
+            "vec_a", "vec_b", V.cosine(F.col("ea"), F.col("eb")).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def cosine_near_dup_sql(threshold: float = 0.25) -> str:
+    planes = _planes()
+    band_selects = []
+    for bi in range(BANDS):
+        band_planes = planes[bi * PLANES_PER_BAND : (bi + 1) * PLANES_PER_BAND]
+        bucket = V.sql_lsh_bucket("embedding", band_planes)
+        band_selects.append(
+            f"SELECT vec_id, embedding, {bi} AS band, ({bucket}) AS bucket FROM embeddings"
+        )
+    bnd = " UNION ALL ".join(band_selects)
+    cos = V.sql_cosine("ea", "eb")
+    return f"""
+WITH bnd AS ({bnd}),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         any_value(a.embedding) AS ea, any_value(b.embedding) AS eb
+  FROM bnd a JOIN bnd b USING (band, bucket)
+  WHERE a.vec_id < b.vec_id GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, {cos} AS sim FROM cand
+WHERE {cos} >= {threshold}
+"""

@@ -1,0 +1,79 @@
+"""Text-analysis operators over the documents table.
+
+The training-data-pipeline text layer: language ID, quality scoring,
+token counting, fingerprinting (BASELINE.json north star; no
+counterpart in the reference, which has no text analytics). Everything
+is built-in column expressions — a 100 TB documents table runs this as
+a single embarrassingly-parallel scan projection with no shuffle.
+
+Each operator has a DuckDB-SQL twin generator kept adjacent so the
+Spark expression and the oracle can't drift silently; the parity tests
+compare them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from soccerpredictor_spark.functions import text as X
+
+
+def text_profile(docs: DataFrame) -> DataFrame:
+    """Per-document text metrics: token counts, fingerprint, predicted
+    language, stopword ratio, quality score."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        X.token_count("text").alias("n_tokens"),
+        X.bpe_token_count("text").alias("n_bpe_tokens"),
+        X.fingerprint("text").alias("fp"),
+        X.lang_id("text").alias("lang_pred"),
+        X.stopword_ratio("text").alias("stop_ratio"),
+        X.quality_score("text").alias("quality"),
+    )
+
+
+def _sql_tokens(col: str = "text") -> str:
+    return f"string_split_regex(trim({col}), '\\s+')"
+
+
+def _sql_marker_hits(markers: tuple[str, ...]) -> str:
+    lit = "[" + ", ".join(f"'{w}'" for w in markers) + "]"
+    return (
+        f"len(list_intersect(list_distinct({_sql_tokens('lower(text)')}), {lit}))"
+    )
+
+
+def text_profile_sql() -> str:
+    """DuckDB twin of text_profile."""
+    toks = _sql_tokens()
+    stop_lit = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS) + "]"
+    langs = list(X.LANG_MARKERS)
+    hits = {lang: _sql_marker_hits(ws) for lang, ws in X.LANG_MARKERS.items()}
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} > 0"] + [f"h_{lang} >= h_{other}" for other in langs[i + 1 :]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    hit_cols = ", ".join(f"{sql} AS h_{lang}" for lang, sql in hits.items())
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         len({toks}) AS n_tokens,
+         len(regexp_extract_all(lower(text), '{X.TOKEN_PATTERN}')) AS n_bpe_tokens,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         CAST(len(list_filter({_sql_tokens('lower(text)')},
+              w -> list_contains({stop_lit}, w))) AS DOUBLE)
+           / CAST(len({_sql_tokens('lower(text)')}) AS DOUBLE) AS stop_ratio,
+         {hit_cols}
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, n_bpe_tokens, fp,
+       {lang_case} AS lang_pred,
+       stop_ratio,
+       0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       + 0.3 * least(1.0, (CAST(length(text) AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 8.0)
+       + 0.3 * (1.0 - stop_ratio) AS quality
+FROM base
+"""
