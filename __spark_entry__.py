@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from soccerpredictor_spark.operators import dedup, similarity, textops
+from soccerpredictor_spark.operators import dedup, similarity, textops, windows
 from soccerpredictor_spark.operators.relational import (
     assemble_features,
     label_odds,
@@ -202,6 +202,26 @@ def _q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_near_dup(read_table(spark, sf, "embeddings"))
 
 
+def _q_window_topn(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.topn_per_group(read_table(spark, sf, "customer"))
+
+
+def _q_window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.running_sum(read_table(spark, sf, "events"))
+
+
+def _q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.hourly_rollup(read_table(spark, sf, "events"))
+
+
+def _q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.session_windows(read_table(spark, sf, "events"))
+
+
+def _q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.json_props(read_table(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "top_k_count": _q_top_k_count,
@@ -224,6 +244,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "window_topn_per_group": _q_window_topn,
+        "window_running_sum": _q_window_running_sum,
+        "events_hourly_rollup": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "json_extract": _q_json_extract,
     }
 
 
@@ -296,4 +321,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_lsh_topk": similarity.lsh_ann_topk_sql(),
         "embedding_near_dup": similarity.cosine_near_dup_sql(),
+        "window_topn_per_group": windows.topn_per_group_sql(),
+        "window_running_sum": windows.running_sum_sql(),
+        "events_hourly_rollup": windows.hourly_rollup_sql(),
+        "events_sessionize": windows.session_windows_sql(),
+        "json_extract": windows.json_props_sql(),
     }

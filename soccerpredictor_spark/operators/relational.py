@@ -75,6 +75,7 @@ def label_odds(
     flag: str,
     id_col: str = "id",
     company_col: str = "odds_company",
+    line_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Wide per-game feature matrix from long odds rows (P3+A4+A5).
 
@@ -103,12 +104,19 @@ def label_odds(
     # Exact-decimal mean (order-independent; see plans/tpch.py docstring):
     # sum over decimal(18,4) casts, divided by the non-null count — identical
     # to pandas pivot_table's NaN-skipping mean, and bit-stable at any
-    # partition count / cluster size.
+    # partition count / cluster size. Asian-handicap line columns go
+    # through the fraction parser first (E4, scoped per SURVEY.md §2.10:
+    # the reference's scan-time cleaner applied cell-wise; we apply it
+    # only to declared line columns).
+    from soccerpredictor_spark.functions.expressions import fraction_avg
+
+    def _typed(v: str):
+        if v in line_cols:
+            return fraction_avg(v).cast("decimal(18,4)")
+        return F.col(v).try_cast("decimal(18,4)")
+
     aggs = [
-        F.try_divide(
-            F.sum(F.col(v).try_cast("decimal(18,4)")).cast("double"),
-            F.count(F.col(v).try_cast("decimal(18,4)")),
-        ).alias(v)
+        F.try_divide(F.sum(_typed(v)).cast("double"), F.count(_typed(v))).alias(v)
         for v in value_cols
     ]
     wide = filtered.groupBy(id_col).pivot(company_col, list(companies)).agg(*aggs)

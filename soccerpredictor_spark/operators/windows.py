@@ -1,0 +1,164 @@
+"""Window-function and event-time operators over the events table.
+
+The reference has no window functions (SURVEY.md §2.5) — these are the
+forward-mapped extensions a time-series/training-data pipeline needs:
+per-group top-N, running aggregates, tumbling-window rollups,
+session windows, and JSON property extraction. The tumbling/session
+shapes are the batch twins of the Structured Streaming module
+(streaming/events.py): the same groupBy(window(...)) code runs on a
+stream with a watermark.
+
+Determinism: monetary sums use the exact-decimal convention
+(plans/tpch.py); running sums quantize to int64 cents so prefix sums
+are exact integers in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topn_per_group(
+    customer: DataFrame, n: int = 3
+) -> DataFrame:
+    """Top-N customers by account balance per nation (rank window).
+
+    At scale this is one shuffle on the partition key; the sort is
+    per-partition. Deterministic tie-break on the key column.
+    """
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        customer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+def topn_per_group_sql(n: int = 3) -> str:
+    return f"""
+SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) t WHERE rn <= {n}
+"""
+
+
+def running_sum(events: DataFrame) -> DataFrame:
+    """Per-user running total of event value, ordered by time.
+
+    Values are exact 2-decimal doubles; quantizing to int64 cents makes
+    the prefix sums order-independent-exact, then we emit dollars."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("running_value"),
+    )
+
+
+def running_sum_sql() -> str:
+    return """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / 100.0 AS running_value
+FROM events
+"""
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time windows: count + exact sum per type.
+
+    Identical code runs on a stream (see streaming/events.py) — in
+    batch, ``window()`` is just a projection + hash agg, one shuffle.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def hourly_rollup_sql() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    Uses Spark's native ``session_window`` (merges events whose
+    timestamps are < gap apart; a gap of exactly 30min starts a new
+    session). Output: user session bounds (min/max event time) + count.
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select("user_id", "first_ts", "last_ts", "n_events")
+    )
+
+
+def session_windows_sql(gap_seconds: int = 1800) -> str:
+    # gaps-and-islands: a new session starts when the previous event of
+    # the same user is >= gap away (matching session_window's half-open
+    # [start, last+gap) semantics).
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   >= {gap_seconds}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+def json_props(events: DataFrame) -> DataFrame:
+    """Extract the integer property k from the JSON props column —
+    semi-structured extraction as a pushed-down column expression."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def json_props_sql() -> str:
+    return "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events"

@@ -1,0 +1,92 @@
+"""Structured Streaming over the events stream.
+
+The reference has no streaming (SURVEY.md §2.9); this is the
+forward-mapped extension: the same logical plans as the batch
+event-time operators (operators/windows.py) run as incremental
+streaming queries with watermarked state.
+
+Design for scale:
+- event-time windows + watermark bound the state store: state per
+  (window, key) only for windows newer than the watermark; late data
+  beyond it is dropped deterministically.
+- the transformation functions below take EITHER a batch or a
+  streaming DataFrame — one definition, two execution modes, which is
+  how batch/stream parity is tested (tests/test_streaming.py runs the
+  stream to completion and diffs against the batch run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_from_directory(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream: each parquet file dropped into ``path`` is a
+    micro-batch (the standard ingest pattern for landing zones)."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts/sums, watermarked when the
+    input is a stream (watermark on a batch DataFrame is a no-op)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (native session_window — merging state
+    maintained incrementally by the streaming engine)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, mode: str = "complete"
+) -> "object":
+    """Start the stream into an in-memory sink (test/debug harness);
+    returns the StreamingQuery. Production sinks are writeStream
+    .format('parquet'|'kafka')... with checkpointLocation."""
+    return (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

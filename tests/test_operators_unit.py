@@ -1,0 +1,140 @@
+"""Unit tests per SURVEY.md §5.1: operator semantics on tiny frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from soccerpredictor_spark.functions.expressions import (
+    encode_overunder,
+    encode_win_draw_lose,
+    fraction_avg,
+    score_goals,
+)
+from soccerpredictor_spark.functions.text import shingles
+from soccerpredictor_spark.operators.relational import top_companies
+from soccerpredictor_spark.sources.ingest import (
+    extract_match_id,
+    extract_odds_triple,
+    parse_record_line,
+    rows_to_df,
+)
+from soccerpredictor_spark.sources.upsert import (
+    UnknownTableError,
+    check_table,
+    latest_by_key,
+    upsert_df,
+)
+
+
+def one_col(spark, values, name="v"):
+    return spark.createDataFrame([(v,) for v in values], [name])
+
+
+class TestFractionAvg:
+    # E4 edge cases (DAO/ImpalaCon.py:95-99)
+    def test_cases(self, spark):
+        df = one_col(spark, ["0.5/1", "0.5", "a/b", None, "-0.25", "0/0.5", "2"])
+        got = [r[0] for r in df.select(fraction_avg("v")).collect()]
+        assert got == [0.75, 0.5, None, None, -0.25, 0.25, 2.0]
+
+
+class TestEncoders:
+    def test_wdl_unknown_is_null(self, spark):
+        df = one_col(spark, ["Win", "Draw", "Loss", "???", None])
+        got = [r[0] for r in df.select(encode_win_draw_lose("v")).collect()]
+        assert got == ["3", "1", "0", None, None]
+
+    def test_overunder(self, spark):
+        df = one_col(spark, ["Over", "Under", "x", None])
+        got = [r[0] for r in df.select(encode_overunder("v")).collect()]
+        assert got == ["1", "0", None, None]
+
+    def test_score_goals(self, spark):
+        df = one_col(spark, ["2-1", "0-0", None])
+        host = [r[0] for r in df.select(score_goals("v", "host")).collect()]
+        guest = [r[0] for r in df.select(score_goals("v", "guest")).collect()]
+        assert host == [2, 0, None]
+        assert guest == [1, 0, None]
+
+    def test_score_goals_bad_side(self, spark):
+        with pytest.raises(ValueError):
+            score_goals("v", "middle")
+
+
+class TestShingles:
+    def test_short_doc_empty(self, spark):
+        df = one_col(spark, ["a b", "a b c d", ""])
+        got = [r[0] for r in df.select(shingles("v", 3)).collect()]
+        assert got[0] == []
+        assert got[1] == ["a b c", "b c d"]
+        assert got[2] == []
+
+
+class TestTopCompanies:
+    def test_tie_break_deterministic(self, spark):
+        rows = [("B", ), ("B",), ("A",), ("A",), ("C",)]
+        df = spark.createDataFrame(rows, ["odds_company"])
+        got = top_companies(df, k=2).collect()
+        # A and B tie at 2; ascending name breaks the tie -> A first
+        assert [(r[0], r[1]) for r in got] == [("A", 2), ("B", 2)]
+
+
+class TestUpsert:
+    def test_whitelist(self):
+        assert check_table("game_odds") == ("id", "odds_company")
+        with pytest.raises(UnknownTableError):
+            check_table("not_a_table")
+
+    def test_latest_by_key(self, spark):
+        df = spark.createDataFrame(
+            [("1", "A", "x", 1), ("1", "A", "y", 2), ("1", "B", "z", 1)],
+            ["id", "comp", "val", "seq"],
+        )
+        got = {
+            (r.id, r.comp): r.val
+            for r in latest_by_key(df, ["id", "comp"], ["seq"]).collect()
+        }
+        assert got == {("1", "A"): "y", ("1", "B"): "z"}
+
+    def test_upsert_idempotent_latest_wins(self, spark):
+        base = spark.createDataFrame([("1", "A", "old"), ("2", "B", "keep")], ["id", "comp", "v"])
+        batch = spark.createDataFrame([("1", "A", "new"), ("3", "C", "add")], ["id", "comp", "v"])
+        merged = upsert_df(base, batch, ["id", "comp"])
+        got = {(r.id, r.comp): r.v for r in merged.collect()}
+        assert got == {("1", "A"): "new", ("2", "B"): "keep", ("3", "C"): "add"}
+        # re-applying the same batch changes nothing (idempotency)
+        again = upsert_df(merged, batch, ["id", "comp"])
+        got2 = {(r.id, r.comp): r.v for r in again.collect()}
+        assert got2 == got
+
+    def test_within_batch_later_row_wins(self, spark):
+        batch = spark.createDataFrame([("1", "A", "first"), ("1", "A", "second")], ["id", "comp", "v"])
+        got = upsert_df(None, batch, ["id", "comp"]).collect()
+        assert len(got) == 1 and got[0].v == "second"
+
+
+class TestIngest:
+    def test_rows_to_df_arity_filter(self, spark):
+        rows = [["1", "Team A"], ["2"], ["3", "Team C", "extra"]]
+        df = rows_to_df(spark, "team_list", rows)
+        assert df.count() == 1
+        assert df.columns == ["team_id", "name"]
+
+    def test_match_id_extraction(self, spark):
+        df = one_col(spark, ["http://x/analysis/123456", "http://x/other/9"])
+        got = [r[0] for r in df.select(extract_match_id("v")).collect()]
+        assert got == ["123456", ""]
+
+    def test_parse_record_line(self, spark):
+        good = " ".join(str(i) for i in range(17))
+        df = one_col(spark, [good, "too short"])
+        got = [r[0] for r in df.select(parse_record_line("v")).collect()]
+        assert got[0] is not None and len(got[0]) == 17
+        assert got[1] is None
+
+    def test_odds_triple(self, spark):
+        df = one_col(spark, ["win 1.85 draw 3.40 lose 4.20 extra 9.99", "no odds"])
+        got = [r[0] for r in df.select(extract_odds_triple("v")).collect()]
+        assert got[0] == ["1.85", "3.40", "4.20"]
+        assert got[1] == []

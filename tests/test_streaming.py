@@ -1,0 +1,72 @@
+"""Batch/stream parity: the same windowed_counts plan, run (a) as a
+batch DataFrame and (b) as a real Structured Streaming query over a
+file-source directory fed in two micro-batches, must agree."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from soccerpredictor_spark.sources.catalog import read_events
+from soccerpredictor_spark.streaming import events as SE
+
+
+@pytest.fixture()
+def landing_dir(tmp_path, spark, sf_dir):
+    """Split the events fixture into two parquet drops."""
+    ev = read_events(spark, sf_dir)
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    other = ev.filter(F.col("event_id") % 2 == 1)
+    half.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    other.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    yield d, str(tmp_path / "b1"), str(tmp_path / "b2")
+
+
+def _copy_parquet(src_dir: str, dst_dir: str, tag: str) -> None:
+    for f in os.listdir(src_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src_dir, f), os.path.join(dst_dir, f"{tag}_{f}"))
+
+
+def test_stream_matches_batch(spark, sf_dir, landing_dir):
+    d, b1, b2 = landing_dir
+    ev = read_events(spark, sf_dir)
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in SE.windowed_counts(ev).collect()
+    }
+
+    stream = SE.stream_from_directory(spark, d)
+    assert stream.isStreaming
+    q = SE.run_stream_to_memory(SE.windowed_counts(stream), "wc_test")
+    try:
+        _copy_parquet(b1, d, "batch1")
+        q.processAllAvailable()
+        _copy_parquet(b2, d, "batch2")
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM wc_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_session_stream_runs(spark, landing_dir):
+    d, b1, b2 = landing_dir
+    stream = SE.stream_from_directory(spark, d)
+    q = SE.run_stream_to_memory(SE.sessionized_counts(stream), "sess_test")
+    try:
+        _copy_parquet(b1, d, "batch1")
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) FROM sess_test").collect()[0][0]
+        assert n > 0
+    finally:
+        q.stop()
