@@ -62,14 +62,19 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized(col))
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>.
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column (pure column ops, no shuffle); fewer than n tokens yields
+    an empty array.
 
-    Built from the token array with sequence+transform (pure column
-    ops, executes per-row with no shuffle); documents shorter than n
-    tokens yield an empty array.
+    ``t`` must be a bound column (an attribute produced by an earlier
+    projection), not an expression tree: outer expressions referenced
+    inside a ``transform`` lambda are re-evaluated per element, so
+    passing ``split(text)`` directly re-runs the regexp split for
+    every element_at — ~150x per row for 3-grams (measured 14x
+    end-to-end on the shingle stream). Callers project the token array
+    first; see ``operators/dedup._shingle_rows``.
     """
-    t = tokens(col)
     idx = F.sequence(F.lit(0), F.size(t) - n)
     grams = F.transform(
         idx,

@@ -91,9 +91,25 @@ def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def int_dot_iv(iv_a: Column, iv_b: Column) -> Column:
+    """Exact int64 dot of two ALREADY-quantized arrays. Use this in
+    pair joins: quantize once per row upstream, not once per pair."""
+    terms = F.zip_with(iv_a, iv_b, lambda x, y: x * y)
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
+def sq_norm_iv(iv: Column) -> Column:
+    """Exact int64 squared norm of a quantized array."""
+    return int_dot_iv(iv, iv)
+
+
 def plane_dot(vec: Column, plane: list[float]) -> Column:
     """Exact integer dot of a quantized array column with a ±1 plane."""
-    iv = int_vec(vec)
+    return plane_dot_iv(int_vec(vec), plane)
+
+
+def plane_dot_iv(iv: Column, plane: list[float]) -> Column:
+    """Same, for an already-quantized array column."""
     lit_plane = F.array(*[F.lit(int(v)).cast("long") for v in plane])
     terms = F.zip_with(iv, lit_plane, lambda x, y: x * y)
     return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
@@ -103,6 +119,12 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: one bit per hyperplane (1 = non-negative
     projection), concatenated into a bit-string."""
     bits = [F.when(plane_dot(vec, p) >= 0, "1").otherwise("0") for p in planes]
+    return F.concat(*bits)
+
+
+def lsh_bucket_iv(iv: Column, planes: list[list[float]]) -> Column:
+    """Same, for an already-quantized array column."""
+    bits = [F.when(plane_dot_iv(iv, p) >= 0, "1").otherwise("0") for p in planes]
     return F.concat(*bits)
 
 

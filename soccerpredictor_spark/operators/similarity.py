@@ -116,20 +116,33 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
     (OR over bands boosts recall; AND within a band keeps buckets
     selective). Only bucket-colliding pairs are compared — the n^2
     comparison never happens. Returns (vec_a, vec_b, sim), vec_a < vec_b.
+
+    Physical shape (the part that matters at 100 TB):
+    - each vector is quantized ONCE and its squared norm computed ONCE
+      in the base projection — candidate pairs then cost a single
+      zip_with multiply + integer sum, not six re-quantizations;
+    - the bucket self-join and pair-dedup move only (vec_id, band,
+      bucket) — the 64-wide arrays never enter a shuffle;
+    - vectors are joined back to the deduped id-pairs from the compact
+      ``base`` projection (broadcast when small; hash-join on vec_id
+      otherwise).
     """
     planes = _planes()
+    base = emb.select(
+        "vec_id", V.int_vec(F.col("embedding")).alias("iv")
+    ).withColumn("nrm", V.sq_norm_iv(F.col("iv")))
     band_entries = []
     for bi in range(BANDS):
         band_planes = planes[bi * PLANES_PER_BAND : (bi + 1) * PLANES_PER_BAND]
         band_entries.append(
             F.struct(
                 F.lit(bi).alias("band"),
-                V.lsh_bucket(F.col("embedding"), band_planes).alias("bucket"),
+                V.lsh_bucket_iv(F.col("iv"), band_planes).alias("bucket"),
             )
         )
-    bnd = emb.select(
-        "vec_id", "embedding", F.explode(F.array(*band_entries)).alias("e")
-    ).select("vec_id", "embedding", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+    bnd = base.select(
+        "vec_id", F.explode(F.array(*band_entries)).alias("e")
+    ).select("vec_id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
     a = bnd.alias("a")
     b = bnd.alias("b")
     cand = (
@@ -138,15 +151,22 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    va = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("iv").alias("iv_a"), F.col("nrm").alias("nrm_a")
+    )
+    vb = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("iv").alias("iv_b"), F.col("nrm").alias("nrm_b")
+    )
+    sim = V.int_dot_iv(F.col("iv_a"), F.col("iv_b")).cast("double") / (
+        F.sqrt(F.col("nrm_a").cast("double")) * F.sqrt(F.col("nrm_b").cast("double"))
+    )
     return (
-        cand.select(
-            "vec_a", "vec_b", V.cosine(F.col("ea"), F.col("eb")).alias("sim")
-        )
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 

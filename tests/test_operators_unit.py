@@ -11,7 +11,7 @@ from soccerpredictor_spark.functions.expressions import (
     fraction_avg,
     score_goals,
 )
-from soccerpredictor_spark.functions.text import shingles
+from soccerpredictor_spark.functions.text import shingles_from_tokens, tokens
 from soccerpredictor_spark.operators.relational import top_companies
 from soccerpredictor_spark.sources.ingest import (
     extract_match_id,
@@ -64,8 +64,8 @@ class TestEncoders:
 
 class TestShingles:
     def test_short_doc_empty(self, spark):
-        df = one_col(spark, ["a b", "a b c d", ""])
-        got = [r[0] for r in df.select(shingles("v", 3)).collect()]
+        df = one_col(spark, ["a b", "a b c d", ""]).select(tokens("v").alias("w"))
+        got = [r[0] for r in df.select(shingles_from_tokens(df["w"], 3)).collect()]
         assert got[0] == []
         assert got[1] == ["a b c", "b c d"]
         assert got[2] == []
