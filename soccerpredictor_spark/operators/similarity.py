@@ -76,18 +76,32 @@ def with_bucket(emb: DataFrame, band: int) -> DataFrame:
 def lsh_ann_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Approximate top-k: scan only vectors in the query's band-0
     bucket. At scale the bucket column is a partition/cluster key, so
-    this touches 1/2^planes of the data instead of all of it."""
-    b = with_bucket(emb, 0)
-    q = b.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    this touches 1/2^planes of the data instead of all of it.
+
+    Each vector is quantized once and its norm/bucket derived from the
+    materialized array — not re-quantized per plane and per similarity
+    term (see cosine_near_dup for the same pattern)."""
+    planes = _planes()[:PLANES_PER_BAND]
+    base = emb.select(
+        "vec_id", "label", V.int_vec(F.col("embedding")).alias("iv")
+    ).select(
+        "vec_id",
+        "label",
+        "iv",
+        V.sq_norm_iv(F.col("iv")).alias("nrm"),
+        V.lsh_bucket_iv(F.col("iv"), planes).alias("bucket"),
+    )
+    q = base.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("iv").alias("q_iv"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    sim = V.int_dot_iv(F.col("iv"), F.col("q_iv")).cast("double") / (
+        F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("q_nrm").cast("double"))
     )
     return (
-        b.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
-        .select(
-            "vec_id",
-            "label",
-            V.cosine(F.col("embedding"), F.col("q_emb")).alias("sim"),
-        )
+        base.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select("vec_id", "label", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )
