@@ -222,6 +222,44 @@ def _q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     return windows.json_props(read_table(spark, sf, "events"))
 
 
+def _q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.doc_fingerprint(read_table(spark, sf, "documents"))
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ivf_topk(read_table(spark, sf, "embeddings"))
+
+
+def _q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import multimodal
+
+    media = multimodal.media_from_documents(read_table(spark, sf, "documents"))
+    return multimodal.decode_profile(media)
+
+
+def _q_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    # Structured Streaming one-shot (availableNow) — rows-only check:
+    # incremental state execution isn't ANSI-SQL-expressible, but batch
+    # parity is asserted in tests/test_streaming.py.
+    from soccerpredictor_spark.streaming import events as SE
+
+    return SE.hourly_rollup_available_now(spark, sf)
+
+
+def _q_ml_train_many(spark: SparkSession, sf: str) -> DataFrame:
+    # Many-small-models (groupBy + applyInPandas) — rows-only check:
+    # per-key fit/score is an iterative algorithm, not SQL.
+    from soccerpredictor_spark.ml.pipeline import train_many
+
+    orders = read_table(spark, sf, "orders")
+    return train_many(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"),
+        key_cols=["o_orderpriority"],
+        feature_cols=["o_totalprice"],
+        label_col="o_orderstatus",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "top_k_count": _q_top_k_count,
@@ -249,6 +287,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "json_extract": _q_json_extract,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "multimodal_decode": _q_multimodal_decode,
+        "streaming_hourly": _q_streaming_hourly,
+        "ml_train_many": _q_ml_train_many,
     }
 
 
@@ -326,4 +369,16 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": windows.hourly_rollup_sql(),
         "events_sessionize": windows.session_windows_sql(),
         "json_extract": windows.json_props_sql(),
+        "doc_fingerprint": textops.doc_fingerprint_sql(),
+        "ann_ivf_topk": similarity.ivf_topk_sql(),
+        "multimodal_decode": _multimodal_decode_sql(),
+        # streaming_hourly, ml_train_many: intentionally no oracle —
+        # incremental streaming state and iterative per-key model fits
+        # aren't ANSI-SQL-expressible; the driver records rows-only.
     }
+
+
+def _multimodal_decode_sql() -> str:
+    from soccerpredictor_spark.operators import multimodal
+
+    return multimodal.decode_profile_sql()

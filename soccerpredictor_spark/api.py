@@ -16,7 +16,7 @@ semi-join -> top-10 -> pivot -> join -> na.drop — that Catalyst
 optimizes and executes at fit/predict time; nothing is collected
 between steps (unlike the reference's query-per-step ODBC round trips).
 
-Feature-contract notes (SURVEY.md §2.10 fixes, preserved divergences):
+Feature-contract notes (SURVEY.md §2.11 fixes, preserved divergences):
 - top-10 tie-break is deterministic (secondary sort on company);
 - pivot feature columns are explicitly sorted by (value, company) so
   train/predict matrices align by construction;
@@ -24,7 +24,7 @@ Feature-contract notes (SURVEY.md §2.10 fixes, preserved divergences):
   the reference's asymmetry — with imputation inside the ML pipeline;
 - predict_flat implements the evidently-intended 8-column semantics
   (the reference call crashes: 10 labels vs 8 columns,
-  XGBoost/Predictor.py:129-130 — SURVEY.md §2.10).
+  XGBoost/Predictor.py:129-130 — SURVEY.md §2.11).
 """
 
 from __future__ import annotations

@@ -166,6 +166,9 @@ def train_many(
         # many-models pattern runs in any executor environment; swap the
         # body for xgboost/sklearn where available — the Spark plumbing
         # (grouping, Arrow batching, schema) is identical.
+        # row order within a group is partition-dependent; sort so the
+        # seeded split (and therefore accuracy) is reproducible.
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
         keys = {k: str(pdf[k].iloc[0]) for k in key_cols}
         out = dict(keys)
         out["n_rows"] = len(pdf)

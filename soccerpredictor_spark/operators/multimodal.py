@@ -105,6 +105,46 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema=_FEATURES_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the documents fixture:
+    payload = the document's UTF-8 bytes standing in for a real blob
+    (kind round-robins by doc_id). Lets the multimodal plumbing run —
+    and be oracle-checked — against driver-provided data."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+
+
+def decode_profile(media: DataFrame) -> DataFrame:
+    """Byte-level media profile through the REAL decode plumbing
+    (mapInPandas over Arrow batches): (media_id, kind, n_bytes,
+    payload_fp). The md5/byte-length outputs are SQL-expressible, so
+    this path — unlike the feature vectors — gets a DuckDB oracle."""
+    return extract_features(media).select("media_id", "kind", "n_bytes", "payload_fp")
+
+
+def decode_profile_sql() -> str:
+    """DuckDB twin of decode_profile over documents-derived media
+    (md5 of a VARCHAR hashes its UTF-8 bytes; strlen counts them)."""
+    return """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_fp
+FROM documents
+"""
+
+
 def metadata_filter(media: DataFrame, min_width: int) -> DataFrame:
     """Metadata-only predicate: never reads the payload column (parquet
     column pruning keeps the scan narrow)."""

@@ -27,7 +27,7 @@ def top_companies(odds_df: DataFrame, k: int = 10, company_col: str = "odds_comp
     """Top-K odds companies by row count (A1+A2).
 
     Reference: XGBoost/Predictor.py:210-225 (``group by odd_comp order
-    by count(*) desc limit 10``). Divergence (SURVEY.md §2.10): the
+    by count(*) desc limit 10``). Divergence (SURVEY.md §2.11): the
     reference's tie order is engine-dependent; we add a secondary
     ascending sort on the company name for determinism.
 
@@ -94,7 +94,7 @@ def label_odds(
       differs from 'any' if PK-dedup failed upstream);
     - deterministic flattened column order sorted by (value, company),
       matching pandas' MultiIndex ordering so train/predict matrices
-      align (SURVEY.md §2.10 feature-contract fix).
+      align (SURVEY.md §2.11 feature-contract fix).
     """
     filtered = odds_df.filter(F.col(company_col).isin(list(companies)))
     if games is not None:
@@ -105,7 +105,7 @@ def label_odds(
     # sum over decimal(18,4) casts, divided by the non-null count — identical
     # to pandas pivot_table's NaN-skipping mean, and bit-stable at any
     # partition count / cluster size. Asian-handicap line columns go
-    # through the fraction parser first (E4, scoped per SURVEY.md §2.10:
+    # through the fraction parser first (E4, scoped per SURVEY.md §2.11:
     # the reference's scan-time cleaner applied cell-wise; we apply it
     # only to declared line columns).
     from soccerpredictor_spark.functions.expressions import fraction_avg

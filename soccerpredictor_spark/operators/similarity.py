@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from soccerpredictor_spark.functions import vectors as V
 
@@ -118,6 +119,106 @@ SELECT vec_id, label, {cos} AS sim
 FROM embeddings, q
 WHERE ({bucket}) = ({q_bucket})
 ORDER BY sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+#: IVF geometry: seed-vector centroids, probe the nearest few lists.
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """IVF-style approximate top-k: the inverted-file counterpart to
+    the LSH path.
+
+    Coarse quantizer = the ``IVF_CENTROIDS`` stored vectors with the
+    smallest vec_ids (deterministic seeds — a k-means refinement would
+    drop in here without changing the query shape). Every vector is
+    assigned to its nearest centroid (exact integer distance:
+    |a-c|^2 = |a|^2 - 2 a.c + |c|^2, ties -> lowest centroid id); the
+    query probes its ``IVF_NPROBE`` nearest lists and ranks only those
+    lists' vectors by exact cosine.
+
+    Scale shape: the centroid table is tiny and broadcast everywhere;
+    assignment is a per-row expression over the broadcast (no shuffle);
+    at rest the assignment is a partition/cluster key so a probe reads
+    nprobe/nlist of the data. Returns (vec_id, label, sim).
+    """
+    base = emb.select(
+        "vec_id", "label", V.int_vec(F.col("embedding")).alias("iv")
+    ).select("vec_id", "label", "iv", V.sq_norm_iv(F.col("iv")).alias("nrm"))
+
+    cents = (
+        base.orderBy("vec_id")
+        .limit(IVF_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("iv").alias("civ"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    # nearest centroid per vector: dist^2 = nrm - 2*dot + cnrm (exact ints)
+    dist = F.col("nrm") - 2 * V.int_dot_iv(F.col("iv"), F.col("civ")) + F.col("cnrm")
+    ranked = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+            ),
+        )
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "label", "iv", "nrm", F.col("cid").alias("list_id")
+    )
+    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("iv").alias("q_iv"), F.col("nrm").alias("q_nrm")
+    )
+    probe = (
+        ranked.filter(F.col("vec_id") == query_vec_id)
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("cid").alias("list_id"))
+    )
+    sim = V.int_dot_iv(F.col("iv"), F.col("q_iv")).cast("double") / (
+        F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("q_nrm").cast("double"))
+    )
+    return (
+        assigned.join(F.broadcast(probe), "list_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def ivf_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    dot_ac = V.sql_dot("embedding", "cemb")
+    nrm_a = V.sql_dot("embedding", "embedding")
+    nrm_c = V.sql_dot("cemb", "cemb")
+    cos = V.sql_cosine("embedding", "qe")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+  ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+ranked AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ({nrm_a}) - 2 * ({dot_ac}) + ({nrm_c}) ASC, c.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, label, embedding, cid AS list_id FROM ranked WHERE rn = 1),
+probe AS (SELECT cid AS list_id FROM ranked WHERE vec_id = {query_vec_id} AND rn <= {IVF_NPROBE}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT a.vec_id, a.label, {cos.replace('embedding', 'a.embedding')} AS sim
+FROM assigned a JOIN probe USING (list_id) CROSS JOIN q
+ORDER BY sim DESC, a.vec_id ASC
 LIMIT {k}
 """
 

@@ -34,6 +34,66 @@ def text_profile(docs: DataFrame) -> DataFrame:
     )
 
 
+#: rolling-hash parameters (polynomial hash over token hashes).
+ROLL_BASE = 1_000_003
+ROLL_MOD = 2_147_483_647  # 2^31 - 1
+#: per-token hash = first 12 md5 hex digits as int, mod ROLL_MOD —
+#: keeps every intermediate < 2^52, exact in int64 in both engines.
+_TOKEN_HASH_HEX_DIGITS = 12
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint.
+
+    h = fold(tokens, h_i = (h_{i-1} * BASE + hash(w_i)) mod M) — unlike
+    the md5-of-normalized-text fingerprint this is a *polynomial* hash,
+    the building block for winnowing/chunk-level fingerprints. Pure
+    per-row column expression: a 100 TB corpus runs it as one scan with
+    no shuffle.
+
+    The token array is materialized first (see shingles_from_tokens's
+    perf note), then token hashes, then the fold — so the md5s compute
+    once per token, not once per fold step.
+    """
+    tok = docs.select("doc_id", X.tokens("text").alias("w"))
+    th = tok.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.transform(
+            F.col("w"),
+            lambda w: F.conv(
+                F.substring(F.md5(w), 1, _TOKEN_HASH_HEX_DIGITS), 16, 10
+            ).cast("long")
+            % ROLL_MOD,
+        ).alias("h"),
+    )
+    rolled = F.aggregate(
+        F.slice(F.col("h"), 2, F.greatest(F.size("h") - 1, F.lit(0))),
+        F.try_element_at(F.col("h"), F.lit(1)),
+        lambda acc, x: (acc * ROLL_BASE + x) % ROLL_MOD,
+    )
+    return th.select("doc_id", "n_tokens", rolled.alias("rolling_fp"))
+
+
+def doc_fingerprint_sql() -> str:
+    """DuckDB twin of doc_fingerprint (list_reduce has no init value in
+    DuckDB 1.0, so the first token hash seeds the fold — matching the
+    Spark aggregate over the tail with head as init)."""
+    toks = _sql_tokens()
+    th = (
+        f"list_transform({toks}, w -> "
+        f"CAST(concat('0x', substr(md5(w), 1, {_TOKEN_HASH_HEX_DIGITS})) AS BIGINT) % {ROLL_MOD})"
+    )
+    return f"""
+WITH th AS (SELECT doc_id, len({toks}) AS n_tokens, {th} AS h FROM documents)
+SELECT doc_id, n_tokens,
+       CASE WHEN len(h) = 0 THEN NULL
+            ELSE list_reduce(h, (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD})
+       END AS rolling_fp
+FROM th
+"""
+
+
 def _sql_tokens(col: str = "text") -> str:
     return f"string_split_regex(trim({col}), '\\s+')"
 

@@ -96,7 +96,7 @@ COLUMN_ALIASES: dict[str, str] = {
 #: columns holding Asian-handicap "a/b" fraction lines; the scan-time
 #: fraction cleaner is scoped to exactly these (deliberate divergence
 #: from the reference's cell-wise cleaner, DAO/ImpalaCon.py:92-101,
-#: which would corrupt URL/date strings — SURVEY.md §2.10).
+#: which would corrupt URL/date strings — SURVEY.md §2.11).
 LINE_COLUMNS: dict[str, tuple[str, ...]] = {
     "game_record": ("asia_odds",),
     "game_overunder": ("initial_line", "final_line"),

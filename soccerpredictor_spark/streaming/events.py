@@ -78,6 +78,57 @@ def sessionized_counts(
     )
 
 
+def hourly_rollup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot incremental run: stream the events parquet through the
+    watermarked hourly rollup with Trigger.AvailableNow, drain into a
+    memory sink, return the result as a batch DataFrame.
+
+    This is the batch-parity harness shape: the SAME windowed_counts
+    plan that runs continuously in production processes the backlog
+    once and stops — the standard backfill/catch-up pattern.
+    """
+    import os
+
+    # the fixture's ts is TIMESTAMP(NANOS); stream it as long and
+    # rebuild microseconds (see sources.catalog.read_events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    # the file-stream source requires a DIRECTORY (each file that lands
+    # in it is a micro-batch); the fixture is a single parquet file, so
+    # expose it through a scratch dir holding one symlink — exactly how
+    # a landing zone receives files in production.
+    import tempfile
+
+    src_file = os.path.join(sf_dir, "events.parquet")
+    land_dir = tempfile.mkdtemp(prefix="events_landing_")
+    os.symlink(src_file, os.path.join(land_dir, "events.parquet"))
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(land_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = windowed_counts(src)
+    name = "hourly_rollup_stream"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, mode: str = "complete"
 ) -> "object":

@@ -59,6 +59,21 @@ def test_stream_matches_batch(spark, sf_dir, landing_dir):
     assert got == expected
 
 
+def test_available_now_matches_batch(spark, sf_dir):
+    """The one-shot (Trigger.AvailableNow) backfill run over the raw
+    fixture file must equal the batch windowed_counts result."""
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in SE.hourly_rollup_available_now(spark, sf_dir).collect()
+    }
+    ev = read_events(spark, sf_dir)
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in SE.windowed_counts(ev).collect()
+    }
+    assert got == expected
+
+
 def test_session_stream_runs(spark, landing_dir):
     d, b1, b2 = landing_dir
     stream = SE.stream_from_directory(spark, d)
