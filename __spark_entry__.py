@@ -222,6 +222,18 @@ def _q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     return windows.json_props(read_table(spark, sf, "events"))
 
 
+def _q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import joins
+
+    return joins.asof_last_purchase(read_table(spark, sf, "events"))
+
+
+def _q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import joins
+
+    return joins.range_tier_agg(read_table(spark, sf, "lineitem"))
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return textops.doc_fingerprint(read_table(spark, sf, "documents"))
 
@@ -288,6 +300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "json_extract": _q_json_extract,
         "doc_fingerprint": _q_doc_fingerprint,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_decode": _q_multimodal_decode,
         "streaming_hourly": _q_streaming_hourly,
@@ -370,6 +384,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": windows.session_windows_sql(),
         "json_extract": windows.json_props_sql(),
         "doc_fingerprint": textops.doc_fingerprint_sql(),
+        "asof_join": _joins_mod().asof_last_purchase_sql(),
+        "range_join": _joins_mod().range_tier_agg_sql(),
         "ann_ivf_topk": similarity.ivf_topk_sql(),
         "multimodal_decode": _multimodal_decode_sql(),
         # streaming_hourly, ml_train_many: intentionally no oracle —
@@ -382,3 +398,9 @@ def _multimodal_decode_sql() -> str:
     from soccerpredictor_spark.operators import multimodal
 
     return multimodal.decode_profile_sql()
+
+
+def _joins_mod():
+    from soccerpredictor_spark.operators import joins
+
+    return joins

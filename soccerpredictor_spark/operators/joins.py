@@ -1,0 +1,165 @@
+"""Temporal / range join operators.
+
+Spark has no native as-of join (the staple of event-stream feature
+engineering: "the latest right-side value at or before each left-side
+timestamp"). Rather than a per-key Python loop, ``asof_join`` is a
+union + window composition — one shuffle on the join key, sorted once,
+whole-stage-codegen throughout — which is the shape that survives
+100 TB (no per-row lookups, no driver involvement, AQE handles skewed
+keys).
+
+``range_tier_agg`` is the broadcast band-join: classify a fact column
+into literal tiers via a tiny broadcast side. The reference has
+neither operator (its only joins are pandas index equi-joins,
+XGBoost/Predictor.py:47,74,157); these extend SURVEY.md §2.3's J-family
+for the training-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    out_col: str = "asof_value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains the ``value_col`` of
+    the last ``right`` row with the same ``key`` and ``right_ts`` <=
+    ``left_ts`` (NULL when no such row).
+
+    Implementation: tag both inputs, union them, and take
+    ``last(value, ignorenulls)`` over (key) ordered by
+    (ts, tag, tiebreak) with an unbounded-preceding frame — right rows
+    sort before left rows at equal timestamps, so "at or before" holds
+    exactly. One shuffle on ``key``; no range self-join blowup.
+
+    ``tiebreak`` (a right-side column, e.g. its event id) makes the
+    winner among equal-timestamp right rows deterministic.
+    """
+    lcols = left.columns
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        tb.alias("__tb"),
+        F.col(value_col).alias("__val"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(0).alias("__tb"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("__val"),
+        *[F.col(c) for c in lcols if c != key],
+    )
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc(), F.col("__tb").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        r.unionByName(l)
+        .withColumn(out_col, F.last("__val", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == 1)
+        .select(*lcols, out_col)
+    )
+
+
+def asof_last_purchase(events: DataFrame) -> DataFrame:
+    """For every 'click' event: the value of the user's most recent
+    'purchase' at or before the click (NULL when none yet)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id"), "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_col="value",
+        out_col="last_purchase_value",
+        tiebreak="p_event_id",
+    ).select("event_id", "user_id", "last_purchase_value")
+
+
+def asof_last_purchase_sql() -> str:
+    """DuckDB twin (same union+window plan, spelled in SQL)."""
+    return """
+WITH u AS (
+  SELECT user_id, ts AS __ts, 0 AS __tag, event_id AS __tb, value AS __val,
+         NULL::BIGINT AS event_id
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts AS __ts, 1 AS __tag, 0 AS __tb, NULL::DOUBLE AS __val,
+         event_id
+  FROM events WHERE event_type = 'click'
+),
+w AS (
+  SELECT *, last_value(__val IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY __ts ASC, __tag ASC, __tb ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_purchase_value
+  FROM u
+)
+SELECT event_id, user_id, last_purchase_value FROM w WHERE __tag = 1
+"""
+
+
+#: literal quantity tiers for the band join (lo inclusive, hi exclusive).
+QTY_TIERS: tuple[tuple[str, int, int], ...] = (
+    ("scant", 0, 10),
+    ("light", 10, 20),
+    ("medium", 20, 35),
+    ("heavy", 35, 1_000_000),
+)
+
+
+def range_tier_agg(lineitem: DataFrame) -> DataFrame:
+    """Band join: classify l_quantity into literal tiers (broadcast
+    nested-loop against 4 rows — the small side is the build side, the
+    fact table never shuffles for the join) and aggregate per tier.
+
+    Exact-decimal sum convention for the cross-engine float identity
+    (plans/tpch.py docstring).
+    """
+    spark = lineitem.sparkSession
+    tiers = spark.createDataFrame(list(QTY_TIERS), ["tier", "lo", "hi"])
+    q = F.col("l_quantity").cast("double")
+    joined = lineitem.join(
+        F.broadcast(tiers), (q >= F.col("lo")) & (q < F.col("hi"))
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+def range_tier_agg_sql() -> str:
+    tiers = " UNION ALL ".join(
+        f"SELECT '{t}' AS tier, {lo} AS lo, {hi} AS hi" for t, lo, hi in QTY_TIERS
+    )
+    return f"""
+WITH tiers AS ({tiers})
+SELECT tier, count(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN tiers
+  ON CAST(l_quantity AS DOUBLE) >= lo AND CAST(l_quantity AS DOUBLE) < hi
+GROUP BY tier
+"""
