@@ -170,6 +170,19 @@ def _q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q6_forecast_revenue(read_table(spark, sf, "lineitem"))
+
+
+def _q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q10_returned_items(
+        read_table(spark, sf, "customer"),
+        read_table(spark, sf, "orders"),
+        read_table(spark, sf, "lineitem"),
+        read_table(spark, sf, "nation"),
+    )
+
+
 def _q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textops.text_profile(read_table(spark, sf, "documents"))
 
@@ -286,6 +299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q10": _q_tpch_q10,
         "text_profile": _q_text_profile,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -370,6 +385,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": tpch.Q1_SQL,
         "tpch_q3": tpch.Q3_SQL,
         "tpch_q5": tpch.Q5_SQL,
+        "tpch_q6": tpch.Q6_SQL,
+        "tpch_q10": tpch.Q10_SQL,
         "text_profile": textops.text_profile_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_jaccard": dedup.jaccard_pairs_sql(),

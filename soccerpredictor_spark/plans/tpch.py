@@ -146,6 +146,82 @@ LIMIT 10
 """
 
 
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6-style: pure filter + single global aggregate.
+
+    The whole predicate set (date range, discount band, quantity cap)
+    pushes into the parquet scan, and the aggregation is a map-side
+    partial sum + single-row final — the minimal possible shuffle. The
+    canonical "is pushdown actually working" query.
+    """
+    rev = F.col("l_extendedprice").cast(MONEY) * F.col("l_discount").cast(RATE)
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").cast(RATE) >= F.lit("0.05").cast(RATE))
+            & (F.col("l_discount").cast(RATE) <= F.lit("0.07").cast(RATE))
+            & (F.col("l_quantity").cast("double") < 24.0)
+        )
+        .agg(_dsum_exact(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN CAST(0.05 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
+  AND CAST(l_quantity AS DOUBLE) < 24.0
+"""
+
+
+def q10_returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q10-style: returned-item revenue per customer, top 20.
+
+    lineitem⋈orders is the only real shuffle; customer and nation
+    broadcast. Top-K plans as TakeOrderedAndProject.
+    """
+    revenue = disc_price_expr()
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(customer), ords.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum_exact(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 def q5_local_supplier(
     region: DataFrame,
     nation: DataFrame,
