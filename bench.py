@@ -43,7 +43,12 @@ def main() -> None:
 
     # Warm the JVM + parquet footer caches once so per-query times
     # measure the queries, not session startup.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            if t == "events":
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(p).count()
 
     times: dict[str, float] = {}
     total = 0.0

@@ -1,0 +1,64 @@
+"""Scale-guard behavior: the properties that keep the dedup/similarity
+operators alive at 100 TB, exercised on adversarial small data.
+
+The df-cap (max_df) on shingles is THE skew guard for the shingle
+self-join: a stop-phrase shared by half the corpus would otherwise
+produce |corpus|^2/4 candidate pairs out of a single shingle bucket.
+These tests build exactly that corpus and assert the guard drops the
+hot bucket while real near-duplicates still surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from soccerpredictor_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    """200 docs that ALL open with the same stop phrase (a hot shingle
+    bucket of df=200), each with a unique tail — plus one pair of true
+    near-duplicates with rare shared content."""
+    stop = "breaking news today again"
+    rows = [
+        (i, "en", f"{stop} item {i} alpha{i * 7} beta{i * 13} gamma{i * 29}")
+        for i in range(200)
+    ]
+    rows.append((9001, "en", "rare pangolin fact sheet edition one final"))
+    rows.append((9002, "en", "rare pangolin fact sheet edition two final"))
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"]).cache()
+
+
+def test_hot_shingle_capped_no_pair_explosion(skewed_docs):
+    """With the df cap active, the 200 stop-phrase docs must NOT pair
+    with each other (their only shared shingles are hot); the true
+    near-dup pair must still be found."""
+    pairs = D.jaccard_pairs(skewed_docs, n=3, threshold=0.2, max_df=100).collect()
+    pair_keys = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (9001, 9002) in pair_keys
+    # no stop-phrase-only pair survives
+    assert all(a >= 9000 and b >= 9000 for a, b in pair_keys), pair_keys
+
+
+def test_uncapped_would_explode(skewed_docs):
+    """Sanity check that the guard is doing real work: without the cap
+    the same corpus produces tens of thousands of candidate pairs."""
+    n_uncapped = (
+        D.jaccard_pairs(skewed_docs, n=3, threshold=0.0, max_df=10**9)
+        .count()
+    )
+    assert n_uncapped > 19_000  # ~200*199/2 stop-phrase pairs
+
+
+def test_minhash_lsh_respects_cap_in_verification(skewed_docs):
+    """LSH candidates of stop-phrase docs exist (signatures collide),
+    but exact-jaccard verification over df-capped shingles kills them;
+    the rare pair survives end-to-end."""
+    pairs = D.minhash_lsh_pairs(
+        skewed_docs, n=3, num_hashes=12, bands=4, threshold=0.2, max_df=100
+    ).collect()
+    pair_keys = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (9001, 9002) in pair_keys
+    assert all(a >= 9000 and b >= 9000 for a, b in pair_keys), pair_keys
