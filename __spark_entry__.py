@@ -183,6 +183,12 @@ def _q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q14_promo_revenue(
+        read_table(spark, sf, "lineitem"), read_table(spark, sf, "part")
+    )
+
+
 def _q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textops.text_profile(read_table(spark, sf, "documents"))
 
@@ -301,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
         "tpch_q10": _q_tpch_q10,
+        "tpch_q14": _q_tpch_q14,
         "text_profile": _q_text_profile,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -387,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": tpch.Q5_SQL,
         "tpch_q6": tpch.Q6_SQL,
         "tpch_q10": tpch.Q10_SQL,
+        "tpch_q14": tpch.Q14_SQL,
         "text_profile": textops.text_profile_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_jaccard": dedup.jaccard_pairs_sql(),

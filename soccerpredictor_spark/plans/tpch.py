@@ -222,6 +222,40 @@ LIMIT 20
 """
 
 
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14-style: promotion revenue share.
+
+    lineitem⋈part with the dim broadcast; conditional aggregation
+    (sum-if) computed map-side. The ratio divides two exact-decimal
+    sums in double — bit-reproducible.
+    """
+    revenue = disc_price_expr()
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast(MONEY))
+    ).cast("double")
+    total = _dsum_exact(revenue)
+    return joined.agg(
+        (F.lit(100.0) * promo / total).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_DISC_PRICE}
+                             ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE)
+             / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
 def q5_local_supplier(
     region: DataFrame,
     nation: DataFrame,

@@ -31,6 +31,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-microsecond components are zero, so this is lossless).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # window()/session_window alignment follows the session timezone;
+    # pin UTC so event-time results are identical under any host TZ
+    # (the oracle's naive timestamps align to UTC).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -90,8 +90,10 @@ def hourly_rollup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     # the fixture's ts is TIMESTAMP(NANOS); stream it as long and
-    # rebuild microseconds (see sources.catalog.read_events).
+    # rebuild microseconds (see sources.catalog.read_events). Pin UTC
+    # so window alignment is host-TZ independent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType(), True),
