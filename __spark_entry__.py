@@ -241,6 +241,18 @@ def _q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     return windows.json_props(read_table(spark, sf, "events"))
 
 
+def _q_event_deltas(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.event_deltas(read_table(spark, sf, "events"))
+
+
+def _q_rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.daily_type_rollup(read_table(spark, sf, "events"))
+
+
+def _q_set_except(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.clicked_not_purchased(read_table(spark, sf, "events"))
+
+
 def _q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     from soccerpredictor_spark.operators import joins
 
@@ -321,6 +333,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "json_extract": _q_json_extract,
+        "event_deltas": _q_event_deltas,
+        "rollup_agg": _q_rollup_agg,
+        "set_except": _q_set_except,
         "doc_fingerprint": _q_doc_fingerprint,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -408,6 +423,9 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": windows.hourly_rollup_sql(),
         "events_sessionize": windows.session_windows_sql(),
         "json_extract": windows.json_props_sql(),
+        "event_deltas": windows.event_deltas_sql(),
+        "rollup_agg": windows.daily_type_rollup_sql(),
+        "set_except": windows.clicked_not_purchased_sql(),
         "doc_fingerprint": textops.doc_fingerprint_sql(),
         "asof_join": _joins_mod().asof_last_purchase_sql(),
         "range_join": _joins_mod().range_tier_agg_sql(),

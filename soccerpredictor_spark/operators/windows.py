@@ -151,6 +151,83 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+def event_deltas(events: DataFrame) -> DataFrame:
+    """lag/lead family: per-user inter-event gap (seconds since the
+    user's previous event; NULL on each user's first event) and the
+    next event's type. One shuffle on user_id, per-partition sort."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # exact integer microseconds — second-level flooring would disagree
+    # across engines on sub-second timestamps
+    us = F.unix_micros(F.col("ts"))
+    return events.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("micros_since_prev"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+def event_deltas_sql() -> str:
+    return """
+SELECT user_id, event_id,
+       epoch_us(ts)
+         - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         AS micros_since_prev,
+       LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         AS next_event_type
+FROM events
+"""
+
+
+def daily_type_rollup(events: DataFrame) -> DataFrame:
+    """ROLLUP aggregation: event counts at (date, type), (date), and
+    grand-total levels in one pass — partial aggregation handles all
+    grouping sets map-side, one shuffle total. NULL marks the rolled-up
+    dimension (normalized to literal 'ALL' for engine-portable
+    output)."""
+    d = F.to_date("ts").cast("string")
+    return (
+        events.select(d.alias("day"), "event_type")
+        .rollup("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+        )
+    )
+
+
+def daily_type_rollup_sql() -> str:
+    return """
+SELECT COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY ROLLUP (CAST(CAST(ts AS DATE) AS VARCHAR), event_type)
+"""
+
+
+def clicked_not_purchased(events: DataFrame) -> DataFrame:
+    """Set operation family: (user, day) pairs with a click but no
+    purchase that day (EXCEPT). Spark plans except-distinct as a
+    left-anti hash join — no full sort."""
+    day = F.to_date("ts").cast("string").alias("day")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", day)
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.distinct().subtract(purchases.distinct())
+
+
+def clicked_not_purchased_sql() -> str:
+    return """
+SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 def json_props(events: DataFrame) -> DataFrame:
     """Extract the integer property k from the JSON props column —
     semi-structured extraction as a pushed-down column expression."""
