@@ -89,9 +89,18 @@ def shingles_from_tokens(t: Column, n: int = 3) -> Column:
 
 def marker_hits(col: Column | str, markers: tuple[str, ...]) -> Column:
     """Number of distinct marker words present in the token set."""
+    return marker_hits_from_tokens(
+        tokens(F.lower(col if isinstance(col, Column) else F.col(col))), markers
+    )
+
+
+def marker_hits_from_tokens(wl: Column, markers: tuple[str, ...]) -> Column:
+    """Same, over a materialized lowercased token array (see the perf
+    note on shingles_from_tokens — expression-tree token args would
+    re-split per use)."""
     return F.size(
         F.array_intersect(
-            F.array_distinct(tokens(F.lower(col if isinstance(col, Column) else F.col(col)))),
+            F.array_distinct(wl),
             F.array(*[F.lit(w) for w in markers]),
         )
     )
@@ -104,6 +113,19 @@ def lang_id(col: Column | str) -> Column:
     """
     langs = list(LANG_MARKERS)
     hit_cols = {lang: marker_hits(col, ws) for lang, ws in LANG_MARKERS.items()}
+    return _lang_case(hit_cols)
+
+
+def lang_id_from_tokens(wl: Column) -> Column:
+    """lang_id over a materialized lowercased token array."""
+    hit_cols = {
+        lang: marker_hits_from_tokens(wl, ws) for lang, ws in LANG_MARKERS.items()
+    }
+    return _lang_case(hit_cols)
+
+
+def _lang_case(hit_cols: dict[str, Column]) -> Column:
+    langs = list(LANG_MARKERS)
     best = None
     for i, lang in enumerate(langs):
         h = hit_cols[lang]
@@ -118,10 +140,16 @@ def lang_id(col: Column | str) -> Column:
 
 def stopword_ratio(col: Column | str) -> Column:
     """Fraction of tokens that are stopwords (occurrence-based)."""
-    t = tokens(F.lower(col if isinstance(col, Column) else F.col(col)))
+    return stopword_ratio_from_tokens(
+        tokens(F.lower(col if isinstance(col, Column) else F.col(col)))
+    )
+
+
+def stopword_ratio_from_tokens(wl: Column) -> Column:
+    """Same, over a materialized lowercased token array."""
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w)))
-    return n_stop.cast("double") / F.size(t).cast("double")
+    n_stop = F.size(F.filter(wl, lambda w: F.array_contains(stop_arr, w)))
+    return n_stop.cast("double") / F.size(wl).cast("double")
 
 
 def quality_score(col: Column | str) -> Column:

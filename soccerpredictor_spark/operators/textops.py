@@ -21,16 +21,39 @@ from soccerpredictor_spark.functions import text as X
 
 def text_profile(docs: DataFrame) -> DataFrame:
     """Per-document text metrics: token counts, fingerprint, predicted
-    language, stopword ratio, quality score."""
+    language, stopword ratio, quality score.
+
+    The lowercased token array is materialized once and every
+    token-level metric reads it — without this, each of lang-ID's four
+    marker intersections and both ratio terms re-runs the regexp split
+    over the full text (~8 passes/row; see the perf note on
+    ``functions.text.shingles_from_tokens``). Whitespace tokenization
+    is case-invariant, so token counts from the lowered array equal
+    the raw ones.
+    """
+    wl = F.col("wl")
+    n_tok = F.size(wl)
+    stop_ratio = X.stopword_ratio_from_tokens(wl)
+    avg_len = F.length(F.col("text")).cast("double") / n_tok.cast("double")
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok.cast("double") / F.lit(100.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+    )
     return docs.select(
         "doc_id",
         "lang",
-        X.token_count("text").alias("n_tokens"),
+        "text",
+        X.tokens(F.lower(F.col("text"))).alias("wl"),
+    ).select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
         X.bpe_token_count("text").alias("n_bpe_tokens"),
         X.fingerprint("text").alias("fp"),
-        X.lang_id("text").alias("lang_pred"),
-        X.stopword_ratio("text").alias("stop_ratio"),
-        X.quality_score("text").alias("quality"),
+        X.lang_id_from_tokens(wl).alias("lang_pred"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
     )
 
 
