@@ -253,6 +253,10 @@ def _q_set_except(spark: SparkSession, sf: str) -> DataFrame:
     return windows.clicked_not_purchased(read_table(spark, sf, "events"))
 
 
+def _q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.distinct_users_per_type(read_table(spark, sf, "events"))
+
+
 def _q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     from soccerpredictor_spark.operators import joins
 
@@ -336,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_deltas": _q_event_deltas,
         "rollup_agg": _q_rollup_agg,
         "set_except": _q_set_except,
+        "distinct_agg": _q_distinct_agg,
         "doc_fingerprint": _q_doc_fingerprint,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -426,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         "event_deltas": windows.event_deltas_sql(),
         "rollup_agg": windows.daily_type_rollup_sql(),
         "set_except": windows.clicked_not_purchased_sql(),
+        "distinct_agg": windows.distinct_users_per_type_sql(),
         "doc_fingerprint": textops.doc_fingerprint_sql(),
         "asof_join": _joins_mod().asof_last_purchase_sql(),
         "range_join": _joins_mod().range_tier_agg_sql(),

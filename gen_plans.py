@@ -1,0 +1,47 @@
+import sys
+sys.path.insert(0, "/root/repo")
+from soccerpredictor_spark.session import get_spark
+import __spark_entry__ as m
+spark = get_spark("plans")
+spark.conf.set("spark.sql.adaptive.enabled", "false")  # show static codegen stages
+sf = "/root/testdata/sf0.1"
+
+HEADLINE = {
+    "tpch_q1": "Scan-heavy agg: pushdown + column pruning + map-side partial agg",
+    "tpch_q3": "3-way join: broadcast filtered dim, shuffle only lineitem-orders, top-K as TakeOrderedAndProject",
+    "semi_join": "Procedural 2-step lookup re-expressed as broadcast left-semi chain",
+    "pivot_avg": "Long-to-wide pivot with explicit value list (no distinct-collection job)",
+    "dedup_minhash_lsh": "MinHash LSH: signature agg, banded buckets, candidate-restricted verification, exchange reuse",
+    "embedding_near_dup": "Sign-LSH near-dup: arrays quantized once, id-only candidate shuffle, vectors re-joined",
+    "asof_join": "As-of join as union+window: one shuffle, zero join nodes",
+}
+
+out = ["# PLANS — physical plans of headline queries (sf0.1, AQE display off)",
+       "",
+       "Regenerate: `python " + "gen_plans.py" + "` (or see tests/test_plans.py",
+       "for the assertions that gate these shapes). Annotations call out the",
+       "properties that matter at 100 TB.",
+       ""]
+for name, note in HEADLINE.items():
+    df = m.queries()[name](spark, sf)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    out.append(f"## {name}")
+    out.append("")
+    out.append(f"**{note}**")
+    out.append("")
+    out.append("```")
+    # keep the operator tree + scan details; drop the verbose per-node field dumps
+    lines = plan.splitlines()
+    tree_end = next((i for i, l in enumerate(lines) if not l.strip()), len(lines))
+    keep = lines[:tree_end]
+    detail = [l for l in lines[tree_end:] if any(
+        k in l for k in ("PushedFilters", "ReadSchema", "Location"))]
+    out.extend(keep)
+    if detail:
+        out.append("")
+        out.extend(d.strip()[:200] for d in detail)
+    out.append("```")
+    out.append("")
+with open("/root/repo/PLANS.md", "w") as f:
+    f.write("\n".join(out))
+print("wrote PLANS.md", sum(len(l) for l in out))

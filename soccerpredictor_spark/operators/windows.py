@@ -228,6 +228,25 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def distinct_users_per_type(events: DataFrame) -> DataFrame:
+    """Distinct aggregation: exact per-type distinct-user counts plus
+    each type's event count. Spark plans count(DISTINCT x) as a
+    two-phase expand/partial-agg — still one logical pass; for
+    cardinality-only needs at extreme scale, approx_count_distinct
+    (HLL) is the drop-in (not used here so the oracle stays exact)."""
+    return events.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def distinct_users_per_type_sql() -> str:
+    return """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def json_props(events: DataFrame) -> DataFrame:
     """Extract the integer property k from the JSON props column —
     semi-structured extraction as a pushed-down column expression."""
