@@ -257,6 +257,17 @@ def _q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
     return windows.distinct_users_per_type(read_table(spark, sf, "events"))
 
 
+def _q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    # Skew-guard aggregation: the salt spreads a hot key over 16
+    # partial groups; the merge stage removes it, so the result is
+    # EXACTLY the plain aggregation (the oracle runs the plain SQL).
+    from soccerpredictor_spark.operators.skew import salted_count_sum
+
+    return salted_count_sum(
+        read_table(spark, sf, "lineitem"), ["l_returnflag"], "l_extendedprice"
+    )
+
+
 def _q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     from soccerpredictor_spark.operators import joins
 
@@ -341,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": _q_rollup_agg,
         "set_except": _q_set_except,
         "distinct_agg": _q_distinct_agg,
+        "salted_agg": _q_salted_agg,
         "doc_fingerprint": _q_doc_fingerprint,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -432,6 +444,11 @@ def oracle_sql() -> dict[str, str]:
         "rollup_agg": windows.daily_type_rollup_sql(),
         "set_except": windows.clicked_not_purchased_sql(),
         "distinct_agg": windows.distinct_users_per_type_sql(),
+        "salted_agg": (
+            "SELECT l_returnflag, COUNT(*) AS n_rows, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
         "doc_fingerprint": textops.doc_fingerprint_sql(),
         "asof_join": _joins_mod().asof_last_purchase_sql(),
         "range_join": _joins_mod().range_tier_agg_sql(),

@@ -1,0 +1,100 @@
+"""Physical data-layout strategies: salting, bucketing, partition
+pruning — the cluster-scale techniques, exercised end-to-end locally.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from soccerpredictor_spark.operators.skew import plain_count_sum, salted_count_sum
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestSaltedAggregation:
+    def test_salted_equals_plain_on_skewed_data(self, spark):
+        """One key owns 95% of rows; the salted two-stage aggregation
+        must return exactly the unsalted result."""
+        hot = spark.range(20_000).select(
+            F.lit("hot").alias("k"), (F.col("id") % 100).cast("double").alias("v")
+        )
+        cold = spark.range(1_000).select(
+            F.concat(F.lit("cold"), (F.col("id") % 50).cast("string")).alias("k"),
+            F.col("id").cast("double").alias("v"),
+        )
+        df = hot.unionByName(cold)
+        got = {
+            r.k: (r.n_rows, r.sum_value)
+            for r in salted_count_sum(df, ["k"], "v", num_salts=8).collect()
+        }
+        want = {
+            r.k: (r.n_rows, r.sum_value)
+            for r in plain_count_sum(df, ["k"], "v").collect()
+        }
+        assert got == want
+        assert got["hot"][0] == 20_000
+
+    def test_salt_spreads_partials(self, spark):
+        """The partial stage must actually split the hot key."""
+        hot = spark.range(5_000).select(
+            F.lit("hot").alias("k"), F.lit(1.0).alias("v")
+        )
+        salted = hot.withColumn("__salt", (F.rand(seed=7) * 8).cast("int"))
+        n_groups = salted.groupBy("k", "__salt").count().count()
+        assert n_groups == 8
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark, tmp_path):
+        """Both sides bucketed on the join key -> sort-merge join with
+        ZERO Exchange nodes (the co-located join that saves the big
+        shuffle at 100 TB)."""
+        # bucketBy requires saveAsTable (managed); tables land in the
+        # default ./spark-warehouse (gitignored) and are dropped after.
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lines")
+        orders = spark.range(1_000).select(
+            F.col("id").alias("o_id"), (F.col("id") % 7).alias("o_flag")
+        )
+        lines = spark.range(5_000).select(
+            (F.col("id") % 1_000).alias("o_id"), F.col("id").alias("line_id")
+        )
+        orders.write.bucketBy(8, "o_id").sortBy("o_id").saveAsTable("b_orders")
+        lines.write.bucketBy(8, "o_id").sortBy("o_id").saveAsTable("b_lines")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            joined = spark.table("b_lines").join(spark.table("b_orders"), "o_id")
+            plan = _plan(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 5_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lines")
+
+
+class TestPartitionPruning:
+    def test_hive_partition_pruning(self, spark, tmp_path):
+        """Day-partitioned layout + day predicate -> the scan lists
+        only the matching partition directory (PartitionFilters), so
+        360 of 365 days are never read."""
+        path = str(tmp_path / "by_day")
+        df = spark.range(1_000).select(
+            (F.col("id") % 5).cast("string").alias("day"),
+            F.col("id").alias("v"),
+        )
+        df.write.partitionBy("day").mode("overwrite").parquet(path)
+        got = spark.read.parquet(path).filter(F.col("day") == "3")
+        plan = _plan(got)
+        assert "PartitionFilters: [isnotnull(day" in plan or "day#" in plan
+        assert got.count() == 200
+        # pruning proof: only one partition directory is scanned
+        n_files = got.select(F.input_file_name()).distinct().count()
+        all_files = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+        assert n_files < all_files
