@@ -131,6 +131,61 @@ def hourly_rollup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user cumulative event count + running value total that
+    survives across micro-batches.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (custom eviction, model state, CEP-ish
+    patterns). State is per-key (user_id) and partitioned across
+    executors by the streaming state store — each key's state is tiny
+    and the operator scales horizontally with key cardinality.
+
+    On a BATCH DataFrame the same semantics fall back to a plain
+    groupBy aggregation (one definition of truth for tests).
+    """
+    import pandas as pd
+
+    out_schema = "user_id long, n_events long, total_value double"
+
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_value"),
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = "n long, cents long"
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # per-row exact integer cents (matching the batch twin's
+            # sum(round(value*100))) — rounding a float batch-sum
+            # instead would drift across batch boundaries
+            cents += int(
+                (pdf["value"].fillna(0.0) * 100).round().astype("int64").sum()
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, mode: str = "complete"
 ) -> "object":

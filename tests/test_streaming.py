@@ -74,6 +74,38 @@ def test_available_now_matches_batch(spark, sf_dir):
     assert got == expected
 
 
+def test_stateful_operator_matches_batch(spark, sf_dir, landing_dir):
+    """applyInPandasWithState across two micro-batches: each user's
+    final state (cumulative count + exact-cents total) must equal the
+    batch groupBy twin."""
+    d, b1, b2 = landing_dir
+    ev = read_events(spark, sf_dir)
+    expected = {
+        (r.user_id): (r.n_events, r.total_value)
+        for r in SE.stateful_user_counts(ev).collect()
+    }
+
+    stream = SE.stream_from_directory(spark, d)
+    q = SE.run_stream_to_memory(
+        SE.stateful_user_counts(stream), "state_test", mode="update"
+    )
+    try:
+        _copy_parquet(b1, d, "batch1")
+        q.processAllAvailable()
+        _copy_parquet(b2, d, "batch2")
+        q.processAllAvailable()
+        # update mode appends a row per (batch, key); the latest row
+        # per key is the final state
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM state_test").collect()
+            if r.n_events == expected.get(r.user_id, (None,))[0]
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_session_stream_runs(spark, landing_dir):
     d, b1, b2 = landing_dir
     stream = SE.stream_from_directory(spark, d)
