@@ -41,6 +41,38 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: formats the generic reader accepts (all built-in Spark sources).
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-agnostic scan: parquet/orc are self-describing; csv/json
+    take an explicit schema (ALWAYS pass one in production — schema
+    inference reads the data twice and infers per-file at scale).
+
+    csv defaults: header on. json: one object per line (the
+    splittable, scale-friendly layout).
+    """
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | tuple[str, ...]) -> dict[str, DataFrame]:
     return {n: read_table(spark, sf_dir, n) for n in names}
 

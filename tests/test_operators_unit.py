@@ -138,3 +138,29 @@ class TestIngest:
         got = [r[0] for r in df.select(extract_odds_triple("v")).collect()]
         assert got[0] == ["1.85", "3.40", "4.20"]
         assert got[1] == []
+
+
+class TestMultiFormatSources:
+    def test_csv_json_orc_roundtrip(self, spark, tmp_path):
+        """The same table written as csv/json/orc reads back
+        value-identical through the format-agnostic reader."""
+        from soccerpredictor_spark.sources.catalog import read_any
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)],
+            "id long, name string, v double",
+        )
+        want = sorted(map(str, df.collect()))
+        for fmt in ("csv", "json", "orc"):
+            p = str(tmp_path / fmt)
+            df.write.format(fmt).option("header", "true").mode("overwrite").save(p)
+            got = read_any(spark, p, fmt, schema="id long, name string, v double")
+            assert sorted(map(str, got.collect())) == want, fmt
+
+    def test_unknown_format_rejected(self, spark):
+        from soccerpredictor_spark.sources.catalog import read_any
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            read_any(spark, "/nowhere", "avro")
