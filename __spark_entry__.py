@@ -189,6 +189,58 @@ def _q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q4_order_priority(
+        read_table(spark, sf, "orders"), read_table(spark, sf, "lineitem")
+    )
+
+
+def _q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q7_volume_shipping(
+        read_table(spark, sf, "supplier"),
+        read_table(spark, sf, "lineitem"),
+        read_table(spark, sf, "orders"),
+        read_table(spark, sf, "customer"),
+        read_table(spark, sf, "nation"),
+    )
+
+
+def _q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q9_product_type_profit(
+        read_table(spark, sf, "part"),
+        read_table(spark, sf, "lineitem"),
+        read_table(spark, sf, "orders"),
+        read_table(spark, sf, "supplier"),
+        read_table(spark, sf, "nation"),
+    )
+
+
+def _q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q13_customer_distribution(
+        read_table(spark, sf, "customer"), read_table(spark, sf, "orders")
+    )
+
+
+def _q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q18_large_orders(
+        read_table(spark, sf, "customer"),
+        read_table(spark, sf, "orders"),
+        read_table(spark, sf, "lineitem"),
+    )
+
+
+def _q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q19_discounted_revenue(
+        read_table(spark, sf, "lineitem"), read_table(spark, sf, "part")
+    )
+
+
+def _q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q22_global_sales_opportunity(
+        read_table(spark, sf, "customer"), read_table(spark, sf, "orders")
+    )
+
+
 def _q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textops.text_profile(read_table(spark, sf, "documents"))
 
@@ -335,6 +387,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _q_tpch_q6,
         "tpch_q10": _q_tpch_q10,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q22": _q_tpch_q22,
         "text_profile": _q_text_profile,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -427,6 +486,13 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": tpch.Q6_SQL,
         "tpch_q10": tpch.Q10_SQL,
         "tpch_q14": tpch.Q14_SQL,
+        "tpch_q4": tpch.Q4_SQL,
+        "tpch_q7": tpch.Q7_SQL,
+        "tpch_q9": tpch.Q9_SQL,
+        "tpch_q13": tpch.Q13_SQL,
+        "tpch_q18": tpch.Q18_SQL,
+        "tpch_q19": tpch.Q19_SQL,
+        "tpch_q22": tpch.Q22_SQL,
         "text_profile": textops.text_profile_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_jaccard": dedup.jaccard_pairs_sql(),
