@@ -245,6 +245,22 @@ def _q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textops.text_profile(read_table(spark, sf, "documents"))
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.tfidf_top_terms(read_table(spark, sf, "documents"))
+
+
+def _q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.hash_split(read_table(spark, sf, "documents"))
+
+
+def _q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.ngram_topk(read_table(spark, sf, "documents"))
+
+
+def _q_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.length_histogram(read_table(spark, sf, "documents"))
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_dedup(read_table(spark, sf, "documents"))
 
@@ -395,6 +411,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": _q_tpch_q19,
         "tpch_q22": _q_tpch_q22,
         "text_profile": _q_text_profile,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "hash_split": _q_hash_split,
+        "ngram_topk": _q_ngram_topk,
+        "length_histogram": _q_length_histogram,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -494,6 +514,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19": tpch.Q19_SQL,
         "tpch_q22": tpch.Q22_SQL,
         "text_profile": textops.text_profile_sql(),
+        "tfidf_top_terms": textops.tfidf_top_terms_sql(),
+        "hash_split": textops.hash_split_sql(),
+        "ngram_topk": textops.ngram_topk_sql(),
+        "length_histogram": textops.length_histogram_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_jaccard": dedup.jaccard_pairs_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),

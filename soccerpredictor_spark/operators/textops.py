@@ -160,3 +160,201 @@ SELECT doc_id, lang, n_tokens, n_bpe_tokens, fp,
        + 0.3 * (1.0 - stop_ratio) AS quality
 FROM base
 """
+
+
+# --------------------------------------------------------------------------
+# tf-idf top terms
+# --------------------------------------------------------------------------
+
+#: smooth rational idf: (N + 1) / (df + 1). A log-scaled idf is the
+#: textbook form, but ln() is libm-dependent (not correctly-rounded in
+#: either engine), so cross-engine hashes could differ in the last ulp;
+#: the rational form is monotone in the same ordering and every step
+#: (int +, IEEE /, IEEE *) is correctly rounded and bit-reproducible.
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document top-k terms by tf-idf.
+
+    Three shuffles, all on small rows: (doc_id, term) for tf,
+    (term) for df, (doc_id) for the top-k window — each carries counts,
+    never text. The corpus size N joins in as a broadcast 1-row agg.
+    At 100 TB the tf stage is the big one; it's a map-side-combinable
+    count on an already-exploded stream, so the shuffle volume is the
+    vocabulary x docs pairs, not tokens.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (
+                (F.col("n_docs") + F.lit(1)).cast("double")
+                / (F.col("df") + F.lit(1)).cast("double")
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+def tfidf_top_terms_sql(k: int = TFIDF_TOP_K) -> str:
+    toks = _sql_tokens("lower(text)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         CAST(tf AS DOUBLE) * (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored) t
+WHERE rank <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic dataset split
+# --------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN_LT = 90  # buckets [0,90) -> train
+SPLIT_VAL_LT = 95  # [90,95) -> val; [95,100) -> test
+
+
+def hash_split(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash.
+
+    The standard reproducible-split pattern for training corpora:
+    bucket = md5(doc_id) mod 100, split by fixed cut points. Unlike
+    randomSplit this is (a) stable under repartitioning and reruns,
+    (b) joinable — any derived table lands in the same split by
+    applying the same expression — and (c) a pure scan projection:
+    zero shuffles at any scale.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % SPLIT_BUCKETS
+    )
+    split = (
+        F.when(F.col("bucket") < SPLIT_TRAIN_LT, "train")
+        .when(F.col("bucket") < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", bucket.alias("bucket")).select(
+        "doc_id", "bucket", split.alias("split")
+    )
+
+
+def hash_split_sql() -> str:
+    return f"""
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               % {SPLIT_BUCKETS} AS bucket
+      FROM documents) t
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus n-gram document frequency
+# --------------------------------------------------------------------------
+
+
+def ngram_topk(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Top-k word-n-grams by document frequency across the corpus.
+
+    The contamination-check / memorization-audit primitive: which
+    n-grams are shared by the most documents. Per-doc shingles are
+    distinct (so df counts docs, not occurrences), the count is
+    map-side combinable, and top-k plans as TakeOrderedAndProject —
+    no global sort. Ties break on the gram string for determinism.
+    """
+    from soccerpredictor_spark.operators.dedup import _shingle_rows
+
+    return (
+        _shingle_rows(docs, n)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("s").asc())
+        .limit(k)
+        .select(F.col("s").alias("ngram"), "df")
+    )
+
+
+def ngram_topk_sql(n: int = 3, k: int = 20) -> str:
+    from soccerpredictor_spark.operators.dedup import _sql_shingle_rows
+
+    return f"""
+SELECT s AS ngram, COUNT(*) AS df
+FROM ({_sql_shingle_rows(n)}) sh
+GROUP BY s
+ORDER BY df DESC, s ASC
+LIMIT {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# length histogram
+# --------------------------------------------------------------------------
+
+HIST_BIN_CHARS = 256
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Document-length distribution in fixed-width character bins.
+
+    The quality-filter calibration query (where do I cut?): one
+    map-side-combinable aggregation on a tiny key domain. avg is the
+    exact-decimal sum / count convention (bit-reproducible).
+    """
+    b = F.floor(F.col("n_chars") / HIST_BIN_CHARS).alias("bin")
+    return (
+        docs.groupBy(b)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_chars"),
+        )
+        .orderBy("bin")
+    )
+
+
+def length_histogram_sql() -> str:
+    return f"""
+SELECT CAST(FLOOR(n_chars / {HIST_BIN_CHARS}) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY bin
+ORDER BY bin
+"""
