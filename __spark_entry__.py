@@ -364,12 +364,29 @@ def _q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
-    # Structured Streaming one-shot (availableNow) — rows-only check:
-    # incremental state execution isn't ANSI-SQL-expressible, but batch
-    # parity is asserted in tests/test_streaming.py.
+    # Structured Streaming one-shot (availableNow). Oracle-checked: the
+    # fixture lands as one file = one micro-batch and complete mode
+    # emits full aggregates, so the incremental result equals the batch
+    # plan bit-for-bit (batch/stream parity also in tests/test_streaming.py).
     from soccerpredictor_spark.streaming import events as SE
 
     return SE.hourly_rollup_available_now(spark, sf)
+
+
+def _q_streaming_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.streaming import events as SE
+
+    return SE.sliding_rollup_available_now(spark, sf)
+
+
+def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.streaming import events as SE
+
+    return SE.dedup_available_now(spark, sf)
+
+
+def _q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.label_centroids(read_table(spark, sf, "embeddings"))
 
 
 def _q_ml_train_many(spark: SparkSession, sf: str) -> DataFrame:
@@ -438,6 +455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_decode": _q_multimodal_decode,
         "streaming_hourly": _q_streaming_hourly,
+        "streaming_sliding": _q_streaming_sliding,
+        "streaming_dedup": _q_streaming_dedup,
+        "embedding_centroids": _q_embedding_centroids,
         "ml_train_many": _q_ml_train_many,
     }
 
@@ -544,9 +564,29 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _joins_mod().range_tier_agg_sql(),
         "ann_ivf_topk": similarity.ivf_topk_sql(),
         "multimodal_decode": _multimodal_decode_sql(),
-        # streaming_hourly, ml_train_many: intentionally no oracle —
-        # incremental streaming state and iterative per-key model fits
-        # aren't ANSI-SQL-expressible; the driver records rows-only.
+        # The streaming entries ARE oracle-checked: one landed file =
+        # one micro-batch, so availableNow output equals the batch plan
+        # (see _q_streaming_hourly). ml_train_many stays rows-only —
+        # iterative per-key model fits aren't ANSI-SQL-expressible.
+        "streaming_hourly": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "streaming_sliding": (
+            # each event belongs to exactly window/slide = 4 slide-aligned
+            # windows: starts s0 - i*slide for i in 0..3, s0 = floor-align.
+            "WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events), "
+            "w AS (SELECT event_type, value, "
+            "make_timestamp((us // 900000000) * 900000000 - CAST(i AS BIGINT) * 900000000) AS window_start "
+            "FROM e, UNNEST([0, 1, 2, 3]) AS u(i)) "
+            "SELECT window_start, event_type, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+            "FROM w GROUP BY 1, 2"
+        ),
+        "streaming_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+        "embedding_centroids": similarity.label_centroids_sql(),
     }
 
 

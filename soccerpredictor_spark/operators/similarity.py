@@ -308,3 +308,48 @@ cand AS (
 SELECT vec_a, vec_b, {cos} AS sim FROM cand
 WHERE {cos} >= {threshold}
 """
+
+
+# --------------------------------------------------------------------------
+# per-label centroids
+# --------------------------------------------------------------------------
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label mean embedding, one row per (label, dimension).
+
+    The clustering/IVF-training primitive (and the monitoring query for
+    embedding drift): posexplode the QUANTIZED int64 vector (see
+    functions/vectors.py — float sums are order-dependent, int64 sums
+    are exact), aggregate per (label, pos), divide back to double. One
+    shuffle keyed on (label, pos) — dims x labels groups, each a
+    map-side-combinable long sum, so shuffle volume is independent of
+    row count at any scale.
+    """
+    q = emb.select("label", V.int_vec(F.col("embedding")).alias("iv"))
+    pos = q.select("label", F.posexplode("iv").alias("pos", "v"))
+    return (
+        pos.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum("v").cast("double") / F.count(F.lit(1)) / F.lit(V.SCALE)
+            ).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+def label_centroids_sql() -> str:
+    iv = V.sql_int_vec("embedding")
+    return f"""
+WITH q AS (SELECT label, {iv} AS iv FROM embeddings),
+p AS (SELECT label, i AS pos, iv[i + 1] AS v
+      FROM q, UNNEST(range(len(iv))) AS u(i))
+SELECT label, pos,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) / {V.SCALE} AS mean_val,
+       COUNT(*) AS n_vectors
+FROM p
+GROUP BY label, pos
+ORDER BY label, pos
+"""

@@ -78,20 +78,63 @@ def sessionized_counts(
     )
 
 
-def hourly_rollup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-shot incremental run: stream the events parquet through the
-    watermarked hourly rollup with Trigger.AvailableNow, drain into a
-    memory sink, return the result as a batch DataFrame.
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (overlapping) event-time window counts/sums: each event
+    lands in window/slide windows. State per (window, key) is bounded
+    by the watermark exactly as in the tumbling case — the slide only
+    multiplies the live-window count, not the retention horizon."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
 
-    This is the batch-parity harness shape: the SAME windowed_counts
-    plan that runs continuously in production processes the backlog
-    once and stops — the standard backfill/catch-up pattern.
+
+def distinct_event_keys(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming deduplication: distinct (user_id, event_type) pairs.
+
+    On a stream this is watermarked dropDuplicates — the state store
+    keeps one entry per key seen within the watermark horizon, the
+    standard exactly-once-ish ingest dedup. Only the key columns are
+    projected, so batch and stream agree exactly (keeping whole rows
+    would make the surviving row arrival-order-dependent)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    keys = src.select("ts", "user_id", "event_type") if events.isStreaming else src.select("user_id", "event_type")
+    if events.isStreaming:
+        return keys.dropDuplicates(["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        )
+    return keys.dropDuplicates(["user_id", "event_type"])
+
+
+def _stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture.
+
+    The fixture's ts is TIMESTAMP(NANOS); stream it as long and rebuild
+    microseconds (see sources.catalog.read_events). Pin UTC so window
+    alignment is host-TZ independent. The file-stream source requires a
+    DIRECTORY (each file that lands in it is a micro-batch); the
+    fixture is a single parquet file, so expose it through a scratch
+    dir holding one symlink — exactly how a landing zone receives files
+    in production.
     """
     import os
+    import tempfile
 
-    # the fixture's ts is TIMESTAMP(NANOS); stream it as long and
-    # rebuild microseconds (see sources.catalog.read_events). Pin UTC
-    # so window alignment is host-TZ independent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = T.StructType(
@@ -104,31 +147,60 @@ def hourly_rollup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType(), True),
         ]
     )
-    # the file-stream source requires a DIRECTORY (each file that lands
-    # in it is a micro-batch); the fixture is a single parquet file, so
-    # expose it through a scratch dir holding one symlink — exactly how
-    # a landing zone receives files in production.
-    import tempfile
-
     src_file = os.path.join(sf_dir, "events.parquet")
     land_dir = tempfile.mkdtemp(prefix="events_landing_")
     os.symlink(src_file, os.path.join(land_dir, "events.parquet"))
-    src = (
+    return (
         spark.readStream.schema(schema)
         .parquet(land_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
-    agg = windowed_counts(src)
-    name = "hourly_rollup_stream"
+
+
+def _drain_available_now(agg: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Run a streaming plan to completion with Trigger.AvailableNow
+    into a memory sink and return the drained result — the standard
+    backfill/catch-up pattern: the SAME plan that runs continuously in
+    production processes the backlog once and stops."""
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return agg.sparkSession.table(name)
+
+
+def hourly_rollup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot incremental run of the watermarked hourly rollup.
+
+    The fixture lands as ONE file = one micro-batch, and complete
+    output mode emits full aggregates, so the drained result equals
+    the batch plan exactly — which is why this entry is oracle-checked
+    despite being a real incremental streaming execution.
+    """
+    return _drain_available_now(
+        windowed_counts(_stream_events_source(spark, sf_dir)), "hourly_rollup_stream"
+    )
+
+
+def sliding_rollup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot incremental run of the sliding-window rollup."""
+    return _drain_available_now(
+        sliding_counts(_stream_events_source(spark, sf_dir)), "sliding_rollup_stream"
+    )
+
+
+def dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot incremental run of the streaming key dedup (append
+    mode: dropDuplicates emits each key once, on first sight)."""
+    return _drain_available_now(
+        distinct_event_keys(_stream_events_source(spark, sf_dir)),
+        "dedup_stream",
+        mode="append",
+    )
 
 
 def stateful_user_counts(events: DataFrame) -> DataFrame:

@@ -117,3 +117,53 @@ def test_session_stream_runs(spark, landing_dir):
         assert n > 0
     finally:
         q.stop()
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, landing_dir):
+    """Sliding windows across TWO micro-batches: overlapping-window
+    state must merge events arriving in different batches."""
+    d, b1, b2 = landing_dir
+    ev = read_events(spark, sf_dir)
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in SE.sliding_counts(ev).collect()
+    }
+    stream = SE.stream_from_directory(spark, d)
+    q = SE.run_stream_to_memory(SE.sliding_counts(stream), "sw_test")
+    try:
+        _copy_parquet(b1, d, "batch1")
+        q.processAllAvailable()
+        _copy_parquet(b2, d, "batch2")
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM sw_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_dedup_stream_matches_batch(spark, sf_dir, landing_dir):
+    """Streaming dropDuplicates across two micro-batches: a key seen
+    in batch 1 must NOT be re-emitted when it recurs in batch 2."""
+    d, b1, b2 = landing_dir
+    ev = read_events(spark, sf_dir)
+    expected = {
+        (r.user_id, r.event_type) for r in SE.distinct_event_keys(ev).collect()
+    }
+    stream = SE.stream_from_directory(spark, d)
+    q = SE.run_stream_to_memory(
+        SE.distinct_event_keys(stream), "dd_test", mode="append"
+    )
+    try:
+        _copy_parquet(b1, d, "batch1")
+        q.processAllAvailable()
+        _copy_parquet(b2, d, "batch2")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dd_test").collect()
+    finally:
+        q.stop()
+    got = [(r.user_id, r.event_type) for r in rows]
+    assert len(got) == len(set(got)), "a key was emitted twice"
+    assert set(got) == expected
