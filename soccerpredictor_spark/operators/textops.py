@@ -177,21 +177,21 @@ TFIDF_TOP_K = 5
 def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     """Per-document top-k terms by tf-idf.
 
-    Three shuffles, all on small rows: (doc_id, term) for tf,
-    (term) for df, (doc_id) for the top-k window — each carries counts,
-    never text. The corpus size N joins in as a broadcast 1-row agg.
-    At 100 TB the tf stage is the big one; it's a map-side-combinable
-    count on an already-exploded stream, so the shuffle volume is the
-    vocabulary x docs pairs, not tokens.
+    One explode pass and three count-only shuffles: (doc_id, term)
+    for tf, then df as COUNT() OVER (PARTITION BY term) on the tf rows
+    — a window, not a second aggregate, so the exploded token stream
+    is scanned ONCE (a groupBy-df + join-back would duplicate the
+    whole explode subtree in the plan) — then (doc_id) for the top-k
+    window. Every shuffle carries counts, never text. The corpus size
+    N joins in as a broadcast 1-row agg.
     """
     from pyspark.sql import Window
 
     tok = docs.select("doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
