@@ -317,6 +317,14 @@ def _q_rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
     return windows.daily_type_rollup(read_table(spark, sf, "events"))
 
 
+def _q_cube_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.monthly_type_cube(read_table(spark, sf, "events"))
+
+
+def _q_percentile_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.value_percentiles(read_table(spark, sf, "events"))
+
+
 def _q_set_except(spark: SparkSession, sf: str) -> DataFrame:
     return windows.clicked_not_purchased(read_table(spark, sf, "events"))
 
@@ -446,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "event_deltas": _q_event_deltas,
         "rollup_agg": _q_rollup_agg,
+        "cube_agg": _q_cube_agg,
+        "percentile_stats": _q_percentile_stats,
         "set_except": _q_set_except,
         "distinct_agg": _q_distinct_agg,
         "salted_agg": _q_salted_agg,
@@ -552,6 +562,8 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": windows.json_props_sql(),
         "event_deltas": windows.event_deltas_sql(),
         "rollup_agg": windows.daily_type_rollup_sql(),
+        "cube_agg": windows.monthly_type_cube_sql(),
+        "percentile_stats": windows.value_percentiles_sql(),
         "set_except": windows.clicked_not_purchased_sql(),
         "distinct_agg": windows.distinct_users_per_type_sql(),
         "salted_agg": (

@@ -258,3 +258,72 @@ def json_props(events: DataFrame) -> DataFrame:
 
 def json_props_sql() -> str:
     return "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events"
+
+
+def monthly_type_cube(events: DataFrame) -> DataFrame:
+    """CUBE aggregation: counts + exact-decimal sums for every subset
+    of (month, event_type) — the 2^k grouping sets in one pass, one
+    shuffle, partial-agg map-side (same machinery as ROLLUP plus the
+    (type)-only set). NULL marks rolled-up dims, normalized to 'ALL'."""
+    mo = F.date_format("ts", "yyyy-MM")
+    return (
+        events.select(mo.alias("month"), "event_type", "value")
+        .cube("month", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("month", F.lit("ALL")).alias("month"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def monthly_type_cube_sql() -> str:
+    return """
+SELECT COALESCE(strftime(ts, '%Y-%m'), 'ALL') AS month,
+       COALESCE(event_type, 'ALL') AS event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (strftime(ts, '%Y-%m'), event_type)
+"""
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact per-type percentiles of the value column (p50/p90/p99,
+    linear interpolation).
+
+    Exact percentile needs the sorted group in one place — fine here
+    (five types, each group fits an executor after the shuffle). At
+    100 TB the drop-in is approx_percentile (t-digest: mergeable
+    sketches, map-side combinable, no full sort); the exact form stays
+    the correctness oracle for it. Interpolation arithmetic is the
+    same IEEE expression in both engines, so results hash-match.
+    """
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def value_percentiles_sql() -> str:
+    return """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
