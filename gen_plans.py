@@ -14,6 +14,12 @@ HEADLINE = {
     "dedup_minhash_lsh": "MinHash LSH: signature agg, banded buckets, candidate-restricted verification, exchange reuse",
     "embedding_near_dup": "Sign-LSH near-dup: arrays quantized once, id-only candidate shuffle, vectors re-joined",
     "asof_join": "As-of join as union+window: one shuffle, zero join nodes",
+    "tpch_q4": "EXISTS as left-semi shuffle join; lineitem projected to 2 cols before the shuffle",
+    "tpch_q18": "HAVING-subquery semi-join; survivor keys broadcast back into lineitem",
+    "tpch_q22": "Scalar subquery as 1-row broadcast; anti-join against recent-order keys",
+    "tfidf_top_terms": "One explode pass: df via window-over-tf (no duplicated Generate subtree); count-only shuffles",
+    "hash_split": "Deterministic split: pure scan projection, zero exchanges",
+    "ngram_topk": "Corpus n-gram df: explode distinct shingles, map-side-combinable count, TakeOrderedAndProject top-k",
 }
 
 out = ["# PLANS — physical plans of headline queries (sf0.1, AQE display off)",
