@@ -133,3 +133,41 @@ def test_exchange_reuse_in_self_join(spark, sf001):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "ReusedExchange" in plan
+
+
+def test_hash_split_is_pure_projection(spark, sf001):
+    """The dataset splitter must add ZERO exchanges — it's the thing
+    you apply to 100 TB on the way through, not a job of its own."""
+    plan = _plan(entry.queries()["hash_split"](spark, sf001))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q18_semi_join_no_cartesian(spark, sf001):
+    plan = _plan(entry.queries()["tpch_q18"](spark, sf001))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf001):
+    plan = _plan(entry.queries()["tpch_q22"](spark, sf001))
+    assert "LeftAnti" in plan
+    # the 1-row threshold must broadcast, never shuffle the fact side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q19_band_predicates_push_to_scan(spark, sf001):
+    plan = _formatted(entry.queries()["tpch_q19"](spark, sf001))
+    # the across-band l_quantity envelope [1, 40] is derivable, but
+    # engines differ on OR-factoring; what MUST hold: part is broadcast
+    # and brand/size predicates reach the part scan
+    assert "BroadcastHashJoin" in plan
+    assert "In(p_brand" in plan or "p_brand" in plan.split("PushedFilters")[-1]
+
+
+def test_tfidf_single_explode(spark, sf001):
+    """df-via-window keeps ONE Generate (explode) in the plan; the
+    groupBy+join formulation would duplicate the whole subtree."""
+    plan = _plan(entry.queries()["tfidf_top_terms"](spark, sf001))
+    assert plan.count("Generate") == 1
