@@ -329,6 +329,10 @@ def _q_set_except(spark: SparkSession, sf: str) -> DataFrame:
     return windows.clicked_not_purchased(read_table(spark, sf, "events"))
 
 
+def _q_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.clicked_and_purchased(read_table(spark, sf, "events"))
+
+
 def _q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
     return windows.distinct_users_per_type(read_table(spark, sf, "events"))
 
@@ -457,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": _q_cube_agg,
         "percentile_stats": _q_percentile_stats,
         "set_except": _q_set_except,
+        "set_intersect": _q_set_intersect,
         "distinct_agg": _q_distinct_agg,
         "salted_agg": _q_salted_agg,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -565,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_agg": windows.monthly_type_cube_sql(),
         "percentile_stats": windows.value_percentiles_sql(),
         "set_except": windows.clicked_not_purchased_sql(),
+        "set_intersect": windows.clicked_and_purchased_sql(),
         "distinct_agg": windows.distinct_users_per_type_sql(),
         "salted_agg": (
             "SELECT l_returnflag, COUNT(*) AS n_rows, "

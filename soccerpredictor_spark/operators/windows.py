@@ -327,3 +327,25 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def clicked_and_purchased(events: DataFrame) -> DataFrame:
+    """Set operation family, INTERSECT leg: (user, day) pairs that
+    clicked AND purchased that day. Spark plans intersect-distinct as
+    a left-semi hash join over the distinct sets — with EXCEPT
+    (clicked_not_purchased) this completes union/except/intersect
+    (union-by-PK lives in the upsert path, sources/upsert.py)."""
+    day = F.to_date("ts").cast("string").alias("day")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", day)
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.intersect(purchases)
+
+
+def clicked_and_purchased_sql() -> str:
+    return """
+SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+FROM events WHERE event_type = 'purchase'
+"""

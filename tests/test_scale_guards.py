@@ -62,3 +62,26 @@ def test_minhash_lsh_respects_cap_in_verification(skewed_docs):
     pair_keys = {(r.doc_a, r.doc_b) for r in pairs}
     assert (9001, 9002) in pair_keys
     assert all(a >= 9000 and b >= 9000 for a, b in pair_keys), pair_keys
+
+
+def test_approx_count_distinct_tracks_exact(spark, sf_dir):
+    """distinct_agg documents exact count-distinct with HLL as the
+    at-scale drop-in; this pins the drop-in's error envelope (HLL++
+    rsd default 5%) so the claim stays tested, not aspirational."""
+    from soccerpredictor_spark.sources.catalog import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id").alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= max(0.1 * r.exact, 5), (
+            r.event_type, r.exact, r.approx,
+        )
