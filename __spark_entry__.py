@@ -241,6 +241,30 @@ def _q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q8_market_share(
+        read_table(spark, sf, "part"),
+        read_table(spark, sf, "supplier"),
+        read_table(spark, sf, "lineitem"),
+        read_table(spark, sf, "orders"),
+        read_table(spark, sf, "customer"),
+        read_table(spark, sf, "nation"),
+        read_table(spark, sf, "region"),
+    )
+
+
+def _q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q15_top_supplier(
+        read_table(spark, sf, "supplier"), read_table(spark, sf, "lineitem")
+    )
+
+
+def _q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    return tpch.q17_small_quantity_revenue(
+        read_table(spark, sf, "lineitem"), read_table(spark, sf, "part")
+    )
+
+
 def _q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textops.text_profile(read_table(spark, sf, "documents"))
 
@@ -439,6 +463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": _q_tpch_q18,
         "tpch_q19": _q_tpch_q19,
         "tpch_q22": _q_tpch_q22,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
         "text_profile": _q_text_profile,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "hash_split": _q_hash_split,
@@ -548,6 +575,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18": tpch.Q18_SQL,
         "tpch_q19": tpch.Q19_SQL,
         "tpch_q22": tpch.Q22_SQL,
+        "tpch_q8": tpch.Q8_SQL,
+        "tpch_q15": tpch.Q15_SQL,
+        "tpch_q17": tpch.Q17_SQL,
         "text_profile": textops.text_profile_sql(),
         "tfidf_top_terms": textops.tfidf_top_terms_sql(),
         "hash_split": textops.hash_split_sql(),

@@ -624,3 +624,171 @@ WHERE c_acctbal > (
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q8-style: one nation's market share of a product type in a
+    region, per year.
+
+    Everything except lineitem⋈orders broadcasts. nation joins twice
+    under different roles (customer region membership / supplier
+    nationality). The share is a conditional-sum over total-sum ratio
+    of exact decimals — one aggregation, two outputs.
+    """
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+        "left_semi",
+    ).select(F.col("n_nationkey").alias("cust_nkey"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    promo_parts = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    joined = (
+        lineitem.join(F.broadcast(promo_parts), lineitem.l_partkey == promo_parts.p_partkey)
+        .join(ords, lineitem.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), ords.o_custkey == customer.c_custkey)
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cust_nkey"), "left_semi")
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("supp_nkey"))
+    )
+    vol = disc_price_expr()
+    target = F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+        F.lit(0).cast(MONEY)
+    )
+    return (
+        joined.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), target.alias("tvol"))
+        .groupBy("o_year")
+        .agg(
+            (F.sum("tvol").cast("double") / F.sum("volume").cast("double")).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+                     ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT YEAR(o_orderdate) AS o_year, {SQL_DISC_PRICE} AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shares
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with the maximum quarterly revenue.
+
+    The revenue CTE aggregates lineitem once; its global MAX (exact
+    decimal, order-independent) comes back as a 1-row broadcast and
+    filters the same CTE — Spark materializes the CTE subtree twice,
+    but both instances are post-aggregation (supplier-cardinality)
+    rows, so the duplicated work is the small agg, not the scan shuffle.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(disc_price_expr()).alias("total_rev_dec"))
+    )
+    best = rev.agg(F.max("total_rev_dec").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev_dec") == F.col("max_rev"))
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({SQL_DISC_PRICE}) AS total_rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17-style: revenue lost to small-quantity orders.
+
+    The per-part quantity threshold (0.2 x mean) is a correlated
+    scalar subquery in the spec; here it's an aggregate on lineitem
+    re-joined by partkey — the mean is exact-decimal sum / count so
+    the `<` cut is bit-reproducible. The brand filter broadcasts into
+    both the fact scan and the threshold join.
+    """
+    brand_parts = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(brand_parts), lineitem.l_partkey == brand_parts.p_partkey
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_lim")
+    )
+    return (
+        li.join(thresholds, li.l_partkey == thresholds.pk)
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            (_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS pk,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS qty_lim
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#23'
+      GROUP BY l_partkey) t ON l_partkey = pk
+WHERE p_brand = 'Brand#23' AND l_quantity < qty_lim
+"""
