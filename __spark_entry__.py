@@ -301,6 +301,10 @@ def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(read_table(spark, sf, "documents"))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.near_dup_clusters(read_table(spark, sf, "documents"))
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(read_table(spark, sf, "embeddings"))
 
@@ -475,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -587,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": dedup.jaccard_pairs_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
         "dedup_simhash": dedup.simhash_sql(),
+        "dedup_clusters": dedup.near_dup_clusters_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_lsh_topk": similarity.lsh_ann_topk_sql(),
         "embedding_near_dup": similarity.cosine_near_dup_sql(),

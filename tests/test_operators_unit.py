@@ -164,3 +164,22 @@ class TestMultiFormatSources:
 
         with _pytest.raises(ValueError):
             read_any(spark, "/nowhere", "avro")
+
+
+def test_components_multi_hop_chain(spark):
+    """Min-label propagation must cross hops: a-b, b-c, c-d chain (a~d
+    never paired directly) collapses to one cluster labeled min(a)."""
+    from soccerpredictor_spark.operators.dedup import _components_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id) for r in _components_from_pairs(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
