@@ -130,15 +130,61 @@ QTY_TIERS: tuple[tuple[str, int, int], ...] = (
 
 
 def range_tier_agg(lineitem: DataFrame) -> DataFrame:
-    """Band join: classify l_quantity into literal tiers (broadcast
-    nested-loop against 4 rows — the small side is the build side, the
-    fact table never shuffles for the join) and aggregate per tier.
+    """Literal-tier classification as a shuffle-free CASE projection.
+
+    When the tiers are compile-time literals (the common case), a
+    band JOIN — even a broadcast one — is the wrong tool: the CASE
+    chain classifies each row inside the scan's projection, whole-
+    stage-codegen'd, with zero extra plan nodes; the only exchange in
+    the whole query is the final 4-key aggregation. Use
+    ``range_tier_agg_bands`` when the tiers live in a real table.
 
     Exact-decimal sum convention for the cross-engine float identity
     (plans/tpch.py docstring).
     """
-    spark = lineitem.sparkSession
-    tiers = spark.createDataFrame(list(QTY_TIERS), ["tier", "lo", "hi"])
+    q = F.col("l_quantity").cast("double")
+    tier = F.lit(None).cast("string")
+    for t, lo, hi in reversed(QTY_TIERS):
+        tier = F.when((q >= lo) & (q < hi), t).otherwise(tier)
+    return (
+        lineitem.select(tier.alias("tier"), "l_extendedprice")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def range_tier_agg_sql() -> str:
+    cases = " ".join(
+        f"WHEN CAST(l_quantity AS DOUBLE) >= {lo} AND CAST(l_quantity AS DOUBLE) < {hi} THEN '{t}'"
+        for t, lo, hi in QTY_TIERS
+    )
+    return f"""
+SELECT CASE {cases} END AS tier, count(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def range_tier_agg_bands(lineitem: DataFrame, tiers: DataFrame | None = None) -> DataFrame:
+    """Band join: classify l_quantity against a tier TABLE (broadcast
+    nested-loop against the small side — the fact table never shuffles
+    for the join) and aggregate per tier.
+
+    This is the general-tier-table operator: when tier boundaries are
+    data (per-tenant pricing bands, config tables), the broadcast band
+    join is the right shape. For literal tiers use ``range_tier_agg``
+    (a pure projection — strictly cheaper).
+    """
+    if tiers is None:
+        tiers = lineitem.sparkSession.createDataFrame(
+            list(QTY_TIERS), ["tier", "lo", "hi"]
+        )
     q = F.col("l_quantity").cast("double")
     joined = lineitem.join(
         F.broadcast(tiers), (q >= F.col("lo")) & (q < F.col("hi"))
@@ -151,7 +197,7 @@ def range_tier_agg(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def range_tier_agg_sql() -> str:
+def range_tier_agg_bands_sql() -> str:
     tiers = " UNION ALL ".join(
         f"SELECT '{t}' AS tier, {lo} AS lo, {hi} AS hi" for t, lo, hi in QTY_TIERS
     )

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from soccerpredictor_spark.functions import vectors as V
 
@@ -142,53 +141,64 @@ def ivf_topk(
     query probes its ``IVF_NPROBE`` nearest lists and ranks only those
     lists' vectors by exact cosine.
 
-    Scale shape: the centroid table is tiny and broadcast everywhere;
-    assignment is a per-row expression over the broadcast (no shuffle);
-    at rest the assignment is a partition/cluster key so a probe reads
+    Scale shape: the centroid table collapses to ONE broadcast row
+    holding an array of (cid, civ, cnrm) structs, so nearest-centroid
+    assignment is a *pure projection* — ``array_min`` over the per-row
+    distance structs (struct comparison orders by dist then cid, which
+    is exactly the tie-break) — with no shuffle and no window. The
+    earlier crossJoin+row_number formulation expanded every row 16x and
+    re-shuffled the expansion on vec_id just to take an argmin; at
+    100 TB that shuffle IS the job, and it is entirely avoidable. At
+    rest the assignment is a partition/cluster key so a probe reads
     nprobe/nlist of the data. Returns (vec_id, label, sim).
     """
     base = emb.select(
         "vec_id", "label", V.int_vec(F.col("embedding")).alias("iv")
     ).select("vec_id", "label", "iv", V.sq_norm_iv(F.col("iv")).alias("nrm"))
 
-    cents = (
+    # single-row side: sorted array of the 16 centroid structs
+    cents_arr = (
         base.orderBy("vec_id")
         .limit(IVF_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("iv").alias("civ"),
-            F.col("nrm").alias("cnrm"),
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("cid"),
+                        F.col("iv").alias("civ"),
+                        F.col("nrm").alias("cnrm"),
+                    )
+                )
+            ).alias("cs")
         )
     )
-    # nearest centroid per vector: dist^2 = nrm - 2*dot + cnrm (exact ints)
-    dist = F.col("nrm") - 2 * V.int_dot_iv(F.col("iv"), F.col("civ")) + F.col("cnrm")
-    ranked = (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("dist", dist)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
-            ),
-        )
+    # per-row (dist, cid) structs: dist^2 = nrm - 2*dot + cnrm (exact ints)
+    dists = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            (
+                F.col("nrm") - 2 * V.int_dot_iv(F.col("iv"), c["civ"]) + c["cnrm"]
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
     )
-    assigned = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "label", "iv", "nrm", F.col("cid").alias("list_id")
+    with_d = base.crossJoin(F.broadcast(cents_arr)).withColumn("dists", dists)
+    assigned = with_d.select(
+        "vec_id", "label", "iv", "nrm", F.array_min("dists")["cid"].alias("list_id")
     )
-    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("iv").alias("q_iv"), F.col("nrm").alias("q_nrm")
-    )
-    probe = (
-        ranked.filter(F.col("vec_id") == query_vec_id)
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select(F.col("cid").alias("list_id"))
+    q = with_d.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("iv").alias("q_iv"),
+        F.col("nrm").alias("q_nrm"),
+        F.transform(
+            F.slice(F.array_sort(F.col("dists")), 1, IVF_NPROBE), lambda s: s["cid"]
+        ).alias("probes"),
     )
     sim = V.int_dot_iv(F.col("iv"), F.col("q_iv")).cast("double") / (
         F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("q_nrm").cast("double"))
     )
     return (
-        assigned.join(F.broadcast(probe), "list_id", "left_semi")
-        .crossJoin(F.broadcast(q))
+        assigned.crossJoin(F.broadcast(q))
+        .filter(F.array_contains(F.col("probes"), F.col("list_id")))
         .select("vec_id", "label", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(k)

@@ -792,3 +792,133 @@ JOIN (SELECT l_partkey AS pk,
       GROUP BY l_partkey) t ON l_partkey = pk
 WHERE p_brand = 'Brand#23' AND l_quantity < qty_lim
 """
+
+
+def q12_shipmode_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12-style: shipping-class vs order-priority counts.
+
+    ADAPTED to the driver fixtures: lineitem has no l_shipmode /
+    l_commitdate / l_receiptdate, so the line class is l_returnflag
+    (IN-list filtered, like the spec's two shipmodes) and the date
+    window is on l_shipdate. The operator shape IS Q12's: big-big
+    equi-join (lineitem joins orders on the shuffle), conditional
+    partial-agg counts, tiny result.
+    """
+    li = lineitem.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    high = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1).cast("long") - high).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag IN ('A', 'R')
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q21_waiting_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    late_days: int = 90,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q21-style: suppliers who alone held up multi-supplier
+    finished orders.
+
+    ADAPTED to the driver fixtures: no l_commitdate/l_receiptdate, so
+    "late" means l_shipdate > o_orderdate + ``late_days``. Spec
+    semantics otherwise preserved: order is 'F', the order has >= 2
+    distinct suppliers (the EXISTS), and NO other supplier was late on
+    it (the NOT EXISTS) — the oracle twin states those as literal
+    EXISTS / NOT EXISTS subqueries, independently cross-checking this
+    formulation.
+
+    Scale shape: the spec's two lineitem self-joins are re-expressed
+    as a two-level aggregation — per (order, supplier) then per order
+    — so lineitem is scanned once and shuffled once on l_orderkey
+    (the second agg and the join back are exchange-aligned on the
+    same key); supplier⋈nation broadcasts. numwait counts late LINES
+    per the spec's count(*) over qualifying l1 rows.
+    """
+    ords = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    li = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.cast("int").alias("is_late"))
+    )
+    sup_order = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late"),
+        F.sum("is_late").cast("long").alias("n_late_lines"),
+    )
+    per_order = sup_order.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("nsupp"), F.sum("supp_late").alias("nlate")
+    )
+    nation_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
+        supplier.s_nationkey == nation.n_nationkey,
+        "left_semi",
+    ).select("s_suppkey", "s_name")
+    return (
+        sup_order.filter(F.col("supp_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1))
+        .join(F.broadcast(nation_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(k)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_1'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""

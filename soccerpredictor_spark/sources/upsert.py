@@ -62,14 +62,30 @@ def upsert_df(
     batch: DataFrame,
     pk: Sequence[str],
     version_col: str = "__batch",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Pure-DataFrame upsert: new batch rows win over existing rows on
-    PK collision; within a batch, later rows win (matching sequential
-    per-row UPSERT order in the reference).
+    PK collision; within a batch, the row with the highest ``seq_col``
+    wins (matching sequential per-row UPSERT order in the reference).
+
+    ``seq_col`` should be an explicit, data-derived sequence — a scrape
+    timestamp, a source line number, an event id. When omitted, the
+    fallback is ``monotonically_increasing_id`` over the batch AS
+    RECEIVED, which encodes physical partition layout: it reflects
+    logical row order ONLY while the batch is a freshly-created,
+    insertion-ordered DataFrame (e.g. straight from
+    ``ingest.rows_to_df``) — any repartition/shuffle in between makes
+    intra-batch conflict resolution arbitrary. Ingest adapters that can
+    carry a real sequence column must pass it.
     """
-    tagged_new = batch.withColumn(version_col, F.lit(1)).withColumn(
-        "__seq", F.monotonically_increasing_id()
-    )
+    if seq_col is not None:
+        tagged_new = batch.withColumn(version_col, F.lit(1)).withColumn(
+            "__seq", F.col(seq_col).cast("long")
+        )
+    else:
+        tagged_new = batch.withColumn(version_col, F.lit(1)).withColumn(
+            "__seq", F.monotonically_increasing_id()
+        )
     if existing is None:
         unioned = tagged_new
     else:
@@ -86,16 +102,19 @@ def upsert(
     table: str,
     batch: DataFrame,
     partition_col: str | None = None,
+    seq_col: str | None = None,
 ) -> None:
     """Upsert a batch into a parquet table directory, atomically.
 
     Write-to-temp then directory swap, so a partial failure never
     leaves a corrupt table (SURVEY.md §7.4 upsert-without-Delta risk).
+    ``seq_col``: see ``upsert_df`` — pass a real sequence column
+    whenever the batch has one.
     """
     pk = check_table(table)
     path = os.path.join(table_dir, table)
     existing = spark.read.parquet(path) if os.path.exists(path) else None
-    merged = upsert_df(existing, batch, pk)
+    merged = upsert_df(existing, batch, pk, seq_col=seq_col)
     tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
     writer = merged.write.mode("overwrite")
     if partition_col is not None:

@@ -107,18 +107,32 @@ def sliding_counts(
 def distinct_event_keys(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming deduplication: distinct (user_id, event_type) pairs.
 
-    On a stream this is watermarked dropDuplicates — the state store
-    keeps one entry per key seen within the watermark horizon, the
-    standard exactly-once-ish ingest dedup. Only the key columns are
-    projected, so batch and stream agree exactly (keeping whole rows
-    would make the surviving row arrival-order-dependent)."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
-    keys = src.select("ts", "user_id", "event_type") if events.isStreaming else src.select("user_id", "event_type")
+    Stream path: ``dropDuplicatesWithinWatermark`` — per-key state is
+    EVICTED once the watermark passes the key's last-seen event time
+    plus the delay, so state size is bounded by (key arrival rate x
+    watermark horizon), independent of total key cardinality. A plain
+    ``dropDuplicates`` whose keys exclude the event-time column keeps
+    one state row per key FOREVER (the watermark does not apply) — a
+    slow OOM on any unbounded stream with growing key cardinality.
+    The documented trade: a key recurring after its state was evicted
+    is emitted again — "once per watermark horizon", the standard
+    bounded-state ingest-dedup contract
+    (tests/test_streaming.py asserts both the set semantics and the
+    state bound across micro-batches).
+
+    Batch path: plain distinct over the key projection — the batch
+    twin of the guarantee (each key present at least once; on a batch
+    there is only one horizon, so exactly once)."""
     if events.isStreaming:
-        return keys.dropDuplicates(["user_id", "event_type"]).select(
-            "user_id", "event_type"
+        return (
+            events.withWatermark("ts", watermark)
+            .select("ts", "user_id", "event_type")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
         )
-    return keys.dropDuplicates(["user_id", "event_type"])
+    return events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
 
 
 def _stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,8 +68,16 @@ def test_partial_aggregation_before_shuffle(spark, sf001):
     assert "partial_count" in plan
 
 
-def test_range_join_broadcasts_tiers(spark, sf001):
+def test_range_join_literal_tiers_is_pure_projection(spark, sf001):
+    """Literal tiers classify via a CASE in the scan projection — no
+    join node of any kind; the only exchange is the 4-key final agg."""
     plan = _plan(entry.queries()["range_join"](spark, sf001))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_range_join_bands_broadcasts_tiers(spark, sf001):
+    plan = _plan(entry.queries()["range_join_bands"](spark, sf001))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -164,6 +172,22 @@ def test_q19_band_predicates_push_to_scan(spark, sf001):
     # and brand/size predicates reach the part scan
     assert "BroadcastHashJoin" in plan
     assert "In(p_brand" in plan or "p_brand" in plan.split("PushedFilters")[-1]
+
+
+def test_ivf_assignment_is_pure_projection(spark, sf001):
+    """IVF nearest-centroid assignment must be an argmin projection
+    over the broadcast centroid array — no Window, no shuffle Exchange
+    of the vector table (the crossJoin+row_number formulation would
+    shuffle a 16x expansion of the entire dataset)."""
+    plan = _plan(entry.queries()["ann_ivf_topk"](spark, sf001))
+    assert "Window" not in plan
+    assert "array_min" in plan
+    # every Exchange in the plan must be a broadcast of a tiny side
+    import re
+
+    exchanges = re.findall(r"\b\w*Exchange\w*\b", plan)
+    assert exchanges, "expected broadcast exchanges for the centroid/query sides"
+    assert all(e == "BroadcastExchange" for e in exchanges), exchanges
 
 
 def test_tfidf_single_explode(spark, sf001):

