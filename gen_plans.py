@@ -20,6 +20,12 @@ HEADLINE = {
     "tfidf_top_terms": "One explode pass: df via window-over-tf (no duplicated Generate subtree); count-only shuffles",
     "hash_split": "Deterministic split: pure scan projection, zero exchanges",
     "ngram_topk": "Corpus n-gram df: explode distinct shingles, map-side-combinable count, TakeOrderedAndProject top-k",
+    "ann_ivf_topk": "IVF assignment as broadcast argmin projection (r2 fix: was crossJoin+window = 16x shuffle; now zero exchanges on the vector branch)",
+    "range_join": "Literal tiers as CASE projection (r2 fix: was broadcast band join at 3.1s; now single-exchange agg ~1.1s)",
+    "range_join_bands": "Tier-table band join: broadcast nested loop, fact side never shuffles",
+    "tpch_q12": "Big-big equi-join with conditional partial-agg counts; both sides pruned to 2 cols before the shuffle",
+    "tpch_q21": "Waiting-supplier EXISTS/NOT-EXISTS as two-level agg: lineitem shuffles once on l_orderkey; supplier⋈nation broadcast",
+    "dedup_simhash": "SimHash: one conv per token hash + 32 shiftright bits (r2 fix: was 32 substring+instr probes; 6.6s -> ~5.5s)",
 }
 
 out = ["# PLANS — physical plans of headline queries (sf0.1, AQE display off)",
