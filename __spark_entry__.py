@@ -316,6 +316,42 @@ def _q_regex_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_window_trailing_range(spark: SparkSession, sf: str) -> DataFrame:
+    # time-RANGE window frame: trailing 1-hour per-user value sum.
+    return windows.trailing_window_sum(read_table(spark, sf, "events"))
+
+
+def _q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Skew-proof shuffle join: salt the fact side, replicate the dim
+    # across salts; the merge is exactly the plain join (oracle runs
+    # the plain SQL). Aggregated per nation to keep the result small.
+    from soccerpredictor_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf, "lineitem")
+    supp = read_table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li.select("l_suppkey", "l_extendedprice"), supp, "l_suppkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast(tpch.DEC))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def _q_streaming_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Watermarked stream-stream inner join (availableNow one-shot):
+    # one landed file = one micro-batch, so nothing is evicted before
+    # matching and the result equals the batch interval join exactly.
+    from soccerpredictor_spark.streaming import events as SE
+
+    return SE.attribution_available_now(spark, sf)
+
+
 def _q_arity_filter(spark: SparkSession, sf: str) -> DataFrame:
     # P7+E5 (Spider/GameSpider.py:88): fixed-arity token-split validity
     # filter via the real ingest.parse_record_line — wrong-arity rows
@@ -543,6 +579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arity_filter": _q_arity_filter,
         "tpch_q12": _q_tpch_q12,
         "tpch_q21": _q_tpch_q21,
+        "window_trailing_range": _q_window_trailing_range,
+        "salted_join": _q_salted_join,
+        "streaming_join": _q_streaming_join,
         # --- green in CORRECTNESS_r01 ---
         "top_k_count": _q_top_k_count,
         "semi_join": _q_semi_join,
@@ -749,7 +788,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_dedup": "SELECT DISTINCT user_id, event_type FROM events",
         "embedding_centroids": similarity.label_centroids_sql(),
+        "window_trailing_range": windows.trailing_window_sum_sql(),
+        "salted_join": (
+            "SELECT s_nationkey, count(*) AS n_items, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "GROUP BY s_nationkey"
+        ),
+        "streaming_join": _streaming_mod().purchase_attribution_sql(),
     }
+
+
+def _streaming_mod():
+    from soccerpredictor_spark.streaming import events as SE
+
+    return SE
 
 
 def _multimodal_decode_sql() -> str:

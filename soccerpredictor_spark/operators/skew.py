@@ -53,3 +53,33 @@ def plain_count_sum(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col(value_col).cast(dec)).cast("double").alias("sum_value"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof shuffle equi-join: salt the big side, REPLICATE the
+    small side across all salt values, join on (key, salt).
+
+    This is the manual fix for a shuffle join whose big side has a
+    pathologically hot key (AQE skew-split covers many cases, but not
+    a single key too large for one task even after splitting, and not
+    stream-stream joins). A hot key's rows land on ``num_salts``
+    different reducers instead of one; the small side grows
+    ``num_salts``-fold, which is the explicit price — use only when
+    the small side is modest but too big (or unwanted) to broadcast.
+
+    The salt is random-uniform per big-side row (seeded) and joins
+    against the replicated small side on every value, so the result is
+    EXACTLY the plain join — the salt never influences which rows
+    match, only where they meet.
+    """
+    salted_big = big.withColumn("__salt", (F.rand(seed=7) * num_salts).cast("int"))
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(num_salts - 1))
+    ).alias("__salt")
+    replicated_small = small.select("*", salts)
+    return salted_big.join(replicated_small, [key, "__salt"]).drop("__salt")

@@ -349,3 +349,53 @@ INTERSECT
 SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
 FROM events WHERE event_type = 'purchase'
 """
+
+
+def trailing_window_sum(events: DataFrame, seconds: int = 3600) -> DataFrame:
+    """Per-user trailing time-window aggregate at every event: the sum
+    of event values in the last ``seconds`` (inclusive of the current
+    row), computed with a RANGE window frame over epoch seconds.
+
+    This is the time-RANGE frame the other window operators don't
+    cover: the frame is defined by a VALUE interval, not a row count —
+    rows with equal timestamps are frame peers in both engines, so the
+    result is deterministic without a unique tie-break column. One
+    shuffle on user_id; the per-partition sort is shared with any
+    other user_id-partitioned window in the stage.
+
+    Exactness: values quantize to int64 cents before the windowed sum
+    (the frame is a prefix-difference computation internally — float
+    accumulation would drift run-to-run), emitted as dollars.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__epoch"))
+        .rangeBetween(-(seconds - 1), 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        cents.alias("__cents"),
+        F.col("ts").cast("long").alias("__epoch"),
+    ).select(
+        "event_id",
+        "user_id",
+        (F.sum("__cents").over(w).cast("double") / 100.0).alias("trail_sum"),
+    )
+
+
+def trailing_window_sum_sql(seconds: int = 3600) -> str:
+    return f"""
+SELECT event_id, user_id,
+       CAST(SUM(cents) OVER (
+         PARTITION BY user_id ORDER BY epoch
+         RANGE BETWEEN {seconds - 1} PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 100.0 AS trail_sum
+FROM (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) // 1000000 AS epoch
+  FROM events
+) t
+"""

@@ -112,7 +112,23 @@ def upsert(
     whenever the batch has one.
     """
     pk = check_table(table)
-    path = os.path.join(table_dir, table)
+    upsert_path(
+        spark, os.path.join(table_dir, table), batch, pk,
+        partition_col=partition_col, seq_col=seq_col,
+    )
+
+
+def upsert_path(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    pk: Sequence[str],
+    partition_col: str | None = None,
+    seq_col: str | None = None,
+) -> None:
+    """Whitelist-free upsert into an explicit parquet table path —
+    the engine primitive behind ``upsert`` and the streaming
+    ``foreachBatch`` sink (streaming/events.upsert_sink)."""
     existing = spark.read.parquet(path) if os.path.exists(path) else None
     merged = upsert_df(existing, batch, pk, seq_col=seq_col)
     tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"

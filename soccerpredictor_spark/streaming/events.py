@@ -284,3 +284,102 @@ def run_stream_to_memory(
         .queryName(query_name)
         .start()
     )
+
+
+def purchase_attribution(
+    events: DataFrame, max_lag: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Click->purchase attribution: every purchase joined to the same
+    user's clicks in the preceding ``max_lag`` (inclusive).
+
+    On a stream this is a watermarked STREAM-STREAM inner join — the
+    canonical two-stream correlation. Both sides carry a watermark and
+    the join condition bounds purchase_ts to [click_ts, click_ts +
+    max_lag], which is what lets the engine EVICT click state once the
+    watermark passes click_ts + max_lag (an unbounded-condition
+    stream-stream join would hold both sides forever). State is
+    per-key-partitioned and bounded by arrival rate x (watermark +
+    lag) horizon.
+
+    On a batch DataFrame the identical join expression is a plain
+    interval self-join — one definition, two execution modes, same
+    results (tests assert equality under a non-evicting watermark).
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return clicks.join(purchases, cond).select(
+        "purchase_id", "click_id", "user_id", "value"
+    )
+
+
+def purchase_attribution_sql(max_lag_seconds: int = 3600) -> str:
+    """DuckDB twin of the batch interval join."""
+    return f"""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.user_id, p.value
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL {max_lag_seconds} SECOND
+"""
+
+
+def attribution_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot incremental run of the stream-stream attribution join
+    (append mode — the only output mode stream-stream inner joins
+    support). One landed file = one micro-batch, so nothing is evicted
+    before it can match and the drained result equals the batch twin."""
+    return _drain_available_now(
+        purchase_attribution(_stream_events_source(spark, sf_dir)),
+        "attribution_stream",
+        mode="append",
+    )
+
+
+def upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    pk: list[str],
+    seq_col: str | None = None,
+) -> "object":
+    """Streaming upsert sink: every micro-batch is merged into a
+    parquet table by primary key via ``foreachBatch`` — the streaming
+    twin of the reference's per-row UPSERT loop
+    (Spider/GameSpider.py:187-202), re-expressed as idempotent batch
+    merges (sources/upsert.upsert_path: union + latest-by-PK + atomic
+    directory swap).
+
+    Later micro-batches win on PK collision; within a batch ``seq_col``
+    orders conflicts (see upsert_df's contract). foreachBatch is the
+    standard escape hatch for sinks Spark has no native writer for —
+    each batch is an ordinary DataFrame, so the WHOLE batch toolchain
+    (merge, dedup, validation) applies unchanged. At scale the merge
+    cost is one shuffle of (existing ∪ batch) per trigger; for a
+    100 TB table you partition the table and rewrite only affected
+    partitions (upsert_path's partition_col).
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from soccerpredictor_spark.sources.upsert import upsert_path
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_path(batch_df.sparkSession, path, batch_df, pk, seq_col=seq_col)
+
+    return stream_df.writeStream.foreachBatch(_merge).outputMode("append").start()

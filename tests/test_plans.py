@@ -190,6 +190,25 @@ def test_ivf_assignment_is_pure_projection(spark, sf001):
     assert all(e == "BroadcastExchange" for e in exchanges), exchanges
 
 
+def test_salted_join_spreads_key_and_matches_plain(spark, sf001):
+    """The salted join must actually join on (key, salt) — a shuffle
+    join whose hot key is spread across reducers — and the replication
+    side must be a Generate (explode) of the salt sequence."""
+    plan = _plan(entry.queries()["salted_join"](spark, sf001))
+    assert "__salt" in plan
+    assert "Generate" in plan  # salt replication of the small side
+
+
+def test_trailing_range_window_single_shuffle(spark, sf001):
+    """The time-RANGE window: one exchange on user_id, a RANGE frame
+    (not ROWS), no join nodes."""
+    plan = _plan(entry.queries()["window_trailing_range"](spark, sf001))
+    assert "Window" in plan
+    assert "RangeFrame" in plan
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
 def test_tfidf_single_explode(spark, sf001):
     """df-via-window keeps ONE Generate (explode) in the plan; the
     groupBy+join formulation would duplicate the whole subtree."""

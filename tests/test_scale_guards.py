@@ -85,3 +85,20 @@ def test_approx_count_distinct_tracks_exact(spark, sf_dir):
         assert abs(r.approx - r.exact) <= max(0.1 * r.exact, 5), (
             r.event_type, r.exact, r.approx,
         )
+
+
+def test_salted_join_equals_plain_join(spark):
+    """The salted join must return EXACTLY the plain join's rows on a
+    pathologically skewed big side (90% of rows on one key)."""
+    from pyspark.sql import functions as F
+
+    from soccerpredictor_spark.operators.skew import salted_join
+
+    big = spark.range(0, 2000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN CAST(1 AS BIGINT) ELSE id END AS k", "id AS v"
+    )
+    small = spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS w")
+    agg = [F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")]
+    got = salted_join(big, small, "k").agg(*agg).collect()
+    exp = big.join(small, "k").agg(*agg).collect()
+    assert got == exp

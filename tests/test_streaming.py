@@ -207,3 +207,83 @@ def test_dedup_stream_matches_batch(spark, sf_dir, landing_dir_by_time):
     # batch the store holds strictly less than the peak (with plain
     # dropDuplicates the count would be monotonically non-decreasing)
     assert state_counts[-1] < max(state_counts)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, landing_dir_by_time):
+    """Watermarked stream-stream inner join across two time-ordered
+    micro-batches: clicks arriving in batch 1 must still match
+    purchases arriving in batch 2. A non-evicting watermark isolates
+    join correctness from state-expiry (which the engine owns); the
+    result must then equal the batch interval join exactly."""
+    d, b1, b2 = landing_dir_by_time
+    ev = read_events(spark, sf_dir)
+    expected = {
+        (r.purchase_id, r.click_id, r.user_id, r.value)
+        for r in SE.purchase_attribution(ev).collect()
+    }
+    stream = SE.stream_from_directory(spark, d)
+    q = SE.run_stream_to_memory(
+        SE.purchase_attribution(stream, watermark="720 hours"),
+        "ssj_test",
+        mode="append",
+    )
+    try:
+        _copy_parquet(b1, d, "batch1")
+        q.processAllAvailable()
+        _copy_parquet(b2, d, "batch2")
+        q.processAllAvailable()
+        got = {
+            (r.purchase_id, r.click_id, r.user_id, r.value)
+            for r in spark.sql("SELECT * FROM ssj_test").collect()
+        }
+    finally:
+        q.stop()
+    # exact equality with the batch interval join IS the cross-batch
+    # guarantee: any (click in b1, purchase in b2) pair within the lag
+    # appears in `expected`, so equality proves b1 click state survived
+    # into batch 2 (at sf0.001 such pairs can be rare, hence no
+    # separate existence assertion — equality subsumes it).
+    assert got == expected
+    assert got, "attribution join returned no rows"
+
+
+def test_streaming_upsert_sink(spark, sf_dir, landing_dir_by_time, tmp_path):
+    """foreachBatch upsert sink across two micro-batches: the final
+    table must equal applying the batch upsert sequentially (batch 2
+    wins over batch 1 on PK collision; event_id orders conflicts
+    within a batch)."""
+    from soccerpredictor_spark.sources.upsert import upsert_df
+
+    d, b1, b2 = landing_dir_by_time
+    tbl = str(tmp_path / "user_latest")
+    stream = SE.stream_from_directory(spark, d)
+    q = SE.upsert_sink(
+        stream.select("user_id", "event_type", "event_id", "value"),
+        tbl,
+        pk=["user_id", "event_type"],
+        seq_col="event_id",
+    )
+    try:
+        _copy_parquet(b1, d, "batch1")
+        q.processAllAvailable()
+        _copy_parquet(b2, d, "batch2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.event_type): (r.event_id, r.value)
+        for r in spark.read.parquet(tbl).collect()
+    }
+    cols = ["user_id", "event_type", "event_id", "value"]
+    eb1 = spark.read.parquet(b1).select(cols)
+    eb2 = spark.read.parquet(b2).select(cols)
+    merged = upsert_df(
+        upsert_df(None, eb1, ["user_id", "event_type"], seq_col="event_id"),
+        eb2,
+        ["user_id", "event_type"],
+        seq_col="event_id",
+    )
+    expected = {
+        (r.user_id, r.event_type): (r.event_id, r.value) for r in merged.collect()
+    }
+    assert got == expected
