@@ -316,6 +316,13 @@ def _q_regex_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF with one Lloyd refinement of the coarse quantizer — both
+    # assignment passes are broadcast argmin projections; the only
+    # shuffle is the (list, dim) centroid mean.
+    return similarity.ivf_kmeans_topk(read_table(spark, sf, "embeddings"))
+
+
 def _q_window_trailing_range(spark: SparkSession, sf: str) -> DataFrame:
     # time-RANGE window frame: trailing 1-hour per-user value sum.
     return windows.trailing_window_sum(read_table(spark, sf, "events"))
@@ -582,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_trailing_range": _q_window_trailing_range,
         "salted_join": _q_salted_join,
         "streaming_join": _q_streaming_join,
+        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         # --- green in CORRECTNESS_r01 ---
         "top_k_count": _q_top_k_count,
         "semi_join": _q_semi_join,
@@ -789,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": "SELECT DISTINCT user_id, event_type FROM events",
         "embedding_centroids": similarity.label_centroids_sql(),
         "window_trailing_range": windows.trailing_window_sum_sql(),
+        "ann_ivf_kmeans": similarity.ivf_kmeans_topk_sql(),
         "salted_join": (
             "SELECT s_nationkey, count(*) AS n_items, "
             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "

@@ -363,3 +363,199 @@ FROM p
 GROUP BY label, pos
 ORDER BY label, pos
 """
+
+
+# --------------------------------------------------------------------------
+# IVF with k-means (Lloyd) refinement
+# --------------------------------------------------------------------------
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """IVF top-k with ONE Lloyd (k-means) refinement of the coarse
+    quantizer — the training step real IVF indexes run before
+    assignment, expressed entirely as DataFrame ops so it is
+    oracle-checkable.
+
+    Pipeline: seed centroids (lowest vec_ids) -> assign every vector
+    (broadcast argmin projection, int distances) -> recompute each
+    list's centroid as the per-dimension MEAN of its members ->
+    re-assign against the refined centroids (double distances) ->
+    probe the query's IVF_NPROBE nearest refined lists -> exact-cosine
+    rank.
+
+    Scale shape: both assignment passes are pure projections over a
+    single-row broadcast centroid array (zero shuffle of the vector
+    table — see ivf_topk); the refinement's only shuffle is the
+    (list, dim) mean, whose map-side-combined volume is
+    partitions x lists x dims, independent of row count.
+
+    Cross-engine determinism: member sums are exact int64 (quantized
+    components), means are one double division; the refined-distance
+    fold is a per-row LEFT FOLD over dims in index order — Spark
+    ``aggregate`` and DuckDB ``list_reduce`` evaluate the identical
+    IEEE sequence, so even double distances are bit-equal. Ties break
+    on lowest centroid id.
+    """
+    base = emb.select(
+        "vec_id", "label", V.int_vec(F.col("embedding")).alias("iv")
+    ).select("vec_id", "label", "iv", V.sq_norm_iv(F.col("iv")).alias("nrm"))
+
+    seeds = (
+        base.orderBy("vec_id")
+        .limit(IVF_CENTROIDS)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("cid"),
+                        F.col("iv").alias("civ"),
+                        F.col("nrm").alias("cnrm"),
+                    )
+                )
+            ).alias("cs")
+        )
+    )
+    int_dists = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            (
+                F.col("nrm") - 2 * V.int_dot_iv(F.col("iv"), c["civ"]) + c["cnrm"]
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    a1 = (
+        base.crossJoin(F.broadcast(seeds))
+        .withColumn("list_id", F.array_min(int_dists)["cid"])
+        .select("vec_id", "label", "iv", "nrm", "list_id")
+    )
+
+    # Lloyd step: per-(list, dim) mean of the quantized components.
+    pos = a1.select("list_id", F.posexplode("iv").alias("pos", "v"))
+    cent2 = pos.groupBy("list_id", "pos").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    cvec = cent2.groupBy("list_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    cents2 = cvec.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("list_id").alias("cid"), F.col("cv")))
+        ).alias("cs2")
+    )
+
+    dbl_dists = F.transform(
+        F.col("cs2"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("iv"),
+                    c["cv"],
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    with_d2 = base.crossJoin(F.broadcast(cents2)).withColumn("d2", dbl_dists)
+    assigned = with_d2.select(
+        "vec_id", "label", "iv", "nrm", F.array_min("d2")["cid"].alias("list_id")
+    )
+    q = with_d2.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("iv").alias("q_iv"),
+        F.col("nrm").alias("q_nrm"),
+        F.transform(
+            F.slice(F.array_sort(F.col("d2")), 1, IVF_NPROBE), lambda s: s["cid"]
+        ).alias("probes"),
+    )
+    sim = V.int_dot_iv(F.col("iv"), F.col("q_iv")).cast("double") / (
+        F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("q_nrm").cast("double"))
+    )
+    return (
+        assigned.crossJoin(F.broadcast(q))
+        .filter(F.array_contains(F.col("probes"), F.col("list_id")))
+        .select("vec_id", "label", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def ivf_kmeans_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    iv = V.sql_int_vec("embedding")
+    # int dot of two PRE-QUANTIZED lists (exact; list_sum over ints)
+    dot_iv = (
+        "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]))"
+    )
+    # double distance to a refined centroid: LEFT FOLD in index order
+    # (list_reduce), matching Spark's aggregate over zip_with exactly.
+    dbl_dist = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(range(1, len({a})+1), "
+        "i -> (CAST({a}[i] AS DOUBLE) - {c}[i]) * (CAST({a}[i] AS DOUBLE) - {c}[i]))), "
+        "(acc, x) -> acc + x)"
+    )
+    cos = V.sql_cosine("e1", "e2")
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, embedding, {iv} AS iv,
+         {dot_iv.format(a=f'({iv})', b=f'({iv})')} AS nrm
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cid, iv AS civ, nrm AS cnrm FROM base
+  ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+a1 AS (
+  SELECT vec_id, label, iv, nrm, cid AS list_id FROM (
+    SELECT b.vec_id, b.label, b.iv, b.nrm, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY b.nrm - 2 * {dot_iv.format(a='b.iv', b='s.civ')} + s.cnrm ASC,
+                      s.cid ASC
+           ) AS rn
+    FROM base b CROSS JOIN seeds s
+  ) t WHERE rn = 1
+),
+cent2 AS (
+  SELECT list_id, i AS pos, CAST(SUM(iv[i + 1]) AS DOUBLE) / COUNT(*) AS c
+  FROM a1, UNNEST(range(len(iv))) AS u(i)
+  GROUP BY list_id, i
+),
+cvecs AS (
+  SELECT list_id, list(c ORDER BY pos) AS cv FROM cent2 GROUP BY list_id
+),
+a2 AS (
+  SELECT vec_id, label, nrm, list_id FROM (
+    SELECT b.vec_id, b.label, b.nrm, c.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {dbl_dist.format(a='b.iv', c='c.cv')} ASC, c.list_id ASC
+           ) AS rn
+    FROM base b CROSS JOIN cvecs c
+  ) t WHERE rn = 1
+),
+probe AS (
+  SELECT list_id FROM (
+    SELECT c.list_id,
+           ROW_NUMBER() OVER (
+             ORDER BY {dbl_dist.format(a='b.iv', c='c.cv')} ASC, c.list_id ASC
+           ) AS rn
+    FROM base b CROSS JOIN cvecs c
+    WHERE b.vec_id = {query_vec_id}
+  ) t WHERE rn <= {IVF_NPROBE}
+),
+q AS (SELECT embedding AS e2 FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT a2.vec_id, a2.label, {cos.replace('e1', 'e.embedding').replace('e2', 'q.e2')} AS sim
+FROM a2
+JOIN probe USING (list_id)
+JOIN embeddings e ON e.vec_id = a2.vec_id
+CROSS JOIN q
+ORDER BY sim DESC, a2.vec_id ASC
+LIMIT {k}
+"""

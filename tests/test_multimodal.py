@@ -57,3 +57,22 @@ def test_export_guard(spark, tmp_path):
     df = spark.range(100)
     with pytest.raises(ValueError):
         export_small(df, str(tmp_path / "big.csv"), max_rows=10)
+
+
+def test_export_xlsx_falls_back_to_csv_without_openpyxl(spark, tmp_path):
+    """S9 Excel path: the reference emits real .xlsx
+    (XGBoost/Predictor.py:132). This container has no openpyxl, so the
+    documented fallback must kick in: the .xlsx request lands as .csv
+    and the returned path reflects it. (With openpyxl installed the
+    same call writes the real workbook — the gate is the import, not
+    our code path.)"""
+    import importlib.util
+
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    out = export_small(df, str(tmp_path / "report.xlsx"))
+    if importlib.util.find_spec("openpyxl") is None:
+        assert out.endswith("report.csv")
+        assert (tmp_path / "report.csv").exists()
+    else:  # pragma: no cover - container has no openpyxl
+        assert out.endswith("report.xlsx")
+        assert (tmp_path / "report.xlsx").exists()

@@ -209,6 +209,17 @@ def test_trailing_range_window_single_shuffle(spark, sf001):
     assert "Join" not in plan
 
 
+def test_ivf_kmeans_never_shuffles_vectors(spark, sf001):
+    """The Lloyd-refined IVF: both assignment passes are broadcast
+    argmin projections — the vector table must never be exchanged on
+    vec_id (the refinement's only shuffles key on (list_id, pos),
+    whose volume is lists x dims, not rows)."""
+    plan = _plan(entry.queries()["ann_ivf_kmeans"](spark, sf001))
+    assert "Window" not in plan
+    assert "hashpartitioning(vec_id" not in plan
+    assert "array_min" in plan
+
+
 def test_tfidf_single_explode(spark, sf001):
     """df-via-window keeps ONE Generate (explode) in the plan; the
     groupBy+join formulation would duplicate the whole subtree."""
