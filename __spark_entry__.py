@@ -316,6 +316,24 @@ def _q_regex_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    # LLM context-window chunking: overlapping token windows, zero
+    # shuffle (per-row array arithmetic + posexplode).
+    return textops.doc_chunks(read_table(spark, sf, "documents"))
+
+
+def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # deterministic hash-gated language rebalancing (reproducible,
+    # shuffle-free — no RNG state, stable under repartitioning).
+    return textops.stratified_sample(read_table(spark, sf, "documents"))
+
+
+def _q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    # MOSS-style winnowing fingerprints (window minima over k-gram
+    # hashes) — chunk-level near-dup detection primitive.
+    return textops.winnowing_fingerprints(read_table(spark, sf, "documents"))
+
+
 def _q_ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     # IVF with one Lloyd refinement of the coarse quantizer — both
     # assignment passes are broadcast argmin projections; the only
@@ -590,6 +608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _q_salted_join,
         "streaming_join": _q_streaming_join,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
+        "doc_chunks": _q_doc_chunks,
+        "stratified_sample": _q_stratified_sample,
+        "winnowing": _q_winnowing,
         # --- green in CORRECTNESS_r01 ---
         "top_k_count": _q_top_k_count,
         "semi_join": _q_semi_join,
@@ -798,6 +819,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": similarity.label_centroids_sql(),
         "window_trailing_range": windows.trailing_window_sum_sql(),
         "ann_ivf_kmeans": similarity.ivf_kmeans_topk_sql(),
+        "doc_chunks": textops.doc_chunks_sql(),
+        "stratified_sample": textops.stratified_sample_sql(),
+        "winnowing": textops.winnowing_fingerprints_sql(),
         "salted_join": (
             "SELECT s_nationkey, count(*) AS n_items, "
             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "

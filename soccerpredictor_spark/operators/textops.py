@@ -358,3 +358,203 @@ FROM documents
 GROUP BY bin
 ORDER BY bin
 """
+
+
+# --------------------------------------------------------------------------
+# training-data preparation: chunking, stratified sampling, winnowing
+# --------------------------------------------------------------------------
+
+#: chunking geometry: chunk_tokens per chunk, overlap tokens shared
+#: between consecutive chunks (stride = chunk_tokens - overlap).
+CHUNK_TOKENS = 50
+CHUNK_OVERLAP = 10
+
+#: per-language keep-rate (percent) for the stratified sampler —
+#: downsample the dominant language, keep the rest.
+STRATA_RATES: dict[str, int] = {"en": 40, "es": 80, "de": 80, "fr": 80, "zh": 80}
+
+
+def doc_chunks(
+    docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """Split every document into overlapping token-window chunks — the
+    standard context-window preparation step for LLM training data.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final chunk may be short; a
+    doc shorter than one chunk yields exactly one chunk. All chunk
+    construction is per-row array arithmetic on the materialized token
+    array (posexplode of a computed list) — a 100 TB corpus chunks in
+    a single scan with ZERO shuffle, and the output is immediately
+    writable partitioned-by-whatever downstream.
+
+    Returns (doc_id, chunk_idx, chunk_n_tokens, chunk_text).
+    """
+    stride = chunk_tokens - overlap
+    tok = docs.select("doc_id", X.tokens("text").alias("w"))
+    n = F.size("w")
+    n_chunks = (
+        F.when(n <= chunk_tokens, F.lit(1))
+        .otherwise(F.ceil((n - chunk_tokens) / F.lit(float(stride))).cast("int") + 1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("w"), i * stride + 1, chunk_tokens),
+    )
+    return (
+        tok.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "cw"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("cw").alias("chunk_n_tokens"),
+            F.concat_ws(" ", F.col("cw")).alias("chunk_text"),
+        )
+    )
+
+
+def doc_chunks_sql(
+    chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> str:
+    stride = chunk_tokens - overlap
+    toks = _sql_tokens()
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS w FROM documents),
+n AS (SELECT doc_id, w, len(w) AS n,
+             CASE WHEN len(w) <= {chunk_tokens} THEN 1
+                  ELSE CAST(ceil((len(w) - {chunk_tokens}) / {float(stride)}) AS INT) + 1
+             END AS n_chunks
+      FROM tok)
+SELECT doc_id, i AS chunk_idx,
+       len(list_slice(w, i * {stride} + 1, i * {stride} + {chunk_tokens})) AS chunk_n_tokens,
+       array_to_string(list_slice(w, i * {stride} + 1, i * {stride} + {chunk_tokens}), ' ') AS chunk_text
+FROM n, UNNEST(range(n_chunks)) AS u(i)
+"""
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, int] | None = None) -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep a document
+    iff (md5(doc_id) as int) mod 100 < rate[lang] — the language-
+    rebalancing step of a corpus pipeline (downsample the dominant
+    stratum, keep the rest).
+
+    Hash-gating beats rand()-sampling at scale: the decision is a
+    pure projection (zero shuffle, no RNG state), REPRODUCIBLE across
+    reruns/engines, and stable under repartitioning — the properties
+    that make a 100 TB sample auditable. Returns the surviving
+    (doc_id, lang, source) rows.
+    """
+    rates = STRATA_RATES if rates is None else rates
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.lit(None).cast("int")
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", "source", bucket.alias("__b"), rate.alias("__r"))
+        .filter(F.col("__b") < F.col("__r"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def stratified_sample_sql(rates: dict[str, int] | None = None) -> str:
+    rates = STRATA_RATES if rates is None else rates
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(rates.items())
+    )
+    return f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b,
+         CASE {cases} END AS r
+  FROM documents
+) t WHERE b < r
+"""
+
+
+#: winnowing geometry (Schleimer et al., SIGMOD'03): k-gram size and
+#: window width; guarantee = any match of length >= k + w - 1 shares
+#: a fingerprint.
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing fingerprints: per document, the distinct minima of
+    each w-wide sliding window over the k-gram hash sequence — the
+    chunk-level fingerprinting scheme behind MOSS-style local
+    plagiarism/near-dup detection (selects ~2/(w+1) of all k-gram
+    hashes, with a positional guarantee uniform sampling lacks).
+
+    Simplification vs the paper: windows select their minimum VALUE
+    (the paper's rightmost-tie rule only matters for positional
+    attribution, not for the fingerprint set). Everything is per-row
+    array arithmetic: token hashes once, window minima via
+    slice+array_min, distinct, explode — zero shuffle; the downstream
+    fingerprint self-join is the same bucket-join shape as MinHash
+    LSH. Returns (doc_id, fp).
+    """
+    tok = docs.select("doc_id", X.tokens("text").alias("tk"))
+    th = tok.select(
+        "doc_id",
+        F.transform(
+            F.col("tk"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        ).alias("h"),
+    )
+    # k-gram hash = polynomial fold of k consecutive token hashes
+    n_grams = F.greatest(F.size("h") - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.aggregate(
+            F.slice(F.col("h"), i, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 1_000_003 + x) % 2_147_483_647,
+        ),
+    )
+    gr = th.select("doc_id", F.when(n_grams > 0, grams).otherwise(
+        F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    ).alias("g"))
+    n_windows = F.greatest(F.size("g") - (w - 1), F.lit(0))
+    minima = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(F.col("g"), i, w)),
+    )
+    fps = F.when(
+        n_windows > 0, F.array_distinct(minima)
+    ).otherwise(F.array_distinct(F.col("g")))
+    return gr.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnowing_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    toks = _sql_tokens()
+    return f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform({toks},
+           t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS h
+  FROM documents
+),
+gr AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= {k} THEN
+           list_transform(range(1, len(h) - {k - 1} + 1),
+             i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(h, i, i + {k - 1})),
+                              (acc, x) -> (acc * 1000003 + x) % 2147483647))
+         ELSE [] END AS g
+  FROM th
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(g) >= {w} THEN
+           list_distinct(list_transform(range(1, len(g) - {w - 1} + 1),
+             i -> list_min(list_slice(g, i, i + {w - 1}))))
+         ELSE list_distinct(g) END AS fp_list
+  FROM gr
+)
+SELECT doc_id, fp FROM fps, UNNEST(fp_list) AS u(fp)
+"""

@@ -183,3 +183,59 @@ def test_components_multi_hop_chain(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+class TestDocChunks:
+    def test_chunk_geometry(self, spark):
+        """Chunks stride by (chunk - overlap); the tail chunk may be
+        short; docs shorter than one chunk yield exactly one chunk."""
+        from soccerpredictor_spark.operators.textops import doc_chunks
+
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"t{i}" for i in range(120))),  # 120 tokens
+                (2, "a b c"),  # 3 tokens -> one short chunk
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            (r.doc_id, r.chunk_idx): (r.chunk_n_tokens, r.chunk_text)
+            for r in doc_chunks(docs, chunk_tokens=50, overlap=10).collect()
+        }
+        # doc 1: stride 40 -> chunks at 0, 40, 80 (ceil((120-50)/40)+1 = 3)
+        assert {(1, 0), (1, 1), (1, 2), (2, 0)} == set(rows)
+        assert rows[(1, 0)][0] == 50 and rows[(1, 0)][1].startswith("t0 t1 ")
+        assert rows[(1, 1)][1].startswith("t40 ")
+        assert rows[(1, 2)][0] == 40  # tail: tokens 80..119
+        assert rows[(2, 0)] == (3, "a b c")
+        # consecutive chunks overlap by exactly `overlap` tokens
+        c0_tail = rows[(1, 0)][1].split()[-10:]
+        c1_head = rows[(1, 1)][1].split()[:10]
+        assert c0_tail == c1_head
+
+
+class TestWinnowing:
+    def test_match_guarantee(self, spark):
+        """Two docs sharing a run of >= k + w - 1 tokens must share at
+        least one winnowing fingerprint (the paper's guarantee)."""
+        from soccerpredictor_spark.operators.textops import (
+            WINNOW_K,
+            WINNOW_W,
+            winnowing_fingerprints,
+        )
+
+        shared = " ".join(f"s{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+        docs = spark.createDataFrame(
+            [
+                (1, "left prefix words " + shared),
+                (2, shared + " other suffix here"),
+                (3, "completely different text with no common run at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        fps = winnowing_fingerprints(docs).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+        assert not (by_doc[1] & by_doc[3] & by_doc[2])

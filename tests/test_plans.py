@@ -220,6 +220,15 @@ def test_ivf_kmeans_never_shuffles_vectors(spark, sf001):
     assert "array_min" in plan
 
 
+def test_chunking_and_sampling_are_shuffle_free(spark, sf001):
+    """doc_chunks and stratified_sample are the ops you apply to
+    100 TB on the way through — they must add ZERO exchanges."""
+    for name in ("doc_chunks", "stratified_sample", "winnowing"):
+        plan = _plan(entry.queries()[name](spark, sf001))
+        assert "Exchange" not in plan, f"{name} shuffles"
+        assert "BatchEvalPython" not in plan
+
+
 def test_tfidf_single_explode(spark, sf001):
     """df-via-window keeps ONE Generate (explode) in the plan; the
     groupBy+join formulation would duplicate the whole subtree."""
