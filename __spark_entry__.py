@@ -334,6 +334,25 @@ def _q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     return textops.winnowing_fingerprints(read_table(spark, sf, "documents"))
 
 
+def _q_funnel_stages(spark: SparkSession, sf: str) -> DataFrame:
+    # ordered view->click->purchase funnel: one shuffle + per-row fold
+    # (the naive k-step funnel is k-1 event-table self-joins).
+    return windows.funnel_stages(read_table(spark, sf, "events"))
+
+
+def _q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    # weekly cohort x offset distinct-actives; exact epoch arithmetic.
+    return windows.cohort_retention(read_table(spark, sf, "events"))
+
+
+def _q_media_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # no-decode media triage: per-kind byte stats, blobs never shuffle.
+    from soccerpredictor_spark.operators import multimodal
+
+    media = multimodal.media_from_documents(read_table(spark, sf, "documents"))
+    return multimodal.media_stats(media)
+
+
 def _q_ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     # IVF with one Lloyd refinement of the coarse quantizer — both
     # assignment passes are broadcast argmin projections; the only
@@ -611,6 +630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "stratified_sample": _q_stratified_sample,
         "winnowing": _q_winnowing,
+        "funnel_stages": _q_funnel_stages,
+        "cohort_retention": _q_cohort_retention,
+        "media_stats": _q_media_stats,
         # --- green in CORRECTNESS_r01 ---
         "top_k_count": _q_top_k_count,
         "semi_join": _q_semi_join,
@@ -822,6 +844,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": textops.doc_chunks_sql(),
         "stratified_sample": textops.stratified_sample_sql(),
         "winnowing": textops.winnowing_fingerprints_sql(),
+        "funnel_stages": windows.funnel_stages_sql(),
+        "cohort_retention": windows.cohort_retention_sql(),
+        "media_stats": _multimodal_mod().media_stats_sql(),
         "salted_join": (
             "SELECT s_nationkey, count(*) AS n_items, "
             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
@@ -839,9 +864,13 @@ def _streaming_mod():
 
 
 def _multimodal_decode_sql() -> str:
+    return _multimodal_mod().decode_profile_sql()
+
+
+def _multimodal_mod():
     from soccerpredictor_spark.operators import multimodal
 
-    return multimodal.decode_profile_sql()
+    return multimodal
 
 
 def _joins_mod():

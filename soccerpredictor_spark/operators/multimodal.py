@@ -162,3 +162,38 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         media.filter(F.col("kind") == "video")
         .select("media_id", F.explode(frames).alias("frame_idx"))
     )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Per-kind payload statistics WITHOUT decoding: row count and
+    total/min/max byte sizes. Pure JVM-side byte-length arithmetic —
+    the triage query you run over 100 TB of media before spending
+    decode cycles; the payload column is read but never leaves the
+    scan (no shuffle carries blobs — only 4 longs per kind)."""
+    n_bytes = F.length(F.col("payload")).cast("long")
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(n_bytes).alias("total_bytes"),
+            F.min(n_bytes).alias("min_bytes"),
+            F.max(n_bytes).alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+def media_stats_sql() -> str:
+    """DuckDB twin over documents-derived media (strlen = UTF-8 byte
+    count, matching length() on the encoded binary)."""
+    return """
+SELECT CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       COUNT(*) AS n_media,
+       SUM(CAST(strlen(text) AS BIGINT)) AS total_bytes,
+       MIN(CAST(strlen(text) AS BIGINT)) AS min_bytes,
+       MAX(CAST(strlen(text) AS BIGINT)) AS max_bytes
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""

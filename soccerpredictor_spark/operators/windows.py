@@ -399,3 +399,112 @@ FROM (
   FROM events
 ) t
 """
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """Ordered-funnel analysis: per user, the deepest stage of
+    view -> click -> purchase reached IN ORDER (a click before any
+    view does not count), then user counts per stage.
+
+    Single-shuffle shape: one groupBy(user_id) collects the user's
+    (ts, event_id, type) events, array_sort makes the order
+    deterministic (event_id breaks ts ties), and a per-row LEFT FOLD
+    walks the sequence advancing a stage counter — the classic
+    sessionless funnel in one pass, no self-joins per step (the
+    naive k-step funnel is k-1 self-joins of the event table). The
+    fold is per-row array arithmetic, so cost beyond the single
+    shuffle is linear in events-per-user.
+    """
+    ev = events.filter(F.col("event_type").isin(*FUNNEL_STEPS)).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    stage = F.aggregate(
+        F.col("seq"),
+        F.lit(0),
+        lambda acc, e: (
+            F.when((acc == 0) & (e["event_type"] == FUNNEL_STEPS[0]), 1)
+            .when((acc == 1) & (e["event_type"] == FUNNEL_STEPS[1]), 2)
+            .when((acc == 2) & (e["event_type"] == FUNNEL_STEPS[2]), 3)
+            .otherwise(acc)
+        ),
+    )
+    return (
+        seq.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+def funnel_stages_sql() -> str:
+    steps = FUNNEL_STEPS
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    return f"""
+WITH seq AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS tl
+  FROM events WHERE event_type IN ({in_list})
+  GROUP BY user_id
+),
+st AS (
+  SELECT user_id,
+         CAST(list_reduce(list_prepend('0', tl), (acc, e) ->
+           CASE WHEN acc = '0' AND e = '{steps[0]}' THEN '1'
+                WHEN acc = '1' AND e = '{steps[1]}' THEN '2'
+                WHEN acc = '2' AND e = '{steps[2]}' THEN '3'
+                ELSE acc END) AS INT) AS stage
+  FROM seq
+)
+SELECT stage, count(*) AS n_users FROM st GROUP BY stage ORDER BY stage
+"""
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    FIRST event; for each (cohort_week, week_offset), the distinct
+    users still active that many weeks later.
+
+    Shape: first-event agg keyed user_id, joined back to events on
+    the SAME key (the two shuffles share the user_id partitioning, so
+    the join itself is exchange-aligned), then a count-distinct per
+    (cohort, offset). Offsets are exact integer epoch arithmetic —
+    no date-diff rounding ambiguity between engines.
+    """
+    firsts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    offset = F.floor(
+        (F.col("ts").cast("long") - F.col("first_ts").cast("long"))
+        / F.lit(7 * 86400)
+    ).cast("int")
+    return (
+        events.select("user_id", "ts")
+        .join(firsts, "user_id")
+        .select(
+            F.date_trunc("week", F.col("first_ts")).alias("cohort_week"),
+            offset.alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def cohort_retention_sql() -> str:
+    return """
+WITH firsts AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT date_trunc('week', first_ts) AS cohort_week,
+       CAST((epoch_us(ts) // 1000000 - epoch_us(first_ts) // 1000000) // 604800 AS INT) AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN firsts USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -239,3 +239,28 @@ class TestWinnowing:
             by_doc.setdefault(r.doc_id, set()).add(r.fp)
         assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
         assert not (by_doc[1] & by_doc[3] & by_doc[2])
+
+
+class TestFunnel:
+    def test_order_matters(self, spark):
+        """A click BEFORE any view must not advance the funnel; the
+        stage counter only moves on in-order steps."""
+        import datetime as dt
+
+        from soccerpredictor_spark.operators.windows import funnel_stages
+
+        t0 = dt.datetime(2024, 1, 1)
+        s = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+        rows = [
+            # user 1: full ordered funnel -> stage 3
+            (1, s(0), 1, "view"), (1, s(1), 2, "click"), (1, s(2), 3, "purchase"),
+            # user 2: click first, then view -> stage 1 (view only)
+            (2, s(0), 4, "click"), (2, s(1), 5, "view"),
+            # user 3: purchase only -> stage 0
+            (3, s(0), 6, "purchase"),
+            # user 4: view, purchase (no click) -> stage 1
+            (4, s(0), 7, "view"), (4, s(1), 8, "purchase"),
+        ]
+        ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+        got = {r.stage: r.n_users for r in funnel_stages(ev).collect()}
+        assert got == {0: 1, 1: 2, 3: 1}
