@@ -334,6 +334,39 @@ def _q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     return textops.winnowing_fingerprints(read_table(spark, sf, "documents"))
 
 
+def _q_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # S3 (DAO/ImpalaCon.py DDL + Spider write path): the WRITE side,
+    # driver-proven — filter orders, write hive-partitioned parquet
+    # (sinks.write_parquet), read it back, aggregate. The oracle
+    # aggregates the source directly, so the roundtrip must be
+    # lossless including the partition column's values.
+    import tempfile
+
+    from soccerpredictor_spark.sources.catalog import read_any
+    from soccerpredictor_spark.sources.sinks import write_parquet
+
+    orders = read_table(spark, sf, "orders")
+    out = tempfile.mkdtemp(prefix="write_roundtrip_") + "/orders_f"
+    write_parquet(
+        orders.filter(F.col("o_totalprice") > 100_000).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        out,
+        partition_by=("o_orderstatus",),
+    )
+    back = read_any(spark, out, "parquet")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(tpch.DEC)).cast("double").alias("total"),
+    )
+
+
+def _q_window_ntiles(spark: SparkSession, sf: str) -> DataFrame:
+    # quartile assignment per event type (NTILE window, deterministic
+    # order), rolled up to counts + quartile value ranges.
+    return windows.value_ntiles(read_table(spark, sf, "events"))
+
+
 def _q_funnel_stages(spark: SparkSession, sf: str) -> DataFrame:
     # ordered view->click->purchase funnel: one shuffle + per-row fold
     # (the naive k-step funnel is k-1 event-table self-joins).
@@ -633,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_stages": _q_funnel_stages,
         "cohort_retention": _q_cohort_retention,
         "media_stats": _q_media_stats,
+        "write_roundtrip": _q_write_roundtrip,
+        "window_ntiles": _q_window_ntiles,
         # --- green in CORRECTNESS_r01 ---
         "top_k_count": _q_top_k_count,
         "semi_join": _q_semi_join,
@@ -847,6 +882,12 @@ def oracle_sql() -> dict[str, str]:
         "funnel_stages": windows.funnel_stages_sql(),
         "cohort_retention": windows.cohort_retention_sql(),
         "media_stats": _multimodal_mod().media_stats_sql(),
+        "write_roundtrip": (
+            "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+            "FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderstatus"
+        ),
+        "window_ntiles": windows.value_ntiles_sql(),
         "salted_join": (
             "SELECT s_nationkey, count(*) AS n_items, "
             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "

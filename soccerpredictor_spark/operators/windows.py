@@ -508,3 +508,45 @@ FROM events e JOIN firsts USING (user_id)
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def value_ntiles(events: DataFrame, n: int = 4) -> DataFrame:
+    """Quartile (NTILE) assignment per event type, rolled up to the
+    per-(type, quartile) count and value range — the distribution
+    summary that drives outlier caps and binning decisions.
+
+    NTILE is position-based, so the order must be total for the
+    assignment to be deterministic: (value, event_id) — event_id
+    breaks value ties identically in every engine. One shuffle on
+    event_type; the rollup reuses the same partitioning.
+    """
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    tiled = events.select(
+        "event_type", "value", F.ntile(n).over(w).alias("tile")
+    )
+    return (
+        tiled.groupBy("event_type", "tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("event_type", "tile")
+    )
+
+
+def value_ntiles_sql(n: int = 4) -> str:
+    return f"""
+SELECT event_type, tile, COUNT(*) AS n_events,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM (
+  SELECT event_type, value,
+         NTILE({n}) OVER (PARTITION BY event_type
+                          ORDER BY value ASC, event_id ASC) AS tile
+  FROM events
+) t
+GROUP BY event_type, tile
+ORDER BY event_type, tile
+"""

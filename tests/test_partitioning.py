@@ -98,3 +98,26 @@ class TestPartitionPruning:
         n_files = got.select(F.input_file_name()).distinct().count()
         all_files = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
         assert n_files < all_files
+
+
+class TestDynamicPartitionPruning:
+    def test_dpp_prunes_fact_partitions_via_dim_filter(self, spark, tmp_path):
+        """Dynamic partition pruning: the fact table is partitioned by
+        day; the day predicate lives on the DIMENSION side of a join.
+        Static pruning can't help (no literal predicate on the fact),
+        but DPP injects a runtime IN-subquery filter into the fact
+        scan — at 100 TB this is the difference between scanning 2
+        partitions and scanning 365."""
+        fact_path = str(tmp_path / "fact_by_day")
+        spark.range(10_000).select(
+            (F.col("id") % 10).cast("string").alias("day"),
+            F.col("id").alias("v"),
+        ).write.partitionBy("day").mode("overwrite").parquet(fact_path)
+        dim = spark.createDataFrame(
+            [("0", "keep"), ("7", "keep"), ("3", "drop")], ["day", "tag"]
+        )
+        fact = spark.read.parquet(fact_path)
+        joined = fact.join(dim.filter(F.col("tag") == "keep"), "day")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan or "DynamicPruning" in plan, plan[:2000]
+        assert joined.count() == 2_000  # only day 0 and day 7 rows
