@@ -540,6 +540,10 @@ def _q_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
     return windows.clicked_and_purchased(read_table(spark, sf, "events"))
 
 
+def _q_set_union(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.clicked_or_purchased(read_table(spark, sf, "events"))
+
+
 def _q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
     return windows.distinct_users_per_type(read_table(spark, sf, "events"))
 
@@ -668,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _q_media_stats,
         "write_roundtrip": _q_write_roundtrip,
         "window_ntiles": _q_window_ntiles,
+        "set_union": _q_set_union,
         # --- green in CORRECTNESS_r01 ---
         "top_k_count": _q_top_k_count,
         "semi_join": _q_semi_join,
@@ -888,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderstatus"
         ),
         "window_ntiles": windows.value_ntiles_sql(),
+        "set_union": windows.clicked_or_purchased_sql(),
         "salted_join": (
             "SELECT s_nationkey, count(*) AS n_items, "
             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "

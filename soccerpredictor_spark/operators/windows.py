@@ -550,3 +550,26 @@ FROM (
 GROUP BY event_type, tile
 ORDER BY event_type, tile
 """
+
+
+def clicked_or_purchased(events: DataFrame) -> DataFrame:
+    """Set operation family, UNION leg: distinct (user, day) pairs
+    with a click OR a purchase that day — with EXCEPT
+    (clicked_not_purchased) and INTERSECT (clicked_and_purchased)
+    this completes the relational set-operation trio. UNION DISTINCT
+    plans as one hash aggregate over the concatenated inputs: both
+    scans feed one exchange, no join at all."""
+    day = F.to_date("ts").cast("string").alias("day")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", day)
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.union(purchases).distinct()
+
+
+def clicked_or_purchased_sql() -> str:
+    return """
+SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+FROM events WHERE event_type = 'click'
+UNION
+SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+FROM events WHERE event_type = 'purchase'
+"""
