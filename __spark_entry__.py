@@ -361,6 +361,30 @@ def _q_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_write_roundtrip_csv(spark: SparkSession, sf: str) -> DataFrame:
+    # The CSV leg of the format-agnostic source/sink pair: write a
+    # projection as headered CSV, read it back with an EXPLICIT schema
+    # (production contract — inference scans twice), aggregate.
+    # Integer/string columns only: CSV is not a lossless double format.
+    import tempfile
+
+    from soccerpredictor_spark.sources.catalog import read_any
+
+    customer = read_table(spark, sf, "customer")
+    out = tempfile.mkdtemp(prefix="write_roundtrip_csv_") + "/cust"
+    customer.select("c_custkey", "c_nationkey", "c_mktsegment").write.mode(
+        "overwrite"
+    ).option("header", "true").csv(out)
+    back = read_any(
+        spark, out, "csv",
+        schema="c_custkey long, c_nationkey long, c_mktsegment string",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("c_custkey").alias("key_sum"),
+    )
+
+
 def _q_window_ntiles(spark: SparkSession, sf: str) -> DataFrame:
     # quartile assignment per event type (NTILE window, deterministic
     # order), rolled up to counts + quartile value ranges.
@@ -673,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_roundtrip": _q_write_roundtrip,
         "window_ntiles": _q_window_ntiles,
         "set_union": _q_set_union,
+        "write_roundtrip_csv": _q_write_roundtrip_csv,
         # --- green in CORRECTNESS_r01 ---
         "top_k_count": _q_top_k_count,
         "semi_join": _q_semi_join,
@@ -894,6 +919,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "window_ntiles": windows.value_ntiles_sql(),
         "set_union": windows.clicked_or_purchased_sql(),
+        "write_roundtrip_csv": (
+            "SELECT c_mktsegment, COUNT(*) AS n_customers, "
+            "SUM(c_custkey) AS key_sum FROM customer GROUP BY c_mktsegment"
+        ),
         "salted_join": (
             "SELECT s_nationkey, count(*) AS n_items, "
             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
