@@ -51,26 +51,30 @@ def main() -> None:
             spark.read.parquet(p).count()
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in names:
         t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 - one bad query must not void the bench
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
         dt = round(time.perf_counter() - t0, 4)
         times[name] = dt
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_runtime",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_runtime",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
