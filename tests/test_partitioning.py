@@ -121,3 +121,24 @@ class TestDynamicPartitionPruning:
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "dynamicpruning" in plan or "DynamicPruning" in plan, plan[:2000]
         assert joined.count() == 2_000  # only day 0 and day 7 rows
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_reads_evolving_table(self, spark, tmp_path):
+        """Schema evolution: a column added by a later batch must be
+        readable across the whole table with mergeSchema (older files
+        yield NULL) — the contract that lets a 100 TB table gain
+        columns without rewriting history."""
+        path = str(tmp_path / "evolving")
+        spark.range(5).selectExpr("id", "id * 2 AS v").write.parquet(path + "/b1")
+        spark.range(5, 10).selectExpr(
+            "id", "id * 2 AS v", "'x' AS tag"
+        ).write.parquet(path + "/b2")
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(path + "/b1", path + "/b2")
+        )
+        assert set(df.columns) == {"id", "v", "tag"}
+        rows = {r.id: r.tag for r in df.collect()}
+        assert rows[0] is None and rows[7] == "x"
+        assert df.count() == 10
