@@ -453,6 +453,31 @@ def _q_streaming_join(spark: SparkSession, sf: str) -> DataFrame:
     return SE.attribution_available_now(spark, sf)
 
 
+def _q_regex_extract_all(spark: SparkSession, sf: str) -> DataFrame:
+    # E6b (Spider/GameSpider.py:134): first-three decimal-odds
+    # extraction via the real ingest.extract_odds_triple over
+    # synthesized odds text (decimals built from integer columns so
+    # the string is engine-identical); output joined to one string —
+    # comparing an array column cross-engine is hash-fragile.
+    from soccerpredictor_spark.sources.ingest import extract_odds_triple
+
+    li = read_table(spark, sf, "lineitem")
+    text = F.concat_ws(
+        " ",
+        F.lit("odds"),
+        F.concat(F.col("l_linenumber"), F.lit("."), F.col("l_orderkey") % 100),
+        F.lit("x"),
+        F.concat(F.col("l_orderkey") % 10, F.lit("."), F.col("l_suppkey") % 100),
+        F.concat(F.col("l_suppkey") % 7, F.lit("."), F.col("l_linenumber")),
+        F.concat(F.col("l_orderkey") % 5, F.lit("."), F.col("l_partkey") % 100),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(",", extract_odds_triple(text)).alias("odds3"),
+    )
+
+
 def _q_arity_filter(spark: SparkSession, sf: str) -> DataFrame:
     # P7+E5 (Spider/GameSpider.py:88): fixed-arity token-split validity
     # filter via the real ingest.parse_record_line — wrong-arity rows
@@ -698,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ntiles": _q_window_ntiles,
         "set_union": _q_set_union,
         "write_roundtrip_csv": _q_write_roundtrip_csv,
+        "regex_extract_all": _q_regex_extract_all,
         # --- green in CORRECTNESS_r01 ---
         "top_k_count": _q_top_k_count,
         "semi_join": _q_semi_join,
@@ -922,6 +948,16 @@ def oracle_sql() -> dict[str, str]:
         "write_roundtrip_csv": (
             "SELECT c_mktsegment, COUNT(*) AS n_customers, "
             "SUM(c_custkey) AS key_sum FROM customer GROUP BY c_mktsegment"
+        ),
+        "regex_extract_all": (
+            "SELECT l_orderkey, l_linenumber, "
+            "array_to_string(list_slice(regexp_extract_all("
+            "'odds ' || (l_linenumber) || '.' || (l_orderkey % 100) || ' x ' || "
+            "(l_orderkey % 10) || '.' || (l_suppkey % 100) || ' ' || "
+            "(l_suppkey % 7) || '.' || (l_linenumber) || ' ' || "
+            "(l_orderkey % 5) || '.' || (l_partkey % 100), "
+            "'\\d+\\.\\d+', 0), 1, 3), ',') AS odds3 "
+            "FROM lineitem"
         ),
         "salted_join": (
             "SELECT s_nationkey, count(*) AS n_items, "
