@@ -391,6 +391,18 @@ def _q_window_ntiles(spark: SparkSession, sf: str) -> DataFrame:
     return windows.value_ntiles(read_table(spark, sf, "events"))
 
 
+def _q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    # subset-duplication: containment = inter / min(|A|,|B|) — catches
+    # doc-in-doc duplication that jaccard under-scores.
+    return dedup.containment_pairs(read_table(spark, sf, "documents"))
+
+
+def _q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    # robust per-type outlier counts via median/MAD (exact percentile;
+    # approx_percentile is the at-scale drop-in).
+    return windows.mad_outliers(read_table(spark, sf, "events"))
+
+
 def _q_funnel_stages(spark: SparkSession, sf: str) -> DataFrame:
     # ordered view->click->purchase funnel: one shuffle + per-row fold
     # (the naive k-step funnel is k-1 event-table self-joins).
@@ -724,6 +736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union": _q_set_union,
         "write_roundtrip_csv": _q_write_roundtrip_csv,
         "regex_extract_all": _q_regex_extract_all,
+        "dedup_containment": _q_dedup_containment,
+        "mad_outliers": _q_mad_outliers,
         # --- green in CORRECTNESS_r01 ---
         "top_k_count": _q_top_k_count,
         "semi_join": _q_semi_join,
@@ -949,6 +963,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, COUNT(*) AS n_customers, "
             "SUM(c_custkey) AS key_sum FROM customer GROUP BY c_mktsegment"
         ),
+        "dedup_containment": dedup.containment_pairs_sql(),
+        "mad_outliers": windows.mad_outliers_sql(),
         "regex_extract_all": (
             "SELECT l_orderkey, l_linenumber, "
             "array_to_string(list_slice(regexp_extract_all("

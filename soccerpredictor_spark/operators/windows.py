@@ -573,3 +573,68 @@ UNION
 SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
 FROM events WHERE event_type = 'purchase'
 """
+
+
+def mad_outliers(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """Robust outlier counts per event type via median/MAD: a value is
+    an outlier when |x - median| > k * 1.4826 * MAD (the normal-
+    consistent robust z-score — unlike mean/stddev, one huge outlier
+    cannot mask others).
+
+    Two percentile passes (median, then median of absolute
+    deviations), each a groupBy on the same tiny key domain; the join
+    back to rows broadcasts the per-type medians. Exact percentile is
+    the correctness oracle; at 100 TB approx_percentile drops in
+    (see value_percentiles).
+    """
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.select("event_type", "value").join(F.broadcast(med), "event_type")
+    mad = (
+        dev.select("event_type", F.abs(F.col("value") - F.col("med")).alias("ad"))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("value") - F.col("med"))
+                > F.lit(k) * F.lit(1.4826) * F.col("mad")
+            ).cast("int").alias("is_outlier"),
+        )
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_outlier").cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def mad_outliers_sql(k: float = 3.0) -> str:
+    return f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN abs(d.value - d.med) > {k} * 1.4826 * m.mad
+                THEN 1 ELSE 0 END) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
