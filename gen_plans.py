@@ -31,6 +31,8 @@ HEADLINE = {
     "doc_chunks": "Context-window chunking: per-row array arithmetic + posexplode, zero exchanges",
     "window_trailing_range": "Time-RANGE frame over epoch seconds: single exchange on user_id, no join",
     "salted_join": "Skew-proof shuffle join: salted fact x salt-replicated dim (exactly the plain join's rows)",
+    "dedup_containment": "Subset-duplication containment metric over the df-capped shingle self-join (exchange-reused sides)",
+    "mad_outliers": "Median/MAD robust outliers: two tiny-key percentile aggs broadcast back into the row stream",
 }
 
 PERF_NOTES = """## Round-2 performance notes (vs BENCH_r01)
