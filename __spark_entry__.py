@@ -5,10 +5,19 @@
 the large-scale extension operators) to a (spark, sf_dir) callable;
 ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each.
 
+Registry ordering is LOAD-BEARING: the driver's correctness harness
+verifies the first 50 entries in dict order, so entries without a
+green row in an earlier ``CORRECTNESS_r*.json`` come first (see the
+comment in ``queries()``); every entry past the window was
+driver-verified in round 1.
+
 Cross-engine determinism: every floating-point aggregate follows the
 exact-decimal convention documented in
 ``soccerpredictor_spark/plans/tpch.py`` so Spark and DuckDB produce
-bit-identical doubles regardless of partitioning/evaluation order.
+bit-identical doubles regardless of partitioning/evaluation order;
+per-row double folds pair Spark ``aggregate`` with DuckDB
+``list_reduce`` (both strict left folds) so even double arithmetic
+hashes identically.
 """
 
 from __future__ import annotations
@@ -391,6 +400,11 @@ def _q_window_ntiles(spark: SparkSession, sf: str) -> DataFrame:
     return windows.value_ntiles(read_table(spark, sf, "events"))
 
 
+def _q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    # language-ID acceptance gate: (labeled, predicted) confusion counts.
+    return textops.lang_confusion(read_table(spark, sf, "documents"))
+
+
 def _q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     # subset-duplication: containment = inter / min(|A|,|B|) — catches
     # doc-in-doc duplication that jaccard under-scores.
@@ -738,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extract_all": _q_regex_extract_all,
         "dedup_containment": _q_dedup_containment,
         "mad_outliers": _q_mad_outliers,
+        "lang_confusion": _q_lang_confusion,
         # --- green in CORRECTNESS_r01 ---
         "top_k_count": _q_top_k_count,
         "semi_join": _q_semi_join,
@@ -965,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_containment": dedup.containment_pairs_sql(),
         "mad_outliers": windows.mad_outliers_sql(),
+        "lang_confusion": textops.lang_confusion_sql(),
         "regex_extract_all": (
             "SELECT l_orderkey, l_linenumber, "
             "array_to_string(list_slice(regexp_extract_all("

@@ -558,3 +558,51 @@ fps AS (
 )
 SELECT doc_id, fp FROM fps, UNNEST(fp_list) AS u(fp)
 """
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Language-ID quality audit: the (labeled, predicted) confusion
+    counts of the n-gram marker heuristic against the corpus's lang
+    labels — the acceptance gate you run before trusting a heuristic
+    classifier to route a 100 TB corpus. Pure scan projection + one
+    tiny-key aggregation."""
+    wl = X.tokens(F.lower(F.col("text")))
+    # materialize the per-language hit counts as bound columns BEFORE
+    # the arg-max CASE: the CASE references each count up to |langs|
+    # times, and an unbound column would re-run its array_intersect at
+    # every reference (same trap as shingles_from_tokens' perf note)
+    hits = docs.select(
+        "lang",
+        wl.alias("wl"),
+    ).select(
+        "lang",
+        *[
+            X.marker_hits_from_tokens(F.col("wl"), ws).alias(f"h_{lang}")
+            for lang, ws in X.LANG_MARKERS.items()
+        ],
+    )
+    pred = X._lang_case({lang: F.col(f"h_{lang}") for lang in X.LANG_MARKERS})
+    return (
+        hits.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def lang_confusion_sql() -> str:
+    langs = list(X.LANG_MARKERS)
+    hits = {lang: _sql_marker_hits(ws) for lang, ws in X.LANG_MARKERS.items()}
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} > 0"] + [f"h_{lang} >= h_{other}" for other in langs[i + 1 :]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    hit_cols = ", ".join(f"{sql} AS h_{lang}" for lang, sql in hits.items())
+    return f"""
+WITH base AS (SELECT lang, {hit_cols} FROM documents)
+SELECT lang, {lang_case} AS lang_pred, COUNT(*) AS n_docs
+FROM base
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
