@@ -29,18 +29,16 @@ def text_profile(docs: DataFrame) -> DataFrame:
     over the full text (~8 passes/row; see the perf note on
     ``functions.text.shingles_from_tokens``). Whitespace tokenization
     is case-invariant, so token counts from the lowered array equal
-    the raw ones.
+    the raw ones. The per-language marker-hit counts and stop_ratio
+    are ALSO materialized as bound columns before the final
+    projection: the lang-ID CASE references each hit count up to
+    |langs| times and quality re-reads stop_ratio — unbound, those
+    expressions would re-run their array scans per reference (the
+    same trap, one level up; measured 12x on lang_confusion).
     """
     wl = F.col("wl")
     n_tok = F.size(wl)
-    stop_ratio = X.stopword_ratio_from_tokens(wl)
-    avg_len = F.length(F.col("text")).cast("double") / n_tok.cast("double")
-    quality = (
-        F.lit(0.4) * F.least(F.lit(1.0), n_tok.cast("double") / F.lit(100.0))
-        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
-        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
-    )
-    return docs.select(
+    mid = docs.select(
         "doc_id",
         "lang",
         "text",
@@ -48,11 +46,32 @@ def text_profile(docs: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         "lang",
+        "text",
         n_tok.alias("n_tokens"),
+        X.stopword_ratio_from_tokens(wl).alias("stop_ratio"),
+        *[
+            X.marker_hits_from_tokens(wl, ws).alias(f"h_{lang}")
+            for lang, ws in X.LANG_MARKERS.items()
+        ],
+    )
+    avg_len = F.length(F.col("text")).cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    quality = (
+        F.lit(0.4)
+        * F.least(F.lit(1.0), F.col("n_tokens").cast("double") / F.lit(100.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.col("stop_ratio"))
+    )
+    pred = X._lang_case({lang: F.col(f"h_{lang}") for lang in X.LANG_MARKERS})
+    return mid.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
         X.bpe_token_count("text").alias("n_bpe_tokens"),
         X.fingerprint("text").alias("fp"),
-        X.lang_id_from_tokens(wl).alias("lang_pred"),
-        stop_ratio.alias("stop_ratio"),
+        pred.alias("lang_pred"),
+        "stop_ratio",
         quality.alias("quality"),
     )
 
