@@ -175,16 +175,31 @@ def _drain_available_now(agg: DataFrame, name: str, mode: str = "complete") -> D
     """Run a streaming plan to completion with Trigger.AvailableNow
     into a memory sink and return the drained result — the standard
     backfill/catch-up pattern: the SAME plan that runs continuously in
-    production processes the backlog once and stops."""
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return agg.sparkSession.table(name)
+    production processes the backlog once and stops.
+
+    Shuffle partitions are sized DOWN for the run: a stateful query
+    instantiates one state-store instance per shuffle partition per
+    operator per micro-batch, so partition count should track state
+    size, not CPU count — the batch-side default (32 here) pays ~4x
+    pure store-open/commit overhead on small state. This is pinned at
+    the query's FIRST run: streaming checkpoints freeze the state
+    partitioning for the query's lifetime. (Results are partition-
+    count-independent — the exact-decimal convention.)"""
+    spark = agg.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def hourly_rollup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
