@@ -976,7 +976,7 @@ def oracle_sql() -> dict[str, str]:
         "set_union": windows.clicked_or_purchased_sql(),
         "write_roundtrip_csv": (
             "SELECT c_mktsegment, COUNT(*) AS n_customers, "
-            "SUM(c_custkey) AS key_sum FROM customer GROUP BY c_mktsegment"
+            "CAST(SUM(c_custkey) AS BIGINT) AS key_sum FROM customer GROUP BY c_mktsegment"
         ),
         "dedup_containment": dedup.containment_pairs_sql(),
         "mad_outliers": windows.mad_outliers_sql(),

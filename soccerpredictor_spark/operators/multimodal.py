@@ -190,7 +190,7 @@ def media_stats_sql() -> str:
 SELECT CASE CAST(doc_id % 3 AS INT)
             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        COUNT(*) AS n_media,
-       SUM(CAST(strlen(text) AS BIGINT)) AS total_bytes,
+       CAST(SUM(CAST(strlen(text) AS BIGINT)) AS BIGINT) AS total_bytes,
        MIN(CAST(strlen(text) AS BIGINT)) AS min_bytes,
        MAX(CAST(strlen(text) AS BIGINT)) AS max_bytes
 FROM documents

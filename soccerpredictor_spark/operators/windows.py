@@ -632,8 +632,8 @@ mad AS (
 )
 SELECT d.event_type,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN abs(d.value - d.med) > {k} * 1.4826 * m.mad
-                THEN 1 ELSE 0 END) AS n_outliers
+       CAST(SUM(CASE WHEN abs(d.value - d.med) > {k} * 1.4826 * m.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type
 ORDER BY d.event_type

@@ -282,10 +282,19 @@ def test_driver_verification_window_ordering():
     for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
         with open(path) as f:
             rows = json.load(f)
+        # A row is verified only if the type-sensitive value hash
+        # matched (or, for by-design no-oracle entries, the driver's
+        # rows-only check ran).  Counting any err-free row would let a
+        # hash_match=false query rotate past entry 50 where the driver
+        # never re-checks it, permanently masking the mismatch.
         verified |= {
             name
             for name, r in rows.items()
-            if isinstance(r, dict) and not r.get("err")
+            if isinstance(r, dict)
+            and (
+                r.get("hash_match") is True
+                or (r.get("err") == "no_oracle" and r.get("spark_rows") is not None)
+            )
         }
     if not verified:
         return  # no recorded driver rounds yet — nothing to pin

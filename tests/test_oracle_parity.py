@@ -32,6 +32,18 @@ def assert_frames_match(name: str, spark_pdf: pd.DataFrame, ddb_pdf: pd.DataFram
     )
     a, b = canon(spark_pdf), canon(ddb_pdf)
     for col in a.columns:
+        # The driver's value hash is type-sensitive: an int64 3 and a
+        # float64 3.0 hash differently even though == passes.  DuckDB
+        # types SUM(<any integer>) as HUGEINT (-> float64 in pandas),
+        # so numeric *kind* must agree between the two engines.
+        ka, kb = a[col].dtype.kind, b[col].dtype.kind
+        if {ka, kb} <= {"i", "u", "f"}:
+            assert (ka in "iu") == (kb in "iu"), (
+                f"{name}.{col}: numeric kind mismatch {a[col].dtype} vs "
+                f"{b[col].dtype} — likely an un-cast integer SUM in the "
+                f"oracle (DuckDB HUGEINT); wrap it in CAST(... AS BIGINT)"
+            )
+    for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             if x is None and y is None:
@@ -54,6 +66,25 @@ def test_query_matches_oracle(name, spark, ddb, sf_dir):
         return
     ddb_pdf = ddb.execute(ORACLES[name]).fetchdf()
     assert_frames_match(name, spark_pdf, ddb_pdf)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_surfaces_no_hugeint(name, ddb):
+    """Type-lint every oracle: DuckDB types SUM(<integer>) as HUGEINT
+    (int128), which pandas widens to float64 while Spark emits int64 —
+    breaking the driver's type-sensitive value hash even when every
+    value compares equal.  Planning the query (no execution) is enough
+    to surface the result types."""
+    rel = ddb.sql(ORACLES[name])
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()
+    ]
+    assert not bad, (
+        f"{name}: oracle surfaces HUGEINT columns {bad} — wrap the "
+        f"aggregate in CAST(... AS BIGINT)"
+    )
 
 
 def test_entry_smoke(spark):
