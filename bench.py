@@ -1,8 +1,14 @@
 """Benchmark runner: times every registered query at the bench scale.
 
-Prints ONE JSON line:
+Output contract (driver parses the tail of stdout, ~3 KB): the LAST
+line is a compact JSON machine line that stays small no matter how
+many queries are registered:
   {"metric": "total_runtime", "value": <sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "sf": <sf>, "n_queries": N, "queries": {<slowest 20>: sec},
+   "queries_full": "bench_queries.json"}
+The full per-query map is printed on its own (earlier) line AND
+written to bench_queries.json.  Round 2's single fat line overflowed
+the driver's tail capture mid-line and recorded parsed: null.
 
 Env:
   SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
@@ -73,15 +79,33 @@ def main() -> None:
         times[name] = dt
         total += dt
 
+    full = {"per_query": times, "sf": sf}
+    if errors:
+        full["errors"] = errors
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_queries.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full, f)
+    except OSError:
+        sidecar = None
+    print(json.dumps(full))
+
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:20])
     out = {
         "metric": "total_runtime",
         "value": round(total, 4),
         "unit": "sec",
-        "queries": times,
         "sf": sf,
+        "n_queries": len(times),
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
     }
+    if sidecar:
+        out["queries_full"] = "bench_queries.json"
     if errors:
-        out["errors"] = errors
+        out["n_errors"] = len(errors)
+    # LAST line, compact: the driver's tail capture must end with a
+    # complete JSON object even when the full map above is truncated.
     print(json.dumps(out))
 
 
