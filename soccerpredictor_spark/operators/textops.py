@@ -625,3 +625,357 @@ FROM base
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: repetition / PII / contamination / sequence packing —
+# the remaining quality-filter + assembly stages of an LLM data pipeline.
+# ---------------------------------------------------------------------------
+
+#: sequence-packing token budget (context length of the target model).
+PACK_BUDGET = 2048
+
+
+def repetition_profile(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality metrics, per document.
+
+    Surfaces the three classic repetition filters (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher" §A1.1, adapted to the
+    fixtures' single-line documents): duplicate-token fraction,
+    most-frequent-bigram fraction, and duplicate-trigram fraction.
+    Documents above threshold on any of these are boilerplate/spam
+    candidates a curation pipeline drops before training.
+
+    Scale design: every metric is a per-row array expression over ONE
+    materialized token array — a 100 TB corpus runs this as a pure
+    scan projection, zero shuffles, fully codegen'd. The per-row
+    top-bigram count is O(distinct x total) per document; for corpora
+    of book-length documents swap it for the explode + windowed-count
+    variant (one shuffle) — the thresholds don't change.
+
+    No reference counterpart (the reference has no text analytics);
+    extension per BASELINE.json / SURVEY.md §2.10.
+    """
+    tok = docs.select("doc_id", X.tokens("text").alias("w"))
+    n = F.size("w")
+    # non-distinct gram arrays (shingles_from_tokens dedups; repetition
+    # needs multiplicity), built over the BOUND token column `w` so the
+    # split never re-runs per element (see shingles_from_tokens note).
+    def grams(t, k):
+        idx = F.sequence(F.lit(0), F.size(t) - k)
+        g = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
+        )
+        return F.when(F.size(t) >= k, g).otherwise(
+            F.expr("CAST(array() AS ARRAY<STRING>)")
+        )
+
+    mid = tok.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        grams(F.col("w"), 2).alias("bi"),
+        grams(F.col("w"), 3).alias("tri"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.size("bi").alias("n_bi"),
+        F.array_max(
+            F.transform(
+                F.array_distinct("bi"),
+                lambda g: F.size(F.filter(F.col("bi"), lambda x: x == g)),
+            )
+        ).alias("top_bi_cnt"),
+        F.size("tri").alias("n_tri"),
+        F.size(F.array_distinct("tri")).alias("n_tri_distinct"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return mid.select(
+        "doc_id",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.lit(1.0) - d("n_distinct") / d("n_tokens"),
+        ).alias("dup_token_frac"),
+        F.when(F.col("n_bi") > 0, d("top_bi_cnt") / d("n_bi")).alias(
+            "top_bigram_frac"
+        ),
+        F.when(
+            F.col("n_tri") > 0,
+            F.lit(1.0) - d("n_tri_distinct") / d("n_tri"),
+        ).alias("dup_trigram_frac"),
+    )
+
+
+def repetition_profile_sql() -> str:
+    """DuckDB twin of repetition_profile (identical per-row expression
+    trees, so the double ratios are bit-equal)."""
+    toks = _sql_tokens()
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS w FROM documents),
+mid AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         len(list_distinct(w)) AS n_distinct,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(0, len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
+              ELSE [] END AS bi,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(0, len(w) - 2), i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])
+              ELSE [] END AS tri
+  FROM tok
+),
+cnt AS (
+  SELECT doc_id, n_tokens, n_distinct,
+         len(bi) AS n_bi,
+         list_max(list_transform(list_distinct(bi), g -> len(list_filter(bi, x -> x = g)))) AS top_bi_cnt,
+         len(tri) AS n_tri,
+         len(list_distinct(tri)) AS n_tri_distinct
+  FROM mid
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens > 0 THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS dup_token_frac,
+       CASE WHEN n_bi > 0 THEN CAST(top_bi_cnt AS DOUBLE) / CAST(n_bi AS DOUBLE) END AS top_bigram_frac,
+       CASE WHEN n_tri > 0 THEN 1.0 - CAST(n_tri_distinct AS DOUBLE) / CAST(n_tri AS DOUBLE) END AS dup_trigram_frac
+FROM cnt
+"""
+
+
+#: PII patterns — lowercase-corpus variants, expressible identically in
+#: Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PII_PHONE = r"\b[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]\b"
+PII_SSN = r"\b[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]\b"
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """PII pattern scan: per-document counts of email / phone / SSN
+    -shaped substrings plus a drop/redact flag.
+
+    The fixture corpus contains no PII, so (like fraction_avg does for
+    handicap lines) the query first synthesizes deterministic PII spans
+    into a known subset of rows (doc_id mod 7 / 11 / 13) — making hit
+    AND miss paths oracle-checkable. On real data the synthesis
+    projection is dropped and the scan runs as-is.
+
+    Scale design: pure per-row regexp projection — zero shuffle, one
+    scan, codegen'd ``regexp_count``. The SSN pattern is checked before
+    phone and its matches masked out so the two counts never double-count
+    the same span (an SSN tail also looks like a phone).
+    """
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-0142 today")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" id 123-45-6789 leaked")).otherwise(
+            F.lit("")
+        ),
+    )
+    base = docs.select("doc_id", synth.alias("t"))
+    # mask SSN spans before the phone scan: "123-45-6789" ends in a
+    # phone-shaped "45-6789"? no — but "123-45-6789" contains no
+    # \b\d{3}-\d{4}\b span; masking is still applied for robustness on
+    # real data where e.g. "123-456-7890" nests both.
+    no_ssn = F.regexp_replace(F.col("t"), PII_SSN, "#")
+    counted = base.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL)).alias("n_email"),
+        F.regexp_count(no_ssn, F.lit(PII_PHONE)).alias("n_phone"),
+        F.regexp_count(F.col("t"), F.lit(PII_SSN)).alias("n_ssn"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ssn",
+        ((F.col("n_email") + F.col("n_phone") + F.col("n_ssn")) > 0).alias("has_pii"),
+    )
+
+
+def pii_scan_sql() -> str:
+    """DuckDB twin of pii_scan (regexp_extract_all + len; same RE2-safe
+    patterns; counts cast to INT to match Spark's regexp_count type)."""
+    synth = (
+        "text || "
+        "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END || "
+        "CASE WHEN doc_id % 11 = 0 THEN ' call 555-0142 today' ELSE '' END || "
+        "CASE WHEN doc_id % 13 = 0 THEN ' id 123-45-6789 leaked' ELSE '' END"
+    )
+    def cnt(expr: str, pat: str) -> str:
+        return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS INT)"
+
+    return f"""
+WITH base AS (SELECT doc_id, {synth} AS t FROM documents),
+counted AS (
+  SELECT doc_id,
+         {cnt("t", PII_EMAIL)} AS n_email,
+         {cnt(f"regexp_replace(t, '{PII_SSN}', '#', 'g')", PII_PHONE)} AS n_phone,
+         {cnt("t", PII_SSN)} AS n_ssn
+  FROM base
+)
+SELECT doc_id, n_email, n_phone, n_ssn,
+       (n_email + n_phone + n_ssn) > 0 AS has_pii
+FROM counted
+"""
+
+
+#: contamination probe: every 97th doc stands in for a benchmark set.
+CONTAM_MOD = 97
+CONTAM_N = 5
+
+
+def contamination_check(docs: DataFrame) -> DataFrame:
+    """Benchmark-contamination audit: which corpus documents share word
+    {CONTAM_N}-gram shingles with a benchmark probe set.
+
+    The probe set here is the fixture docs with ``doc_id % 97 == 0``
+    (standing in for an eval benchmark); real pipelines load the
+    benchmark shingles from a file. Returns contaminated docs with
+    their shingle-overlap count and rate — the decontamination stage
+    drops or flags rows above a rate threshold before training.
+
+    Scale design: benchmark sets are tiny relative to the corpus, so
+    the probe shingle set is BROADCAST — the 100 TB corpus side is one
+    scan + explode, the inner join adds no shuffle, and only matched
+    (doc_id, shingle) pairs (a vanishingly small stream) reach the
+    per-doc count aggregation. Per-doc total shingle counts come from
+    the array side (``size(array_distinct(...))``), not a second
+    explode+groupBy pass.
+    """
+    tok = docs.select("doc_id", X.tokens("text").alias("w"))
+    sh = tok.select(
+        "doc_id",
+        F.size(X.shingles_from_tokens(F.col("w"), CONTAM_N)).alias("n_shingles"),
+        X.shingles_from_tokens(F.col("w"), CONTAM_N).alias("sh"),
+    )
+    probe = (
+        sh.filter(F.col("doc_id") % CONTAM_MOD == 0)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % CONTAM_MOD != 0).select(
+        "doc_id", "n_shingles", F.explode("sh").alias("shingle")
+    )
+    hits = (
+        corpus.join(F.broadcast(probe), "shingle", "inner")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return hits.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        (
+            F.col("n_contaminated").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("contamination_rate"),
+    ).orderBy(F.col("contamination_rate").desc(), F.col("doc_id").asc())
+
+
+def contamination_check_sql() -> str:
+    """DuckDB twin of contamination_check."""
+    toks = _sql_tokens()
+    n = CONTAM_N
+    parts = " || ' ' || ".join(f"w[i + {j + 1}]" for j in range(n))
+    sh = (
+        f"CASE WHEN len(w) >= {n} "
+        f"THEN list_distinct(list_transform(range(0, len(w) - {n - 1}), i -> {parts})) "
+        "ELSE [] END"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS w FROM documents),
+sh AS (SELECT doc_id, {sh} AS sh FROM tok),
+sized AS (SELECT doc_id, len(sh) AS n_shingles, sh FROM sh),
+probe AS (
+  SELECT DISTINCT UNNEST(sh) AS shingle FROM sized WHERE doc_id % {CONTAM_MOD} = 0
+),
+corpus AS (
+  SELECT doc_id, n_shingles, UNNEST(sh) AS shingle
+  FROM sized WHERE doc_id % {CONTAM_MOD} <> 0
+),
+hits AS (
+  SELECT c.doc_id, c.n_shingles, COUNT(*) AS n_contaminated
+  FROM corpus c JOIN probe p ON c.shingle = p.shingle
+  GROUP BY c.doc_id, c.n_shingles
+)
+SELECT doc_id, n_shingles, n_contaminated,
+       CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination_rate
+FROM hits
+ORDER BY contamination_rate DESC, doc_id ASC
+"""
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Deterministic sequence packing for LLM training: assign each
+    document a (bin, offset) inside fixed token-budget bins, packing in
+    doc_id order within each source shard.
+
+    This is the scan-order packing used by streaming tokenizers
+    (documents concatenated then sliced every ``budget`` tokens, e.g.
+    GPT-2/LLaMA-style pretraining): bin = floor(cumulative-tokens-before
+    / budget); a document may straddle a bin boundary, which the
+    training slicer handles (attention masking), so no bin-aware
+    first-fit is needed — and unlike first-fit the assignment is a pure
+    window expression, reproducible at any parallelism.
+
+    Scale design: ONE shuffle, partitioned by source shard (the window
+    partition key) — packing parallelizes across shards instead of
+    serializing on a global order. The cumulative sum stays in int64
+    (token counts), and the bin arithmetic uses the identical
+    float-floor expression tree in both engines (exact: counts are far
+    below 2^53).
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        "doc_id", "source", X.token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w).cast("long")
+    mid = tok.select(
+        "doc_id", "source", "n_tokens", (cum - F.col("n_tokens")).alias("cum_before")
+    )
+    bin_id = F.floor(F.col("cum_before").cast("double") / F.lit(float(budget))).cast(
+        "long"
+    )
+    return mid.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        bin_id.alias("bin_id"),
+        (F.col("cum_before") - bin_id * budget).alias("bin_offset"),
+    )
+
+
+def pack_sequences_sql(budget: int = PACK_BUDGET) -> str:
+    """DuckDB twin of pack_sequences."""
+    toks = _sql_tokens()
+    return f"""
+WITH tok AS (SELECT doc_id, source, len({toks}) AS n_tokens FROM documents),
+mid AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS cum_before
+  FROM tok
+)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR(CAST(cum_before AS DOUBLE) / {float(budget)}) AS BIGINT) AS bin_id,
+       cum_before - CAST(FLOOR(CAST(cum_before AS DOUBLE) / {float(budget)}) AS BIGINT) * {budget} AS bin_offset
+FROM mid
+"""
