@@ -849,30 +849,30 @@ def contamination_check(docs: DataFrame) -> DataFrame:
     the probe shingle set is BROADCAST — the 100 TB corpus side is one
     scan + explode, the inner join adds no shuffle, and only matched
     (doc_id, shingle) pairs (a vanishingly small stream) reach the
-    per-doc count aggregation. Per-doc total shingle counts come from
-    the array side (``size(array_distinct(...))``), not a second
-    explode+groupBy pass.
+    per-doc count aggregation. The exploded stream carries ONLY
+    (doc_id, shingle): per-doc totals ride a separate Project-only
+    branch joined onto the tiny hits result. Never put a
+    size(<shingle expr>) column in the same select as the explode —
+    CollapseProject hoists it ABOVE the Generate, where it re-runs the
+    whole gram construction once per exploded row (measured 16s vs 4s
+    at sf0.1; plan-asserted in tests/test_plans.py).
     """
     tok = docs.select("doc_id", X.tokens("text").alias("w"))
-    sh = tok.select(
-        "doc_id",
-        F.size(X.shingles_from_tokens(F.col("w"), CONTAM_N)).alias("n_shingles"),
-        X.shingles_from_tokens(F.col("w"), CONTAM_N).alias("sh"),
-    )
+    sh = X.shingles_from_tokens(F.col("w"), CONTAM_N)
+    totals = tok.select("doc_id", F.size(sh).alias("n_shingles"))
+    rows = tok.select("doc_id", F.explode(sh).alias("shingle"))
     probe = (
-        sh.filter(F.col("doc_id") % CONTAM_MOD == 0)
-        .select(F.explode("sh").alias("shingle"))
-        .distinct()
+        rows.filter(F.col("doc_id") % CONTAM_MOD == 0).select("shingle").distinct()
     )
-    corpus = sh.filter(F.col("doc_id") % CONTAM_MOD != 0).select(
-        "doc_id", "n_shingles", F.explode("sh").alias("shingle")
-    )
+    corpus = rows.filter(F.col("doc_id") % CONTAM_MOD != 0)
     hits = (
         corpus.join(F.broadcast(probe), "shingle", "inner")
-        .groupBy("doc_id", "n_shingles")
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
-    return hits.select(
+    # hits (contaminated docs only) is the small side — broadcast IT,
+    # never the corpus-wide totals branch.
+    return totals.join(F.broadcast(hits), "doc_id").select(
         "doc_id",
         "n_shingles",
         "n_contaminated",

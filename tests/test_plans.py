@@ -234,3 +234,54 @@ def test_tfidf_single_explode(spark, sf001):
     groupBy+join formulation would duplicate the whole subtree."""
     plan = _plan(entry.queries()["tfidf_top_terms"](spark, sf001))
     assert plan.count("Generate") == 1
+
+
+def test_contamination_generate_has_no_expensive_parent_projection(spark, sf001):
+    """The exploded shingle stream must carry ONLY (doc_id, shingle):
+    a size(<shingle expr>) projected in the same select as the explode
+    gets hoisted ABOVE the Generate by CollapseProject and re-runs the
+    whole gram construction once per exploded row (measured 16s -> 3s
+    at sf0.1). Totals must ride their own Project-only branch, and the
+    tiny hits side — not the corpus-wide totals — must broadcast."""
+    df = entry.queries()["contamination_check"](spark, sf001)
+    plan = _plan(df)
+    # every Project that sits directly above a Generate must be cheap:
+    # no array_distinct/transform re-evaluation in post-Generate nodes.
+    lines = plan.splitlines()
+    gen_depths = []
+    for ln in lines:
+        stripped = ln.lstrip(" :+-*")
+        depth = len(ln) - len(ln.lstrip(" :+-*"))
+        if stripped.startswith("Generate "):
+            gen_depths.append(depth)
+        elif stripped.startswith("Project ") and "array_distinct" in ln:
+            # an expensive projection is only legal BELOW every Generate
+            # in its branch — i.e. the totals branch, which has none.
+            assert not any(d > depth for d in gen_depths) or not gen_depths, (
+                "expensive projection above a Generate:\n" + ln
+            )
+    # the hits side broadcasts; the totals fact branch never does
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_single_exchange(spark, sf001):
+    """Packing is one window shuffle partitioned by source shard."""
+    plan = _plan(entry.queries()["pack_sequences"](spark, sf001))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan
+
+
+def test_repetition_profile_zero_exchange(spark, sf001):
+    """Per-row repetition metrics are a pure scan projection."""
+    plan = _plan(entry.queries()["repetition_profile"](spark, sf001))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pii_scan_zero_exchange(spark, sf001):
+    """PII scan is a pure regexp projection over the scan."""
+    plan = _plan(entry.queries()["pii_scan"](spark, sf001))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
