@@ -21,6 +21,7 @@ no driver collect bottleneck) — the same shape a cluster job has.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -78,6 +79,15 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 4)
         times[name] = dt
         total += dt
+        # Drop the DataFrame and collect promptly: operators that pin
+        # localCheckpoint/persist blocks release them via Python GC ->
+        # py4j finalizers -> ContextCleaner; without this, blocks from
+        # the dedup family linger across the remaining queries and the
+        # accumulated heap pressure showed up in BENCH_r03 as a 10-40x
+        # slowdown of the (otherwise sub-second) queries that happened
+        # to run right after them.
+        del df
+        gc.collect()
 
     full = {"per_query": times, "sf": sf}
     if errors:

@@ -102,7 +102,12 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(op, schema=_FEATURES_SCHEMA)
+    # fan_out first: a splits-starved media scan would hand mapInPandas
+    # a single Arrow batch stream = one Python worker regardless of
+    # cores (see operators.scale).
+    from soccerpredictor_spark.operators.scale import fan_out
+
+    return fan_out(media).mapInPandas(op, schema=_FEATURES_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

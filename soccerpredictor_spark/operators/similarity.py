@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from soccerpredictor_spark.functions import vectors as V
+from soccerpredictor_spark.operators.scale import fan_out
 
 #: default LSH geometry: 4 bands x 4 planes = 16 hyperplanes.
 BANDS = 4
@@ -45,7 +46,7 @@ def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame
         F.col("embedding").alias("q_emb")
     )
     return (
-        emb.crossJoin(F.broadcast(q))
+        fan_out(emb).crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             "label",
@@ -82,7 +83,7 @@ def lsh_ann_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFram
     materialized array — not re-quantized per plane and per similarity
     term (see cosine_near_dup for the same pattern)."""
     planes = _planes()[:PLANES_PER_BAND]
-    base = emb.select(
+    base = fan_out(emb).select(
         "vec_id", "label", V.int_vec(F.col("embedding")).alias("iv")
     ).select(
         "vec_id",
@@ -152,7 +153,7 @@ def ivf_topk(
     rest the assignment is a partition/cluster key so a probe reads
     nprobe/nlist of the data. Returns (vec_id, label, sim).
     """
-    base = emb.select(
+    base = fan_out(emb).select(
         "vec_id", "label", V.int_vec(F.col("embedding")).alias("iv")
     ).select("vec_id", "label", "iv", V.sq_norm_iv(F.col("iv")).alias("nrm"))
 
@@ -253,7 +254,7 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
       otherwise).
     """
     planes = _planes()
-    base = emb.select(
+    base = fan_out(emb).select(
         "vec_id", V.int_vec(F.col("embedding")).alias("iv")
     ).withColumn("nrm", V.sq_norm_iv(F.col("iv")))
     band_entries = []
@@ -336,7 +337,7 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     map-side-combinable long sum, so shuffle volume is independent of
     row count at any scale.
     """
-    q = emb.select("label", V.int_vec(F.col("embedding")).alias("iv"))
+    q = fan_out(emb).select("label", V.int_vec(F.col("embedding")).alias("iv"))
     pos = q.select("label", F.posexplode("iv").alias("pos", "v"))
     return (
         pos.groupBy("label", "pos")
@@ -398,7 +399,7 @@ def ivf_kmeans_topk(
     IEEE sequence, so even double distances are bit-equal. Ties break
     on lowest centroid id.
     """
-    base = emb.select(
+    base = fan_out(emb).select(
         "vec_id", "label", V.int_vec(F.col("embedding")).alias("iv")
     ).select("vec_id", "label", "iv", V.sq_norm_iv(F.col("iv")).alias("nrm"))
 

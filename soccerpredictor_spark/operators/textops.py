@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from soccerpredictor_spark.functions import text as X
+from soccerpredictor_spark.operators.scale import fan_out
 
 
 def text_profile(docs: DataFrame) -> DataFrame:
@@ -38,7 +39,7 @@ def text_profile(docs: DataFrame) -> DataFrame:
     """
     wl = F.col("wl")
     n_tok = F.size(wl)
-    mid = docs.select(
+    mid = fan_out(docs).select(
         "doc_id",
         "lang",
         "text",
@@ -97,7 +98,7 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     perf note), then token hashes, then the fold — so the md5s compute
     once per token, not once per fold step.
     """
-    tok = docs.select("doc_id", X.tokens("text").alias("w"))
+    tok = fan_out(docs).select("doc_id", X.tokens("text").alias("w"))
     th = tok.select(
         "doc_id",
         F.size("w").alias("n_tokens"),
@@ -206,7 +207,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    tok = docs.select("doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("term"))
+    tok = fan_out(docs).select("doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -512,12 +513,24 @@ def winnowing_fingerprints(
     Simplification vs the paper: windows select their minimum VALUE
     (the paper's rightmost-tie rule only matters for positional
     attribution, not for the fingerprint set). Everything is per-row
-    array arithmetic: token hashes once, window minima via
-    slice+array_min, distinct, explode — zero shuffle; the downstream
-    fingerprint self-join is the same bucket-join shape as MinHash
-    LSH. Returns (doc_id, fp).
+    array arithmetic — no key shuffle; the downstream fingerprint
+    self-join is the same bucket-join shape as MinHash LSH. Returns
+    (doc_id, fp).
+
+    Physical shape (round-4 rewrite): both sliding computations are
+    **zip_with chains over O(k) whole-array slices**, not a
+    transform(sequence(i), slice(h, i, k)) per position. The naive
+    shape allocates a fresh k-element array for every gram position
+    and a w-element array for every window — O(L) short-lived arrays
+    per document, which is pure GC pressure (it made winnowing the
+    slowest text operator in BENCH_r03 at 28s). The fold
+    ``gram[i] = ((h[i]*R + h[i+1])*R + h[i+2]) ... mod P`` runs
+    identically as k-1 element-wise zip_with passes over shifted
+    copies of ``h``, and the window minimum as w-1 ``least`` passes —
+    k+w total array allocations per row, same values bit-for-bit (the
+    oracle twin is unchanged).
     """
-    tok = docs.select("doc_id", X.tokens("text").alias("tk"))
+    tok = fan_out(docs).select("doc_id", X.tokens("text").alias("tk"))
     th = tok.select(
         "doc_id",
         F.transform(
@@ -525,26 +538,29 @@ def winnowing_fingerprints(
             lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
         ).alias("h"),
     )
-    # k-gram hash = polynomial fold of k consecutive token hashes
+    # k-gram hash = polynomial fold of k consecutive token hashes,
+    # as k-1 element-wise passes: acc_j = (acc_{j-1} * R + h[i+j]) % P
     n_grams = F.greatest(F.size("h") - (k - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.aggregate(
-            F.slice(F.col("h"), i, k),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * 1_000_003 + x) % 2_147_483_647,
-        ),
-    )
-    gr = th.select("doc_id", F.when(n_grams > 0, grams).otherwise(
+    acc = F.slice(F.col("h"), 1, n_grams)
+    for j in range(1, k):
+        nxt = F.slice(F.col("h"), 1 + j, n_grams)
+        acc = F.zip_with(
+            acc, nxt, lambda a, x: (a * 1_000_003 + x) % 2_147_483_647
+        )
+    gr = th.select("doc_id", F.when(n_grams > 0, acc).otherwise(
         F.expr("CAST(array() AS ARRAY<BIGINT>)")
     ).alias("g"))
+    # window minimum over w consecutive grams, as w-1 least() passes
     n_windows = F.greatest(F.size("g") - (w - 1), F.lit(0))
-    minima = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(F.col("g"), i, w)),
-    )
+    if k == 1:
+        # no fold pass ran, so the per-element mod was never applied
+        acc = F.transform(acc, lambda a: a % 2_147_483_647)
+    mins = F.slice(F.col("g"), 1, n_windows)
+    for j in range(1, w):
+        nxt = F.slice(F.col("g"), 1 + j, n_windows)
+        mins = F.zip_with(mins, nxt, lambda a, x: F.least(a, x))
     fps = F.when(
-        n_windows > 0, F.array_distinct(minima)
+        n_windows > 0, F.array_distinct(mins)
     ).otherwise(F.array_distinct(F.col("g")))
     return gr.select("doc_id", F.explode(fps).alias("fp"))
 
@@ -590,7 +606,7 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
     # the arg-max CASE: the CASE references each count up to |langs|
     # times, and an unbound column would re-run its array_intersect at
     # every reference (same trap as shingles_from_tokens' perf note)
-    hits = docs.select(
+    hits = fan_out(docs).select(
         "lang",
         wl.alias("wl"),
     ).select(
@@ -656,7 +672,7 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
     No reference counterpart (the reference has no text analytics);
     extension per BASELINE.json / SURVEY.md §2.10.
     """
-    tok = docs.select("doc_id", X.tokens("text").alias("w"))
+    tok = fan_out(docs).select("doc_id", X.tokens("text").alias("w"))
     n = F.size("w")
     # non-distinct gram arrays (shingles_from_tokens dedups; repetition
     # needs multiplicity), built over the BOUND token column `w` so the
@@ -857,7 +873,7 @@ def contamination_check(docs: DataFrame) -> DataFrame:
     whole gram construction once per exploded row (measured 16s vs 4s
     at sf0.1; plan-asserted in tests/test_plans.py).
     """
-    tok = docs.select("doc_id", X.tokens("text").alias("w"))
+    tok = fan_out(docs).select("doc_id", X.tokens("text").alias("w"))
     sh = X.shingles_from_tokens(F.col("w"), CONTAM_N)
     totals = tok.select("doc_id", F.size(sh).alias("n_shingles"))
     rows = tok.select("doc_id", F.explode(sh).alias("shingle"))

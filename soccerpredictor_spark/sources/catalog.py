@@ -36,8 +36,17 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the oracle's naive timestamps align to UTC).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # parquet micros with isAdjustedToUTC=false (the round-4 fixture
+        # regeneration) land as TIMESTAMP_NTZ, which Spark refuses to
+        # cast to numeric (epoch arithmetic in the window operators).
+        # The session timezone is pinned UTC above, so the ntz->ltz cast
+        # is the identity on the wall-clock values and downstream
+        # behavior is unchanged from the nanos-as-long era.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -151,24 +151,35 @@ def _stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The stream schema must match the file's physical ts type — probe
+    # it with a footer-only batch read (fixtures have shipped both
+    # TIMESTAMP(NANOS) (-> long) and TIMESTAMP_NTZ(MICROS)).
+    src_file = os.path.join(sf_dir, "events.parquet")
+    ts_phys = dict(spark.read.parquet(src_file).dtypes)["ts"]
+    ts_field_type = {
+        "bigint": T.LongType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+        "timestamp": T.TimestampType(),
+    }[ts_phys]
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType(), True),
-            T.StructField("ts", T.LongType(), True),
+            T.StructField("ts", ts_field_type, True),
             T.StructField("user_id", T.LongType(), True),
             T.StructField("event_type", T.StringType(), True),
             T.StructField("value", T.DoubleType(), True),
             T.StructField("props", T.StringType(), True),
         ]
     )
-    src_file = os.path.join(sf_dir, "events.parquet")
     land_dir = tempfile.mkdtemp(prefix="events_landing_")
     os.symlink(src_file, os.path.join(land_dir, "events.parquet"))
-    return (
-        spark.readStream.schema(schema)
-        .parquet(land_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(schema).parquet(land_dir)
+    if ts_phys == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_phys == "timestamp_ntz":
+        # identity on wall-clock values under the pinned UTC session tz
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _drain_available_now(agg: DataFrame, name: str, mode: str = "complete") -> DataFrame:
