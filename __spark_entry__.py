@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from soccerpredictor_spark.operators import dedup, similarity, textops, windows
+from soccerpredictor_spark.operators import dedup, similarity, skew, textops, windows
 from soccerpredictor_spark.operators.relational import (
     assemble_features,
     label_odds,
@@ -842,6 +842,29 @@ def _soccer_pipeline_sql() -> str:
     )
 
 
+
+def _q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    # the composed accept/reject curation pipeline: one scan,
+    # conditional COUNTs per gate (never SUM-of-1/0 -> HUGEINT trap).
+    return textops.curation_funnel(read_table(spark, sf, "documents"))
+
+
+def _q_minhash_est_vs_exact(spark: SparkSession, sf: str) -> DataFrame:
+    # MinHash estimator calibration: signature-collision estimate vs
+    # exact jaccard on the LSH candidate pairs.
+    return dedup.minhash_est_vs_exact(read_table(spark, sf, "documents"))
+
+
+def _q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    # recall@10 of the LSH ANN path against brute-force cosine top-k.
+    return similarity.ann_recall_eval(read_table(spark, sf, "embeddings"))
+
+
+def _q_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # "do I need to salt?" advisor over the lineitem join key.
+    return skew.skew_profile(read_table(spark, sf, "lineitem"), ["l_suppkey"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness verifies the
     # first 50 entries in dict order (observed in CORRECTNESS_r01).
@@ -849,57 +872,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in round 1 plus everything new this round — therefore come FIRST;
     # the trailing entries all have green rows in CORRECTNESS_r01.
     return {
-        # --- round-1 registered, not yet driver-verified ---
-        "salted_agg": _q_salted_agg,
-        "doc_fingerprint": _q_doc_fingerprint,
+        # --- FIRST 50 = the driver verification window. Round-4
+        # occupants: the 4 new entries plus every entry whose code
+        # path changed this round (events ts migration, fan_out,
+        # winnowing rewrite) — see PLANS.md window-rotation note.
+        "curation_funnel": _q_curation_funnel,
+        "minhash_est_vs_exact": _q_minhash_est_vs_exact,
+        "ann_recall_eval": _q_ann_recall_eval,
+        "skew_profile": _q_skew_profile,
         "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "multimodal_decode": _q_multimodal_decode,
+        "cohort_retention": _q_cohort_retention,
+        "funnel_stages": _q_funnel_stages,
+        "mad_outliers": _q_mad_outliers,
+        "window_trailing_range": _q_window_trailing_range,
+        "window_running_sum": _q_window_running_sum,
+        "window_ntiles": _q_window_ntiles,
+        "events_hourly_rollup": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "json_extract": _q_json_extract,
+        "event_deltas": _q_event_deltas,
+        "rollup_agg": _q_rollup_agg,
+        "cube_agg": _q_cube_agg,
+        "percentile_stats": _q_percentile_stats,
+        "set_except": _q_set_except,
+        "set_intersect": _q_set_intersect,
+        "set_union": _q_set_union,
+        "distinct_agg": _q_distinct_agg,
+        "upsert_latest": _q_upsert_latest,
         "streaming_hourly": _q_streaming_hourly,
         "streaming_sliding": _q_streaming_sliding,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_join": _q_streaming_join,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_containment": _q_dedup_containment,
+        "dedup_exact": _q_dedup_exact,
+        "winnowing": _q_winnowing,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "text_profile": _q_text_profile,
+        "lang_confusion": _q_lang_confusion,
+        "repetition_profile": _q_repetition_profile,
+        "contamination_check": _q_contamination_check,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "ngram_topk": _q_ngram_topk,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "embedding_centroids": _q_embedding_centroids,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "multimodal_decode": _q_multimodal_decode,
+        "media_stats": _q_media_stats,
+        "soccer_pipeline": _q_soccer_pipeline,
+        # --- outside the window: green in a recorded CORRECTNESS_r*
+        # round AND untouched by round-4 changes ---
+        "salted_agg": _q_salted_agg,
+        "range_join": _q_range_join,
         "ml_train_many": _q_ml_train_many,
-        # --- new in round 2 ---
         "range_join_bands": _q_range_join_bands,
         "encode_binary": _q_encode_binary,
         "regex_extract": _q_regex_extract,
         "arity_filter": _q_arity_filter,
         "tpch_q12": _q_tpch_q12,
         "tpch_q21": _q_tpch_q21,
-        "window_trailing_range": _q_window_trailing_range,
         "salted_join": _q_salted_join,
-        "streaming_join": _q_streaming_join,
-        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "doc_chunks": _q_doc_chunks,
         "stratified_sample": _q_stratified_sample,
-        "winnowing": _q_winnowing,
-        "funnel_stages": _q_funnel_stages,
-        "cohort_retention": _q_cohort_retention,
-        "media_stats": _q_media_stats,
         "write_roundtrip": _q_write_roundtrip,
-        "window_ntiles": _q_window_ntiles,
-        "set_union": _q_set_union,
         "write_roundtrip_csv": _q_write_roundtrip_csv,
         "regex_extract_all": _q_regex_extract_all,
-        "dedup_containment": _q_dedup_containment,
-        "mad_outliers": _q_mad_outliers,
-        "lang_confusion": _q_lang_confusion,
-        # --- new in round 3 ---
-        "soccer_pipeline": _q_soccer_pipeline,
-        "repetition_profile": _q_repetition_profile,
         "pii_scan": _q_pii_scan,
-        "contamination_check": _q_contamination_check,
         "pack_sequences": _q_pack_sequences,
-        # --- rotated back in for round 3: the _sized_shingles rewrite
-        # and mode-aware _reliable_checkpoint touch these r1-green
-        # entries, so the driver must re-verify them (PLANS.md
-        # window-rotation note) ---
-        "dedup_jaccard": _q_dedup_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_clusters": _q_dedup_clusters,
-        # --- green in CORRECTNESS_r01 ---
         "top_k_count": _q_top_k_count,
         "semi_join": _q_semi_join,
         "filter_cast_range": _q_filter_cast_range,
@@ -908,7 +953,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_avg": _q_pivot_avg,
         "left_join_dropna": _q_left_join_dropna,
         "distinct_projection": _q_distinct_projection,
-        "upsert_latest": _q_upsert_latest,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
@@ -925,28 +969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": _q_tpch_q8,
         "tpch_q15": _q_tpch_q15,
         "tpch_q17": _q_tpch_q17,
-        "text_profile": _q_text_profile,
-        "tfidf_top_terms": _q_tfidf_top_terms,
         "hash_split": _q_hash_split,
-        "ngram_topk": _q_ngram_topk,
         "length_histogram": _q_length_histogram,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_simhash": _q_dedup_simhash,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "embedding_near_dup": _q_embedding_near_dup,
         "window_topn_per_group": _q_window_topn,
-        "window_running_sum": _q_window_running_sum,
-        "events_hourly_rollup": _q_events_hourly,
-        "events_sessionize": _q_events_sessionize,
-        "json_extract": _q_json_extract,
-        "event_deltas": _q_event_deltas,
-        "rollup_agg": _q_rollup_agg,
-        "cube_agg": _q_cube_agg,
-        "percentile_stats": _q_percentile_stats,
-        "set_except": _q_set_except,
-        "set_intersect": _q_set_intersect,
-        "distinct_agg": _q_distinct_agg,
     }
 
 
@@ -965,6 +990,10 @@ def _pivot_avg_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "curation_funnel": textops.curation_funnel_sql(),
+        "minhash_est_vs_exact": dedup.minhash_est_vs_exact_sql(),
+        "ann_recall_eval": similarity.ann_recall_eval_sql(),
+        "skew_profile": skew.skew_profile_sql("lineitem", ["l_suppkey"]),
         "soccer_pipeline": _soccer_pipeline_sql(),
         "repetition_profile": textops.repetition_profile_sql(),
         "pii_scan": textops.pii_scan_sql(),

@@ -560,3 +560,53 @@ CROSS JOIN q
 ORDER BY sim DESC, a2.vec_id ASC
 LIMIT {k}
 """
+
+
+# --------------------------------------------------------------------------
+# ANN quality eval (round 4)
+# --------------------------------------------------------------------------
+
+
+def ann_recall_eval(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact brute-force
+    top-k for one probe query: a single row
+    (n_exact, n_approx, n_hit, recall).
+
+    The acceptance gate for an approximate index: measure recall at a
+    small scale factor (or a sampled query set) before routing the
+    100 TB corpus through the approximate path. Both inputs are this
+    module's own operators, so the eval exercises exactly the shapes
+    production uses; the hit count is a broadcast join of two k-row
+    results — cost is the two top-k scans, the comparison is free.
+
+    ``recall`` is n_hit/k over the EXACT set (the denominator the
+    metric is defined on); n_approx is reported so a short candidate
+    list (bucket pruned below k) is visible rather than silently
+    inflating recall.
+    """
+    exact = cosine_topk(emb, query_vec_id, k).select("vec_id")
+    approx = lsh_ann_topk(emb, query_vec_id, k).select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_approx")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_approx",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.lit(float(k))).alias("recall"),
+        )
+    )
+
+
+def ann_recall_eval_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH exact_k AS (SELECT vec_id FROM ({cosine_topk_sql(query_vec_id, k)}) e),
+approx_k AS (SELECT vec_id FROM ({lsh_ann_topk_sql(query_vec_id, k)}) a),
+hit AS (SELECT vec_id FROM exact_k WHERE vec_id IN (SELECT vec_id FROM approx_k))
+SELECT (SELECT COUNT(*) FROM exact_k) AS n_exact,
+       (SELECT COUNT(*) FROM approx_k) AS n_approx,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / {float(k)} AS recall
+"""

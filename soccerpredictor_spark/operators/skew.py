@@ -83,3 +83,48 @@ def salted_join(
     ).alias("__salt")
     replicated_small = small.select("*", salts)
     return salted_big.join(replicated_small, [key, "__salt"]).drop("__salt")
+
+
+def skew_profile(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Key-skew diagnostics for a prospective groupBy/join key: one row
+    (n_keys, n_rows, max_cnt, top_share, p50_cnt, p99_cnt).
+
+    The "do I need to salt?" advisor — run it on the join/agg key
+    BEFORE launching the 100 TB job. top_share is the heaviest key's
+    fraction of all rows (a broadcast-salting candidate when large);
+    p99/p50 spread shows long-tail skew AQE's skew-join splitting will
+    have to absorb.
+
+    Shape: one map-side-combinable count per key, then a single-row
+    aggregate over the (small) per-key counts — the profile costs one
+    shuffle of key cardinality, never row cardinality. Percentiles are
+    exact here (the per-key count table is small by definition); swap
+    in approx_percentile if key cardinality itself is huge.
+    """
+    cnt = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    return cnt.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        (
+            F.max("cnt").cast("double") / F.sum("cnt").cast("double")
+        ).alias("top_share"),
+        F.percentile(F.col("cnt"), F.lit(0.5)).cast("double").alias("p50_cnt"),
+        F.percentile(F.col("cnt"), F.lit(0.99)).cast("double").alias("p99_cnt"),
+    )
+
+
+def skew_profile_sql(table: str, keys: list[str]) -> str:
+    """DuckDB twin of skew_profile (SUM cast to BIGINT per the repo's
+    HUGEINT convention; exact percentiles on the per-key counts)."""
+    key_list = ", ".join(keys)
+    return f"""
+WITH cnt AS (SELECT {key_list}, COUNT(*) AS cnt FROM {table} GROUP BY {key_list})
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       MAX(cnt) AS max_cnt,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_share,
+       CAST(quantile_cont(cnt, 0.5) AS DOUBLE) AS p50_cnt,
+       CAST(quantile_cont(cnt, 0.99) AS DOUBLE) AS p99_cnt
+FROM cnt
+"""

@@ -995,3 +995,112 @@ SELECT doc_id, source, n_tokens,
        cum_before - CAST(FLOOR(CAST(cum_before AS DOUBLE) / {float(budget)}) AS BIGINT) * {budget} AS bin_offset
 FROM mid
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: the curation funnel — the composed accept/reject
+# pipeline every training-data run executes before tokenization.
+# ---------------------------------------------------------------------------
+
+#: funnel thresholds (quality score floor, duplicate-token ceiling).
+FUNNEL_QUALITY_MIN = 0.5
+FUNNEL_DUP_MAX = 0.4
+
+
+def curation_funnel(docs: DataFrame) -> DataFrame:
+    """Survivor counts through the standard curation gauntlet:
+    base -> language gate -> quality-score gate -> repetition gate ->
+    PII gate. One row: (n_base, n_lang, n_quality, n_repetition,
+    n_clean) — each column counts docs surviving every gate up to and
+    including that one. The drop between adjacent columns is each
+    filter's bite, the first thing an operator checks before
+    committing a 100 TB curation run.
+
+    Scale shape: ONE scan; every gate is a per-row flag over the same
+    materialized token array, composed into conditional COUNTs (never
+    SUM of 1/0 — COUNT stays BIGINT in both engines, the repo's
+    HUGEINT-trap convention). The aggregation output is a single row,
+    so shuffle volume is constant at any corpus size.
+    """
+    wl = F.col("wl")
+    n_tok = F.size(wl).cast("double")
+    avg_len = F.length(F.col("text")).cast("double") / n_tok
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.col("stop_ratio"))
+    )
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / n_tok.cast("double")
+    mid = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            X.tokens(F.lower(F.col("text"))).alias("wl"),
+        )
+        .select(
+            "lang",
+            "text",
+            "wl",
+            F.size(F.array_distinct(wl)).alias("n_distinct"),
+            X.stopword_ratio_from_tokens(wl).alias("stop_ratio"),
+        )
+        .select(
+            (F.col("lang") == "en").alias("f_lang"),
+            (quality >= FUNNEL_QUALITY_MIN).alias("f_quality"),
+            (dup_frac <= FUNNEL_DUP_MAX).alias("f_repetition"),
+            (
+                (F.regexp_count(F.lower(F.col("text")), F.lit(PII_EMAIL)) == 0)
+                & (F.regexp_count(F.col("text"), F.lit(PII_SSN)) == 0)
+            ).alias("f_pii"),
+        )
+    )
+    g = lambda *fs: F.count(F.when(reduce_and(fs), F.lit(1)))  # noqa: E731
+    return mid.agg(
+        F.count(F.lit(1)).alias("n_base"),
+        g("f_lang").alias("n_lang"),
+        g("f_lang", "f_quality").alias("n_quality"),
+        g("f_lang", "f_quality", "f_repetition").alias("n_repetition"),
+        g("f_lang", "f_quality", "f_repetition", "f_pii").alias("n_clean"),
+    )
+
+
+def reduce_and(flags):
+    """AND-fold a tuple of boolean column names."""
+    out = F.col(flags[0])
+    for f in flags[1:]:
+        out = out & F.col(f)
+    return out
+
+
+def curation_funnel_sql() -> str:
+    """DuckDB twin of curation_funnel (COUNT(*) FILTER keeps BIGINT)."""
+    toks = _sql_tokens("lower(text)")
+    stop_lit = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS) + "]"
+    return f"""
+WITH base AS (
+  SELECT lang, text,
+         CAST(len({toks}) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct({toks})) AS DOUBLE) AS n_distinct,
+         CAST(len(list_filter({toks}, w -> list_contains({stop_lit}, w))) AS DOUBLE)
+           / CAST(len({toks}) AS DOUBLE) AS stop_ratio
+  FROM documents
+),
+flags AS (
+  SELECT lang = 'en' AS f_lang,
+         0.4 * least(1.0, n_tok / 100.0)
+         + 0.3 * least(1.0, (CAST(length(text) AS DOUBLE) / n_tok) / 8.0)
+         + 0.3 * (1.0 - stop_ratio) >= {FUNNEL_QUALITY_MIN} AS f_quality,
+         1.0 - n_distinct / n_tok <= {FUNNEL_DUP_MAX} AS f_repetition,
+         len(regexp_extract_all(lower(text), '{PII_EMAIL}')) = 0
+           AND len(regexp_extract_all(text, '{PII_SSN}')) = 0 AS f_pii
+  FROM base
+)
+SELECT COUNT(*) AS n_base,
+       COUNT(*) FILTER (WHERE f_lang) AS n_lang,
+       COUNT(*) FILTER (WHERE f_lang AND f_quality) AS n_quality,
+       COUNT(*) FILTER (WHERE f_lang AND f_quality AND f_repetition) AS n_repetition,
+       COUNT(*) FILTER (WHERE f_lang AND f_quality AND f_repetition AND f_pii) AS n_clean
+FROM flags
+"""
