@@ -35,35 +35,13 @@ HEADLINE = {
     "mad_outliers": "Median/MAD robust outliers: two tiny-key percentile aggs broadcast back into the row stream",
 }
 
-PERF_NOTES = """## Round-2 performance notes (vs BENCH_r01)
-
-Local re-benches this round showed 1.5-4x run-to-run variance on
-UNTOUCHED scan-only queries (e.g. `fraction_avg` 0.7s-4.0s across
-runs on an otherwise idle box), so single-run deltas below ~2x are
-noise here; plan-shape assertions in tests/test_plans.py are the
-stable signal. The honest cross-run comparison: in the last full
-74-query bench, the 61 queries shared with round 1 totalled 82.1s
-vs the 85.1s r01 anchor — equal-coverage total IMPROVED while 13 new
-queries added their own time on top.
-
-Real, intentional deltas:
-
-- `dedup_clusters`: min-label propagation keeps a RELIABLE
-  checkpoint per convergence check — it survives executor loss AND
-  cuts the logical plan (a persist-only variant measured 5-10x
-  slower: Catalyst re-optimization grows with rounds when every
-  round's plan embeds the full pair-generation subtree). The
-  convergence check itself is now a label-sum fixed-point witness
-  (one tiny agg) instead of a join+count, every 2nd round.
-- `dedup_minhash_lsh`: signatures minimize over the df-capped
-  shingle set so ONE persisted shingle projection feeds signatures +
-  verification. Warm A/B in one JVM: new shape 1.4s vs old 2.3s.
-
-Fixed this round: `range_join` 3.1s -> 1.1s (CASE projection),
-`dedup_simhash` 6.6s -> 5.5s (conv+shiftright bit decode),
-`ann_ivf_topk` assignment shuffle eliminated, `streaming_dedup`
-bounded state (2.0s -> 1.7s).
-"""
+# Performance-notes sections are maintained by hand in PLANS.md and
+# carried over verbatim on regeneration (everything from the first
+# "## Round-" notes heading onward).
+with open("/root/repo/PLANS.md") as f:
+    _existing = f.read()
+_notes_at = _existing.find("## Round-2 performance notes")
+PERF_NOTES = _existing[_notes_at:] if _notes_at >= 0 else ""
 
 out = ["# PLANS — physical plans of headline queries (sf0.1, AQE display off)",
        "",
