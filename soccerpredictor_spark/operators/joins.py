@@ -209,3 +209,81 @@ FROM lineitem JOIN tiers
   ON CAST(l_quantity AS DOUBLE) >= lo AND CAST(l_quantity AS DOUBLE) < hi
 GROUP BY tier
 """
+
+
+def bucketed_join_totals(
+    spark,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    buckets: int = 8,
+    database_dir: str | None = None,
+) -> DataFrame:
+    """Shuffle-free big-big equi-join via BUCKETING: both tables are
+    written bucketed (and sort-merged) on the join key, so the join
+    reads co-located buckets with NO exchange on either side — the
+    standard technique for a fact table joined repeatedly on the same
+    key at 100 TB, where paying one bucketed write amortizes every
+    subsequent join's shuffle away.
+
+    Returns per-orderpriority totals over the joined stream:
+    (o_orderpriority, n_items, total_qty). The bucketed copies land in
+    a scratch warehouse (``database_dir``/spark-warehouse) as managed
+    tables ``bx_lineitem``/``bx_orders`` — at scale these ARE the
+    production layout, written once at ingest.
+
+    Plan contract (asserted in tests/test_plans.py): the join is a
+    SortMergeJoin with ZERO shuffle exchanges below it — bucket
+    pruning replaces both Exchange nodes. The aggregation above it
+    still shuffles its (tiny) partial-agg output, as it must.
+    """
+    import os
+    import tempfile
+
+    if database_dir is None:
+        database_dir = tempfile.mkdtemp(prefix="bucketed_wh_")
+    db = "bx"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{os.path.join(database_dir, 'bx.db')}'")
+    (
+        lineitem.select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(f"{db}.bx_lineitem")
+    )
+    (
+        orders.select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(f"{db}.bx_orders")
+    )
+    li = spark.table(f"{db}.bx_lineitem")
+    od = spark.table(f"{db}.bx_orders")
+    # merge hint: at fixture scale AQE would broadcast the small side,
+    # which hides the technique being demonstrated — at 100 TB neither
+    # side of a fact-fact join broadcasts, and SMJ over co-located
+    # sorted buckets is exactly the plan this layout buys.
+    joined = li.hint("merge").join(od, li.l_orderkey == od.o_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def bucketed_join_totals_sql() -> str:
+    """DuckDB twin: bucketing changes the physical layout, never the
+    result — the oracle is the plain join+agg."""
+    return """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -610,3 +610,44 @@ SELECT (SELECT COUNT(*) FROM exact_k) AS n_exact,
        (SELECT COUNT(*) FROM hit) AS n_hit,
        CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / {float(k)} AS recall
 """
+
+
+def embedding_dedup_clusters(emb: DataFrame, threshold: float = 0.25, max_iter: int = 20) -> DataFrame:
+    """Connected components of the embedding near-duplicate graph:
+    (vec_id, cluster_id), cluster_id = smallest vec_id reachable
+    through pairs with cosine similarity >= ``threshold``.
+
+    The vector-side canonical-selection step that completes the
+    embedding dedup pipeline (near-dup pairs -> components -> keep
+    min-id per component), composing ``cosine_near_dup`` with the same
+    min-label propagation used by the text-side ``dedup_clusters`` —
+    identical scale story: LSH-restricted pair generation, one shuffle
+    join per propagation round, mode-aware checkpoint cutting the
+    iterative plan.
+    """
+    from soccerpredictor_spark.operators.dedup import _components_from_pairs
+
+    pairs = cosine_near_dup(emb, threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = _components_from_pairs(pairs, max_iter)
+    return comp.select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id")
+    ).orderBy("vec_id")
+
+
+def embedding_dedup_clusters_sql(threshold: float = 0.25) -> str:
+    """Recursive-CTE twin over the cosine_near_dup pair set."""
+    pairs = cosine_near_dup_sql(threshold)
+    return f"""
+WITH RECURSIVE
+pairs AS MATERIALIZED (SELECT vec_a, vec_b FROM ({pairs}) p),
+edges AS MATERIALIZED (SELECT vec_a AS a, vec_b AS b FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) v
+  UNION
+  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+)
+SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a ORDER BY vec_id
+"""

@@ -638,3 +638,56 @@ FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type
 ORDER BY d.event_type
 """
+
+
+# --------------------------------------------------------------------------
+# approximate-aggregate acceptance gate (round 4)
+# --------------------------------------------------------------------------
+
+#: relative-error acceptance band for the HLL drop-in check.
+APPROX_DISTINCT_RSD = 0.05
+
+
+def approx_distinct_check(events: DataFrame) -> DataFrame:
+    """Exact per-type distinct-user counts PLUS the acceptance flag for
+    the at-scale approximate drop-in: (event_type, n_exact, hll_ok).
+
+    ``distinct_agg`` documents approx_count_distinct (HyperLogLog++) as
+    the 100 TB replacement for exact count-distinct; this operator IS
+    the acceptance gate you run at a small scale factor before making
+    that swap: hll_ok asserts the sketch landed within
+    ``APPROX_DISTINCT_RSD`` relative error of the exact count. The
+    sketch is deterministic for a given input, so the flag is stable
+    and oracle-checkable (the oracle asserts the contract — exact
+    counts and an all-true flag — not the sketch internals, which are
+    engine-specific by design).
+
+    Shape: one expand-style two-phase agg for the exact counts and one
+    HLL agg, both map-side combinable; output is |event_type| rows.
+    """
+    agg = events.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=APPROX_DISTINCT_RSD / 2).alias("n_hll"),
+    )
+    rel_err = F.abs(F.col("n_hll") - F.col("n_exact")).cast("double") / F.col(
+        "n_exact"
+    ).cast("double")
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (rel_err <= APPROX_DISTINCT_RSD).alias("hll_ok"),
+    ).orderBy("event_type")
+
+
+def approx_distinct_check_sql() -> str:
+    """DuckDB twin: the exact counts plus the contract's expected flag.
+    (HLL sketches differ across engines by construction; the flag — not
+    the sketch value — is the cross-engine contract.)"""
+    return """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact,
+       TRUE AS hll_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

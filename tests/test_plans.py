@@ -309,3 +309,18 @@ def test_pii_scan_zero_exchange(spark, sf001):
     plan = _plan(entry.queries()["pii_scan"](spark, sf001))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_bucketed_join_no_shuffle_below_smj(spark, sf001):
+    """The bucketed-layout join: SortMergeJoin with ZERO exchanges
+    beneath it — the bucket layout replaces both shuffles. (Local
+    per-partition Sorts may remain: Spark only trusts bucket sort
+    metadata with exactly one file per bucket.)"""
+    plan = _plan(entry.queries()["bucketed_join"](spark, sf001))
+    lines = plan.splitlines()
+    smj = [i for i, l in enumerate(lines) if "SortMergeJoin" in l]
+    assert smj, "expected the merge-hinted bucketed join to plan as SMJ"
+    below = lines[smj[0]:]
+    assert not any("Exchange" in l for l in below), [
+        l.strip()[:70] for l in below if "Exchange" in l
+    ]
