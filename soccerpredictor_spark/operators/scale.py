@@ -35,6 +35,10 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     builds the physical RDD for ``df``, which is cheap for a scan but
     would force planning work for a deep operator tree.
     """
+    if df.isStreaming:
+        # no partition probe on a streaming plan; micro-batch sources
+        # already split by file/offset range
+        return df
     sc = df.sparkSession.sparkContext
     target = max(1, sc.defaultParallelism * factor)
     if df.rdd.getNumPartitions() >= target:

@@ -305,3 +305,15 @@ def test_driver_verification_window_ordering():
     assert not late_unverified, (
         f"driver-unverified entries outside the 50-entry window: {late_unverified}"
     )
+
+
+def test_fan_out_conditional(spark):
+    """fan_out repartitions only when the scan is below cluster
+    parallelism, and is the identity on already-parallel inputs."""
+    from soccerpredictor_spark.operators.scale import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, 1)
+    assert fan_out(narrow).rdd.getNumPartitions() == target
+    wide = spark.range(0, 1000, 1, target + 4)
+    assert fan_out(wide) is wide
