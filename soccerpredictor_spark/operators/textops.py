@@ -1104,3 +1104,43 @@ SELECT COUNT(*) AS n_base,
        COUNT(*) FILTER (WHERE f_lang AND f_quality AND f_repetition AND f_pii) AS n_clean
 FROM flags
 """
+
+
+#: per-stratum fixed sample size for group_sample_topk.
+GROUP_SAMPLE_K = 20
+
+
+def group_sample_topk(docs: DataFrame, k: int = GROUP_SAMPLE_K) -> DataFrame:
+    """Deterministic fixed-size per-group sample: the k documents with
+    the smallest md5(doc_id) within each language — the fixed-quota
+    counterpart to rate-based ``stratified_sample`` (use this when a
+    downstream eval needs exactly k examples per stratum regardless of
+    stratum size).
+
+    Hash-ordering makes the sample reproducible across reruns,
+    engines, and repartitioning; one window shuffle keyed by the
+    stratum, WindowGroupLimit prunes each partition to k rows before
+    the rank even materializes fully.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+def group_sample_topk_sql(k: int = GROUP_SAMPLE_K) -> str:
+    return f"""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rk
+  FROM documents
+) t WHERE rk <= {k}
+"""

@@ -691,3 +691,40 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an update stream:
+    each (user_id, value) update becomes a validity interval
+    (user_id, value, ts_from, ts_to), ts_to = next update's timestamp
+    for the key (NULL while current) — the standard warehouse layout
+    for as-of attribute lookups, built here from the purchase stream.
+
+    One window shuffle on user_id; LEAD is computed in the same pass
+    that orders the frame. Epochs are exact microsecond integers so
+    the interval bounds hash identically cross-engine.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    upd = events.filter(F.col("event_type") == "purchase")
+    return (
+        upd.select(
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("ts_from"),
+            F.lead(F.unix_micros("ts")).over(w).alias("ts_to"),
+        )
+        .orderBy("user_id", "ts_from")
+    )
+
+
+def scd2_intervals_sql() -> str:
+    return """
+SELECT user_id, value,
+       epoch_us(ts) AS ts_from,
+       LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS ts_to
+FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, ts_from
+"""
