@@ -324,3 +324,32 @@ def test_bucketed_join_no_shuffle_below_smj(spark, sf001):
     assert not any("Exchange" in l for l in below), [
         l.strip()[:70] for l in below if "Exchange" in l
     ]
+
+
+def test_scd2_filter_pushed_and_single_window_shuffle(spark, sf001):
+    """SCD2 intervals: the event_type predicate must reach the parquet
+    scan (at 100 TB only the purchase row groups are read), and the
+    LEAD window must cost exactly one hash exchange (the trailing
+    range exchange is the presentation ORDER BY)."""
+    df = entry.queries()["scd2_intervals"](spark, sf001)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan
+
+
+def test_group_sample_topk_partial_window_group_limit(spark, sf001):
+    """The fixed-quota sampler must pre-prune BEFORE the shuffle: a
+    Partial WindowGroupLimit on the map side bounds shuffle volume at
+    map_partitions x strata x k rows regardless of input size — the
+    property that makes a k-per-language sample affordable on 100 TB."""
+    plan = _plan(entry.queries()["group_sample_topk"](spark, sf001))
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    exch = [i for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(lang" in l]
+    assert partial and exch, "expected Partial WindowGroupLimit and lang exchange"
+    # plan prints top-down: the Partial prune must sit BELOW the exchange
+    assert partial[0] > exch[0], "map-side prune missing below the shuffle"
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan  # text never read
