@@ -1144,3 +1144,285 @@ SELECT doc_id, lang, rk FROM (
   FROM documents
 ) t WHERE rk <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword search (brute-force scan ranking)
+# --------------------------------------------------------------------------
+
+#: fixed query for the registry entry (mid-frequency fixture terms).
+BM25_QUERY: tuple[str, ...] = ("spark", "vector", "merge", "stream")
+BM25_TOP_K = 25
+#: textbook Okapi parameters; (k1+1)=2.2 and (1-b)=0.25 are inlined as
+#: decimal literals so BOTH engines parse the identical double.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    docs: DataFrame, query: tuple[str, ...] = BM25_QUERY, k: int = BM25_TOP_K
+) -> DataFrame:
+    """Okapi BM25 top-k ranking of the corpus for a fixed term query —
+    the retrieval step of a RAG/eval pipeline, run as one brute scan.
+
+    Scale shape: per-term tf comes from ``size(filter(tokens, ...))``
+    — a per-row HOF, NO explode, so a Q-term query costs Q array
+    passes per doc and zero shuffle. Corpus stats (N, avgdl, per-term
+    df) are ONE tiny agg row broadcast back; the ranking is a global
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver
+    — never a full sort). At 100 TB this is a single map-side scan.
+
+    Cross-engine determinism: the idf is the rational Robertson form
+    (N - df + .5)/(df + .5) — ln() is libm-dependent (see the tfidf
+    note) — and the per-term scores are added in fixed written order,
+    so every FP op is correctly rounded and order-pinned.
+    """
+    toks = X.tokens(F.lower(F.col("text")))
+    q = list(query)
+
+    def _eq(term: str):
+        # NB: a two-arg lambda would make F.filter bind the second
+        # param to the ELEMENT INDEX — close over the term instead.
+        return lambda x: x == F.lit(term)
+
+    base = fan_out(docs).select("doc_id", toks.alias("wl")).select(
+        "doc_id",
+        F.size(F.col("wl")).alias("dl"),
+        *[
+            F.size(F.filter(F.col("wl"), _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(q)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(q))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    n_d = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n_d
+    norm = F.lit(BM25_K1) * (
+        F.lit(0.25) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+    )
+    score = None
+    for i in range(len(q)):
+        tf_d = F.col(f"tf{i}").cast("double")
+        df_d = F.col(f"df{i}").cast("double")
+        idf = (n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+        s_i = idf * (tf_d * F.lit(2.2)) / (tf_d + norm)
+        score = s_i if score is None else score + s_i
+    return (
+        joined.select(
+            "doc_id", *[f"tf{i}" for i in range(len(q))], score.alias("score")
+        )
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def bm25_search_sql(
+    query: tuple[str, ...] = BM25_QUERY, k: int = BM25_TOP_K
+) -> str:
+    q = list(query)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(wl, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(q)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(q))
+    )
+    terms = []
+    for i in range(len(q)):
+        idf = f"((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        norm = "(1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+        terms.append(
+            f"{idf} * (CAST(tf{i} AS DOUBLE) * 2.2) / (CAST(tf{i} AS DOUBLE) + {norm})"
+        )
+    score = " + ".join(terms)
+    tf_out = ", ".join(f"tf{i}" for i in range(len(q)))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(wl) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {_sql_tokens('lower(text)')} AS wl FROM documents) s
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base
+)
+SELECT doc_id, {tf_out}, score FROM (
+  SELECT doc_id, {tf_out},
+         {score} AS score
+  FROM base CROSS JOIN stats
+) t
+WHERE score > 0.0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# inverted index (capped posting lists)
+# --------------------------------------------------------------------------
+
+INVINDEX_MAX_POSTINGS = 20
+INVINDEX_MIN_DF = 2
+
+
+def inverted_index(
+    docs: DataFrame,
+    p: int = INVINDEX_MAX_POSTINGS,
+    min_df: int = INVINDEX_MIN_DF,
+) -> DataFrame:
+    """Term -> (df, first-p posting list) — the index-build step of a
+    keyword-retrieval / contamination-lookup pipeline.
+
+    Scale shape: per-doc terms are deduped map-side
+    (``array_distinct`` BEFORE the explode, so the shuffle carries
+    each (doc, term) once); df is a plain partial-agg count; the
+    posting list is capped to the p SMALLEST doc_ids per term via a
+    rank filter that plans as a map-side Partial WindowGroupLimit —
+    shuffle volume is bounded at map_partitions x vocab x p rows no
+    matter how common the term, the property that makes index build
+    survive a 100 TB corpus with stopword-frequency terms. The final
+    df-postings join is vocab-sized (tiny).
+    """
+    from pyspark.sql import Window
+
+    tok = fan_out(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(X.tokens(F.lower(F.col("text"))))).alias("term"),
+    )
+    df_tbl = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+    topp = (
+        tok.select("term", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= p)
+    )
+    postings = topp.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return (
+        df_tbl.join(postings, "term")
+        .filter(F.col("df") >= min_df)
+        .select("term", "df", "postings")
+        .orderBy("term")
+    )
+
+
+def inverted_index_sql(
+    p: int = INVINDEX_MAX_POSTINGS, min_df: int = INVINDEX_MIN_DF
+) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_sql_tokens('lower(text)')})) AS term
+  FROM documents
+),
+dfr AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+topp AS (
+  SELECT term, doc_id FROM (
+    SELECT term, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id ASC) AS rn
+    FROM tok) t
+  WHERE rn <= {p}
+),
+post AS (
+  SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings
+  FROM topp GROUP BY term
+)
+SELECT term, df, postings
+FROM dfr JOIN post USING (term)
+WHERE df >= {min_df}
+ORDER BY term
+"""
+
+
+# --------------------------------------------------------------------------
+# domain mix rebalancing (data-driven stratified downsampling)
+# --------------------------------------------------------------------------
+
+
+def domain_mix(docs: DataFrame) -> DataFrame:
+    """Data-driven corpus rebalancing: compute per-language accept
+    rates that downsample every stratum to the SMALLEST stratum's
+    size (uniform target mix), apply them with the deterministic
+    md5 gate, and report (lang, n_before, n_after, rate) — the
+    mixture-design step of a pretraining pipeline, where the rates
+    come from the data rather than a config (cf. the fixed-rate
+    ``stratified_sample``).
+
+    Scale shape: stratum counts are one partial-agg groupBy; the
+    global min and the 5-row rate table broadcast back onto the scan,
+    so the gate itself is a pure projection — zero row shuffle, and
+    the decision is reproducible across reruns/engines/partitionings.
+    The accept test compares the 32-bit md5 prefix against
+    rate * 2^32 in doubles (both engines: exact int->double, one
+    correctly-rounded multiply).
+    """
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    tgt = counts.agg(F.min("n_before").alias("target"))
+    rates = counts.crossJoin(F.broadcast(tgt)).select(
+        "lang",
+        "n_before",
+        (F.col("target").cast("double") / F.col("n_before").cast("double")).alias(
+            "rate"
+        ),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+    )
+    return (
+        docs.select("lang", u.alias("u"))
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min("n_before").alias("n_before"),
+            F.sum(
+                F.when(F.col("u") < F.col("rate") * F.lit(4294967296.0), 1).otherwise(0)
+            ).alias("n_after"),
+            F.min("rate").alias("rate"),
+        )
+        .select("lang", "n_before", "n_after", "rate")
+        .orderBy("lang")
+    )
+
+
+def domain_mix_sql() -> str:
+    return """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang
+),
+tgt AS (SELECT MIN(n_before) AS target FROM counts),
+rates AS (
+  SELECT lang, n_before,
+         CAST(target AS DOUBLE) / CAST(n_before AS DOUBLE) AS rate
+  FROM counts CROSS JOIN tgt
+),
+gated AS (
+  SELECT d.lang,
+         CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) AS u,
+         r.n_before, r.rate
+  FROM documents d JOIN rates r USING (lang)
+)
+SELECT lang,
+       MIN(n_before) AS n_before,
+       CAST(SUM(CASE WHEN u < rate * 4294967296.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+       MIN(rate) AS rate
+FROM gated
+GROUP BY lang
+ORDER BY lang
+"""

@@ -353,3 +353,46 @@ def test_group_sample_topk_partial_window_group_limit(spark, sf001):
     # plan prints top-down: the Partial prune must sit BELOW the exchange
     assert partial[0] > exch[0], "map-side prune missing below the shuffle"
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan  # text never read
+
+
+def test_bm25_no_explode_no_sort(spark, sf001):
+    """BM25 must be a pure scan ranking: per-term tf via array HOFs
+    (NO Generate), corpus stats as one broadcast single-row agg (the
+    only key-less exchange), and the top-k as TakeOrderedAndProject
+    (per-partition heaps) — never a global Sort of 100 TB of scores."""
+    plan = _plan(entry.queries()["bm25_search"](spark, sf001))
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    key_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln
+    ]
+    assert not key_ex, key_ex
+
+
+def test_inverted_index_bounded_posting_shuffle(spark, sf001):
+    """Index build: per-doc terms dedup map-side (array_distinct
+    inside the Generate), and the posting collection is pre-pruned by
+    a Partial WindowGroupLimit below its exchange — shuffle volume is
+    map_partitions x vocab x p rows even for stopword-frequency
+    terms. The df/postings join is vocab-sized -> broadcast."""
+    plan = _plan(entry.queries()["inverted_index"](spark, sf001))
+    assert "explode(array_distinct(" in plan
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    exch = [i for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(term" in l]
+    assert partial and exch and partial[0] > min(exch)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_domain_mix_rates_broadcast(spark, sf001):
+    """The mixture gate: the 5-row rate table must broadcast onto the
+    doc scan — the full corpus is never shuffled for the join, only
+    partial-agg count rows move."""
+    plan = _plan(entry.queries()["domain_mix"](spark, sf001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" not in plan
