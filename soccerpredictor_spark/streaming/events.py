@@ -409,3 +409,43 @@ def upsert_sink(
         upsert_path(batch_df.sparkSession, path, batch_df, pk, seq_col=seq_col)
 
     return stream_df.writeStream.foreachBatch(_merge).outputMode("append").start()
+
+
+def sessions_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot incremental run of the per-user session-window
+    aggregation (native ``session_window`` — the engine maintains and
+    MERGES session state incrementally as events arrive; gap-crossing
+    events fuse adjacent sessions, something a tumbling window can't
+    express). Complete mode over the single AvailableNow micro-batch
+    equals the batch plan, so the entry is oracle-checked like the
+    other streaming rollups."""
+    return _drain_available_now(
+        sessionized_counts(_stream_events_source(spark, sf_dir)),
+        "sessions_stream",
+    )
+
+
+def sessions_sql(gap_seconds: int = 1800) -> str:
+    # Same gaps-and-islands construction as the batch sessionize
+    # oracle, but emitting session_window's half-open bounds:
+    # [first_ts, last_ts + gap).
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   >= {gap_seconds}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {gap_seconds} SECOND AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""

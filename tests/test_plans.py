@@ -396,3 +396,18 @@ def test_domain_mix_rates_broadcast(spark, sf001):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "Window" not in plan
+
+
+def test_partitioned_prune_reads_only_matching_partition(spark, sf001):
+    """The hive-partitioned read-back: the lang predicate must resolve
+    against directory metadata (PartitionFilters), never the rows —
+    only the matching partition's files are opened. This is the layout
+    contract that turns a full-corpus scan into a single-stratum one."""
+    import re
+
+    df = entry.queries()["partitioned_prune"](spark, sf001)
+    plan = _formatted(df)
+    assert re.search(r"PartitionFilters: \[isnotnull\(lang#\d+\), \(lang#\d+ = en\)\]", plan)
+    # the partition predicate is metadata-only — it must not appear as
+    # a pushed data filter on the row scan
+    assert not re.search(r"PushedFilters: \[[^\]]*lang", plan)
