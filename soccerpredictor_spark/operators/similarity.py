@@ -651,3 +651,87 @@ reach(a, b) AS (
 )
 SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a ORDER BY vec_id
 """
+
+
+# --------------------------------------------------------------------------
+# int8 scalar-quantized inner-product search
+# --------------------------------------------------------------------------
+
+
+def _int8_codes(col):
+    """Per-vector symmetric int8 scalar quantization: one double scale
+    (max|x|/127) + codes in [-127, 127]. floor(x/s + 0.5) — NOT
+    round() — so tie behavior is identical across engines; a zero
+    vector gets all-zero codes (s = 0 guard)."""
+    mx = F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
+    s = mx / F.lit(127.0)
+    zero = F.transform(col, lambda x: F.lit(0).cast("long"))
+    codes = F.when(s == F.lit(0.0), zero).otherwise(
+        F.transform(col, lambda x: F.floor(x.cast("double") / s + F.lit(0.5)).cast("long"))
+    )
+    return s, codes
+
+
+def int8_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Top-k by inner product over int8 scalar-quantized vectors —
+    the 4x-compression MIPS path of a vector store (codes ride in a
+    quarter of the memory/shuffle bytes; the reconstruction is
+    dot(q_a, q_b) * s_a * s_b).
+
+    Scale shape: codes + scale are derived ONCE per row in a pure
+    projection; the single-row query side broadcasts; ranking is
+    TakeOrderedAndProject (per-partition heaps). Zero shuffle — at
+    100 TB this is one compressed scan, and the same codes column is
+    what you'd persist as the serving index.
+
+    Cross-engine determinism: the code dot is exact int64 arithmetic;
+    the only FP steps (scale derivation, final rescale multiply) are
+    the identical correctly-rounded expression in both engines.
+    """
+    s, codes = _int8_codes(F.col("embedding"))
+    coded = fan_out(emb).select(
+        "vec_id", "label", s.alias("s"), codes.alias("codes")
+    )
+    qs, qcodes = _int8_codes(F.col("embedding"))
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        qs.alias("qs"), qcodes.alias("qcodes")
+    )
+    sim = (
+        V.int_dot_iv(F.col("codes"), F.col("qcodes")).cast("double")
+        * (F.col("s") * F.col("qs"))
+    )
+    return (
+        coded.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("sim_int8"))
+        .orderBy(F.col("sim_int8").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _sql_int8(col: str) -> tuple[str, str]:
+    s = f"(list_max(list_transform({col}, x -> abs(CAST(x AS DOUBLE)))) / 127.0)"
+    codes = (
+        f"CASE WHEN {s} = 0.0 THEN list_transform({col}, x -> CAST(0 AS BIGINT)) "
+        f"ELSE list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) / {s} + 0.5) AS BIGINT)) END"
+    )
+    return s, codes
+
+
+def int8_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    s, codes = _sql_int8("embedding")
+    dot = (
+        "list_sum(list_transform(range(1, len(codes)+1), i -> codes[i] * qcodes[i]))"
+    )
+    return f"""
+WITH coded AS (
+  SELECT vec_id, label, {s} AS s, {codes} AS codes FROM embeddings
+),
+q AS (
+  SELECT {s} AS qs, {codes} AS qcodes FROM embeddings WHERE vec_id = {query_vec_id}
+)
+SELECT vec_id, label,
+       CAST({dot} AS DOUBLE) * (s * qs) AS sim_int8
+FROM coded, q
+ORDER BY sim_int8 DESC, vec_id ASC
+LIMIT {k}
+"""

@@ -728,3 +728,59 @@ SELECT user_id, value,
 FROM events WHERE event_type = 'purchase'
 ORDER BY user_id, ts_from
 """
+
+
+#: acceptance tolerance for the approx_percentile (t-digest) drop-in.
+APPROX_QUANTILE_TOL = 0.05
+
+
+def approx_quantile_check(events: DataFrame) -> DataFrame:
+    """Exact per-type p50/p95 of value PLUS acceptance flags for the
+    at-scale approximate drop-in: (event_type, p50_exact, p95_exact,
+    p50_ok, p95_ok).
+
+    ``value_percentiles`` documents approx_percentile (t-digest:
+    mergeable map-side-combinable sketches, no full sort) as the
+    100 TB replacement for exact percentile; this is the acceptance
+    gate run at a small SF before the swap — each flag asserts the
+    sketch landed within ``APPROX_QUANTILE_TOL`` relative error of
+    the exact value. The sketch is deterministic for a given input so
+    the flags are stable; the oracle asserts the contract (exact
+    values + all-true flags), not sketch internals, which are
+    engine-specific by design — the same pattern as the HLL gate.
+    """
+    agg = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile(value, 0.95)").alias("p95_exact"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
+    )
+
+    def ok(approx: str, exact: str):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.lit(APPROX_QUANTILE_TOL) * F.abs(F.col(exact))
+        )
+
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        "p95_exact",
+        ok("p50_approx", "p50_exact").alias("p50_ok"),
+        ok("p95_approx", "p95_exact").alias("p95_ok"),
+    ).orderBy("event_type")
+
+
+def approx_quantile_check_sql() -> str:
+    """DuckDB twin: exact quantiles plus the contract's expected flags
+    (t-digest internals differ across engines by construction)."""
+    return """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50_exact,
+       quantile_cont(value, 0.95) AS p95_exact,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

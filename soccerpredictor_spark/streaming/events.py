@@ -449,3 +449,30 @@ SELECT MIN(ts) AS session_start,
        COUNT(*) AS n_events
 FROM sessions GROUP BY user_id, sid
 """
+
+
+def stateful_counts_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot incremental run of the applyInPandasWithState custom
+    stateful operator (per-user cumulative count + exact-cents value
+    total). Update mode over the single AvailableNow micro-batch
+    emits each key's final state once, which equals the batch
+    groupBy twin — so even the CUSTOM stateful path gets a full
+    DuckDB oracle, not just a rows-only check."""
+    return _drain_available_now(
+        stateful_user_counts(_stream_events_source(spark, sf_dir)),
+        "stateful_counts_stream",
+        mode="update",
+    )
+
+
+def stateful_counts_sql() -> str:
+    # The batch twin's arithmetic: per-row exact integer cents, summed,
+    # emitted as double. (round-to-cents happens on values that are
+    # 2-decimal to begin with, so engine tie-break rules never fire.)
+    return """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events
+GROUP BY user_id
+"""
