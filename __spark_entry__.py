@@ -964,6 +964,50 @@ def _q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return SE.sessions_available_now(spark, sf)
 
 
+def _q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    # explicit GROUPING SETS (the general form rollup/cube specialize):
+    # per-(type,user-bucket), per-type, and grand-total rows in ONE
+    # Expand pass — exercised through the SQL API surface.
+    events = read_table(spark, sf, "events")
+    events.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(user_id % 10 AS BIGINT) AS user_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())
+        ORDER BY event_type, user_bucket
+        """
+    )
+
+
+def _q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    # schema-drift ingestion: batch 1 lacks a column batch 2 has;
+    # mergeSchema unions the schemas and null-fills the old files —
+    # the contract that lets a 100 TB table gain columns without a
+    # rewrite. Aggregate proves null-fill + union semantics.
+    import tempfile
+
+    docs = read_table(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="schema_evo_") + "/docs"
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+    old.write.mode("overwrite").parquet(out + "/b=1")
+    new.write.mode("overwrite").parquet(out + "/b=2")
+    back = spark.read.option("mergeSchema", "true").parquet(out + "/b=1", out + "/b=2")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_chars").alias("n_with_chars"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
     # wide-to-long unpivot (Expand projection, zero-shuffle reshape)
     # + per-metric exact-decimal profile.
@@ -1053,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful": _q_streaming_stateful,
         "unpivot_metrics": _q_unpivot_metrics,
         "write_roundtrip_orc": _q_write_roundtrip_orc,
+        "grouping_sets": _q_grouping_sets,
+        "schema_evolution": _q_schema_evolution,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "bucketed_join": _q_bucketed_join,
         "approx_distinct_check": _q_approx_distinct_check,
@@ -1087,18 +1133,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_containment": _q_dedup_containment,
         "winnowing": _q_winnowing,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "text_profile": _q_text_profile,
-        "lang_confusion": _q_lang_confusion,
         # --- outside the window (position >= 50): green in a recorded
-        # CORRECTNESS_r* round. The text/fingerprint/ngram/ann/
+        # CORRECTNESS_r* round. The tfidf/text/fingerprint/ngram/ann/
         # embedding/multimodal block rotated out late in round 4 to
-        # make room for the 13 new entries above: their only round-4
+        # make room for the 15 new entries above: their only round-4
         # change (fan_out insertion) is driver-covered by the fan_out
         # entries still in-window (winnowing, dedup family, bm25,
         # inverted_index), and ALL entries passed the local ANSI
         # driver-style oracle sweep at sf0.01 (PLANS.md round-4
         # notes) after the change. ---
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "text_profile": _q_text_profile,
+        "lang_confusion": _q_lang_confusion,
         "repetition_profile": _q_repetition_profile,
         "contamination_check": _q_contamination_check,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1198,6 +1244,21 @@ def oracle_sql() -> dict[str, str]:
         "ann_int8_topk": similarity.int8_topk_sql(),
         "streaming_stateful": _streaming_mod().stateful_counts_sql(),
         "unpivot_metrics": windows.unpivot_lineitem_metrics_sql(),
+        "grouping_sets": (
+            "SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,"
+            " COUNT(*) AS n,"
+            " CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total"
+            " FROM events"
+            " GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())"
+            " ORDER BY event_type, user_bucket"
+        ),
+        "schema_evolution": (
+            "SELECT lang, COUNT(*) AS n_docs,"
+            " COUNT(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,"
+            " CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)"
+            " AS chars_sum"
+            " FROM documents GROUP BY lang ORDER BY lang"
+        ),
         "write_roundtrip_orc": (
             "SELECT n_regionkey, COUNT(*) AS n_nations,"
             " CAST(SUM(n_nationkey) AS BIGINT) AS key_sum"
