@@ -964,6 +964,18 @@ def _q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return SE.sessions_available_now(spark, sf)
 
 
+def _q_streaming_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    # foreachBatch CDC-style upsert sink (availableNow one-shot): the
+    # drained parquet table is the latest state per user_id, keyed by
+    # the unique event_id sequence — fully deterministic, full oracle.
+    import tempfile
+
+    from soccerpredictor_spark.streaming import events as SE
+
+    out = tempfile.mkdtemp(prefix="stream_upsert_") + "/state"
+    return SE.upsert_available_now(spark, sf, out)
+
+
 def _q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     # explicit GROUPING SETS (the general form rollup/cube specialize):
     # per-(type,user-bucket), per-type, and grand-total rows in ONE
@@ -1099,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_roundtrip_orc": _q_write_roundtrip_orc,
         "grouping_sets": _q_grouping_sets,
         "schema_evolution": _q_schema_evolution,
+        "streaming_upsert": _q_streaming_upsert,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "bucketed_join": _q_bucketed_join,
         "approx_distinct_check": _q_approx_distinct_check,
@@ -1243,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantile_check": windows.approx_quantile_check_sql(),
         "ann_int8_topk": similarity.int8_topk_sql(),
         "streaming_stateful": _streaming_mod().stateful_counts_sql(),
+        "streaming_upsert": _streaming_mod().upsert_available_now_sql(),
         "unpivot_metrics": windows.unpivot_lineitem_metrics_sql(),
         "grouping_sets": (
             "SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,"

@@ -33,6 +33,14 @@ HEADLINE = {
     "salted_join": "Skew-proof shuffle join: salted fact x salt-replicated dim (exactly the plain join's rows)",
     "dedup_containment": "Subset-duplication containment metric over the df-capped shingle self-join (exchange-reused sides)",
     "mad_outliers": "Median/MAD robust outliers: two tiny-key percentile aggs broadcast back into the row stream",
+    "bm25_search": "BM25 as a pure scan ranking: per-term tf via array HOFs (no explode), 1-row corpus stats broadcast, TakeOrderedAndProject heaps",
+    "inverted_index": "Index build: per-doc terms deduped map-side (array_distinct before explode), Partial WindowGroupLimit bounds the posting shuffle at vocab x p rows per task, vocab-sized broadcast join",
+    "group_sample_topk": "Fixed-quota per-stratum sample: map-side Partial WindowGroupLimit prunes each task to k rows per stratum BEFORE the shuffle",
+    "scd2_intervals": "SCD2 validity intervals: event_type filter pushed to the scan, one window shuffle for LEAD",
+    "domain_mix": "Data-driven mixture gate: 5-row rate table broadcast onto the scan; the corpus is never join-shuffled",
+    "partitioned_prune": "Hive-partitioned read-back: the lang predicate resolves against directory metadata (PartitionFilters) — only the matching partition's files open",
+    "ann_int8_topk": "int8 scalar-quantized MIPS: 4x-compressed codes, exact int64 dots, TakeOrdered heaps, zero shuffle",
+    "unpivot_metrics": "Wide-to-long unpivot as an Expand projection: map-side row multiplication, zero reshape shuffle",
 }
 
 # Performance-notes sections are maintained by hand in PLANS.md and
@@ -40,7 +48,7 @@ HEADLINE = {
 # "## Round-" notes heading onward).
 with open("/root/repo/PLANS.md") as f:
     _existing = f.read()
-_notes_at = _existing.find("## Round-2 performance notes")
+_notes_at = _existing.find("## Round-")
 PERF_NOTES = _existing[_notes_at:] if _notes_at >= 0 else ""
 
 out = ["# PLANS — physical plans of headline queries (sf0.1, AQE display off)",

@@ -476,3 +476,43 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+def upsert_available_now(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """One-shot incremental run of the foreachBatch upsert sink: the
+    event stream merges into a parquet table keyed by user_id with
+    event_id as the conflict sequence (unique, so the merge is fully
+    deterministic) — the CDC-style "latest state per key" table. The
+    drained table equals the batch latest-by-PK query, giving the
+    foreachBatch path a full oracle."""
+    src = _stream_events_source(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    from soccerpredictor_spark.sources.upsert import upsert_path
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_path(
+            batch_df.sparkSession, out_dir, batch_df, ["user_id"], seq_col="event_id"
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            src.writeStream.foreachBatch(_merge)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out_dir).orderBy("user_id")
+
+
+def upsert_available_now_sql() -> str:
+    return """
+SELECT user_id, event_id, event_type, value FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+ORDER BY user_id
+"""
