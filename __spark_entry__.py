@@ -964,6 +964,16 @@ def _q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return SE.sessions_available_now(spark, sf)
 
 
+def _q_media_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # video frame-sampling plumbing: each video row fans out into
+    # frame-decode tasks (explode of the frame-index sequence) — the
+    # shape that distributes per-frame decode work across executors.
+    from soccerpredictor_spark.operators import multimodal as MM
+
+    media = MM.media_from_documents(read_table(spark, sf, "documents"))
+    return MM.frame_sample_plan(media, every_n=10)
+
+
 def _q_streaming_upsert(spark: SparkSession, sf: str) -> DataFrame:
     # foreachBatch CDC-style upsert sink (availableNow one-shot): the
     # drained parquet table is the latest state per user_id, keyed by
@@ -1112,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": _q_grouping_sets,
         "schema_evolution": _q_schema_evolution,
         "streaming_upsert": _q_streaming_upsert,
+        "media_frame_sample": _q_media_frame_sample,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "bucketed_join": _q_bucketed_join,
         "approx_distinct_check": _q_approx_distinct_check,
@@ -1257,6 +1268,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_int8_topk": similarity.int8_topk_sql(),
         "streaming_stateful": _streaming_mod().stateful_counts_sql(),
         "streaming_upsert": _streaming_mod().upsert_available_now_sql(),
+        "media_frame_sample": (
+            "SELECT doc_id AS media_id, gs.g AS frame_idx"
+            " FROM documents, generate_series(0, 9) AS gs(g)"
+            " WHERE doc_id % 3 = 2"
+        ),
         "unpivot_metrics": windows.unpivot_lineitem_metrics_sql(),
         "grouping_sets": (
             "SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,"
