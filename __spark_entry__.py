@@ -964,6 +964,12 @@ def _q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return SE.sessions_available_now(spark, sf)
 
 
+def _q_token_gini(spark: SparkSession, sf: str) -> DataFrame:
+    # per-doc token diversity (Gini impurity — the libm-free entropy
+    # stand-in): exact integer sums, one final double divide.
+    return textops.token_gini(read_table(spark, sf, "documents"))
+
+
 def _q_media_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     # video frame-sampling plumbing: each video row fans out into
     # frame-decode tasks (explode of the frame-index sequence) — the
@@ -1123,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": _q_schema_evolution,
         "streaming_upsert": _q_streaming_upsert,
         "media_frame_sample": _q_media_frame_sample,
+        "token_gini": _q_token_gini,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "bucketed_join": _q_bucketed_join,
         "approx_distinct_check": _q_approx_distinct_check,
@@ -1273,6 +1280,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents, generate_series(0, 9) AS gs(g)"
             " WHERE doc_id % 3 = 2"
         ),
+        "token_gini": textops.token_gini_sql(),
         "unpivot_metrics": windows.unpivot_lineitem_metrics_sql(),
         "grouping_sets": (
             "SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,"

@@ -1426,3 +1426,54 @@ FROM gated
 GROUP BY lang
 ORDER BY lang
 """
+
+
+def token_gini(docs: DataFrame) -> DataFrame:
+    """Per-document token diversity: Gini impurity of the token
+    distribution, 1 - sum(tf^2)/n^2 — a repetition/diversity quality
+    signal (0 = one token repeated, ->1 = all tokens distinct) that
+    complements ``repetition_profile``'s n-gram view.
+
+    Entropy is the textbook form, but ln() is libm-dependent (see the
+    tfidf idf note); Gini is monotone in the same ordering and every
+    step is exact integer arithmetic (sum tf, sum tf^2) until one
+    final correctly-rounded double divide — bit-identical across
+    engines. Two partial-agg-safe count shuffles, counts only.
+    """
+    tok = fan_out(docs).select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_d = F.col("n_tokens").cast("double")
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("tf") * F.col("tf")).alias("sq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            (F.lit(1.0) - F.col("sq").cast("double") / (n_d * n_d)).alias("gini"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def token_gini_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tokens('lower(text)')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       1.0 - CAST(SUM(tf * tf) AS DOUBLE)
+             / (CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) * CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)) AS gini
+FROM tf
+GROUP BY doc_id
+ORDER BY doc_id
+"""

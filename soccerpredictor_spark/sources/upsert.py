@@ -68,6 +68,12 @@ def upsert_df(
     PK collision; within a batch, the row with the highest ``seq_col``
     wins (matching sequential per-row UPSERT order in the reference).
 
+    Precondition: ``existing`` is a PK table (one row per PK) — the
+    invariant this operator itself maintains, so it holds inductively
+    across upserts. ``seq_col`` ordering applies to BATCH rows only;
+    duplicate PKs inside ``existing`` would resolve arbitrarily
+    (property-tested in tests/test_properties.py).
+
     ``seq_col`` should be an explicit, data-derived sequence — a scrape
     timestamp, a source line number, an event id. When omitted, the
     fallback is ``monotonically_increasing_id`` over the batch AS
