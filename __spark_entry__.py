@@ -964,6 +964,12 @@ def _q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return SE.sessions_available_now(spark, sf)
 
 
+def _q_hourly_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    # 3-sigma hourly volume monitor: integer-exact mean/variance,
+    # per-type stats broadcast back onto the hourly counts.
+    return windows.hourly_anomaly(read_table(spark, sf, "events"))
+
+
 def _q_token_gini(spark: SparkSession, sf: str) -> DataFrame:
     # per-doc token diversity (Gini impurity — the libm-free entropy
     # stand-in): exact integer sums, one final double divide.
@@ -1130,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": _q_streaming_upsert,
         "media_frame_sample": _q_media_frame_sample,
         "token_gini": _q_token_gini,
+        "hourly_anomaly": _q_hourly_anomaly,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "bucketed_join": _q_bucketed_join,
         "approx_distinct_check": _q_approx_distinct_check,
@@ -1281,6 +1288,7 @@ def oracle_sql() -> dict[str, str]:
             " WHERE doc_id % 3 = 2"
         ),
         "token_gini": textops.token_gini_sql(),
+        "hourly_anomaly": windows.hourly_anomaly_sql(),
         "unpivot_metrics": windows.unpivot_lineitem_metrics_sql(),
         "grouping_sets": (
             "SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,"

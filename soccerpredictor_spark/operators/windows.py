@@ -830,3 +830,65 @@ FROM long
 GROUP BY metric
 ORDER BY metric
 """
+
+
+def hourly_anomaly(events: DataFrame) -> DataFrame:
+    """Volume-anomaly monitor: hourly event counts per type, flagged
+    when they sit more than 3 sigma from the type's mean hour — the
+    pipeline-health query you run over the event firehose.
+
+    Cross-engine determinism: mean/variance come from exact integer
+    count sums (SUM(cnt), SUM(cnt^2) — population variance via
+    (sumsq - sum^2/n)/n) with doubles entering only in the final
+    identical expression tree; the per-type stats row (one per type)
+    broadcasts back onto the hourly counts, so the only shuffles are
+    the two partial-agg counts.
+    """
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("cnt").alias("sum_c"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq_c"),
+    )
+    n_d = F.col("n_hours").cast("double")
+    sum_d = F.col("sum_c").cast("double")
+    sumsq_d = F.col("sumsq_c").cast("double")
+    mean = sum_d / n_d
+    sigma = F.sqrt((sumsq_d - sum_d * sum_d / n_d) / n_d)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            (F.abs(F.col("cnt").cast("double") - mean) > F.lit(3.0) * sigma).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def hourly_anomaly_sql() -> str:
+    return """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+stats AS (
+  SELECT event_type,
+         COUNT(*) AS n_hours,
+         CAST(SUM(cnt) AS BIGINT) AS sum_c,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq_c
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hour, h.cnt,
+       abs(CAST(h.cnt AS DOUBLE) - CAST(sum_c AS DOUBLE) / CAST(n_hours AS DOUBLE))
+         > 3.0 * sqrt((CAST(sumsq_c AS DOUBLE)
+                       - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                      / CAST(n_hours AS DOUBLE)) AS is_anomaly
+FROM hourly h JOIN stats s USING (event_type)
+ORDER BY event_type, hour
+"""
