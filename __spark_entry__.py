@@ -964,6 +964,12 @@ def _q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return SE.sessions_available_now(spark, sf)
 
 
+def _q_embedding_quality(spark: SparkSession, sf: str) -> DataFrame:
+    # embedding-hygiene audit: exact int64 norm stats per label,
+    # vectors never leave the scan.
+    return similarity.embedding_quality(read_table(spark, sf, "embeddings"))
+
+
 def _q_hourly_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     # 3-sigma hourly volume monitor: integer-exact mean/variance,
     # per-type stats broadcast back onto the hourly counts.
@@ -1137,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frame_sample,
         "token_gini": _q_token_gini,
         "hourly_anomaly": _q_hourly_anomaly,
+        "embedding_quality": _q_embedding_quality,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "bucketed_join": _q_bucketed_join,
         "approx_distinct_check": _q_approx_distinct_check,
@@ -1289,6 +1296,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_gini": textops.token_gini_sql(),
         "hourly_anomaly": windows.hourly_anomaly_sql(),
+        "embedding_quality": similarity.embedding_quality_sql(),
         "unpivot_metrics": windows.unpivot_lineitem_metrics_sql(),
         "grouping_sets": (
             "SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,"

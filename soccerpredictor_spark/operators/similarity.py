@@ -735,3 +735,54 @@ FROM coded, q
 ORDER BY sim_int8 DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+def embedding_quality(emb: DataFrame) -> DataFrame:
+    """Embedding-hygiene audit per label: vector count, dimension
+    spread, zero-vector count, and the min/max quantized squared norm
+    — the sanity gate you run before spending ANN/dedup cycles on a
+    100 TB vector table (dead/degenerate vectors poison both).
+
+    All statistics are exact int64 arithmetic on the quantized
+    components (sq_norm = int_dot(v, v)); one partial-agg shuffle of
+    5 longs per label — vectors never leave the scan.
+    """
+    iv = V.int_vec(F.col("embedding"))
+    sq = V.sq_norm_iv(iv)
+    return (
+        fan_out(emb)
+        .select(
+            "label",
+            F.size(F.col("embedding")).alias("dim"),
+            sq.alias("sq_norm"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+            F.sum((F.col("sq_norm") == 0).cast("long")).alias("n_zero"),
+            F.min("sq_norm").alias("min_sq_norm"),
+            F.max("sq_norm").alias("max_sq_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def embedding_quality_sql() -> str:
+    sq = V.sql_dot("embedding", "embedding")
+    return f"""
+WITH per_vec AS (
+  SELECT label, len(embedding) AS dim, {sq} AS sq_norm FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       MIN(dim) AS min_dim,
+       MAX(dim) AS max_dim,
+       CAST(SUM(CASE WHEN sq_norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(MIN(sq_norm) AS BIGINT) AS min_sq_norm,
+       CAST(MAX(sq_norm) AS BIGINT) AS max_sq_norm
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
