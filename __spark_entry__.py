@@ -1181,7 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- outside the window (position >= 50): green in a recorded
         # CORRECTNESS_r* round. The tfidf/text/fingerprint/ngram/ann/
         # embedding/multimodal block rotated out late in round 4 to
-        # make room for the 15 new entries above: their only round-4
+        # make room for the 20 new entries above: their only round-4
         # change (fan_out insertion) is driver-covered by the fan_out
         # entries still in-window (winnowing, dedup family, bm25,
         # inverted_index), and ALL entries passed the local ANSI
