@@ -964,6 +964,12 @@ def _q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return SE.sessions_available_now(spark, sf)
 
 
+def _q_event_paths(spark: SparkSession, sf: str) -> DataFrame:
+    # top first-k user-journey paths; WindowGroupLimit bounds the
+    # shuffle, in-row struct sort pins the path order.
+    return windows.event_paths(read_table(spark, sf, "events"))
+
+
 def _q_embedding_quality(spark: SparkSession, sf: str) -> DataFrame:
     # embedding-hygiene audit: exact int64 norm stats per label,
     # vectors never leave the scan.
@@ -1144,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_gini": _q_token_gini,
         "hourly_anomaly": _q_hourly_anomaly,
         "embedding_quality": _q_embedding_quality,
+        "event_paths": _q_event_paths,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "bucketed_join": _q_bucketed_join,
         "approx_distinct_check": _q_approx_distinct_check,
@@ -1297,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
         "token_gini": textops.token_gini_sql(),
         "hourly_anomaly": windows.hourly_anomaly_sql(),
         "embedding_quality": similarity.embedding_quality_sql(),
+        "event_paths": windows.event_paths_sql(),
         "unpivot_metrics": windows.unpivot_lineitem_metrics_sql(),
         "grouping_sets": (
             "SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,"

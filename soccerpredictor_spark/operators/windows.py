@@ -892,3 +892,71 @@ SELECT h.event_type, h.hour, h.cnt,
 FROM hourly h JOIN stats s USING (event_type)
 ORDER BY event_type, hour
 """
+
+
+#: first-K events per user considered for the journey path.
+PATH_K = 5
+
+
+def event_paths(events: DataFrame, k: int = PATH_K, top: int = 20) -> DataFrame:
+    """Top user-journey paths: each user's first-k events (by time)
+    joined into an ordered `a>b>c` path string, then the most common
+    paths ranked — the funnel-discovery complement to the fixed-order
+    ``funnel_stages``.
+
+    Scale shape: the first-k restriction is a rank filter that plans
+    as a map-side Partial WindowGroupLimit (shuffle bounded at
+    map_partitions x users x k rows, and path length is bounded by
+    construction — unbounded per-user journey strings would not
+    survive 100 TB); the path build sorts each user's k-struct array
+    in-row (deterministic (ts, event_id) order regardless of shuffle
+    arrival), and the final ranking is TakeOrderedAndProject.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    first_k = (
+        events.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= k)
+    )
+    paths = first_k.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(top)
+    )
+
+
+def event_paths_sql(k: int = PATH_K, top: int = 20) -> str:
+    return f"""
+WITH first_k AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS rn
+    FROM events) t
+  WHERE rn <= {k}
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+  FROM first_k GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT {top}
+"""
