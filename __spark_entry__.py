@@ -964,6 +964,12 @@ def _q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return SE.sessions_available_now(spark, sf)
 
 
+def _q_quality_gate_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # quality-weighted deterministic sampling: keep-probability =
+    # quality score, md5-gated (no RNG state), pure projection + agg.
+    return textops.quality_gate_sample(read_table(spark, sf, "documents"))
+
+
 def _q_event_paths(spark: SparkSession, sf: str) -> DataFrame:
     # top first-k user-journey paths; WindowGroupLimit bounds the
     # shuffle, in-row struct sort pins the path order.
@@ -1151,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_anomaly": _q_hourly_anomaly,
         "embedding_quality": _q_embedding_quality,
         "event_paths": _q_event_paths,
+        "quality_gate_sample": _q_quality_gate_sample,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "bucketed_join": _q_bucketed_join,
         "approx_distinct_check": _q_approx_distinct_check,
@@ -1305,6 +1312,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_anomaly": windows.hourly_anomaly_sql(),
         "embedding_quality": similarity.embedding_quality_sql(),
         "event_paths": windows.event_paths_sql(),
+        "quality_gate_sample": textops.quality_gate_sample_sql(),
         "unpivot_metrics": windows.unpivot_lineitem_metrics_sql(),
         "grouping_sets": (
             "SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,"

@@ -1477,3 +1477,77 @@ FROM tf
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def quality_gate_sample(docs: DataFrame) -> DataFrame:
+    """Quality-weighted deterministic sampling (DCLM-style): each
+    document is kept with probability equal to its quality score —
+    accept iff u01(md5(doc_id)) < quality — so high-quality docs
+    survive at ~their score rate and junk is suppressed, with NO RNG
+    state: the decision replays identically across reruns, engines
+    and repartitioning. Reports (lang, n_before, n_kept).
+
+    Scale shape: one scan projection (the same materialized-token
+    quality arithmetic text_profile uses — oracle-proven identical
+    cross-engine) + a 5-group partial agg; nothing else moves.
+    """
+    wl = F.col("wl")
+    mid = fan_out(docs).select(
+        "doc_id", "lang", "text", X.tokens(F.lower(F.col("text"))).alias("wl")
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(wl).alias("n_tokens"),
+        X.stopword_ratio_from_tokens(wl).alias("stop_ratio"),
+    )
+    avg_len = F.length(F.col("text")).cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    quality = (
+        F.lit(0.4)
+        * F.least(F.lit(1.0), F.col("n_tokens").cast("double") / F.lit(100.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.col("stop_ratio"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+    )
+    kept = (u < quality * F.lit(4294967296.0)).cast("long")
+    return (
+        mid.select("lang", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def quality_gate_sample_sql() -> str:
+    stop_lit = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS) + "]"
+    toks = _sql_tokens("lower(text)")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         len({toks}) AS n_tokens,
+         CAST(len(list_filter({toks},
+              w -> list_contains({stop_lit}, w))) AS DOUBLE)
+           / CAST(len({toks}) AS DOUBLE) AS stop_ratio
+  FROM documents
+),
+scored AS (
+  SELECT lang,
+         CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+                   < (0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                      + 0.3 * least(1.0, (CAST(length(text) AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 8.0)
+                      + 0.3 * (1.0 - stop_ratio)) * 4294967296.0
+              THEN 1 ELSE 0 END AS kept
+  FROM base
+)
+SELECT lang, COUNT(*) AS n_before, CAST(SUM(kept) AS BIGINT) AS n_kept
+FROM scored GROUP BY lang ORDER BY lang
+"""
