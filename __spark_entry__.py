@@ -964,6 +964,33 @@ def _q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return SE.sessions_available_now(spark, sf)
 
 
+def _q_full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    # snapshot reconciliation via FULL OUTER join — the one join type
+    # the inventory lacked: compare the high-value and urgent-priority
+    # order snapshots, classify matches/left-only/right-only, count.
+    # Both sides shuffle on o_orderkey once (SMJ); the classification
+    # is a projection over the join's null pattern.
+    orders = read_table(spark, sf, "orders")
+    left = orders.filter(F.col("o_totalprice") > 150_000).select(
+        "o_orderkey", "o_totalprice"
+    )
+    right = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = left.join(right, "o_orderkey", "full_outer")
+    klass = (
+        F.when(F.col("o_totalprice").isNull(), "right_only")
+        .when(F.col("o_orderpriority").isNull(), "left_only")
+        .otherwise("both")
+    )
+    return (
+        j.select(klass.alias("klass"))
+        .groupBy("klass")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("klass")
+    )
+
+
 def _q_quality_gate_sample(spark: SparkSession, sf: str) -> DataFrame:
     # quality-weighted deterministic sampling: keep-probability =
     # quality score, md5-gated (no RNG state), pure projection + agg.
@@ -1158,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quality": _q_embedding_quality,
         "event_paths": _q_event_paths,
         "quality_gate_sample": _q_quality_gate_sample,
+        "full_outer_reconcile": _q_full_outer_reconcile,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "bucketed_join": _q_bucketed_join,
         "approx_distinct_check": _q_approx_distinct_check,
@@ -1313,6 +1341,17 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quality": similarity.embedding_quality_sql(),
         "event_paths": windows.event_paths_sql(),
         "quality_gate_sample": textops.quality_gate_sample_sql(),
+        "full_outer_reconcile": (
+            "WITH l AS (SELECT o_orderkey, o_totalprice FROM orders"
+            " WHERE o_totalprice > 150000),"
+            " r AS (SELECT o_orderkey, o_orderpriority FROM orders"
+            " WHERE o_orderpriority = '1-URGENT')"
+            " SELECT CASE WHEN l.o_totalprice IS NULL THEN 'right_only'"
+            " WHEN r.o_orderpriority IS NULL THEN 'left_only'"
+            " ELSE 'both' END AS klass, COUNT(*) AS n"
+            " FROM l FULL OUTER JOIN r USING (o_orderkey)"
+            " GROUP BY klass ORDER BY klass"
+        ),
         "unpivot_metrics": windows.unpivot_lineitem_metrics_sql(),
         "grouping_sets": (
             "SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,"
