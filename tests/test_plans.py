@@ -421,3 +421,42 @@ def test_unpivot_is_expand_projection(spark, sf001):
     assert "Expand" in plan
     assert "Generate" not in plan and "Join" not in plan
     assert _key_exchanges(plan) <= 2  # partial-agg exchange + sort
+
+
+def test_event_paths_bounded_and_take_ordered(spark, sf001):
+    """Path analysis: the first-k restriction must pre-prune map-side
+    (Partial WindowGroupLimit below the user shuffle) and the final
+    ranking must be TakeOrderedAndProject — never a global sort of
+    every path."""
+    plan = _plan(entry.queries()["event_paths"](spark, sf001))
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    exch = [i for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(user_id" in l]
+    assert partial and exch and partial[0] > exch[0]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hourly_anomaly_stats_broadcast(spark, sf001):
+    """The per-type stats row must broadcast back onto the hourly
+    counts — the hourly stream is never join-shuffled."""
+    plan = _plan(entry.queries()["hourly_anomaly"](spark, sf001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_side_quality_and_embedding_audits_single_agg(spark, sf001):
+    """quality_gate_sample / embedding_quality are single-scan audits:
+    exactly one key-group agg exchange (plus the presentation sort) —
+    texts/vectors never enter a shuffle."""
+    for name, key in (("quality_gate_sample", "lang"), ("embedding_quality", "label")):
+        plan = _plan(entry.queries()[name](spark, sf001))
+        assert plan.count(f"Exchange hashpartitioning({key}") == 1, name
+        assert "Join" not in plan, name
+
+
+def test_full_outer_reconcile_is_single_smj(spark, sf001):
+    plan = _plan(entry.queries()["full_outer_reconcile"](spark, sf001))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
