@@ -964,6 +964,38 @@ def _q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return SE.sessions_available_now(spark, sf)
 
 
+def _q_sorted_layout_prune(spark: SparkSession, sf: str) -> DataFrame:
+    # Range-partitioned + sorted-within-partitions layout: each output
+    # file covers a disjoint o_orderkey range, so parquet min/max
+    # row-group stats make a key-range read touch ~one file — the
+    # sort-based data-skipping layout (cf. partitioned_prune's
+    # directory pruning). The key predicate must reach the scan as a
+    # PushedFilter over the stats-bearing column (plan-asserted).
+    import tempfile
+
+    from soccerpredictor_spark.sources.catalog import read_any
+
+    orders = read_table(spark, sf, "orders")
+    out = tempfile.mkdtemp(prefix="sorted_layout_") + "/orders"
+    (
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = read_any(spark, out, "parquet")
+    return (
+        back.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(tpch.DEC)).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _q_full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
     # snapshot reconciliation via FULL OUTER join — the one join type
     # the inventory lacked: compare the high-value and urgent-priority
@@ -1186,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": _q_event_paths,
         "quality_gate_sample": _q_quality_gate_sample,
         "full_outer_reconcile": _q_full_outer_reconcile,
+        "sorted_layout_prune": _q_sorted_layout_prune,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "bucketed_join": _q_bucketed_join,
         "approx_distinct_check": _q_approx_distinct_check,
@@ -1351,6 +1384,12 @@ def oracle_sql() -> dict[str, str]:
             " ELSE 'both' END AS klass, COUNT(*) AS n"
             " FROM l FULL OUTER JOIN r USING (o_orderkey)"
             " GROUP BY klass ORDER BY klass"
+        ),
+        "sorted_layout_prune": (
+            "SELECT o_orderstatus, COUNT(*) AS n_orders,"
+            " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total"
+            " FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000"
+            " GROUP BY o_orderstatus ORDER BY o_orderstatus"
         ),
         "unpivot_metrics": windows.unpivot_lineitem_metrics_sql(),
         "grouping_sets": (

@@ -460,3 +460,18 @@ def test_full_outer_reconcile_is_single_smj(spark, sf001):
     plan = _plan(entry.queries()["full_outer_reconcile"](spark, sf001))
     assert "SortMergeJoin" in plan and "FullOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sorted_layout_key_filter_pushed(spark, sf001):
+    """The sorted range-partitioned layout read-back: the key-range
+    predicate must reach the parquet scan as PushedFilters, where
+    per-file/row-group min-max stats (disjoint ranges by layout) make
+    the read touch ~one file."""
+    import re
+
+    df = entry.queries()["sorted_layout_prune"](spark, sf001)
+    plan = _formatted(df)
+    assert re.search(
+        r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderkey,1000\)"
+        r".*LessThan\(o_orderkey,2000\)", plan
+    )
