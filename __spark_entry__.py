@@ -964,6 +964,12 @@ def _q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return SE.sessions_available_now(spark, sf)
 
 
+def _q_window_rank_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # percent_rank + cume_dist relative-rank windows; full tiebreak
+    # makes both exact integer ratios.
+    return windows.value_rank_stats(read_table(spark, sf, "events"))
+
+
 def _q_sorted_layout_prune(spark: SparkSession, sf: str) -> DataFrame:
     # Range-partitioned + sorted-within-partitions layout: each output
     # file covers a disjoint o_orderkey range, so parquet min/max
@@ -1219,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate_sample": _q_quality_gate_sample,
         "full_outer_reconcile": _q_full_outer_reconcile,
         "sorted_layout_prune": _q_sorted_layout_prune,
+        "window_rank_stats": _q_window_rank_stats,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "bucketed_join": _q_bucketed_join,
         "approx_distinct_check": _q_approx_distinct_check,
@@ -1385,6 +1392,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM l FULL OUTER JOIN r USING (o_orderkey)"
             " GROUP BY klass ORDER BY klass"
         ),
+        "window_rank_stats": windows.value_rank_stats_sql(),
         "sorted_layout_prune": (
             "SELECT o_orderstatus, COUNT(*) AS n_orders,"
             " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total"

@@ -960,3 +960,41 @@ FROM paths GROUP BY path
 ORDER BY n_users DESC, path ASC
 LIMIT {top}
 """
+
+
+def value_rank_stats(events: DataFrame) -> DataFrame:
+    """Relative-rank window family (percent_rank + cume_dist): each
+    purchase's value position within its event type — the remaining
+    SQL window-function group (row_number/rank/ntile/lag/lead/frames
+    live in the sibling operators).
+
+    The full (value, event_id) tiebreak makes every row's rank unique,
+    so both statistics are exact integer ratios — (rank-1)/(n-1) and
+    rn/n — identical across engines. One shuffle on event_type.
+    """
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def value_rank_stats_sql() -> str:
+    return """
+SELECT event_id, event_type, value,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+ORDER BY event_id
+"""
