@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+# scratch databases created by bucketed_join_totals in this process,
+# dropped on the next invocation once their lazy readers are done
+_SCRATCH_DBS: set = set()
+
 
 def asof_join(
     left: DataFrame,
@@ -238,11 +242,27 @@ def bucketed_join_totals(
     """
     import os
     import tempfile
+    import uuid
 
     if database_dir is None:
         database_dir = tempfile.mkdtemp(prefix="bucketed_wh_")
-    db = "bx"
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{os.path.join(database_dir, 'bx.db')}'")
+    # unique db per invocation: CREATE DATABASE IF NOT EXISTS would
+    # silently keep a previous call's LOCATION, ignoring the caller's
+    # database_dir on reuse of the same session. Scratch dbs from
+    # earlier invocations are dropped here (not before return — the
+    # returned DataFrame lazily reads the managed tables).
+    for stale in list(_SCRATCH_DBS):
+        try:
+            spark.sql(f"DROP DATABASE IF EXISTS {stale} CASCADE")
+            _SCRATCH_DBS.discard(stale)
+        except Exception:
+            pass
+    db = f"bx_{uuid.uuid4().hex[:12]}"
+    _SCRATCH_DBS.add(db)
+    spark.sql(
+        f"CREATE DATABASE {db} "
+        f"LOCATION '{os.path.join(database_dir, db + '.db')}'"
+    )
     (
         lineitem.select("l_orderkey", "l_quantity")
         .write.mode("overwrite")

@@ -547,14 +547,16 @@ def winnowing_fingerprints(
         acc = F.zip_with(
             acc, nxt, lambda a, x: (a * 1_000_003 + x) % 2_147_483_647
         )
+    if k == 1:
+        # no fold pass ran, so the per-element mod was never applied;
+        # must happen BEFORE gr is built or the raw 32-bit hashes leak
+        # through (the SQL twin always applies the mod via list_reduce)
+        acc = F.transform(acc, lambda a: a % 2_147_483_647)
     gr = th.select("doc_id", F.when(n_grams > 0, acc).otherwise(
         F.expr("CAST(array() AS ARRAY<BIGINT>)")
     ).alias("g"))
     # window minimum over w consecutive grams, as w-1 least() passes
     n_windows = F.greatest(F.size("g") - (w - 1), F.lit(0))
-    if k == 1:
-        # no fold pass ran, so the per-element mod was never applied
-        acc = F.transform(acc, lambda a: a % 2_147_483_647)
     mins = F.slice(F.col("g"), 1, n_windows)
     for j in range(1, w):
         nxt = F.slice(F.col("g"), 1 + j, n_windows)

@@ -856,7 +856,11 @@ def hourly_anomaly(events: DataFrame) -> DataFrame:
     sum_d = F.col("sum_c").cast("double")
     sumsq_d = F.col("sumsq_c").cast("double")
     mean = sum_d / n_d
-    sigma = F.sqrt((sumsq_d - sum_d * sum_d / n_d) / n_d)
+    # clamp: at huge per-type counts (sum_c^2 > 2^53) float rounding
+    # can push a ~0 variance slightly negative — Spark would return
+    # NaN while DuckDB errors on sqrt(<0); greatest(0.0, ...) in BOTH
+    # engines keeps the twins aligned
+    sigma = F.sqrt(F.greatest(F.lit(0.0), (sumsq_d - sum_d * sum_d / n_d) / n_d))
     return (
         hourly.join(F.broadcast(stats), "event_type")
         .select(
@@ -886,9 +890,10 @@ stats AS (
 )
 SELECT h.event_type, h.hour, h.cnt,
        abs(CAST(h.cnt AS DOUBLE) - CAST(sum_c AS DOUBLE) / CAST(n_hours AS DOUBLE))
-         > 3.0 * sqrt((CAST(sumsq_c AS DOUBLE)
+         > 3.0 * sqrt(greatest(0.0,
+                      (CAST(sumsq_c AS DOUBLE)
                        - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / CAST(n_hours AS DOUBLE))
-                      / CAST(n_hours AS DOUBLE)) AS is_anomaly
+                      / CAST(n_hours AS DOUBLE))) AS is_anomaly
 FROM hourly h JOIN stats s USING (event_type)
 ORDER BY event_type, hour
 """

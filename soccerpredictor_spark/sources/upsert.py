@@ -131,12 +131,21 @@ def upsert_path(
     pk: Sequence[str],
     partition_col: str | None = None,
     seq_col: str | None = None,
+    out_partitions: int | None = None,
 ) -> None:
     """Whitelist-free upsert into an explicit parquet table path —
     the engine primitive behind ``upsert`` and the streaming
-    ``foreachBatch`` sink (streaming/events.upsert_sink)."""
+    ``foreachBatch`` sink (streaming/events.upsert_sink).
+
+    ``out_partitions``: coalesce the merged table to this many output
+    files — the scoped alternative to mutating the session-global
+    ``spark.sql.shuffle.partitions`` (which a concurrently-planned
+    query on the shared session would observe).
+    """
     existing = spark.read.parquet(path) if os.path.exists(path) else None
     merged = upsert_df(existing, batch, pk, seq_col=seq_col)
+    if out_partitions is not None:
+        merged = merged.coalesce(out_partitions)
     tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
     writer = merged.write.mode("overwrite")
     if partition_col is not None:

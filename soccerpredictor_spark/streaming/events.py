@@ -491,22 +491,21 @@ def upsert_available_now(spark: SparkSession, sf_dir: str, out_dir: str) -> Data
     from soccerpredictor_spark.sources.upsert import upsert_path
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        # out_partitions scopes the small-table file-count control to
+        # THIS write; mutating spark.sql.shuffle.partitions here would
+        # leak to any query planned concurrently on the shared session
         upsert_path(
-            batch_df.sparkSession, out_dir, batch_df, ["user_id"], seq_col="event_id"
+            batch_df.sparkSession, out_dir, batch_df, ["user_id"],
+            seq_col="event_id", out_partitions=8,
         )
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            src.writeStream.foreachBatch(_merge)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q = (
+        src.writeStream.foreachBatch(_merge)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.read.parquet(out_dir).orderBy("user_id")
 
 

@@ -240,6 +240,23 @@ class TestWinnowing:
         assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
         assert not (by_doc[1] & by_doc[3] & by_doc[2])
 
+    def test_k1_mod_applied(self, spark):
+        """k=1 skips the polynomial fold, so the per-element
+        ``% 2147483647`` must still be applied before the window pass —
+        the SQL twin always mods via list_reduce, and un-modded 32-bit
+        hashes would diverge cross-engine (round-4 ADVICE fix)."""
+        from soccerpredictor_spark.operators.textops import (
+            winnowing_fingerprints,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"tok{i}" for i in range(64)))],
+            ["doc_id", "text"],
+        )
+        fps = [r.fp for r in winnowing_fingerprints(docs, k=1).collect()]
+        assert fps
+        assert all(0 <= fp < 2_147_483_647 for fp in fps)
+
 
 class TestFunnel:
     def test_order_matters(self, spark):
