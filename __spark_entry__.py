@@ -775,9 +775,7 @@ def _q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.label_centroids(read_table(spark, sf, "embeddings"))
 
 
-def _q_ml_train_many(spark: SparkSession, sf: str) -> DataFrame:
-    # Many-small-models (groupBy + applyInPandas) — rows-only check:
-    # per-key fit/score is an iterative algorithm, not SQL.
+def _ml_train_many_df(spark: SparkSession, sf: str) -> DataFrame:
     from soccerpredictor_spark.ml.pipeline import train_many
 
     orders = read_table(spark, sf, "orders")
@@ -786,6 +784,28 @@ def _q_ml_train_many(spark: SparkSession, sf: str) -> DataFrame:
         key_cols=["o_orderpriority"],
         feature_cols=["o_totalprice"],
         label_col="o_orderstatus",
+    )
+
+
+def _q_ml_train_many(spark: SparkSession, sf: str) -> DataFrame:
+    # Many-small-models (groupBy + applyInPandas, ml/pipeline.train_many,
+    # generalizing reference XGBoost/Predictor.py:89-122's keyed fit).
+    # The entry surfaces the DETERMINISTIC per-key training-data
+    # contract computed INSIDE the Arrow fit function — n_rows,
+    # n_classes, exact int64-cent feature sum, sorted label histogram —
+    # so the applyInPandas path gets a full DuckDB hash check; the
+    # seeded fit's accuracy (not SQL-expressible) lives in the
+    # companion rows-only entry ml_train_many_accuracy.
+    return _ml_train_many_df(spark, sf).select(
+        "o_orderpriority", "n_rows", "n_classes", "feat_sum_cents", "label_hist"
+    )
+
+
+def _q_ml_train_many_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    # Rows-only BY DESIGN: per-key holdout accuracy of the seeded
+    # centroid fit — the iterative model fit has no SQL twin.
+    return _ml_train_many_df(spark, sf).select(
+        "o_orderpriority", "n_rows", "accuracy"
     )
 
 
@@ -1291,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": _q_salted_agg,
         "range_join": _q_range_join,
         "ml_train_many": _q_ml_train_many,
+        "ml_train_many_accuracy": _q_ml_train_many_accuracy,
         "range_join_bands": _q_range_join_bands,
         "encode_binary": _q_encode_binary,
         "regex_extract": _q_regex_extract,
@@ -1548,8 +1569,24 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _multimodal_decode_sql(),
         # The streaming entries ARE oracle-checked: one landed file =
         # one micro-batch, so availableNow output equals the batch plan
-        # (see _q_streaming_hourly). ml_train_many stays rows-only —
-        # iterative per-key model fits aren't ANSI-SQL-expressible.
+        # (see _q_streaming_hourly). ml_train_many surfaces the
+        # deterministic per-key training-data contract of the
+        # applyInPandas fit, so even the many-models path hash-checks;
+        # only the companion ml_train_many_accuracy (seeded fit score)
+        # stays rows-only by design.
+        "ml_train_many": (
+            "WITH lc AS (SELECT o_orderpriority, o_orderstatus AS lab, COUNT(*) AS cnt "
+            "FROM orders GROUP BY 1, 2), "
+            "hist AS (SELECT o_orderpriority, "
+            "string_agg(lab || ':' || cnt, ',' ORDER BY lab) AS label_hist, "
+            "COUNT(*) AS n_classes FROM lc GROUP BY 1) "
+            "SELECT o.o_orderpriority, COUNT(*) AS n_rows, "
+            "ANY_VALUE(h.n_classes) AS n_classes, "
+            "CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS feat_sum_cents, "
+            "ANY_VALUE(h.label_hist) AS label_hist "
+            "FROM orders o JOIN hist h USING (o_orderpriority) "
+            "GROUP BY o.o_orderpriority"
+        ),
         "streaming_hourly": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "COUNT(*) AS n_events, "

@@ -177,7 +177,11 @@ def train_many(
     import numpy as np
     import pandas as pd
 
-    schema = ", ".join([f"{k} string" for k in key_cols]) + ", n_rows long, accuracy double"
+    schema = (
+        ", ".join([f"{k} string" for k in key_cols])
+        + ", n_rows long, n_classes long, feat_sum_cents long,"
+        + " label_hist string, accuracy double"
+    )
 
     def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
         # dependency-free per-group model (nearest class centroid) so the
@@ -190,6 +194,22 @@ def train_many(
         keys = {k: str(pdf[k].iloc[0]) for k in key_cols}
         out = dict(keys)
         out["n_rows"] = len(pdf)
+        # deterministic, SQL-expressible training-data contract so the
+        # many-models path itself is oracle-checkable (accuracy alone
+        # has no SQL twin — the seeded split/fit is not SQL):
+        #   feat_sum_cents — exact int64 sum of the first feature in
+        #     cents; floor(x*100+0.5) == DuckDB round() for x >= 0
+        #   label_hist    — "label:count" pairs, sorted by label
+        labs = pdf[label_col].astype(str)
+        out["n_classes"] = int(labs.nunique())
+        f0 = pdf[feature_cols[0]].astype("float64").to_numpy()
+        out["feat_sum_cents"] = int(
+            np.floor(np.where(np.isnan(f0), 0.0, f0) * 100.0 + 0.5).astype("int64").sum()
+        )
+        vc = labs.value_counts()
+        out["label_hist"] = ",".join(
+            f"{lab}:{int(vc[lab])}" for lab in sorted(vc.index)
+        )
         x = pdf[feature_cols].astype("float64")
         x = x.fillna(x.mean()).fillna(0.0).to_numpy()
         y = pdf[label_col].astype(str).to_numpy()

@@ -110,6 +110,7 @@ NO_PYTHON_EXCEPTIONS = {
     # declared Arrow-batched pandas operators — the sanctioned Python
     "multimodal_decode",  # mapInPandas decode plumbing
     "ml_train_many",  # applyInPandas many-models
+    "ml_train_many_accuracy",  # same applyInPandas fit, accuracy surface
     "streaming_hourly",  # executes eagerly at build time
 }
 
