@@ -11,11 +11,21 @@ MinHash signatures — 3M md5s — took 7.7s on a 32-core local master
 because every one of them ran in the documents scan's single task.
 
 ``fan_out`` is the remedy and it is deliberately *conditional*: it
-round-robin-repartitions ONLY when the observed partition count is
+round-robin-repartitions ONLY when the scan's estimated split count is
 below the session's default parallelism. On a big scan it is a no-op
 (no exchange is added at 100 TB, where the shuffle would be the
 bottleneck); on a splits-starved scan it pays one tiny shuffle of the
 raw rows to buy full-cluster parallelism for everything downstream.
+
+The probe is METADATA-ONLY (round-4 verdict fix): split count is
+estimated from ``df.inputFiles()`` + local file sizes against
+``spark.sql.files.maxPartitionBytes`` — the same arithmetic
+FilePartition planning uses — instead of ``df.rdd.getNumPartitions()``,
+which forced a full physical-plan build per call and bypassed AQE.
+Non-file sources and remote object stores return no estimate and the
+helper is a no-op there: in-memory test DataFrames already carry
+defaultParallelism partitions, and a remote-store scan big enough to
+matter has splits >> cores anyway.
 
 The helper belongs immediately after the scan and BEFORE the
 expensive projection — fanning out after the compute has already
@@ -24,23 +34,74 @@ happened defeats the point.
 
 from __future__ import annotations
 
+import math
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame
+
+_UNITS = {
+    "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '4MB')."""
+    s = v.strip().lower()
+    num = s.rstrip("kmgtb")
+    unit = s[len(num):] or "b"
+    return int(float(num) * _UNITS.get(unit, 1))
+
+
+def estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimate the file-split count of the scan(s) backing ``df``
+    without building a physical plan: per file,
+    ``ceil(size / maxPartitionBytes)`` — the FilePartition packing
+    lower bound. Returns None when the estimate is unavailable
+    (non-file source, or files not on the local filesystem)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    max_bytes = _parse_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    splits = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("file", ""):
+            return None
+        try:
+            sz = os.path.getsize(unquote(parsed.path))
+        except OSError:
+            return None
+        splits += max(1, math.ceil(sz / max(1, max_bytes)))
+    return splits
 
 
 def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
-    """Repartition ``df`` to ``defaultParallelism * factor`` IFF its
-    current parallelism is lower; otherwise return it unchanged.
+    """Repartition ``df`` to ``defaultParallelism * factor`` IFF the
+    scan behind it is estimated to have fewer splits than that;
+    otherwise return it unchanged.
 
-    Call this on scan-stage DataFrames only: the partition probe
-    builds the physical RDD for ``df``, which is cheap for a scan but
-    would force planning work for a deep operator tree.
+    Call this on scan-stage DataFrames only — the split estimate reads
+    scan metadata (file list + sizes), so a deep operator tree would
+    misattribute its cost model, and fanning out above heavy compute
+    defeats the point anyway.
     """
     if df.isStreaming:
-        # no partition probe on a streaming plan; micro-batch sources
+        # no split probe on a streaming plan; micro-batch sources
         # already split by file/offset range
         return df
     sc = df.sparkSession.sparkContext
     target = max(1, sc.defaultParallelism * factor)
-    if df.rdd.getNumPartitions() >= target:
+    splits = estimated_scan_splits(df)
+    if splits is None or splits >= target:
         return df
     return df.repartition(target)

@@ -324,13 +324,29 @@ def test_driver_verification_window_ordering():
     )
 
 
-def test_fan_out_conditional(spark):
-    """fan_out repartitions only when the scan is below cluster
-    parallelism, and is the identity on already-parallel inputs."""
-    from soccerpredictor_spark.operators.scale import fan_out
+def test_fan_out_conditional(spark, tmp_path):
+    """fan_out repartitions only when the scan's estimated split count
+    is below cluster parallelism; non-file sources (no metadata to
+    estimate from) and already-parallel scans pass through unchanged."""
+    from soccerpredictor_spark.operators.scale import (
+        estimated_scan_splits,
+        fan_out,
+    )
 
     target = spark.sparkContext.defaultParallelism
-    narrow = spark.range(0, 1000, 1, 1)
+    # one small parquet file -> 1 estimated split -> fans out
+    p = str(tmp_path / "narrow")
+    spark.range(0, 1000, 1, 1).write.parquet(p)
+    narrow = spark.read.parquet(p)
+    assert estimated_scan_splits(narrow) == 1
     assert fan_out(narrow).rdd.getNumPartitions() == target
-    wide = spark.range(0, 1000, 1, target + 4)
+    # many files -> estimate >= target -> identity, no exchange added
+    pw = str(tmp_path / "wide")
+    spark.range(0, 10000, 1, target + 4).write.parquet(pw)
+    wide = spark.read.parquet(pw)
+    assert estimated_scan_splits(wide) >= target
     assert fan_out(wide) is wide
+    # non-file source: no estimate, no-op (never builds a physical plan)
+    mem = spark.range(0, 100, 1, 1)
+    assert estimated_scan_splits(mem) is None
+    assert fan_out(mem) is mem
