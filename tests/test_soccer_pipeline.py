@@ -125,3 +125,55 @@ def test_train_many_per_team(spark, fixtures):
     ]
     assert accs, "at least some teams should produce a trained accuracy"
     assert all(0.0 <= a <= 1.0 for a in accs)
+
+
+class TestEstimatorFactory:
+    """_estimator's xgboost.spark branch never runs in this container
+    (xgboost absent), so exercise it against a mocked module and pin
+    the hyperparameter-exact contract (reference config.py:33-35:
+    max_depth=2, n_estimators=100, learning_rate=0.1)."""
+
+    def test_xgb_branch_hyperparameters(self, monkeypatch):
+        import sys
+        import types
+
+        captured = {}
+
+        class FakeSparkXGBClassifier:
+            def __init__(self, **kw):
+                captured.update(kw)
+
+        xgb = types.ModuleType("xgboost")
+        xgb_spark = types.ModuleType("xgboost.spark")
+        xgb_spark.SparkXGBClassifier = FakeSparkXGBClassifier
+        xgb.spark = xgb_spark
+        monkeypatch.setitem(sys.modules, "xgboost", xgb)
+        monkeypatch.setitem(sys.modules, "xgboost.spark", xgb_spark)
+
+        from soccerpredictor_spark.ml.pipeline import _estimator
+
+        est = _estimator(3)
+        assert isinstance(est, FakeSparkXGBClassifier)
+        assert captured == {
+            "max_depth": 2,
+            "n_estimators": 100,
+            "learning_rate": 0.1,
+            "features_col": "features",
+            "label_col": "label",
+        }
+
+    def test_fallback_without_xgb(self, spark):  # GBT wrapper needs a live JVM
+        # in this environment xgboost is genuinely absent: the factory
+        # must return GBT (binary) / OneVsRest+GBT (3-class) with the
+        # same depth/rounds/step
+        from pyspark.ml.classification import GBTClassifier, OneVsRest
+
+        from soccerpredictor_spark.ml.pipeline import _estimator
+
+        b = _estimator(2)
+        assert isinstance(b, GBTClassifier)
+        assert b.getMaxDepth() == 2 and b.getMaxIter() == 100
+        assert abs(b.getStepSize() - 0.1) < 1e-12
+        m = _estimator(3)
+        assert isinstance(m, OneVsRest)
+        assert isinstance(m.getClassifier(), GBTClassifier)
