@@ -30,9 +30,105 @@ BANDS = 4
 PLANES_PER_BAND = 4
 DIM = 64
 
+#: near-dup candidate geometry: 8 bands x 8 planes = 256 buckets per
+#: band. The coarse 4x4 default (16 buckets/band) is fine for a
+#: single-query ANN probe but catastrophic for the pair SELF-join:
+#: at sf0.1 it passed 461,847 of ~2M possible pairs (23% — nearly
+#: all-pairs through a keyhole), making exact verification the
+#: operator's dominant cost. 8-plane buckets cut candidates ~7x
+#: (and bucket population ~n/256 per band scales the self-join
+#: linearly in true-duplicate count at 100 TB); 8 OR-ed bands keep
+#: collision probability ~94% at sim 0.9 (p_agree = 1 - acos(s)/pi,
+#: band hit = p^8, recall = 1-(1-p^8)^8) — recall concentrates on
+#: actual near-duplicates rather than the sim~0.3 long tail.
+ND_BANDS = 8
+ND_PLANES_PER_BAND = 8
+
 
 def _planes() -> list[list[float]]:
     return V.hyperplanes(BANDS * PLANES_PER_BAND, DIM)
+
+
+def _nd_planes() -> list[list[float]]:
+    return V.hyperplanes(ND_BANDS * ND_PLANES_PER_BAND, DIM)
+
+
+def _nd_sketch_udf():
+    """Arrow-vectorized near-dup sketch: ONE numpy pass per batch
+    computes the quantized int64 vector, its squared norm, and all
+    ``ND_BANDS`` bucket bit-strings (a (batch x dim) @ (dim x planes)
+    int matmul).
+
+    Why Python here: the pure-Catalyst formulation (per-plane
+    ``aggregate(zip_with(...))``) runs INTERPRETED — higher-order
+    functions don't codegen — and measured 4-11s for 2000x64 planes at
+    sf0.1, slower than the join work it feeds. The sanctioned
+    vectorized-Pandas-UDF path does the identical exact-integer
+    arithmetic (quantize = round-half-away-from-zero to 1e7, matching
+    Spark ``round`` and DuckDB ``round`` bit-for-bit) at memory
+    bandwidth. Declared in tests/test_plans.py's Python allowlist."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(_nd_planes(), dtype=np.int64)
+    ppb = ND_PLANES_PER_BAND
+    nb = ND_BANDS
+    scale = V.SCALE
+
+    # NOTE: no type hints — `from __future__ import annotations` turns
+    # them into strings this module's scope can't re-evaluate, breaking
+    # pandas_udf's signature inference; the explicit SCALAR eval type
+    # carries the same information.
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf(
+        "struct<iv: array<bigint>, nrm: bigint, buckets: array<string>>",
+        PandasUDFType.SCALAR,
+    )
+    def sketch(emb):
+        if len(emb) == 0:
+            return pd.DataFrame({"iv": [], "nrm": [], "buckets": []})
+        M = np.stack(emb.to_numpy()).astype(np.float64)
+        IV = np.where(
+            M >= 0,
+            np.floor(M * scale + 0.5),
+            np.ceil(M * scale - 0.5),
+        ).astype(np.int64)
+        D = IV @ P.T
+        nrm = (IV * IV).sum(axis=1)
+        bits = np.where(D >= 0, "1", "0")
+        buckets = [
+            ["".join(r[i * ppb : (i + 1) * ppb]) for i in range(nb)]
+            for r in bits
+        ]
+        return pd.DataFrame(
+            {"iv": list(IV), "nrm": nrm, "buckets": buckets}
+        )
+
+    return sketch
+
+
+def _pair_dot_udf():
+    """Arrow-vectorized exact int64 dot of two pre-quantized arrays —
+    the near-dup verification kernel ((pairs x dim) elementwise
+    multiply-sum per batch). Same interpreted-HOF rationale as
+    ``_nd_sketch_udf``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def pair_dot(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.stack(a.to_numpy()).astype(np.int64)
+        B = np.stack(b.to_numpy()).astype(np.int64)
+        return pd.Series((A * B).sum(axis=1))
+
+    return pair_dot
 
 
 def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
@@ -244,31 +340,23 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
     comparison never happens. Returns (vec_a, vec_b, sim), vec_a < vec_b.
 
     Physical shape (the part that matters at 100 TB):
-    - each vector is quantized ONCE and its squared norm computed ONCE
-      in the base projection — candidate pairs then cost a single
-      zip_with multiply + integer sum, not six re-quantizations;
+    - quantization, norms, and ALL band buckets come from one
+      Arrow-batched numpy pass (``_nd_sketch_udf``: a batch x dim
+      int matmul against the plane matrix) — exact integer
+      arithmetic identical to the DuckDB twin, at memory bandwidth;
     - the bucket self-join and pair-dedup move only (vec_id, band,
       bucket) — the 64-wide arrays never enter a shuffle;
     - vectors are joined back to the deduped id-pairs from the compact
       ``base`` projection (broadcast when small; hash-join on vec_id
-      otherwise).
+      otherwise), and verification is one vectorized elementwise
+      multiply-sum per candidate batch (``_pair_dot_udf``).
     """
-    planes = _planes()
     base = fan_out(emb).select(
-        "vec_id", V.int_vec(F.col("embedding")).alias("iv")
-    ).withColumn("nrm", V.sq_norm_iv(F.col("iv")))
-    band_entries = []
-    for bi in range(BANDS):
-        band_planes = planes[bi * PLANES_PER_BAND : (bi + 1) * PLANES_PER_BAND]
-        band_entries.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                V.lsh_bucket_iv(F.col("iv"), band_planes).alias("bucket"),
-            )
-        )
+        "vec_id", _nd_sketch_udf()(F.col("embedding")).alias("sk")
+    ).select("vec_id", F.col("sk.iv").alias("iv"), F.col("sk.nrm").alias("nrm"), F.col("sk.buckets").alias("buckets"))
     bnd = base.select(
-        "vec_id", F.explode(F.array(*band_entries)).alias("e")
-    ).select("vec_id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+        "vec_id", F.posexplode("buckets").alias("band", "bucket")
+    )
     a = bnd.alias("a")
     b = bnd.alias("b")
     cand = (
@@ -286,7 +374,7 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
     vb = base.select(
         F.col("vec_id").alias("vec_b"), F.col("iv").alias("iv_b"), F.col("nrm").alias("nrm_b")
     )
-    sim = V.int_dot_iv(F.col("iv_a"), F.col("iv_b")).cast("double") / (
+    sim = _pair_dot_udf()(F.col("iv_a"), F.col("iv_b")).cast("double") / (
         F.sqrt(F.col("nrm_a").cast("double")) * F.sqrt(F.col("nrm_b").cast("double"))
     )
     return (
@@ -298,10 +386,10 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
 
 
 def cosine_near_dup_sql(threshold: float = 0.25) -> str:
-    planes = _planes()
+    planes = _nd_planes()
     band_selects = []
-    for bi in range(BANDS):
-        band_planes = planes[bi * PLANES_PER_BAND : (bi + 1) * PLANES_PER_BAND]
+    for bi in range(ND_BANDS):
+        band_planes = planes[bi * ND_PLANES_PER_BAND : (bi + 1) * ND_PLANES_PER_BAND]
         bucket = V.sql_lsh_bucket("embedding", band_planes)
         band_selects.append(
             f"SELECT vec_id, embedding, {bi} AS band, ({bucket}) AS bucket FROM embeddings"

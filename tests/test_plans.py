@@ -109,6 +109,8 @@ def test_asof_join_is_single_shuffle_window(spark, sf001):
 NO_PYTHON_EXCEPTIONS = {
     # declared Arrow-batched pandas operators — the sanctioned Python
     "multimodal_decode",  # mapInPandas decode plumbing
+    "embedding_near_dup",  # Arrow sketch+verify kernels (similarity._nd_sketch_udf)
+    "embedding_dedup_clusters",  # same pair pipeline under the CC loop
     "ml_train_many",  # applyInPandas many-models
     "ml_train_many_accuracy",  # same applyInPandas fit, accuracy surface
     "streaming_hourly",  # executes eagerly at build time
