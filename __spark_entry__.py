@@ -720,6 +720,46 @@ def _q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     return joins.asof_last_purchase(read_table(spark, sf, "events"))
 
 
+def _q_asof_join_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    # bounded-lookback as-of (merge_asof tolerance semantics): same
+    # union+window single-shuffle plan, match older than 1h nulled.
+    from soccerpredictor_spark.operators import joins
+
+    return joins.asof_last_purchase_tolerance(read_table(spark, sf, "events"))
+
+
+def _q_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
+    # per-user gap fill: last purchase value carried forward, one
+    # window pass, no self-join.
+    return windows.forward_fill_purchase_value(read_table(spark, sf, "events"))
+
+
+def _q_mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    # deterministic per-user modal event type (categorical imputation).
+    return windows.mode_event_type_per_user(read_table(spark, sf, "events"))
+
+
+def _q_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # BPE-ish pretokenizer accounting: piece counts + chars/piece cost
+    # proxy, pure regexp scan projection.
+    return textops.bpe_token_stats(read_table(spark, sf, "documents"))
+
+
+def _q_media_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # exact media dedup on payload md5 — blobs hashed in the scan,
+    # never shuffled.
+    from soccerpredictor_spark.operators import multimodal
+
+    media = multimodal.media_from_documents(read_table(spark, sf, "documents"))
+    return multimodal.media_dedup(media)
+
+
+def _q_feature_corr(spark: SparkSession, sf: str) -> DataFrame:
+    # Pearson corr from exact integer sufficient statistics — the
+    # oracle-checkable replacement for order-dependent corr().
+    return windows.feature_corr(read_table(spark, sf, "lineitem"))
+
+
 def _q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     # literal tiers -> shuffle-free CASE projection (joins.range_tier_agg)
     from soccerpredictor_spark.operators import joins
@@ -1221,6 +1261,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # occupants: the 4 new entries plus every entry whose code
         # path changed this round (events ts migration, fan_out,
         # winnowing rewrite) — see PLANS.md window-rotation note.
+        "asof_join_tolerance": _q_asof_join_tolerance,
+        "forward_fill": _q_forward_fill,
+        "mode_per_group": _q_mode_per_group,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "media_dedup": _q_media_dedup,
+        "feature_corr": _q_feature_corr,
         "scd2_intervals": _q_scd2_intervals,
         "group_sample_topk": _q_group_sample_topk,
         "bm25_search": _q_bm25_search,
@@ -1564,6 +1610,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_fingerprint": textops.doc_fingerprint_sql(),
         "asof_join": _joins_mod().asof_last_purchase_sql(),
+        "asof_join_tolerance": _joins_mod().asof_last_purchase_tolerance_sql(),
+        "forward_fill": windows.forward_fill_purchase_value_sql(),
+        "mode_per_group": windows.mode_event_type_per_user_sql(),
+        "bpe_token_stats": textops.bpe_token_stats_sql(),
+        "media_dedup": _multimodal_mod().media_dedup_sql(),
+        "feature_corr": windows.feature_corr_sql(),
         "range_join": _joins_mod().range_tier_agg_sql(),
         "ann_ivf_topk": similarity.ivf_topk_sql(),
         "multimodal_decode": _multimodal_decode_sql(),

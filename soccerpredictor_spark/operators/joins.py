@@ -35,10 +35,17 @@ def asof_join(
     value_col: str,
     out_col: str = "asof_value",
     tiebreak: str | None = None,
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row gains the ``value_col`` of
     the last ``right`` row with the same ``key`` and ``right_ts`` <=
     ``left_ts`` (NULL when no such row).
+
+    ``tolerance_sec`` bounds the lookback (pandas ``merge_asof``
+    tolerance): a match older than ``left_ts - tolerance_sec`` is
+    nulled out. Implemented as a second windowed ``last`` carrying the
+    matched right row's timestamp — same single shuffle, no extra
+    join.
 
     Implementation: tag both inputs, union them, and take
     ``last(value, ignorenulls)`` over (key) ordered by
@@ -72,12 +79,21 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__tag").asc(), F.col("__tb").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
-        r.unionByName(l)
-        .withColumn(out_col, F.last("__val", ignorenulls=True).over(w))
-        .filter(F.col("__tag") == 1)
-        .select(*lcols, out_col)
+    out = r.unionByName(l).withColumn(
+        out_col, F.last("__val", ignorenulls=True).over(w)
     )
+    if tolerance_sec is not None:
+        rts = F.when(F.col("__tag") == 0, F.col("__ts"))
+        out = out.withColumn("__rts", F.last(rts, ignorenulls=True).over(w))
+        out = out.withColumn(
+            out_col,
+            F.when(
+                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__rts"))
+                <= F.lit(int(tolerance_sec * 1_000_000)),
+                F.col(out_col),
+            ),
+        )
+    return out.filter(F.col("__tag") == 1).select(*lcols, out_col)
 
 
 def asof_last_purchase(events: DataFrame) -> DataFrame:
@@ -121,6 +137,66 @@ w AS (
   FROM u
 )
 SELECT event_id, user_id, last_purchase_value FROM w WHERE __tag = 1
+"""
+
+
+#: tolerance for the bounded as-of entry: one hour.
+ASOF_TOLERANCE_SEC = 3600.0
+
+
+def asof_last_purchase_tolerance(events: DataFrame) -> DataFrame:
+    """Bounded as-of: for every 'click', the user's most recent
+    'purchase' value ONLY if it happened within the last hour —
+    pandas ``merge_asof(tolerance=...)`` semantics, same single-shuffle
+    union+window plan (the matched row's timestamp rides along in a
+    second windowed ``last``)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id"), "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_col="value",
+        out_col="recent_purchase_value",
+        tiebreak="p_event_id",
+        tolerance_sec=ASOF_TOLERANCE_SEC,
+    ).select("event_id", "user_id", "recent_purchase_value")
+
+
+def asof_last_purchase_tolerance_sql() -> str:
+    tol_us = int(ASOF_TOLERANCE_SEC * 1_000_000)
+    return f"""
+WITH u AS (
+  SELECT user_id, ts AS __ts, 0 AS __tag, event_id AS __tb, value AS __val,
+         NULL::BIGINT AS event_id
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts AS __ts, 1 AS __tag, 0 AS __tb, NULL::DOUBLE AS __val,
+         event_id
+  FROM events WHERE event_type = 'click'
+),
+w AS (
+  SELECT *,
+         last_value(__val IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY __ts ASC, __tag ASC, __tb ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS rv,
+         last_value(CASE WHEN __tag = 0 THEN __ts END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY __ts ASC, __tag ASC, __tb ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS rts
+  FROM u
+)
+SELECT event_id, user_id,
+       CASE WHEN epoch_us(__ts) - epoch_us(rts) <= {tol_us} THEN rv END
+         AS recent_purchase_value
+FROM w WHERE __tag = 1
 """
 
 

@@ -202,3 +202,51 @@ FROM documents
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact media dedup by payload content hash — the first pass any
+    100 TB media corpus runs before perceptual/embedding dedup: md5 of
+    the raw bytes, computed IN THE SCAN projection, then a hash-only
+    groupBy. Blobs never shuffle: only (md5, kind, media_id, n_bytes)
+    leave the scan stage, so the exchange is ~50 bytes/row regardless
+    of payload size.
+
+    Output: per duplicate-group (content hash), the number of copies,
+    the canonical keeper (min media_id — the same keep-min rule as the
+    text-side dedup family), and bytes reclaimed by dropping the rest.
+    Sorted by the hash for a deterministic driver comparison.
+    """
+    n_bytes = F.length(F.col("payload")).cast("long")
+    return (
+        media.select(
+            F.md5(F.col("payload")).alias("payload_md5"),
+            F.col("kind"),
+            F.col("media_id"),
+            n_bytes.alias("n_bytes"),
+        )
+        .groupBy("payload_md5", "kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("keep_media_id"),
+            (F.sum("n_bytes") - F.max("n_bytes")).alias("bytes_reclaimed"),
+        )
+        .orderBy("payload_md5", "kind")
+    )
+
+
+def media_dedup_sql() -> str:
+    """DuckDB twin over documents-derived media (md5 of VARCHAR hashes
+    its UTF-8 bytes — the same bytes ``encode(text)`` produced)."""
+    return """
+SELECT md5(text) AS payload_md5,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keep_media_id,
+       CAST(SUM(CAST(strlen(text) AS BIGINT))
+            - MAX(CAST(strlen(text) AS BIGINT)) AS BIGINT) AS bytes_reclaimed
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -1553,3 +1553,67 @@ scored AS (
 SELECT lang, COUNT(*) AS n_before, CAST(SUM(kept) AS BIGINT) AS n_kept
 FROM scored GROUP BY lang ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token statistics
+# --------------------------------------------------------------------------
+
+#: GPT-2-style pretokenizer classes, restricted to constructs whose
+#: semantics are identical between Java regex (Spark) and RE2 (DuckDB):
+#: letter runs, digit runs, and non-alnum-non-space runs.
+BPE_PIECE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token accounting with a BPE-ish pretokenizer
+    (letter/digit/punctuation runs — the piece boundaries a byte-pair
+    tokenizer starts from), next to the plain whitespace count:
+    (doc_id, n_ws_tokens, n_pieces, n_alpha, n_digit, n_punct,
+    chars_per_piece). The chars/piece ratio is the standard proxy for
+    "how many model tokens will this text cost" when the real
+    tokenizer isn't on the cluster.
+
+    Single scan, zero shuffles: every column is a regexp projection.
+    ``regexp_extract_all`` keeps the work one pass per class; exact
+    integer counts + one exact division keep the DuckDB twin
+    bit-identical.
+    """
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PIECE_RE), 0)
+    alpha = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), 0)
+    digit = F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)
+    n_pieces = F.size(pieces)
+    piece_chars = F.length(F.regexp_replace(F.col("text"), "[ \\t\\n\\r]+", ""))
+    return fan_out(docs).select(
+        "doc_id",
+        F.size(X.tokens("text")).alias("n_ws_tokens"),
+        n_pieces.alias("n_pieces"),
+        F.size(alpha).alias("n_alpha"),
+        F.size(digit).alias("n_digit"),
+        (n_pieces - F.size(alpha) - F.size(digit)).alias("n_punct"),
+        F.when(
+            n_pieces > 0,
+            piece_chars.cast("double") / n_pieces.cast("double"),
+        ).alias("chars_per_piece"),
+    ).orderBy("doc_id")
+
+
+def bpe_token_stats_sql() -> str:
+    toks = _sql_tokens()
+    return f"""
+SELECT doc_id,
+       len({toks}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+'))
+         AS n_pieces,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_digit,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+'))
+         - len(regexp_extract_all(text, '[A-Za-z]+'))
+         - len(regexp_extract_all(text, '[0-9]+')) AS n_punct,
+       CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+')) > 0
+            THEN CAST(length(regexp_replace(text, '[ \\t\\n\\r]+', '', 'g')) AS DOUBLE)
+                 / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+')) AS DOUBLE)
+       END AS chars_per_piece
+FROM documents
+ORDER BY doc_id
+"""

@@ -1003,3 +1003,171 @@ WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
 ORDER BY event_id
 """
+
+
+# --------------------------------------------------------------------------
+# forward fill (gap fill)
+# --------------------------------------------------------------------------
+
+
+def forward_fill_purchase_value(events: DataFrame) -> DataFrame:
+    """Per-user forward fill: every event carries the value of the
+    user's most recent purchase at or before it (NULL until the first
+    purchase) — the classic feature-engineering gap-fill, as ONE
+    window pass (``last(..., ignorenulls)`` over an unbounded-preceding
+    frame), no self-join.
+
+    One shuffle on user_id; deterministic ordering via (ts, event_id)
+    — event_id is unique, so equal-timestamp rows resolve identically
+    in any engine.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    src = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        events.select("event_id", "user_id", "ts", "event_type", "value")
+        .withColumn("filled_purchase_value",
+                    F.last(src, ignorenulls=True).over(
+                        w))
+        .select("event_id", "user_id", "event_type", "filled_purchase_value")
+        .orderBy("event_id")
+    )
+
+
+def forward_fill_purchase_value_sql() -> str:
+    return """
+SELECT event_id, user_id, event_type,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_purchase_value
+FROM events
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# per-group mode (most frequent value, deterministic tie-break)
+# --------------------------------------------------------------------------
+
+
+def mode_event_type_per_user(events: DataFrame) -> DataFrame:
+    """Per-user modal event type: the most frequent event_type, ties
+    broken by the lexicographically smallest type — the deterministic
+    mode used for categorical imputation in training pipelines.
+
+    Shape: count aggregation (map-side combinable) then a row_number
+    window over the per-user count table — the window input is
+    |users| x |event types| rows, already tiny relative to the event
+    stream, so the second shuffle is negligible at any scale.
+    """
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_event_type"),
+                F.col("cnt").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def mode_event_type_per_user_sql() -> str:
+    return """
+SELECT user_id, event_type AS modal_event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id, event_type
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY COUNT(*) DESC, event_type ASC) = 1
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# exact-sum feature correlation
+# --------------------------------------------------------------------------
+
+
+def feature_corr(lineitem: DataFrame) -> DataFrame:
+    """Per-returnflag Pearson correlation of quantity vs extended
+    price — the feature-screening statistic a training pipeline runs
+    before assembling correlated columns into one model.
+
+    Determinism: ``corr()`` itself accumulates doubles and is
+    partition-order-dependent, so it can't be oracle-checked. Instead
+    the five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are
+    EXACT integer sums of cent-quantized values (per-term products fit
+    int64; the sums accumulate as decimal(38,0) — Σy² reaches ~6e18 at
+    sf0.1 and would overflow a bigint accumulator at 100 TB), and the
+    correlation is assembled in double arithmetic FROM those exact
+    sums — the identical expression tree on identical inputs in both
+    engines. One map-side-combinable aggregation, one shuffle of 3
+    keys.
+    """
+    xc = F.round(F.col("l_quantity") * 100).cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    agg = (
+        lineitem.select(F.col("l_returnflag"), xc.alias("xc"), yc.alias("yc"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("xc").cast(d38)).alias("sx"),
+            F.sum(F.col("yc").cast(d38)).alias("sy"),
+            F.sum((F.col("xc") * F.col("xc")).cast(d38)).alias("sxx"),
+            F.sum((F.col("yc") * F.col("yc")).cast(d38)).alias("syy"),
+            F.sum((F.col("xc") * F.col("yc")).cast(d38)).alias("sxy"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        (sx / n / F.lit(100.0)).alias("mean_qty"),
+        (sy / n / F.lit(100.0)).alias("mean_price"),
+        corr.alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+def feature_corr_sql() -> str:
+    return """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n_rows,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)
+             * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE) / 100.0 AS mean_qty,
+       CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE) / 100.0 AS mean_price,
+       (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_qty_price
+FROM s ORDER BY l_returnflag
+"""

@@ -324,6 +324,53 @@ def test_driver_verification_window_ordering():
     )
 
 
+def test_driver_window_rotation_staleness():
+    """Rotation policy, enforced (round-4 verdict #8): with a
+    50-entry window over a >50-entry registry, a full re-verification
+    cycle takes ceil(n/50) rounds — so no entry may sit OUTSIDE the
+    current window with its most recent driver row more than
+    ``ceil(n/50)`` rounds behind the latest recorded round. An entry
+    older than that must be rotated back into the first 50 this round.
+    (The per-pytest DuckDB sweep in test_oracle_parity.py still
+    hash-checks everything locally; this pins the independent
+    driver-side re-verification cadence.)"""
+    import glob
+    import json
+    import math
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    last_round: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        n = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        rounds.append(n)
+        with open(path) as f:
+            rows = json.load(f)
+        for name, r in rows.items():
+            if isinstance(r, dict) and (
+                r.get("hash_match") is True
+                or (r.get("err") == "no_oracle" and r.get("spark_rows") is not None)
+            ):
+                last_round[name] = max(last_round.get(name, 0), n)
+    if not rounds:
+        return
+    latest = max(rounds)
+    names = list(entry_mod.queries())
+    cycle = math.ceil(len(names) / 50)
+    floor_round = latest - cycle + 1
+    stale_outside = [
+        f"{n} (last driver round {last_round[n]})"
+        for i, n in enumerate(names)
+        if i >= 50 and n in last_round and last_round[n] < floor_round
+    ]
+    assert not stale_outside, (
+        f"entries outside the window whose last driver verification is "
+        f"older than {cycle} rounds (< r{floor_round}): {stale_outside}"
+    )
+
+
 def test_fan_out_conditional(spark, tmp_path):
     """fan_out repartitions only when the scan's estimated split count
     is below cluster parallelism; non-file sources (no metadata to
