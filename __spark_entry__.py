@@ -1062,6 +1062,62 @@ def _q_sorted_layout_prune(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_zorder_prune(spark: SparkSession, sf: str) -> DataFrame:
+    # Z-order (Morton) layout: files cluster in BOTH filter dimensions
+    # so a conjunctive range predicate prunes on two columns' row-group
+    # stats at once — the multi-dim complement of sorted_layout_prune.
+    # The z-value is layout-only scaffolding; the oracle is the plain
+    # filtered aggregate.
+    import tempfile
+
+    from soccerpredictor_spark.operators.layout import write_zordered
+    from soccerpredictor_spark.sources.catalog import read_any
+
+    orders = read_table(spark, sf, "orders")
+    out = tempfile.mkdtemp(prefix="zorder_layout_") + "/orders"
+    write_zordered(
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        out,
+        x_col="o_orderkey",
+        y_col="o_custkey",
+    )
+    back = read_any(spark, out, "parquet")
+    return (
+        back.filter(
+            (F.col("o_orderkey") >= 1000)
+            & (F.col("o_orderkey") < 5000)
+            & (F.col("o_custkey") >= 100)
+            & (F.col("o_custkey") < 500)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(tpch.DEC)).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _q_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    # key-only LEFT ANTI orphan counts over the FK chain — the
+    # referential-integrity gate before any training join.
+    from soccerpredictor_spark.operators import quality
+
+    return quality.fk_integrity_audit(
+        read_table(spark, sf, "lineitem"),
+        read_table(spark, sf, "orders"),
+        read_table(spark, sf, "customer"),
+        read_table(spark, sf, "nation"),
+    )
+
+
+def _q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # one-pass Deequ-style column profile (stack/Expand + single agg).
+    from soccerpredictor_spark.operators import quality
+
+    return quality.table_profile(read_table(spark, sf, "orders"))
+
+
 def _q_full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
     # snapshot reconciliation via FULL OUTER join — the one join type
     # the inventory lacked: compare the high-value and urgent-priority
@@ -1261,6 +1317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # occupants: the 4 new entries plus every entry whose code
         # path changed this round (events ts migration, fan_out,
         # winnowing rewrite) — see PLANS.md window-rotation note.
+        "zorder_prune": _q_zorder_prune,
+        "fk_integrity_audit": _q_fk_integrity_audit,
+        "table_profile": _q_table_profile,
         "asof_join_tolerance": _q_asof_join_tolerance,
         "forward_fill": _q_forward_fill,
         "mode_per_group": _q_mode_per_group,
@@ -1611,6 +1670,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textops.doc_fingerprint_sql(),
         "asof_join": _joins_mod().asof_last_purchase_sql(),
         "asof_join_tolerance": _joins_mod().asof_last_purchase_tolerance_sql(),
+        "zorder_prune": (
+            "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+            "FROM orders "
+            "WHERE o_orderkey >= 1000 AND o_orderkey < 5000 "
+            "AND o_custkey >= 100 AND o_custkey < 500 "
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ),
+        "fk_integrity_audit": _quality_mod().fk_integrity_audit_sql(),
+        "table_profile": _quality_mod().table_profile_sql(),
         "forward_fill": windows.forward_fill_purchase_value_sql(),
         "mode_per_group": windows.mode_event_type_per_user_sql(),
         "bpe_token_stats": textops.bpe_token_stats_sql(),
@@ -1714,6 +1783,12 @@ def _multimodal_mod():
     from soccerpredictor_spark.operators import multimodal
 
     return multimodal
+
+
+def _quality_mod():
+    from soccerpredictor_spark.operators import quality
+
+    return quality
 
 
 def _joins_mod():

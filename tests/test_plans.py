@@ -478,3 +478,41 @@ def test_sorted_layout_key_filter_pushed(spark, sf001):
         r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderkey,1000\)"
         r".*LessThan\(o_orderkey,2000\)", plan
     )
+
+
+def test_zorder_layout_both_filters_pushed(spark, sf001):
+    """The z-ordered layout read-back: BOTH dimension predicates must
+    reach the parquet scan as PushedFilters — with the Morton-curve
+    clustering, each file's min/max stats are tight on both columns,
+    so the conjunctive box predicate prunes files in two dimensions."""
+    import re
+
+    df = entry.queries()["zorder_prune"](spark, sf001)
+    plan = _formatted(df)
+    assert re.search(
+        r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderkey,1000\)"
+        r".*LessThan\(o_orderkey,5000\)", plan
+    )
+    assert re.search(
+        r"PushedFilters: \[.*GreaterThanOrEqual\(o_custkey,100\)"
+        r".*LessThan\(o_custkey,500\)", plan
+    )
+
+
+def test_fk_audit_key_only_anti_joins(spark, sf001):
+    """FK orphan checks: anti-joins move key columns only — no wide
+    rows through the shuffle, and lineitem's scan reads exactly its
+    key column."""
+    plan = _plan(entry.queries()["fk_integrity_audit"](spark, sf001))
+    assert "LeftAnti" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint>" in _formatted(
+        entry.queries()["fk_integrity_audit"](spark, sf001)
+    )
+
+
+def test_table_profile_single_expand_no_reshape_shuffle(spark, sf001):
+    """Column profile: stack is an Expand projection feeding ONE
+    aggregation — the only exchanges are the agg's own."""
+    plan = _plan(entry.queries()["table_profile"](spark, sf001))
+    assert "Generate stack" in plan
+    assert "Join" not in plan
