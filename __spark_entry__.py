@@ -1313,10 +1313,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in round 1 plus everything new this round — therefore come FIRST;
     # the trailing entries all have green rows in CORRECTNESS_r01.
     return {
-        # --- FIRST 50 = the driver verification window. Round-4
-        # occupants: the 4 new entries plus every entry whose code
-        # path changed this round (events ts migration, fan_out,
-        # winnowing rewrite) — see PLANS.md window-rotation note.
+        # --- FIRST 50 = the driver verification window (the driver
+        # hash-checks queries()[0:50] in dict order). Round-5 occupants,
+        # in priority order:
+        #   1. the 10 never-driver-verified entries (9 new operators +
+        #      ml_train_many_accuracy);
+        #   2. the 8 entries whose code/output changed this round
+        #      (ml_train_many contract, winnowing k=1 fix, hourly_anomaly
+        #      clamp, bucketed_join scratch db, streaming_upsert scoped
+        #      partitions, the rewritten embedding near-dup pair
+        #      pipeline + both CC consumers);
+        #   3. the 29 stalest entries (every entry whose last driver row
+        #      is round 1 or 2 — tpch block, text/ann families);
+        #   4. 3 round-3-stale re-checks (dedup_containment and
+        #      multimodal_decode, formerly perf-'weak', plus
+        #      dedup_minhash_lsh).
+        # The local DuckDB sweep (tests/test_oracle_parity.py) still
+        # hash-checks ALL entries every pytest run, and
+        # tests/test_operators_unit.py::test_driver_window_rotation_staleness
+        # enforces this rotation cadence in CI. ---
         "zorder_prune": _q_zorder_prune,
         "fk_integrity_audit": _q_fk_integrity_audit,
         "table_profile": _q_table_profile,
@@ -1326,6 +1341,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "media_dedup": _q_media_dedup,
         "feature_corr": _q_feature_corr,
+        "ml_train_many_accuracy": _q_ml_train_many_accuracy,
+        "ml_train_many": _q_ml_train_many,
+        "winnowing": _q_winnowing,
+        "hourly_anomaly": _q_hourly_anomaly,
+        "bucketed_join": _q_bucketed_join,
+        "streaming_upsert": _q_streaming_upsert,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
+        "dedup_clusters": _q_dedup_clusters,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_simhash": _q_dedup_simhash,
+        "distinct_agg": _q_distinct_agg,
+        "hash_split": _q_hash_split,
+        "length_histogram": _q_length_histogram,
+        "ngram_topk": _q_ngram_topk,
+        "set_except": _q_set_except,
+        "text_profile": _q_text_profile,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q22": _q_tpch_q22,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "window_topn_per_group": _q_window_topn,
+        "distinct_projection": _q_distinct_projection,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "dedup_containment": _q_dedup_containment,
+        "multimodal_decode": _q_multimodal_decode,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        # --- outside the window (position >= 50): every entry below has
+        # a green driver row within the staleness bound (rounds 3-4) and
+        # is re-verified locally by the per-pytest oracle sweep. TPC-H
+        # note: the matrix is 18/22 BY FIXTURE (no partsupp table in the
+        # driver fixtures -> q2/q11/q16/q20 are undefinable; see
+        # plans/tpch.py module docstring). ---
         "scd2_intervals": _q_scd2_intervals,
         "group_sample_topk": _q_group_sample_topk,
         "bm25_search": _q_bm25_search,
@@ -1341,18 +1403,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_roundtrip_orc": _q_write_roundtrip_orc,
         "grouping_sets": _q_grouping_sets,
         "schema_evolution": _q_schema_evolution,
-        "streaming_upsert": _q_streaming_upsert,
         "media_frame_sample": _q_media_frame_sample,
         "token_gini": _q_token_gini,
-        "hourly_anomaly": _q_hourly_anomaly,
         "embedding_quality": _q_embedding_quality,
         "event_paths": _q_event_paths,
         "quality_gate_sample": _q_quality_gate_sample,
         "full_outer_reconcile": _q_full_outer_reconcile,
         "sorted_layout_prune": _q_sorted_layout_prune,
         "window_rank_stats": _q_window_rank_stats,
-        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
-        "bucketed_join": _q_bucketed_join,
         "approx_distinct_check": _q_approx_distinct_check,
         "curation_funnel": _q_curation_funnel,
         "minhash_est_vs_exact": _q_minhash_est_vs_exact,
@@ -1380,43 +1438,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_join": _q_streaming_join,
         "dedup_jaccard": _q_dedup_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_containment": _q_dedup_containment,
-        "winnowing": _q_winnowing,
-        # --- outside the window (position >= 50): green in a recorded
-        # CORRECTNESS_r* round. The tfidf/text/fingerprint/ngram/ann/
-        # embedding/multimodal block rotated out late in round 4 to
-        # make room for the 20 new entries above: their only round-4
-        # change (fan_out insertion) is driver-covered by the fan_out
-        # entries still in-window (winnowing, dedup family, bm25,
-        # inverted_index), and ALL entries passed the local ANSI
-        # driver-style oracle sweep at sf0.01 (PLANS.md round-4
-        # notes) after the change. ---
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "text_profile": _q_text_profile,
         "lang_confusion": _q_lang_confusion,
         "repetition_profile": _q_repetition_profile,
         "contamination_check": _q_contamination_check,
         "doc_fingerprint": _q_doc_fingerprint,
-        "ngram_topk": _q_ngram_topk,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "embedding_centroids": _q_embedding_centroids,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "multimodal_decode": _q_multimodal_decode,
-        "set_except": _q_set_except,
-        "distinct_agg": _q_distinct_agg,
         "media_stats": _q_media_stats,
-        "dedup_exact": _q_dedup_exact,
         "soccer_pipeline": _q_soccer_pipeline,
         "salted_agg": _q_salted_agg,
         "range_join": _q_range_join,
-        "ml_train_many": _q_ml_train_many,
-        "ml_train_many_accuracy": _q_ml_train_many_accuracy,
         "range_join_bands": _q_range_join_bands,
         "encode_binary": _q_encode_binary,
         "regex_extract": _q_regex_extract,
@@ -1438,26 +1470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fraction_avg": _q_fraction_avg,
         "pivot_avg": _q_pivot_avg,
         "left_join_dropna": _q_left_join_dropna,
-        "distinct_projection": _q_distinct_projection,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q22": _q_tpch_q22,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q17": _q_tpch_q17,
-        "hash_split": _q_hash_split,
-        "length_histogram": _q_length_histogram,
-        "window_topn_per_group": _q_window_topn,
     }
 
 
