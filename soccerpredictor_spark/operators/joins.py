@@ -383,3 +383,42 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def shuffle_hash_totals(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Big-big equi-join under an explicit SHUFFLE_HASH hint — the
+    remaining physical join strategy in the matrix (broadcast / SMJ /
+    bucketed-SMJ / salted / BNLJ band / shuffled-hash). When both
+    sides are too big to broadcast but one PARTITION of the build side
+    fits memory, hash-join beats sort-merge by skipping both sides'
+    sorts — the right pick for a skewless fact-fact join whose build
+    side is the smaller table. Result = per-orderstatus totals (the
+    hint changes the algorithm, never the rows).
+
+    Plan contract (tests/test_plans.py): ShuffledHashJoin, no sort
+    below the join.
+    """
+    li = lineitem.select("l_orderkey", "l_quantity")
+    od = orders.select("o_orderkey", "o_orderstatus")
+    joined = li.join(od.hint("SHUFFLE_HASH"), li.l_orderkey == od.o_orderkey)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def shuffle_hash_totals_sql() -> str:
+    return """
+SELECT o_orderstatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

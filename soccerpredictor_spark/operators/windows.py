@@ -1171,3 +1171,57 @@ SELECT l_returnflag, n_rows,
          AS corr_qty_price
 FROM s ORDER BY l_returnflag
 """
+
+
+# --------------------------------------------------------------------------
+# robust scaling (median/IQR feature normalization)
+# --------------------------------------------------------------------------
+
+
+def robust_scale(events: DataFrame) -> DataFrame:
+    """Per-type robust feature scaling: (value - median) / IQR — the
+    outlier-resistant normalization (sklearn RobustScaler) a feature
+    pipeline applies before models that assume centered inputs.
+
+    Determinism: median/quartiles use percentile_disc — SELECTION of
+    actual data values, no interpolation arithmetic — so the per-group
+    stats are bit-identical in any engine and at any partition count;
+    the scaling itself is then one identical double expression per
+    row. Tiny per-type stats broadcast back onto the row stream
+    (mad_outliers' shape); IQR = 0 yields NULL, not a division blowup.
+    """
+    stats = events.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        events.select("event_id", "event_type", "value")
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(iqr > 0, (F.col("value") - F.col("med")) / iqr).alias(
+                "scaled_value"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+def robust_scale_sql() -> str:
+    return """
+WITH stats AS (
+  SELECT event_type,
+         quantile_disc(value, 0.5) AS med,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       CASE WHEN (q3 - q1) > 0 THEN (value - med) / (q3 - q1) END AS scaled_value
+FROM events e JOIN stats s USING (event_type)
+ORDER BY event_id
+"""

@@ -42,3 +42,20 @@ def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) 
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact_small_files(
+    spark, in_dir: str, out_dir: str, target_files: int
+) -> None:
+    """Lakehouse maintenance: rewrite a directory of many small
+    parquet files into ``target_files`` larger ones (the OPTIMIZE /
+    compaction pass every streaming or per-batch-upsert table needs —
+    small files destroy scan parallelism economics at 100 TB: each
+    file costs a task, a footer read, and an open).
+
+    ``coalesce`` (not repartition) merges partitions WITHOUT a
+    shuffle: each output task concatenates several input files.
+    Row-level content is unchanged (verified by exceptAll in tests).
+    """
+    df = spark.read.parquet(in_dir)
+    df.coalesce(target_files).write.mode("overwrite").parquet(out_dir)

@@ -159,3 +159,38 @@ def upsert_path(
         shutil.rmtree(old)
     else:
         os.rename(tmp, path)
+
+
+def apply_cdc(
+    existing: DataFrame | None,
+    changes: DataFrame,
+    pk: Sequence[str],
+    op_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Full CDC merge — the DELETE-capable generalization of
+    ``upsert_df`` (Delta/Iceberg ``MERGE WHEN MATCHED THEN
+    UPDATE/DELETE`` semantics as plain DataFrame ops):
+
+    - ``changes`` rows carry ``op_col`` ('I'/'U' upsert, 'D' delete)
+      and a unique ``seq_col`` ordering the stream;
+    - per PK, only the LATEST change matters (one window pass over the
+      change batch — the change stream, not the table, pays the sort);
+    - final state = (existing MINUS changed PKs) UNION latest
+      non-delete changes.
+
+    Shape at 100 TB: the big ``existing`` table is touched by exactly
+    one anti-join on the PK (key-only broadcast when the change batch
+    is small — the common case); deletes cost nothing extra.
+    """
+    w = Window.partitionBy(*pk).orderBy(F.col(seq_col).cast("long").desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    if existing is None:
+        return survivors
+    keep = existing.join(latest.select(*pk), list(pk), "left_anti")
+    return keep.unionByName(survivors)

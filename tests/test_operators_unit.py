@@ -397,3 +397,82 @@ def test_fan_out_conditional(spark, tmp_path):
     mem = spark.range(0, 100, 1, 1)
     assert estimated_scan_splits(mem) is None
     assert fan_out(mem) is mem
+
+
+class TestApplyCdc:
+    def test_deletes_updates_inserts(self, spark):
+        from soccerpredictor_spark.sources.upsert import apply_cdc
+
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            ["k", "s", "v"],
+        )
+        # k=1 updated twice (seq 2 wins), k=2 deleted, k=4 inserted,
+        # k=3 untouched; k=5 inserted then deleted (net: absent)
+        changes = spark.createDataFrame(
+            [
+                (1, "a1", 11.0, "U", 1),
+                (1, "a2", 12.0, "U", 2),
+                (2, "b", 20.0, "D", 3),
+                (4, "d", 40.0, "I", 4),
+                (5, "e", 50.0, "I", 5),
+                (5, "e", 50.0, "D", 6),
+            ],
+            ["k", "s", "v", "op", "seq"],
+        )
+        got = {
+            r.k: (r.s, r.v)
+            for r in apply_cdc(base, changes, ["k"], "op", "seq").collect()
+        }
+        assert got == {1: ("a2", 12.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    def test_empty_base(self, spark):
+        from soccerpredictor_spark.sources.upsert import apply_cdc
+
+        changes = spark.createDataFrame(
+            [(1, 1.0, "I", 1), (1, 2.0, "D", 2)], ["k", "v", "op", "seq"]
+        )
+        assert apply_cdc(None, changes, ["k"], "op", "seq").count() == 0
+
+
+class TestCompaction:
+    def test_file_count_and_content(self, spark, tmp_path):
+        import glob
+
+        from soccerpredictor_spark.sources.sinks import compact_small_files
+
+        src = str(tmp_path / "small")
+        dst = str(tmp_path / "big")
+        df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+        df.repartition(16).write.parquet(src)
+        assert len(glob.glob(src + "/part-*")) == 16
+        compact_small_files(spark, src, dst, target_files=2)
+        assert len(glob.glob(dst + "/part-*")) <= 2
+        back = spark.read.parquet(dst)
+        assert back.exceptAll(df).count() == 0
+        assert df.exceptAll(back).count() == 0
+
+
+class TestAsofTolerance:
+    def test_stale_match_nulled(self, spark):
+        import datetime as dt
+
+        from soccerpredictor_spark.operators.joins import asof_join
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        s = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+        left = spark.createDataFrame(
+            [(1, s(10), 100), (1, s(200), 101)], ["k", "ts", "lid"]
+        )
+        right = spark.createDataFrame(
+            [(1, s(0), 1, 5.0)], ["k", "ts", "rid", "val"]
+        )
+        got = {
+            r.lid: r.asof_value
+            for r in asof_join(
+                left, right, key="k", left_ts="ts", right_ts="ts",
+                value_col="val", tiebreak="rid", tolerance_sec=3600.0,
+            ).collect()
+        }
+        # 10min-old match survives the 1h tolerance; 200min-old is nulled
+        assert got == {100: 5.0, 101: None}

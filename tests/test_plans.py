@@ -516,3 +516,20 @@ def test_table_profile_single_expand_no_reshape_shuffle(spark, sf001):
     plan = _plan(entry.queries()["table_profile"](spark, sf001))
     assert "Generate stack" in plan
     assert "Join" not in plan
+
+
+def test_shuffle_hash_join_no_sort(spark, sf001):
+    """SHUFFLE_HASH hint: hash join on the exchange, neither side
+    sorts — the whole point of picking it over sort-merge."""
+    plan = _plan(entry.queries()["shuffle_hash_join"](spark, sf001))
+    assert "ShuffledHashJoin" in plan
+    lines = plan.splitlines()
+    shj = [i for i, l in enumerate(lines) if "ShuffledHashJoin" in l]
+    assert shj
+    assert not any("Sort " in l.replace("*", "").strip() for l in lines[shj[0]:])
+
+
+def test_cdc_apply_anti_join_key_only(spark, sf001):
+    """CDC merge: the base table is touched by one LEFT ANTI join."""
+    plan = _plan(entry.queries()["cdc_apply"](spark, sf001))
+    assert "LeftAnti" in plan
