@@ -1617,3 +1617,121 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# sparse document-similarity kNN (posting-list join)
+# --------------------------------------------------------------------------
+
+#: doc_sim_knn geometry: terms in more than max_df docs are dropped
+#: (stopword-like terms would quadratically blow up the posting join);
+#: weight quantization scale keeps products exact in int64.
+SIM_MAX_DF = 100
+SIM_W_SCALE = 100_000.0
+SIM_K = 3
+
+
+def doc_sim_knn(docs: DataFrame, k: int = SIM_K, max_df: int = SIM_MAX_DF) -> DataFrame:
+    """Sparse text-similarity search: top-k nearest documents per doc
+    by cosine over df-normalized term-frequency vectors — the
+    inverted-index/posting-list join that complements the dense
+    (embedding) ANN family on the text side.
+
+    Scale shape:
+    - per-(doc, term) tf from one explode+groupBy;
+    - terms with document frequency > ``max_df`` are DROPPED before
+      the self-join (the df cap bounds every posting list, so the
+      pair fan-out is O(sum df^2 over rare terms), never corpus^2 —
+      same guard as the dedup family's capped shingles);
+    - weights are quantized to exact int64
+      (``round(SIM_W_SCALE * tf / df)``), so pair dot products and
+      norms are exact integer sums — order-independent, bit-identical
+      in DuckDB; the only floats are the final correctly-rounded
+      sqrt/divide;
+    - top-k per doc via a count-bounded rank window.
+
+    Returns (doc_a, doc_b, sim, rank), doc_a != doc_b, k rows max per
+    doc_a, ties broken by doc_b.
+    """
+    tf = (
+        fan_out(docs)
+        .select("doc_id", F.explode(X.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= max_df
+    )
+    w = tf.join(dfreq, "term").select(
+        "term",
+        "doc_id",
+        F.round((F.lit(SIM_W_SCALE) * F.col("tf")) / F.col("df"))
+        .cast("long")
+        .alias("wq"),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wq") * F.col("wq")).alias("nrm")
+    )
+    a = w.select(F.col("term"), F.col("doc_id").alias("doc_a"), F.col("wq").alias("wa"))
+    b = w.select(F.col("term"), F.col("doc_id").alias("doc_b"), F.col("wq").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    sim = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    from pyspark.sql import Window as W
+
+    rw = W.partitionBy("doc_a").orderBy(F.col("sim").desc(), F.col("doc_b").asc())
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .orderBy("doc_a", "rank")
+    )
+
+
+def doc_sim_knn_sql(k: int = SIM_K, max_df: int = SIM_MAX_DF) -> str:
+    toks = _sql_tokens()
+    return f"""
+WITH tf AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, {toks} AS ws FROM documents) t, UNNEST(ws) AS u(w)
+  GROUP BY doc_id, w
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term HAVING COUNT(*) <= {max_df}
+),
+w AS (
+  SELECT tf.term, tf.doc_id,
+         CAST(round(({SIM_W_SCALE} * tf.tf) / dfreq.df) AS BIGINT) AS wq
+  FROM tf JOIN dfreq USING (term)
+),
+norms AS (SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS nrm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(SUM(a.wq * b.wq) AS BIGINT) AS dot
+  FROM w a JOIN w b USING (term)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS sim
+  FROM dots
+  JOIN norms na ON na.doc_id = doc_a
+  JOIN norms nb ON nb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY sim DESC, doc_b ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY doc_a, rank
+"""

@@ -1225,3 +1225,160 @@ SELECT event_id, e.event_type, value,
 FROM events e JOIN stats s USING (event_type)
 ORDER BY event_id
 """
+
+
+# --------------------------------------------------------------------------
+# event-type transition matrix (first-order Markov)
+# --------------------------------------------------------------------------
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix of user behavior:
+    (from_type, to_type, n_transitions, p) where p is the row-
+    normalized transition probability — the sequence-mining summary
+    behind "what do users do after X" product questions and synthetic
+    session generation.
+
+    One lead() window per user (shuffle on user_id), then a tiny
+    (types x types) aggregation; p = exact integer count ratios.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tw = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(tw).cast("double")
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+def event_transitions_sql() -> str:
+    return """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+           AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
+# --------------------------------------------------------------------------
+# calendar spine gap fill
+# --------------------------------------------------------------------------
+
+
+def date_spine_fill(events: DataFrame) -> DataFrame:
+    """Dense daily series: every calendar day from the corpus min to
+    max date appears exactly once per event type, zero-filled where no
+    events landed — the gap-fill that makes window/trend arithmetic
+    safe (a missing day silently skews any moving average computed
+    over sparse rows).
+
+    The spine is ``sequence(min_day, max_day)`` — generated from two
+    scalar aggregates, exploded map-side, cross-joined with the tiny
+    type dimension, then LEFT-joined with the daily aggregates.
+    Nothing in the big table shuffles twice: daily aggregation is the
+    only event-stream shuffle; the spine side is dimension-sized.
+    """
+    days = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    types = events.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    return (
+        spine.join(daily, ["day", "event_type"], "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def date_spine_fill_sql() -> str:
+    return """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+),
+spine AS (
+  SELECT CAST(u.day AS DATE) AS day
+  FROM bounds, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(day)
+),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(s.day AS VARCHAR) AS day, t.event_type,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(d.value_cents, 0) AS value_cents
+FROM spine s CROSS JOIN types t
+LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+ORDER BY day, t.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# share-of-total window ratio
+# --------------------------------------------------------------------------
+
+
+def share_of_total(events: DataFrame) -> DataFrame:
+    """Per-event share of its type's total value — the percent-of-
+    total window ratio (contribution analysis). Numerator and
+    denominator are exact integer cents (the partition sum is
+    order-independent), so the single divide is bit-identical in any
+    engine; one shuffle on event_type."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type")
+    return (
+        events.select("event_id", "event_type", cents.alias("cents"))
+        .withColumn(
+            "share",
+            F.col("cents").cast("double") / F.sum("cents").over(w).cast("double"),
+        )
+        .select("event_id", "event_type", "share")
+        .orderBy("event_id")
+    )
+
+
+def share_of_total_sql() -> str:
+    return """
+SELECT event_id, event_type,
+       CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY event_type) AS DOUBLE) AS share
+FROM events
+ORDER BY event_id
+"""
