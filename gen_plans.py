@@ -41,6 +41,12 @@ HEADLINE = {
     "partitioned_prune": "Hive-partitioned read-back: the lang predicate resolves against directory metadata (PartitionFilters) — only the matching partition's files open",
     "ann_int8_topk": "int8 scalar-quantized MIPS: 4x-compressed codes, exact int64 dots, TakeOrdered heaps, zero shuffle",
     "unpivot_metrics": "Wide-to-long unpivot as an Expand projection: map-side row multiplication, zero reshape shuffle",
+    "doc_sim_knn": "Sparse text kNN: df-capped posting-list self-join, exact int64 dots, rank-window top-k",
+    "zorder_prune": "Z-order layout read-back: conjunctive two-dimension predicates pushed to the scan's row-group stats",
+    "cdc_apply": "CDC merge with deletes: one window over the change batch, one key-only anti-join against the base",
+    "shuffle_hash_join": "Explicit SHUFFLE_HASH: hash join on the exchange, zero sorts",
+    "fk_integrity_audit": "FK orphan audit: key-only LEFT ANTI joins, parent side distinct-reduced",
+    "date_spine_fill": "Calendar gap fill: generated spine x type dim broadcast-joined onto the single daily-agg shuffle",
 }
 
 # Performance-notes sections are maintained by hand in PLANS.md and
