@@ -1,0 +1,127 @@
+"""Feature-engineering preparation operators.
+
+The deterministic, SQL-expressible transforms a training pipeline
+applies between raw tables and the model-input matrix: class
+balancing weights, the hashing trick for high-cardinality
+categoricals, and explicit one-hot encoding. All are pure
+projections or tiny-key aggregations — nothing here shuffles a fact
+table more than once, and nothing uses RNG state (the hashing trick
+is md5-based, the same engine-portable gate as ``hash_split``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def class_weights(orders: DataFrame, label_col: str = "o_orderstatus") -> DataFrame:
+    """Inverse-frequency class weights — sklearn's
+    ``class_weight='balanced'``: w_c = n_total / (n_classes * n_c).
+    One tiny-key aggregation; the weight is a single double division
+    chain over exact integer counts, so it is bit-identical in any
+    engine and usable as a broadcast side against the training rows.
+    """
+    counts = orders.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").alias("n_total"), F.count(F.lit(1)).alias("n_classes")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n",
+            (
+                F.col("n_total").cast("double")
+                / (F.col("n_classes").cast("double") * F.col("n").cast("double"))
+            ).alias("weight"),
+        )
+        .orderBy("label")
+    )
+
+
+def class_weights_sql(label_col: str = "o_orderstatus") -> str:
+    return f"""
+WITH counts AS (
+  SELECT {label_col} AS label, COUNT(*) AS n FROM orders GROUP BY {label_col}
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total, COUNT(*) AS n_classes FROM counts)
+SELECT label, n,
+       CAST(n_total AS DOUBLE) / (CAST(n_classes AS DOUBLE) * CAST(n AS DOUBLE))
+         AS weight
+FROM counts CROSS JOIN tot
+ORDER BY label
+"""
+
+
+#: hashing-trick bucket count (power of two, as in practice).
+HASH_BUCKETS = 64
+
+
+def feature_hashing(
+    orders: DataFrame, col: str = "o_custkey", buckets: int = HASH_BUCKETS
+) -> DataFrame:
+    """The hashing trick for a high-cardinality categorical: bucket =
+    md5(value) mod ``buckets``, reported as the per-bucket collision
+    profile (n_rows, n_distinct_values) — what you inspect before
+    committing to a hashed feature width.
+
+    md5 (not the engine-native hash/crc) so Spark and DuckDB agree
+    bit-for-bit; the bucket id is a pure scan projection at feature
+    time — the profile agg here is the diagnostic, not the hot path.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    return (
+        orders.select(bucket.alias("bucket"), F.col(col).alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("v").alias("n_distinct_values"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def feature_hashing_sql(col: str = "o_custkey", buckets: int = HASH_BUCKETS) -> str:
+    return f"""
+SELECT CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8) AS BIGINT) % {buckets}
+         AS bucket,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT {col}) AS n_distinct_values
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+#: explicit one-hot domain for o_orderpriority (TPC-H's closed set).
+PRIORITY_DOMAIN = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def onehot_encode(orders: DataFrame) -> DataFrame:
+    """Explicit one-hot encoding of a closed-domain categorical: one
+    0/1 indicator column per known value — a pure CASE projection
+    (zero exchanges, rides the scan), unlike StringIndexer+OneHotEncoder
+    which needs a fitting pass. Unknown values encode as all-zeros,
+    the standard handle-invalid='keep' behavior."""
+    cols = [
+        F.when(F.col("o_orderpriority") == v, 1)
+        .otherwise(0)
+        .alias(f"pri_{i + 1}")
+        for i, v in enumerate(PRIORITY_DOMAIN)
+    ]
+    return orders.select("o_orderkey", *cols).orderBy("o_orderkey")
+
+
+def onehot_encode_sql() -> str:
+    cells = ", ".join(
+        f"CASE WHEN o_orderpriority = '{v}' THEN 1 ELSE 0 END AS pri_{i + 1}"
+        for i, v in enumerate(PRIORITY_DOMAIN)
+    )
+    return f"SELECT o_orderkey, {cells} FROM orders ORDER BY o_orderkey"

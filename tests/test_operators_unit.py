@@ -327,13 +327,17 @@ def test_driver_verification_window_ordering():
 def test_driver_window_rotation_staleness():
     """Rotation policy, enforced (round-4 verdict #8): with a
     50-entry window over a >50-entry registry, a full re-verification
-    cycle takes ceil(n/50) rounds — so no entry may sit OUTSIDE the
-    current window with its most recent driver row more than
-    ``ceil(n/50)`` rounds behind the latest recorded round. An entry
-    older than that must be rotated back into the first 50 this round.
-    (The per-pytest DuckDB sweep in test_oracle_parity.py still
-    hash-checks everything locally; this pins the independent
-    driver-side re-verification cadence.)"""
+    cycle takes ceil(n/50) rounds at MINIMUM — achievable only when
+    every round's window is perfectly packed with stale entries. Any
+    round that grows the registry necessarily spends window slots on
+    its never-verified newcomers (which this suite separately forces
+    into the window), displacing stale slots — so the enforced bound
+    is cycle + 1 round of slack: no entry may sit OUTSIDE the current
+    window with its most recent driver row more than ceil(n/50) + 1
+    rounds behind the latest recorded round. (The per-pytest DuckDB
+    sweep in test_oracle_parity.py still hash-checks everything
+    locally; this pins the independent driver-side re-verification
+    cadence.)"""
     import glob
     import json
     import math
@@ -359,7 +363,7 @@ def test_driver_window_rotation_staleness():
     latest = max(rounds)
     names = list(entry_mod.queries())
     cycle = math.ceil(len(names) / 50)
-    floor_round = latest - cycle + 1
+    floor_round = latest - cycle  # = latest - (cycle + 1) + 1
     stale_outside = [
         f"{n} (last driver round {last_round[n]})"
         for i, n in enumerate(names)
@@ -367,7 +371,7 @@ def test_driver_window_rotation_staleness():
     ]
     assert not stale_outside, (
         f"entries outside the window whose last driver verification is "
-        f"older than {cycle} rounds (< r{floor_round}): {stale_outside}"
+        f"older than {cycle + 1} rounds (< r{floor_round}): {stale_outside}"
     )
 
 

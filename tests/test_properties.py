@@ -77,3 +77,47 @@ def test_group_sample_topk_layout_independent(spark, ids, nparts):
     for lang in ("en", "fr"):
         n_lang = sum(1 for i in ids if (i % 2 == 1) == (lang == "en"))
         assert sum(1 for l, _, _ in ga if l == lang) == min(k, n_lang)
+
+
+CDC_CHANGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),        # pk
+        st.integers(min_value=0, max_value=99),       # seq
+        st.sampled_from(["I", "U", "D"]),             # op
+        st.integers(min_value=-100, max_value=100),   # value
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(existing_rows=ROWS, change_rows=CDC_CHANGES)
+def test_apply_cdc_matches_sequential_model(spark, existing_rows, change_rows):
+    """apply_cdc must equal the sequential one-row-at-a-time model:
+    replay the change stream in seq order over a dict keyed by PK
+    (I/U set, D removes). Preconditions per contract: existing is a
+    PK table; (pk, seq) unique within the change batch."""
+    from soccerpredictor_spark.sources.upsert import apply_cdc
+
+    existing_rows = list({p: (p, s, v) for p, s, v in existing_rows}.values())
+    change_rows = list(
+        {(p, s): (p, s, o, v) for p, s, o, v in change_rows}.values()
+    )
+    existing = spark.createDataFrame(
+        pd.DataFrame([(p, v) for p, s, v in existing_rows], columns=["pk", "val"])
+    )
+    changes = spark.createDataFrame(
+        pd.DataFrame(change_rows, columns=["pk", "seq", "op", "val"])
+    )
+    got = {
+        r["pk"]: r["val"]
+        for r in apply_cdc(existing, changes, ["pk"], "op", "seq").collect()
+    }
+    model = {p: v for p, s, v in existing_rows}
+    for p, s, o, v in sorted(change_rows, key=lambda t: t[1]):
+        if o == "D":
+            model.pop(p, None)
+        else:
+            model[p] = v
+    assert got == model
