@@ -1623,41 +1623,51 @@ ORDER BY doc_id
 # sparse document-similarity kNN (posting-list join)
 # --------------------------------------------------------------------------
 
-#: doc_sim_knn geometry: terms in more than max_df docs are dropped
-#: (stopword-like terms would quadratically blow up the posting join);
+#: doc_sim_knn geometry: shingles in more than max_df docs are dropped
+#: (hot shingles would quadratically blow up the posting join);
 #: weight quantization scale keeps products exact in int64.
 SIM_MAX_DF = 100
 SIM_W_SCALE = 100_000.0
 SIM_K = 3
+SIM_SHINGLE_N = 3
 
 
 def doc_sim_knn(docs: DataFrame, k: int = SIM_K, max_df: int = SIM_MAX_DF) -> DataFrame:
     """Sparse text-similarity search: top-k nearest documents per doc
-    by cosine over df-normalized term-frequency vectors — the
-    inverted-index/posting-list join that complements the dense
-    (embedding) ANN family on the text side.
+    by cosine over df-weighted SHINGLE sets — the inverted-index/
+    posting-list join that complements the dense (embedding) ANN
+    family on the text side.
+
+    The posting unit is the 3-token shingle, not the unigram: the
+    fixture corpus (like any natural one after stopwording) has a
+    small hot vocabulary — EVERY unigram's posting list is
+    corpus-sized (measured: 31 distinct terms, median df = 78% of
+    docs), so unigram posting joins are all-pairs in disguise.
+    Shingles explode the key space combinatorially (27k distinct at
+    sf0.1, max df 25) and rare-shingle overlap is exactly what
+    near-duplicate similarity means.
 
     Scale shape:
-    - per-(doc, term) tf from one explode+groupBy;
-    - terms with document frequency > ``max_df`` are DROPPED before
-      the self-join (the df cap bounds every posting list, so the
-      pair fan-out is O(sum df^2 over rare terms), never corpus^2 —
-      same guard as the dedup family's capped shingles);
+    - distinct per-(doc, shingle) rows from one projection+explode;
+    - shingles with document frequency > ``max_df`` are DROPPED
+      before the self-join (the df cap bounds every posting list, so
+      the pair fan-out is O(sum df^2 over rare shingles), never
+      corpus^2 — the dedup family's guard);
     - weights are quantized to exact int64
-      (``round(SIM_W_SCALE * tf / df)``), so pair dot products and
-      norms are exact integer sums — order-independent, bit-identical
-      in DuckDB; the only floats are the final correctly-rounded
+      (``round(SIM_W_SCALE / df)`` — rarer shingles weigh more, the
+      idf idea without a libm log), so pair dot products and norms
+      are exact integer sums — order-independent, bit-identical in
+      DuckDB; the only floats are the final correctly-rounded
       sqrt/divide;
     - top-k per doc via a count-bounded rank window.
 
     Returns (doc_a, doc_b, sim, rank), doc_a != doc_b, k rows max per
     doc_a, ties broken by doc_b.
     """
-    tf = (
-        fan_out(docs)
-        .select("doc_id", F.explode(X.tokens("text")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tok = fan_out(docs).select("doc_id", X.tokens("text").alias("tk"))
+    tf = tok.select(
+        "doc_id",
+        F.explode(X.shingles_from_tokens(F.col("tk"), SIM_SHINGLE_N)).alias("term"),
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= max_df
@@ -1665,9 +1675,7 @@ def doc_sim_knn(docs: DataFrame, k: int = SIM_K, max_df: int = SIM_MAX_DF) -> Da
     w = tf.join(dfreq, "term").select(
         "term",
         "doc_id",
-        F.round((F.lit(SIM_W_SCALE) * F.col("tf")) / F.col("df"))
-        .cast("long")
-        .alias("wq"),
+        F.round(F.lit(SIM_W_SCALE) / F.col("df")).cast("long").alias("wq"),
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("wq") * F.col("wq")).alias("nrm")
@@ -1699,19 +1707,18 @@ def doc_sim_knn(docs: DataFrame, k: int = SIM_K, max_df: int = SIM_MAX_DF) -> Da
 
 
 def doc_sim_knn_sql(k: int = SIM_K, max_df: int = SIM_MAX_DF) -> str:
-    toks = _sql_tokens()
+    from soccerpredictor_spark.operators.dedup import _sql_shingle_rows
+
     return f"""
 WITH tf AS (
-  SELECT doc_id, w AS term, COUNT(*) AS tf
-  FROM (SELECT doc_id, {toks} AS ws FROM documents) t, UNNEST(ws) AS u(w)
-  GROUP BY doc_id, w
+  SELECT doc_id, s AS term FROM ({_sql_shingle_rows(SIM_SHINGLE_N)}) sh0
 ),
 dfreq AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term HAVING COUNT(*) <= {max_df}
 ),
 w AS (
   SELECT tf.term, tf.doc_id,
-         CAST(round(({SIM_W_SCALE} * tf.tf) / dfreq.df) AS BIGINT) AS wq
+         CAST(round({SIM_W_SCALE} / dfreq.df) AS BIGINT) AS wq
   FROM tf JOIN dfreq USING (term)
 ),
 norms AS (SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS nrm FROM w GROUP BY doc_id),
