@@ -515,3 +515,59 @@ SELECT user_id, event_id, event_type, value FROM events
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
 ORDER BY user_id
 """
+
+
+def cdc_available_now(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """One-shot incremental run of the DELETE-capable CDC sink:
+    foreachBatch applies each micro-batch through
+    ``sources.upsert.apply_cdc`` (clicks = deletes, everything else =
+    upserts, event_id as the change sequence) into a parquet state
+    table — the streaming leg of the batch ``cdc_apply`` entry, same
+    merge semantics, same oracle shape. With the fixture landing as
+    one file = one micro-batch, the drained table equals the batch
+    CDC result computed from an empty base."""
+    import os
+    import shutil
+    import uuid
+
+    from soccerpredictor_spark.sources.upsert import apply_cdc
+
+    src = _stream_events_source(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value"
+    ).withColumn(
+        "op", F.when(F.col("event_type") == "click", "D").otherwise("U")
+    )
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        existing = ss.read.parquet(out_dir) if os.path.exists(out_dir) else None
+        merged = apply_cdc(existing, batch_df, ["user_id"], "op", "event_id")
+        tmp = f"{out_dir}.__tmp_{uuid.uuid4().hex[:8]}"
+        merged.coalesce(8).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(out_dir):
+            old = f"{out_dir}.__old_{uuid.uuid4().hex[:8]}"
+            os.rename(out_dir, old)
+            os.rename(tmp, out_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, out_dir)
+
+    q = (
+        src.writeStream.foreachBatch(_merge)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("user_id")
+
+
+def cdc_available_now_sql() -> str:
+    # single micro-batch over an empty base: final state = latest
+    # change per user, minus users whose latest change is a delete
+    return """
+SELECT user_id, event_type, value FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+  AND event_type <> 'click'
+ORDER BY user_id
+"""
