@@ -480,3 +480,134 @@ class TestAsofTolerance:
         }
         # 10min-old match survives the 1h tolerance; 200min-old is nulled
         assert got == {100: 5.0, 101: None}
+
+
+class TestZOrder:
+    def test_interleave_known_values(self, spark):
+        from soccerpredictor_spark.operators.layout import z_value
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], ["x", "y"]
+        )
+        got = [r.z for r in df.select(z_value(F.col("x"), F.col("y")).alias("z")).collect()]
+        # z = ...y1 x1 y0 x0: (1,0)->1, (0,1)->2, (1,1)->3,
+        # (3,5)=(011,101)-> bits x0=1,y0=1,x1=1,y1=0,x2=0,y2=1 -> 0b100111=39
+        assert got == [0, 1, 2, 3, 39]
+
+    def test_locality(self, spark):
+        """Points in a small (x, y) box map to a bounded z-range —
+        the clustering property the layout relies on."""
+        from soccerpredictor_spark.operators.layout import z_value
+
+        df = spark.range(0, 256).selectExpr("id % 16 AS x", "id div 16 AS y")
+        zs = df.select("x", "y", z_value(F.col("x"), F.col("y")).alias("z"))
+        box = zs.filter("x < 4 AND y < 4").agg(F.max("z")).first()[0]
+        assert box < 64  # 4x4 box fits in the first 64 z-values
+
+
+class TestForwardFill:
+    def test_null_until_first_purchase(self, spark):
+        import datetime as dt
+
+        from soccerpredictor_spark.operators.windows import (
+            forward_fill_purchase_value,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        s = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+        ev = spark.createDataFrame(
+            [
+                (1, s(0), 1, "view", 0.0),
+                (2, s(1), 1, "purchase", 5.0),
+                (3, s(2), 1, "click", 0.0),
+                (4, s(3), 1, "purchase", 7.0),
+                (5, s(4), 1, "view", 0.0),
+                (6, s(0), 2, "click", 0.0),
+            ],
+            ["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        got = {
+            r.event_id: r.filled_purchase_value
+            for r in forward_fill_purchase_value(ev).collect()
+        }
+        assert got == {1: None, 2: 5.0, 3: 5.0, 4: 7.0, 5: 7.0, 6: None}
+
+
+class TestModePerGroup:
+    def test_tie_breaks_lexicographically(self, spark):
+        import datetime as dt
+
+        from soccerpredictor_spark.operators.windows import (
+            mode_event_type_per_user,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                (1, t0, 1, "view"), (2, t0, 1, "view"),
+                (3, t0, 1, "click"), (4, t0, 1, "click"),
+                (5, t0, 2, "purchase"),
+            ],
+            ["event_id", "ts", "user_id", "event_type"],
+        )
+        got = {
+            r.user_id: (r.modal_event_type, r.n_events)
+            for r in mode_event_type_per_user(ev).collect()
+        }
+        # user 1: click/view tie at 2 -> 'click' (lexicographic)
+        assert got == {1: ("click", 2), 2: ("purchase", 1)}
+
+
+class TestMediaDedup:
+    def test_duplicate_payloads_grouped(self, spark):
+        from soccerpredictor_spark.operators.multimodal import media_dedup
+
+        rows = [
+            (1, "image", "m", bytearray(b"AAAA"), {}),
+            (4, "image", "m", bytearray(b"AAAA"), {}),  # dup of 1
+            (7, "image", "m", bytearray(b"BBBB"), {}),
+        ]
+        from soccerpredictor_spark.operators.multimodal import MEDIA_SCHEMA
+
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {
+            r.keep_media_id: (r.n_copies, r.bytes_reclaimed)
+            for r in media_dedup(media).collect()
+        }
+        assert got == {1: (2, 4), 7: (1, 0)}
+
+
+class TestFeatureCorr:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from soccerpredictor_spark.operators.windows import feature_corr
+
+        rng = np.random.RandomState(7)
+        q = rng.randint(1, 50, size=200).astype(float)
+        p = (q * 3.5 + rng.randint(0, 100, size=200)).round(2)
+        df = spark.createDataFrame(
+            [("A", float(a), float(b)) for a, b in zip(q, p)],
+            ["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        got = feature_corr(df).collect()[0]
+        want = np.corrcoef(q, p)[0, 1]
+        assert abs(got.corr_qty_price - want) < 1e-6
+        assert abs(got.mean_qty - q.mean()) < 1e-9
+
+
+class TestBpeTokenStats:
+    def test_piece_classes(self, spark):
+        from soccerpredictor_spark.operators.textops import bpe_token_stats
+
+        docs = spark.createDataFrame(
+            [(1, "hello world42 !!"), (2, "")], ["doc_id", "text"]
+        )
+        rows = {r.doc_id: r for r in bpe_token_stats(docs).collect()}
+        r1 = rows[1]
+        # pieces: hello | world | 42 | !!
+        assert (r1.n_pieces, r1.n_alpha, r1.n_digit, r1.n_punct) == (4, 2, 1, 1)
+        assert r1.n_ws_tokens == 3
+        # 14 non-space chars over 4 pieces
+        assert abs(r1.chars_per_piece - 14 / 4) < 1e-12
+        assert rows[2].n_pieces == 0 and rows[2].chars_per_piece is None

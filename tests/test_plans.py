@@ -533,3 +533,49 @@ def test_cdc_apply_anti_join_key_only(spark, sf001):
     """CDC merge: the base table is touched by one LEFT ANTI join."""
     plan = _plan(entry.queries()["cdc_apply"](spark, sf001))
     assert "LeftAnti" in plan
+
+
+def test_doc_sim_knn_df_cap_and_rank_limit(spark, sf001):
+    """Sparse kNN: posting join bounded by the df cap (a HAVING-style
+    filter on the shingle-frequency agg) and the output bounded by a
+    rank window — no cartesian, no unbounded fan-out."""
+    plan = _plan(entry.queries()["doc_sim_knn"](spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_onehot_is_pure_projection(spark, sf001):
+    """Closed-domain one-hot: CASE projection over the scan; the only
+    exchange is the output ordering."""
+    plan = _plan(entry.queries()["onehot_encode"](spark, sf001))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_robust_scale_broadcasts_stats(spark, sf001):
+    """Percentile stats are a tiny per-type table broadcast onto the
+    row stream — the event stream itself never join-shuffles."""
+    plan = _plan(entry.queries()["robust_scale"](spark, sf001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_date_spine_no_fact_reshuffle(spark, sf001):
+    """Calendar gap fill: daily agg is the only event-stream shuffle;
+    the spine side joins broadcast (dimension-sized)."""
+    plan = _plan(entry.queries()["date_spine_fill"](spark, sf001))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_media_dedup_blobs_never_shuffle(spark, sf001):
+    """Media dedup: the payload md5 is computed scan-side; only the
+    hash + metadata columns reach the aggregation exchange."""
+    df = entry.queries()["media_dedup"](spark, sf001)
+    plan = _plan(df)
+    lines = plan.splitlines()
+    ex = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    assert ex, "expected the groupBy exchange"
+    # no binary 'payload' attribute may appear at/above the exchange
+    for l in lines[: ex[0] + 1]:
+        assert "payload#" not in l, l
