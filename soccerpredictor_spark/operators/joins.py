@@ -21,9 +21,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-# scratch databases created by bucketed_join_totals in this process,
-# dropped on the next invocation once their lazy readers are done
+# scratch databases created by bucketed_join_totals in this process;
+# reclaimed explicitly via drop_scratch_databases once the caller has
+# consumed every returned DataFrame (dropping earlier would delete the
+# managed-table files out from under a still-lazy reader)
 _SCRATCH_DBS: set = set()
+
+
+def drop_scratch_databases(spark) -> int:
+    """Drop every scratch database this process's
+    ``bucketed_join_totals`` calls created. Call ONLY after all
+    DataFrames returned by those calls have been consumed — their
+    plans read the scratch managed tables lazily. Returns the number
+    of databases dropped."""
+    n = 0
+    for db in list(_SCRATCH_DBS):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        _SCRATCH_DBS.discard(db)
+        n += 1
+    return n
 
 
 def asof_join(
@@ -83,7 +99,13 @@ def asof_join(
         out_col, F.last("__val", ignorenulls=True).over(w)
     )
     if tolerance_sec is not None:
-        rts = F.when(F.col("__tag") == 0, F.col("__ts"))
+        # carry the timestamp of the MATCHED row: only right rows whose
+        # value is non-null can be the match (last(__val, ignorenulls)
+        # skips null-valued rows), so a newer right row with a NULL
+        # value must not advance the tolerance clock past a stale match
+        rts = F.when(
+            (F.col("__tag") == 0) & F.col("__val").isNotNull(), F.col("__ts")
+        )
         out = out.withColumn("__rts", F.last(rts, ignorenulls=True).over(w))
         out = out.withColumn(
             out_col,
@@ -187,7 +209,7 @@ w AS (
            PARTITION BY user_id ORDER BY __ts ASC, __tag ASC, __tb ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS rv,
-         last_value(CASE WHEN __tag = 0 THEN __ts END IGNORE NULLS) OVER (
+         last_value(CASE WHEN __tag = 0 AND __val IS NOT NULL THEN __ts END IGNORE NULLS) OVER (
            PARTITION BY user_id ORDER BY __ts ASC, __tag ASC, __tb ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS rts
@@ -324,15 +346,12 @@ def bucketed_join_totals(
         database_dir = tempfile.mkdtemp(prefix="bucketed_wh_")
     # unique db per invocation: CREATE DATABASE IF NOT EXISTS would
     # silently keep a previous call's LOCATION, ignoring the caller's
-    # database_dir on reuse of the same session. Scratch dbs from
-    # earlier invocations are dropped here (not before return — the
-    # returned DataFrame lazily reads the managed tables).
-    for stale in list(_SCRATCH_DBS):
-        try:
-            spark.sql(f"DROP DATABASE IF EXISTS {stale} CASCADE")
-            _SCRATCH_DBS.discard(stale)
-        except Exception:
-            pass
+    # database_dir on reuse of the same session. The scratch db cannot
+    # be dropped inside this function — the RETURNED DataFrame lazily
+    # reads the managed tables, and an auto-drop on the next call
+    # would invalidate a still-unconsumed earlier result. Callers that
+    # are done with every returned DataFrame reclaim the scratch space
+    # with ``drop_scratch_databases(spark)``.
     db = f"bx_{uuid.uuid4().hex[:12]}"
     _SCRATCH_DBS.add(db)
     spark.sql(

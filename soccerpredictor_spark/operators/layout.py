@@ -55,12 +55,32 @@ def write_zordered(
     (``x_col``, ``y_col``): range-partition on the z-value so each
     file owns a contiguous z-range (a small (x, y) rectangle), sort
     within partitions so row groups inside a file are tight too, then
-    drop the scaffold column before writing."""
-    zed = df.withColumn("__z", z_value(F.col(x_col), F.col(y_col)))
+    drop the scaffold columns before writing.
+
+    Keys are first NORMALIZED into the ``Z_BITS`` budget —
+    ``floor(v * 2^bits / (max+1))`` with the maxes computed in-plan (a
+    1-row aggregate broadcast, no driver collect). Interleaving raw
+    keys would silently alias any domain wider than 2^bits (e.g.
+    o_orderkey at sf0.1 already exceeds 2^16): the dropped high bits
+    would fold distant key ranges into the same z-range and every
+    file's min/max stats would span the whole table, defeating the
+    skipping the layout exists to buy."""
+    mx = df.agg(
+        F.max(F.col(x_col).cast("long")).alias("__xmax"),
+        F.max(F.col(y_col).cast("long")).alias("__ymax"),
+    )
+    scale = F.lit(1 << Z_BITS).cast("long")
+    zed = df.crossJoin(F.broadcast(mx)).withColumn(
+        "__z",
+        z_value(
+            (F.col(x_col).cast("long") * scale) / (F.col("__xmax") + 1),
+            (F.col(y_col).cast("long") * scale) / (F.col("__ymax") + 1),
+        ),
+    )
     (
         zed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__xmax", "__ymax")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -146,8 +146,19 @@ def upsert_path(
     merged = upsert_df(existing, batch, pk, seq_col=seq_col)
     if out_partitions is not None:
         merged = merged.coalesce(out_partitions)
+    atomic_swap_write(merged, path, partition_col=partition_col)
+
+
+def atomic_swap_write(
+    df: DataFrame, path: str, partition_col: str | None = None
+) -> None:
+    """Write ``df`` as a parquet table at ``path`` atomically:
+    write-to-temp, then directory rename swap — a partial failure
+    never leaves a corrupt table. The single swap implementation
+    shared by the batch upsert, the streaming foreachBatch upsert
+    sink, and the CDC sink."""
     tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
-    writer = merged.write.mode("overwrite")
+    writer = df.write.mode("overwrite")
     if partition_col is not None:
         writer = writer.partitionBy(partition_col)
     writer.parquet(tmp)

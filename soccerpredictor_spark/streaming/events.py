@@ -527,10 +527,8 @@ def cdc_available_now(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFra
     one file = one micro-batch, the drained table equals the batch
     CDC result computed from an empty base."""
     import os
-    import shutil
-    import uuid
 
-    from soccerpredictor_spark.sources.upsert import apply_cdc
+    from soccerpredictor_spark.sources.upsert import apply_cdc, atomic_swap_write
 
     src = _stream_events_source(spark, sf_dir).select(
         "user_id", "event_id", "event_type", "value"
@@ -542,15 +540,7 @@ def cdc_available_now(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFra
         ss = batch_df.sparkSession
         existing = ss.read.parquet(out_dir) if os.path.exists(out_dir) else None
         merged = apply_cdc(existing, batch_df, ["user_id"], "op", "event_id")
-        tmp = f"{out_dir}.__tmp_{uuid.uuid4().hex[:8]}"
-        merged.coalesce(8).write.mode("overwrite").parquet(tmp)
-        if os.path.exists(out_dir):
-            old = f"{out_dir}.__old_{uuid.uuid4().hex[:8]}"
-            os.rename(out_dir, old)
-            os.rename(tmp, out_dir)
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, out_dir)
+        atomic_swap_write(merged.coalesce(8), out_dir)
 
     q = (
         src.writeStream.foreachBatch(_merge)

@@ -295,8 +295,9 @@ def test_driver_verification_window_ordering():
 
     import __spark_entry__ as entry_mod
 
+    repo_root = os.path.dirname(os.path.abspath(entry_mod.__file__))
     verified: set[str] = set()
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         with open(path) as f:
             rows = json.load(f)
         # A row is verified only if the type-sensitive value hash
@@ -341,13 +342,17 @@ def test_driver_window_rotation_staleness():
     import glob
     import json
     import math
+    import os
     import re
 
     import __spark_entry__ as entry_mod
 
+    # derive the repo root from the entry module so the enforcement
+    # cannot vacuously pass on a checkout outside /root/repo
+    repo_root = os.path.dirname(os.path.abspath(entry_mod.__file__))
     last_round: dict[str, int] = {}
     rounds = []
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         n = int(re.search(r"_r(\d+)\.json$", path).group(1))
         rounds.append(n)
         with open(path) as f:
@@ -611,3 +616,28 @@ class TestBpeTokenStats:
         # 14 non-space chars over 4 pieces
         assert abs(r1.chars_per_piece - 14 / 4) < 1e-12
         assert rows[2].n_pieces == 0 and rows[2].chars_per_piece is None
+
+
+class TestAsofToleranceNullValue:
+    def test_null_valued_right_row_does_not_refresh_clock(self, spark):
+        """A newer right row with a NULL value cannot be the match
+        (last ignorenulls skips it), so it must not advance the
+        tolerance clock past the actual stale match (round-5 review
+        finding)."""
+        import datetime as dt
+
+        from soccerpredictor_spark.operators.joins import asof_join
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        s = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+        left = spark.createDataFrame([(1, s(120), 100)], ["k", "ts", "lid"])
+        right = spark.createDataFrame(
+            [(1, s(0), 1, 5.0), (1, s(119), 2, None)],
+            "k long, ts timestamp, rid long, val double",
+        )
+        got = asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            value_col="val", tiebreak="rid", tolerance_sec=3600.0,
+        ).collect()
+        # the only non-null match is 2h old -> outside the 1h tolerance
+        assert got[0].asof_value is None
