@@ -364,7 +364,13 @@ def _q_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         out,
         partition_by=("o_orderstatus",),
     )
-    back = read_any(spark, out, "parquet")
+    # explicit schema: a pruned/empty write leaves no data files and a
+    # schema-less read-back would fail UNABLE_TO_INFER_SCHEMA — the
+    # production contract is "the table exists, possibly with 0 rows"
+    back = read_any(
+        spark, out, "parquet",
+        schema="o_orderkey bigint, o_totalprice double, o_orderstatus string",
+    )
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast(tpch.DEC)).cast("double").alias("total"),
@@ -438,7 +444,12 @@ def _q_partitioned_prune(spark: SparkSession, sf: str) -> DataFrame:
         out,
         partition_by=("lang",),
     )
-    back = read_any(spark, out, "parquet")
+    # explicit schema so an empty write still reads back (see
+    # _q_write_roundtrip); partition column last, as the layout puts it
+    back = read_any(
+        spark, out, "parquet",
+        schema="doc_id bigint, source string, n_chars bigint, lang string",
+    )
     return (
         back.filter(F.col("lang") == "en")
         .groupBy("source")

@@ -506,7 +506,15 @@ def upsert_available_now(spark: SparkSession, sf_dir: str, out_dir: str) -> Data
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).orderBy("user_id")
+    # cold-start contract: an empty source drains ZERO micro-batches,
+    # so foreachBatch never ran and no table exists — materialize the
+    # empty table (and read back with an explicit schema: a 0-row
+    # parquet dir has no data files for inference either)
+    schema = "user_id bigint, event_id bigint, event_type string, value double"
+    import os as _os
+    if not _os.path.exists(out_dir):
+        spark.createDataFrame([], schema).coalesce(1).write.parquet(out_dir)
+    return spark.read.schema(schema).parquet(out_dir).orderBy("user_id")
 
 
 def upsert_available_now_sql() -> str:
@@ -549,7 +557,11 @@ def cdc_available_now(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFra
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).orderBy("user_id")
+    # cold-start contract — see upsert_available_now
+    schema = "user_id bigint, event_type string, value double"
+    if not os.path.exists(out_dir):
+        spark.createDataFrame([], schema).coalesce(1).write.parquet(out_dir)
+    return spark.read.schema(schema).parquet(out_dir).orderBy("user_id")
 
 
 def cdc_available_now_sql() -> str:
