@@ -182,35 +182,41 @@ def _stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _drain_available_now(agg: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+def _drain_available_now(
+    spark: SparkSession, sf_dir: str, transform, name: str, mode: str = "complete"
+) -> DataFrame:
     """Run a streaming plan to completion with Trigger.AvailableNow
     into a memory sink and return the drained result — the standard
     backfill/catch-up pattern: the SAME plan that runs continuously in
     production processes the backlog once and stops.
 
-    Shuffle partitions are sized DOWN for the run: a stateful query
+    ``transform`` builds the streaming aggregation from the events
+    source; it runs on a CLONED session (``newSession``: shared
+    SparkContext/executors, isolated SQL conf + catalog), because the
+    run needs shuffle partitions sized DOWN — a stateful query
     instantiates one state-store instance per shuffle partition per
     operator per micro-batch, so partition count should track state
-    size, not CPU count — the batch-side default (32 here) pays ~4x
-    pure store-open/commit overhead on small state. This is pinned at
-    the query's FIRST run: streaming checkpoints freeze the state
-    partitioning for the query's lifetime. (Results are partition-
-    count-independent — the exact-decimal convention.)"""
-    spark = agg.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    size, not CPU count; the batch-side default (32 here) pays ~4x
+    pure store-open/commit overhead on small state. Mutating the
+    SHARED session's conf instead (the previous shape, flagged in the
+    round-4 review for the upsert sink) would leak the override into
+    any query planned concurrently. The clone also scopes the
+    source's nanosAsLong/UTC settings and the memory-sink temp view.
+    (Results are partition-count-independent — the exact-decimal
+    convention; the pinned count matters because streaming checkpoints
+    freeze state partitioning at the query's FIRST run.)"""
+    run = spark.newSession()
+    run.conf.set("spark.sql.shuffle.partitions", "8")
+    agg = transform(_stream_events_source(run, sf_dir))
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return run.table(name)
 
 
 def hourly_rollup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,14 +228,14 @@ def hourly_rollup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     despite being a real incremental streaming execution.
     """
     return _drain_available_now(
-        windowed_counts(_stream_events_source(spark, sf_dir)), "hourly_rollup_stream"
+        spark, sf_dir, windowed_counts, "hourly_rollup_stream"
     )
 
 
 def sliding_rollup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-shot incremental run of the sliding-window rollup."""
     return _drain_available_now(
-        sliding_counts(_stream_events_source(spark, sf_dir)), "sliding_rollup_stream"
+        spark, sf_dir, sliding_counts, "sliding_rollup_stream"
     )
 
 
@@ -237,9 +243,7 @@ def dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-shot incremental run of the streaming key dedup (append
     mode: dropDuplicates emits each key once, on first sight)."""
     return _drain_available_now(
-        distinct_event_keys(_stream_events_source(spark, sf_dir)),
-        "dedup_stream",
-        mode="append",
+        spark, sf_dir, distinct_event_keys, "dedup_stream", mode="append"
     )
 
 
@@ -373,9 +377,7 @@ def attribution_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     support). One landed file = one micro-batch, so nothing is evicted
     before it can match and the drained result equals the batch twin."""
     return _drain_available_now(
-        purchase_attribution(_stream_events_source(spark, sf_dir)),
-        "attribution_stream",
-        mode="append",
+        spark, sf_dir, purchase_attribution, "attribution_stream", mode="append"
     )
 
 
@@ -420,8 +422,7 @@ def sessions_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch plan, so the entry is oracle-checked like the
     other streaming rollups."""
     return _drain_available_now(
-        sessionized_counts(_stream_events_source(spark, sf_dir)),
-        "sessions_stream",
+        spark, sf_dir, sessionized_counts, "sessions_stream"
     )
 
 
@@ -459,9 +460,7 @@ def stateful_counts_available_now(spark: SparkSession, sf_dir: str) -> DataFrame
     groupBy twin — so even the CUSTOM stateful path gets a full
     DuckDB oracle, not just a rows-only check."""
     return _drain_available_now(
-        stateful_user_counts(_stream_events_source(spark, sf_dir)),
-        "stateful_counts_stream",
-        mode="update",
+        spark, sf_dir, stateful_user_counts, "stateful_counts_stream", mode="update"
     )
 
 
