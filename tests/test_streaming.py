@@ -287,3 +287,35 @@ def test_streaming_upsert_sink(spark, sf_dir, landing_dir_by_time, tmp_path):
         (r.user_id, r.event_type): (r.event_id, r.value) for r in merged.collect()
     }
     assert got == expected
+
+
+def test_drain_never_mutates_shared_session_conf(spark, sf_dir):
+    """The availableNow drains run on a CLONED session; a query
+    planned concurrently on the shared session must never observe a
+    mutated spark.sql.shuffle.partitions (round-4 review class). The
+    probe polls the shared conf for the drain's entire duration — the
+    old implementation held the override for seconds, so any
+    regression trips this immediately."""
+    import threading
+
+    from soccerpredictor_spark.streaming.events import (
+        hourly_rollup_available_now,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    observed: set[str] = set()
+    done = threading.Event()
+
+    def probe():
+        while not done.is_set():
+            observed.add(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    try:
+        hourly_rollup_available_now(spark, sf_dir).collect()
+    finally:
+        done.set()
+        t.join(timeout=10)
+    assert observed == {before}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
