@@ -89,6 +89,15 @@ def main() -> None:
         del df
         gc.collect()
 
+    # every result above has been fully consumed (noop sink), so the
+    # bucketed-join scratch warehouses are safe to reclaim
+    try:
+        from soccerpredictor_spark.operators.joins import drop_scratch_databases
+
+        drop_scratch_databases(spark)
+    except Exception:
+        pass
+
     full = {"per_query": times, "sf": sf}
     if errors:
         full["errors"] = errors

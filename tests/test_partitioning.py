@@ -142,3 +142,27 @@ class TestSchemaEvolution:
         rows = {r.id: r.tag for r in df.collect()}
         assert rows[0] is None and rows[7] == "x"
         assert df.count() == 10
+
+
+def test_bucketed_scratch_lifetime_and_cleanup(spark):
+    """Two sequential bucketed_join_totals calls must both stay
+    consumable (no auto-drop invalidating the first result — round-5
+    review finding), and drop_scratch_databases reclaims every
+    scratch db afterwards."""
+    from soccerpredictor_spark.operators.joins import (
+        bucketed_join_totals,
+        drop_scratch_databases,
+    )
+    from soccerpredictor_spark.sources.catalog import read_table
+
+    sf = "/root/testdata/sf0.001"
+    li = read_table(spark, sf, "lineitem")
+    od = read_table(spark, sf, "orders")
+    df1 = bucketed_join_totals(spark, li, od, buckets=2)
+    df2 = bucketed_join_totals(spark, li, od, buckets=2)
+    r1 = {r.o_orderpriority: r.n_items for r in df1.collect()}
+    r2 = {r.o_orderpriority: r.n_items for r in df2.collect()}
+    assert r1 == r2 and r1
+    n = drop_scratch_databases(spark)
+    assert n >= 2
+    assert not [d for d in spark.catalog.listDatabases() if d.name.startswith("bx_")]
