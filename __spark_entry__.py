@@ -1078,6 +1078,18 @@ def _q_sorted_layout_prune(spark: SparkSession, sf: str) -> DataFrame:
 CDC_SPLIT_EVENT_ID = 5000
 
 
+def _q_dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    # survivorship: clusters -> keep-min canonical + reclaim accounting.
+    from soccerpredictor_spark.operators import dedup
+
+    return dedup.dedup_canonical(read_table(spark, sf, "documents"))
+
+
+def _q_int8_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    # int8 quantization acceptance gate: overlap@k vs full precision.
+    return similarity.int8_recall_eval(read_table(spark, sf, "embeddings"))
+
+
 def _q_streaming_cdc(spark: SparkSession, sf: str) -> DataFrame:
     # streaming leg of the DELETE-capable CDC merge: foreachBatch
     # apply_cdc into an atomically-swapped parquet state table.
@@ -1445,7 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- FIRST 50 = the driver verification window (the driver
         # hash-checks queries()[0:50] in dict order). Round-5 occupants,
         # in priority order:
-        #   1. all 22 never-driver-verified entries (21 new round-5
+        #   1. all 24 never-driver-verified entries (23 new round-5
         #      operators + ml_train_many_accuracy);
         #   2. the 3 entries whose OUTPUT changed this round
         #      (ml_train_many: new deterministic contract columns;
@@ -1453,8 +1465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      near-dup banding changes the candidate set);
         #   3. the stalest entries in registry-staleness order: all 22
         #      round-1-verified, then round-2-verified up to capacity
-        #      (tpch_q3/q5/q6/q14 defer one round, within the cycle+1
-        #      slack the staleness test enforces).
+        #      (tpch_q1/q3/q5/q6/q10/q14 defer one round, within the
+        #      cycle+1 slack the staleness test enforces).
         # Five entries changed code this round WITHOUT changing output
         # (dedup_clusters pointer-jump, winnowing k=1 ordering fix —
         # k=5 default unaffected, hourly_anomaly variance clamp,
@@ -1465,7 +1477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every pytest run. The rotation cadence itself is CI-enforced:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
         # ---
-                "streaming_cdc": _q_streaming_cdc,
+                        "dedup_canonical": _q_dedup_canonical,
+        "int8_recall_eval": _q_int8_recall_eval,
+        "streaming_cdc": _q_streaming_cdc,
         "doc_sim_knn": _q_doc_sim_knn,
         "event_transitions": _q_event_transitions,
         "date_spine_fill": _q_date_spine_fill,
@@ -1513,14 +1527,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": _q_tpch_q9,
         "window_topn_per_group": _q_window_topn,
         "distinct_projection": _q_distinct_projection,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q10": _q_tpch_q10,
         # --- outside the window (position >= 50): every entry below has
         # a green driver row within the staleness bound and is
         # re-verified locally by the per-pytest oracle sweep. TPC-H
         # note: the matrix is 18/22 BY FIXTURE (no partsupp table in the
         # driver fixtures -> q2/q11/q16/q20 are undefinable; see
         # plans/tpch.py module docstring). ---
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q10": _q_tpch_q10,
         "tpch_q14": _q_tpch_q14,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
@@ -1865,6 +1879,8 @@ ORDER BY user_id
         "doc_sim_knn": textops.doc_sim_knn_sql(),
         "class_weights": _mlprep_mod().class_weights_sql(),
         "streaming_cdc": _streaming_mod().cdc_available_now_sql(),
+        "dedup_canonical": dedup.dedup_canonical_sql(),
+        "int8_recall_eval": similarity.int8_recall_eval_sql(),
         "feature_hashing": _mlprep_mod().feature_hashing_sql(),
         "onehot_encode": _mlprep_mod().onehot_encode_sql(),
         "event_transitions": windows.event_transitions_sql(),

@@ -874,3 +874,63 @@ FROM per_vec
 GROUP BY label
 ORDER BY label
 """
+
+
+def int8_recall_eval(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Scalar-quantization acceptance gate: overlap@k of the int8 MIPS
+    ranking (``int8_topk`` — 127-level codes, 4x compressed) against
+    the full-precision inner-product ranking on the same query —
+    the measurement that justifies (or vetoes) shipping the compressed
+    codes as the serving index, exactly as ``ann_recall_eval`` gates
+    the LSH path against brute force.
+
+    Both rankings are TakeOrdered heaps over pure scan projections
+    (zero shuffle); the comparison joins two k-row sets. Exact int64
+    dot arithmetic on both sides keeps the twins bit-identical.
+    """
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        V.int_vec(F.col("embedding")).alias("qiv")
+    )
+    ref = (
+        fan_out(emb)
+        .select("vec_id", V.int_vec(F.col("embedding")).alias("iv"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", V.int_dot_iv(F.col("iv"), F.col("qiv")).alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id")
+    )
+    approx = int8_topk(emb, query_vec_id, k).select("vec_id")
+    hit = ref.join(approx, "vec_id")
+    return (
+        ref.agg(F.count(F.lit(1)).alias("n_ref"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_int8")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_ref",
+            "n_int8",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.lit(float(k))).alias("overlap_at_k"),
+        )
+    )
+
+
+def int8_recall_eval_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    dot = (
+        "list_sum(list_transform(range(1, len(iv)+1), i -> iv[i] * qiv[i]))"
+    )
+    iv = V.sql_int_vec("embedding")
+    return f"""
+WITH base AS (SELECT vec_id, {iv} AS iv FROM embeddings),
+q AS (SELECT {iv} AS qiv FROM embeddings WHERE vec_id = {query_vec_id}),
+ref AS (
+  SELECT vec_id FROM base, q
+  ORDER BY CAST({dot} AS BIGINT) DESC, vec_id ASC LIMIT {k}
+),
+approx AS (SELECT vec_id FROM ({int8_topk_sql(query_vec_id, k)}) a),
+hit AS (SELECT vec_id FROM ref WHERE vec_id IN (SELECT vec_id FROM approx))
+SELECT (SELECT COUNT(*) FROM ref) AS n_ref,
+       (SELECT COUNT(*) FROM approx) AS n_int8,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / {float(k)} AS overlap_at_k
+"""
