@@ -198,14 +198,21 @@ def train_many(
         # many-models path itself is oracle-checkable (accuracy alone
         # has no SQL twin — the seeded split/fit is not SQL):
         #   feat_sum_cents — exact int64 sum of the first feature in
-        #     cents; floor(x*100+0.5) == DuckDB round() for x >= 0
+        #     cents; sign-aware half-away-from-zero rounding so it
+        #     matches DuckDB round() for NEGATIVE features too
+        #     (floor(x*100+0.5) alone rounds negative halves toward
+        #     +inf — round-5 advice), same kernel as _nd_sketch_udf
         #   label_hist    — "label:count" pairs, sorted by label
         labs = pdf[label_col].astype(str)
         out["n_classes"] = int(labs.nunique())
         f0 = pdf[feature_cols[0]].astype("float64").to_numpy()
-        out["feat_sum_cents"] = int(
-            np.floor(np.where(np.isnan(f0), 0.0, f0) * 100.0 + 0.5).astype("int64").sum()
+        f0 = np.where(np.isnan(f0), 0.0, f0)
+        cents = np.where(
+            f0 >= 0.0,
+            np.floor(f0 * 100.0 + 0.5),
+            np.ceil(f0 * 100.0 - 0.5),
         )
+        out["feat_sum_cents"] = int(cents.astype("int64").sum())
         vc = labs.value_counts()
         out["label_hist"] = ",".join(
             f"{lab}:{int(vc[lab])}" for lab in sorted(vc.index)

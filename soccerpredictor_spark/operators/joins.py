@@ -21,25 +21,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-# scratch databases created by bucketed_join_totals in this process;
+# scratch databases created by bucketed_join_totals in this process,
+# mapped to the mkdtemp parent dir holding them (None when the caller
+# supplied its own database_dir — then the caller owns the directory);
 # reclaimed explicitly via drop_scratch_databases once the caller has
 # consumed every returned DataFrame (dropping earlier would delete the
 # managed-table files out from under a still-lazy reader)
-_SCRATCH_DBS: set = set()
+_SCRATCH_DBS: dict = {}
 
 
 def drop_scratch_databases(spark) -> int:
     """Drop every scratch database this process's
-    ``bucketed_join_totals`` calls created. Call ONLY after all
-    DataFrames returned by those calls have been consumed — their
+    ``bucketed_join_totals`` calls created, including the mkdtemp
+    parent directory when this module created it (DROP DATABASE
+    CASCADE removes only the bx_*.db subdirectory). Call ONLY after
+    all DataFrames returned by those calls have been consumed — their
     plans read the scratch managed tables lazily. Returns the number
     of databases dropped."""
+    import shutil
+
     n = 0
-    for db in list(_SCRATCH_DBS):
+    for db, parent_dir in list(_SCRATCH_DBS.items()):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
-        _SCRATCH_DBS.discard(db)
+        if parent_dir is not None:
+            shutil.rmtree(parent_dir, ignore_errors=True)
+        _SCRATCH_DBS.pop(db, None)
         n += 1
     return n
+
+
+def _reap_scratch_dirs() -> None:
+    """Last-resort disk reclaim at interpreter exit for callers that
+    never call drop_scratch_databases (driver correctness runs): the
+    JVM is going away with the process, so only the mkdtemp'd
+    directories this module itself created are removed."""
+    import shutil
+
+    for db, parent_dir in list(_SCRATCH_DBS.items()):
+        if parent_dir is not None:
+            shutil.rmtree(parent_dir, ignore_errors=True)
+        _SCRATCH_DBS.pop(db, None)
+
+
+import atexit  # noqa: E402  (registered next to the registry it reaps)
+
+atexit.register(_reap_scratch_dirs)
 
 
 def asof_join(
@@ -342,7 +368,8 @@ def bucketed_join_totals(
     import tempfile
     import uuid
 
-    if database_dir is None:
+    own_dir = database_dir is None
+    if own_dir:
         database_dir = tempfile.mkdtemp(prefix="bucketed_wh_")
     # unique db per invocation: CREATE DATABASE IF NOT EXISTS would
     # silently keep a previous call's LOCATION, ignoring the caller's
@@ -353,7 +380,7 @@ def bucketed_join_totals(
     # are done with every returned DataFrame reclaim the scratch space
     # with ``drop_scratch_databases(spark)``.
     db = f"bx_{uuid.uuid4().hex[:12]}"
-    _SCRATCH_DBS.add(db)
+    _SCRATCH_DBS[db] = database_dir if own_dir else None
     spark.sql(
         f"CREATE DATABASE {db} "
         f"LOCATION '{os.path.join(database_dir, db + '.db')}'"

@@ -58,31 +58,47 @@ def _parse_bytes(v: str) -> int:
 
 
 def estimated_scan_splits(df: DataFrame) -> int | None:
-    """Estimate the file-split count of the scan(s) backing ``df``
-    without building a physical plan: per file,
-    ``ceil(size / maxPartitionBytes)`` — the FilePartition packing
-    lower bound. Returns None when the estimate is unavailable
-    (non-file source, or files not on the local filesystem)."""
+    """Estimate the FilePartition count of the scan(s) backing ``df``
+    without building a physical plan, mirroring Spark's
+    ``FilePartition.maxSplitBytes`` planning (round-5 advice — a bare
+    per-file ``ceil(size/maxPartitionBytes)`` ignores openCost padding
+    and the dynamic split size, over-estimating many-small-file scans
+    and skipping a beneficial fan_out):
+
+      totalBytes    = Σ (fileSize + openCostInBytes)
+      maxSplitBytes = min(maxPartitionBytes,
+                          max(openCostInBytes,
+                              totalBytes / defaultParallelism))
+      partitions    ≈ min(Σ per-file chunk counts,          (a partition
+                          ceil(totalBytes / maxSplitBytes))  never holds
+                                                             a fraction
+                                                             of a chunk)
+
+    Returns None when the estimate is unavailable (non-file source, or
+    files not on the local filesystem)."""
     try:
         files = df.inputFiles()
     except Exception:
         return None
     if not files:
         return None
-    max_bytes = _parse_bytes(
-        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
-    )
-    splits = 0
+    conf = df.sparkSession.conf
+    max_part = max(1, _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m")))
+    open_cost = max(0, _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4m")))
+    parallelism = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    sizes = []
     for f in files:
         parsed = urlparse(f)
         if parsed.scheme not in ("file", ""):
             return None
         try:
-            sz = os.path.getsize(unquote(parsed.path))
+            sizes.append(os.path.getsize(unquote(parsed.path)))
         except OSError:
             return None
-        splits += max(1, math.ceil(sz / max(1, max_bytes)))
-    return splits
+    total = sum(sizes) + open_cost * len(sizes)
+    max_split = min(max_part, max(open_cost, total // parallelism)) or 1
+    chunks = sum(max(1, math.ceil(sz / max_split)) for sz in sizes)
+    return max(1, min(chunks, math.ceil(total / max_split)))
 
 
 def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:

@@ -1132,8 +1132,15 @@ def feature_corr(lineitem: DataFrame) -> DataFrame:
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # zero-variance guard (round-5 advice): a group whose feature is
+    # constant has n*sxx - sx*sx == 0; Spark double division would
+    # emit NaN where DuckDB emits NULL, so gate to NULL in BOTH
+    # engines (mirrors robust_scale's IQR==0 guard).
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (vx > F.lit(0.0)) & (vy > F.lit(0.0)),
+        (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
     )
     return agg.select(
         "l_returnflag",
@@ -1162,13 +1169,17 @@ WITH s AS (
 SELECT l_returnflag, n_rows,
        CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE) / 100.0 AS mean_qty,
        CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE) / 100.0 AS mean_price,
-       (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+       CASE WHEN (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+              AND (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+       THEN (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
        / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
           * sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-         AS corr_qty_price
+       END AS corr_qty_price
 FROM s ORDER BY l_returnflag
 """
 

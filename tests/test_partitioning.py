@@ -158,11 +158,20 @@ def test_bucketed_scratch_lifetime_and_cleanup(spark):
     sf = "/root/testdata/sf0.001"
     li = read_table(spark, sf, "lineitem")
     od = read_table(spark, sf, "orders")
+    import os
+
+    from soccerpredictor_spark.operators.joins import _SCRATCH_DBS
+
     df1 = bucketed_join_totals(spark, li, od, buckets=2)
     df2 = bucketed_join_totals(spark, li, od, buckets=2)
     r1 = {r.o_orderpriority: r.n_items for r in df1.collect()}
     r2 = {r.o_orderpriority: r.n_items for r in df2.collect()}
     assert r1 == r2 and r1
+    # module-owned mkdtemp parents are tracked so drop can rmtree them
+    # (round-5 advice: CASCADE removes only the bx_*.db subdir)
+    own_dirs = [d for d in _SCRATCH_DBS.values() if d is not None]
+    assert len(own_dirs) >= 2
     n = drop_scratch_databases(spark)
     assert n >= 2
     assert not [d for d in spark.catalog.listDatabases() if d.name.startswith("bx_")]
+    assert not [d for d in own_dirs if os.path.exists(d)]
