@@ -35,6 +35,7 @@ from soccerpredictor_spark.operators.relational import (
     top_companies,
 )
 from soccerpredictor_spark.functions.expressions import fraction_avg
+from soccerpredictor_spark.plans import partsupp as psq
 from soccerpredictor_spark.plans import tpch
 from soccerpredictor_spark.sources.catalog import read_table
 from soccerpredictor_spark.sources.upsert import latest_by_key
@@ -222,6 +223,38 @@ def _q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
         read_table(spark, sf, "orders"),
         read_table(spark, sf, "supplier"),
         read_table(spark, sf, "nation"),
+    )
+
+
+def _q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    return psq.q2_min_cost_supplier(
+        read_table(spark, sf, "part"),
+        read_table(spark, sf, "supplier"),
+        read_table(spark, sf, "nation"),
+        read_table(spark, sf, "region"),
+    )
+
+
+def _q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    return psq.q11_important_stock(
+        read_table(spark, sf, "part"),
+        read_table(spark, sf, "supplier"),
+        read_table(spark, sf, "nation"),
+    )
+
+
+def _q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    return psq.q16_supplier_part_counts(
+        read_table(spark, sf, "part"), read_table(spark, sf, "supplier")
+    )
+
+
+def _q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    return psq.q20_excess_stock_suppliers(
+        read_table(spark, sf, "part"),
+        read_table(spark, sf, "supplier"),
+        read_table(spark, sf, "nation"),
+        read_table(spark, sf, "lineitem"),
     )
 
 
@@ -1477,7 +1510,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every pytest run. The rotation cadence itself is CI-enforced:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
         # ---
-                        "dedup_canonical": _q_dedup_canonical,
+                        "tpch_q2": _q_tpch_q2,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
+        "dedup_canonical": _q_dedup_canonical,
         "int8_recall_eval": _q_int8_recall_eval,
         "streaming_cdc": _q_streaming_cdc,
         "doc_sim_knn": _q_doc_sim_knn,
@@ -1790,6 +1827,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q17": tpch.Q17_SQL,
         "tpch_q12": tpch.Q12_SQL,
         "tpch_q21": tpch.Q21_SQL,
+        "tpch_q2": psq.Q2_SQL,
+        "tpch_q11": psq.Q11_SQL,
+        "tpch_q16": psq.Q16_SQL,
+        "tpch_q20": psq.Q20_SQL,
         "range_join_bands": _joins_mod().range_tier_agg_bands_sql(),
         "encode_binary": (
             "SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN '1' "

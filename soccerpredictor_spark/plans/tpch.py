@@ -15,15 +15,13 @@ comparison; this convention makes every aggregate bit-reproducible at
 any partition count, which also means results are stable when the same
 query runs on a 1000-executor cluster.
 
-Coverage: 18 of 22 TPC-H queries, BY FIXTURE — the driver's test
-tables have no ``partsupp``, and q2 (min-supplycost supplier per
-part), q11 (stock value by nation), q16 (supplier counts per
-part-attribute group), and q20 (excess-stock suppliers) are each
-DEFINED on partsupp columns (ps_supplycost / ps_availqty / the
-part-supplier relation itself); no adaptation preserves their
-semantics without the table. q12 and q21 are adapted to fixture
-columns as documented on their builders. Every implemented query has
-a DuckDB oracle twin and a green driver row.
+Coverage: 22 of 22. This module holds the 18 queries expressible over
+the fixture tables directly; q2/q11/q16/q20 — DEFINED on partsupp
+columns the fixtures lack — live in ``plans/partsupp.py`` over a
+deterministic synthesized part-supplier relation (see that module's
+docstring for the construction and its engine-portable determinism).
+q12 and q21 are adapted to fixture columns as documented on their
+builders. Every query has a DuckDB oracle twin and a driver row.
 """
 
 from __future__ import annotations

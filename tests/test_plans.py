@@ -579,3 +579,46 @@ def test_media_dedup_blobs_never_shuffle(spark, sf001):
     # no binary 'payload' attribute may appear at/above the exchange
     for l in lines[: ex[0] + 1]:
         assert "payload#" not in l, l
+
+
+def test_tpch_q2_broadcasts_dims_no_cartesian(spark, sf001):
+    """q2: region->nation->supplier and the part-attribute filter all
+    broadcast into the synthesized partsupp; the per-part MIN resolves
+    via one aggregation + equi-join (no correlated re-scan, no
+    cartesian), and top-100 plans as TakeOrderedAndProject."""
+    plan = _plan(entry.queries()["tpch_q2"](spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q11_single_partkey_shuffle(spark, sf001):
+    """q11: the nation total is a 1-row broadcast onto the per-part
+    aggregate — no second shuffle of partsupp, no cartesian blowup
+    (the scalar crossJoin plans as a broadcast nested loop over ONE
+    row)."""
+    plan = _plan(entry.queries()["tpch_q11"](spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q16_anti_join_then_distinct_agg(spark, sf001):
+    """q16: supplier blocklist applies as a broadcast LEFT ANTI join
+    and part attributes broadcast — the only key shuffle carries the
+    (brand, type, size) distinct-count aggregation."""
+    plan = _plan(entry.queries()["tpch_q16"](spark, sf001))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q20_single_lineitem_scan(spark, sf001):
+    """q20: ONE scan of lineitem (the availqty of the observed pair is
+    evaluated in place — no join against a materialized partsupp), the
+    shipdate range pushed to the scan, part keys broadcast in."""
+    df = entry.queries()["tpch_q20"](spark, sf001)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    fmt = _formatted(df)
+    assert "GreaterThanOrEqual(l_shipdate" in fmt
