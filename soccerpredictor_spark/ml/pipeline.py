@@ -167,20 +167,37 @@ def train_many(
     key_cols: list[str],
     feature_cols: list[str],
     label_col: str,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Many-small-models: train one classifier per key group in a single
     distributed job (groupBy + applyInPandas), returning per-key holdout
     accuracy. This is how per-(team,venue) models scale to thousands of
     teams: each group's data is small; the cluster parallelizes across
     groups (Arrow-batched, no driver loop).
+
+    With ``id_col``, the output additionally carries a CLOSED-FORM
+    evaluated baseline whose every number is SQL-expressible (the
+    oracle twin for the accuracy surface — reference
+    XGBoost/Predictor.py:112-113's score, made engine-checkable):
+    the holdout is the md5(id) % 100 hash split (same engine-portable
+    idiom as hash_split; train = buckets [0, 40), mirroring the
+    reference's test_size=0.6 from config.py:31), the model is the
+    per-key MAJORITY CLASS of the train split (count desc, label asc
+    tie-break), and ``baseline_accuracy`` is its exact holdout hit
+    rate (a sum of 0/1 doubles over the count — bit-reproducible in
+    any engine at any partitioning). The seeded nearest-centroid fit's
+    ``accuracy`` remains as the iterative side channel.
     """
+    import hashlib
+
     import numpy as np
     import pandas as pd
 
     schema = (
         ", ".join([f"{k} string" for k in key_cols])
         + ", n_rows long, n_classes long, feat_sum_cents long,"
-        + " label_hist string, accuracy double"
+        + " label_hist string, accuracy double,"
+        + " majority_label string, baseline_accuracy double"
     )
 
     def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -217,6 +234,26 @@ def train_many(
         out["label_hist"] = ",".join(
             f"{lab}:{int(vc[lab])}" for lab in sorted(vc.index)
         )
+        out["majority_label"] = None
+        out["baseline_accuracy"] = None
+        if id_col is not None:
+            buckets = np.asarray(
+                [
+                    int(hashlib.md5(str(v).encode()).hexdigest()[:4], 16) % 100
+                    for v in pdf[id_col]
+                ]
+            )
+            is_train = buckets < 40  # test fraction 0.6, reference config.py:31
+            tr, te = labs.to_numpy()[is_train], labs.to_numpy()[~is_train]
+            if len(tr):
+                uniq, counts = np.unique(tr, return_counts=True)
+                # majority with (count desc, label asc) tie-break:
+                # np.unique returns labels sorted asc, argmax takes the
+                # FIRST maximal count — exactly the smallest such label
+                maj = str(uniq[np.argmax(counts)])
+                out["majority_label"] = maj
+                if len(te):
+                    out["baseline_accuracy"] = float((te == maj).sum()) / len(te)
         x = pdf[feature_cols].astype("float64")
         x = x.fillna(x.mean()).fillna(0.0).to_numpy()
         y = pdf[label_col].astype(str).to_numpy()
