@@ -125,3 +125,101 @@ def onehot_encode_sql() -> str:
         for i, v in enumerate(PRIORITY_DOMAIN)
     )
     return f"SELECT o_orderkey, {cells} FROM orders ORDER BY o_orderkey"
+
+
+#: target-encoding smoothing pseudo-count (sklearn TargetEncoder's
+#: `smooth` analog, fixed rather than CV-estimated for determinism).
+TE_SMOOTHING = 10
+#: the binary target: a "high-value" order.
+TE_PRICE_THRESHOLD = 150_000.0
+
+
+def target_encode(orders: DataFrame) -> DataFrame:
+    """Smoothed mean target encoding for categorical features — the
+    standard high-cardinality categorical -> numeric transform
+    (category_encoders / sklearn TargetEncoder):
+
+        enc(c) = (n_pos(c) + m * prior) / (n(c) + m)
+
+    with the binary target "o_totalprice > 150000", m = 10, and the
+    global prior shrinking rare categories toward the corpus mean.
+    Both fixture features (o_orderpriority, o_orderstatus) are encoded
+    in ONE pass by stacking them into (feature, category) rows before
+    the aggregation.
+
+    Determinism: n / n_pos are exact integer counts; prior and enc are
+    double expressions assembled from those integers via the IDENTICAL
+    expression tree in both engines — bit-reproducible at any
+    partitioning. Shape: one fact-table scan, one tiny-key shuffle
+    ((feature, category) cardinality ~ 10), prior as a 1-row
+    broadcast; the encoder output is itself broadcast-sized for the
+    train-time join-back.
+    """
+    pos = (
+        (F.col("o_totalprice") > F.lit(TE_PRICE_THRESHOLD))
+        .cast("int")
+        .alias("is_pos")
+    )
+    stacked = orders.select(
+        F.explode(
+            F.create_map(
+                F.lit("o_orderpriority"), F.col("o_orderpriority"),
+                F.lit("o_orderstatus"), F.col("o_orderstatus"),
+            )
+        ).alias("feature", "category"),
+        pos,
+    )
+    per_cat = stacked.groupBy("feature", "category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_pos").alias("n_pos"),
+    )
+    tot = orders.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(pos).alias("n_pos_total"),
+    )
+    m = F.lit(float(TE_SMOOTHING))
+    prior = F.col("n_pos_total").cast("double") / F.col("n_total").cast("double")
+    return (
+        per_cat.crossJoin(F.broadcast(tot))
+        .select(
+            "feature",
+            "category",
+            "n",
+            "n_pos",
+            (
+                (F.col("n_pos").cast("double") + m * prior)
+                / (F.col("n").cast("double") + m)
+            ).alias("enc"),
+        )
+        .orderBy("feature", "category")
+    )
+
+
+def target_encode_sql() -> str:
+    return f"""
+WITH stacked AS (
+  SELECT f.feature,
+         CASE f.feature WHEN 'o_orderpriority' THEN o_orderpriority
+                        ELSE o_orderstatus END AS category,
+         CASE WHEN o_totalprice > {TE_PRICE_THRESHOLD} THEN 1 ELSE 0 END AS is_pos
+  FROM orders
+  CROSS JOIN (SELECT UNNEST(['o_orderpriority', 'o_orderstatus']) AS feature) f
+),
+per_cat AS (
+  SELECT feature, category, COUNT(*) AS n,
+         CAST(SUM(is_pos) AS BIGINT) AS n_pos
+  FROM stacked GROUP BY feature, category
+),
+tot AS (
+  SELECT COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN o_totalprice > {TE_PRICE_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos_total
+  FROM orders
+)
+SELECT feature, category, n, n_pos,
+       (CAST(n_pos AS DOUBLE)
+        + {float(TE_SMOOTHING)} * (CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE)))
+       / (CAST(n AS DOUBLE) + {float(TE_SMOOTHING)}) AS enc
+FROM per_cat CROSS JOIN tot
+ORDER BY feature, category
+"""

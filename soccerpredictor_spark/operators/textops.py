@@ -1742,3 +1742,71 @@ FROM scored
 QUALIFY rank <= {k}
 ORDER BY doc_a, rank
 """
+
+
+# --------------------------------------------------------------------------
+# per-document n-gram novelty (curation scoring)
+# --------------------------------------------------------------------------
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty against everything EARLIER in the
+    corpus (doc_id order): the share of a doc's distinct n-gram
+    shingles whose first corpus occurrence is this very document.
+
+    The curation-ordering primitive behind "process novel documents
+    first / down-weight recycled text": near-1.0 means fresh content,
+    near-0.0 means the document is assembled from n-grams the corpus
+    has already seen. Complements pairwise dedup — novelty is a
+    per-document score, not a pair relation, so it needs NO candidate
+    generation: one shingle aggregation (min doc_id per shingle — a
+    map-side-combinable MIN, never a posting-list fan-out, so no df
+    cap is needed), one join back on the shingle key, one per-doc
+    aggregation. Shuffles scale linearly in total shingle count at
+    any corpus size.
+
+    Determinism: counts are exact integers; the ratio is one double
+    division of those integers — identical expression in the DuckDB
+    twin.
+    """
+    from soccerpredictor_spark.operators.dedup import _shingle_rows
+
+    sh = _shingle_rows(docs, n)
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ngram_novelty_sql(n: int = 3) -> str:
+    from soccerpredictor_spark.operators.dedup import _sql_shingle_rows
+
+    return f"""
+WITH sh AS ({_sql_shingle_rows(n)}),
+first_seen AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+FROM sh JOIN first_seen USING (s)
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+"""

@@ -622,3 +622,23 @@ def test_tpch_q20_single_lineitem_scan(spark, sf001):
     assert "BroadcastHashJoin" in plan
     fmt = _formatted(df)
     assert "GreaterThanOrEqual(l_shipdate" in fmt
+
+
+def test_target_encode_broadcast_prior_no_smj(spark, sf001):
+    """Target encoding: (feature, category) agg + a 1-row broadcast
+    prior — the fact table never sort-merge-joins and nothing goes
+    cartesian (the scalar crossJoin is a broadcast over ONE row)."""
+    plan = _plan(entry.queries()["target_encode"](spark, sf001))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_min_agg_no_pair_fanout(spark, sf001):
+    """Novelty scoring: first-occurrence via map-side-combinable MIN
+    per shingle, then one equi-join back — a per-document score with
+    NO candidate-pair generation (no self-join fan-out, no cartesian,
+    no Python eval)."""
+    plan = _plan(entry.queries()["ngram_novelty"](spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
