@@ -121,3 +121,70 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     if splits is None or splits >= target:
         return df
     return df.repartition(target)
+
+
+#: default candidate-pair budget for LSH near-dup paths, expressed as
+#: pairs per bucket-assignment row (row count = items x bands, so the
+#: budget scales LINEARLY with corpus size — exactly what healthy
+#: banding produces; a quadratic candidate blowup overruns it at any
+#: scale). 32 is ~10x the densest healthy fixture reading
+#: (embeddings sf0.1: ~3.2 pairs/row) while a degenerate single-bucket
+#: collapse exceeds it by orders of magnitude.
+MAX_CANDIDATE_PAIRS_PER_ROW = 32.0
+
+
+def candidate_budget_guard(
+    buckets: DataFrame,
+    bucket_cols: list[str],
+    label: str,
+    max_pairs_per_row: float = MAX_CANDIDATE_PAIRS_PER_ROW,
+) -> tuple[int, int, int]:
+    """No-silent-caps guard for LSH candidate generation: from the
+    bucket-assignment relation (one row per item per band), compute
+    the EXACT upper bound on self-join candidate pairs
+    (Σ over buckets of k·(k−1)/2) and fail LOUDLY when it exceeds
+    ``max_pairs_per_row`` × rows.
+
+    Rationale (round-5 verdict #6): a banding mis-tune — too few
+    planes, a constant feature, a degenerate hash — silently turns
+    "LSH-restricted" into keyhole-all-pairs; at 100 TB that's the
+    difference between a linear shuffle and an n² one that dies hours
+    in. The bound is computed BEFORE the self-join from bucket sizes
+    alone (one tiny aggregation over (bucket_cols) → k), so the abort
+    costs nothing quadratic, and the counts are always logged so a
+    healthy run still leaves an audit trail.
+
+    Returns (est_pairs, n_rows, max_bucket). Raises RuntimeError over
+    budget; pass ``max_pairs_per_row=float('inf')`` to log-only.
+    """
+    import logging
+
+    from pyspark.sql import functions as F
+
+    sizes = buckets.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("k"))
+    row = sizes.agg(
+        F.sum(
+            (F.col("k").cast("long") * (F.col("k").cast("long") - 1)) / 2
+        ).cast("long").alias("est_pairs"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.max("k").cast("long").alias("max_bucket"),
+    ).collect()[0]
+    est_pairs = int(row.est_pairs or 0)
+    n_rows = int(row.n_rows or 0)
+    max_bucket = int(row.max_bucket or 0)
+    logging.getLogger("soccerpredictor_spark.scale").info(
+        "%s: %d candidate pairs (upper bound) from %d bucket rows, "
+        "largest bucket %d",
+        label, est_pairs, n_rows, max_bucket,
+    )
+    budget = max_pairs_per_row * max(1, n_rows)
+    if est_pairs > budget:
+        raise RuntimeError(
+            f"{label}: candidate-pair bound {est_pairs} exceeds budget "
+            f"{budget:.0f} ({max_pairs_per_row} pairs/row x {n_rows} rows; "
+            f"largest bucket {max_bucket}). The banding is degenerating "
+            f"toward all-pairs — add planes/bands, check for constant "
+            f"features, or raise max_pairs_per_row explicitly if this "
+            f"density is intended."
+        )
+    return est_pairs, n_rows, max_bucket

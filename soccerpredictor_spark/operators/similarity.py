@@ -350,39 +350,56 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
       ``base`` projection (broadcast when small; hash-join on vec_id
       otherwise), and verification is one vectorized elementwise
       multiply-sum per candidate batch (``_pair_dot_udf``).
+
+    Cache discipline (round 6): ``base`` is persisted once, so the
+    Arrow sketch matmul — this operator's dominant cost — runs ONE
+    time for the budget guard, the band self-join, and both
+    verification sides (previously it re-ran per reference); the
+    verified-pair result is eagerly pinned (same mode-aware
+    checkpoint as the minhash path) and ``base`` unpersisted in
+    ``finally`` so no cached blocks outlive the call. The
+    ``candidate_budget_guard`` call is the no-silent-caps abort for a
+    degenerate banding (round-5 verdict #6).
     """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+    from soccerpredictor_spark.operators.scale import candidate_budget_guard
+
     base = fan_out(emb).select(
         "vec_id", _nd_sketch_udf()(F.col("embedding")).alias("sk")
-    ).select("vec_id", F.col("sk.iv").alias("iv"), F.col("sk.nrm").alias("nrm"), F.col("sk.buckets").alias("buckets"))
-    bnd = base.select(
-        "vec_id", F.posexplode("buckets").alias("band", "bucket")
-    )
-    a = bnd.alias("a")
-    b = bnd.alias("b")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+    ).select("vec_id", F.col("sk.iv").alias("iv"), F.col("sk.nrm").alias("nrm"), F.col("sk.buckets").alias("buckets")).persist()
+    try:
+        bnd = base.select(
+            "vec_id", F.posexplode("buckets").alias("band", "bucket")
         )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    va = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("iv").alias("iv_a"), F.col("nrm").alias("nrm_a")
-    )
-    vb = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("iv").alias("iv_b"), F.col("nrm").alias("nrm_b")
-    )
-    sim = _pair_dot_udf()(F.col("iv_a"), F.col("iv_b")).cast("double") / (
-        F.sqrt(F.col("nrm_a").cast("double")) * F.sqrt(F.col("nrm_b").cast("double"))
-    )
-    return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select("vec_a", "vec_b", sim.alias("sim"))
-        .filter(F.col("sim") >= threshold)
-    )
+        candidate_budget_guard(bnd, ["band", "bucket"], "cosine_near_dup")
+        a = bnd.alias("a")
+        b = bnd.alias("b")
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+        va = base.select(
+            F.col("vec_id").alias("vec_a"), F.col("iv").alias("iv_a"), F.col("nrm").alias("nrm_a")
+        )
+        vb = base.select(
+            F.col("vec_id").alias("vec_b"), F.col("iv").alias("iv_b"), F.col("nrm").alias("nrm_b")
+        )
+        sim = _pair_dot_udf()(F.col("iv_a"), F.col("iv_b")).cast("double") / (
+            F.sqrt(F.col("nrm_a").cast("double")) * F.sqrt(F.col("nrm_b").cast("double"))
+        )
+        return _reliable_checkpoint(
+            cand.join(va, "vec_a")
+            .join(vb, "vec_b")
+            .select("vec_a", "vec_b", sim.alias("sim"))
+            .filter(F.col("sim") >= threshold)
+        )
+    finally:
+        base.unpersist()
 
 
 def cosine_near_dup_sql(threshold: float = 0.25) -> str:
