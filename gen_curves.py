@@ -1,0 +1,89 @@
+"""Warm same-JVM scaling curves for the pair-generation operator
+family (PLANS.md). Protocol: one session, one untimed warm-up run of
+every (operator, sf) cell to absorb JVM/codegen/Python-worker-pool
+startup, then the timed pass; report seconds per cell.
+
+The 10x point (sf1x) comes from gen_scale10.py — a corpus 10x sf0.1
+with true-duplicate density held constant by construction, so the
+expected curve is LINEAR in rows; super-linear growth would expose a
+candidate-generation blowup.
+
+Usage: python gen_scale10.py && python gen_curves.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+OPS = [
+    "dedup_jaccard",
+    "dedup_clusters",
+    "embedding_dedup_clusters",
+    "doc_sim_knn",
+]
+SFS = [
+    ("sf0.01", "/root/testdata/sf0.01"),
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf1x", os.environ.get("SCALE10_DIR", "/tmp/sf1x")),
+]
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as m
+
+    qs = m.queries()
+
+    def run(op: str, sf_dir: str) -> tuple[float, object]:
+        """Run one cell; on a candidate-budget abort (expected for the
+        fixed-geometry embedding banding at 10x — the guard working),
+        rerun with the explicit override so the over-budget cell still
+        yields its timing datapoint, tagged with a *."""
+        from soccerpredictor_spark.operators import similarity
+        from soccerpredictor_spark.sources.catalog import read_table
+
+        t0 = time.monotonic()
+        try:
+            n = qs[op](spark, sf_dir).count()
+            return time.monotonic() - t0, n
+        except RuntimeError as e:
+            if "candidate-pair bound" not in str(e):
+                raise
+            print(f"GUARD-ABORT {op} @ {sf_dir}: {e}", flush=True)
+            emb = read_table(spark, sf_dir, "embeddings")
+            t0 = time.monotonic()
+            n = similarity.embedding_dedup_clusters(
+                emb, max_pairs_per_row=float("inf")
+            ).count()
+            return time.monotonic() - t0, f"{n}*"
+
+    results: dict[tuple[str, str], tuple[float, object]] = {}
+    for timed in (False, True):
+        for op in OPS:
+            for sf_name, sf_dir in SFS:
+                dt, n = run(op, sf_dir)
+                tag = "TIMED" if timed else "warm "
+                if timed:
+                    results[(op, sf_name)] = (dt, n)
+                print(f"{tag} {op} {sf_name}: {dt:.2f}s ({n} rows)", flush=True)
+    print("\n| operator | " + " | ".join(s for s, _ in SFS) + " |")
+    print("|---|" + "---|" * len(SFS))
+    for op in OPS:
+        cells = " | ".join(f"{results[(op, s)][0]:.2f}" for s, _ in SFS)
+        print(f"| {op} | {cells} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Generate a 10x scale-out copy of the sf0.1 documents/embeddings
+fixtures with TRUE-DUPLICATE DENSITY HELD CONSTANT, for the
+pair-generation scaling curves in PLANS.md (round-5 verdict #5).
+
+Construction (deterministic, no RNG state):
+
+- documents: 10 vocabulary-disjoint shards. Shard k remaps every
+  token t -> "t_k" and offsets doc_id by k * 10_000_000. Within a
+  shard the shingle structure is BIT-IDENTICAL to sf0.1 (same
+  near-dup pairs, same df profile over its own vocabulary); across
+  shards no shingle is ever shared. Total true near-dup pairs are
+  therefore exactly 10x sf0.1's — i.e., linear in corpus size — so
+  any super-linear growth measured on this corpus is an algorithmic
+  artifact (bucket collisions, skew, shuffle scaling), which is
+  precisely what the curve is meant to expose.
+
+- embeddings: 10 shards; shard k applies a fixed sign-flip mask to
+  the vector axes (dimension d flipped iff md5("{k}:{d}") is odd) and
+  offsets vec_id. A common axis-flip preserves every WITHIN-shard dot
+  product and norm exactly (flips cancel pairwise), so within-shard
+  near-dup structure is identical to sf0.1; cross-shard cosines are
+  sign-scrambled ~ random, contributing no systematic new pairs.
+
+Output: $SCALE10_DIR (default /tmp/sf1x)/documents.parquet,
+embeddings.parquet. Usage: python gen_scale10.py
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.environ.get("SCALE10_DIR", "/tmp/sf1x")
+SHARDS = 10
+DOC_ID_STRIDE = 10_000_000
+VEC_ID_STRIDE = 10_000_000
+
+
+def main() -> None:
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+
+    docs = con.execute(
+        f"SELECT doc_id, text, lang, source, n_chars FROM read_parquet('{SRC}/documents.parquet') ORDER BY doc_id"
+    ).fetchdf()
+    out_docs = []
+    for k in range(SHARDS):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + k * DOC_ID_STRIDE
+        suffix = f"_{k}"
+        d["text"] = d["text"].map(
+            lambda t: " ".join(w + suffix for w in t.split())
+        )
+        d["n_chars"] = d["text"].str.len().astype("int64")
+        out_docs.append(d)
+    import pandas as pd
+
+    alldocs = pd.concat(out_docs, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(alldocs, preserve_index=False),
+                   os.path.join(OUT, "documents.parquet"))
+    print(f"documents: {len(alldocs)} rows ({len(docs)} x {SHARDS})")
+
+    emb = con.execute(
+        f"SELECT * FROM read_parquet('{SRC}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchdf()
+    dim = len(emb["embedding"].iloc[0])
+    mat = np.stack(emb["embedding"].to_numpy())  # (n, dim) float
+    out_emb = []
+    for k in range(SHARDS):
+        mask = np.array(
+            [
+                1.0 if int(hashlib.md5(f"{k}:{d}".encode()).hexdigest(), 16) % 2 == 0
+                else -1.0
+                for d in range(dim)
+            ],
+            dtype=mat.dtype,
+        )
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + k * VEC_ID_STRIDE
+        flipped = mat * mask[None, :]
+        e["embedding"] = list(flipped)
+        out_emb.append(e)
+    allemb = pd.concat(out_emb, ignore_index=True)
+    # preserve the list<float> arrow type of the source
+    src_schema = pq.read_schema(os.path.join(SRC, "embeddings.parquet"))
+    tbl = pa.Table.from_pandas(allemb, preserve_index=False)
+    cast = tbl.cast(pa.schema([src_schema.field(n) for n in tbl.schema.names]))
+    pq.write_table(cast, os.path.join(OUT, "embeddings.parquet"))
+    print(f"embeddings: {len(allemb)} rows ({len(emb)} x {SHARDS}, dim {dim})")
+
+
+if __name__ == "__main__":
+    main()

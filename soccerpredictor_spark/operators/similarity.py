@@ -330,7 +330,11 @@ LIMIT {k}
 """
 
 
-def cosine_near_dup(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
+def cosine_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.25,
+    max_pairs_per_row: float | None = None,
+) -> DataFrame:
     """Near-duplicate vector pairs via banded sign-LSH candidates +
     exact cosine verification.
 
@@ -371,7 +375,11 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
         bnd = base.select(
             "vec_id", F.posexplode("buckets").alias("band", "bucket")
         )
-        candidate_budget_guard(bnd, ["band", "bucket"], "cosine_near_dup")
+        guard_kwargs = (
+            {} if max_pairs_per_row is None
+            else {"max_pairs_per_row": max_pairs_per_row}
+        )
+        candidate_budget_guard(bnd, ["band", "bucket"], "cosine_near_dup", **guard_kwargs)
         a = bnd.alias("a")
         b = bnd.alias("b")
         cand = (
@@ -717,7 +725,12 @@ SELECT (SELECT COUNT(*) FROM exact_k) AS n_exact,
 """
 
 
-def embedding_dedup_clusters(emb: DataFrame, threshold: float = 0.25, max_iter: int = 20) -> DataFrame:
+def embedding_dedup_clusters(
+    emb: DataFrame,
+    threshold: float = 0.25,
+    max_iter: int = 20,
+    max_pairs_per_row: float | None = None,
+) -> DataFrame:
     """Connected components of the embedding near-duplicate graph:
     (vec_id, cluster_id), cluster_id = smallest vec_id reachable
     through pairs with cosine similarity >= ``threshold``.
@@ -732,7 +745,7 @@ def embedding_dedup_clusters(emb: DataFrame, threshold: float = 0.25, max_iter: 
     """
     from soccerpredictor_spark.operators.dedup import _components_from_pairs
 
-    pairs = cosine_near_dup(emb, threshold).select(
+    pairs = cosine_near_dup(emb, threshold, max_pairs_per_row=max_pairs_per_row).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     comp = _components_from_pairs(pairs, max_iter)
