@@ -232,6 +232,22 @@ def _q_target_encode(spark: SparkSession, sf: str) -> DataFrame:
     return target_encode(read_table(spark, sf, "orders"))
 
 
+def _q_quantile_bins(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators.mlprep import quantile_bins
+
+    return quantile_bins(read_table(spark, sf, "orders"))
+
+
+def _q_chi2_association(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators.mlprep import chi2_association
+
+    return chi2_association(read_table(spark, sf, "orders"))
+
+
+def _q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.incremental_dedup(read_table(spark, sf, "documents"))
+
+
 def _q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return textops.ngram_novelty(read_table(spark, sf, "documents"))
 
@@ -1533,6 +1549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": _q_tpch_q20,
         "target_encode": _q_target_encode,
         "ngram_novelty": _q_ngram_novelty,
+        "quantile_bins": _q_quantile_bins,
+        "chi2_association": _q_chi2_association,
+        "incremental_dedup": _q_incremental_dedup,
         "ml_train_many_accuracy": _q_ml_train_many_accuracy,
         "ml_train_many": _q_ml_train_many,
         "tpch_q1": _q_tpch_q1,
@@ -1577,6 +1596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": _q_winnowing,
         "write_roundtrip": _q_write_roundtrip,
         "write_roundtrip_csv": _q_write_roundtrip_csv,
+        # --- deferred r3 cohort (displaced by the 3 late-round-6
+        # additions above; winnowing/write_roundtrip/write_roundtrip_csv
+        # now sit at positions 50-52): MUST head round 7's window ---
         "arity_filter": _q_arity_filter,
         "encode_binary": _q_encode_binary,
         "regex_extract": _q_regex_extract,
@@ -1934,6 +1956,9 @@ ORDER BY user_id
         "class_weights": _mlprep_mod().class_weights_sql(),
         "target_encode": _mlprep_mod().target_encode_sql(),
         "ngram_novelty": textops.ngram_novelty_sql(),
+        "quantile_bins": _mlprep_mod().quantile_bins_sql(),
+        "chi2_association": _mlprep_mod().chi2_association_sql(),
+        "incremental_dedup": dedup.incremental_dedup_sql(),
         "streaming_cdc": _streaming_mod().cdc_available_now_sql(),
         "dedup_canonical": dedup.dedup_canonical_sql(),
         "int8_recall_eval": similarity.int8_recall_eval_sql(),

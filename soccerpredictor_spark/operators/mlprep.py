@@ -11,6 +11,8 @@ is md5-based, the same engine-portable gate as ``hash_split``).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -222,4 +224,142 @@ SELECT feature, category, n, n_pos,
        / (CAST(n AS DOUBLE) + {float(TE_SMOOTHING)}) AS enc
 FROM per_cat CROSS JOIN tot
 ORDER BY feature, category
+"""
+
+
+#: equal-frequency bin count for quantile_bins.
+QB_BINS = 10
+
+
+def quantile_bins(orders: DataFrame) -> DataFrame:
+    """Equal-frequency (quantile) discretization of a numeric feature
+    — sklearn KBinsDiscretizer(strategy='quantile'): o_totalprice cut
+    at its own deciles into 10 bins.
+
+    Determinism & scale: edges are percentile_disc SELECTIONS (actual
+    data values, no interpolation) from ONE global aggregation; the
+    1-row edge vector broadcasts onto the row stream and each row's
+    bin is a pure comparison count (value > edge_i), ties landing in
+    the lower bin in both engines. No global sort, no ntile window —
+    the naive single-partition ranking shape is exactly what this
+    operator avoids at 100 TB.
+    """
+    qs = [i / QB_BINS for i in range(1, QB_BINS)]
+    edges = orders.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias(f"e{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    bin_expr = reduce(
+        lambda acc, i: acc
+        + F.when(F.col("o_totalprice") > F.col(f"e{i}"), 1).otherwise(0),
+        range(2, QB_BINS),
+        F.lit(1)
+        + F.when(F.col("o_totalprice") > F.col("e1"), 1).otherwise(0),
+    )
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .crossJoin(F.broadcast(edges))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            bin_expr.cast("int").alias("bin"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def quantile_bins_sql() -> str:
+    qs = [i / QB_BINS for i in range(1, QB_BINS)]
+    edge_cols = ", ".join(
+        f"quantile_disc(o_totalprice, {q}) AS e{i}"
+        for i, q in enumerate(qs, start=1)
+    )
+    bin_sum = " + ".join(
+        f"CASE WHEN o_totalprice > e{i} THEN 1 ELSE 0 END"
+        for i in range(1, QB_BINS)
+    )
+    return f"""
+WITH edges AS (SELECT {edge_cols} FROM orders)
+SELECT o_orderkey, o_totalprice,
+       CAST(1 + {bin_sum} AS INTEGER) AS bin
+FROM orders CROSS JOIN edges
+ORDER BY o_orderkey
+"""
+
+
+def chi2_association(orders: DataFrame) -> DataFrame:
+    """Chi-square contingency cells for two categorical features
+    (o_orderpriority x o_orderstatus) — the categorical-association
+    screen (sklearn chi2 / scipy chi2_contingency) run before feature
+    selection.
+
+    Per cell: observed count, expected count E = row_tot * col_tot / n,
+    and the chi-square contribution (obs - E)^2 / E. Counts are exact
+    integers from ONE tiny-key aggregation; marginals attach via two
+    broadcast-sized joins; expected/contrib are per-row double
+    expressions assembled from those integers via identical trees in
+    both engines — no cross-cell double summation (which would be
+    partition-order-dependent), so every output value is
+    bit-reproducible. The full chi2 is one strict left fold over the
+    (ordered) cells for any consumer that wants the scalar.
+    """
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    row_tot = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("r_tot")
+    )
+    col_tot = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("c_tot")
+    )
+    n = orders.agg(F.count(F.lit(1)).alias("n_all"))
+    exp = (
+        F.col("r_tot").cast("double")
+        * F.col("c_tot").cast("double")
+        / F.col("n_all").cast("double")
+    )
+    contrib = (F.col("n_obs").cast("double") - exp) * (
+        F.col("n_obs").cast("double") - exp
+    ) / exp
+    return (
+        cells.join(F.broadcast(row_tot), "o_orderpriority")
+        .join(F.broadcast(col_tot), "o_orderstatus")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "n_obs",
+            exp.alias("n_exp"),
+            contrib.alias("chi2_contrib"),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+def chi2_association_sql() -> str:
+    return """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_obs
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+rt AS (SELECT o_orderpriority, COUNT(*) AS r_tot FROM orders GROUP BY 1),
+ct AS (SELECT o_orderstatus, COUNT(*) AS c_tot FROM orders GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_all FROM orders)
+SELECT cells.o_orderpriority, cells.o_orderstatus, n_obs,
+       CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n_all AS DOUBLE)
+         AS n_exp,
+       (CAST(n_obs AS DOUBLE)
+        - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n_all AS DOUBLE))
+       * (CAST(n_obs AS DOUBLE)
+          - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n_all AS DOUBLE))
+       / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n_all AS DOUBLE))
+         AS chi2_contrib
+FROM cells JOIN rt USING (o_orderpriority)
+           JOIN ct USING (o_orderstatus)
+           CROSS JOIN n
+ORDER BY o_orderpriority, o_orderstatus
 """

@@ -642,3 +642,37 @@ def test_ngram_novelty_min_agg_no_pair_fanout(spark, sf001):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_quantile_bins_no_global_sort(spark, sf001):
+    """Quantile discretization: decile edges from ONE aggregation
+    broadcast onto the rows — no ntile window, no global sort of the
+    fact table (the single-partition ranking shape this operator
+    exists to avoid)."""
+    df = entry.queries()["quantile_bins"](spark, sf001)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chi2_cells_broadcast_marginals(spark, sf001):
+    """Chi-square cells: marginals attach as broadcast-sized joins;
+    nothing sort-merges and nothing goes cartesian (the scalar n is a
+    1-row broadcast)."""
+    plan = _plan(entry.queries()["chi2_association"](spark, sf001))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_corpus_text_never_moves(spark, sf001):
+    """Incremental dedup: the corpus collapses to DISTINCT
+    fingerprints before the membership join — no text column crosses
+    an exchange (only doc_id/fp/bucket), and the batch-side window is
+    keyed on the same uniform hash."""
+    df = entry.queries()["incremental_dedup"](spark, sf001)
+    plan = _plan(df)
+    lines = plan.splitlines()
+    ex = [i for i, l in enumerate(lines) if "Exchange" in l]
+    assert ex
+    for i in ex:
+        assert "text#" not in lines[i], lines[i]
