@@ -47,6 +47,13 @@ HEADLINE = {
     "shuffle_hash_join": "Explicit SHUFFLE_HASH: hash join on the exchange, zero sorts",
     "fk_integrity_audit": "FK orphan audit: key-only LEFT ANTI joins, parent side distinct-reduced",
     "date_spine_fill": "Calendar gap fill: generated spine x type dim broadcast-joined onto the single daily-agg shuffle",
+    "tpch_q2": "Synthesized-partsupp min-cost supplier: region chain + part attrs broadcast, correlated MIN as one agg + equi-join, top-100 as TakeOrderedAndProject",
+    "tpch_q20": "Excess-stock suppliers: ONE lineitem scan (pair availqty evaluated in place via md5 — no partsupp materialization), shipdate pushed, part keys broadcast",
+    "target_encode": "Smoothed target encoding: tiny (feature, category) agg + 1-row prior broadcast; fact table scanned once, never sort-merged",
+    "ngram_novelty": "Per-doc n-gram novelty: map-side-combinable MIN per shingle, one equi-join back — per-document scoring with NO pair generation",
+    "quantile_bins": "Equal-frequency binning: percentile_disc decile edges in one agg, broadcast comparison-count bin assignment — no ntile, no global sort",
+    "chi2_association": "Chi-square cells: one contingency agg + broadcast marginals; per-cell double assembly, no order-dependent cross-cell sum",
+    "incremental_dedup": "Batch-vs-corpus dedup: corpus distinct-reduced to fingerprints before the membership join; text never crosses an exchange",
 }
 
 # Performance-notes sections are maintained by hand in PLANS.md and
