@@ -248,6 +248,14 @@ def _q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.incremental_dedup(read_table(spark, sf, "documents"))
 
 
+def _q_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.knn_graph(read_table(spark, sf, "embeddings"))
+
+
+def _q_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_outliers(read_table(spark, sf, "embeddings"))
+
+
 def _q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return textops.ngram_novelty(read_table(spark, sf, "documents"))
 
@@ -1552,6 +1560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": _q_quantile_bins,
         "chi2_association": _q_chi2_association,
         "incremental_dedup": _q_incremental_dedup,
+        "knn_graph": _q_knn_graph,
+        "embedding_outliers": _q_embedding_outliers,
         "ml_train_many_accuracy": _q_ml_train_many_accuracy,
         "ml_train_many": _q_ml_train_many,
         "tpch_q1": _q_tpch_q1,
@@ -1591,14 +1601,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join": _q_streaming_join,
         "streaming_sliding": _q_streaming_sliding,
         "top_k_count": _q_top_k_count,
+        # --- deferred r3 cohort (displaced by the 5 late-round-6
+        # additions above: quantile_bins, chi2_association,
+        # incremental_dedup, knn_graph, embedding_outliers): MUST head
+        # round 7's window together with the r4 cohort ---
         "tpch_q12": _q_tpch_q12,
         "tpch_q21": _q_tpch_q21,
         "winnowing": _q_winnowing,
         "write_roundtrip": _q_write_roundtrip,
         "write_roundtrip_csv": _q_write_roundtrip_csv,
-        # --- deferred r3 cohort (displaced by the 3 late-round-6
-        # additions above; winnowing/write_roundtrip/write_roundtrip_csv
-        # now sit at positions 50-52): MUST head round 7's window ---
         "arity_filter": _q_arity_filter,
         "encode_binary": _q_encode_binary,
         "regex_extract": _q_regex_extract,
@@ -1959,6 +1970,8 @@ ORDER BY user_id
         "quantile_bins": _mlprep_mod().quantile_bins_sql(),
         "chi2_association": _mlprep_mod().chi2_association_sql(),
         "incremental_dedup": dedup.incremental_dedup_sql(),
+        "knn_graph": similarity.knn_graph_sql(),
+        "embedding_outliers": similarity.embedding_outliers_sql(),
         "streaming_cdc": _streaming_mod().cdc_available_now_sql(),
         "dedup_canonical": dedup.dedup_canonical_sql(),
         "int8_recall_eval": similarity.int8_recall_eval_sql(),

@@ -964,3 +964,205 @@ SELECT (SELECT COUNT(*) FROM ref) AS n_ref,
        (SELECT COUNT(*) FROM hit) AS n_hit,
        CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / {float(k)} AS overlap_at_k
 """
+
+
+# --------------------------------------------------------------------------
+# kNN graph (all-vectors top-k neighbors over LSH candidates)
+# --------------------------------------------------------------------------
+
+#: neighbors per vector in the kNN graph.
+KNN_GRAPH_K = 5
+
+
+def knn_graph(emb: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
+    """Top-k nearest neighbors for EVERY vector (the kNN-graph build
+    behind dedup clustering, label propagation, and graph-based ANN
+    indexes), restricted to sign-LSH bucket candidates — the batch
+    generalization of the single-query ANN operators.
+
+    Shape: identical candidate generation to ``cosine_near_dup``
+    (sketch once via the Arrow matmul, bucket self-join on id-only
+    rows, budget-guarded) but DIRECTED pairs (a != b, both
+    directions), exact int64 cosine on candidate batches, then one
+    rank window keyed on the source vector — count-bounded output of
+    k rows per vector. Recall caveat documented as for all LSH paths:
+    vectors sharing no bucket are not candidates (the oracle twin
+    reproduces the same bucket structure, so results match exactly).
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+    from soccerpredictor_spark.operators.scale import candidate_budget_guard
+    from pyspark.sql.window import Window as W
+
+    base = fan_out(emb).select(
+        "vec_id", _nd_sketch_udf()(F.col("embedding")).alias("sk")
+    ).select(
+        "vec_id",
+        F.col("sk.iv").alias("iv"),
+        F.col("sk.nrm").alias("nrm"),
+        F.col("sk.buckets").alias("buckets"),
+    ).persist()
+    try:
+        bnd = base.select("vec_id", F.posexplode("buckets").alias("band", "bucket"))
+        candidate_budget_guard(bnd, ["band", "bucket"], "knn_graph")
+        a = bnd.alias("a")
+        b = bnd.alias("b")
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+        va = base.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("iv").alias("iv_a"),
+            F.col("nrm").alias("nrm_a"),
+        )
+        vb = base.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("iv").alias("iv_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
+        sim = _pair_dot_udf()(F.col("iv_a"), F.col("iv_b")).cast("double") / (
+            F.sqrt(F.col("nrm_a").cast("double"))
+            * F.sqrt(F.col("nrm_b").cast("double"))
+        )
+        w = W.partitionBy("vec_a").orderBy(F.col("sim").desc(), F.col("vec_b").asc())
+        return _reliable_checkpoint(
+            cand.join(va, "vec_a")
+            .join(vb, "vec_b")
+            .select("vec_a", "vec_b", sim.alias("sim"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("vec_a", "vec_b", "sim", "rnk")
+        )
+    finally:
+        base.unpersist()
+
+
+def knn_graph_sql(k: int = KNN_GRAPH_K) -> str:
+    planes = _nd_planes()
+    band_selects = []
+    for bi in range(ND_BANDS):
+        band_planes = planes[bi * ND_PLANES_PER_BAND : (bi + 1) * ND_PLANES_PER_BAND]
+        bucket = V.sql_lsh_bucket("embedding", band_planes)
+        band_selects.append(
+            f"SELECT vec_id, embedding, {bi} AS band, ({bucket}) AS bucket FROM embeddings"
+        )
+    bnd = " UNION ALL ".join(band_selects)
+    cos = V.sql_cosine("ea", "eb")
+    return f"""
+WITH bnd AS ({bnd}),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         any_value(a.embedding) AS ea, any_value(b.embedding) AS eb
+  FROM bnd a JOIN bnd b USING (band, bucket)
+  WHERE a.vec_id <> b.vec_id GROUP BY 1, 2
+),
+sims AS (SELECT vec_a, vec_b, {cos} AS sim FROM cand)
+SELECT vec_a, vec_b, sim, rnk FROM (
+  SELECT vec_a, vec_b, sim,
+         row_number() OVER (PARTITION BY vec_a
+                            ORDER BY sim DESC, vec_b ASC) AS rnk
+  FROM sims
+) r WHERE rnk <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# per-label embedding outliers (distance to own-label centroid)
+# --------------------------------------------------------------------------
+
+#: outliers reported per label.
+OUTLIERS_PER_LABEL = 5
+#: per-operator quantization (1e3): coarser than vectors.SCALE so the
+#: n-scaled deviation squares stay inside DECIMAL(38,0) at any n.
+OUTLIER_SCALE = 1_000.0
+
+
+def embedding_outliers(emb: DataFrame, top_n: int = OUTLIERS_PER_LABEL) -> DataFrame:
+    """The ``top_n`` vectors FARTHEST from their own label's centroid,
+    per label — the mislabeled-example / embedding-drift screen a
+    curation pipeline runs before training on labeled embeddings.
+
+    Exactness: with x quantized to int (scale 1e3) and per-label dim
+    sums s, n, squared distance to the centroid satisfies
+
+        dist2 = Σ_i (x_i - s_i/n)^2 = Σ_i (n·x_i - s_i)^2 / n^2
+
+    — the numerator is EXACT integer arithmetic (per-term products in
+    DECIMAL(38,0); n·x fits int64 for any realistic per-label count),
+    so the ranking is bit-deterministic; only the final /n^2/scale^2
+    display division is double. Shape: pos-exploded rows broadcast-join
+    the (label, dim)-sums table (labels x dims rows — tiny at any
+    scale), the per-vector numerator is a map-side-combinable decimal
+    sum (one shuffle keyed on vec_id), and the per-label top-n is a
+    count-bounded rank window.
+    """
+    from pyspark.sql.window import Window as W
+
+    iv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(OUTLIER_SCALE)).cast("long"),
+    )
+    pos = fan_out(emb).select(
+        "vec_id", "label", F.posexplode(iv).alias("pos", "x")
+    )
+    sums = pos.groupBy("label", "pos").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dev = (F.col("n") * F.col("x") - F.col("s")).cast("decimal(19,0)")
+    per_vec = (
+        pos.join(F.broadcast(sums), ["label", "pos"])
+        .select("vec_id", "label", "n", (dev * dev).alias("term"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("term").alias("num"), F.max("n").alias("n_label"))
+    )
+    dist2 = F.col("num").cast("double") / (
+        F.col("n_label").cast("double")
+        * F.col("n_label").cast("double")
+        * F.lit(OUTLIER_SCALE * OUTLIER_SCALE)
+    )
+    w = W.partitionBy("label").orderBy(F.col("num").desc(), F.col("vec_id").asc())
+    return (
+        per_vec.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select("label", "vec_id", "n_label", dist2.alias("dist2"), "rnk")
+        .orderBy("label", "rnk")
+    )
+
+
+def embedding_outliers_sql(top_n: int = OUTLIERS_PER_LABEL) -> str:
+    s = OUTLIER_SCALE
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {s}) AS BIGINT)) AS iv
+  FROM embeddings
+),
+p AS (SELECT vec_id, label, i AS pos, iv[i + 1] AS x
+      FROM q, UNNEST(range(len(iv))) AS u(i)),
+sums AS (SELECT label, pos, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n
+         FROM p GROUP BY label, pos),
+per_vec AS (
+  SELECT vec_id, p.label,
+         SUM(CAST(n * x - s AS DECIMAL(19,0)) * CAST(n * x - s AS DECIMAL(19,0)))
+           AS num,
+         MAX(n) AS n_label
+  FROM p JOIN sums ON p.label = sums.label AND p.pos = sums.pos
+  GROUP BY vec_id, p.label
+)
+SELECT label, vec_id, n_label,
+       CAST(num AS DOUBLE)
+         / (CAST(n_label AS DOUBLE) * CAST(n_label AS DOUBLE) * {s * s}) AS dist2,
+       rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY label
+                               ORDER BY num DESC, vec_id ASC) AS rnk
+  FROM per_vec
+) r WHERE rnk <= {top_n}
+ORDER BY label, rnk
+"""

@@ -114,6 +114,7 @@ NO_PYTHON_EXCEPTIONS = {
     "ml_train_many",  # applyInPandas many-models
     "ml_train_many_accuracy",  # same applyInPandas fit, accuracy surface
     "streaming_hourly",  # executes eagerly at build time
+    "knn_graph",  # same Arrow sketch+verify kernels as embedding_near_dup
 }
 
 
@@ -676,3 +677,20 @@ def test_incremental_dedup_corpus_text_never_moves(spark, sf001):
     assert ex
     for i in ex:
         assert "text#" not in lines[i], lines[i]
+
+
+def test_knn_graph_rank_bounded_no_cartesian(spark, sf001):
+    """kNN graph: LSH-candidate pairs only (no cartesian), output
+    count-bounded by the per-source rank window."""
+    plan = _plan(entry.queries()["knn_graph"](spark, sf001))
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_outliers_broadcast_sums_single_vec_shuffle(spark, sf001):
+    """Per-label outliers: the (label, dim) sums table broadcasts onto
+    the pos-exploded rows; the numerator is a map-side-combinable
+    decimal sum keyed on vec_id — no sort-merge join, no cartesian."""
+    plan = _plan(entry.queries()["embedding_outliers"](spark, sf001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
