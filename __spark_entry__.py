@@ -1546,8 +1546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-operator projections, all swept by the per-pytest
         # DuckDB oracle gate) sit FIRST outside the window and MUST
         # head round 7's window together with the 49 round-4 entries;
-        # with the registry now at 152 entries the staleness cycle is
-        # ceil(152/50) = 4 rounds, which that plan satisfies. The
+        # with the registry now at 157 entries the staleness cycle is
+        # ceil(157/50) = 4 rounds, which that plan satisfies. The
         # rotation cadence is CI-enforced:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
         # ---
