@@ -121,3 +121,124 @@ def test_apply_cdc_matches_sequential_model(spark, existing_rows, change_rows):
         else:
             model[p] = v
     assert got == model
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_part=st.integers(min_value=1, max_value=40),
+    n_supp=st.integers(min_value=1, max_value=30),
+)
+def test_synth_partsupp_relation_invariants(spark, n_part, n_supp):
+    """For ANY fixture scale (part/supplier cardinalities), the
+    synthesized partsupp must be a well-formed relation: unique on
+    (ps_partkey, ps_suppkey), suppkeys inside [1, S], 1-4 suppliers
+    per part (the spec formula can wrap at small S — dedup'd, never
+    duplicated), availqty in [1, 9999], cost cents in [100, 100000].
+    """
+    from soccerpredictor_spark.plans.partsupp import synth_partsupp
+
+    part = spark.createDataFrame(
+        pd.DataFrame({"p_partkey": list(range(1, n_part + 1))})
+    )
+    supplier = spark.createDataFrame(
+        pd.DataFrame({"s_suppkey": list(range(1, n_supp + 1))})
+    )
+    rows = synth_partsupp(part, supplier).collect()
+    keys = [(r.ps_partkey, r.ps_suppkey) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate (partkey, suppkey) pair"
+    per_part: dict[int, int] = {}
+    for r in rows:
+        per_part[r.ps_partkey] = per_part.get(r.ps_partkey, 0) + 1
+        assert 1 <= r.ps_suppkey <= n_supp
+        assert 1 <= r.ps_availqty <= 9999
+        assert 100 <= r.ps_supplycost_cents <= 100_000
+    assert set(per_part) == set(range(1, n_part + 1))
+    assert all(1 <= c <= 4 for c in per_part.values())
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    assignments=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # item
+            st.integers(min_value=0, max_value=2),   # band
+            st.integers(min_value=0, max_value=4),   # bucket
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_candidate_budget_bound_matches_brute_force(spark, assignments):
+    """The guard's pair bound (Σ k·(k−1)/2 over bucket sizes) must
+    equal the BRUTE-FORCE count of ordered candidate pairs from the
+    bucket self-join, for any assignment relation."""
+    from collections import Counter
+
+    from soccerpredictor_spark.operators.scale import candidate_budget_guard
+
+    bnd = spark.createDataFrame(
+        pd.DataFrame(assignments, columns=["item", "band", "bucket"])
+    )
+    est, n_rows, max_bucket = candidate_budget_guard(
+        bnd, ["band", "bucket"], "prop_test", max_pairs_per_row=float("inf")
+    )
+    sizes = Counter((b, bk) for _, b, bk in assignments)
+    expect = sum(k * (k - 1) // 2 for k in sizes.values())
+    assert est == expect
+    assert n_rows == len(assignments)
+    assert max_bucket == max(sizes.values())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),           # doc_id
+            st.sampled_from(["aa bb cc", "dd ee", "aa  bb cc", "zz yy xx ww", "dd ee "]),
+        ),
+        min_size=2,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_incremental_dedup_matches_sequential_model(spark, docs):
+    """incremental_dedup must agree with the obvious sequential
+    algorithm: corpus fingerprints first, then batch docs in doc_id
+    order — first unseen fingerprint is 'unique', a corpus hit is
+    'dup_of_corpus', a batch-only repeat is 'dup_within_batch'.
+    Fingerprints normalize whitespace, so 'aa bb cc' == 'aa  bb cc'.
+    """
+    import hashlib
+    import re
+
+    from soccerpredictor_spark.operators.dedup import (
+        INCR_BATCH_GE,
+        incremental_dedup,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {r.doc_id: r.status for r in incremental_dedup(df).collect()}
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+
+    def fp(text: str) -> str:
+        return hashlib.md5(
+            re.sub(r"\s+", " ", text.lower()).strip().encode()
+        ).hexdigest()
+
+    corpus_fps = {fp(t) for d, t in docs if bucket(d) < INCR_BATCH_GE}
+    batch = sorted((d, t) for d, t in docs if bucket(d) >= INCR_BATCH_GE)
+    expect = {}
+    seen_in_batch: set[str] = set()
+    for d, t in batch:
+        f = fp(t)
+        if f in corpus_fps:
+            expect[d] = "dup_of_corpus"
+        elif f in seen_in_batch:
+            expect[d] = "dup_within_batch"
+        else:
+            expect[d] = "unique"
+        seen_in_batch.add(f)
+    assert got == expect
