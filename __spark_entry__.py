@@ -248,6 +248,10 @@ def _q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.incremental_dedup(read_table(spark, sf, "documents"))
 
 
+def _q_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
+    return joins_mod.interval_overlap_join(read_table(spark, sf, "events"))
+
+
 def _q_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.knn_graph(read_table(spark, sf, "embeddings"))
 
@@ -1546,8 +1550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-operator projections, all swept by the per-pytest
         # DuckDB oracle gate) sit FIRST outside the window and MUST
         # head round 7's window together with the 49 round-4 entries;
-        # with the registry now at 157 entries the staleness cycle is
-        # ceil(157/50) = 4 rounds, which that plan satisfies. The
+        # with the registry now at 158 entries the staleness cycle is
+        # ceil(158/50) = 4 rounds, which that plan satisfies. The
         # rotation cadence is CI-enforced:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
         # ---
@@ -1560,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": _q_quantile_bins,
         "chi2_association": _q_chi2_association,
         "incremental_dedup": _q_incremental_dedup,
+        "interval_overlap_join": _q_interval_overlap_join,
         "knn_graph": _q_knn_graph,
         "embedding_outliers": _q_embedding_outliers,
         "ml_train_many_accuracy": _q_ml_train_many_accuracy,
@@ -1600,11 +1605,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_join": _q_streaming_join,
         "streaming_sliding": _q_streaming_sliding,
-        "top_k_count": _q_top_k_count,
-        # --- deferred r3 cohort (displaced by the 5 late-round-6
+        # --- deferred r3 cohort (displaced by the 6 late-round-6
         # additions above: quantile_bins, chi2_association,
-        # incremental_dedup, knn_graph, embedding_outliers): MUST head
-        # round 7's window together with the r4 cohort ---
+        # incremental_dedup, interval_overlap_join, knn_graph,
+        # embedding_outliers): MUST head round 7's window together
+        # with the r4 cohort ---
+        "top_k_count": _q_top_k_count,
         "tpch_q12": _q_tpch_q12,
         "tpch_q21": _q_tpch_q21,
         "winnowing": _q_winnowing,
@@ -1972,6 +1978,7 @@ ORDER BY user_id
         "incremental_dedup": dedup.incremental_dedup_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         "embedding_outliers": similarity.embedding_outliers_sql(),
+        "interval_overlap_join": joins_mod.interval_overlap_join_sql(),
         "streaming_cdc": _streaming_mod().cdc_available_now_sql(),
         "dedup_canonical": dedup.dedup_canonical_sql(),
         "int8_recall_eval": similarity.int8_recall_eval_sql(),

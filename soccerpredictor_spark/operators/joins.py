@@ -468,3 +468,130 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+# --------------------------------------------------------------------------
+# interval-overlap join (temporal join: interval x interval)
+# --------------------------------------------------------------------------
+
+#: busy-hour rule: an hour is "busy" when its event count exceeds
+#: 1.2x the all-hours average — compared in exact integers as
+#: n_hour * n_hours * 5 > total_events * 6.
+BUSY_NUM, BUSY_DEN = 6, 5
+
+
+def interval_overlap_join(events: DataFrame) -> DataFrame:
+    """Interval x interval temporal join: per-user SESSIONS (30-min
+    inactivity gap) overlapped against BUSY HOURS (hour buckets whose
+    event count exceeds 1.2x the hourly average), with the exact
+    overlap duration per (session, busy hour).
+
+    This is the interval-overlap class (incident attribution, SLA
+    windows, campaign exposure) — distinct from the point-in-interval
+    ``range_join`` family. Expressed in the shape that SCALES: because
+    busy windows are hour-aligned, each session explodes to the hour
+    buckets it covers (bounded by session length — sessions are
+    gap-bounded, so the fan-out is small) and the overlap join becomes
+    a plain EQUI-join on the hour key — no inequality-pair join, no
+    broadcast nested loop, shuffle keyed on the hour at any scale. The
+    general lesson is in the docstring deliberately: bucketize both
+    interval sides to a common grain and the O(n*m) comparison
+    disappears.
+
+    Exactness: bounds and overlaps are integer microseconds
+    (unix_micros); the busy-hour rule is an integer
+    cross-multiplication; session bounds come from the same
+    session_window construction the green events_sessionize entry
+    proves against the gaps-and-islands SQL.
+    """
+    from soccerpredictor_spark.operators.windows import session_windows
+
+    sessions = session_windows(events)
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("busy_hour")
+    ).agg(F.count(F.lit(1)).alias("n_hour"))
+    tot = hourly.agg(
+        F.sum("n_hour").alias("total_events"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    busy = (
+        hourly.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("n_hour") * F.col("n_hours") * F.lit(BUSY_DEN)
+            > F.col("total_events") * F.lit(BUSY_NUM)
+        )
+        .select("busy_hour", "n_hour")
+    )
+    covered = sessions.select(
+        "user_id",
+        "first_ts",
+        "last_ts",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("first_ts")),
+                F.date_trunc("hour", F.col("last_ts")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("busy_hour"),
+    )
+    first_us = F.unix_micros(F.col("first_ts"))
+    last_us = F.unix_micros(F.col("last_ts"))
+    h_us = F.unix_micros(F.col("busy_hour"))
+    h_end_us = h_us + F.lit(3_600_000_000)
+    overlap = F.least(last_us, h_end_us) - F.greatest(first_us, h_us)
+    return (
+        covered.join(busy, "busy_hour")
+        .select(
+            "user_id",
+            "first_ts",
+            "last_ts",
+            "busy_hour",
+            "n_hour",
+            overlap.alias("overlap_micros"),
+        )
+        .orderBy("user_id", "first_ts", "busy_hour")
+    )
+
+
+def interval_overlap_join_sql(gap_seconds: int = 1800) -> str:
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   >= {gap_seconds}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+  FROM numbered GROUP BY user_id, sid
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS busy_hour, COUNT(*) AS n_hour
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_hour) AS BIGINT) AS total_events,
+               COUNT(*) AS n_hours FROM hourly),
+busy AS (
+  SELECT busy_hour, n_hour FROM hourly CROSS JOIN tot
+  WHERE n_hour * n_hours * {BUSY_DEN} > total_events * {BUSY_NUM}
+),
+covered AS (
+  SELECT user_id, first_ts, last_ts,
+         UNNEST(generate_series(date_trunc('hour', first_ts),
+                                date_trunc('hour', last_ts),
+                                INTERVAL 1 HOUR)) AS busy_hour
+  FROM sessions
+)
+SELECT user_id, first_ts, last_ts, c.busy_hour, n_hour,
+       LEAST(epoch_us(last_ts), epoch_us(c.busy_hour) + 3600000000)
+       - GREATEST(epoch_us(first_ts), epoch_us(c.busy_hour)) AS overlap_micros
+FROM covered c JOIN busy b ON c.busy_hour = b.busy_hour
+ORDER BY user_id, first_ts, c.busy_hour
+"""

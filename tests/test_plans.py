@@ -694,3 +694,22 @@ def test_embedding_outliers_broadcast_sums_single_vec_shuffle(spark, sf001):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_is_equi_join(spark, sf001):
+    """Interval x interval overlap, bucketized to hour grain: the
+    session x busy-window join is a plain EQUI-join on the hour key
+    (BroadcastHashJoin here — busy hours are dimension-sized), never
+    an inequality-pair join or cartesian. The only nested-loop node
+    permitted is the 1-ROW scalar broadcast of the busy-threshold
+    totals (build side = one aggregate row)."""
+    plan = _plan(entry.queries()["interval_overlap_join"](spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # any BNLJ must be the scalar-threshold cross join, not the
+    # interval pairing: it builds on a 1-row aggregate subtree
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastNestedLoopJoin" in ln:
+            below = "\n".join(lines[i : i + 12])
+            assert "HashAggregate" in below, f"unexpected BNLJ shape:\n{below}"
