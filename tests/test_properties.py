@@ -242,3 +242,110 @@ def test_incremental_dedup_matches_sequential_model(spark, docs):
             expect[d] = "unique"
         seen_in_batch.add(f)
     assert got == expect
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # user_id
+            st.integers(min_value=0, max_value=6 * 3600),  # seconds offset
+        ),
+        min_size=4,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_interval_overlap_matches_brute_force(spark, events):
+    """interval_overlap_join must agree with the brute-force model:
+    sessionize per user (30-min gap), find busy hours (count > 1.2x
+    hourly average), and intersect every session with every busy hour
+    directly — the O(n*m) computation the bucketized equi-join
+    replaces."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.joins import (
+        BUSY_DEN,
+        BUSY_NUM,
+        interval_overlap_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), u, "click", 1.0, "{}")
+        for i, (u, s) in enumerate(sorted(events))
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {
+        (r.user_id, r.first_ts, r.busy_hour): (r.overlap_micros, r.n_hour)
+        for r in interval_overlap_join(df).collect()
+    }
+
+    # brute-force model
+    per_user: dict[int, list[dt.datetime]] = {}
+    for _, ts, u, *_ in rows:
+        per_user.setdefault(u, []).append(ts)
+    sessions = []
+    for u, tss in per_user.items():
+        tss.sort()
+        start = prev = tss[0]
+        for t in tss[1:]:
+            if (t - prev).total_seconds() >= 1800:
+                sessions.append((u, start, prev))
+                start = t
+            prev = t
+        sessions.append((u, start, prev))
+    hours: dict[dt.datetime, int] = {}
+    for _, ts, *_ in rows:
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        hours[h] = hours.get(h, 0) + 1
+    total, n_hours = sum(hours.values()), len(hours)
+    busy = {
+        h: c for h, c in hours.items() if c * n_hours * BUSY_DEN > total * BUSY_NUM
+    }
+    expect = {}
+    for u, first, last in sessions:
+        for h, c in busy.items():
+            h_end = h + dt.timedelta(hours=1)
+            if first < h_end and last >= h:
+                ov = int(
+                    (min(last, h_end) - max(first, h)).total_seconds() * 1_000_000
+                )
+                expect[(u, first, h)] = (ov, c)
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    prices=st.lists(
+        st.floats(min_value=0.0, max_value=1e6, allow_nan=False, width=32),
+        min_size=10,
+        max_size=60,
+    )
+)
+def test_quantile_bins_monotone_and_bounded(spark, prices):
+    """quantile_bins invariants for arbitrary inputs: bins lie in
+    [1, 10], bin assignment is monotone in the value (ties may share a
+    bin but never invert), and no bin exceeds ~a decile plus the mass
+    of its largest tied value (the equal-frequency property up to
+    ties)."""
+    from collections import Counter
+
+    from soccerpredictor_spark.operators.mlprep import QB_BINS, quantile_bins
+
+    df = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(prices)],
+        ["o_orderkey", "o_totalprice"],
+    )
+    rows = quantile_bins(df).collect()
+    assert len(rows) == len(prices)
+    by_val = sorted(rows, key=lambda r: (r.o_totalprice, r.bin))
+    bins = [r.bin for r in by_val]
+    assert all(1 <= b <= QB_BINS for b in bins)
+    assert all(b1 <= b2 for b1, b2 in zip(bins, bins[1:])), "non-monotone bins"
+    counts = Counter(bins)
+    tie_mass = Counter(r.o_totalprice for r in rows).most_common(1)[0][1]
+    cap = -(-len(prices) // QB_BINS) + tie_mass
+    assert all(c <= cap for c in counts.values())
