@@ -54,6 +54,8 @@ HEADLINE = {
     "quantile_bins": "Equal-frequency binning: percentile_disc decile edges in one agg, broadcast comparison-count bin assignment — no ntile, no global sort",
     "chi2_association": "Chi-square cells: one contingency agg + broadcast marginals; per-cell double assembly, no order-dependent cross-cell sum",
     "incremental_dedup": "Batch-vs-corpus dedup: corpus distinct-reduced to fingerprints before the membership join; text never crosses an exchange",
+    "embedding_outliers": "Per-label centroid-distance outliers: (label, dim) sums broadcast, exact decimal numerator combined map-side, count-bounded rank window",
+    "interval_overlap_join": "Interval x interval overlap bucketized to hour grain: the temporal join is a plain equi-join on the hour key — no inequality-pair join",
 }
 
 # Performance-notes sections are maintained by hand in PLANS.md and
