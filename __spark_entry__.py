@@ -1530,31 +1530,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 entries in dict order (observed in CORRECTNESS_r01).
     return {
         # --- FIRST 50 = the driver verification window (the driver
-        # hash-checks queries()[0:50] in dict order). Round-6 occupants,
+        # hash-checks queries()[0:50] in dict order). Round-7 occupants,
         # in priority order:
-        #   1. the 6 never-driver-verified round-6 entries (tpch_q2/
-        #      q11/q16/q20 over the synthesized partsupp, target_encode,
-        #      ngram_novelty);
-        #   2. the 2 entries whose fit function changed this round
-        #      (ml_train_many_accuracy: now the closed-form
-        #      majority-baseline surface with a full oracle —
-        #      previously the registry's only rows-only row;
-        #      ml_train_many: same applyInPandas body, output
-        #      contract unchanged, re-verified out of caution);
-        #   3. the 6 round-2-verified TPC-H entries (tpch_q1/q3/q5/
-        #      q6/q10/q14 — at the rotation-staleness CI bound, the
-        #      round-5 verdict's #1 item);
-        #   4. 36 of the 41 round-3-verified entries.
-        # The 5 remaining round-3 entries (arity_filter, encode_binary,
-        # regex_extract, case_encode, filter_cast_range — trivial
-        # single-operator projections, all swept by the per-pytest
-        # DuckDB oracle gate) sit FIRST outside the window and MUST
-        # head round 7's window together with the 49 round-4 entries;
-        # with the registry now at 158 entries the staleness cycle is
-        # ceil(158/50) = 4 rounds, which that plan satisfies. The
-        # rotation cadence is CI-enforced:
+        #   1. the 6 round-2-verified TPC-H entries (tpch_q1/q3/q5/
+        #      q6/q10/q14) — round 6's driver run was never recorded
+        #      (no CORRECTNESS_r06.json exists), so their last driver
+        #      row is STILL r2 and they sit exactly at the staleness
+        #      bound (cycle = ceil(n/50) = 4, floor = latest-4);
+        #   2. the 12 round-6 additions, never driver-verified for the
+        #      same reason (tpch_q2/q11/q16/q20 over the synthesized
+        #      partsupp, target_encode, ngram_novelty, quantile_bins,
+        #      chi2_association, incremental_dedup,
+        #      interval_overlap_join, knn_graph, embedding_outliers);
+        #   3. the 2 ML surfaces whose fit/oracle changed in round 6
+        #      and were likewise never driver-checked in their new form
+        #      (ml_train_many_accuracy: closed-form majority-baseline
+        #      oracle; ml_train_many: re-verified out of caution);
+        #   4. the new round-7 operators (never verified, must be in
+        #      the window per test_driver_verification_window_ordering);
+        #   5. as many of the oldest (round-3-verified) entries as fit.
+        # Every r3/r4 entry displaced past position 50 sits immediately
+        # after the window in age order and MUST head round 8's window.
+        # The rotation cadence is CI-enforced:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
         # ---
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q14": _q_tpch_q14,
         "tpch_q2": _q_tpch_q2,
         "tpch_q11": _q_tpch_q11,
         "tpch_q16": _q_tpch_q16,
@@ -1569,12 +1574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _q_embedding_outliers,
         "ml_train_many_accuracy": _q_ml_train_many_accuracy,
         "ml_train_many": _q_ml_train_many,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q14": _q_tpch_q14,
+        # --- round-7 additions slot here (each one slides an r3-cohort
+        # entry out of the window; displaced entries head round 8) ---
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "contamination_check": _q_contamination_check,
