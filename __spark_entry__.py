@@ -264,6 +264,82 @@ def _q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return textops.ngram_novelty(read_table(spark, sf, "documents"))
 
 
+def _graph_mod():
+    from soccerpredictor_spark.operators import graph
+
+    return graph
+
+
+def _ts_mod():
+    from soccerpredictor_spark.operators import timeseries
+
+    return timeseries
+
+
+def _q_graph_coactivity(spark: SparkSession, sf: str) -> DataFrame:
+    return _graph_mod().coactivity_edges(read_table(spark, sf, "events"))
+
+
+def _q_graph_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return _graph_mod().graph_degree_stats(read_table(spark, sf, "events"))
+
+
+def _q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    return _graph_mod().graph_pagerank(read_table(spark, sf, "events"))
+
+
+def _q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    return _graph_mod().graph_triangles(read_table(spark, sf, "events"))
+
+
+def _q_autocorr_lag(spark: SparkSession, sf: str) -> DataFrame:
+    return _ts_mod().autocorr_lag(read_table(spark, sf, "events"))
+
+
+def _q_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    return _ts_mod().cusum_changepoint(read_table(spark, sf, "events"))
+
+
+def _q_ewma_window(spark: SparkSession, sf: str) -> DataFrame:
+    return _ts_mod().ewma_window(read_table(spark, sf, "events"))
+
+
+def _q_seasonal_naive_error(spark: SparkSession, sf: str) -> DataFrame:
+    return _ts_mod().seasonal_naive_error(read_table(spark, sf, "events"))
+
+
+def _q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.pmi_collocations(read_table(spark, sf, "documents"))
+
+
+def _q_keyword_extract(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.keyword_extract(read_table(spark, sf, "documents"))
+
+
+def _q_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.bigram_lm(read_table(spark, sf, "documents"))
+
+
+def _q_prf_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.prf_metrics(read_table(spark, sf, "documents"))
+
+
+def _q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.weighted_sample(read_table(spark, sf, "documents"))
+
+
+def _q_kfold_assign(spark: SparkSession, sf: str) -> DataFrame:
+    return _mlprep_mod().kfold_assign(read_table(spark, sf, "orders"))
+
+
+def _q_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
+    return _mlprep_mod().decile_lift(read_table(spark, sf, "orders"))
+
+
+def _q_fuzzy_token_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return joins_mod.fuzzy_token_pairs(read_table(spark, sf, "part"))
+
+
 def _q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     return psq.q2_min_cost_supplier(
         read_table(spark, sf, "part"),
@@ -1574,8 +1650,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _q_embedding_outliers,
         "ml_train_many_accuracy": _q_ml_train_many_accuracy,
         "ml_train_many": _q_ml_train_many,
-        # --- round-7 additions slot here (each one slides an r3-cohort
-        # entry out of the window; displaced entries head round 8) ---
+        # --- round-7 additions (never driver-verified) ---
+        "graph_coactivity": _q_graph_coactivity,
+        "graph_degree_stats": _q_graph_degree_stats,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_triangles": _q_graph_triangles,
+        "autocorr_lag": _q_autocorr_lag,
+        "cusum_changepoint": _q_cusum_changepoint,
+        "ewma_window": _q_ewma_window,
+        "seasonal_naive_error": _q_seasonal_naive_error,
+        "pmi_collocations": _q_pmi_collocations,
+        "keyword_extract": _q_keyword_extract,
+        "bigram_lm": _q_bigram_lm,
+        "prf_metrics": _q_prf_metrics,
+        "weighted_sample": _q_weighted_sample,
+        "kfold_assign": _q_kfold_assign,
+        "decile_lift": _q_decile_lift,
+        "fuzzy_token_pairs": _q_fuzzy_token_pairs,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "contamination_check": _q_contamination_check,
@@ -1977,6 +2068,22 @@ ORDER BY user_id
         "quantile_bins": _mlprep_mod().quantile_bins_sql(),
         "chi2_association": _mlprep_mod().chi2_association_sql(),
         "incremental_dedup": dedup.incremental_dedup_sql(),
+        "graph_coactivity": _graph_mod().coactivity_edges_sql(),
+        "graph_degree_stats": _graph_mod().graph_degree_stats_sql(),
+        "graph_pagerank": _graph_mod().graph_pagerank_sql(),
+        "graph_triangles": _graph_mod().graph_triangles_sql(),
+        "autocorr_lag": _ts_mod().autocorr_lag_sql(),
+        "cusum_changepoint": _ts_mod().cusum_changepoint_sql(),
+        "ewma_window": _ts_mod().ewma_window_sql(),
+        "seasonal_naive_error": _ts_mod().seasonal_naive_error_sql(),
+        "pmi_collocations": textops.pmi_collocations_sql(),
+        "keyword_extract": textops.keyword_extract_sql(),
+        "bigram_lm": textops.bigram_lm_sql(),
+        "prf_metrics": textops.prf_metrics_sql(),
+        "weighted_sample": textops.weighted_sample_sql(),
+        "kfold_assign": _mlprep_mod().kfold_assign_sql(),
+        "decile_lift": _mlprep_mod().decile_lift_sql(),
+        "fuzzy_token_pairs": joins_mod.fuzzy_token_pairs_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         "embedding_outliers": similarity.embedding_outliers_sql(),
         "interval_overlap_join": joins_mod.interval_overlap_join_sql(),

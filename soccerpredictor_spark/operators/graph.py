@@ -1,0 +1,326 @@
+"""Graph analytics over a bounded co-activity graph.
+
+The graph family a large-scale data pipeline needs once documents /
+users / entities are linked: degree diagnostics, centrality
+(PageRank), and triangle/clustering statistics. The reference engine
+has no graph surface; these generalize its event-log queries
+(``SoccerPredictor/DAO/ImpalaCon.py:79-106`` scan-shape) the same way
+the dedup family generalizes its exact-match filters.
+
+Edge construction is the load-bearing scale decision: edges are
+generated ONLY inside (event_type, 15-minute) buckets whose distinct-
+user count is <= ``MAX_USERS_PER_BUCKET`` — the same df-cap pattern as
+``dedup_jaccard``'s shingle join. Per-bucket fan-out is bounded by
+B*(B-1)/2, so total pair work is O(n_buckets * B^2) at ANY data scale;
+a hot bucket (a global broadcast event touched by millions of users)
+is excluded by the cap instead of detonating into an all-pairs join.
+
+Cross-engine determinism: PageRank runs entirely in scaled int64
+arithmetic (micro-units of 1e-12) — integer sums are associative and
+order-independent, so Spark's partitioned aggregation and DuckDB's
+single-threaded fold produce bit-identical ranks; doubles appear only
+in final single-division display expressions evaluated identically by
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: co-activity bucket width (seconds) — 15-minute windows.
+BUCKET_SECONDS = 900
+#: df-cap: buckets with more distinct users than this generate no edges.
+MAX_USERS_PER_BUCKET = 20
+#: fixed PageRank iteration count (deterministic plan depth).
+PAGERANK_ITERS = 3
+#: rank mass is represented in int64 units of 1/PAGERANK_SCALE.
+PAGERANK_SCALE = 10**12
+#: rows returned by graph_pagerank.
+PAGERANK_TOPK = 20
+
+
+def _bucketed_users(events: DataFrame) -> DataFrame:
+    """Distinct (event_type, bucket, user) triples, with the bucket's
+    distinct-user count attached. unix_timestamp truncates toward
+    -inf on the UTC-pinned session, matching floor(epoch(ts))."""
+    b = events.select(
+        "event_type",
+        F.expr(f"unix_timestamp(ts) div {BUCKET_SECONDS}").alias("bkt"),
+        "user_id",
+    ).distinct()
+    w = Window.partitionBy("event_type", "bkt")
+    return b.withColumn("nu", F.count(F.lit(1)).over(w))
+
+
+def coactivity_edges(events: DataFrame) -> DataFrame:
+    """Undirected weighted edge list (u < v): users co-active in the
+    same capped bucket; weight = number of shared buckets.
+
+    Plan shape: one distinct (shuffle on the bucket key), one window
+    over the same partitioning (exchange reused), a self-join on the
+    bucket key (co-partitioned, no extra shuffle of the big side), and
+    one edge-key aggregation. Nothing is ever joined all-pairs.
+    """
+    capped = _bucketed_users(events).filter(
+        F.col("nu") <= MAX_USERS_PER_BUCKET
+    )
+    a = capped.select("event_type", "bkt", F.col("user_id").alias("u"))
+    b = capped.select("event_type", "bkt", F.col("user_id").alias("v"))
+    return (
+        a.join(b, ["event_type", "bkt"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+_EDGES_CTE = f"""
+b AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // {BUCKET_SECONDS} AS bkt,
+         user_id
+  FROM events
+),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY event_type, bkt) AS nu FROM b
+),
+capped AS (SELECT * FROM sized WHERE nu <= {MAX_USERS_PER_BUCKET}),
+edges AS (
+  SELECT a.user_id AS u, c.user_id AS v, COUNT(*) AS weight
+  FROM capped a JOIN capped c USING (event_type, bkt)
+  WHERE a.user_id < c.user_id
+  GROUP BY a.user_id, c.user_id
+)"""
+
+
+def coactivity_edges_sql() -> str:
+    return f"WITH {_EDGES_CTE} SELECT u, v, weight FROM edges"
+
+
+def graph_degree_stats(events: DataFrame) -> DataFrame:
+    """Degree histogram of the co-activity graph: (degree, n_users).
+
+    The hubness diagnostic: a heavy right tail means the cap or the
+    bucketing is too coarse. Degrees come from one union + one
+    aggregation over the (already small) edge list.
+    """
+    e = coactivity_edges(events)
+    sym = e.select(F.col("u").alias("user_id")).unionAll(
+        e.select(F.col("v").alias("user_id"))
+    )
+    deg = sym.groupBy("user_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def graph_degree_stats_sql() -> str:
+    return f"""
+WITH {_EDGES_CTE},
+sym AS (SELECT u AS user_id FROM edges UNION ALL SELECT v FROM edges),
+deg AS (SELECT user_id, COUNT(*) AS degree FROM sym GROUP BY user_id)
+SELECT degree, COUNT(*) AS n_users FROM deg GROUP BY degree
+"""
+
+
+def graph_pagerank(events: DataFrame) -> DataFrame:
+    """Top-K users by PageRank on the co-activity graph
+    (3 fixed power iterations, damping 0.85).
+
+    TextRank-style centrality; on a document-similarity graph the same
+    plan ranks representative documents. Exact arithmetic: ranks live
+    in int64 micro-units; per-edge contribution is rank div degree
+    (truncating integer division, identical in both engines on
+    non-negative values), the per-node sum is an int64 aggregation
+    (order-independent), and the damping update is
+    (15*SCALE) div (100*n) + (85*S) div 100 — all int64. The double
+    ``rank`` column is a single final division by a literal.
+
+    Scale: each iteration is one join of the edge list with the
+    (node-sized) rank table plus one aggregation — the standard
+    distributed PageRank step. The rank side is nodes-only (never the
+    fact table); on a real cluster both sides would be pre-partitioned
+    by user_id so the per-iteration exchanges collapse to one.
+    """
+    e = coactivity_edges(events)
+    # symmetrize: every undirected edge contributes in both directions
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("user_id"), "deg")
+    n = nodes.select(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "user_id",
+        "deg",
+        "n",
+        F.expr(f"CAST({PAGERANK_SCALE} AS BIGINT) div n").alias("rank_micro"),
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = sym.join(
+            ranks.withColumnRenamed("user_id", "src"), "src"
+        ).select(
+            F.col("dst").alias("user_id"),
+            F.expr("rank_micro div deg").alias("c"),
+        )
+        s = contrib.groupBy("user_id").agg(F.sum("c").alias("s"))
+        ranks = (
+            ranks.select("user_id", "deg", "n")
+            .join(s, "user_id", "left")
+            .select(
+                "user_id",
+                "deg",
+                "n",
+                (
+                    F.expr(f"CAST(15 * {PAGERANK_SCALE} AS BIGINT) div (100 * n)")
+                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                ).alias("rank_micro"),
+            )
+        )
+    return (
+        ranks.select(
+            "user_id",
+            "rank_micro",
+            (F.col("rank_micro").cast("double") / F.lit(float(PAGERANK_SCALE))).alias(
+                "rank"
+            ),
+        )
+        .orderBy(F.col("rank_micro").desc(), F.col("user_id").asc())
+        .limit(PAGERANK_TOPK)
+    )
+
+
+def graph_pagerank_sql() -> str:
+    scale = PAGERANK_SCALE
+    iters = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(
+            f"""
+s{i} AS (
+  SELECT sym.dst AS user_id, CAST(SUM(r.rank_micro // r.deg) AS BIGINT) AS s
+  FROM sym JOIN {prev} r ON sym.src = r.user_id
+  GROUP BY sym.dst
+),
+r{i} AS (
+  SELECT n.user_id, n.deg, n.n,
+         CAST(15 * {scale} AS BIGINT) // (100 * n.n)
+           + (85 * COALESCE(s{i}.s, 0)) // 100 AS rank_micro
+  FROM r0_base n LEFT JOIN s{i} USING (user_id)
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH {_EDGES_CTE},
+sym AS (SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v, u FROM edges),
+degs AS (SELECT src AS user_id, COUNT(*) AS deg FROM sym GROUP BY src),
+r0_base AS (SELECT user_id, deg, (SELECT COUNT(*) FROM degs) AS n FROM degs),
+r0 AS (SELECT user_id, deg, n,
+              CAST({scale} AS BIGINT) // n AS rank_micro FROM r0_base),
+{",".join(iters)}
+SELECT user_id, rank_micro,
+       CAST(rank_micro AS DOUBLE) / {float(scale)!r} AS rank
+FROM {prev}
+ORDER BY rank_micro DESC, user_id ASC
+LIMIT {PAGERANK_TOPK}
+"""
+
+
+def graph_triangles(events: DataFrame) -> DataFrame:
+    """One-row triangle census of the co-activity graph:
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
+    clustering = 3*triangles/wedges (the global clustering
+    coefficient).
+
+    Scale: the classic degree-ordered orientation — every edge is
+    directed from its lower-(degree, id) endpoint to the higher, so
+    each triangle is generated exactly once and the wedge join's
+    fan-out is bounded by the oriented out-degree (O(sqrt(m)) on
+    arbitrary graphs, O(B) here thanks to the bucket cap) instead of
+    the raw degree. The wedge set is then semi-joined back against the
+    oriented edges; no step is quadratic in nodes.
+    """
+    e = coactivity_edges(events).select("u", "v")
+    sym = e.select(F.col("u").alias("user_id")).unionAll(
+        e.select(F.col("v").alias("user_id"))
+    )
+    deg = sym.groupBy("user_id").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("user_id").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("user_id").alias("v"), F.col("deg").alias("deg_v"))
+    lesser_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lesser_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lesser_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+    # close the wedge: need edge between b and c in EITHER orientation
+    closing = oriented.select(
+        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    # all census counts stay distributed aggregations (no driver-side
+    # .count() actions); the three 1-row sides crossJoin for free
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+    )
+    return (
+        node_stats.crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+            ).alias("clustering"),
+        )
+    )
+
+
+def graph_triangles_sql() -> str:
+    return f"""
+WITH {_EDGES_CTE},
+e AS (SELECT u, v FROM edges),
+sym AS (SELECT u AS user_id FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT user_id, COUNT(*) AS deg FROM sym GROUP BY user_id),
+oriented AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM e JOIN deg du ON e.u = du.user_id
+         JOIN deg dv ON e.v = dv.user_id
+),
+wedges AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+  WHERE e1.dst < e2.dst
+),
+closing AS (SELECT least(src, dst) AS b, greatest(src, dst) AS c FROM oriented),
+tri AS (
+  SELECT COUNT(*) AS n_triangles FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM closing cl WHERE cl.b = w.b AND cl.c = w.c)
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       n_triangles,
+       CASE WHEN (SELECT SUM(deg * (deg - 1) // 2) FROM deg) > 0
+            THEN 3.0 * CAST(n_triangles AS DOUBLE)
+                 / CAST((SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS DOUBLE)
+       END AS clustering
+FROM tri
+"""

@@ -595,3 +595,76 @@ SELECT user_id, first_ts, last_ts, c.busy_hour, n_hour,
 FROM covered c JOIN busy b ON c.busy_hour = b.busy_hour
 ORDER BY user_id, first_ts, c.busy_hour
 """
+
+
+# --------------------------------------------------------------------------
+# fuzzy (edit-distance) token join via deletion-neighborhood blocking
+# --------------------------------------------------------------------------
+
+#: maximum edit distance accepted by fuzzy_token_pairs.
+FUZZY_MAX_DIST = 1
+
+
+def fuzzy_token_pairs(part: DataFrame) -> DataFrame:
+    """Typo/variant pairs in the part-name vocabulary: all token pairs
+    within levenshtein distance 1, found WITHOUT an all-pairs join.
+
+    Blocking is the SymSpell deletion-neighborhood trick: every word
+    emits itself plus its single-character deletions (len+1 variants);
+    two words within edit distance 1 are GUARANTEED to share a
+    variant, so the candidate set is the variant-keyed self-join —
+    complete by construction, unlike first-letter or length blocking
+    (which miss first-char substitutions). Candidates are then
+    verified with the exact levenshtein (shared variants can arise at
+    distance 2, e.g. transpositions).
+
+    Scale: work is O(vocab x word_len) variants and O(bucket^2) per
+    variant bucket — vocabulary-sized, sublinear in the corpus; the
+    fact table is touched once for the distinct-token projection.
+    """
+    vocab = part.select(
+        F.explode(F.split(F.trim(F.lower(F.col("p_name"))), r"\s+")).alias("w")
+    ).distinct()
+    variants = vocab.select(
+        "w",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(w),"
+                " transform(sequence(1, length(w)),"
+                " i -> concat(substr(w, 1, i-1), substr(w, i+1)))))"
+            )
+        ).alias("v"),
+    )
+    a = variants.select(F.col("w").alias("a"), "v")
+    b = variants.select(F.col("w").alias("b"), "v")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return cand.select(
+        "a", "b", F.levenshtein("a", "b").alias("dist")
+    ).filter(F.col("dist") <= FUZZY_MAX_DIST)
+
+
+def fuzzy_token_pairs_sql() -> str:
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(string_split_regex(trim(lower(p_name)), '\\s+')) AS w
+  FROM part
+),
+variants AS (
+  SELECT w, unnest(list_distinct(list_concat([w],
+           list_transform(range(1, length(w) + 1),
+                          i -> substr(w, 1, i-1) || substr(w, i+1))))) AS v
+  FROM vocab
+),
+cand AS (
+  SELECT DISTINCT a.w AS a, b.w AS b
+  FROM variants a JOIN variants b USING (v)
+  WHERE a.w < b.w
+)
+SELECT a, b, CAST(levenshtein(a, b) AS INTEGER) AS dist
+FROM cand WHERE levenshtein(a, b) <= {FUZZY_MAX_DIST}
+"""

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -362,4 +362,161 @@ FROM cells JOIN rt USING (o_orderpriority)
            JOIN ct USING (o_orderstatus)
            CROSS JOIN n
 ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# k-fold assignment / decile lift
+# --------------------------------------------------------------------------
+
+#: folds for cross-validation assignment.
+KFOLD_K = 5
+#: deciles for the lift table.
+LIFT_BINS = 10
+
+
+def kfold_assign(orders: DataFrame) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment with a
+    per-fold label-balance audit: fold = md5(key) mod K (the same
+    engine-portable gate as ``hash_split`` — stable under
+    repartitioning and reruns, joinable from any derived table), then
+    (fold, label) counts so a skewed fold is visible before training.
+
+    Pure scan projection + one tiny-key aggregation; zero RNG state.
+    """
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % KFOLD_K
+    )
+    return (
+        orders.select(
+            fold.alias("fold"), F.col("o_orderstatus").alias("label")
+        )
+        .groupBy("fold", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def kfold_assign_sql() -> str:
+    return f"""
+SELECT CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+            AS BIGINT) % {KFOLD_K} AS fold,
+       o_orderstatus AS label, COUNT(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+def decile_lift(orders: DataFrame) -> DataFrame:
+    """Decile lift/gains table — the model-evaluation standard: bin
+    rows by score decile (here o_totalprice as the stand-in model
+    score, decile 1 = highest scores) and report each bin's response
+    rate and cumulative lift over the base rate for label
+    o_orderstatus = 'F'.
+
+    Deciles are VALUE-based (percentile_disc edges from one global
+    aggregation, broadcast onto the row stream — the
+    ``quantile_bins`` shape), not NTILE: an ntile window is a global
+    single-partition sort, the one plan that cannot scale to 100 TB.
+    Ties share a bin in both engines (counts may be slightly uneven —
+    the standard trade of value-based gains tables). Counts stay
+    exact integers through the cumulative window (10 rows); lift =
+    (cum_pos * n_total) / (cum_n * pos_total) is one double
+    expression.
+    """
+    qs = [i / LIFT_BINS for i in range(1, LIFT_BINS)]
+    edges = orders.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias(f"e{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    asc_bin = reduce(
+        lambda acc, i: acc
+        + F.when(F.col("o_totalprice") > F.col(f"e{i}"), 1).otherwise(0),
+        range(2, LIFT_BINS),
+        F.lit(1)
+        + F.when(F.col("o_totalprice") > F.col("e1"), 1).otherwise(0),
+    )
+    binned = orders.select(
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "F", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    ).crossJoin(F.broadcast(edges)).select(
+        (F.lit(LIFT_BINS + 1) - asc_bin).cast("int").alias("decile"),
+        "pos",
+    )
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(
+        F.sum("n").alias("n_total"), F.sum("n_pos").alias("pos_total")
+    )
+    return (
+        per.select(
+            "decile",
+            "n",
+            "n_pos",
+            F.sum("n").over(cum).alias("cum_n"),
+            F.sum("n_pos").over(cum).alias("cum_pos"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            "cum_n",
+            "cum_pos",
+            (
+                F.col("n_pos").cast("double") / F.col("n").cast("double")
+            ).alias("response_rate"),
+            F.when(
+                F.col("pos_total") > 0,
+                (F.col("cum_pos") * F.col("n_total")).cast("double")
+                / (F.col("cum_n") * F.col("pos_total")).cast("double"),
+            ).alias("cum_lift"),
+        )
+    )
+
+
+def decile_lift_sql() -> str:
+    qs = [i / LIFT_BINS for i in range(1, LIFT_BINS)]
+    edge_cols = ", ".join(
+        f"quantile_disc(o_totalprice, {q}) AS e{i}"
+        for i, q in enumerate(qs, start=1)
+    )
+    bin_sum = " + ".join(
+        f"CASE WHEN o_totalprice > e{i} THEN 1 ELSE 0 END"
+        for i in range(1, LIFT_BINS)
+    )
+    return f"""
+WITH edges AS (SELECT {edge_cols} FROM orders),
+binned AS (
+  SELECT CAST({LIFT_BINS + 1} - (1 + {bin_sum}) AS INTEGER) AS decile,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders CROSS JOIN edges
+),
+per AS (SELECT decile, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM binned GROUP BY decile),
+cumed AS (
+  SELECT decile, n, n_pos,
+         CAST(SUM(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_pos
+  FROM per
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(n_pos) AS BIGINT) AS pos_total FROM per)
+SELECT decile, n, n_pos, cum_n, cum_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS response_rate,
+       CASE WHEN pos_total > 0 THEN
+         CAST(cum_pos * n_total AS DOUBLE) / CAST(cum_n * pos_total AS DOUBLE)
+       END AS cum_lift
+FROM cumed CROSS JOIN tot
 """

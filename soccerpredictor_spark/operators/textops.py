@@ -1810,3 +1810,404 @@ FROM sh JOIN first_seen USING (s)
 GROUP BY sh.doc_id
 ORDER BY sh.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# collocations / group keywords / bigram language model
+# --------------------------------------------------------------------------
+
+#: collocation output size and support floor.
+PMI_TOP_K = 30
+PMI_MIN_COUNT = 5
+#: distinctive keywords reported per group.
+KEYWORD_TOP_K = 5
+#: continuations reported per context word.
+BIGRAM_LM_TOP_K = 3
+
+
+def _bigram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, x, y): every ADJACENT token pair, with multiplicity
+    (unlike the dedup shingles, occurrences are not distinct — PMI
+    and LM counts need frequencies). Pure column ops after one
+    tokenize projection; the exploded stream carries two words per
+    row, never the document text."""
+    tok = fan_out(docs).select(
+        "doc_id", X.tokens(F.lower(F.col("text"))).alias("w")
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("w")) - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("w"), i + 1).alias("x"),
+            F.element_at(F.col("w"), i + 2).alias("y"),
+        ),
+    )
+    return (
+        tok.filter(F.size(F.col("w")) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    )
+
+
+_SQL_BIGRAMS = """
+SELECT doc_id, w[i] AS x, w[i+1] AS y
+FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents) t,
+UNNEST(range(1, len(w))) AS u(i)
+"""
+
+
+def pmi_collocations(docs: DataFrame) -> DataFrame:
+    """Top collocations by pointwise mutual information: word pairs
+    that co-occur adjacently far more than their unigram frequencies
+    predict — the phrase-mining primitive (new-term discovery,
+    tokenizer-merge candidates).
+
+    Reported as the rational lift ratio c_xy * N_uni^2 /
+    (N_bi * c_x * c_y) (PMI = ln of it): ln() is libm-dependent (see
+    the tfidf note), while the ratio — two IEEE products and one
+    division over exact integer counts — is correctly rounded,
+    bit-reproducible, and monotone in the same ordering. Support
+    floor c_xy >= PMI_MIN_COUNT kills the
+    noise tail; top-k plans as TakeOrderedAndProject. Scale: one
+    explode pass, count-only shuffles keyed by word/pair — the same
+    footprint as ``ngram_topk``.
+    """
+    bg = _bigram_rows(docs)
+    uni = (
+        bg.select(F.col("x").alias("w"))
+        .unionAll(bg.select(F.col("y").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # N.B. unigram counts here are positional (first/second slots of
+    # bigrams) so totals line up exactly: N_uni = 2 * N_bi.
+    pair = bg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    totals = pair.agg(
+        F.sum("c_xy").alias("n_bi"),
+        (F.sum("c_xy") * F.lit(2)).alias("n_uni"),
+    )
+    cx = uni.select(F.col("w").alias("x"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("w").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        pair.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                (
+                    F.col("c_xy").cast("double")
+                    * F.col("n_uni").cast("double")
+                    * F.col("n_uni").cast("double")
+                )
+                / (
+                    F.col("n_bi").cast("double")
+                    * F.col("c_x").cast("double")
+                    * F.col("c_y").cast("double")
+                )
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(PMI_TOP_K)
+
+
+def pmi_collocations_sql() -> str:
+    return f"""
+WITH bg AS ({_SQL_BIGRAMS}),
+uni AS (
+  SELECT w, COUNT(*) AS c FROM (
+    SELECT x AS w FROM bg UNION ALL SELECT y FROM bg
+  ) u GROUP BY w
+),
+pair AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY x, y),
+totals AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bi,
+                  CAST(2 * SUM(c_xy) AS BIGINT) AS n_uni FROM pair)
+SELECT p.x, p.y, p.c_xy, cx.c AS c_x, cy.c AS c_y,
+       (CAST(p.c_xy AS DOUBLE) * CAST(t.n_uni AS DOUBLE)
+           * CAST(t.n_uni AS DOUBLE))
+          / (CAST(t.n_bi AS DOUBLE) * CAST(cx.c AS DOUBLE)
+             * CAST(cy.c AS DOUBLE)) AS pmi_ratio
+FROM pair p
+JOIN uni cx ON p.x = cx.w
+JOIN uni cy ON p.y = cy.w
+CROSS JOIN totals t
+WHERE p.c_xy >= {PMI_MIN_COUNT}
+ORDER BY pmi_ratio DESC, p.x ASC, p.y ASC
+LIMIT {PMI_TOP_K}
+"""
+
+
+def keyword_extract(docs: DataFrame) -> DataFrame:
+    """Group-distinctive keywords (c-TF-IDF flavor): for each ``lang``
+    group, the terms whose in-group rate most exceeds their corpus
+    rate — lift = ln((c_gt * T) / (T_g * c_t)).
+
+    The per-domain/per-source profile query of corpus curation
+    ("what is this slice about"). Exact integer counts throughout;
+    one explode pass; group and corpus term tables are word-keyed
+    count shuffles, then a per-group rank window over the (small)
+    scored table.
+    """
+    from pyspark.sql import Window
+
+    tok = fan_out(docs).select(
+        "lang", F.explode(X.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    grp = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c_gt"))
+    corpus = grp.groupBy("term").agg(F.sum("c_gt").alias("c_t"))
+    gtot = grp.groupBy("lang").agg(F.sum("c_gt").alias("t_g"))
+    tot = corpus.agg(F.sum("c_t").alias("t_all"))
+    scored = (
+        grp.join(F.broadcast(corpus), "term")
+        .join(F.broadcast(gtot), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "term",
+            "c_gt",
+            "c_t",
+            (
+                (F.col("c_gt").cast("double") * F.col("t_all").cast("double"))
+                / (F.col("t_g").cast("double") * F.col("c_t").cast("double"))
+            ).alias("lift_ratio"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lift_ratio").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KEYWORD_TOP_K)
+        .select("lang", "term", "c_gt", "c_t", "lift_ratio", "rank")
+    )
+
+
+def keyword_extract_sql() -> str:
+    toks = _sql_tokens("lower(text)")
+    return f"""
+WITH tok AS (SELECT lang, unnest({toks}) AS term FROM documents),
+grp AS (SELECT lang, term, COUNT(*) AS c_gt FROM tok GROUP BY lang, term),
+corpus AS (SELECT term, CAST(SUM(c_gt) AS BIGINT) AS c_t FROM grp GROUP BY term),
+gtot AS (SELECT lang, CAST(SUM(c_gt) AS BIGINT) AS t_g FROM grp GROUP BY lang),
+tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_all FROM corpus),
+scored AS (
+  SELECT g.lang, g.term, g.c_gt, c.c_t,
+         (CAST(g.c_gt AS DOUBLE) * CAST(t.t_all AS DOUBLE))
+            / (CAST(gt.t_g AS DOUBLE) * CAST(c.c_t AS DOUBLE)) AS lift_ratio
+  FROM grp g JOIN corpus c USING (term)
+             JOIN gtot gt USING (lang)
+             CROSS JOIN tot t
+)
+SELECT lang, term, c_gt, c_t, lift_ratio, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY lift_ratio DESC, term ASC) AS INTEGER) AS rank
+  FROM scored
+) r WHERE rank <= {KEYWORD_TOP_K}
+"""
+
+
+def bigram_lm(docs: DataFrame) -> DataFrame:
+    """Add-one-smoothed bigram language model, top continuations per
+    context: P(y|x) = (c_xy + 1) / (c_x + V).
+
+    The corpus-statistics half of perplexity scoring / synthetic-text
+    detection. c_x here is the CONTEXT count (bigrams starting at x,
+    so the conditional sums to <= 1 exactly); V is the distinct
+    first-slot vocabulary. Exact counts, one double division; top-k
+    per context via a count-bounded rank window.
+    """
+    from pyspark.sql import Window
+
+    bg = _bigram_rows(docs)
+    pair = bg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    ctx = pair.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    vocab = pair.agg(F.countDistinct("x").alias("v"))
+    w = Window.partitionBy("x").orderBy(F.col("c_xy").desc(), F.col("y").asc())
+    return (
+        pair.join(F.broadcast(ctx), "x")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BIGRAM_LM_TOP_K)
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "rank",
+            (
+                (F.col("c_xy") + F.lit(1)).cast("double")
+                / (F.col("c_x") + F.col("v")).cast("double")
+            ).alias("prob"),
+        )
+    )
+
+
+def bigram_lm_sql() -> str:
+    return f"""
+WITH bg AS ({_SQL_BIGRAMS}),
+pair AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY x, y),
+ctx AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM pair GROUP BY x),
+vocab AS (SELECT COUNT(DISTINCT x) AS v FROM pair)
+SELECT x, y, c_xy, c_x, rank,
+       CAST(c_xy + 1 AS DOUBLE) / CAST(c_x + v AS DOUBLE) AS prob
+FROM (
+  SELECT p.x, p.y, p.c_xy, c.c_x, vb.v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p.x
+              ORDER BY p.c_xy DESC, p.y ASC) AS INTEGER) AS rank
+  FROM pair p JOIN ctx c USING (x) CROSS JOIN vocab vb
+) r WHERE rank <= {BIGRAM_LM_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# classifier metrics / deterministic weighted sampling
+# --------------------------------------------------------------------------
+
+#: rows kept by weighted_sample.
+WSAMPLE_K = 100
+
+
+def prf_metrics(docs: DataFrame) -> DataFrame:
+    """Per-class precision / recall / F1 of the marker-heuristic
+    language classifier against the corpus labels — the metric sheet
+    behind ``lang_confusion``'s raw counts.
+
+    Derived entirely from the (tiny) confusion table in ONE pass:
+    each confusion cell unpivots into an (actual, klass) and a
+    (pred, klass) row, and one conditional aggregation produces all
+    three totals — a join-per-total would re-evaluate the corpus
+    subtree once per consumer (three full scans at 100 TB). Ratios
+    are NULL-guarded doubles (precision undefined when the class is
+    never predicted, F1 when p + r = 0 — NULL in both engines, the
+    ``feature_corr`` zero-denominator convention).
+    """
+    conf = lang_confusion(docs)
+    sides = conf.select(
+        F.expr("stack(2, 'actual', lang, 'pred', lang_pred)").alias(
+            "side", "klass"
+        ),
+        "n_docs",
+        (F.col("lang") == F.col("lang_pred")).alias("is_tp"),
+    )
+    base = sides.groupBy("klass").agg(
+        F.sum(
+            F.when(F.col("side") == "actual", F.col("n_docs")).otherwise(0)
+        ).alias("n_actual"),
+        F.sum(
+            F.when(F.col("side") == "pred", F.col("n_docs")).otherwise(0)
+        ).alias("n_pred"),
+        F.sum(
+            F.when(
+                (F.col("side") == "actual") & F.col("is_tp"), F.col("n_docs")
+            ).otherwise(0)
+        ).alias("tp"),
+    )
+    p = F.when(
+        F.col("n_pred") > 0,
+        F.col("tp").cast("double") / F.col("n_pred").cast("double"),
+    )
+    r = F.when(
+        F.col("n_actual") > 0,
+        F.col("tp").cast("double") / F.col("n_actual").cast("double"),
+    )
+    scored = base.select(
+        "klass", "n_actual", "n_pred", "tp",
+        p.alias("precision"), r.alias("recall"),
+    )
+    f1 = F.when(
+        F.col("precision").isNotNull()
+        & F.col("recall").isNotNull()
+        & (F.col("precision") + F.col("recall") > 0),
+        F.lit(2.0)
+        * F.col("precision")
+        * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    )
+    return scored.select(
+        "klass", "n_actual", "n_pred", "tp", "precision", "recall",
+        f1.alias("f1"),
+    )
+
+
+def prf_metrics_sql() -> str:
+    conf = lang_confusion_sql()
+    return f"""
+WITH conf AS (SELECT * FROM ({conf}) c),
+sides AS (
+  SELECT 'actual' AS side, lang AS klass, n_docs,
+         lang = lang_pred AS is_tp FROM conf
+  UNION ALL
+  SELECT 'pred', lang_pred, n_docs, lang = lang_pred FROM conf
+),
+base AS (
+  SELECT klass,
+         CAST(SUM(CASE WHEN side = 'actual' THEN n_docs ELSE 0 END)
+              AS BIGINT) AS n_actual,
+         CAST(SUM(CASE WHEN side = 'pred' THEN n_docs ELSE 0 END)
+              AS BIGINT) AS n_pred,
+         CAST(SUM(CASE WHEN side = 'actual' AND is_tp THEN n_docs ELSE 0 END)
+              AS BIGINT) AS tp
+  FROM sides GROUP BY klass
+),
+scored AS (
+  SELECT klass, n_actual, n_pred, tp,
+         CASE WHEN n_pred > 0
+              THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS precision,
+         CASE WHEN n_actual > 0
+              THEN CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE) END AS recall
+  FROM base
+)
+SELECT klass, n_actual, n_pred, tp, precision, recall,
+       CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+                 AND precision + recall > 0
+            THEN 2.0 * precision * recall / (precision + recall) END AS f1
+FROM scored
+"""
+
+
+def weighted_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic weight-proportional sample (sequential Poisson /
+    priority sampling, Ohlsson): priority = w / u with u an
+    md5-derived uniform in (0,1); the top-k rows by priority are a
+    probability-proportional-to-size sample. Weight = n_chars, the
+    "sample long documents more" curation default.
+
+    Zero RNG state — u comes from the same engine-portable md5 gate
+    as ``hash_split``, so the sample is reproducible and joinable
+    across engines and reruns. Priority is one double expression over
+    exact integers (no pow/ln — transcendentals are libm-dependent,
+    see the tfidf note). Top-k plans as TakeOrderedAndProject — per-
+    partition heaps, never a global sort, at any scale.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    # u = (h + 1) / 2^32 in (0, 1]; priority = w / u = w * 2^32 / (h+1)
+    priority = (
+        F.col("n_chars").cast("double") * F.lit(4294967296.0)
+    ) / (h + F.lit(1)).cast("double")
+    return (
+        docs.select("doc_id", F.col("n_chars").alias("weight"),
+                    priority.alias("priority"))
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(WSAMPLE_K)
+    )
+
+
+def weighted_sample_sql() -> str:
+    return f"""
+SELECT doc_id, n_chars AS weight,
+       (CAST(n_chars AS DOUBLE) * 4294967296.0)
+         / CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) + 1 AS DOUBLE) AS priority
+FROM documents
+ORDER BY priority DESC, doc_id ASC
+LIMIT {WSAMPLE_K}
+"""

@@ -1,0 +1,353 @@
+"""Time-series diagnostics over the event firehose.
+
+Generalizes the reference's longitudinal game-history queries
+(``SoccerPredictor/DAO/ImpalaCon.py:79-106`` — per-team time-ordered
+scans) into the series operators a monitoring / feature pipeline
+needs: autocorrelation, change-point detection, exponential smoothing,
+and seasonal-forecast error.
+
+All four share one shape: a single hourly pre-aggregation of the
+event stream (shuffle ∝ types x hours, never the raw events twice),
+then window functions over (event_type ORDER BY hour) — at 100 TB the
+hourly rollup is the only pass over the fact table and everything
+downstream is series-sized.
+
+Cross-engine determinism: series values are integer counts; sums of
+products stay in int64 (order-independent); doubles appear only in
+final expression trees evaluated identically by Spark and DuckDB
+(divisions, sqrt, literal-weighted lag chains with fixed
+associativity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: autocorrelation lags reported per series.
+AUTOCORR_LAGS = (1, 2, 3)
+#: truncated-EWMA smoothing factor and window length.
+EWMA_ALPHA = 0.3
+EWMA_LAGS = 8
+#: seasonal-naive period (hours) — daily seasonality.
+SEASONAL_PERIOD = 24
+
+
+def _hourly_counts(events: DataFrame) -> DataFrame:
+    return events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_HOURLY_CTE = """
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)"""
+
+
+def autocorr_lag(events: DataFrame) -> DataFrame:
+    """Autocorrelation of each type's hourly-count series at lags
+    1..3 — the seasonality/burstiness fingerprint.
+
+    Pearson r over (x_t, x_{t-L}) pairs from the observed series
+    (compose with ``date_spine_fill`` upstream for gap-filled
+    semantics). All five sufficient statistics are exact int64 sums;
+    the correlation is one double expression, NULL-guarded on
+    zero-variance series (the ``feature_corr`` zero-denominator
+    lesson).
+    """
+    hourly = _hourly_counts(events)
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = hourly.select(
+        "event_type",
+        "cnt",
+        *[F.lag("cnt", lag).over(w).alias(f"lag{lag}") for lag in AUTOCORR_LAGS],
+    )
+    # stack the lag columns into (lag, y) rows so ALL lags aggregate in
+    # ONE pass over one window projection — a per-lag union would scan
+    # the event stream len(AUTOCORR_LAGS) times
+    stack_args = ", ".join(f"{lag}, lag{lag}" for lag in AUTOCORR_LAGS)
+    pairs = lagged.select(
+        "event_type",
+        F.col("cnt").alias("x"),
+        F.expr(f"stack({len(AUTOCORR_LAGS)}, {stack_args})").alias("lag", "y"),
+    ).filter(F.col("y").isNotNull())
+    x, y = F.col("x"), F.col("y")
+    return (
+        pairs.groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").alias("n_pairs"),
+            _pearson_from_sums().alias("autocorr"),
+        )
+    )
+
+
+def _pearson_from_sums():
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return F.when(den > 0, (n * sxy - sx * sy) / den)
+
+
+def _pearson_sql(prefix: str = "") -> str:
+    p = prefix
+    return (
+        f"CASE WHEN sqrt(CAST({p}n AS DOUBLE) * CAST({p}sxx AS DOUBLE)"
+        f" - CAST({p}sx AS DOUBLE) * CAST({p}sx AS DOUBLE))"
+        f" * sqrt(CAST({p}n AS DOUBLE) * CAST({p}syy AS DOUBLE)"
+        f" - CAST({p}sy AS DOUBLE) * CAST({p}sy AS DOUBLE)) > 0"
+        f" THEN (CAST({p}n AS DOUBLE) * CAST({p}sxy AS DOUBLE)"
+        f" - CAST({p}sx AS DOUBLE) * CAST({p}sy AS DOUBLE))"
+        f" / (sqrt(CAST({p}n AS DOUBLE) * CAST({p}sxx AS DOUBLE)"
+        f" - CAST({p}sx AS DOUBLE) * CAST({p}sx AS DOUBLE))"
+        f" * sqrt(CAST({p}n AS DOUBLE) * CAST({p}syy AS DOUBLE)"
+        f" - CAST({p}sy AS DOUBLE) * CAST({p}sy AS DOUBLE))) END"
+    )
+
+
+def autocorr_lag_sql() -> str:
+    lag_cols = ", ".join(
+        f"lag(cnt, {lag}) OVER (PARTITION BY event_type ORDER BY hour)"
+        f" AS lag{lag}"
+        for lag in AUTOCORR_LAGS
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT event_type, CAST({lag} AS INTEGER) AS lag, cnt AS x,"
+        f" lag{lag} AS y FROM lagged"
+        for lag in AUTOCORR_LAGS
+    )
+    return f"""
+WITH {_HOURLY_CTE},
+lagged AS (SELECT event_type, cnt, {lag_cols} FROM hourly),
+pairs AS (SELECT * FROM ({branches}) b WHERE y IS NOT NULL)
+SELECT event_type, lag, n AS n_pairs, {_pearson_sql()} AS autocorr
+FROM (
+  SELECT event_type, lag,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY event_type, lag
+) s"""
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """Change-point detection per series: the hour maximizing the
+    scaled CUSUM statistic |n*S_t - t*T| (prefix sum S_t, prefix count
+    t, series total T, length n) — the classic mean-shift locator,
+    multiplied through by n so every value stays exact int64 (no
+    running double sums, whose accumulation order differs between
+    engines).
+
+    One window pass for prefixes, one tiny per-type total, one rank to
+    pick the argmax (earliest-hour tie-break). ``score`` is the
+    normalized double max |CUSUM| / n.
+    """
+    hourly = _hourly_counts(events)
+    w = Window.partitionBy("event_type").orderBy("hour")
+    pref = hourly.select(
+        "event_type",
+        "hour",
+        F.sum("cnt").over(w).alias("s_t"),
+        F.row_number().over(w).alias("t"),
+    )
+    totals = hourly.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_hours")
+    )
+    scored = pref.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "hour",
+        "n_hours",
+        F.abs(
+            F.col("n_hours") * F.col("s_t") - F.col("t") * F.col("total")
+        ).alias("cusum_scaled"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("cusum_scaled").desc(), F.col("hour").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("cp_hour"),
+            "cusum_scaled",
+            "n_hours",
+            (
+                F.col("cusum_scaled").cast("double")
+                / F.col("n_hours").cast("double")
+            ).alias("score"),
+        )
+    )
+
+
+def cusum_changepoint_sql() -> str:
+    return f"""
+WITH {_HOURLY_CTE},
+pref AS (
+  SELECT event_type, hour,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY hour
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_t,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour)
+              AS BIGINT) AS t
+  FROM hourly
+),
+totals AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
+         COUNT(*) AS n_hours
+  FROM hourly GROUP BY event_type
+),
+scored AS (
+  SELECT p.event_type, p.hour, tt.n_hours,
+         abs(tt.n_hours * p.s_t - p.t * tt.total) AS cusum_scaled
+  FROM pref p JOIN totals tt USING (event_type)
+)
+SELECT event_type, hour AS cp_hour, cusum_scaled, n_hours,
+       CAST(cusum_scaled AS DOUBLE) / CAST(n_hours AS DOUBLE) AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY cusum_scaled DESC, hour ASC) AS rk
+  FROM scored
+) r WHERE rk = 1
+"""
+
+
+def _ewma_weights() -> list[float]:
+    return [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** i for i in range(EWMA_LAGS)]
+
+
+def ewma_window(events: DataFrame) -> DataFrame:
+    """Truncated exponentially-weighted moving average of each hourly
+    series: ewma_t = sum(w_i * x_{t-i}) / sum(w_i over present lags),
+    w_i = a(1-a)^i, i < 8.
+
+    The finite-window form replaces the recursive EWMA (whose infinite
+    state defeats both SQL and bounded streaming state) with a
+    fixed-depth lag chain — the weights are Python-computed double
+    LITERALS, and both engines evaluate the identical left-to-right
+    multiply-add chain, so results are bit-equal. One window pass.
+    """
+    hourly = _hourly_counts(events)
+    w = Window.partitionBy("event_type").orderBy("hour")
+    weights = _ewma_weights()
+    lags = [F.col("cnt").cast("double")] + [
+        F.lag("cnt", i).over(w).cast("double") for i in range(1, EWMA_LAGS)
+    ]
+    lagged = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        *[lags[i].alias(f"x{i}") for i in range(EWMA_LAGS)],
+    )
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i, wt in enumerate(weights):
+        xi = F.col(f"x{i}")
+        num = num + F.coalesce(xi * F.lit(wt), F.lit(0.0))
+        den = den + F.when(xi.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return lagged.select(
+        "event_type", "hour", "cnt", (num / den).alias("ewma")
+    )
+
+
+def ewma_window_sql() -> str:
+    weights = _ewma_weights()
+    xs = ["CAST(cnt AS DOUBLE) AS x0"] + [
+        f"CAST(lag(cnt, {i}) OVER (PARTITION BY event_type ORDER BY hour)"
+        f" AS DOUBLE) AS x{i}"
+        for i in range(1, EWMA_LAGS)
+    ]
+    # CAST every literal to DOUBLE: DuckDB parses bare numeric
+    # literals as DECIMAL, and a CASE over decimals sums exactly,
+    # diverging 1 ulp from Spark's double accumulation.
+    num = "CAST(0.0 AS DOUBLE)"
+    den = "CAST(0.0 AS DOUBLE)"
+    for i, wt in enumerate(weights):
+        num = f"{num} + COALESCE(x{i} * CAST({wt!r} AS DOUBLE), CAST(0.0 AS DOUBLE))"
+        den = (
+            f"{den} + CASE WHEN x{i} IS NOT NULL THEN CAST({wt!r} AS DOUBLE)"
+            f" ELSE CAST(0.0 AS DOUBLE) END"
+        )
+    return f"""
+WITH {_HOURLY_CTE},
+lagged AS (SELECT event_type, hour, cnt, {", ".join(xs)} FROM hourly)
+SELECT event_type, hour, cnt, ({num}) / ({den}) AS ewma FROM lagged
+"""
+
+
+def seasonal_naive_error(events: DataFrame) -> DataFrame:
+    """Error of the seasonal-naive forecast x_t := x_{t-24} per series
+    — the canonical forecasting baseline and data-drift probe.
+
+    Reports exact-integer absolute/squared error sums and the derived
+    MAE/RMSE doubles. One window pass with a 24-row lag; pairs where
+    the seasonal predecessor is missing are excluded (n_pairs counts
+    the rest).
+    """
+    hourly = _hourly_counts(events)
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = hourly.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", SEASONAL_PERIOD).over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    err = F.abs(F.col("cnt") - F.col("prev"))
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(err).alias("abs_err_sum"),
+            F.sum(err * err).alias("sq_err_sum"),
+        )
+        .select(
+            "event_type",
+            "n_pairs",
+            "abs_err_sum",
+            "sq_err_sum",
+            (
+                F.col("abs_err_sum").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("mae"),
+            F.sqrt(
+                F.col("sq_err_sum").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("rmse"),
+        )
+    )
+
+
+def seasonal_naive_error_sql() -> str:
+    return f"""
+WITH {_HOURLY_CTE},
+lagged AS (
+  SELECT event_type, cnt,
+         lag(cnt, {SEASONAL_PERIOD}) OVER (PARTITION BY event_type
+             ORDER BY hour) AS prev
+  FROM hourly
+)
+SELECT event_type, COUNT(*) AS n_pairs,
+       CAST(SUM(abs(cnt - prev)) AS BIGINT) AS abs_err_sum,
+       CAST(SUM(abs(cnt - prev) * abs(cnt - prev)) AS BIGINT) AS sq_err_sum,
+       CAST(SUM(abs(cnt - prev)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae,
+       sqrt(CAST(SUM(abs(cnt - prev) * abs(cnt - prev)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS rmse
+FROM lagged WHERE prev IS NOT NULL
+GROUP BY event_type
+"""

@@ -713,3 +713,165 @@ def test_interval_overlap_join_is_equi_join(spark, sf001):
         if "BroadcastNestedLoopJoin" in ln:
             below = "\n".join(lines[i : i + 12])
             assert "HashAggregate" in below, f"unexpected BNLJ shape:\n{below}"
+
+
+# --------------------------------------------------------------------------
+# round-7 additions: graph / time-series / text / ml-eval
+# --------------------------------------------------------------------------
+
+
+def test_coactivity_no_allpairs_no_python(spark, sf001):
+    """Co-activity edges: pair generation is an equi-join on the
+    (event_type, bucket) key over the CAPPED bucket rows — no
+    cartesian, no nested-loop pairing, no Python eval; the fact table
+    is distinct-projected before anything fans out."""
+    plan = _plan(entry.queries()["graph_coactivity"](spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_int64_no_cartesian(spark, sf001):
+    """PageRank: three join+agg rounds over the edge list; the only
+    nested-loop node permitted is the 1-row node-count broadcast. No
+    cartesian, no Python."""
+    df = entry.queries()["graph_pagerank"](spark, sf001)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # rank column stays integral end-to-end (exact cross-engine sums)
+    assert dict(df.dtypes)["rank_micro"] == "bigint"
+
+
+def test_triangles_oriented_wedges_broadcast_degrees(spark, sf001):
+    """Triangle census: degrees broadcast onto the edge list for the
+    orientation; the wedge join and the closing check are equi-joins
+    (src / (b,c)); nothing goes cartesian."""
+    plan = _plan(entry.queries()["graph_triangles"](spark, sf001))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_autocorr_single_scan_stack(spark, sf001):
+    """Autocorrelation: ALL lags aggregate from ONE pass over one
+    window projection (the stack generator) — the events scan appears
+    once, not once per lag."""
+    df = entry.queries()["autocorr_lag"](spark, sf001)
+    plan = _plan(df)
+    assert plan.count("events.parquet") == 1
+    assert "Generate" in plan  # the stack() unpivot
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_single_window_broadcast_totals(spark, sf001):
+    """CUSUM: one window pass for prefixes, per-type totals broadcast
+    back; the scaled statistic stays integral (exact cross-engine)."""
+    df = entry.queries()["cusum_changepoint"](spark, sf001)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert dict(df.dtypes)["cusum_scaled"] == "bigint"
+
+
+def test_ewma_no_join_single_window(spark, sf001):
+    """Truncated EWMA: a pure lag-chain projection — no join anywhere
+    in the plan, one hourly aggregation exchange plus the window
+    sort."""
+    plan = _plan(entry.queries()["ewma_window"](spark, sf001))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_naive_no_join(spark, sf001):
+    """Seasonal-naive error: hourly agg + one lag window + per-type
+    agg; joins never appear."""
+    plan = _plan(entry.queries()["seasonal_naive_error"](spark, sf001))
+    assert "Join" not in plan
+
+
+def test_pmi_topk_heap_no_smj(spark, sf001):
+    """PMI collocations: unigram/total sides broadcast; top-k plans
+    as TakeOrderedAndProject (per-partition heaps), never a global
+    sort; no sort-merge join of the pair stream."""
+    plan = _plan(entry.queries()["pmi_collocations"](spark, sf001))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_keyword_extract_broadcast_stats(spark, sf001):
+    """Group keywords: corpus/group term tables broadcast onto the
+    (lang, term) counts; the rank window partitions by lang — no
+    global sort, no sort-merge join."""
+    plan = _plan(entry.queries()["keyword_extract"](spark, sf001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_rank_bounded(spark, sf001):
+    """Bigram LM: context totals broadcast; output is bounded by the
+    per-context rank window (WindowGroupLimit pushes the top-k into
+    the shuffle)."""
+    plan = _plan(entry.queries()["bigram_lm"](spark, sf001))
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_prf_from_confusion_no_python(spark, sf001):
+    """P/R/F1: derived entirely from the tiny confusion table; the
+    corpus is scanned once (per-language hit counts in one
+    projection) and no Python eval appears."""
+    df = entry.queries()["prf_metrics"](spark, sf001)
+    plan = _plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_heap_not_sort(spark, sf001):
+    """Priority sampling: top-k by md5-derived priority plans as
+    TakeOrderedAndProject — per-partition heaps, no global sort, no
+    shuffle of the document text."""
+    plan = _plan(entry.queries()["weighted_sample"](spark, sf001))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_kfold_pure_projection_one_agg(spark, sf001):
+    """K-fold assignment: md5 bucket is a scan-side projection; the
+    only exchange is the (fold, label) count aggregation; no joins,
+    no windows."""
+    plan = _plan(entry.queries()["kfold_assign"](spark, sf001))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_decile_lift_no_global_ntile(spark, sf001):
+    """Lift table: deciles come from percentile_disc edges broadcast
+    onto the rows (the quantile_bins shape) — NO ntile/global-sort
+    window over the fact table; the only window is the 10-row
+    cumulative sum."""
+    df = entry.queries()["decile_lift"](spark, sf001)
+    plan = _plan(df)
+    # the fact-table side must not be globally sorted: any Window in
+    # the plan operates AFTER the per-decile aggregation (10 rows)
+    assert "ntile(" not in plan.lower().replace("percentile", "")
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_variant_blocked(spark, sf001):
+    """Fuzzy token join: candidates come from the deletion-variant
+    equi-join (complete for dist<=1 by construction) — no cartesian
+    pairing of the vocabulary, no Python eval; levenshtein runs only
+    on candidates."""
+    plan = _plan(entry.queries()["fuzzy_token_pairs"](spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_degree_stats_two_aggs_only(spark, sf001):
+    """Degree histogram: edge list -> degree agg -> histogram agg;
+    no extra joins beyond the edge construction, no Python."""
+    plan = _plan(entry.queries()["graph_degree_stats"](spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -349,3 +349,174 @@ def test_quantile_bins_monotone_and_bounded(spark, prices):
     tie_mass = Counter(r.o_totalprice for r in rows).most_common(1)[0][1]
     cap = -(-len(prices) // QB_BINS) + tie_mass
     assert all(c <= cap for c in counts.values())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_triangle_census_matches_brute_force(spark, edges):
+    """For any small undirected graph: the degree-ordered-orientation
+    census equals the brute-force triangle enumeration, and the wedge
+    count equals sum(deg*(deg-1)/2)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from soccerpredictor_spark.operators.graph import graph_triangles
+
+    es = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    if not es:
+        return
+    # feed the operator through its event-bucket front door: one
+    # bucket per edge, two users per bucket -> that exact edge list
+    rows = []
+    for i, (u, v) in enumerate(es):
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=15 * i)
+        rows.append(("e", ts, u, 1))
+        rows.append(("e", ts, v, 1))
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts", "user_id", "value"])
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = graph_triangles(ev).collect()[0]
+    nodes = {u for e in es for u in e}
+    deg = {n: sum(1 for a, b in es if n in (a, b)) for n in nodes}
+    tris = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    assert got["n_nodes"] == len(nodes)
+    assert got["n_edges"] == len(es)
+    assert got["n_triangles"] == tris
+    assert got["n_wedges"] == sum(d * (d - 1) // 2 for d in deg.values())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_pagerank_mass_conserved_and_python_model(spark, edges):
+    """For any small graph: the int64 PageRank matches an exact
+    integer reference model (same truncating divisions), and total
+    rank mass stays within n units of SCALE (each node's update
+    truncates at most twice)."""
+    from pyspark.sql import functions as F
+
+    from soccerpredictor_spark.operators.graph import (
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        graph_pagerank,
+    )
+
+    es = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    if not es:
+        return
+    rows = []
+    for i, (u, v) in enumerate(es):
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=15 * i)
+        rows.append(("e", ts, u, 1))
+        rows.append(("e", ts, v, 1))
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts", "user_id", "value"])
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r["rank_micro"] for r in graph_pagerank(ev).collect()}
+    # exact reference model
+    nbrs: dict[int, list[int]] = {}
+    for u, v in es:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    n = len(nbrs)
+    rank = {u: PAGERANK_SCALE // n for u in nbrs}
+    for _ in range(PAGERANK_ITERS):
+        recv = {u: 0 for u in nbrs}
+        for u, ns in nbrs.items():
+            c = rank[u] // len(ns)
+            for v in ns:
+                recv[v] += c
+        rank = {
+            u: (15 * PAGERANK_SCALE) // (100 * n) + (85 * recv[u]) // 100
+            for u in nbrs
+        }
+    topk = dict(sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20])
+    assert got == topk
+    assert 0 <= PAGERANK_SCALE - sum(rank.values()) <= 2 * n * max(
+        1, PAGERANK_ITERS
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    word=st.text(alphabet="abcd", min_size=1, max_size=6),
+    edit=st.integers(min_value=0, max_value=2),
+    pos=st.integers(min_value=0, max_value=6),
+    ch=st.sampled_from("abcd"),
+)
+def test_fuzzy_blocking_complete_for_dist1(spark, word, edit, pos, ch):
+    """Deletion-neighborhood blocking is COMPLETE for levenshtein
+    distance 1: for any word and any single edit (delete / insert /
+    substitute), the pair is found. (First-letter or length blocking
+    would fail the substitution-at-position-0 cases.)"""
+    from soccerpredictor_spark.operators.joins import fuzzy_token_pairs
+
+    p = min(pos, len(word))
+    if edit == 0:  # deletion
+        other = word[: max(p - 1, 0)] + word[max(p - 1, 0) + 1 :]
+    elif edit == 1:  # insertion
+        other = word[:p] + ch + word[p:]
+    else:  # substitution
+        if p >= len(word):
+            return
+        other = word[:p] + ch + word[p + 1 :]
+    if not other or other == word:
+        return
+    part = spark.createDataFrame(
+        pd.DataFrame({"p_name": [word, other]})
+    )
+    got = {(r["a"], r["b"]) for r in fuzzy_token_pairs(part).collect()}
+    assert (min(word, other), max(word, other)) in got
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    statuses=st.lists(st.sampled_from(["F", "O", "P"]), min_size=10, max_size=40)
+)
+def test_decile_lift_terminal_invariants(spark, statuses):
+    """For any label sequence: the last (10th) cumulative row covers
+    every order, so cum_lift there is EXACTLY 1.0 when positives
+    exist (rational identity, no float tolerance), and response rates
+    stay in [0, 1]."""
+    from soccerpredictor_spark.operators.mlprep import decile_lift
+
+    orders = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "o_orderkey": range(len(statuses)),
+                "o_totalprice": [float(100 + 7 * i % 13) for i in range(len(statuses))],
+                "o_orderstatus": statuses,
+            }
+        )
+    )
+    rows = {r["decile"]: r for r in decile_lift(orders).collect()}
+    last = rows[max(rows)]
+    assert last["cum_n"] == len(statuses)
+    n_pos = sum(1 for s in statuses if s == "F")
+    assert last["cum_pos"] == n_pos
+    if n_pos:
+        assert last["cum_lift"] == 1.0
+    for r in rows.values():
+        assert 0.0 <= r["response_rate"] <= 1.0
