@@ -1873,15 +1873,17 @@ def pmi_collocations(docs: DataFrame) -> DataFrame:
     footprint as ``ngram_topk``.
     """
     bg = _bigram_rows(docs)
-    uni = (
-        bg.select(F.col("x").alias("w"))
-        .unionAll(bg.select(F.col("y").alias("w")))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # N.B. unigram counts here are positional (first/second slots of
-    # bigrams) so totals line up exactly: N_uni = 2 * N_bi.
     pair = bg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    # unigram counts DERIVE from the pair table (each bigram occurrence
+    # contributes one x-slot and one y-slot), so the corpus explode
+    # runs ONCE — a second bg aggregation would replay the tokenize
+    # subtree over the full corpus. N_uni = 2 * N_bi exactly.
+    uni = (
+        pair.select(F.col("x").alias("w"), F.col("c_xy").alias("c"))
+        .unionAll(pair.select(F.col("y").alias("w"), F.col("c_xy").alias("c")))
+        .groupBy("w")
+        .agg(F.sum("c").alias("c"))
+    )
     totals = pair.agg(
         F.sum("c_xy").alias("n_bi"),
         (F.sum("c_xy") * F.lit(2)).alias("n_uni"),
@@ -1921,12 +1923,13 @@ def pmi_collocations(docs: DataFrame) -> DataFrame:
 def pmi_collocations_sql() -> str:
     return f"""
 WITH bg AS ({_SQL_BIGRAMS}),
+pair AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY x, y),
 uni AS (
-  SELECT w, COUNT(*) AS c FROM (
-    SELECT x AS w FROM bg UNION ALL SELECT y FROM bg
+  SELECT w, CAST(SUM(c) AS BIGINT) AS c FROM (
+    SELECT x AS w, c_xy AS c FROM pair
+    UNION ALL SELECT y, c_xy FROM pair
   ) u GROUP BY w
 ),
-pair AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY x, y),
 totals AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bi,
                   CAST(2 * SUM(c_xy) AS BIGINT) AS n_uni FROM pair)
 SELECT p.x, p.y, p.c_xy, cx.c AS c_x, cy.c AS c_y,

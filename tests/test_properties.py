@@ -378,10 +378,14 @@ def test_triangle_census_matches_brute_force(spark, edges):
     # feed the operator through its event-bucket front door: one
     # bucket per edge, two users per bucket -> that exact edge list
     rows = []
+    # each edge appears in TWO buckets so it clears MIN_EDGE_WEIGHT
     for i, (u, v) in enumerate(es):
-        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=15 * i)
-        rows.append(("e", ts, u, 1))
-        rows.append(("e", ts, v, 1))
+        for j in (0, 1):
+            ts = pd.Timestamp("2024-01-01") + pd.Timedelta(
+                minutes=15 * (2 * i + j)
+            )
+            rows.append(("e", ts, u, 1))
+            rows.append(("e", ts, v, 1))
     ev = spark.createDataFrame(
         pd.DataFrame(rows, columns=["event_type", "ts", "user_id", "value"])
     ).withColumn("ts", F.col("ts").cast("timestamp"))
@@ -427,10 +431,14 @@ def test_pagerank_mass_conserved_and_python_model(spark, edges):
     if not es:
         return
     rows = []
+    # each edge appears in TWO buckets so it clears MIN_EDGE_WEIGHT
     for i, (u, v) in enumerate(es):
-        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=15 * i)
-        rows.append(("e", ts, u, 1))
-        rows.append(("e", ts, v, 1))
+        for j in (0, 1):
+            ts = pd.Timestamp("2024-01-01") + pd.Timedelta(
+                minutes=15 * (2 * i + j)
+            )
+            rows.append(("e", ts, u, 1))
+            rows.append(("e", ts, v, 1))
     ev = spark.createDataFrame(
         pd.DataFrame(rows, columns=["event_type", "ts", "user_id", "value"])
     ).withColumn("ts", F.col("ts").cast("timestamp"))
