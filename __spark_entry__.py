@@ -340,6 +340,18 @@ def _q_fuzzy_token_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return joins_mod.fuzzy_token_pairs(read_table(spark, sf, "part"))
 
 
+def _q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
+    return _graph_mod().graph_components(read_table(spark, sf, "events"))
+
+
+def _q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.pq_topk(read_table(spark, sf, "embeddings"))
+
+
+def _q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    return _mlprep_mod().winsorize(read_table(spark, sf, "orders"))
+
+
 def _q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     return psq.q2_min_cost_supplier(
         read_table(spark, sf, "part"),
@@ -1667,6 +1679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_assign": _q_kfold_assign,
         "decile_lift": _q_decile_lift,
         "fuzzy_token_pairs": _q_fuzzy_token_pairs,
+        "graph_components": _q_graph_components,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "winsorize": _q_winsorize,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "contamination_check": _q_contamination_check,
@@ -2084,6 +2099,9 @@ ORDER BY user_id
         "kfold_assign": _mlprep_mod().kfold_assign_sql(),
         "decile_lift": _mlprep_mod().decile_lift_sql(),
         "fuzzy_token_pairs": joins_mod.fuzzy_token_pairs_sql(),
+        "graph_components": _graph_mod().graph_components_sql(),
+        "ann_pq_topk": similarity.pq_topk_sql(),
+        "winsorize": _mlprep_mod().winsorize_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         "embedding_outliers": similarity.embedding_outliers_sql(),
         "interval_overlap_join": joins_mod.interval_overlap_join_sql(),

@@ -356,3 +356,37 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
        END AS clustering
 FROM tri
 """
+
+
+def graph_components(events: DataFrame) -> DataFrame:
+    """Connected components of the recurring co-activity graph:
+    (user_id, component_id), component_id = smallest user_id reachable
+    — community detection's first cut, and the same min-label
+    machinery as ``dedup.near_dup_clusters`` (pointer-jumped
+    propagation, O(log diameter) rounds, mode-aware checkpoints)
+    applied to a user graph instead of a document graph.
+    """
+    from soccerpredictor_spark.operators.dedup import _components_from_pairs
+
+    e = _edges_checkpointed(events).select(
+        F.col("u").alias("doc_a"), F.col("v").alias("doc_b")
+    )
+    return _components_from_pairs(e).select(
+        F.col("doc_id").alias("user_id"),
+        F.col("cluster_id").alias("component_id"),
+    )
+
+
+def graph_components_sql() -> str:
+    return f"""
+WITH RECURSIVE
+{_strong_edges_cte()},
+sym AS MATERIALIZED (SELECT u AS a, v AS b FROM strong
+                     UNION SELECT v, u FROM strong),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) v
+  UNION
+  SELECT e.a, r.b FROM sym e JOIN reach r ON e.b = r.a
+)
+SELECT a AS user_id, MIN(b) AS component_id FROM reach GROUP BY a
+"""

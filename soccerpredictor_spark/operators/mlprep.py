@@ -520,3 +520,59 @@ SELECT decile, n, n_pos, cum_n, cum_pos,
        END AS cum_lift
 FROM cumed CROSS JOIN tot
 """
+
+
+#: winsorization clamp quantiles.
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def winsorize(orders: DataFrame) -> DataFrame:
+    """Per-group winsorization: clamp o_totalprice to its group's
+    [p05, p95] (percentile_disc SELECTIONS — actual data values, the
+    cross-engine-exact convention of ``quantile_bins``), grouped by
+    o_orderpriority — the outlier-taming step before scale-sensitive
+    models, complementing ``robust_scale`` (which rescales) by
+    CLIPPING instead.
+
+    One tiny per-group percentile aggregation broadcast back onto the
+    row stream; the clamp is a pure projection. The fact table
+    shuffles zero times.
+    """
+    stats = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            f"percentile_disc({WINSOR_LO}) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("lo"),
+        F.expr(
+            f"percentile_disc({WINSOR_HI}) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("hi"),
+    )
+    return (
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .join(F.broadcast(stats), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+            .alias("clipped"),
+            (F.col("o_totalprice") < F.col("lo")).alias("clipped_lo"),
+            (F.col("o_totalprice") > F.col("hi")).alias("clipped_hi"),
+        )
+    )
+
+
+def winsorize_sql() -> str:
+    return f"""
+WITH stats AS (
+  SELECT o_orderpriority,
+         quantile_disc(o_totalprice, {WINSOR_LO}) AS lo,
+         quantile_disc(o_totalprice, {WINSOR_HI}) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       least(greatest(o_totalprice, lo), hi) AS clipped,
+       o_totalprice < lo AS clipped_lo,
+       o_totalprice > hi AS clipped_hi
+FROM orders JOIN stats USING (o_orderpriority)
+"""

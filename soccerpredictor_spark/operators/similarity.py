@@ -1166,3 +1166,189 @@ FROM (
 ) r WHERE rnk <= {top_n}
 ORDER BY label, rnk
 """
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) top-k
+# --------------------------------------------------------------------------
+
+#: PQ layout: EMB_DIM dims split into PQ_M subspaces of PQ_SUBDIM,
+#: PQ_K centroids per subspace (codes fit a nibble; a 64-dim float
+#: vector compresses to PQ_M bytes + the shared codebook).
+PQ_EMB_DIM = 64
+PQ_M = 4
+PQ_SUBDIM = PQ_EMB_DIM // PQ_M
+PQ_K = 16
+
+
+def pq_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Approximate top-k by product quantization with asymmetric
+    distance (ADC) — the memory-bound ANN standard (Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search"): each vector
+    is encoded as PQ_M independent sub-codes; the query's distance to
+    a vector is the SUM of its per-subspace distances to the chosen
+    sub-centroids.
+
+    Codebooks are deterministic seed selections (the lowest-vec_id
+    rows' subvectors — the same convention as ``ivf_topk``'s coarse
+    quantizer), so the whole pipeline is oracle-checkable. Encoding
+    chooses, per subspace, the centroid minimizing the EXACT int64
+    squared distance (ties -> lowest centroid id); the ADC lookup
+    reuses that choice to fetch the query's int64 distance to the
+    same centroid, so approx_dist stays exact int64 end-to-end.
+    Exact cosine is then computed for the k SURVIVORS only (the PQ
+    point: full-precision work is O(k), not O(n)).
+
+    Scale shape: the codebook + query are ONE broadcast row; encoding
+    and ADC are pure scan-side projections (zero shuffle of the
+    vector table); top-k plans as TakeOrderedAndProject; the exact
+    rerank joins k ids back against the base projection.
+    """
+    base = fan_out(emb).select(
+        "vec_id", "label", V.int_vec(F.col("embedding")).alias("iv")
+    )
+    subs = base.select(
+        "vec_id",
+        "label",
+        "iv",
+        *[
+            F.slice("iv", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"sub{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    cb = (
+        subs.orderBy("vec_id")
+        .limit(PQ_K)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("cid"),
+                        *[F.col(f"sub{s}").alias(f"csub{s}") for s in range(PQ_M)],
+                    )
+                )
+            ).alias("cb")
+        )
+    )
+    q = (
+        subs.filter(F.col("vec_id") == query_vec_id)
+        .select(
+            F.col("iv").alias("q_iv"),
+            *[F.col(f"sub{s}").alias(f"qsub{s}") for s in range(PQ_M)],
+        )
+    )
+
+    def _sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    # per subspace: argmin over the broadcast codebook by (own dist,
+    # cid), carrying the query's distance to the SAME centroid — the
+    # ADC table lookup fused into the encoding projection.
+    # Factory closure, NOT `lambda c, s=s`: a two-parameter HOF lambda
+    # binds its second param to the element INDEX (the bm25 trap).
+    def _chosen_qd(s: int):
+        def per_centroid(c):
+            return F.struct(
+                _sqdist(F.col(f"sub{s}"), c[f"csub{s}"]).alias("d"),
+                c["cid"].alias("cid"),
+                _sqdist(F.col(f"qsub{s}"), c[f"csub{s}"]).alias("qd"),
+            )
+
+        return F.array_min(F.transform(F.col("cb"), per_centroid))["qd"]
+
+    chosen = [_chosen_qd(s) for s in range(PQ_M)]
+    approx = (
+        subs.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "iv",
+            "q_iv",
+            sum(chosen[1:], chosen[0]).alias("approx_dist"),
+        )
+    )
+    sim = V.int_dot_iv(F.col("iv"), F.col("q_iv")).cast("double") / (
+        F.sqrt(V.sq_norm_iv(F.col("iv")).cast("double"))
+        * F.sqrt(V.sq_norm_iv(F.col("q_iv")).cast("double"))
+    )
+    return (
+        approx.orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", "label", "approx_dist", sim.alias("sim"))
+        .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+    )
+
+
+def pq_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    iv = V.sql_int_vec("embedding")
+    # exact int64 squared distance between two already-quantized
+    # sub-lists (list_sum over ints — order-independent, exact)
+    sq = (
+        "list_sum(list_transform(range(1, {n}+1),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    subcols = ", ".join(
+        f"(({iv})[{s * PQ_SUBDIM + 1}:{(s + 1) * PQ_SUBDIM}]) AS sub{s}"
+        for s in range(PQ_M)
+    )
+    d_vc = sq.format(n=PQ_SUBDIM, a="e.sub", b="c.csub")
+    d_qc = sq.format(n=PQ_SUBDIM, a="q.qsub", b="c.csub")
+    return f"""
+WITH subs AS (
+  SELECT vec_id, label, {iv} AS ivq, {subcols} FROM embeddings
+),
+cb AS (
+  SELECT vec_id AS cid, {", ".join(f"sub{s} AS csub{s}" for s in range(PQ_M))}
+  FROM subs ORDER BY vec_id LIMIT {PQ_K}
+),
+qrow AS (SELECT ivq AS q_iv,
+                {", ".join(f"sub{s} AS qsub{s}" for s in range(PQ_M))}
+         FROM subs WHERE vec_id = {query_vec_id}),
+unp AS (
+  SELECT e.vec_id, e.label, e.ivq, s.s,
+         CASE s.s {" ".join(f"WHEN {s} THEN e.sub{s}" for s in range(PQ_M))}
+         END AS sub,
+         CASE s.s {" ".join(f"WHEN {s} THEN q.qsub{s}" for s in range(PQ_M))}
+         END AS qsub
+  FROM subs e CROSS JOIN qrow q
+       CROSS JOIN (SELECT unnest(range({PQ_M})) AS s) s
+),
+cbu AS (
+  SELECT cid, s.s,
+         CASE s.s {" ".join(f"WHEN {s} THEN csub{s}" for s in range(PQ_M))}
+         END AS csub
+  FROM cb CROSS JOIN (SELECT unnest(range({PQ_M})) AS s) s
+),
+enc AS (
+  SELECT u.vec_id, u.label, u.s,
+         {sq.format(n=PQ_SUBDIM, a="u.qsub", b="c.csub")} AS qd,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.vec_id, u.s
+           ORDER BY {sq.format(n=PQ_SUBDIM, a="u.sub", b="c.csub")} ASC,
+                    c.cid ASC
+         ) AS rn
+  FROM unp u JOIN cbu c USING (s)
+),
+adc AS (
+  SELECT vec_id, CAST(SUM(qd) AS BIGINT) AS approx_dist
+  FROM enc WHERE rn = 1 GROUP BY vec_id
+),
+topk AS (
+  SELECT a.vec_id, a.approx_dist FROM adc a
+  ORDER BY a.approx_dist ASC, a.vec_id ASC LIMIT {k}
+)
+SELECT t.vec_id, e.label, t.approx_dist,
+       CAST(list_sum(list_transform(range(1, {PQ_EMB_DIM}+1),
+              i -> e.ivq[i] * q.q_iv[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(range(1, {PQ_EMB_DIM}+1),
+                i -> e.ivq[i] * e.ivq[i])) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(range(1, {PQ_EMB_DIM}+1),
+                i -> q.q_iv[i] * q.q_iv[i])) AS DOUBLE))) AS sim
+FROM topk t JOIN subs e USING (vec_id) CROSS JOIN qrow q
+ORDER BY t.approx_dist ASC, t.vec_id ASC
+"""

@@ -875,3 +875,36 @@ def test_degree_stats_two_aggs_only(spark, sf001):
     plan = _plan(entry.queries()["graph_degree_stats"](spark, sf001))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_topk_projection_only_heap(spark, sf001):
+    """PQ/ADC: codebook + query are single-row broadcasts; encoding
+    and the ADC sum are scan-side projections (no shuffle of the
+    vector table); top-k plans as TakeOrderedAndProject; exact cosine
+    reranks only the k survivors (after the heap, not before)."""
+    df = entry.queries()["ann_pq_topk"](spark, sf001)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert dict(df.dtypes)["approx_dist"] == "bigint"
+
+
+def test_graph_components_bounded_pairs(spark, sf001):
+    """Components run on the thresholded (recurring) edge list via the
+    checkpointed pair set — the iterative loop never embeds the
+    bucket-join subtree (flat cached scan), and nothing goes
+    cartesian."""
+    plan = _plan(entry.queries()["graph_components"](spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "events.parquet" not in plan  # loop reads the checkpoint
+
+
+def test_winsorize_broadcast_edges_zero_fact_shuffle(spark, sf001):
+    """Winsorize: per-group percentile edges broadcast back; the fact
+    table itself never hash-shuffles (the only exchange feeds the
+    5-row stats aggregation)."""
+    df = entry.queries()["winsorize"](spark, sf001)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -528,3 +528,62 @@ def test_decile_lift_terminal_invariants(spark, statuses):
         assert last["cum_lift"] == 1.0
     for r in rows.values():
         assert 0.0 <= r["response_rate"] <= 1.0
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=5,
+        max_size=30,
+    )
+)
+def test_winsorize_clamp_invariants(spark, vals):
+    """For any value set: clipped is within [p05, p95] selections,
+    clamping is monotone (order-preserving up to ties), and rows
+    inside the band pass through unchanged."""
+    from soccerpredictor_spark.operators.mlprep import winsorize
+
+    orders = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "o_orderkey": range(len(vals)),
+                "o_orderpriority": ["1-URGENT"] * len(vals),
+                "o_totalprice": vals,
+            }
+        )
+    )
+    rows = winsorize(orders).collect()
+    lo = min(r["clipped"] for r in rows)
+    hi = max(r["clipped"] for r in rows)
+    for r in rows:
+        assert lo <= r["clipped"] <= hi
+        if not r["clipped_lo"] and not r["clipped_hi"]:
+            assert r["clipped"] == r["o_totalprice"]
+        assert r["clipped_lo"] == (r["o_totalprice"] < lo)
+        assert r["clipped_hi"] == (r["o_totalprice"] > hi)
+
+
+def test_pq_exact_on_seed_vectors(spark):
+    """A vector that IS one of the PQ seed centroids encodes to
+    itself in every subspace, so its ADC distance to itself as query
+    is exactly 0 — and the query row always tops its own top-k."""
+    import numpy as np
+
+    from soccerpredictor_spark.operators.similarity import pq_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 64).astype("float32")
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(40),
+                "embedding": [v.tolist() for v in vecs],
+                "label": [int(i % 3) for i in range(40)],
+            }
+        )
+    )
+    rows = pq_topk(emb, query_vec_id=0, k=5).collect()
+    assert rows[0]["vec_id"] == 0
+    assert rows[0]["approx_dist"] == 0
+    assert rows[0]["sim"] == 1.0
