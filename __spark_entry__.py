@@ -352,6 +352,14 @@ def _q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
     return _mlprep_mod().winsorize(read_table(spark, sf, "orders"))
 
 
+def _q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.vocab_coverage(read_table(spark, sf, "documents"))
+
+
+def _q_hourly_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return _ts_mod().hourly_profile(read_table(spark, sf, "events"))
+
+
 def _q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     return psq.q2_min_cost_supplier(
         read_table(spark, sf, "part"),
@@ -1682,6 +1690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": _q_graph_components,
         "ann_pq_topk": _q_ann_pq_topk,
         "winsorize": _q_winsorize,
+        "vocab_coverage": _q_vocab_coverage,
+        "hourly_profile": _q_hourly_profile,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "contamination_check": _q_contamination_check,
@@ -2102,6 +2112,8 @@ ORDER BY user_id
         "graph_components": _graph_mod().graph_components_sql(),
         "ann_pq_topk": similarity.pq_topk_sql(),
         "winsorize": _mlprep_mod().winsorize_sql(),
+        "vocab_coverage": textops.vocab_coverage_sql(),
+        "hourly_profile": _ts_mod().hourly_profile_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         "embedding_outliers": similarity.embedding_outliers_sql(),
         "interval_overlap_join": joins_mod.interval_overlap_join_sql(),

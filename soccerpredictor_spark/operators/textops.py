@@ -2214,3 +2214,68 @@ FROM documents
 ORDER BY priority DESC, doc_id ASC
 LIMIT {WSAMPLE_K}
 """
+
+
+#: vocabulary ranks reported by vocab_coverage.
+VOCAB_TOP_RANKS = 50
+
+
+def vocab_coverage(docs: DataFrame) -> DataFrame:
+    """Tokenizer-design curve: the top-R vocabulary entries by corpus
+    frequency with each rank's CUMULATIVE share of all token
+    occurrences — "how much of the corpus does a V-word vocab cover",
+    the first question when sizing a vocabulary or a stopword list.
+
+    One explode pass -> term counts; the ranking window runs over the
+    VOCABULARY (sublinear in the corpus — this is the documented
+    single-partition window over an already-aggregated small table,
+    same class as ``decile_lift``'s 10-row cumsum). Cumulative counts
+    stay exact int64; share is one double division.
+    """
+    from pyspark.sql import Window
+
+    tok = fan_out(docs).select(
+        F.explode(X.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").alias("t_all"))
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    cum = Window.orderBy(F.col("c").desc(), F.col("term").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_c", F.sum("c").over(cum))
+        .filter(F.col("rank") <= VOCAB_TOP_RANKS)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "term",
+            "c",
+            "cum_c",
+            (
+                F.col("cum_c").cast("double") / F.col("t_all").cast("double")
+            ).alias("cum_share"),
+        )
+    )
+
+
+def vocab_coverage_sql() -> str:
+    toks = _sql_tokens("lower(text)")
+    return f"""
+WITH tok AS (SELECT unnest({toks}) AS term FROM documents),
+counts AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_all FROM counts),
+ranked AS (
+  SELECT term, c,
+         CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS INTEGER)
+           AS rank,
+         CAST(SUM(c) OVER (ORDER BY c DESC, term ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+  FROM counts
+)
+SELECT rank, term, c, cum_c,
+       CAST(cum_c AS DOUBLE) / CAST(t_all AS DOUBLE) AS cum_share
+FROM ranked CROSS JOIN tot
+WHERE rank <= {VOCAB_TOP_RANKS}
+"""

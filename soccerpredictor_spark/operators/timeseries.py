@@ -351,3 +351,43 @@ SELECT event_type, COUNT(*) AS n_pairs,
 FROM lagged WHERE prev IS NOT NULL
 GROUP BY event_type
 """
+
+
+def hourly_profile(events: DataFrame) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: event count and
+    within-type share for each of the 24 wall-clock hours — the
+    baseline diurnal fingerprint that ``hourly_anomaly`` and the
+    seasonal-naive forecast implicitly assume.
+
+    One aggregation keyed by (type, hour-of-day) — 24 x types output
+    rows; share = n / type total, exact integers plus one double
+    division (the type totals ride along via a window over the tiny
+    aggregated table, not a second scan).
+    """
+    prof = events.groupBy(
+        "event_type", F.hour(F.col("ts")).cast("int").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tw = Window.partitionBy("event_type")
+    return prof.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(tw).cast("double")
+        ).alias("share"),
+    )
+
+
+def hourly_profile_sql() -> str:
+    return """
+WITH prof AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type, hour(ts)
+)
+SELECT event_type, hour_of_day, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+FROM prof
+"""

@@ -908,3 +908,23 @@ def test_winsorize_broadcast_edges_zero_fact_shuffle(spark, sf001):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_vocab_coverage_window_over_vocab_only(spark, sf001):
+    """Vocab coverage: the ranking window runs over the AGGREGATED
+    term table (vocabulary-sized), never the exploded token stream —
+    the window's child must be the count aggregate."""
+    plan = _plan(entry.queries()["vocab_coverage"](spark, sf001))
+    lines = plan.splitlines()
+    widx = [i for i, l in enumerate(lines) if "Window" in l]
+    assert widx, "expected the rank window"
+    below = "\n".join(lines[widx[-1]:])
+    assert "HashAggregate" in below
+    assert "CartesianProduct" not in plan
+
+
+def test_hourly_profile_single_agg_tiny_window(spark, sf001):
+    """Hour-of-day profile: one (type, hour) aggregation; the share
+    window partitions the 24x|types| aggregate, no joins."""
+    plan = _plan(entry.queries()["hourly_profile"](spark, sf001))
+    assert "Join" not in plan
