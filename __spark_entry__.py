@@ -360,6 +360,14 @@ def _q_hourly_profile(spark: SparkSession, sf: str) -> DataFrame:
     return _ts_mod().hourly_profile(read_table(spark, sf, "events"))
 
 
+def _q_rolling_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return _ts_mod().rolling_distinct(read_table(spark, sf, "events"))
+
+
+def _q_centroid_shift(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.centroid_shift(read_table(spark, sf, "embeddings"))
+
+
 def _q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     return psq.q2_min_cost_supplier(
         read_table(spark, sf, "part"),
@@ -1692,6 +1700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": _q_winsorize,
         "vocab_coverage": _q_vocab_coverage,
         "hourly_profile": _q_hourly_profile,
+        "rolling_distinct": _q_rolling_distinct,
+        "centroid_shift": _q_centroid_shift,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "contamination_check": _q_contamination_check,
@@ -2114,6 +2124,8 @@ ORDER BY user_id
         "winsorize": _mlprep_mod().winsorize_sql(),
         "vocab_coverage": textops.vocab_coverage_sql(),
         "hourly_profile": _ts_mod().hourly_profile_sql(),
+        "rolling_distinct": _ts_mod().rolling_distinct_sql(),
+        "centroid_shift": similarity.centroid_shift_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         "embedding_outliers": similarity.embedding_outliers_sql(),
         "interval_overlap_join": joins_mod.interval_overlap_join_sql(),

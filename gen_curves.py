@@ -25,6 +25,14 @@ OPS = [
     "dedup_clusters",
     "embedding_dedup_clusters",
     "doc_sim_knn",
+    # round-7 families whose fan-out could in principle grow
+    # super-linearly (pair generation / wedge joins / iterations):
+    "graph_coactivity",
+    "graph_triangles",
+    "graph_pagerank",
+    "graph_components",
+    "ann_pq_topk",
+    "pmi_collocations",
 ]
 SFS = [
     ("sf0.01", "/root/testdata/sf0.01"),

@@ -96,6 +96,31 @@ def main() -> None:
     pq.write_table(cast, os.path.join(OUT, "embeddings.parquet"))
     print(f"embeddings: {len(allemb)} rows ({len(emb)} x {SHARDS}, dim {dim})")
 
+    # events: 10 shards with DISJOINT user populations AND disjoint
+    # time ranges (each shard shifted by k x 40 days, past the 30-day
+    # span) — co-activity bucket sizes and edge density are therefore
+    # IDENTICAL per shard, so the expected graph-operator curve is
+    # linear in rows; overlapping timelines would instead inflate
+    # per-bucket user counts 10x and the cap would zero the graph out.
+    ev = con.execute(
+        f"SELECT * FROM read_parquet('{SRC}/events.parquet') ORDER BY event_id"
+    ).fetchdf()
+    out_ev = []
+    for k in range(SHARDS):
+        e = ev.copy()
+        e["event_id"] = e["event_id"] + k * DOC_ID_STRIDE
+        e["user_id"] = e["user_id"] + k * 1_000_000
+        e["ts"] = e["ts"] + pd.Timedelta(days=40 * k)
+        out_ev.append(e)
+    allev = pd.concat(out_ev, ignore_index=True)
+    ev_schema = pq.read_schema(os.path.join(SRC, "events.parquet"))
+    tbl_ev = pa.Table.from_pandas(allev, preserve_index=False)
+    cast_ev = tbl_ev.cast(
+        pa.schema([ev_schema.field(n) for n in tbl_ev.schema.names])
+    )
+    pq.write_table(cast_ev, os.path.join(OUT, "events.parquet"))
+    print(f"events: {len(allev)} rows ({len(ev)} x {SHARDS})")
+
 
 if __name__ == "__main__":
     main()

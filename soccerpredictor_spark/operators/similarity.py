@@ -1352,3 +1352,87 @@ SELECT t.vec_id, e.label, t.approx_dist,
 FROM topk t JOIN subs e USING (vec_id) CROSS JOIN qrow q
 ORDER BY t.approx_dist ASC, t.vec_id ASC
 """
+
+
+def centroid_shift(emb: DataFrame) -> DataFrame:
+    """Per-label embedding drift: the distance between the centroid of
+    the even-vec_id half and the odd-vec_id half of each label — the
+    two-sample drift monitor you run between data snapshots (the
+    halves stand in for "yesterday vs today"; any boolean split column
+    works).
+
+    Exactness (the ``embedding_outliers`` convention): with per-half
+    dim sums s_a, s_b and counts n_a, n_b, the centroid difference in
+    dim i is s_a/n_a - s_b/n_b = (s_a*n_b - s_b*n_a) / (n_a*n_b); the
+    numerator is exact int64, its square accumulates in DECIMAL(38,0)
+    (order-independent), and only the final sqrt/normalize is double.
+    Shape: one pos-exploded aggregation to (label, half, dim) sums —
+    labels x 2 x dims rows — then a label-keyed pivot join of the two
+    tiny halves; the vector table shuffles once (map-side-combined).
+    """
+    iv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(OUTLIER_SCALE)).cast("long"),
+    )
+    pos = fan_out(emb).select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("even"),
+        F.posexplode(iv).alias("pos", "x"),
+    )
+    sums = pos.groupBy("label", "even", "pos").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = sums.filter(F.col("even")).select(
+        "label", "pos", F.col("s").alias("s_a"), F.col("n").alias("n_a")
+    )
+    b = sums.filter(~F.col("even")).select(
+        "label", "pos", F.col("s").alias("s_b"), F.col("n").alias("n_b")
+    )
+    diff = (
+        F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
+    ).cast("decimal(19,0)")
+    per_label = (
+        a.join(b, ["label", "pos"])
+        .select("label", "n_a", "n_b", (diff * diff).alias("term"))
+        .groupBy("label")
+        .agg(
+            F.sum("term").alias("num"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+    )
+    shift = F.sqrt(F.col("num").cast("double")) / (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        * F.lit(OUTLIER_SCALE)
+    )
+    return per_label.select("label", "n_a", "n_b", shift.alias("shift"))
+
+
+def centroid_shift_sql() -> str:
+    s = OUTLIER_SCALE
+    return f"""
+WITH q AS (
+  SELECT vec_id, label, vec_id % 2 = 0 AS even,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {s}) AS BIGINT)) AS iv
+  FROM embeddings
+),
+p AS (SELECT label, even, i AS pos, iv[i + 1] AS x
+      FROM q, UNNEST(range(len(iv))) AS u(i)),
+sums AS (SELECT label, even, pos, CAST(SUM(x) AS BIGINT) AS sm, COUNT(*) AS n
+         FROM p GROUP BY label, even, pos),
+a AS (SELECT label, pos, sm AS s_a, n AS n_a FROM sums WHERE even),
+b AS (SELECT label, pos, sm AS s_b, n AS n_b FROM sums WHERE NOT even),
+per_label AS (
+  SELECT label,
+         SUM(CAST(s_a * n_b - s_b * n_a AS DECIMAL(19,0))
+             * CAST(s_a * n_b - s_b * n_a AS DECIMAL(19,0))) AS num,
+         MAX(n_a) AS n_a, MAX(n_b) AS n_b
+  FROM a JOIN b USING (label, pos) GROUP BY label
+)
+SELECT label, n_a, n_b,
+       sqrt(CAST(num AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * {float(s)!r}) AS shift
+FROM per_label
+"""

@@ -391,3 +391,79 @@ SELECT event_type, hour_of_day, n,
          / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
 FROM prof
 """
+
+
+#: trailing window length (days) for rolling_distinct.
+ROLLING_DAYS = 7
+
+
+def rolling_distinct(events: DataFrame) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the DAU/WAU
+    panel. Exact distinct over a sliding window is notoriously
+    unscalable done naively (a distinct per window position re-scans
+    the facts); here the fact table collapses ONCE to distinct
+    (day, user) rows, each of which then fans out to the <=7 window
+    end-days it contributes to (a bounded explode of the small daily
+    table), and one aggregation counts distinct users per end-day.
+
+    Work is O(active_pairs x 7) regardless of event volume; the raw
+    stream is touched exactly once.
+    """
+    daily = events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    span = daily.agg(
+        F.min("day").alias("d_min"), F.max("day").alias("d_max")
+    )
+    fanned = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(ROLLING_DAYS - 1))).alias("off"),
+        "day",
+        "user_id",
+    ).select(
+        F.date_add(F.col("day").cast("date"), F.col("off")).alias("end_day"),
+        "user_id",
+    )
+    return (
+        fanned.groupBy("end_day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .join(
+            daily.groupBy(F.col("day").cast("date").alias("end_day")).agg(
+                F.countDistinct("user_id").alias("users_1d")
+            ),
+            "end_day",
+            "left",
+        )
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("end_day") <= F.col("d_max").cast("date"))
+        .select(
+            # surface as TIMESTAMP: Spark DATE comes back to pandas as
+            # python date objects while DuckDB DATE arrives as
+            # datetime64 — the driver's type-sensitive hash would
+            # diverge (the date_spine_fill convention)
+            F.col("end_day").cast("timestamp").alias("end_day"),
+            F.coalesce("users_1d", F.lit(0)).alias("users_1d"),
+            "users_7d",
+        )
+    )
+
+
+def rolling_distinct_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+span AS (SELECT MAX(day) AS d_max FROM daily),
+fanned AS (
+  SELECT day + CAST(o.off AS INTEGER) AS end_day, user_id
+  FROM daily, (SELECT unnest(range({ROLLING_DAYS})) AS off) o
+),
+w7 AS (SELECT end_day, COUNT(DISTINCT user_id) AS users_7d
+       FROM fanned GROUP BY end_day),
+w1 AS (SELECT day AS end_day, COUNT(DISTINCT user_id) AS users_1d
+       FROM daily GROUP BY day)
+SELECT CAST(w7.end_day AS TIMESTAMP) AS end_day,
+       COALESCE(w1.users_1d, 0) AS users_1d, w7.users_7d
+FROM w7 LEFT JOIN w1 USING (end_day) CROSS JOIN span
+WHERE w7.end_day <= d_max
+"""

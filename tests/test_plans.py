@@ -928,3 +928,24 @@ def test_hourly_profile_single_agg_tiny_window(spark, sf001):
     window partitions the 24x|types| aggregate, no joins."""
     plan = _plan(entry.queries()["hourly_profile"](spark, sf001))
     assert "Join" not in plan
+
+
+def test_rolling_distinct_single_fact_pass(spark, sf001):
+    """Trailing-7d distinct: the event stream collapses to distinct
+    (day, user) ONCE; the window fan-out explodes only the daily
+    table. events.parquet appears at most twice in the plan (7d + 1d
+    legs share the distinct subtree or re-scan the pruned columns),
+    and no cartesian/python appears."""
+    df = entry.queries()["rolling_distinct"](spark, sf001)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_centroid_shift_decimal_exact_tiny_join(spark, sf001):
+    """Centroid drift: one pos-exploded aggregation; the halves join
+    label-keyed over labels x dims rows (tiny); vectors shuffle once.
+    No sort-merge join of the fact table, no Python."""
+    plan = _plan(entry.queries()["centroid_shift"](spark, sf001))
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
