@@ -368,6 +368,20 @@ def _q_centroid_shift(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.centroid_shift(read_table(spark, sf, "embeddings"))
 
 
+def _q_benford_check(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators.quality import benford_check
+
+    return benford_check(read_table(spark, sf, "orders"))
+
+
+def _q_weekly_change(spark: SparkSession, sf: str) -> DataFrame:
+    return _ts_mod().weekly_change(read_table(spark, sf, "events"))
+
+
+def _q_session_duration_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.session_duration_histogram(read_table(spark, sf, "events"))
+
+
 def _q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     return psq.q2_min_cost_supplier(
         read_table(spark, sf, "part"),
@@ -1702,6 +1716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_profile": _q_hourly_profile,
         "rolling_distinct": _q_rolling_distinct,
         "centroid_shift": _q_centroid_shift,
+        "benford_check": _q_benford_check,
+        "weekly_change": _q_weekly_change,
+        "session_duration_histogram": _q_session_duration_histogram,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "contamination_check": _q_contamination_check,
@@ -2126,6 +2143,9 @@ ORDER BY user_id
         "hourly_profile": _ts_mod().hourly_profile_sql(),
         "rolling_distinct": _ts_mod().rolling_distinct_sql(),
         "centroid_shift": similarity.centroid_shift_sql(),
+        "benford_check": _quality_mod().benford_check_sql(),
+        "weekly_change": _ts_mod().weekly_change_sql(),
+        "session_duration_histogram": windows.session_duration_histogram_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         "embedding_outliers": similarity.embedding_outliers_sql(),
         "interval_overlap_join": joins_mod.interval_overlap_join_sql(),

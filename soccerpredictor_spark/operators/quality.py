@@ -117,3 +117,87 @@ SELECT col,
        COUNT(DISTINCT val) AS n_distinct
 FROM stacked GROUP BY col ORDER BY col
 """
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+
+def _benford_probs() -> list[float]:
+    """log10(1 + 1/d) for d = 1..9 — Python-computed double literals
+    embedded in BOTH engines' plans, so no runtime log evaluation
+    (ln/log10 are libm-dependent; see the tfidf convention)."""
+    import math
+
+    return [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford_check(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice: observed count
+    per leading digit vs the Benford expectation, with each digit's
+    chi-square contribution — the classic fabricated-data /
+    unit-mixing screen for numeric columns.
+
+    The leading digit comes from string manipulation of the absolute
+    value (no log10 at runtime); expected counts are n * literal
+    Benford probabilities; the contribution (obs - exp)^2 / exp is
+    one double expression per digit row. One scan, one 9-key
+    aggregation, a 1-row total broadcast.
+    """
+    digit = F.substring(
+        F.regexp_replace(
+            F.abs(F.col("o_totalprice")).cast("string"), r"[^1-9]", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    tot = counts.agg(F.sum("observed").alias("n"))
+    probs = _benford_probs()
+    p_expr = None
+    for d, p in enumerate(probs, start=1):
+        branch = F.when(F.col("digit") == d, F.lit(p))
+        p_expr = branch if p_expr is None else p_expr.when(
+            F.col("digit") == d, F.lit(p)
+        )
+    expected = F.col("n").cast("double") * p_expr
+    dev = F.col("observed").cast("double") - expected
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "observed",
+            expected.alias("expected"),
+            (dev * dev / expected).alias("chi2_term"),
+        )
+    )
+
+
+def benford_check_sql() -> str:
+    probs = _benford_probs()
+    cases = " ".join(
+        f"WHEN {d} THEN CAST({p!r} AS DOUBLE)"
+        for d, p in enumerate(probs, start=1)
+    )
+    return f"""
+WITH digits AS (
+  SELECT CAST(substr(regexp_replace(CAST(abs(o_totalprice) AS VARCHAR),
+                                    '[^1-9]', '', 'g'), 1, 1) AS INTEGER)
+           AS digit
+  FROM orders
+),
+counts AS (SELECT digit, COUNT(*) AS observed FROM digits
+           WHERE digit IS NOT NULL GROUP BY digit),
+tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM counts)
+SELECT digit, observed,
+       CAST(n AS DOUBLE) * (CASE digit {cases} END) AS expected,
+       (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * (CASE digit {cases} END))
+         * (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * (CASE digit {cases} END))
+         / (CAST(n AS DOUBLE) * (CASE digit {cases} END)) AS chi2_term
+FROM counts CROSS JOIN tot
+"""

@@ -467,3 +467,51 @@ SELECT CAST(w7.end_day AS TIMESTAMP) AS end_day,
 FROM w7 LEFT JOIN w1 USING (end_day) CROSS JOIN span
 WHERE w7.end_day <= d_max
 """
+
+
+def weekly_change(events: DataFrame) -> DataFrame:
+    """Week-over-week change per event type: weekly event counts with
+    the absolute delta and percent change vs the prior week — the BI
+    trend primitive on top of the same single rollup pass as the rest
+    of this module (weekly grain instead of hourly).
+
+    Counts and deltas are exact integers; pct_change is one
+    NULL-guarded double division (NULL for the first week and for a
+    zero prior week, in both engines).
+    """
+    weekly = events.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("cnt").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "cnt",
+        prev.alias("prev_cnt"),
+        (F.col("cnt") - prev).alias("delta"),
+        F.when(
+            prev > 0,
+            (F.col("cnt") - prev).cast("double") / prev.cast("double"),
+        ).alias("pct_change"),
+    )
+
+
+def weekly_change_sql() -> str:
+    return """
+WITH weekly AS (
+  SELECT event_type, date_trunc('week', ts) AS week, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, date_trunc('week', ts)
+),
+lagged AS (
+  SELECT event_type, week, cnt,
+         lag(cnt) OVER (PARTITION BY event_type ORDER BY week) AS prev_cnt
+  FROM weekly
+)
+SELECT event_type, week, cnt, prev_cnt,
+       cnt - prev_cnt AS delta,
+       CASE WHEN prev_cnt > 0
+            THEN CAST(cnt - prev_cnt AS DOUBLE) / CAST(prev_cnt AS DOUBLE)
+       END AS pct_change
+FROM lagged
+"""

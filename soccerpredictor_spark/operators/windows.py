@@ -1393,3 +1393,67 @@ SELECT event_id, event_type,
 FROM events
 ORDER BY event_id
 """
+
+
+#: session-duration histogram bucket width (minutes).
+SESSION_BUCKET_MIN = 10
+
+
+def session_duration_histogram(events: DataFrame) -> DataFrame:
+    """Distribution of session lengths: sessions (30-min inactivity
+    gap, the ``session_windows`` operator) bucketed by duration in
+    10-minute bins, with event-count statistics per bin — the
+    engagement profile a product pipeline derives right after
+    sessionization.
+
+    Durations are exact integer microsecond differences; the bucket is
+    integer division; per-bin stats are exact counts/sums. Composes
+    the existing sessionization pass (one user-keyed shuffle) with one
+    tiny-key aggregation.
+    """
+    sess = session_windows(events)
+    return (
+        sess.select(
+            (
+                F.expr(
+                    f"((unix_micros(last_ts) - unix_micros(first_ts))"
+                    f" div 60000000 div {SESSION_BUCKET_MIN})"
+                    f" * {SESSION_BUCKET_MIN}"
+                )
+            ).alias("bucket_min"),
+            "n_events",
+        )
+        .groupBy("bucket_min")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+def session_duration_histogram_sql(gap_seconds: int = 1800) -> str:
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   >= {gap_seconds}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+sess AS (
+  SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT (CAST((epoch_us(last_ts) - epoch_us(first_ts)) // 60000000 AS BIGINT)
+        // {SESSION_BUCKET_MIN}) * {SESSION_BUCKET_MIN} AS bucket_min,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM sess
+GROUP BY 1
+"""

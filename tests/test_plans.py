@@ -949,3 +949,29 @@ def test_centroid_shift_decimal_exact_tiny_join(spark, sf001):
     plan = _plan(entry.queries()["centroid_shift"](spark, sf001))
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_benford_no_runtime_log(spark, sf001):
+    """Benford audit: expected probabilities are embedded literals —
+    no LOG/LOG10 function anywhere in the plan (libm-dependence), one
+    9-key aggregation, 1-row total broadcast."""
+    plan = _plan(entry.queries()["benford_check"](spark, sf001))
+    assert "LOG" not in plan.upper().replace("CATALOG", "")
+    assert "SortMergeJoin" not in plan
+
+
+def test_weekly_change_single_rollup(spark, sf001):
+    """WoW change: one weekly rollup shuffle + a series-sized lag
+    window; no joins."""
+    plan = _plan(entry.queries()["weekly_change"](spark, sf001))
+    assert "Join" not in plan
+
+
+def test_session_histogram_composes_sessionize(spark, sf001):
+    """Session-duration histogram: the session_window pass is the only
+    user-keyed shuffle; the histogram itself is a tiny-key agg; exact
+    integer bucket arithmetic (bigint)."""
+    df = entry.queries()["session_duration_histogram"](spark, sf001)
+    plan = _plan(df)
+    assert "SessionWindow" in plan or "session_window" in plan
+    assert dict(df.dtypes)["bucket_min"] == "bigint"
