@@ -382,6 +382,13 @@ def _q_session_duration_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return windows.session_duration_histogram(read_table(spark, sf, "events"))
 
 
+def _q_media_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import multimodal
+
+    media = multimodal.media_from_documents(read_table(spark, sf, "documents"))
+    return multimodal.media_chunk_dedup(media)
+
+
 def _q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     return psq.q2_min_cost_supplier(
         read_table(spark, sf, "part"),
@@ -1719,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_check": _q_benford_check,
         "weekly_change": _q_weekly_change,
         "session_duration_histogram": _q_session_duration_histogram,
+        "media_chunk_dedup": _q_media_chunk_dedup,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "contamination_check": _q_contamination_check,
@@ -2146,6 +2154,7 @@ ORDER BY user_id
         "benford_check": _quality_mod().benford_check_sql(),
         "weekly_change": _ts_mod().weekly_change_sql(),
         "session_duration_histogram": windows.session_duration_histogram_sql(),
+        "media_chunk_dedup": _multimodal_mod().media_chunk_dedup_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         "embedding_outliers": similarity.embedding_outliers_sql(),
         "interval_overlap_join": joins_mod.interval_overlap_join_sql(),

@@ -250,3 +250,115 @@ FROM documents
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+#: chunk geometry for partial-duplicate detection.
+CHUNK_BYTES = 64
+N_CHUNKS = 8
+#: minimum shared chunks for a partial-dup pair.
+MIN_SHARED_CHUNKS = 4
+#: df-cap: a chunk hash seen in more media than this generates no
+#: candidate pairs (the dedup_jaccard shingle-cap pattern — a
+#: boilerplate prefix shared by millions of files must not fan out).
+MAX_MEDIA_PER_CHUNK = 100
+
+
+def media_chunk_dedup(media: DataFrame) -> DataFrame:
+    """Partial-duplicate media via positional chunk hashing: each
+    payload's first N_CHUNKS x CHUNK_BYTES bytes are hashed per 64-byte
+    slice IN THE SCAN (blobs never shuffle — only (media_id, idx,
+    md5) rows leave the stage, the ``media_dedup`` discipline); media
+    sharing >= MIN_SHARED_CHUNKS same-position hashes are reported
+    with their chunk containment. Catches truncations, re-encodes of
+    identical prefixes, and partially-corrupted copies that exact
+    whole-payload dedup misses.
+
+    Scale: candidates come ONLY from the (idx, hash)-bucketed
+    self-join, df-capped at MAX_MEDIA_PER_CHUNK — never an all-pairs
+    comparison; per-media chunk counts attach before the join so the
+    containment needs no second pass.
+    """
+    idxs = F.sequence(F.lit(0), F.lit(N_CHUNKS - 1))
+    chunks = (
+        media.select(
+            "media_id",
+            F.length(F.col("payload")).alias("nb"),
+            F.explode(idxs).alias("idx"),
+            F.col("payload"),
+        )
+        .filter(F.col("nb") > F.col("idx") * CHUNK_BYTES)
+        .select(
+            "media_id",
+            "idx",
+            F.md5(
+                F.expr(f"substring(payload, idx * {CHUNK_BYTES} + 1, {CHUNK_BYTES})")
+            ).alias("h"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    sized = chunks.withColumn(
+        "n_chunks", F.count(F.lit(1)).over(W.partitionBy("media_id"))
+    ).withColumn("df", F.count(F.lit(1)).over(W.partitionBy("idx", "h")))
+    capped = sized.filter(F.col("df") <= MAX_MEDIA_PER_CHUNK)
+    a = capped.select(
+        "idx", "h", F.col("media_id").alias("media_a"),
+        F.col("n_chunks").alias("n_chunks_a"),
+    )
+    b = capped.select(
+        "idx", "h", F.col("media_id").alias("media_b"),
+        F.col("n_chunks").alias("n_chunks_b"),
+    )
+    pairs = (
+        a.join(b, ["idx", "h"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b", "n_chunks_a", "n_chunks_b")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= MIN_SHARED_CHUNKS)
+    )
+    return pairs.select(
+        "media_a",
+        "media_b",
+        "shared_chunks",
+        "n_chunks_a",
+        "n_chunks_b",
+        (
+            F.col("shared_chunks").cast("double")
+            / F.least("n_chunks_a", "n_chunks_b").cast("double")
+        ).alias("chunk_containment"),
+    )
+
+
+def media_chunk_dedup_sql() -> str:
+    """Twin over the documents-derived media table: payload =
+    encode(text) and the fixture text is ASCII, so character slicing
+    of the VARCHAR equals byte slicing of the BLOB and md5(VARCHAR)
+    hashes the same bytes (the ``decode_profile_sql`` identity).
+    DuckDB cannot slice BLOBs directly."""
+    return f"""
+WITH chunks AS (
+  SELECT doc_id AS media_id, u.idx,
+         md5(substring(text, u.idx * {CHUNK_BYTES} + 1, {CHUNK_BYTES})) AS h
+  FROM documents, (SELECT unnest(range({N_CHUNKS})) AS idx) u
+  WHERE strlen(text) > u.idx * {CHUNK_BYTES}
+),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY media_id) AS n_chunks,
+         COUNT(*) OVER (PARTITION BY idx, h) AS df
+  FROM chunks
+),
+capped AS (SELECT * FROM sized WHERE df <= {MAX_MEDIA_PER_CHUNK}),
+pairs AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b,
+         a.n_chunks AS n_chunks_a, b.n_chunks AS n_chunks_b,
+         COUNT(*) AS shared_chunks
+  FROM capped a JOIN capped b USING (idx, h)
+  WHERE a.media_id < b.media_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT media_a, media_b, shared_chunks, n_chunks_a, n_chunks_b,
+       CAST(shared_chunks AS DOUBLE)
+         / CAST(least(n_chunks_a, n_chunks_b) AS DOUBLE) AS chunk_containment
+FROM pairs
+WHERE shared_chunks >= {MIN_SHARED_CHUNKS}
+"""

@@ -975,3 +975,18 @@ def test_session_histogram_composes_sessionize(spark, sf001):
     plan = _plan(df)
     assert "SessionWindow" in plan or "session_window" in plan
     assert dict(df.dtypes)["bucket_min"] == "bigint"
+
+
+def test_media_chunk_dedup_blobs_never_shuffle(spark, sf001):
+    """Chunk-level media dedup: chunk md5s are computed scan-side —
+    the binary payload column must not appear at or above any
+    exchange (the media_dedup discipline), and candidates come from
+    the capped equi-join (no cartesian)."""
+    df = entry.queries()["media_chunk_dedup"](spark, sf001)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    ex = [i for i, l in enumerate(lines) if "Exchange" in l]
+    assert ex
+    for i in ex:
+        assert "payload#" not in lines[i], lines[i]
