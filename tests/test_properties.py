@@ -587,3 +587,82 @@ def test_pq_exact_on_seed_vectors(spark):
     assert rows[0]["vec_id"] == 0
     assert rows[0]["approx_dist"] == 0
     assert rows[0]["sim"] == 1.0
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pre=st.integers(min_value=1, max_value=5),
+    post=st.integers(min_value=8, max_value=15),
+    n_pre=st.integers(min_value=6, max_value=12),
+    n_post=st.integers(min_value=6, max_value=12),
+)
+def test_cusum_locates_step_change(spark, pre, post, n_pre, n_post):
+    """For a series with one clean mean shift, the scaled-CUSUM argmax
+    lands exactly on the last pre-change hour (the standard CUSUM
+    change-point estimate for a step)."""
+    from pyspark.sql import functions as F
+
+    from soccerpredictor_spark.operators.timeseries import cusum_changepoint
+
+    rows = []
+    hours = []
+    for i in range(n_pre + n_post):
+        level = pre if i < n_pre else post
+        h = pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i)
+        hours.append(h)
+        for j in range(level):
+            rows.append(("e", h + pd.Timedelta(seconds=j), 1, 1.0))
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts", "user_id", "value"])
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = cusum_changepoint(ev).collect()[0]
+    assert got["cp_hour"] == hours[n_pre - 1].to_pydatetime()
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # day offset
+            st.integers(min_value=0, max_value=8),   # user
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rolling_distinct_matches_brute_force(spark, pairs):
+    """For any (day, user) activity set: the fan-out implementation
+    equals the brute-force trailing-7-day distinct count for every
+    reported day."""
+    from pyspark.sql import functions as F
+
+    from soccerpredictor_spark.operators.timeseries import rolling_distinct
+
+    rows = [
+        ("e", pd.Timestamp("2024-01-01") + pd.Timedelta(days=d, hours=1), u, 1.0)
+        for d, u in pairs
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts", "user_id", "value"])
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["end_day"].date(): (r["users_1d"], r["users_7d"])
+        for r in rolling_distinct(ev).collect()
+    }
+    import datetime
+
+    active = {}
+    for d, u in pairs:
+        day = (pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)).date()
+        active.setdefault(day, set()).add(u)
+    max_day = max(active)
+    for day, (u1, u7) in got.items():
+        assert u1 == len(active.get(day, set()))
+        win = set()
+        for k in range(7):
+            win |= active.get(day - datetime.timedelta(days=k), set())
+        assert u7 == len(win)
+        assert day <= max_day
+    # every day with a nonempty trailing window must be reported
+    for day in active:
+        assert day in got
