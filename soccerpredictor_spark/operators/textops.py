@@ -1848,9 +1848,9 @@ def _bigram_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-_SQL_BIGRAMS = """
+_SQL_BIGRAMS = f"""
 SELECT doc_id, w[i] AS x, w[i+1] AS y
-FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+FROM (SELECT doc_id, {_sql_tokens('lower(text)')} AS w
       FROM documents) t,
 UNNEST(range(1, len(w))) AS u(i)
 """
@@ -2021,17 +2021,23 @@ def bigram_lm(docs: DataFrame) -> DataFrame:
     context: P(y|x) = (c_xy + 1) / (c_x + V).
 
     The corpus-statistics half of perplexity scoring / synthetic-text
-    detection. c_x here is the CONTEXT count (bigrams starting at x,
-    so the conditional sums to <= 1 exactly); V is the distinct
-    first-slot vocabulary. Exact counts, one double division; top-k
-    per context via a count-bounded rank window.
+    detection. c_x is the CONTEXT count (bigrams starting at x); V is
+    the FULL vocabulary (distinct words over both slots — a
+    first-slot-only V would make the smoothed conditional sum past 1
+    for contexts whose continuations never start a bigram). Exact
+    counts, one double division; top-k per context via a
+    count-bounded rank window.
     """
     from pyspark.sql import Window
 
     bg = _bigram_rows(docs)
     pair = bg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
     ctx = pair.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
-    vocab = pair.agg(F.countDistinct("x").alias("v"))
+    vocab = (
+        pair.select(F.col("x").alias("w"))
+        .unionAll(pair.select(F.col("y").alias("w")))
+        .agg(F.countDistinct("w").alias("v"))
+    )
     w = Window.partitionBy("x").orderBy(F.col("c_xy").desc(), F.col("y").asc())
     return (
         pair.join(F.broadcast(ctx), "x")
@@ -2057,7 +2063,8 @@ def bigram_lm_sql() -> str:
 WITH bg AS ({_SQL_BIGRAMS}),
 pair AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY x, y),
 ctx AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM pair GROUP BY x),
-vocab AS (SELECT COUNT(DISTINCT x) AS v FROM pair)
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM
+         (SELECT x AS w FROM pair UNION ALL SELECT y FROM pair) u)
 SELECT x, y, c_xy, c_x, rank,
        CAST(c_xy + 1 AS DOUBLE) / CAST(c_x + v AS DOUBLE) AS prob
 FROM (

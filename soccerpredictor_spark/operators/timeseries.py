@@ -412,9 +412,7 @@ def rolling_distinct(events: DataFrame) -> DataFrame:
     daily = events.select(
         F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
     ).distinct()
-    span = daily.agg(
-        F.min("day").alias("d_min"), F.max("day").alias("d_max")
-    )
+    span = daily.agg(F.max("day").alias("d_max"))
     fanned = daily.select(
         F.explode(F.sequence(F.lit(0), F.lit(ROLLING_DAYS - 1))).alias("off"),
         "day",

@@ -1432,24 +1432,11 @@ def session_duration_histogram(events: DataFrame) -> DataFrame:
 
 
 def session_duration_histogram_sql(gap_seconds: int = 1800) -> str:
+    # compose the sessionization twin instead of restating its CTEs:
+    # if the gap semantics ever change, both oracles move together
+    sess = session_windows_sql(gap_seconds)
     return f"""
-WITH marked AS (
-  SELECT user_id, ts,
-         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
-                   >= {gap_seconds}
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-),
-sessions AS (
-  SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM marked
-),
-sess AS (
-  SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(*) AS n_events
-  FROM sessions GROUP BY user_id, sid
-)
+WITH sess AS (SELECT * FROM ({sess}) s)
 SELECT (CAST((epoch_us(last_ts) - epoch_us(first_ts)) // 60000000 AS BIGINT)
         // {SESSION_BUCKET_MIN}) * {SESSION_BUCKET_MIN} AS bucket_min,
        COUNT(*) AS n_sessions,

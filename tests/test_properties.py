@@ -462,9 +462,14 @@ def test_pagerank_mass_conserved_and_python_model(spark, edges):
         }
     topk = dict(sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20])
     assert got == topk
-    assert 0 <= PAGERANK_SCALE - sum(rank.values()) <= 2 * n * max(
-        1, PAGERANK_ITERS
-    )
+    # mass accounting: the r0 split loses < n units; each iteration's
+    # contribution split loses < sum(deg_u - 1) < 2m units and the two
+    # damping divisions lose < 2n units (losses only shrink under the
+    # 0.85 factor) — so the total deficit is strictly bounded by
+    # n + ITERS * (2m + 2n), and mass never exceeds SCALE
+    m = len(es)
+    deficit = PAGERANK_SCALE - sum(rank.values())
+    assert 0 <= deficit <= n + PAGERANK_ITERS * (2 * m + 2 * n)
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
