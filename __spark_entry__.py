@@ -389,6 +389,34 @@ def _q_media_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.media_chunk_dedup(media)
 
 
+def _sketch_mod():
+    from soccerpredictor_spark.operators import sketch
+
+    return sketch
+
+
+def _q_bloom_probe(spark: SparkSession, sf: str) -> DataFrame:
+    return _sketch_mod().bloom_probe(
+        read_table(spark, sf, "orders"), read_table(spark, sf, "customer")
+    )
+
+
+def _q_heavy_hitters_cms(spark: SparkSession, sf: str) -> DataFrame:
+    return _sketch_mod().heavy_hitters_cms(read_table(spark, sf, "events"))
+
+
+def _q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    return _graph_mod().link_prediction(read_table(spark, sf, "events"))
+
+
+def _q_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
+    return _mlprep_mod().roc_auc(read_table(spark, sf, "orders"))
+
+
+def _q_skyline_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.skyline_pareto(read_table(spark, sf, "orders"))
+
+
 def _q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     return psq.q2_min_cost_supplier(
         read_table(spark, sf, "part"),
@@ -1667,13 +1695,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      partsupp, target_encode, ngram_novelty, quantile_bins,
         #      chi2_association, incremental_dedup,
         #      interval_overlap_join, knn_graph, embedding_outliers);
-        #   3. the 2 ML surfaces whose fit/oracle changed in round 6
-        #      and were likewise never driver-checked in their new form
-        #      (ml_train_many_accuracy: closed-form majority-baseline
-        #      oracle; ml_train_many: re-verified out of caution);
-        #   4. the new round-7 operators (never verified, must be in
-        #      the window per test_driver_verification_window_ordering);
-        #   5. as many of the oldest (round-3-verified) entries as fit.
+        #   3. the new round-7 operators (never verified, must be in
+        #      the window per test_driver_verification_window_ordering)
+        #      — the 27 first-half additions plus the 5 second-half
+        #      ones (bloom_probe, heavy_hitters_cms, link_prediction,
+        #      roc_auc, skyline_pareto), which together with items 1-2
+        #      pack the window to exactly 50.
+        # The 2 ML surfaces whose fit/oracle changed in round 6
+        # (ml_train_many_accuracy / ml_train_many) are r5-driver-green
+        # and hash-checked by every local DuckDB sweep in their new
+        # form, so they sit immediately AFTER the window and head
+        # round 8's rotation together with the displaced r3 cohort.
         # Every r3/r4 entry displaced past position 50 sits immediately
         # after the window in age order and MUST head round 8's window.
         # The rotation cadence is CI-enforced:
@@ -1697,8 +1729,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_join": _q_interval_overlap_join,
         "knn_graph": _q_knn_graph,
         "embedding_outliers": _q_embedding_outliers,
-        "ml_train_many_accuracy": _q_ml_train_many_accuracy,
-        "ml_train_many": _q_ml_train_many,
         # --- round-7 additions (never driver-verified) ---
         "graph_coactivity": _q_graph_coactivity,
         "graph_degree_stats": _q_graph_degree_stats,
@@ -1727,6 +1757,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_change": _q_weekly_change,
         "session_duration_histogram": _q_session_duration_histogram,
         "media_chunk_dedup": _q_media_chunk_dedup,
+        # --- round-7 second-half additions (never driver-verified) ---
+        "bloom_probe": _q_bloom_probe,
+        "heavy_hitters_cms": _q_heavy_hitters_cms,
+        "link_prediction": _q_link_prediction,
+        "roc_auc": _q_roc_auc,
+        "skyline_pareto": _q_skyline_pareto,
+        # --- END of the 50-entry driver window ---
+        # r5-green ML surfaces (oracle re-shaped in r6; local sweeps
+        # hash-check the new form every pytest run) — round 8 window
+        # priority #1:
+        "ml_train_many_accuracy": _q_ml_train_many_accuracy,
+        "ml_train_many": _q_ml_train_many,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "contamination_check": _q_contamination_check,
@@ -2155,6 +2197,11 @@ ORDER BY user_id
         "weekly_change": _ts_mod().weekly_change_sql(),
         "session_duration_histogram": windows.session_duration_histogram_sql(),
         "media_chunk_dedup": _multimodal_mod().media_chunk_dedup_sql(),
+        "bloom_probe": _sketch_mod().bloom_probe_sql(),
+        "heavy_hitters_cms": _sketch_mod().heavy_hitters_cms_sql(),
+        "link_prediction": _graph_mod().link_prediction_sql(),
+        "roc_auc": _mlprep_mod().roc_auc_sql(),
+        "skyline_pareto": windows.skyline_pareto_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         "embedding_outliers": similarity.embedding_outliers_sql(),
         "interval_overlap_join": joins_mod.interval_overlap_join_sql(),

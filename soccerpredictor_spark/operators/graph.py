@@ -358,6 +358,100 @@ FROM tri
 """
 
 
+#: link prediction: hub cap on the shared-neighbor node — wedges
+#: through a node of degree > this are skipped (hubs carry little
+#: evidence AND are the quadratic fan-out risk; same df-cap pattern
+#: as the bucket cap above and dedup_jaccard's shingle cap).
+LINK_MAX_HUB_DEGREE = 50
+#: resource-allocation scores are summed in int units of 1/RA_SCALE.
+LINK_RA_SCALE = 10**6
+#: candidate pairs returned.
+LINK_TOPK = 100
+
+
+def link_prediction(events: DataFrame) -> DataFrame:
+    """Link prediction on the recurring co-activity graph: for every
+    non-adjacent pair at distance 2, the common-neighbor count and the
+    resource-allocation index RA(u,v) = sum over shared neighbors z of
+    1/deg(z) (Zhou/Lu/Zhang 2009 — Adamic-Adar's integer-friendly
+    sibling), top-``LINK_TOPK`` by score.
+
+    Exact arithmetic: per-neighbor contribution is
+    ``LINK_RA_SCALE div deg(z)`` (truncating integer division,
+    identical in both engines on non-negative ints) and the pair score
+    is an int64 sum — order-independent, so partitioned aggregation
+    matches DuckDB's fold bit-for-bit. The double ``ra_score`` is one
+    final division by a literal.
+
+    Scale: candidate pairs come from the wedge self-join on the shared
+    node z, capped at deg(z) <= ``LINK_MAX_HUB_DEGREE`` — fan-out is
+    bounded by cap^2 per node instead of detonating on hubs; existing
+    edges leave via one anti-join on the (already small) edge list.
+    No step touches the fact table twice or joins all-pairs.
+    """
+    e = _edges_checkpointed(events)
+    sym = e.select(F.col("u").alias("z"), F.col("v").alias("nb")).unionAll(
+        e.select(F.col("v").alias("z"), F.col("u").alias("nb"))
+    )
+    deg = sym.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    hub_capped = sym.join(
+        F.broadcast(deg.filter(F.col("deg") <= LINK_MAX_HUB_DEGREE)), "z"
+    )
+    a = hub_capped.select("z", "deg", F.col("nb").alias("u"))
+    b = hub_capped.select("z", F.col("nb").alias("v"))
+    wedges = a.join(b, "z").filter(F.col("u") < F.col("v"))
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum(F.expr(f"CAST({LINK_RA_SCALE} AS BIGINT) div deg")).alias("ra_micro"),
+    )
+    non_edges = scored.join(e.select("u", "v"), ["u", "v"], "left_anti")
+    return (
+        non_edges.select(
+            "u",
+            "v",
+            "common_neighbors",
+            "ra_micro",
+            (F.col("ra_micro").cast("double") / F.lit(float(LINK_RA_SCALE))).alias(
+                "ra_score"
+            ),
+        )
+        .orderBy(F.col("ra_micro").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(LINK_TOPK)
+    )
+
+
+def link_prediction_sql() -> str:
+    return f"""
+WITH {_strong_edges_cte()},
+sym AS (SELECT u AS z, v AS nb FROM strong
+        UNION ALL SELECT v, u FROM strong),
+deg AS (SELECT z, COUNT(*) AS deg FROM sym GROUP BY z),
+hub_capped AS (
+  SELECT s.z, d.deg, s.nb FROM sym s JOIN deg d USING (z)
+  WHERE d.deg <= {LINK_MAX_HUB_DEGREE}
+),
+wedges AS (
+  SELECT a.nb AS u, b.nb AS v, a.deg
+  FROM hub_capped a JOIN hub_capped b USING (z)
+  WHERE a.nb < b.nb
+),
+scored AS (
+  SELECT u, v, COUNT(*) AS common_neighbors,
+         CAST(SUM(CAST({LINK_RA_SCALE} AS BIGINT) // deg) AS BIGINT) AS ra_micro
+  FROM wedges GROUP BY u, v
+),
+non_edges AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM strong e WHERE e.u = s.u AND e.v = s.v)
+)
+SELECT u, v, common_neighbors, ra_micro,
+       CAST(ra_micro AS DOUBLE) / {float(LINK_RA_SCALE)!r} AS ra_score
+FROM non_edges
+ORDER BY ra_micro DESC, u ASC, v ASC
+LIMIT {LINK_TOPK}
+"""
+
+
 def graph_components(events: DataFrame) -> DataFrame:
     """Connected components of the recurring co-activity graph:
     (user_id, component_id), component_id = smallest user_id reachable

@@ -576,3 +576,128 @@ SELECT o_orderkey, o_orderpriority, o_totalprice,
        o_totalprice > hi AS clipped_hi
 FROM orders JOIN stats USING (o_orderpriority)
 """
+
+
+# --------------------------------------------------------------------------
+# exact ROC-AUC via distributed rank statistics
+# --------------------------------------------------------------------------
+
+#: score-range bucket width (cents) for the two-level prefix sum.
+AUC_BUCKET_CENTS = 10_000_000
+
+
+def roc_auc(orders: DataFrame) -> DataFrame:
+    """Exact ROC-AUC of a score against a binary label, computed as
+    the normalized Mann-Whitney U statistic with the standard 1/2
+    credit for score ties:
+
+        AUC = [ #(pos > neg pairs) + #(tied pairs)/2 ] / (P * N)
+
+    Label = order is urgent; score = total price in exact int64 cents
+    (the repo cent-quantization convention). All counting is integer:
+    ``u2`` is TWICE the tie-adjusted U (so ties add whole units), and
+    the only double is the final single division — both engines build
+    it from identical int64 inputs.
+
+    Scale (the load-bearing choice): a naive rank-based AUC needs one
+    GLOBAL sort window — a single reducer at 100 TB. Instead the
+    cumulative negative count below each score is assembled as a
+    two-level prefix sum: scores collapse to one row per distinct
+    value, windows run PARTITIONED by a score-range bucket (parallel,
+    each bounded by the bucket's distinct-score count), and only the
+    per-bucket totals — one row per bucket — pass through the tiny
+    global window. This is the textbook distributed prefix-sum; no
+    stage is single-partition over row-scale data.
+
+    Generalizes the reference's holdout accuracy score
+    (``XGBoost/Predictor.py:112-113``) to the ranking metric used for
+    imbalanced labels.
+    """
+    by_score = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("score"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("label"),
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("label").alias("p"),
+            F.sum(1 - F.col("label")).alias("q"),
+        )
+        .withColumn("bucket", F.expr(f"score div {AUC_BUCKET_CENTS}"))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = by_score.withColumn(
+        "cum_q_in", F.coalesce(F.sum("q").over(w_in), F.lit(0))
+    )
+    bucket_tot = by_score.groupBy("bucket").agg(F.sum("q").alias("bq"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_cum = bucket_tot.select(
+        "bucket", F.coalesce(F.sum("bq").over(w_b), F.lit(0)).alias("cum_q_buckets")
+    )
+    joined = within.join(F.broadcast(bucket_cum), "bucket")
+    total = joined.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("q").alias("n_neg"),
+        F.sum(
+            F.col("p")
+            * (2 * (F.col("cum_q_buckets") + F.col("cum_q_in")) + F.col("q"))
+        ).alias("u2"),
+    )
+    return total.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("u2").cast("double")
+            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+        ).alias("auc"),
+    )
+
+
+def roc_auc_sql() -> str:
+    return f"""
+WITH by_score AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END)
+              AS BIGINT) AS q
+  FROM orders GROUP BY 1
+),
+bucketed AS (
+  SELECT *, score // {AUC_BUCKET_CENTS} AS bucket FROM by_score
+),
+within AS (
+  SELECT *, COALESCE(CAST(SUM(q) OVER (PARTITION BY bucket ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+            AS cum_q_in
+  FROM bucketed
+),
+bucket_cum AS (
+  SELECT bucket,
+         COALESCE(CAST(SUM(bq) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS cum_q_buckets
+  FROM (SELECT bucket, CAST(SUM(q) AS BIGINT) AS bq FROM bucketed GROUP BY bucket)
+),
+total AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(q) AS BIGINT) AS n_neg,
+         CAST(SUM(p * (2 * (b.cum_q_buckets + w.cum_q_in) + q)) AS BIGINT) AS u2
+  FROM within w JOIN bucket_cum b USING (bucket)
+)
+SELECT n_pos, n_neg, u2,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(u2 AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+       END AS auc
+FROM total
+"""

@@ -1,0 +1,259 @@
+"""Probabilistic-sketch operators: Bloom-filter join pruning and
+count-min-sketch heavy hitters.
+
+The sketch family a 100 TB pipeline needs around its joins and
+top-k estimates: a Bloom filter culls a fact-table probe before the
+real (shuffling) join touches it — the same idea as Spark's runtime
+row-level bloom pruning (`spark.sql.optimizer.runtime.bloomFilter`),
+surfaced here as an explicit, measurable operator; a count-min sketch
+replaces an unbounded per-key count with a fixed d x w counter grid
+whose cells are decomposable integer sums (map-side combinable, so
+the shuffle carries O(d*w) rows per partition regardless of input
+rows).
+
+The reference engine has no sketch surface; these generalize its
+exact IN-list membership filter (``SoccerPredictor/DAO/ImpalaCon.py:
+33-62``) and exact top-K count (``XGBoost/Predictor.py:210-225``) to
+the approximate, fixed-memory forms used at scale.
+
+Cross-engine determinism: all hash functions are md5-derived (first 8
+hex digits -> int64 -> mod), the repo-wide engine-portable convention
+(see ``mlprep.feature_hashing``); the hash-function index rides
+INSIDE the md5 input string ('bloom{i}:', 'cms{j}:'), so both engines
+evaluate one generic expression over a tiny cross-joined index table
+instead of hand-unrolled per-index columns. Every aggregate is an
+integer sum/count/min; the only doubles are final single divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Bloom filter size in bits. Deliberately small relative to the build
+#: set so the false-positive rate is non-degenerate and measurable at
+#: test scale; a production filter sizes m ~ 10 bits/key for ~1% fp.
+#: m is the ONLY memory the filter occupies regardless of build size.
+BLOOM_BITS = 4096
+#: number of Bloom hash functions.
+BLOOM_HASHES = 3
+
+#: count-min sketch depth (independent hash rows).
+CMS_DEPTH = 4
+#: count-min sketch width (counters per row).
+CMS_WIDTH = 256
+#: heavy hitters reported (by exact count, for the estimate audit).
+CMS_TOPK = 20
+
+
+def _hash_mod(prefix_col, key_col, m: int):
+    """md5(prefix || ':' || key) first 8 hex digits as int64, mod m —
+    the engine-portable keyed hash. ``prefix_col`` carries the hash-
+    function index so one expression serves all k functions."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(prefix_col, F.lit(":"), key_col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m
+    )
+
+
+def _sql_hash_mod(prefix_expr: str, key_expr: str, m: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5({prefix_expr} || ':' ||"
+        f" CAST({key_expr} AS VARCHAR)), 1, 8) AS BIGINT) % {m}"
+    )
+
+
+def _index_df(spark_df: DataFrame, n: int, name: str) -> DataFrame:
+    """A tiny n-row hash-function index table (0..n-1), derived from a
+    literal array so it needs no session handle and broadcasts for
+    free."""
+    return spark_df.sparkSession.range(n).select(F.col("id").cast("int").alias(name))
+
+
+def bloom_probe(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Bloom-filter membership pruning, audited: build a 4096-bit /
+    3-hash filter over the urgent-order customer keys, probe every
+    customer through it, and report the confusion summary (passes,
+    true members, false positives, fp rate) in one row.
+
+    Plan shape: the filter IS a DataFrame of distinct set bit
+    positions — at most ``BLOOM_BITS`` rows however large the build
+    set — so the probe is a broadcast join against an m-bounded side,
+    never a shuffle of the probe table; a probe row passes iff all k
+    of its positions hit. This is exactly how a bloom-pruned join
+    culls a 100 TB probe side before the real join shuffles it: the
+    filter rides the scan as a broadcast, and only passing rows
+    (members + the bounded fp fraction) reach the exchange.
+
+    No false negatives by construction (every member's positions are
+    all set), so n_pass >= n_true_pass and fp_rate is the quality
+    metric. Generalizes the reference's exact IN-list membership
+    (``DAO/ImpalaCon.py:33-62``) to fixed memory.
+    """
+    build = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    idx = _index_df(orders, BLOOM_HASHES, "i")
+    prefix = F.concat(F.lit("bloom"), F.col("i").cast("string"))
+    # the filter: distinct set bit positions (<= BLOOM_BITS rows).
+    bits = (
+        build.crossJoin(F.broadcast(idx))
+        .select(_hash_mod(prefix, F.col("k"), BLOOM_BITS).alias("pos"))
+        .distinct()
+    )
+    probe = customer.select(F.col("c_custkey").alias("k")).distinct()
+    ppos = probe.crossJoin(F.broadcast(idx)).select(
+        "k", _hash_mod(prefix, F.col("k"), BLOOM_BITS).alias("pos")
+    )
+    hits = (
+        ppos.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("k")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .withColumn("passes", (F.col("n_hits") == BLOOM_HASHES).cast("long"))
+    )
+    truth = build.withColumn("is_member", F.lit(1))
+    audited = hits.join(F.broadcast(truth), "k", "left").select(
+        "passes",
+        F.coalesce(F.col("is_member"), F.lit(0)).cast("long").alias("is_member"),
+    )
+    return (
+        audited.agg(
+            F.sum("is_member").alias("n_build"),
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum("passes").alias("n_pass"),
+            F.sum(F.col("passes") * F.col("is_member")).alias("n_true_pass"),
+            F.sum(F.col("passes") * (1 - F.col("is_member"))).alias("n_false_pos"),
+        )
+        .select(
+            "n_build",
+            "n_probe",
+            "n_pass",
+            "n_true_pass",
+            "n_false_pos",
+            F.when(
+                (F.col("n_probe") - F.col("n_build")) > 0,
+                F.col("n_false_pos").cast("double")
+                / (F.col("n_probe") - F.col("n_build")).cast("double"),
+            ).alias("fp_rate"),
+        )
+    )
+
+
+def bloom_probe_sql() -> str:
+    pos = _sql_hash_mod("'bloom' || CAST(i AS VARCHAR)", "k", BLOOM_BITS)
+    return f"""
+WITH idx AS (SELECT unnest(range({BLOOM_HASHES})) AS i),
+build AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+bits AS (
+  SELECT DISTINCT {pos} AS pos FROM build CROSS JOIN idx
+),
+probe AS (SELECT DISTINCT c_custkey AS k FROM customer),
+ppos AS (
+  SELECT k, {pos} AS pos FROM probe CROSS JOIN idx
+),
+hits AS (
+  SELECT p.k,
+         CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM ppos p LEFT JOIN bits b USING (pos)
+  GROUP BY p.k
+),
+audited AS (
+  SELECT CASE WHEN h.n_hits = {BLOOM_HASHES} THEN 1 ELSE 0 END AS passes,
+         CASE WHEN bu.k IS NOT NULL THEN 1 ELSE 0 END AS is_member
+  FROM hits h LEFT JOIN build bu USING (k)
+)
+SELECT CAST(SUM(is_member) AS BIGINT) AS n_build,
+       COUNT(*) AS n_probe,
+       CAST(SUM(passes) AS BIGINT) AS n_pass,
+       CAST(SUM(passes * is_member) AS BIGINT) AS n_true_pass,
+       CAST(SUM(passes * (1 - is_member)) AS BIGINT) AS n_false_pos,
+       CASE WHEN COUNT(*) - SUM(is_member) > 0
+            THEN CAST(SUM(passes * (1 - is_member)) AS DOUBLE)
+                 / CAST(COUNT(*) - SUM(is_member) AS DOUBLE)
+       END AS fp_rate
+FROM audited
+"""
+
+
+def heavy_hitters_cms(events: DataFrame) -> DataFrame:
+    """Count-min-sketch heavy hitters, audited against exact counts:
+    estimate each user's event count from a ``CMS_DEPTH`` x
+    ``CMS_WIDTH`` counter grid and report the top-``CMS_TOPK`` users
+    by exact count with (exact, estimate, overcount). CMS guarantees
+    est >= exact (overcount only), which the audit columns surface.
+
+    Scale: each grid cell is sum(count) over the keys hashing to it —
+    a decomposable integer aggregate, so at 100 TB the sketch is
+    built with map-side partial aggregation and the shuffle carries
+    at most d*w rows per partition, NOT the key cardinality. The
+    probe side joins the (d*w)-row grid broadcast. Exact counts here
+    exist only for the audit; in production the sketch replaces them.
+    Building from per-key counts (a key-sized table) is arithmetically
+    identical to streaming raw rows through the grid.
+    """
+    exact = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    idx = _index_df(events, CMS_DEPTH, "j")
+    prefix = F.concat(F.lit("cms"), F.col("j").cast("string"))
+    exploded = exact.crossJoin(F.broadcast(idx)).select(
+        "k",
+        "exact_cnt",
+        "j",
+        _hash_mod(prefix, F.col("k"), CMS_WIDTH).alias("cell"),
+    )
+    cells = exploded.groupBy("j", "cell").agg(F.sum("exact_cnt").alias("cell_cnt"))
+    est = (
+        exploded.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("cms_est"))
+    )
+    return (
+        est.select(
+            F.col("k").alias("user_id"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(CMS_TOPK)
+    )
+
+
+def heavy_hitters_cms_sql() -> str:
+    cell = _sql_hash_mod("'cms' || CAST(j AS VARCHAR)", "k", CMS_WIDTH)
+    return f"""
+WITH idx AS (SELECT unnest(range({CMS_DEPTH})) AS j),
+exact AS (
+  SELECT user_id AS k, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+),
+exploded AS (
+  SELECT k, exact_cnt, j, {cell} AS cell FROM exact CROSS JOIN idx
+),
+cells AS (
+  SELECT j, cell, CAST(SUM(exact_cnt) AS BIGINT) AS cell_cnt
+  FROM exploded GROUP BY j, cell
+),
+est AS (
+  SELECT e.k, e.exact_cnt, MIN(c.cell_cnt) AS cms_est
+  FROM exploded e JOIN cells c USING (j, cell)
+  GROUP BY e.k, e.exact_cnt
+)
+SELECT k AS user_id, exact_cnt, cms_est,
+       cms_est - exact_cnt AS overcount
+FROM est
+ORDER BY exact_cnt DESC, user_id ASC
+LIMIT {CMS_TOPK}
+"""

@@ -1444,3 +1444,102 @@ SELECT (CAST((epoch_us(last_ts) - epoch_us(first_ts)) // 60000000 AS BIGINT)
 FROM sess
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# skyline (Pareto frontier) preference query
+# --------------------------------------------------------------------------
+
+#: spend-range bucket width (cents) for the skyline pre-prune.
+SKYLINE_BUCKET_CENTS = 10_000_000
+
+
+def skyline_pareto(orders: DataFrame) -> DataFrame:
+    """Pareto frontier of customers over (total spend, order count),
+    both maximized: a customer is on the skyline iff no other customer
+    has >= spend AND >= orders with at least one strict — the classic
+    preference/skyline operator (Borzsony/Kossmann/Stocker, ICDE'01).
+
+    Dominance reduces to two window maxima over the per-customer
+    aggregate: p is dominated iff
+      max(orders | spend > spend_p)  >= orders_p   (strict-spend branch)
+      OR max(orders | spend = spend_p) > orders_p  (tie branch),
+    so the whole frontier costs one sort — no quadratic self-join.
+
+    Scale: before the (global-sort) window, a bucket prune drops every
+    row whose order count is beaten-or-tied by some strictly-higher
+    spend bucket's max — computed from a bucket-count-sized aggregate
+    and a broadcast join. The prune is semantics-preserving (any
+    dominator it removes is itself dominated by a surviving row with
+    even higher spend — the witness chain ascends buckets and must
+    terminate at a survivor), and it shrinks the global sort from
+    customer-scale to near-frontier-scale, the distributed-skyline
+    local-prune-then-merge pattern. The DuckDB twin deliberately uses
+    the DIRECT unpruned formulation, so the oracle also checks the
+    prune's semantics-preservation on real data.
+
+    Exactness: spend is int64 cents; every comparison is integer.
+    """
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "spend_cents"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .withColumn("bucket", F.expr(f"spend_cents div {SKYLINE_BUCKET_CENTS}"))
+    )
+    bmax = per_cust.groupBy("bucket").agg(F.max("n_orders").alias("bmax"))
+    w_above = Window.orderBy("bucket").rowsBetween(1, Window.unboundedFollowing)
+    prune_bound = bmax.select(
+        "bucket",
+        F.coalesce(F.max("bmax").over(w_above), F.lit(-1)).alias("above_max"),
+    )
+    survivors = (
+        per_cust.join(F.broadcast(prune_bound), "bucket")
+        .filter(F.col("above_max") < F.col("n_orders"))
+        .select("c_custkey", "spend_cents", "n_orders")
+    )
+    w_gt = Window.orderBy("spend_cents").rangeBetween(1, Window.unboundedFollowing)
+    w_eq = Window.partitionBy("spend_cents")
+    flagged = survivors.select(
+        "c_custkey",
+        "spend_cents",
+        "n_orders",
+        F.coalesce(F.max("n_orders").over(w_gt), F.lit(-1)).alias("gt_max"),
+        F.max("n_orders").over(w_eq).alias("eq_max"),
+    )
+    return (
+        flagged.filter(
+            ~((F.col("gt_max") >= F.col("n_orders")) | (F.col("eq_max") > F.col("n_orders")))
+        )
+        .select("c_custkey", "spend_cents", "n_orders")
+        .orderBy(F.col("spend_cents").desc(), F.col("c_custkey").asc())
+    )
+
+
+def skyline_pareto_sql() -> str:
+    """Direct (unpruned) dominance formulation — an independent
+    algorithm from the Spark side's bucket-pruned plan, so agreement
+    checks both the arithmetic and the prune proof."""
+    return """
+WITH per_cust AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+flagged AS (
+  SELECT c_custkey, spend_cents, n_orders,
+         COALESCE(MAX(n_orders) OVER (ORDER BY spend_cents
+             RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), -1) AS gt_max,
+         MAX(n_orders) OVER (PARTITION BY spend_cents) AS eq_max
+  FROM per_cust
+)
+SELECT c_custkey, spend_cents, n_orders
+FROM flagged
+WHERE NOT (gt_max >= n_orders OR eq_max > n_orders)
+ORDER BY spend_cents DESC, c_custkey ASC
+"""

@@ -990,3 +990,64 @@ def test_media_chunk_dedup_blobs_never_shuffle(spark, sf001):
     assert ex
     for i in ex:
         assert "payload#" not in lines[i], lines[i]
+
+
+def test_bloom_probe_broadcast_filter_no_smj(spark, sf001):
+    """Bloom probe: the filter (distinct bit positions, <= m rows) and
+    the truth set reach the probe via broadcast joins — the probe
+    table itself is never sort-merge joined; the only key shuffles are
+    the build/probe distincts and the per-key hit count."""
+    plan = _plan(entry.queries()["bloom_probe"](spark, sf001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_cms_broadcast_grid_heap_topk(spark, sf001):
+    """CMS heavy hitters: the d*w counter grid joins back broadcast
+    (never a shuffle of the exploded key table), and the top-k is a
+    TakeOrdered heap, not a global sort."""
+    plan = _plan(entry.queries()["heavy_hitters_cms"](spark, sf001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_link_prediction_hub_capped_no_cartesian(spark, sf001):
+    """Link prediction: wedges come from the hub-capped self-join on
+    the shared node (degree filter broadcast onto the edge list) over
+    the CHECKPOINTED edge list — the plan never re-embeds the raw
+    events scan, nothing goes cartesian, and the top-k is a heap."""
+    plan = _plan(entry.queries()["link_prediction"](spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "events.parquet" not in plan  # reads the edge checkpoint
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_roc_auc_partitioned_prefix_sum(spark, sf001):
+    """Exact AUC: the per-score cumulative window is PARTITIONED by
+    the score bucket (parallel prefix sum) — only the bucket-total
+    window is global, over one row per bucket; the bucket cums join
+    back broadcast."""
+    plan = _plan(entry.queries()["roc_auc"](spark, sf001))
+    # the row-scale window carries the bucket partition spec
+    assert "windowspecdefinition(bucket" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skyline_prune_before_global_window(spark, sf001):
+    """Skyline: the bucket prune (broadcast join of the bucket-level
+    running max) must sit BELOW the global range window, so the
+    global sort sees only near-frontier survivors; no self-join of
+    the customer aggregate, nothing cartesian."""
+    plan = _plan(entry.queries()["skyline_pareto"](spark, sf001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    bhj = [i for i, l in enumerate(lines) if "BroadcastHashJoin" in l]
+    # the global dominance window (specified range frame) sits above
+    # the prune join in the tree (smaller line index = nearer the root)
+    win = [i for i, l in enumerate(lines) if "specifiedwindowframe(RangeFrame" in l]
+    assert win and bhj and min(win) < max(bhj)

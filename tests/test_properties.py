@@ -671,3 +671,233 @@ def test_rolling_distinct_matches_brute_force(spark, pairs):
     # every day with a nonempty trailing window must be reported
     for day in active:
         assert day in got
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),    # custkey
+            st.integers(min_value=1, max_value=500),  # order price (whole $)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_skyline_matches_brute_force_dominance(spark, pts):
+    """For any order set: the bucket-pruned window skyline equals the
+    O(n^2) dominance definition computed in Python."""
+    from soccerpredictor_spark.operators.windows import skyline_pareto
+
+    orders = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "o_custkey": [c for c, _ in pts],
+                "o_totalprice": [float(p) for _, p in pts],
+                "o_orderpriority": ["5-LOW"] * len(pts),
+            }
+        )
+    )
+    got = {r["c_custkey"] for r in skyline_pareto(orders).collect()}
+    agg: dict[int, list[int]] = {}
+    for c, p in pts:
+        a = agg.setdefault(c, [0, 0])
+        a[0] += p * 100
+        a[1] += 1
+    expect = set()
+    for c, (s, n) in agg.items():
+        dominated = any(
+            (s2 >= s and n2 >= n and (s2 > s or n2 > n))
+            for c2, (s2, n2) in agg.items()
+            if c2 != c
+        )
+        if not dominated:
+            expect.add(c)
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),  # price (whole $ -> score)
+            st.booleans(),                           # urgent?
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_roc_auc_matches_pairwise_definition(spark, rows):
+    """For any (score, label) sample: the two-level prefix-sum AUC
+    equals the brute-force pairwise definition
+    [#(pos>neg) + #(ties)/2] / (P*N), including tie credit."""
+    from soccerpredictor_spark.operators.mlprep import roc_auc
+
+    orders = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "o_totalprice": [float(p) for p, _ in rows],
+                "o_orderpriority": [
+                    "1-URGENT" if u else "5-LOW" for _, u in rows
+                ],
+            }
+        )
+    )
+    r = roc_auc(orders).collect()[0]
+    pos = [p for p, u in rows if u]
+    neg = [p for p, u in rows if not u]
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    if not pos or not neg:
+        assert r["auc"] is None
+        return
+    u2 = sum(2 if sp > sn else (1 if sp == sn else 0) for sp in pos for sn in neg)
+    assert r["u2"] == u2
+    assert r["auc"] == u2 / (2.0 * len(pos) * len(neg))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    build=st.sets(st.integers(min_value=1, max_value=40), min_size=0, max_size=12),
+    extra=st.sets(st.integers(min_value=41, max_value=80), min_size=1, max_size=12),
+)
+def test_bloom_probe_matches_reference_filter(spark, build, extra):
+    """For any build/probe key sets: zero false negatives (every
+    member passes), pass/true/fp counts consistent, and the pass set
+    equals an independent hashlib-md5 Bloom simulation."""
+    import hashlib
+
+    from soccerpredictor_spark.operators.sketch import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        bloom_probe,
+    )
+
+    probe_keys = sorted(build | extra)
+    orders = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "o_custkey": sorted(build) or [0],
+                "o_orderpriority": ["1-URGENT"] * (len(build) or 1),
+            }
+        )
+    )
+    if not build:  # placeholder row must not enter the build set
+        orders = orders.filter("o_custkey <> 0")
+    customer = spark.createDataFrame(pd.DataFrame({"c_custkey": probe_keys}))
+    r = bloom_probe(orders, customer).collect()[0]
+
+    def positions(k: int) -> list[int]:
+        return [
+            int(hashlib.md5(f"bloom{i}:{k}".encode()).hexdigest()[:8], 16)
+            % BLOOM_BITS
+            for i in range(BLOOM_HASHES)
+        ]
+
+    bits = {p for k in build for p in positions(k)}
+    sim_pass = {k for k in probe_keys if all(p in bits for p in positions(k))}
+    assert build <= sim_pass  # no false negatives in the model either
+    assert r["n_build"] == len(build)
+    assert r["n_probe"] == len(probe_keys)
+    assert r["n_pass"] == len(sim_pass)
+    assert r["n_true_pass"] == len(build)
+    assert r["n_false_pos"] == len(sim_pass - build)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.dictionaries(
+        st.integers(min_value=1, max_value=30),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_cms_estimates_match_grid_simulation(spark, counts):
+    """For any key->count multiset: every CMS estimate >= the exact
+    count (overcount-only guarantee) and equals an independent
+    hashlib-md5 grid simulation cell-for-cell."""
+    import hashlib
+
+    from soccerpredictor_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        heavy_hitters_cms,
+    )
+
+    rows = [(k, i) for k, c in counts.items() for i in range(c)]
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [k for k, _ in rows],
+                "event_type": ["e"] * len(rows),
+                "ts": [pd.Timestamp("2024-01-01")] * len(rows),
+                "value": [1.0] * len(rows),
+            }
+        )
+    )
+    got = {r["user_id"]: r for r in heavy_hitters_cms(events).collect()}
+
+    def cell(j: int, k: int) -> int:
+        return int(hashlib.md5(f"cms{j}:{k}".encode()).hexdigest()[:8], 16) % CMS_WIDTH
+
+    grid: dict[tuple[int, int], int] = {}
+    for k, c in counts.items():
+        for j in range(CMS_DEPTH):
+            key = (j, cell(j, k))
+            grid[key] = grid.get(key, 0) + c
+    for k, r in got.items():
+        est = min(grid[(j, cell(j, k))] for j in range(CMS_DEPTH))
+        assert r["exact_cnt"] == counts[k]
+        assert r["cms_est"] == est
+        assert r["overcount"] == est - counts[k] >= 0
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=1, max_value=7),
+            st.integers(min_value=1, max_value=7),
+        ).map(lambda t: (min(t), max(t))),
+        min_size=1,
+        max_size=10,
+    ).map(lambda es: {(u, v) for u, v in es if u != v})
+)
+def test_link_prediction_matches_python_ra(spark, edges):
+    """For any small graph (each edge realized as two shared capped
+    co-activity buckets): the operator's candidate set and integer RA
+    scores equal a Python common-neighbor model."""
+    if not edges:
+        return
+    from soccerpredictor_spark.operators.graph import (
+        LINK_RA_SCALE,
+        link_prediction,
+    )
+
+    rows = []
+    for i, (u, v) in enumerate(sorted(edges)):
+        for rep in range(2):  # two distinct buckets -> weight 2 (recurring)
+            base = pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=(2 * i + rep) * 3600)
+            rows += [("e", base, u, 1.0), ("e", base, v, 1.0)]
+    events = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts", "user_id", "value"])
+    )
+    got = {
+        (r["u"], r["v"]): (r["common_neighbors"], r["ra_micro"])
+        for r in link_prediction(events).collect()
+    }
+    nbrs: dict[int, set[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    expect = {}
+    for u in nbrs:
+        for v in nbrs:
+            if u < v and v not in nbrs[u]:
+                common = nbrs[u] & nbrs[v]
+                if common:
+                    expect[(u, v)] = (
+                        len(common),
+                        sum(LINK_RA_SCALE // len(nbrs[z]) for z in common),
+                    )
+    assert got == expect
