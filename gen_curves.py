@@ -33,6 +33,11 @@ OPS = [
     "graph_components",
     "ann_pq_topk",
     "pmi_collocations",
+    # round-7 second-half additions with non-trivial scaling shapes:
+    # link_prediction fans out wedges (hub-capped), heavy_hitters_cms
+    # must show the flat d*w-bounded sketch cost.
+    "link_prediction",
+    "heavy_hitters_cms",
 ]
 SFS = [
     ("sf0.01", "/root/testdata/sf0.01"),

@@ -982,12 +982,14 @@ def knn_graph(emb: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
 
     Shape: identical candidate generation to ``cosine_near_dup``
     (sketch once via the Arrow matmul, bucket self-join on id-only
-    rows, budget-guarded) but DIRECTED pairs (a != b, both
-    directions), exact int64 cosine on candidate batches, then one
-    rank window keyed on the source vector — count-bounded output of
-    k rows per vector. Recall caveat documented as for all LSH paths:
-    vectors sharing no bucket are not candidates (the oracle twin
-    reproduces the same bucket structure, so results match exactly).
+    rows, budget-guarded). Candidates are UNDIRECTED (a < b) so the
+    symmetric exact int64 cosine runs ONCE per pair (half the Arrow
+    batches and half the dedup shuffle); both directions are then
+    restored by a projection-only union before the per-source rank
+    window — count-bounded output of k rows per vector. Recall caveat
+    documented as for all LSH paths: vectors sharing no bucket are
+    not candidates (the oracle twin reproduces the same bucket
+    structure, so results match exactly).
     """
     from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
     from soccerpredictor_spark.operators.scale import candidate_budget_guard
@@ -1008,7 +1010,7 @@ def knn_graph(emb: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
         b = bnd.alias("b")
         cand = (
             a.join(b, ["band", "bucket"])
-            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(
                 F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
@@ -1029,12 +1031,25 @@ def knn_graph(emb: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
             F.sqrt(F.col("nrm_a").cast("double"))
             * F.sqrt(F.col("nrm_b").cast("double"))
         )
-        w = W.partitionBy("vec_a").orderBy(F.col("sim").desc(), F.col("vec_b").asc())
-        return _reliable_checkpoint(
+        # materialize the half-sized sims ONCE (mode-aware checkpoint);
+        # without the cut the union's two branches would each re-run
+        # the join + Arrow dot subtree (exchange reuse does not span
+        # the differing projections above it).
+        undirected = _reliable_checkpoint(
             cand.join(va, "vec_a")
             .join(vb, "vec_b")
             .select("vec_a", "vec_b", sim.alias("sim"))
-            .withColumn("rnk", F.row_number().over(w))
+        )
+        directed = undirected.unionAll(
+            undirected.select(
+                F.col("vec_b").alias("vec_a"),
+                F.col("vec_a").alias("vec_b"),
+                "sim",
+            )
+        )
+        w = W.partitionBy("vec_a").orderBy(F.col("sim").desc(), F.col("vec_b").asc())
+        return (
+            directed.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("vec_a", "vec_b", "sim", "rnk")
         )
