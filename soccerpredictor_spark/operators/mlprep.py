@@ -595,9 +595,13 @@ def roc_auc(orders: DataFrame) -> DataFrame:
 
     Label = order is urgent; score = total price in exact int64 cents
     (the repo cent-quantization convention). All counting is integer:
-    ``u2`` is TWICE the tie-adjusted U (so ties add whole units), and
-    the only double is the final single division — both engines build
-    it from identical int64 inputs.
+    ``u2`` is TWICE the tie-adjusted U (so ties add whole units).
+    u2 is bounded by 2*P*N — beyond int64 near ~4e9 balanced rows —
+    so it accumulates as DECIMAL(38,0) (the feature_corr convention;
+    Spark partial aggregation and DuckDB's HUGEINT sum are both exact)
+    and surfaces as a double, lossless below 2^53 and identical in
+    both engines since each casts the same exact integer. The AUC is
+    one final double division of exactly-cast operands.
 
     Scale (the load-bearing choice): a naive rank-based AUC needs one
     GLOBAL sort window — a single reducer at 100 TB. Instead the
@@ -646,17 +650,19 @@ def roc_auc(orders: DataFrame) -> DataFrame:
         F.sum("p").alias("n_pos"),
         F.sum("q").alias("n_neg"),
         F.sum(
-            F.col("p")
-            * (2 * (F.col("cum_q_buckets") + F.col("cum_q_in")) + F.col("q"))
-        ).alias("u2"),
+            (
+                F.col("p")
+                * (2 * (F.col("cum_q_buckets") + F.col("cum_q_in")) + F.col("q"))
+            ).cast("decimal(38,0)")
+        ).alias("u2d"),
     )
     return total.select(
         "n_pos",
         "n_neg",
-        "u2",
+        F.col("u2d").cast("double").alias("u2"),
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            F.col("u2").cast("double")
+            F.col("u2d").cast("double")
             / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
         ).alias("auc"),
     )
@@ -691,12 +697,12 @@ bucket_cum AS (
 total AS (
   SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
          CAST(SUM(q) AS BIGINT) AS n_neg,
-         CAST(SUM(p * (2 * (b.cum_q_buckets + w.cum_q_in) + q)) AS BIGINT) AS u2
+         SUM(p * (2 * (b.cum_q_buckets + w.cum_q_in) + q)) AS u2h
   FROM within w JOIN bucket_cum b USING (bucket)
 )
-SELECT n_pos, n_neg, u2,
+SELECT n_pos, n_neg, CAST(u2h AS DOUBLE) AS u2,
        CASE WHEN n_pos > 0 AND n_neg > 0
-            THEN CAST(u2 AS DOUBLE)
+            THEN CAST(u2h AS DOUBLE)
                  / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
        END AS auc
 FROM total

@@ -70,9 +70,10 @@ def _sql_hash_mod(prefix_expr: str, key_expr: str, m: int) -> str:
 
 
 def _index_df(spark_df: DataFrame, n: int, name: str) -> DataFrame:
-    """A tiny n-row hash-function index table (0..n-1), derived from a
-    literal array so it needs no session handle and broadcasts for
-    free."""
+    """A tiny n-row hash-function index table (0..n-1) from the input
+    frame's own session (``spark.range``), broadcast by the callers so
+    the k-way fan-out is a broadcast nested-loop over n rows — never a
+    shuffle."""
     return spark_df.sparkSession.range(n).select(F.col("id").cast("int").alias(name))
 
 
@@ -92,9 +93,21 @@ def bloom_probe(orders: DataFrame, customer: DataFrame) -> DataFrame:
     (members + the bounded fp fraction) reach the exchange.
 
     No false negatives by construction (every member's positions are
-    all set), so n_pass >= n_true_pass and fp_rate is the quality
-    metric. Generalizes the reference's exact IN-list membership
-    (``DAO/ImpalaCon.py:33-62``) to fixed memory.
+    all set), so every PROBED member passes (n_true_pass ==
+    n_member_probed) and fp_rate — false passes over non-member
+    probes — is the quality metric. ``n_build`` is the true build-set
+    size, counted independently of the probe side, so build keys
+    absent from the probe table (FK orphans) are visible as
+    n_member_probed < n_build instead of silently vanishing.
+
+    The truth-side audit join (key-level, build-sized) exists only for
+    the confusion summary — like heavy_hitters_cms's exact counts, at
+    production scale the filter replaces the truth table and only the
+    broadcast bit-position join remains; the audit join carries no
+    broadcast hint, so the optimizer is free to shuffle it when the
+    build side outgrows the threshold. Generalizes the reference's
+    exact IN-list membership (``DAO/ImpalaCon.py:33-62``) to fixed
+    memory.
     """
     build = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
@@ -120,28 +133,31 @@ def bloom_probe(orders: DataFrame, customer: DataFrame) -> DataFrame:
         .withColumn("passes", (F.col("n_hits") == BLOOM_HASHES).cast("long"))
     )
     truth = build.withColumn("is_member", F.lit(1))
-    audited = hits.join(F.broadcast(truth), "k", "left").select(
+    audited = hits.join(truth, "k", "left").select(
         "passes",
         F.coalesce(F.col("is_member"), F.lit(0)).cast("long").alias("is_member"),
     )
+    n_build = build.agg(F.count(F.lit(1)).alias("n_build"))
     return (
         audited.agg(
-            F.sum("is_member").alias("n_build"),
+            F.sum("is_member").alias("n_member_probed"),
             F.count(F.lit(1)).alias("n_probe"),
             F.sum("passes").alias("n_pass"),
             F.sum(F.col("passes") * F.col("is_member")).alias("n_true_pass"),
             F.sum(F.col("passes") * (1 - F.col("is_member"))).alias("n_false_pos"),
         )
+        .crossJoin(F.broadcast(n_build))
         .select(
             "n_build",
+            "n_member_probed",
             "n_probe",
             "n_pass",
             "n_true_pass",
             "n_false_pos",
             F.when(
-                (F.col("n_probe") - F.col("n_build")) > 0,
+                (F.col("n_probe") - F.col("n_member_probed")) > 0,
                 F.col("n_false_pos").cast("double")
-                / (F.col("n_probe") - F.col("n_build")).cast("double"),
+                / (F.col("n_probe") - F.col("n_member_probed")).cast("double"),
             ).alias("fp_rate"),
         )
     )
@@ -174,7 +190,8 @@ audited AS (
          CASE WHEN bu.k IS NOT NULL THEN 1 ELSE 0 END AS is_member
   FROM hits h LEFT JOIN build bu USING (k)
 )
-SELECT CAST(SUM(is_member) AS BIGINT) AS n_build,
+SELECT (SELECT COUNT(*) FROM build) AS n_build,
+       CAST(SUM(is_member) AS BIGINT) AS n_member_probed,
        COUNT(*) AS n_probe,
        CAST(SUM(passes) AS BIGINT) AS n_pass,
        CAST(SUM(passes * is_member) AS BIGINT) AS n_true_pass,

@@ -758,12 +758,14 @@ def test_roc_auc_matches_pairwise_definition(spark, rows):
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     build=st.sets(st.integers(min_value=1, max_value=40), min_size=0, max_size=12),
+    orphans=st.sets(st.integers(min_value=81, max_value=99), min_size=0, max_size=4),
     extra=st.sets(st.integers(min_value=41, max_value=80), min_size=1, max_size=12),
 )
-def test_bloom_probe_matches_reference_filter(spark, build, extra):
-    """For any build/probe key sets: zero false negatives (every
-    member passes), pass/true/fp counts consistent, and the pass set
-    equals an independent hashlib-md5 Bloom simulation."""
+def test_bloom_probe_matches_reference_filter(spark, build, orphans, extra):
+    """For any build/probe key sets — including build keys ABSENT from
+    the probe table (FK orphans): zero false negatives among probed
+    members, orphans surfaced as n_member_probed < n_build, and the
+    pass set equals an independent hashlib-md5 Bloom simulation."""
     import hashlib
 
     from soccerpredictor_spark.operators.sketch import (
@@ -772,16 +774,17 @@ def test_bloom_probe_matches_reference_filter(spark, build, extra):
         bloom_probe,
     )
 
+    full_build = build | orphans  # orphans never appear in customer
     probe_keys = sorted(build | extra)
     orders = spark.createDataFrame(
         pd.DataFrame(
             {
-                "o_custkey": sorted(build) or [0],
-                "o_orderpriority": ["1-URGENT"] * (len(build) or 1),
+                "o_custkey": sorted(full_build) or [0],
+                "o_orderpriority": ["1-URGENT"] * (len(full_build) or 1),
             }
         )
     )
-    if not build:  # placeholder row must not enter the build set
+    if not full_build:  # placeholder row must not enter the build set
         orders = orders.filter("o_custkey <> 0")
     customer = spark.createDataFrame(pd.DataFrame({"c_custkey": probe_keys}))
     r = bloom_probe(orders, customer).collect()[0]
@@ -793,13 +796,14 @@ def test_bloom_probe_matches_reference_filter(spark, build, extra):
             for i in range(BLOOM_HASHES)
         ]
 
-    bits = {p for k in build for p in positions(k)}
+    bits = {p for k in full_build for p in positions(k)}
     sim_pass = {k for k in probe_keys if all(p in bits for p in positions(k))}
     assert build <= sim_pass  # no false negatives in the model either
-    assert r["n_build"] == len(build)
+    assert r["n_build"] == len(full_build)
+    assert r["n_member_probed"] == len(build)
     assert r["n_probe"] == len(probe_keys)
     assert r["n_pass"] == len(sim_pass)
-    assert r["n_true_pass"] == len(build)
+    assert r["n_true_pass"] == len(build)  # every PROBED member passes
     assert r["n_false_pos"] == len(sim_pass - build)
 
 
