@@ -35,9 +35,14 @@ OPS = [
     "pmi_collocations",
     # round-7 second-half additions with non-trivial scaling shapes:
     # link_prediction fans out wedges (hub-capped), heavy_hitters_cms
-    # must show the flat d*w-bounded sketch cost.
+    # must show the flat d*w-bounded sketch cost, roc_auc's prefix sum
+    # and skyline's prune+window must stay linear, bloom_probe's
+    # filter stays m-bounded while build/probe grow.
     "link_prediction",
     "heavy_hitters_cms",
+    "roc_auc",
+    "skyline_pareto",
+    "bloom_probe",
 ]
 SFS = [
     ("sf0.01", "/root/testdata/sf0.01"),

@@ -121,6 +121,36 @@ def main() -> None:
     pq.write_table(cast_ev, os.path.join(OUT, "events.parquet"))
     print(f"events: {len(allev)} rows ({len(ev)} x {SHARDS})")
 
+    # orders + customer: 10 shards with DISJOINT key spaces (custkey
+    # and orderkey offset per shard). Prices/priorities are copied
+    # verbatim, so the per-shard score distribution — and therefore
+    # the Bloom fp geometry, the per-customer Pareto structure, and
+    # the distinct-score count per AUC bucket — is identical per
+    # shard; the expected curve for the orders-family operators is
+    # linear in rows.
+    for tname, key_cols in (
+        ("orders", {"o_orderkey": DOC_ID_STRIDE, "o_custkey": 1_000_000}),
+        ("customer", {"c_custkey": 1_000_000}),
+    ):
+        t = con.execute(
+            f"SELECT * FROM read_parquet('{SRC}/{tname}.parquet')"
+            f" ORDER BY {next(iter(key_cols))}"
+        ).fetchdf()
+        shards = []
+        for k in range(SHARDS):
+            s = t.copy()
+            for col, stride in key_cols.items():
+                s[col] = s[col] + k * stride
+            shards.append(s)
+        allt = pd.concat(shards, ignore_index=True)
+        t_schema = pq.read_schema(os.path.join(SRC, f"{tname}.parquet"))
+        tbl_t = pa.Table.from_pandas(allt, preserve_index=False)
+        cast_t = tbl_t.cast(
+            pa.schema([t_schema.field(n) for n in tbl_t.schema.names])
+        )
+        pq.write_table(cast_t, os.path.join(OUT, f"{tname}.parquet"))
+        print(f"{tname}: {len(allt)} rows ({len(t)} x {SHARDS})")
+
 
 if __name__ == "__main__":
     main()
