@@ -586,7 +586,7 @@ FROM orders JOIN stats USING (o_orderpriority)
 AUC_BUCKET_CENTS = 10_000_000
 
 
-def roc_auc(orders: DataFrame) -> DataFrame:
+def roc_auc(orders: DataFrame, bucket_cents: int = AUC_BUCKET_CENTS) -> DataFrame:
     """Exact ROC-AUC of a score against a binary label, computed as
     the normalized Mann-Whitney U statistic with the standard 1/2
     credit for score ties:
@@ -630,7 +630,7 @@ def roc_auc(orders: DataFrame) -> DataFrame:
             F.sum("label").alias("p"),
             F.sum(1 - F.col("label")).alias("q"),
         )
-        .withColumn("bucket", F.expr(f"score div {AUC_BUCKET_CENTS}"))
+        .withColumn("bucket", F.expr(f"score div {bucket_cents}"))
     )
     w_in = (
         Window.partitionBy("bucket")

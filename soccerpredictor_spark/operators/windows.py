@@ -1454,7 +1454,7 @@ GROUP BY 1
 SKYLINE_BUCKET_CENTS = 10_000_000
 
 
-def skyline_pareto(orders: DataFrame) -> DataFrame:
+def skyline_pareto(orders: DataFrame, bucket_cents: int = SKYLINE_BUCKET_CENTS) -> DataFrame:
     """Pareto frontier of customers over (total spend, order count),
     both maximized: a customer is on the skyline iff no other customer
     has >= spend AND >= orders with at least one strict — the classic
@@ -1488,7 +1488,7 @@ def skyline_pareto(orders: DataFrame) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .withColumn("bucket", F.expr(f"spend_cents div {SKYLINE_BUCKET_CENTS}"))
+        .withColumn("bucket", F.expr(f"spend_cents div {bucket_cents}"))
     )
     bmax = per_cust.groupBy("bucket").agg(F.max("n_orders").alias("bmax"))
     w_above = Window.orderBy("bucket").rowsBetween(1, Window.unboundedFollowing)

@@ -699,6 +699,13 @@ def test_skyline_matches_brute_force_dominance(spark, pts):
         )
     )
     got = {r["c_custkey"] for r in skyline_pareto(orders).collect()}
+    # small bucket width -> spends span MANY buckets, exercising the
+    # cross-bucket prune path the default 10M-cent width leaves idle
+    # at property-test magnitudes; results must be identical.
+    got_pruned = {
+        r["c_custkey"] for r in skyline_pareto(orders, bucket_cents=5000).collect()
+    }
+    assert got_pruned == got
     agg: dict[int, list[int]] = {}
     for c, p in pts:
         a = agg.setdefault(c, [0, 0])
@@ -744,6 +751,12 @@ def test_roc_auc_matches_pairwise_definition(spark, rows):
         )
     )
     r = roc_auc(orders).collect()[0]
+    # small bucket width -> scores span multiple buckets, exercising
+    # the cross-bucket prefix-sum leg idle at property magnitudes
+    r_small = roc_auc(orders, bucket_cents=700).collect()[0]
+    assert (r_small["n_pos"], r_small["n_neg"], r_small["u2"]) == (
+        r["n_pos"], r["n_neg"], r["u2"]
+    )
     pos = [p for p, u in rows if u]
     neg = [p for p, u in rows if not u]
     assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
