@@ -115,12 +115,10 @@ strong AS (SELECT u, v FROM edges WHERE weight >= {MIN_EDGE_WEIGHT})"""
     )
 
 
-#: session-lifetime cache of materialized edge lists, keyed by the
-#: input plan's semanticHash and guarded by sameSemantics + session
-#: identity (hash collisions and stopped sessions can't serve stale
-#: data). Bounded; cleared wholesale when full.
+#: session-lifetime cache of materialized edge lists
+#: (``scale.plan_keyed_cache`` semantics: plan-identity keyed,
+#: collision- and session-guarded, bounded).
 _EDGE_CACHE: dict = {}
-_EDGE_CACHE_MAX = 8
 
 
 def _edges_checkpointed(events: DataFrame) -> DataFrame:
@@ -141,30 +139,16 @@ def _edges_checkpointed(events: DataFrame) -> DataFrame:
     so a different path, filter, or literal — including empty-fixture
     and property-test inputs — can never hit a stale entry."""
     from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+    from soccerpredictor_spark.operators.scale import plan_keyed_cache
 
-    try:
-        key = events.semanticHash()
-    except Exception:  # pragma: no cover - plan not hashable
-        key = None
-    if key is not None:
-        hit = _EDGE_CACHE.get(key)
-        if hit is not None:
-            src, edges = hit
-            try:
-                if src.sparkSession is events.sparkSession and events.sameSemantics(
-                    src
-                ):
-                    return edges
-            except Exception:
-                pass
-    edges = _reliable_checkpoint(
-        coactivity_edges(events).filter(F.col("weight") >= MIN_EDGE_WEIGHT)
+    return plan_keyed_cache(
+        _EDGE_CACHE,
+        events,
+        MIN_EDGE_WEIGHT,
+        lambda: _reliable_checkpoint(
+            coactivity_edges(events).filter(F.col("weight") >= MIN_EDGE_WEIGHT)
+        ),
     )
-    if key is not None:
-        if len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
-            _EDGE_CACHE.clear()
-        _EDGE_CACHE[key] = (events, edges)
-    return edges
 
 
 def graph_degree_stats(events: DataFrame) -> DataFrame:

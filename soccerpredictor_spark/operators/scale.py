@@ -188,3 +188,39 @@ def candidate_budget_guard(
             f"density is intended."
         )
     return est_pairs, n_rows, max_bucket
+
+
+def plan_keyed_cache(cache: dict, df_in: DataFrame, extra_key, build, max_entries: int = 8):
+    """Session-lifetime memo for MATERIALIZED shared intermediates
+    (checkpointed edge lists, cluster labels): several registry
+    entries compose the same expensive prerequisite over the same
+    input, and a session computing the family should pay it once —
+    the contract of a user materializing a temp view.
+
+    Identity is the full analyzed plan of ``df_in`` (semanticHash for
+    the lookup, ``sameSemantics`` to rule out hash collisions) plus
+    ``extra_key`` for non-DataFrame parameters, and the originating
+    session object — so a different path, filter, literal, parameter,
+    or session can never hit a stale entry. ``cache`` is cleared
+    wholesale at ``max_entries`` (entries hold only lazy plans plus
+    already-materialized checkpoint handles, so the bound is about
+    executor block retention, not driver memory)."""
+    try:
+        key = (df_in.semanticHash(), extra_key)
+    except Exception:  # pragma: no cover - plan not hashable
+        key = None
+    if key is not None:
+        hit = cache.get(key)
+        if hit is not None:
+            src, out = hit
+            try:
+                if src.sparkSession is df_in.sparkSession and df_in.sameSemantics(src):
+                    return out
+            except Exception:
+                pass
+    out = build()
+    if key is not None:
+        if len(cache) >= max_entries:
+            cache.clear()
+        cache[key] = (df_in, out)
+    return out

@@ -330,6 +330,11 @@ LIMIT {k}
 """
 
 
+#: session-lifetime cache of checkpointed verified near-dup pairs
+#: (``scale.plan_keyed_cache`` semantics).
+_PAIR_CACHE: dict = {}
+
+
 def cosine_near_dup(
     emb: DataFrame,
     threshold: float = 0.25,
@@ -364,7 +369,28 @@ def cosine_near_dup(
     ``finally`` so no cached blocks outlive the call. The
     ``candidate_budget_guard`` call is the no-silent-caps abort for a
     degenerate banding (round-5 verdict #6).
+
+    The checkpointed pair set is CACHED per (session, emb plan,
+    threshold, max_pairs_per_row): ``embedding_near_dup`` and
+    ``embedding_dedup_clusters`` share this entire sketch + bucket +
+    verify prerequisite (the ``scale.plan_keyed_cache`` contract — a
+    different input or parameter can never hit a stale entry).
     """
+    from soccerpredictor_spark.operators.scale import plan_keyed_cache
+
+    return plan_keyed_cache(
+        _PAIR_CACHE,
+        emb,
+        (threshold, max_pairs_per_row),
+        lambda: _cosine_near_dup_build(emb, threshold, max_pairs_per_row),
+    )
+
+
+def _cosine_near_dup_build(
+    emb: DataFrame,
+    threshold: float,
+    max_pairs_per_row: float | None,
+) -> DataFrame:
     from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
     from soccerpredictor_spark.operators.scale import candidate_budget_guard
 
