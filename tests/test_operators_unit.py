@@ -641,3 +641,56 @@ class TestAsofToleranceNullValue:
         ).collect()
         # the only non-null match is 2h old -> outside the 1h tolerance
         assert got[0].asof_value is None
+
+
+class TestPlanKeyedCache:
+    """scale.plan_keyed_cache: the shared-prerequisite memo must hit
+    ONLY on (same session, semantically-equal plan, equal params)."""
+
+    def test_hit_on_equal_plan_miss_on_different(self, spark):
+        from soccerpredictor_spark.operators.scale import plan_keyed_cache
+
+        cache: dict = {}
+        calls = []
+
+        def build_for(df):
+            def build():
+                calls.append(1)
+                return df.selectExpr("id * 2 AS x")
+            return build
+
+        a1 = spark.range(10)
+        a2 = spark.range(10)   # same plan, fresh object
+        b = spark.range(11)    # different literal -> different plan
+        r1 = plan_keyed_cache(cache, a1, "p", build_for(a1))
+        r2 = plan_keyed_cache(cache, a2, "p", build_for(a2))
+        assert len(calls) == 1          # a2 hit a1's entry
+        assert r2 is r1
+        plan_keyed_cache(cache, b, "p", build_for(b))
+        assert len(calls) == 2          # different plan -> miss
+
+    def test_miss_on_different_params(self, spark):
+        from soccerpredictor_spark.operators.scale import plan_keyed_cache
+
+        cache: dict = {}
+        calls = []
+
+        def build():
+            calls.append(1)
+            return spark.range(3)
+
+        df = spark.range(5)
+        plan_keyed_cache(cache, df, ("k", 1), build)
+        plan_keyed_cache(cache, df, ("k", 1), build)
+        plan_keyed_cache(cache, df, ("k", 2), build)
+        assert len(calls) == 2
+
+    def test_bounded_clears_wholesale(self, spark):
+        from soccerpredictor_spark.operators.scale import plan_keyed_cache
+
+        cache: dict = {}
+        for i in range(10):
+            plan_keyed_cache(
+                cache, spark.range(100 + i), None, lambda: None, max_entries=4
+            )
+        assert len(cache) <= 4
