@@ -707,3 +707,625 @@ SELECT n_pos, n_neg, CAST(u2h AS DOUBLE) AS u2,
        END AS auc
 FROM total
 """
+
+
+# --------------------------------------------------------------------------
+# staged round-8 additions: uncertainty / evaluation / experiment operators
+# --------------------------------------------------------------------------
+
+#: replicates for the deterministic hash-subsample bootstrap.
+CI_REPLICATES = 32
+#: two-sided 95% interval bounds over the replicate means.
+CI_LO_Q, CI_HI_Q = 0.025, 0.975
+
+
+def _md5_mod(prefix: str, key_col, m: int):
+    """md5('<prefix>' || key) first 8 hex digits -> int64 mod m — the
+    repo-wide engine-portable deterministic gate (see
+    ``feature_hashing`` / ``sketch._hash_mod``)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), key_col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % m
+    )
+
+
+def _sql_md5_mod(prefix: str, key_expr: str, m: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{prefix}' || CAST({key_expr} AS VARCHAR)),"
+        f" 1, 8) AS BIGINT) % {m}"
+    )
+
+
+def subsample_ci(orders: DataFrame) -> DataFrame:
+    """Deterministic subsample-bootstrap confidence interval for the
+    mean of ``o_totalprice`` — the uncertainty quantification a
+    pipeline attaches to every aggregate it reports (Politis/Romano
+    subsampling; the hash-gated replicate trick makes it exact-
+    reproducible on any engine, no RNG state).
+
+    Each of the 32 replicates is an expected-50% Bernoulli subsample
+    gated by md5(rep:orderkey); the replicate means' 2.5%/97.5%
+    percentile_disc SELECTIONS (actual double values, no
+    interpolation arithmetic) form the interval.
+
+    Scale: the rep fan-out is a broadcast nested-loop over a 32-row
+    index table feeding a map-side-combinable aggregation — the
+    shuffle carries 32 partial rows per partition regardless of input
+    size (the ``sketch.heavy_hitters_cms`` shape); nothing ever
+    materializes 32x the fact table across an exchange. Sums
+    accumulate as decimal(38,0) cents (int64-safe per-term, overflow-
+    safe at 100 TB).
+    """
+    spark_reps = orders.sparkSession.range(CI_REPLICATES).select(
+        F.col("id").alias("rep")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    member = (
+        orders.select(F.col("o_orderkey").alias("k"), cents.alias("cents"))
+        .crossJoin(F.broadcast(spark_reps))
+        .filter(
+            _md5_mod(
+                "ci",
+                F.concat(
+                    F.col("rep").cast("string"),
+                    F.lit(":"),
+                    F.col("k").cast("string"),
+                ),
+                2,
+            )
+            == 0
+        )
+    )
+    per = member.groupBy("rep").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sum_cents"),
+    )
+    per = per.select(
+        "rep",
+        "n_rows",
+        (
+            F.col("sum_cents").cast("double")
+            / F.col("n_rows").cast("double")
+            / F.lit(100.0)
+        ).alias("rep_mean"),
+    )
+    ci = per.agg(
+        F.expr(
+            f"percentile_disc({CI_LO_Q}) WITHIN GROUP (ORDER BY rep_mean)"
+        ).alias("ci_lo"),
+        F.expr(
+            f"percentile_disc({CI_HI_Q}) WITHIN GROUP (ORDER BY rep_mean)"
+        ).alias("ci_hi"),
+    )
+    point = orders.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        (
+            F.sum(cents.cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0)
+        ).alias("point_mean"),
+    )
+    return (
+        per.crossJoin(F.broadcast(ci))
+        .crossJoin(F.broadcast(point))
+        .select(
+            "rep", "n_rows", "rep_mean", "ci_lo", "ci_hi", "point_mean", "n_total"
+        )
+        .orderBy("rep")
+    )
+
+
+def subsample_ci_sql() -> str:
+    gate = _sql_md5_mod("ci", "CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)", 2)
+    return f"""
+WITH reps AS (SELECT unnest(range(0, {CI_REPLICATES})) AS rep),
+member AS (
+  SELECT rep, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN reps
+  WHERE {gate} = 0
+),
+per AS (
+  SELECT rep, COUNT(*) AS n_rows,
+         CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+           AS rep_mean
+  FROM member GROUP BY rep
+),
+ci AS (SELECT quantile_disc(rep_mean, {CI_LO_Q}) AS ci_lo,
+              quantile_disc(rep_mean, {CI_HI_Q}) AS ci_hi FROM per),
+pt AS (SELECT COUNT(*) AS n_total,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) / 100.0 AS point_mean
+       FROM orders)
+SELECT rep, n_rows, rep_mean, ci_lo, ci_hi, point_mean, n_total
+FROM per CROSS JOIN ci CROSS JOIN pt ORDER BY rep
+"""
+
+
+# --------------------------------------------------------------------------
+# grouped OLS: per-group closed-form linear trend
+# --------------------------------------------------------------------------
+
+#: epoch anchor for the OLS regressor (days since this date).
+OLS_ANCHOR = "1992-01-01"
+
+
+def grouped_ols(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Per-nation ordinary-least-squares price trend: regress order
+    price (dollars) on order date (days since 1992-01-01), closed
+    form — the per-segment trend fit a feature pipeline runs to
+    detect drift before training (generalizes the reference's
+    season-long team form features, ``XGBoost/Predictor.py:60-96``).
+
+    Determinism & scale: the five sufficient statistics (n, Σx, Σy,
+    Σxy, Σx², Σy²) are exact integer sums — x is an int day offset, y
+    int cents; per-term products fit int64, the sums accumulate as
+    decimal(38,0) (the ``feature_corr`` convention) — and slope =
+    (nΣxy - ΣxΣy)/(nΣx² - (Σx)²), intercept = (ΣyΣx² - ΣxΣxy)/same
+    are assembled as ONE double division each from those exact sums.
+    One map-side-combinable aggregation after two broadcast dimension
+    joins; nothing shuffles the fact table twice. Zero-variance
+    groups (a single order date) yield NULL in both engines.
+    """
+    d38 = "decimal(38,0)"
+    x = F.datediff(F.col("o_orderdate").cast("date"), F.lit(OLS_ANCHOR).cast("date")).cast(
+        "long"
+    )
+    y = F.round(F.col("o_totalprice") * 100).cast("long")
+    joined = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name"), x.alias("x"), y.alias("y"))
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+    )
+    nn = F.col("n_rows").cast(d38)
+    den = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    num_slope = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    num_icept = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    vy = nn * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(
+        den > 0, num_slope.cast("double") / den.cast("double") / F.lit(100.0)
+    )
+    icept = F.when(
+        den > 0, num_icept.cast("double") / den.cast("double") / F.lit(100.0)
+    )
+    r2 = F.when(
+        (den > 0) & (vy > 0),
+        (num_slope.cast("double") * num_slope.cast("double"))
+        / (den.cast("double") * vy.cast("double")),
+    )
+    return agg.select(
+        "n_name",
+        "n_rows",
+        slope.alias("slope_per_day"),
+        icept.alias("intercept"),
+        r2.alias("r2"),
+    ).orderBy("n_name")
+
+
+def grouped_ols_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT n_name,
+         CAST(date_diff('day', DATE '{OLS_ANCHOR}',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+),
+s AS (
+  SELECT n_name, COUNT(*) AS n_rows,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+         SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+  FROM pts GROUP BY n_name
+)
+SELECT n_name, n_rows,
+       CASE WHEN n_rows * sxx - sx * sx > 0 THEN
+         CAST(n_rows * sxy - sx * sy AS DOUBLE)
+           / CAST(n_rows * sxx - sx * sx AS DOUBLE) / 100.0
+       END AS slope_per_day,
+       CASE WHEN n_rows * sxx - sx * sx > 0 THEN
+         CAST(sy * sxx - sx * sxy AS DOUBLE)
+           / CAST(n_rows * sxx - sx * sx AS DOUBLE) / 100.0
+       END AS intercept,
+       CASE WHEN n_rows * sxx - sx * sx > 0
+             AND n_rows * syy - sy * sy > 0 THEN
+         (CAST(n_rows * sxy - sx * sy AS DOUBLE)
+          * CAST(n_rows * sxy - sx * sy AS DOUBLE))
+           / (CAST(n_rows * sxx - sx * sx AS DOUBLE)
+              * CAST(n_rows * syy - sy * sy AS DOUBLE))
+       END AS r2
+FROM s ORDER BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# NDCG@K ranking-quality metric
+# --------------------------------------------------------------------------
+
+#: NDCG truncation depth.
+NDCG_K = 10
+
+
+def _ndcg_discounts() -> list[str]:
+    """The 1/log2(pos+1) discount ladder for positions 1..K, frozen to
+    12 decimal places as STRING literals at code level. Both engines
+    parse the identical decimal literal, so the per-position discount
+    is the identical DECIMAL(18,12) — no runtime log2(), whose last
+    ulp differs between JVM Math and libm and would break the value
+    hash."""
+    import math
+    from decimal import Decimal, ROUND_HALF_EVEN
+
+    out = []
+    for pos in range(1, NDCG_K + 1):
+        d = Decimal(1.0 / math.log2(pos + 1)).quantize(
+            Decimal("0.000000000001"), rounding=ROUND_HALF_EVEN
+        )
+        out.append(str(d))
+    return out
+
+
+def _ndcg_prefixes(discs: list[str]) -> list[str]:
+    """Exact prefix sums of the frozen discounts (ideal-DCG ladder)."""
+    from decimal import Decimal
+
+    acc, out = Decimal(0), []
+    for d in discs:
+        acc += Decimal(d)
+        out.append(str(acc))
+    return out
+
+
+def ndcg_at_k(orders: DataFrame) -> DataFrame:
+    """Per-customer NDCG@10 treating each customer's orders as a
+    ranked retrieval list: score = o_totalprice (rank by it, desc),
+    relevance = 1 if o_orderstatus = 'F'. The ranking-quality metric
+    (Jarvelin & Kekalainen 2002) every search/recsys training
+    pipeline reports.
+
+    Determinism: discounts are frozen decimal literals (see
+    ``_ndcg_discounts``), DCG = Σ rel·disc is an EXACT decimal sum,
+    ideal DCG is a literal prefix-sum ladder indexed by
+    min(n_pos, K) — so ndcg is one double division of two exactly-
+    computed decimals. Scale: rank is a per-customer window (bounded
+    partitions), the discount join is a broadcast of K rows, and both
+    aggregations are keyed by customer — one shuffle each.
+    """
+    discs = _ndcg_discounts()
+    prefixes = _ndcg_prefixes(discs)
+    spark = orders.sparkSession
+    disc_arr = "array(" + ", ".join(
+        f"CAST({d} AS DECIMAL(18,12))" for d in discs
+    ) + ")"
+    disc_df = spark.range(1).select(
+        F.posexplode(F.expr(disc_arr)).alias("pos0", "disc")
+    ).select((F.col("pos0") + 1).alias("pos"), "disc")
+    prefix_arr = "array(" + ", ".join(
+        f"CAST({p} AS DECIMAL(18,12))" for p in prefixes
+    ) + ")"
+
+    rel = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_custkey", "o_totalprice", "o_orderkey", rel.alias("rel")
+    ).withColumn("pos", F.row_number().over(w))
+    topk = ranked.filter(F.col("pos") <= NDCG_K)
+    dcg = (
+        topk.join(F.broadcast(disc_df), "pos")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("rel") == 1, F.col("disc")).otherwise(
+                    F.expr("CAST(0 AS DECIMAL(18,12))")
+                )
+            ).alias("dcg_dec")
+        )
+    )
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("rel").alias("n_pos")
+    )
+    ideal_r = F.least(F.col("n_pos"), F.lit(NDCG_K)).cast("int")
+    idcg = F.when(
+        ideal_r >= 1, F.element_at(F.expr(prefix_arr), ideal_r)
+    )
+    joined = per_cust.join(dcg, "o_custkey", "left").select(
+        "o_custkey",
+        "n_orders",
+        "n_pos",
+        F.col("dcg_dec").cast("double").alias("dcg"),
+        idcg.cast("double").alias("idcg"),
+        F.when(
+            ideal_r >= 1,
+            F.col("dcg_dec").cast("double") / idcg.cast("double"),
+        ).alias("ndcg"),
+    )
+    return joined.orderBy("o_custkey")
+
+
+def ndcg_at_k_sql() -> str:
+    discs = _ndcg_discounts()
+    prefixes = _ndcg_prefixes(discs)
+    disc_rows = ", ".join(
+        f"({i + 1}, CAST({d} AS DECIMAL(18,12)))" for i, d in enumerate(discs)
+    )
+    prefix_list = "[" + ", ".join(
+        f"CAST({p} AS DECIMAL(18,12))" for p in prefixes
+    ) + "]"
+    return f"""
+WITH disc(pos, disc) AS (VALUES {disc_rows}),
+ranked AS (
+  SELECT o_custkey, o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS pos
+  FROM orders
+),
+dcg AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN rel = 1 THEN disc
+                  ELSE CAST(0 AS DECIMAL(18,12)) END) AS dcg_dec
+  FROM ranked JOIN disc USING (pos)
+  WHERE pos <= {NDCG_K}
+  GROUP BY o_custkey
+),
+per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(rel) AS BIGINT) AS n_pos
+  FROM ranked GROUP BY o_custkey
+)
+SELECT p.o_custkey, p.n_orders, p.n_pos,
+       CAST(d.dcg_dec AS DOUBLE) AS dcg,
+       CASE WHEN LEAST(p.n_pos, {NDCG_K}) >= 1 THEN
+         CAST({prefix_list}[CAST(LEAST(p.n_pos, {NDCG_K}) AS INTEGER)] AS DOUBLE)
+       END AS idcg,
+       CASE WHEN LEAST(p.n_pos, {NDCG_K}) >= 1 THEN
+         CAST(d.dcg_dec AS DOUBLE)
+           / CAST({prefix_list}[CAST(LEAST(p.n_pos, {NDCG_K}) AS INTEGER)] AS DOUBLE)
+       END AS ndcg
+FROM per_cust p LEFT JOIN dcg d USING (o_custkey)
+ORDER BY p.o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# split-conformal prediction interval + coverage audit
+# --------------------------------------------------------------------------
+
+#: conformal miscoverage rate (interval targets 1 - alpha coverage).
+CONFORMAL_ALPHA = 0.1
+
+
+def conformal_interval(orders: DataFrame) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al.; Lei et al.
+    2018) around a per-priority mean-price predictor, with the
+    held-out coverage audit a production ML pipeline runs before
+    trusting the interval.
+
+    Deterministic md5 split of orders: h%4 in {0,1} trains the
+    predictor (per-priority mean), h%4 = 2 calibrates (qhat = the
+    (1-alpha) percentile_disc SELECTION of absolute residuals),
+    h%4 = 3 audits coverage. Residuals are doubles built from the identical
+    expression tree in both engines (train mean = one division of an
+    exact decimal cents sum); qhat is a selection, not interpolation,
+    so it is one of those exact doubles.
+
+    Scale: three disjoint subsets of ONE scan each, a broadcast join
+    of the ~5-row predictor, a single global selection over the
+    calibration residuals, exact-integer coverage counts.
+    """
+    h = _md5_mod("cf", F.col("o_orderkey"), 4)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("y"),
+        cents.alias("cents"),
+        h.alias("h"),
+    )
+    train = (
+        base.filter(F.col("h") <= 1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            (
+                F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(100.0)
+            ).alias("yhat"),
+        )
+    )
+    resid = F.abs(F.col("y") - F.col("yhat"))
+    cal = base.filter(F.col("h") == 2).join(
+        F.broadcast(train), "o_orderpriority"
+    )
+    # conformal quantile: the (1 - alpha) percentile_disc SELECTION of
+    # the calibration residuals (both engines require a constant
+    # percentage, so this is the standard asymptotic split-conformal
+    # variant rather than the ceil((1-a)(n+1))/n finite-sample one —
+    # the difference is one order statistic at calibration sizes).
+    qhat = cal.select(resid.alias("r")).agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.expr(
+            f"percentile_disc({1.0 - CONFORMAL_ALPHA})"
+            " WITHIN GROUP (ORDER BY r)"
+        ).alias("qhat"),
+    )
+    test = base.filter(F.col("h") == 3).join(
+        F.broadcast(train), "o_orderpriority"
+    )
+    audit = (
+        test.crossJoin(F.broadcast(qhat))
+        .groupBy("o_orderpriority", "n_train", "yhat", "n_cal", "qhat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(resid <= F.col("qhat"), 1).otherwise(0)).alias(
+                "n_covered"
+            ),
+        )
+    )
+    return audit.select(
+        "o_orderpriority",
+        "n_train",
+        "yhat",
+        "n_cal",
+        "qhat",
+        "n_test",
+        "n_covered",
+        (
+            F.col("n_covered").cast("double") / F.col("n_test").cast("double")
+        ).alias("coverage"),
+    ).orderBy("o_orderpriority")
+
+
+def conformal_interval_sql() -> str:
+    gate = _sql_md5_mod("cf", "o_orderkey", 4)
+    return f"""
+WITH base AS (
+  SELECT o_orderpriority, o_totalprice AS y,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         {gate} AS h
+  FROM orders
+),
+train AS (
+  SELECT o_orderpriority, COUNT(*) AS n_train,
+         CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS yhat
+  FROM base WHERE h <= 1 GROUP BY o_orderpriority
+),
+cal AS (
+  SELECT abs(y - yhat) AS r
+  FROM base JOIN train USING (o_orderpriority) WHERE h = 2
+),
+qhat_t AS (
+  SELECT COUNT(*) AS n_cal,
+         quantile_disc(r, {1.0 - CONFORMAL_ALPHA}) AS qhat
+  FROM cal
+),
+test AS (
+  SELECT b.o_orderpriority, t.n_train, t.yhat, abs(b.y - t.yhat) AS r
+  FROM base b JOIN train t USING (o_orderpriority) WHERE b.h = 3
+)
+SELECT o_orderpriority, n_train, yhat, n_cal, qhat,
+       COUNT(*) AS n_test,
+       CAST(SUM(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(SUM(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS coverage
+FROM test CROSS JOIN qhat_t
+GROUP BY o_orderpriority, n_train, yhat, n_cal, qhat
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# two-proportion z-test (A/B experiment readout)
+# --------------------------------------------------------------------------
+
+
+def ab_test_ztest(events: DataFrame) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users are
+    hash-assigned to arms, the metric is user-level conversion (had
+    at least one 'purchase' event), and the readout is the pooled
+    two-proportion z statistic — the standard experimentation-
+    platform significance test.
+
+    Determinism: arm assignment is the md5 gate (reproducible on any
+    engine, no RNG); conversion counts are exact integers; p0/p1/z
+    are one double expression over those integers (sqrt is IEEE-exact
+    in both engines). Scale: one groupBy(user) over the event stream,
+    then a 2-row aggregation — the z readout is O(1) state.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    arm = _md5_mod("ab", F.col("user_id"), 2)
+    arms = per_user.select(arm.alias("arm"), "converted")
+    agg = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_conv"),
+    )
+    a = agg.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_conv").alias("conv0")
+    )
+    b = agg.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n1"), F.col("n_conv").alias("conv1")
+    )
+    both = a.crossJoin(b)
+    p0 = F.col("conv0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("conv1").cast("double") / F.col("n1").cast("double")
+    pooled = (F.col("conv0") + F.col("conv1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    z = F.when(se > 0, (p1 - p0) / se)
+    return both.select(
+        "n0",
+        "conv0",
+        "n1",
+        "conv1",
+        p0.alias("p0"),
+        p1.alias("p1"),
+        pooled.alias("p_pooled"),
+        z.alias("z"),
+    )
+
+
+def ab_test_ztest_sql() -> str:
+    gate = _sql_md5_mod("ab", "user_id", 2)
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (SELECT {gate} AS arm, converted FROM per_user),
+agg AS (
+  SELECT arm, COUNT(*) AS n_users, CAST(SUM(converted) AS BIGINT) AS n_conv
+  FROM arms GROUP BY arm
+),
+a AS (SELECT n_users AS n0, n_conv AS conv0 FROM agg WHERE arm = 0),
+b AS (SELECT n_users AS n1, n_conv AS conv1 FROM agg WHERE arm = 1)
+SELECT n0, conv0, n1, conv1,
+       CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+       CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+       CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS p_pooled,
+       CASE WHEN sqrt(
+              (CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              * (1.0 - CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) > 0
+       THEN (CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+            / sqrt(
+              (CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              * (1.0 - CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+       END AS z
+FROM a CROSS JOIN b
+"""

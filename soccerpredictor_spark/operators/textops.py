@@ -2286,3 +2286,185 @@ SELECT rank, term, c, cum_c,
 FROM ranked CROSS JOIN tot
 WHERE rank <= {VOCAB_TOP_RANKS}
 """
+
+
+# --------------------------------------------------------------------------
+# staged round-8 additions: canonicalization + weak supervision
+# --------------------------------------------------------------------------
+
+
+def text_canonicalize(docs: DataFrame) -> DataFrame:
+    """Canonicalization audit: lowercase, strip non-alphanumerics,
+    collapse whitespace — the normalization pass run before exact
+    dedup (CCNet/RefinedWeb normalize-then-hash), reported per source
+    as before/after stats including the DEDUP GAIN (distinct raw
+    texts minus distinct canonical texts = extra duplicates the
+    normalization exposes).
+
+    The canonical form is built from explicit ASCII character classes
+    (not ``\\s``/POSIX classes, whose definitions differ between Java
+    regex and RE2) so both engines compute the identical string. Pure
+    scan projection + one tiny-key aggregation; at 100 TB this is a
+    single embarrassingly-parallel pass, and the canonical text never
+    shuffles (only its length and two exact distinct-counts do).
+    """
+    canon = F.btrim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 \t\n\r]", ""),
+            "[ \t\n\r]+",
+            " ",
+        )
+    )
+    per_doc = docs.select(
+        "source",
+        F.col("text"),
+        canon.alias("canon"),
+        F.length("text").alias("len_raw"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("canon") != F.col("text"), 1).otherwise(0)
+            ).alias("n_changed"),
+            F.sum("len_raw").alias("chars_raw"),
+            F.sum(F.length("canon")).alias("chars_canon"),
+            F.countDistinct("text").alias("distinct_raw"),
+            F.countDistinct("canon").alias("distinct_canon"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_changed",
+            "chars_raw",
+            "chars_canon",
+            (F.col("distinct_raw") - F.col("distinct_canon")).alias(
+                "dedup_gain"
+            ),
+            "distinct_raw",
+            "distinct_canon",
+        )
+        .orderBy("source")
+    )
+
+
+def text_canonicalize_sql() -> str:
+    canon = (
+        "btrim(regexp_replace(regexp_replace(lower(text),"
+        " '[^a-z0-9 \\t\\n\\r]', '', 'g'), '[ \\t\\n\\r]+', ' ', 'g'))"
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT source, text, {canon} AS canon, length(text) AS len_raw
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN canon <> text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(SUM(len_raw) AS BIGINT) AS chars_raw,
+       CAST(SUM(length(canon)) AS BIGINT) AS chars_canon,
+       COUNT(DISTINCT text) - COUNT(DISTINCT canon) AS dedup_gain,
+       COUNT(DISTINCT text) AS distinct_raw,
+       COUNT(DISTINCT canon) AS distinct_canon
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+#: label_vote rule thresholds.
+LV_MIN_CHARS = 200
+LV_KEYWORD = " the "
+LV_DIGIT_RATIO_X20 = 20  # digits * 20 < length  <=>  digit ratio < 5%
+
+
+def label_vote(docs: DataFrame) -> DataFrame:
+    """Weak-supervision labeling functions + majority vote (the
+    Snorkel/data-programming pattern): three deterministic labeling
+    functions vote 'keep' on each document — length (>= 200 chars),
+    fluency (contains ' the '), and low digit density (< 5%) — and
+    the per-source summary reports each LF's fire rate, all pairwise
+    agreement counts, unanimity, and the majority-vote keep count
+    (what a curation pipeline inspects before trusting the vote as a
+    training label).
+
+    All three LFs are integer-exact scan projections (the digit-ratio
+    threshold is the cross-multiplied comparison digits*20 < length —
+    no division); the summary is one tiny-key aggregation.
+    """
+    lower = F.lower(F.col("text"))
+    lf_len = (F.length("text") >= LV_MIN_CHARS).cast("int")
+    lf_kw = (F.instr(lower, LV_KEYWORD) > 0).cast("int")
+    n_digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    lf_digit = (n_digits * LV_DIGIT_RATIO_X20 < F.length("text")).cast("int")
+    per_doc = docs.select(
+        "source",
+        lf_len.alias("lf_len"),
+        lf_kw.alias("lf_kw"),
+        lf_digit.alias("lf_digit"),
+    ).withColumn(
+        "majority",
+        (
+            (F.col("lf_len") + F.col("lf_kw") + F.col("lf_digit")) >= 2
+        ).cast("int"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("lf_len").alias("fires_len"),
+            F.sum("lf_kw").alias("fires_kw"),
+            F.sum("lf_digit").alias("fires_digit"),
+            F.sum(
+                F.when(F.col("lf_len") == F.col("lf_kw"), 1).otherwise(0)
+            ).alias("agree_len_kw"),
+            F.sum(
+                F.when(F.col("lf_len") == F.col("lf_digit"), 1).otherwise(0)
+            ).alias("agree_len_digit"),
+            F.sum(
+                F.when(F.col("lf_kw") == F.col("lf_digit"), 1).otherwise(0)
+            ).alias("agree_kw_digit"),
+            F.sum(
+                F.when(
+                    (F.col("lf_len") == F.col("lf_kw"))
+                    & (F.col("lf_kw") == F.col("lf_digit")),
+                    1,
+                ).otherwise(0)
+            ).alias("unanimous"),
+            F.sum("majority").alias("majority_keep"),
+        )
+        .orderBy("source")
+    )
+
+
+def label_vote_sql() -> str:
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+         CASE WHEN length(text) >= {LV_MIN_CHARS} THEN 1 ELSE 0 END AS lf_len,
+         CASE WHEN position('{LV_KEYWORD}' IN lower(text)) > 0
+              THEN 1 ELSE 0 END AS lf_kw,
+         CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))
+                   * {LV_DIGIT_RATIO_X20} < length(text)
+              THEN 1 ELSE 0 END AS lf_digit
+  FROM documents
+),
+voted AS (
+  SELECT *, CASE WHEN lf_len + lf_kw + lf_digit >= 2 THEN 1 ELSE 0 END
+              AS majority
+  FROM per_doc
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(lf_len) AS BIGINT) AS fires_len,
+       CAST(SUM(lf_kw) AS BIGINT) AS fires_kw,
+       CAST(SUM(lf_digit) AS BIGINT) AS fires_digit,
+       CAST(SUM(CASE WHEN lf_len = lf_kw THEN 1 ELSE 0 END) AS BIGINT)
+         AS agree_len_kw,
+       CAST(SUM(CASE WHEN lf_len = lf_digit THEN 1 ELSE 0 END) AS BIGINT)
+         AS agree_len_digit,
+       CAST(SUM(CASE WHEN lf_kw = lf_digit THEN 1 ELSE 0 END) AS BIGINT)
+         AS agree_kw_digit,
+       CAST(SUM(CASE WHEN lf_len = lf_kw AND lf_kw = lf_digit
+                THEN 1 ELSE 0 END) AS BIGINT) AS unanimous,
+       CAST(SUM(majority) AS BIGINT) AS majority_keep
+FROM voted GROUP BY source ORDER BY source
+"""

@@ -1543,3 +1543,220 @@ FROM flagged
 WHERE NOT (gt_max >= n_orders OR eq_max > n_orders)
 ORDER BY spend_cents DESC, c_custkey ASC
 """
+
+
+# --------------------------------------------------------------------------
+# staged round-8 additions: marketing attribution + correlation matrix
+# --------------------------------------------------------------------------
+
+#: attribution lookback window (microseconds): 7 days.
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+#: event types that can receive attribution credit.
+ATTR_SOURCES = ("click", "view")
+#: the conversion event.
+ATTR_CONVERSION = "purchase"
+
+
+def attribution(events: DataFrame) -> DataFrame:
+    """Last-touch attribution: credit each purchase to the user's most
+    recent click/view within a 7-day lookback — the standard
+    marketing/growth attribution readout, grouped by credited source
+    (with 'none' for purchases that had no source in window).
+
+    Per user, one ordered window pass: the last preceding source
+    event's timestamp and type ride two last(..., ignorenulls) columns
+    over ROWS UNBOUNDED PRECEDING..1 PRECEDING (both pick the same
+    row because they null out together and the ordering is made total
+    by event_id). Delays are exact integer microseconds. One shuffle
+    on user_id, then a tiny-key aggregation.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    is_src = F.col("event_type").isin(*ATTR_SOURCES)
+    enriched = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("us"),
+        F.last(F.when(is_src, us), ignorenulls=True).over(w).alias("src_us"),
+        F.last(F.when(is_src, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("src_type"),
+    )
+    purchases = enriched.filter(F.col("event_type") == ATTR_CONVERSION)
+    credited = purchases.select(
+        F.when(
+            F.col("src_us").isNotNull()
+            & (F.col("us") - F.col("src_us") <= ATTR_WINDOW_US),
+            F.col("src_type"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("credited_source"),
+        F.when(
+            F.col("src_us").isNotNull()
+            & (F.col("us") - F.col("src_us") <= ATTR_WINDOW_US),
+            F.col("us") - F.col("src_us"),
+        ).alias("delay_us"),
+    )
+    return (
+        credited.groupBy("credited_source")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("delay_us").alias("total_delay_us"),
+            (
+                F.sum("delay_us").cast("double")
+                / F.count("delay_us").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("avg_delay_s"),
+        )
+        .orderBy("credited_source")
+    )
+
+
+def attribution_sql() -> str:
+    srcs = ", ".join(f"'{s}'" for s in ATTR_SOURCES)
+    return f"""
+WITH enriched AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         last_value(CASE WHEN event_type IN ({srcs}) THEN epoch_us(ts) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src_us,
+         last_value(CASE WHEN event_type IN ({srcs}) THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src_type
+  FROM events
+),
+credited AS (
+  SELECT CASE WHEN src_us IS NOT NULL AND us - src_us <= {ATTR_WINDOW_US}
+              THEN src_type ELSE 'none' END AS credited_source,
+         CASE WHEN src_us IS NOT NULL AND us - src_us <= {ATTR_WINDOW_US}
+              THEN us - src_us END AS delay_us
+  FROM enriched WHERE event_type = '{ATTR_CONVERSION}'
+)
+SELECT credited_source, COUNT(*) AS n_purchases,
+       CAST(SUM(delay_us) AS BIGINT) AS total_delay_us,
+       CAST(SUM(delay_us) AS DOUBLE) / CAST(COUNT(delay_us) AS DOUBLE)
+         / 1000000.0 AS avg_delay_s
+FROM credited GROUP BY credited_source ORDER BY credited_source
+"""
+
+
+#: corr_matrix columns and their integer quantization factors (chosen
+#: so each per-term product of two quantized values fits int64).
+CORR_MATRIX_COLS = (
+    ("l_quantity", 100),
+    ("l_extendedprice", 100),
+    ("l_discount", 10_000),
+    ("l_tax", 10_000),
+)
+
+
+def corr_matrix(lineitem: DataFrame) -> DataFrame:
+    """Full pairwise Pearson correlation matrix over the lineitem
+    numeric features — the feature-redundancy screen run before
+    assembling a training matrix (generalizes ``feature_corr`` from
+    one pair to the full upper triangle).
+
+    ONE scan computes every sufficient statistic (each column's exact
+    integer-quantized sum/sum-of-squares and each pair's cross sum,
+    accumulating as decimal(38,0) — the ``feature_corr`` convention);
+    the 6 upper-triangle cells are then assembled as literal-projected
+    rows from that single aggregate row. Correlation is a double
+    expression over exact sums (sqrt is IEEE-exact), identical in
+    both engines. Zero-variance columns yield NULL cells.
+    """
+    d38 = "decimal(38,0)"
+    cols = CORR_MATRIX_COLS
+    qcol = {
+        c: F.round(F.col(c) * q).cast("long").alias(f"q_{c}") for c, q in cols
+    }
+    base = lineitem.select(*qcol.values())
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, _ in cols:
+        aggs.append(F.sum(F.col(f"q_{c}").cast(d38)).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(f"q_{c}") * F.col(f"q_{c}")).cast(d38)).alias(
+                f"ss_{c}"
+            )
+        )
+    names = [c for c, _ in cols]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(
+                F.sum((F.col(f"q_{a}") * F.col(f"q_{b}")).cast(d38)).alias(
+                    f"sp_{a}_{b}"
+                )
+            )
+    stats = base.agg(*aggs)
+
+    def corr_cell(a: str, b: str):
+        n = F.col("n_rows").cast(d38)
+        vx = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vy = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        num = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        return F.when(
+            (vx > 0) & (vy > 0),
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        )
+
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            rows.append(
+                stats.select(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.col("n_rows"),
+                    corr_cell(a, b).alias("corr"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col_x", "col_y")
+
+
+def corr_matrix_sql() -> str:
+    cols = CORR_MATRIX_COLS
+    names = [c for c, _ in cols]
+    terms = ["COUNT(*) AS n_rows"]
+    for c, q in cols:
+        t = f"CAST(round({c} * {q}) AS BIGINT)"
+        terms.append(f"SUM(CAST({t} AS HUGEINT)) AS s_{c}")
+        terms.append(
+            f"SUM(CAST({t} AS HUGEINT) * CAST({t} AS HUGEINT)) AS ss_{c}"
+        )
+    qexpr = {c: f"CAST(round({c} * {q}) AS BIGINT)" for c, q in cols}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            terms.append(
+                f"SUM(CAST({qexpr[a]} AS HUGEINT)"
+                f" * CAST({qexpr[b]} AS HUGEINT)) AS sp_{a}_{b}"
+            )
+    cells = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            vx = f"(n_rows * ss_{a} - s_{a} * s_{a})"
+            vy = f"(n_rows * ss_{b} - s_{b} * s_{b})"
+            num = f"(n_rows * sp_{a}_{b} - s_{a} * s_{b})"
+            cells.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, n_rows,"
+                f" CASE WHEN {vx} > 0 AND {vy} > 0 THEN"
+                f" CAST({num} AS DOUBLE)"
+                f" / (sqrt(CAST({vx} AS DOUBLE)) * sqrt(CAST({vy} AS DOUBLE)))"
+                f" END AS corr FROM stats"
+            )
+    union = "\nUNION ALL\n".join(cells)
+    return f"""
+WITH stats AS (
+  SELECT {', '.join(terms)} FROM lineitem
+)
+SELECT * FROM ({union}) ORDER BY col_x, col_y
+"""
