@@ -417,6 +417,58 @@ def _q_skyline_pareto(spark: SparkSession, sf: str) -> DataFrame:
     return windows.skyline_pareto(read_table(spark, sf, "orders"))
 
 
+# --- round-8 registrations of the round-7 staged operators ---
+
+
+def _q_subsample_ci(spark: SparkSession, sf: str) -> DataFrame:
+    # Hash-gated subsample bootstrap CI over the order-price mean.
+    return _mlprep_mod().subsample_ci(read_table(spark, sf, "orders"))
+
+
+def _q_grouped_ols(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-nation closed-form OLS price trend (drift screen).
+    return _mlprep_mod().grouped_ols(
+        read_table(spark, sf, "orders"),
+        read_table(spark, sf, "customer"),
+        read_table(spark, sf, "nation"),
+    )
+
+
+def _q_ndcg_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-customer NDCG@10 with frozen decimal discount ladder.
+    return _mlprep_mod().ndcg_at_k(read_table(spark, sf, "orders"))
+
+
+def _q_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
+    # Split-conformal interval + held-out coverage audit.
+    return _mlprep_mod().conformal_interval(read_table(spark, sf, "orders"))
+
+
+def _q_ab_test_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    # Two-proportion z-test over hash-assigned experiment arms.
+    return _mlprep_mod().ab_test_ztest(read_table(spark, sf, "events"))
+
+
+def _q_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    # Last-touch purchase attribution with 7-day lookback.
+    return windows.attribution(read_table(spark, sf, "events"))
+
+
+def _q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    # Full pairwise Pearson matrix from one sufficient-stats scan.
+    return windows.corr_matrix(read_table(spark, sf, "lineitem"))
+
+
+def _q_text_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    # Normalize-then-hash canonicalization audit with dedup gain.
+    return textops.text_canonicalize(read_table(spark, sf, "documents"))
+
+
+def _q_label_vote(spark: SparkSession, sf: str) -> DataFrame:
+    # Weak-supervision labeling functions + majority vote summary.
+    return textops.label_vote(read_table(spark, sf, "documents"))
+
+
 def _q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     return psq.q2_min_cost_supplier(
         read_table(spark, sf, "part"),
@@ -1683,92 +1735,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 entries in dict order (observed in CORRECTNESS_r01).
     return {
         # --- FIRST 50 = the driver verification window (the driver
-        # hash-checks queries()[0:50] in dict order). Round-7 occupants,
+        # hash-checks queries()[0:50] in dict order). Round-8 occupants,
         # in priority order:
-        #   1. the 6 round-2-verified TPC-H entries (tpch_q1/q3/q5/
-        #      q6/q10/q14) — round 6's driver run was never recorded
-        #      (no CORRECTNESS_r06.json exists), so their last driver
-        #      row is STILL r2 and they sit exactly at the staleness
-        #      bound (cycle = ceil(n/50) = 4, floor = latest-4);
-        #   2. the 12 round-6 additions, never driver-verified for the
-        #      same reason (tpch_q2/q11/q16/q20 over the synthesized
-        #      partsupp, target_encode, ngram_novelty, quantile_bins,
-        #      chi2_association, incremental_dedup,
-        #      interval_overlap_join, knn_graph, embedding_outliers);
-        #   3. the new round-7 operators (never verified, must be in
-        #      the window per test_driver_verification_window_ordering)
-        #      — the 27 first-half additions plus the 5 second-half
-        #      ones (bloom_probe, heavy_hitters_cms, link_prediction,
-        #      roc_auc, skyline_pareto), which together with items 1-2
-        #      pack the window to exactly 50.
-        # The 2 ML surfaces whose fit/oracle changed in round 6
-        # (ml_train_many_accuracy / ml_train_many) are r5-driver-green
-        # and hash-checked by every local DuckDB sweep in their new
-        # form, so they sit immediately AFTER the window and head
-        # round 8's rotation together with the displaced r3 cohort.
-        # Every r3/r4 entry displaced past position 50 sits immediately
-        # after the window in age order and MUST head round 8's window.
-        # The rotation cadence is CI-enforced:
+        #   1. the 9 round-7 staged operators, registered this round
+        #      (never driver-verified -> forced into the window by
+        #      test_driver_verification_window_ordering);
+        #   2. any NEW round-8 operators (same rule) -- inserted
+        #      directly below the staged block as they land;
+        #   3. ml_train_many_accuracy / ml_train_many: r5-driver-green,
+        #      but the accuracy leg's closed-form oracle (re-shaped r6)
+        #      has never had a driver row -- round-7 verdict gap #2;
+        #   4. the r3 cohort (stalest driver rows), oldest-first, fills
+        #      the window to exactly 50; its overflow sits immediately
+        #      after the window and heads round 9.
+        # After the window: r3 remnant, then the r4, r5, r7 cohorts in
+        # staleness order, so future rotations are a pure prefix shift.
+        # Cadence is CI-enforced by
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
         # ---
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q20": _q_tpch_q20,
-        "target_encode": _q_target_encode,
-        "ngram_novelty": _q_ngram_novelty,
-        "quantile_bins": _q_quantile_bins,
-        "chi2_association": _q_chi2_association,
-        "incremental_dedup": _q_incremental_dedup,
-        "interval_overlap_join": _q_interval_overlap_join,
-        "knn_graph": _q_knn_graph,
-        "embedding_outliers": _q_embedding_outliers,
-        # --- round-7 additions (never driver-verified) ---
-        "graph_coactivity": _q_graph_coactivity,
-        "graph_degree_stats": _q_graph_degree_stats,
-        "graph_pagerank": _q_graph_pagerank,
-        "graph_triangles": _q_graph_triangles,
-        "autocorr_lag": _q_autocorr_lag,
-        "cusum_changepoint": _q_cusum_changepoint,
-        "ewma_window": _q_ewma_window,
-        "seasonal_naive_error": _q_seasonal_naive_error,
-        "pmi_collocations": _q_pmi_collocations,
-        "keyword_extract": _q_keyword_extract,
-        "bigram_lm": _q_bigram_lm,
-        "prf_metrics": _q_prf_metrics,
-        "weighted_sample": _q_weighted_sample,
-        "kfold_assign": _q_kfold_assign,
-        "decile_lift": _q_decile_lift,
-        "fuzzy_token_pairs": _q_fuzzy_token_pairs,
-        "graph_components": _q_graph_components,
-        "ann_pq_topk": _q_ann_pq_topk,
-        "winsorize": _q_winsorize,
-        "vocab_coverage": _q_vocab_coverage,
-        "hourly_profile": _q_hourly_profile,
-        "rolling_distinct": _q_rolling_distinct,
-        "centroid_shift": _q_centroid_shift,
-        "benford_check": _q_benford_check,
-        "weekly_change": _q_weekly_change,
-        "session_duration_histogram": _q_session_duration_histogram,
-        "media_chunk_dedup": _q_media_chunk_dedup,
-        # --- round-7 second-half additions (never driver-verified) ---
-        "bloom_probe": _q_bloom_probe,
-        "heavy_hitters_cms": _q_heavy_hitters_cms,
-        "link_prediction": _q_link_prediction,
-        "roc_auc": _q_roc_auc,
-        "skyline_pareto": _q_skyline_pareto,
-        # --- END of the 50-entry driver window ---
-        # r5-green ML surfaces (oracle re-shaped in r6; local sweeps
-        # hash-check the new form every pytest run) — round 8 window
-        # priority #1:
+        # --- round-7 staged operators, registered round 8 (never verified) ---
+        "subsample_ci": _q_subsample_ci,
+        "grouped_ols": _q_grouped_ols,
+        "ndcg_at_k": _q_ndcg_at_k,
+        "conformal_interval": _q_conformal_interval,
+        "ab_test_ztest": _q_ab_test_ztest,
+        "attribution": _q_attribution,
+        "corr_matrix": _q_corr_matrix,
+        "text_canonicalize": _q_text_canonicalize,
+        "label_vote": _q_label_vote,
+        # --- r5-green ML surfaces; accuracy oracle needs its driver row ---
         "ml_train_many_accuracy": _q_ml_train_many_accuracy,
         "ml_train_many": _q_ml_train_many,
+        # --- r3 cohort (stalest): fills the window, overflow heads r9 ---
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "contamination_check": _q_contamination_check,
@@ -1799,11 +1797,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_join": _q_streaming_join,
         "streaming_sliding": _q_streaming_sliding,
-        # --- deferred r3 cohort (displaced by the 6 late-round-6
-        # additions above: quantile_bins, chi2_association,
-        # incremental_dedup, interval_overlap_join, knn_graph,
-        # embedding_outliers): MUST head round 7's window together
-        # with the r4 cohort ---
         "top_k_count": _q_top_k_count,
         "tpch_q12": _q_tpch_q12,
         "tpch_q21": _q_tpch_q21,
@@ -1813,56 +1806,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arity_filter": _q_arity_filter,
         "encode_binary": _q_encode_binary,
         "regex_extract": _q_regex_extract,
+        # --- END of the 50-entry driver window ---
         "case_encode": _q_case_encode,
         "filter_cast_range": _q_filter_cast_range,
-        "dedup_canonical": _q_dedup_canonical,
-        "int8_recall_eval": _q_int8_recall_eval,
-        "streaming_cdc": _q_streaming_cdc,
-        "doc_sim_knn": _q_doc_sim_knn,
-        "event_transitions": _q_event_transitions,
-        "date_spine_fill": _q_date_spine_fill,
-        "share_of_total": _q_share_of_total,
-        "cdc_apply": _q_cdc_apply,
-        "compact_roundtrip": _q_compact_roundtrip,
-        "shuffle_hash_join": _q_shuffle_hash_join,
-        "robust_scale": _q_robust_scale,
-        "zorder_prune": _q_zorder_prune,
-        "fk_integrity_audit": _q_fk_integrity_audit,
-        "table_profile": _q_table_profile,
-        "asof_join_tolerance": _q_asof_join_tolerance,
-        "forward_fill": _q_forward_fill,
-        "mode_per_group": _q_mode_per_group,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "media_dedup": _q_media_dedup,
-        "feature_corr": _q_feature_corr,
-        "class_weights": _q_class_weights,
-        "feature_hashing": _q_feature_hashing,
-        "onehot_encode": _q_onehot_encode,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_simhash": _q_dedup_simhash,
-        "distinct_agg": _q_distinct_agg,
-        "hash_split": _q_hash_split,
-        "length_histogram": _q_length_histogram,
-        "ngram_topk": _q_ngram_topk,
-        "set_except": _q_set_except,
-        "text_profile": _q_text_profile,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q22": _q_tpch_q22,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q9": _q_tpch_q9,
-        "window_topn_per_group": _q_window_topn,
-        "distinct_projection": _q_distinct_projection,
+        # --- r4 cohort ---
         "hourly_anomaly": _q_hourly_anomaly,
         "streaming_upsert": _q_streaming_upsert,
         "bucketed_join": _q_bucketed_join,
@@ -1912,6 +1859,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union": _q_set_union,
         "upsert_latest": _q_upsert_latest,
         "streaming_hourly": _q_streaming_hourly,
+        # --- r5 cohort ---
+        "dedup_canonical": _q_dedup_canonical,
+        "int8_recall_eval": _q_int8_recall_eval,
+        "streaming_cdc": _q_streaming_cdc,
+        "doc_sim_knn": _q_doc_sim_knn,
+        "event_transitions": _q_event_transitions,
+        "date_spine_fill": _q_date_spine_fill,
+        "share_of_total": _q_share_of_total,
+        "cdc_apply": _q_cdc_apply,
+        "compact_roundtrip": _q_compact_roundtrip,
+        "shuffle_hash_join": _q_shuffle_hash_join,
+        "robust_scale": _q_robust_scale,
+        "zorder_prune": _q_zorder_prune,
+        "fk_integrity_audit": _q_fk_integrity_audit,
+        "table_profile": _q_table_profile,
+        "asof_join_tolerance": _q_asof_join_tolerance,
+        "forward_fill": _q_forward_fill,
+        "mode_per_group": _q_mode_per_group,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "media_dedup": _q_media_dedup,
+        "feature_corr": _q_feature_corr,
+        "class_weights": _q_class_weights,
+        "feature_hashing": _q_feature_hashing,
+        "onehot_encode": _q_onehot_encode,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_simhash": _q_dedup_simhash,
+        "distinct_agg": _q_distinct_agg,
+        "hash_split": _q_hash_split,
+        "length_histogram": _q_length_histogram,
+        "ngram_topk": _q_ngram_topk,
+        "set_except": _q_set_except,
+        "text_profile": _q_text_profile,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q22": _q_tpch_q22,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "window_topn_per_group": _q_window_topn,
+        "distinct_projection": _q_distinct_projection,
+        # --- r7 cohort (freshest) ---
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
+        "target_encode": _q_target_encode,
+        "ngram_novelty": _q_ngram_novelty,
+        "quantile_bins": _q_quantile_bins,
+        "chi2_association": _q_chi2_association,
+        "incremental_dedup": _q_incremental_dedup,
+        "interval_overlap_join": _q_interval_overlap_join,
+        "knn_graph": _q_knn_graph,
+        "embedding_outliers": _q_embedding_outliers,
+        "graph_coactivity": _q_graph_coactivity,
+        "graph_degree_stats": _q_graph_degree_stats,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_triangles": _q_graph_triangles,
+        "autocorr_lag": _q_autocorr_lag,
+        "cusum_changepoint": _q_cusum_changepoint,
+        "ewma_window": _q_ewma_window,
+        "seasonal_naive_error": _q_seasonal_naive_error,
+        "pmi_collocations": _q_pmi_collocations,
+        "keyword_extract": _q_keyword_extract,
+        "bigram_lm": _q_bigram_lm,
+        "prf_metrics": _q_prf_metrics,
+        "weighted_sample": _q_weighted_sample,
+        "kfold_assign": _q_kfold_assign,
+        "decile_lift": _q_decile_lift,
+        "fuzzy_token_pairs": _q_fuzzy_token_pairs,
+        "graph_components": _q_graph_components,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "winsorize": _q_winsorize,
+        "vocab_coverage": _q_vocab_coverage,
+        "hourly_profile": _q_hourly_profile,
+        "rolling_distinct": _q_rolling_distinct,
+        "centroid_shift": _q_centroid_shift,
+        "benford_check": _q_benford_check,
+        "weekly_change": _q_weekly_change,
+        "session_duration_histogram": _q_session_duration_histogram,
+        "media_chunk_dedup": _q_media_chunk_dedup,
+        "bloom_probe": _q_bloom_probe,
+        "heavy_hitters_cms": _q_heavy_hitters_cms,
+        "link_prediction": _q_link_prediction,
+        "roc_auc": _q_roc_auc,
+        "skyline_pareto": _q_skyline_pareto,
     }
 
 
@@ -1930,6 +1977,16 @@ def _pivot_avg_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- round-7 staged operators, registered round 8 ---
+        "subsample_ci": _mlprep_mod().subsample_ci_sql(),
+        "grouped_ols": _mlprep_mod().grouped_ols_sql(),
+        "ndcg_at_k": _mlprep_mod().ndcg_at_k_sql(),
+        "conformal_interval": _mlprep_mod().conformal_interval_sql(),
+        "ab_test_ztest": _mlprep_mod().ab_test_ztest_sql(),
+        "attribution": windows.attribution_sql(),
+        "corr_matrix": windows.corr_matrix_sql(),
+        "text_canonicalize": textops.text_canonicalize_sql(),
+        "label_vote": textops.label_vote_sql(),
         "scd2_intervals": windows.scd2_intervals_sql(),
         "group_sample_topk": textops.group_sample_topk_sql(),
         "bm25_search": textops.bm25_search_sql(),

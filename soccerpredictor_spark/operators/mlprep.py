@@ -649,10 +649,14 @@ def roc_auc(orders: DataFrame, bucket_cents: int = AUC_BUCKET_CENTS) -> DataFram
     total = joined.agg(
         F.sum("p").alias("n_pos"),
         F.sum("q").alias("n_neg"),
+        # cast BOTH factors to decimal(38,0) BEFORE the product: the
+        # int64 product p * (2*cum_q + q) would overflow at ~2*P*N
+        # (≈4e9 balanced rows), exactly the scale the decimal
+        # accumulator exists for (round-7 advice).
         F.sum(
-            (
-                F.col("p")
-                * (2 * (F.col("cum_q_buckets") + F.col("cum_q_in")) + F.col("q"))
+            F.col("p").cast("decimal(38,0)")
+            * (
+                2 * (F.col("cum_q_buckets") + F.col("cum_q_in")) + F.col("q")
             ).cast("decimal(38,0)")
         ).alias("u2d"),
     )
@@ -697,7 +701,8 @@ bucket_cum AS (
 total AS (
   SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
          CAST(SUM(q) AS BIGINT) AS n_neg,
-         SUM(p * (2 * (b.cum_q_buckets + w.cum_q_in) + q)) AS u2h
+         SUM(CAST(p AS HUGEINT)
+             * CAST(2 * (b.cum_q_buckets + w.cum_q_in) + q AS HUGEINT)) AS u2h
   FROM within w JOIN bucket_cum b USING (bucket)
 )
 SELECT n_pos, n_neg, CAST(u2h AS DOUBLE) AS u2,
@@ -752,15 +757,21 @@ def subsample_ci(orders: DataFrame) -> DataFrame:
     percentile_disc SELECTIONS (actual double values, no
     interpolation arithmetic) form the interval.
 
-    Scale: the rep fan-out is a broadcast nested-loop over a 32-row
-    index table feeding a map-side-combinable aggregation — the
-    shuffle carries 32 partial rows per partition regardless of input
+    Scale: the rep fan-out is a broadcast nested-loop over a 33-row
+    index table (32 subsamples + the rep=-1 point-estimate
+    pseudo-replicate) feeding a map-side-combinable aggregation — the
+    shuffle carries 33 partial rows per partition regardless of input
     size (the ``sketch.heavy_hitters_cms`` shape); nothing ever
     materializes 32x the fact table across an exchange. Sums
     accumulate as decimal(38,0) cents (int64-safe per-term, overflow-
     safe at 100 TB).
     """
-    spark_reps = orders.sparkSession.range(CI_REPLICATES).select(
+    # rep -1 is the point-estimate pseudo-replicate (keeps every row),
+    # so the point mean rides the SAME scan + fan-out + aggregation as
+    # the 32 subsamples: ONE pass over the fact table total, where the
+    # obvious three-branch plan (members / point / ci) scans it three
+    # times (verified in the physical plan).
+    spark_reps = orders.sparkSession.range(-1, CI_REPLICATES).select(
         F.col("id").alias("rep")
     )
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -768,53 +779,69 @@ def subsample_ci(orders: DataFrame) -> DataFrame:
         orders.select(F.col("o_orderkey").alias("k"), cents.alias("cents"))
         .crossJoin(F.broadcast(spark_reps))
         .filter(
-            _md5_mod(
-                "ci",
-                F.concat(
-                    F.col("rep").cast("string"),
-                    F.lit(":"),
-                    F.col("k").cast("string"),
-                ),
-                2,
+            (F.col("rep") == -1)
+            | (
+                _md5_mod(
+                    "ci",
+                    F.concat(
+                        F.col("rep").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    ),
+                    2,
+                )
+                == 0
             )
-            == 0
         )
     )
-    per = member.groupBy("rep").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sum_cents"),
-    )
-    per = per.select(
-        "rep",
-        "n_rows",
-        (
-            F.col("sum_cents").cast("double")
-            / F.col("n_rows").cast("double")
-            / F.lit(100.0)
-        ).alias("rep_mean"),
-    )
-    ci = per.agg(
-        F.expr(
-            f"percentile_disc({CI_LO_Q}) WITHIN GROUP (ORDER BY rep_mean)"
-        ).alias("ci_lo"),
-        F.expr(
-            f"percentile_disc({CI_HI_Q}) WITHIN GROUP (ORDER BY rep_mean)"
-        ).alias("ci_hi"),
-    )
-    point = orders.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        (
-            F.sum(cents.cast("decimal(38,0)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-            / F.lit(100.0)
-        ).alias("point_mean"),
-    )
-    return (
-        per.crossJoin(F.broadcast(ci))
-        .crossJoin(F.broadcast(point))
+    per = (
+        member.groupBy("rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("sum_cents"),
+        )
         .select(
-            "rep", "n_rows", "rep_mean", "ci_lo", "ci_hi", "point_mean", "n_total"
+            "rep",
+            "n_rows",
+            (
+                F.col("sum_cents").cast("double")
+                / F.col("n_rows").cast("double")
+                / F.lit(100.0)
+            ).alias("rep_mean"),
         )
+    )
+    # The summary (interval + point estimate) rides ONE global window
+    # over the 33-row per table instead of a second aggregation branch
+    # (a branch re-instantiates the scan+fan-out subtree: two full
+    # scans + double the md5 work, verified in the physical plan).
+    # With n <= 39 replicates, percentile_disc(0.025)/(0.975) SELECT
+    # the min/max replicate mean (ceil(0.025*n) = 1, ceil(0.975*n)
+    # = n), so min/max over the window IS the disc selection — the
+    # DuckDB twin keeps the quantile_disc spelling; the guard pins the
+    # equivalence if CI_REPLICATES is ever raised.
+    if CI_REPLICATES > 39:  # pragma: no cover - static config guard
+        raise ValueError(
+            "subsample_ci's windowed min/max equals percentile_disc"
+            f" ({CI_LO_Q}/{CI_HI_Q}) only for <= 39 replicates;"
+            " restore the percentile_disc aggregation branch"
+        )
+    w = Window.partitionBy()
+    rep_only = F.when(F.col("rep") >= 0, F.col("rep_mean"))
+    return (
+        per.select(
+            "rep",
+            "n_rows",
+            "rep_mean",
+            F.min(rep_only).over(w).alias("ci_lo"),
+            F.max(rep_only).over(w).alias("ci_hi"),
+            F.max(F.when(F.col("rep") == -1, F.col("rep_mean")))
+            .over(w)
+            .alias("point_mean"),
+            F.max(F.when(F.col("rep") == -1, F.col("n_rows")))
+            .over(w)
+            .alias("n_total"),
+        )
+        .filter(F.col("rep") >= 0)
         .orderBy("rep")
     )
 
@@ -1264,13 +1291,16 @@ def ab_test_ztest(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("converted").alias("n_conv"),
     )
-    a = agg.filter(F.col("arm") == 0).select(
-        F.col("n_users").alias("n0"), F.col("n_conv").alias("conv0")
+    # conditional pivot of the 2-row arm table into one readout row —
+    # filter-per-arm branches would re-instantiate the whole per-user
+    # aggregation subtree (two scans of the event stream, verified in
+    # the physical plan).
+    both = agg.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_conv"))).alias("conv0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_conv"))).alias("conv1"),
     )
-    b = agg.filter(F.col("arm") == 1).select(
-        F.col("n_users").alias("n1"), F.col("n_conv").alias("conv1")
-    )
-    both = a.crossJoin(b)
     p0 = F.col("conv0").cast("double") / F.col("n0").cast("double")
     p1 = F.col("conv1").cast("double") / F.col("n1").cast("double")
     pooled = (F.col("conv0") + F.col("conv1")).cast("double") / (

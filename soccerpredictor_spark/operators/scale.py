@@ -224,3 +224,31 @@ def plan_keyed_cache(cache: dict, df_in: DataFrame, extra_key, build, max_entrie
             cache.clear()
         cache[key] = (df_in, out)
     return out
+
+
+def clear_caches() -> int:
+    """Empty every ``plan_keyed_cache`` store in the package (graph
+    edge lists, minhash verified pairs, dedup CC labels, embedding
+    near-dup pairs) and return how many entries were dropped.
+
+    The cache key is (analyzed plan, params, session) — it cannot see
+    files behind an input path being overwritten mid-session, so any
+    tool that regenerates parquet under a previously-read path (or a
+    benchmark that wants cold per-entry timings) must call this
+    between runs instead of reaching into the module-private dicts.
+    Safe to call at any time: entries hold only lazy plans plus
+    already-materialized checkpoint handles; dropping them affects
+    future lookups only.
+    """
+    from soccerpredictor_spark.operators import dedup, graph, similarity
+
+    stores = (
+        graph._EDGE_CACHE,
+        dedup._MINHASH_PAIR_CACHE,
+        dedup._LABEL_CACHE,
+        similarity._PAIR_CACHE,
+    )
+    n = sum(len(s) for s in stores)
+    for s in stores:
+        s.clear()
+    return n

@@ -2350,8 +2350,11 @@ def text_canonicalize(docs: DataFrame) -> DataFrame:
 
 
 def text_canonicalize_sql() -> str:
+    # trim(), not btrim(): DuckDB 1.0.0 (the oracle engine) has no
+    # btrim; after the whitespace-collapse step the string's edges can
+    # only be plain spaces, for which trim() is identical.
     canon = (
-        "btrim(regexp_replace(regexp_replace(lower(text),"
+        "trim(regexp_replace(regexp_replace(lower(text),"
         " '[^a-z0-9 \\t\\n\\r]', '', 'g'), '[ \\t\\n\\r]+', ' ', 'g'))"
     )
     return f"""

@@ -1706,21 +1706,25 @@ def corr_matrix(lineitem: DataFrame) -> DataFrame:
             / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
         )
 
-    rows = []
+    # ONE select + inline(array<struct>) materializes all 6 cells from
+    # the single stats row — a union of per-cell selects would
+    # re-instantiate the scan+aggregate subtree per cell (6 full scans
+    # of the fact table at 100 TB; verified in the physical plan).
+    cells = []
     for i, a in enumerate(names):
         for b in names[i + 1:]:
-            rows.append(
-                stats.select(
+            cells.append(
+                F.struct(
                     F.lit(a).alias("col_x"),
                     F.lit(b).alias("col_y"),
-                    F.col("n_rows"),
                     corr_cell(a, b).alias("corr"),
                 )
             )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("col_x", "col_y")
+    return (
+        stats.select(F.col("n_rows"), F.inline(F.array(*cells)))
+        .select("col_x", "col_y", "n_rows", "corr")
+        .orderBy("col_x", "col_y")
+    )
 
 
 def corr_matrix_sql() -> str:

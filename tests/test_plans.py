@@ -1051,3 +1051,93 @@ def test_skyline_prune_before_global_window(spark, sf001):
     # the prune join in the tree (smaller line index = nearer the root)
     win = [i for i, l in enumerate(lines) if "specifiedwindowframe(RangeFrame" in l]
     assert win and bhj and min(win) < max(bhj)
+
+
+def test_subsample_ci_one_scan_one_fanout(spark, sf001):
+    """Bootstrap CI: the 32 replicates AND the point estimate ride ONE
+    scan + ONE broadcast fan-out over the 33-row rep index; the
+    summary is a window over the 33-row aggregate, never a second
+    aggregation branch (which would re-scan the fact table)."""
+    plan = _plan(entry.queries()["subsample_ci"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_grouped_ols_broadcast_dims_single_agg(spark, sf001):
+    """Per-nation OLS: both dimension joins broadcast, all six
+    sufficient statistics come from ONE map-side-combinable
+    aggregation — the fact table shuffles once, on the group key."""
+    plan = _plan(entry.queries()["grouped_ols"](spark, sf001))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") == 3  # orders + 2 dims
+
+
+def test_ndcg_custkey_partitioned_window_broadcast_discounts(spark, sf001):
+    """NDCG@10: rank is a per-customer window (bounded partitions, no
+    global sort), the 10-row discount ladder joins broadcast."""
+    plan = _plan(entry.queries()["ndcg_at_k"](spark, sf001))
+    assert "windowspecdefinition(o_custkey" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_conformal_broadcast_model_and_qhat(spark, sf001):
+    """Split conformal: the per-priority predictor and the 1-row qhat
+    both join broadcast; no shuffle join of the fact table against
+    itself."""
+    plan = _plan(entry.queries()["conformal_interval"](spark, sf001))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row qhat cross join
+    assert "SortMergeJoin" not in plan
+
+
+def test_ab_ztest_single_user_shuffle(spark, sf001):
+    """A/B z-test: one shuffle keyed by user, then O(1)-state arms —
+    the arm split/cross-join touches 2 rows, never the event stream."""
+    plan = _plan(entry.queries()["ab_test_ztest"](spark, sf001))
+    assert plan.count("FileScan") == 1  # arm branches share one pass
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_attribution_one_user_window_pass(spark, sf001):
+    """Last-touch attribution: ONE user-partitioned window pass carries
+    both the source timestamp and type (two last(ignorenulls) columns
+    over the same frame); no self-join of events against events."""
+    plan = _plan(entry.queries()["attribution"](spark, sf001))
+    assert plan.count("windowspecdefinition(user_id") >= 1
+    assert "Join" not in plan  # window-only, zero joins
+    assert plan.count("FileScan") == 1
+
+
+def test_corr_matrix_single_scan_inline_cells(spark, sf001):
+    """Correlation matrix: every sufficient statistic from ONE scan +
+    ONE aggregation; the 6 upper-triangle cells inline from the single
+    stats row. A per-cell union would scan the fact table 6 times."""
+    plan = _plan(entry.queries()["corr_matrix"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final, once
+    assert "Generate" in plan  # inline(array<struct>) cell expansion
+
+
+def test_text_canonicalize_projection_then_tiny_agg(spark, sf001):
+    """Canonicalization audit: the canonical text is a scan-side
+    projection (regexp chain, no Python) feeding one tiny-key
+    aggregation; the distinct counts ride Expand, not extra scans."""
+    plan = _plan(entry.queries()["text_canonicalize"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Expand" in plan  # two countDistincts share one pass
+
+
+def test_label_vote_pure_projection_single_agg(spark, sf001):
+    """Weak-supervision vote: all three labeling functions are integer
+    scan projections; one aggregation, no Python, no joins."""
+    plan = _plan(entry.queries()["label_vote"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    # groupBy(source) + the output-order rangepartitioning only
+    assert plan.count("hashpartitioning(") == 1
