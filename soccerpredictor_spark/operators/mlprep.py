@@ -705,9 +705,9 @@ total AS (
              * CAST(2 * (b.cum_q_buckets + w.cum_q_in) + q AS HUGEINT)) AS u2h
   FROM within w JOIN bucket_cum b USING (bucket)
 )
-SELECT n_pos, n_neg, CAST(u2h AS DOUBLE) AS u2,
+SELECT n_pos, n_neg, CAST(CAST(u2h AS VARCHAR) AS DOUBLE) AS u2,
        CASE WHEN n_pos > 0 AND n_neg > 0
-            THEN CAST(u2h AS DOUBLE)
+            THEN CAST(CAST(u2h AS VARCHAR) AS DOUBLE)
                  / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
        END AS auc
 FROM total
@@ -947,6 +947,12 @@ def grouped_ols(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> Da
 
 
 def grouped_ols_sql() -> str:
+    # NB every HUGEINT -> DOUBLE conversion goes through VARCHAR:
+    # DuckDB's direct hugeint cast is two roundings ((double)upper *
+    # 2^64 + (double)lower) and is off by one ulp for some values
+    # beyond 2^53 (found empirically: NATION_3's vy at sf0.01), while
+    # its string parse — like Spark's Decimal.toDouble — is correctly
+    # rounded, so both engines agree bit-for-bit.
     return f"""
 WITH pts AS (
   SELECT n_name,
@@ -967,19 +973,19 @@ s AS (
 )
 SELECT n_name, n_rows,
        CASE WHEN n_rows * sxx - sx * sx > 0 THEN
-         CAST(n_rows * sxy - sx * sy AS DOUBLE)
-           / CAST(n_rows * sxx - sx * sx AS DOUBLE) / 100.0
+         CAST(CAST(n_rows * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n_rows * sxx - sx * sx AS VARCHAR) AS DOUBLE) / 100.0
        END AS slope_per_day,
        CASE WHEN n_rows * sxx - sx * sx > 0 THEN
-         CAST(sy * sxx - sx * sxy AS DOUBLE)
-           / CAST(n_rows * sxx - sx * sx AS DOUBLE) / 100.0
+         CAST(CAST(sy * sxx - sx * sxy AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n_rows * sxx - sx * sx AS VARCHAR) AS DOUBLE) / 100.0
        END AS intercept,
        CASE WHEN n_rows * sxx - sx * sx > 0
              AND n_rows * syy - sy * sy > 0 THEN
-         (CAST(n_rows * sxy - sx * sy AS DOUBLE)
-          * CAST(n_rows * sxy - sx * sy AS DOUBLE))
-           / (CAST(n_rows * sxx - sx * sx AS DOUBLE)
-              * CAST(n_rows * syy - sy * sy AS DOUBLE))
+         (CAST(CAST(n_rows * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+          * CAST(CAST(n_rows * sxy - sx * sy AS VARCHAR) AS DOUBLE))
+           / (CAST(CAST(n_rows * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(n_rows * syy - sy * sy AS VARCHAR) AS DOUBLE))
        END AS r2
 FROM s ORDER BY n_name
 """
@@ -1358,4 +1364,409 @@ SELECT n0, conv0, n1, conv1,
               * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
        END AS z
 FROM a CROSS JOIN b
+"""
+
+
+# --------------------------------------------------------------------------
+# round-8 additions: calibration / drift / off-policy / sampling
+# --------------------------------------------------------------------------
+
+#: calibration: equal-width price bins (dollars per bin, bin count).
+CALIB_BIN_WIDTH = 60_000.0
+CALIB_N_BINS = 10
+#: the score normalizer (top of the binned range).
+CALIB_SCALE = CALIB_BIN_WIDTH * CALIB_N_BINS
+
+
+def calibration_bins(orders: DataFrame) -> DataFrame:
+    """Reliability-diagram bins for a score/label pair — the
+    calibration readout (Guo et al. 2017) every classifier training
+    run reports before trusting predicted probabilities. Score =
+    o_totalprice / 600k clipped to [0, 1); label = '1-URGENT'.
+
+    Exact: bin membership is integer arithmetic on cents, per-bin
+    counts are exact, mean_score and pos_rate are single double
+    divisions of exact decimal/integer sums — bit-identical across
+    engines. Scale: ONE scan, one 10-key map-side-combinable
+    aggregation; nothing else.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bin_w_cents = int(CALIB_BIN_WIDTH * 100)
+    b = F.least(
+        (cents / F.lit(bin_w_cents)).cast("long"), F.lit(CALIB_N_BINS - 1)
+    )
+    label = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    per = (
+        orders.select(b.alias("bin"), cents.alias("cents"), label.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("sum_cents"),
+        )
+    )
+    mean_score = (
+        F.col("sum_cents").cast("double")
+        / F.col("n").cast("double")
+        / F.lit(100.0)
+        / F.lit(CALIB_SCALE)
+    )
+    pos_rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return per.select(
+        "bin",
+        "n",
+        "n_pos",
+        mean_score.alias("mean_score"),
+        pos_rate.alias("pos_rate"),
+        F.abs(mean_score - pos_rate).alias("gap"),
+    ).orderBy("bin")
+
+
+def calibration_bins_sql() -> str:
+    bin_w_cents = int(CALIB_BIN_WIDTH * 100)
+    return f"""
+WITH per AS (
+  SELECT LEAST(CAST(round(o_totalprice * 100) AS BIGINT) // {bin_w_cents},
+               {CALIB_N_BINS - 1}) AS bin,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pos,
+         SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+           AS sum_cents
+  FROM orders GROUP BY 1
+)
+SELECT bin, n, n_pos,
+       CAST(CAST(sum_cents AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+         / 100.0 / {CALIB_SCALE!r} AS mean_score,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+       abs(CAST(CAST(sum_cents AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+             / 100.0 / {CALIB_SCALE!r}
+           - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
+FROM per ORDER BY bin
+"""
+
+
+#: KS prefix-sum bucketing (cents per bucket; parallel window width).
+KS_BUCKET_CENTS = 1_000_000
+
+
+def ks_drift(orders: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between two
+    md5-split halves of the order-price distribution — the standard
+    continuous-feature drift check run between a training snapshot
+    and fresh data before retraining.
+
+    D = max_v |F0(v) - F1(v)| computed EXACTLY: per distinct cents
+    value the two sample counts, inclusive prefix sums as a two-level
+    bucket-partitioned window (the ``roc_auc`` distributed prefix-sum
+    shape: per-bucket windows in parallel, one tiny global window
+    over bucket totals), and the difference as the exact integer
+    |cum0*n1 - cum1*n0| in decimal(38,0) (the int64 product overflows
+    at ~3e9 rows per split) — one double division at the very end.
+    ks_location is the smallest price attaining the max (min_by on a
+    (-d, v) struct key, lexicographic, deterministic).
+    """
+    d38 = "decimal(38,0)"
+    h = _md5_mod("ks", F.col("o_orderkey"), 2)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    by_value = (
+        orders.select(cents.alias("v"), h.alias("s"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("c1"),
+        )
+        .withColumn("bucket", F.expr(f"v div {KS_BUCKET_CENTS}"))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = by_value.select(
+        "v",
+        "bucket",
+        F.sum("c0").over(w_in).alias("in0"),
+        F.sum("c1").over(w_in).alias("in1"),
+    )
+    bucket_tot = by_value.groupBy("bucket").agg(
+        F.sum("c0").alias("b0"), F.sum("c1").alias("b1")
+    )
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    bucket_cum = bucket_tot.select(
+        "bucket",
+        F.coalesce(F.sum("b0").over(w_b), F.lit(0)).alias("cum0b"),
+        F.coalesce(F.sum("b1").over(w_b), F.lit(0)).alias("cum1b"),
+        F.sum("b0").over(w_all).alias("n0"),
+        F.sum("b1").over(w_all).alias("n1"),
+    )
+    d_num = F.abs(
+        (F.col("cum0b") + F.col("in0")).cast(d38) * F.col("n1").cast(d38)
+        - (F.col("cum1b") + F.col("in1")).cast(d38) * F.col("n0").cast(d38)
+    )
+    joined = within.join(F.broadcast(bucket_cum), "bucket").select(
+        "v", "n0", "n1", d_num.alias("d_num")
+    )
+    out = joined.agg(
+        F.max("n0").alias("n0"),
+        F.max("n1").alias("n1"),
+        F.max("d_num").alias("d_max"),
+        F.min_by("v", F.struct(-F.col("d_num"), F.col("v"))).alias("_loc"),
+    )
+    return out.select(
+        "n0",
+        "n1",
+        (
+            F.col("d_max").cast("double")
+            / (F.col("n0").cast(d38) * F.col("n1").cast(d38)).cast("double")
+        ).alias("d_stat"),
+        (F.col("_loc").cast("double") / F.lit(100.0)).alias("ks_location"),
+    )
+
+
+def ks_drift_sql() -> str:
+    gate = _sql_md5_mod("ks", "o_orderkey", 2)
+    return f"""
+WITH by_value AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN {gate} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN {gate} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         CAST(SUM(c0) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+           AS cum0,
+         CAST(SUM(c1) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+           AS cum1,
+         CAST(SUM(c0) OVER () AS HUGEINT) AS n0,
+         CAST(SUM(c1) OVER () AS HUGEINT) AS n1
+  FROM by_value
+),
+d AS (
+  SELECT v, n0, n1, abs(cum0 * n1 - cum1 * n0) AS d_num FROM cum
+)
+SELECT CAST(MAX(n0) AS BIGINT) AS n0, CAST(MAX(n1) AS BIGINT) AS n1,
+       CAST(CAST(MAX(d_num) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(MAX(n0) * MAX(n1) AS VARCHAR) AS DOUBLE) AS d_stat,
+       CAST(MIN(CASE WHEN d_num = (SELECT MAX(d_num) FROM d) THEN v END)
+            AS DOUBLE) / 100.0 AS ks_location
+FROM d
+"""
+
+# --------------------------------------------------------------------------
+# off-policy evaluation (IPS / SNIPS)
+# --------------------------------------------------------------------------
+
+#: the two logged actions and the uniform logging propensity.
+IPS_ACTIONS = ("view", "click")
+IPS_PROPENSITY = 0.5
+
+
+def ips_policy_eval(events: DataFrame) -> DataFrame:
+    """Inverse-propensity-score off-policy evaluation (Horvitz-
+    Thompson; Dudik et al. 2011): estimate the value of a target
+    policy from logged randomized traffic without deploying it — the
+    counterfactual readout every recsys/ads experiment platform
+    computes.
+
+    Logged data = view/click events, treated as uniform-random
+    (propensity 0.5) logged actions with reward = ``value``. Target
+    policy: show 'click' to odd users, 'view' to even users. The IPS
+    estimate is sum(match * r / 0.5) / N and SNIPS normalizes by the
+    matched weight mass; both are single double divisions of exact
+    integer cents/counts. Scale: ONE scan, one O(1)-state
+    aggregation; no join, no shuffle beyond the 1-row agg.
+    """
+    reward_cents = F.round(F.col("value") * 100).cast("long")
+    target = F.when(F.col("user_id") % 2 == 1, "click").otherwise("view")
+    match = (F.col("event_type") == target).cast("int")
+    base = events.filter(F.col("event_type").isin(*IPS_ACTIONS)).select(
+        match.alias("m"), reward_cents.alias("r")
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_logged"),
+        F.sum("m").alias("n_matched"),
+        F.sum((F.col("m") * F.col("r")).cast("decimal(38,0)")).alias(
+            "match_cents"
+        ),
+    )
+    w = F.lit(1.0 / IPS_PROPENSITY)
+    ips = (
+        F.col("match_cents").cast("double")
+        * w
+        / F.col("n_logged").cast("double")
+        / F.lit(100.0)
+    )
+    snips = F.when(
+        F.col("n_matched") > 0,
+        F.col("match_cents").cast("double")
+        / F.col("n_matched").cast("double")
+        / F.lit(100.0),
+    )
+    return agg.select(
+        "n_logged", "n_matched", ips.alias("ips_value"), snips.alias("snips_value")
+    )
+
+
+def ips_policy_eval_sql() -> str:
+    acts = ", ".join(f"'{a}'" for a in IPS_ACTIONS)
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN event_type = (CASE WHEN user_id % 2 = 1 THEN 'click'
+                                      ELSE 'view' END)
+              THEN 1 ELSE 0 END AS m,
+         CAST(round(value * 100) AS BIGINT) AS r
+  FROM events WHERE event_type IN ({acts})
+),
+agg AS (
+  SELECT COUNT(*) AS n_logged, CAST(SUM(m) AS BIGINT) AS n_matched,
+         SUM(CAST(m * r AS HUGEINT)) AS match_cents
+  FROM base
+)
+SELECT n_logged, n_matched,
+       CAST(CAST(match_cents AS VARCHAR) AS DOUBLE) * {1.0 / IPS_PROPENSITY!r}
+         / CAST(n_logged AS DOUBLE) / 100.0 AS ips_value,
+       CASE WHEN n_matched > 0 THEN
+         CAST(CAST(match_cents AS VARCHAR) AS DOUBLE)
+           / CAST(n_matched AS DOUBLE) / 100.0
+       END AS snips_value
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic negative sampling for contrastive training pairs
+# --------------------------------------------------------------------------
+
+#: negatives drawn per user.
+NEG_K = 4
+
+
+def negative_sampling(
+    orders: DataFrame, lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Deterministic negative sampling for (user, item) training
+    pairs — the contrastive-pairs step of every recsys / embedding
+    training pipeline (word2vec negative sampling, BPR): for each
+    customer, K candidate items are drawn by hash from the item
+    domain and any accidental positive is removed.
+
+    Determinism: candidate k for user u is md5('neg', u':'k) mod
+    n_items mapped into the dense 1..P partkey domain — no RNG state,
+    identical on any engine/partitioning. Scale: positives =
+    orders ⋈ lineitem projected to (custkey, partkey); candidates =
+    per-user fan-out of a K-length sequence (zero-shuffle). The
+    anti-join is the union-tag trick: positives and candidates union
+    into ONE (user, item)-keyed aggregation (a candidate survives iff
+    its pair saw no positive), then one user-keyed rollup — the
+    positives subtree is built exactly ONCE (a plain anti-join +
+    separate positive-count branch would run the orders ⋈ lineitem
+    join twice), and both aggregations are map-side combinable.
+    """
+    n_items = part.agg(F.count(F.lit(1)).alias("n_items"))
+    positives = (
+        orders.select("o_orderkey", F.col("o_custkey").alias("user_id"))
+        .join(
+            lineitem.select("l_orderkey", F.col("l_partkey").alias("item_id")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "user_id", "item_id", F.lit(1).alias("pos"), F.lit(0).alias("cand")
+        )
+    )
+    hash_item = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg"),
+                        F.col("user_id").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("n_items")
+        + 1
+    )
+    candidates = (
+        orders.select(F.col("o_custkey").alias("user_id"))
+        .distinct()
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            "user_id",
+            F.explode(F.expr(f"sequence(1, {NEG_K})")).alias("k"),
+            F.col("n_items"),
+        )
+        .select(
+            "user_id",
+            hash_item.alias("item_id"),
+            F.lit(0).alias("pos"),
+            F.lit(1).alias("cand"),
+        )
+    )
+    per_pair = (
+        positives.unionByName(candidates)
+        .groupBy("user_id", "item_id")
+        .agg(F.max("pos").alias("is_pos"), F.sum("cand").alias("n_cand"))
+    )
+    return (
+        per_pair.groupBy("user_id")
+        .agg(
+            F.sum("is_pos").alias("n_pos"),
+            F.sum(
+                F.when(F.col("is_pos") == 0, F.col("n_cand")).otherwise(0)
+            ).alias("n_neg"),
+            F.sum(
+                F.when(
+                    F.col("is_pos") == 0, F.col("n_cand") * F.col("item_id")
+                ).otherwise(0)
+            ).alias("neg_item_sum"),
+        )
+        .filter(F.col("n_pos") >= 1)
+        .orderBy("user_id")
+    )
+
+
+def negative_sampling_sql() -> str:
+    return f"""
+WITH n_items_t AS (SELECT COUNT(*) AS n_items FROM part),
+positives AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id, 1 AS pos, 0 AS cand
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+candidates AS (
+  SELECT user_id,
+         CAST('0x' || substr(md5('neg' || CAST(user_id AS VARCHAR) || ':'
+                                 || CAST(k AS VARCHAR)), 1, 8) AS BIGINT)
+           % n_items + 1 AS item_id,
+         0 AS pos, 1 AS cand
+  FROM (SELECT DISTINCT o_custkey AS user_id FROM orders)
+  CROSS JOIN n_items_t
+  CROSS JOIN (SELECT unnest(range(1, {NEG_K + 1})) AS k)
+),
+per_pair AS (
+  SELECT user_id, item_id, MAX(pos) AS is_pos,
+         CAST(SUM(cand) AS BIGINT) AS n_cand
+  FROM (SELECT * FROM positives UNION ALL SELECT * FROM candidates)
+  GROUP BY user_id, item_id
+)
+SELECT user_id, CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN is_pos = 0 THEN n_cand ELSE 0 END) AS BIGINT)
+         AS n_neg,
+       CAST(SUM(CASE WHEN is_pos = 0 THEN n_cand * item_id ELSE 0 END)
+            AS BIGINT) AS neg_item_sum
+FROM per_pair
+GROUP BY user_id
+HAVING SUM(is_pos) >= 1
+ORDER BY user_id
 """

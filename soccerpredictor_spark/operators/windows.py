@@ -1750,11 +1750,14 @@ def corr_matrix_sql() -> str:
             vx = f"(n_rows * ss_{a} - s_{a} * s_{a})"
             vy = f"(n_rows * ss_{b} - s_{b} * s_{b})"
             num = f"(n_rows * sp_{a}_{b} - s_{a} * s_{b})"
+            # hugeint -> double via VARCHAR: DuckDB's direct cast is
+            # not correctly rounded past 2^53 (see grouped_ols_sql)
             cells.append(
                 f"SELECT '{a}' AS col_x, '{b}' AS col_y, n_rows,"
                 f" CASE WHEN {vx} > 0 AND {vy} > 0 THEN"
-                f" CAST({num} AS DOUBLE)"
-                f" / (sqrt(CAST({vx} AS DOUBLE)) * sqrt(CAST({vy} AS DOUBLE)))"
+                f" CAST(CAST({num} AS VARCHAR) AS DOUBLE)"
+                f" / (sqrt(CAST(CAST({vx} AS VARCHAR) AS DOUBLE))"
+                f" * sqrt(CAST(CAST({vy} AS VARCHAR) AS DOUBLE)))"
                 f" END AS corr FROM stats"
             )
     union = "\nUNION ALL\n".join(cells)
@@ -1763,4 +1766,189 @@ WITH stats AS (
   SELECT {', '.join(terms)} FROM lineitem
 )
 SELECT * FROM ({union}) ORDER BY col_x, col_y
+"""
+
+
+# --------------------------------------------------------------------------
+# time-weighted average (TWAP) per user
+# --------------------------------------------------------------------------
+
+
+def time_weighted_average(events: DataFrame) -> DataFrame:
+    """Per-user time-weighted average of ``value`` — the TWAP every
+    monitoring/trading/metering pipeline computes when observations
+    arrive irregularly: each value is weighted by how long it was
+    current (until the next event), so a burst of cheap readings
+    cannot drown a long-lived expensive one.
+
+    Exactness: weights are integer microseconds (lead - ts), values
+    integer cents, the weighted sum accumulates as decimal(38,0)
+    (cents * us fits int64 per-term to ~2.9 years of gap); twap is
+    one double division of two exact sums. The last event of a user
+    has no duration and contributes nothing (standard left-open
+    TWAP); single-event users surface NULL. Scale: one user-keyed
+    window pass (the lead), then a user-keyed aggregation on the SAME
+    partitioning — Spark reuses the exchange, so the fact table
+    shuffles once.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros(F.col("ts"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    seq = events.select(
+        "user_id",
+        cents.alias("cents"),
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    )
+    dt = F.col("next_us") - F.col("us")
+    agg = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(dt.isNotNull(), (F.col("cents") * dt)).otherwise(None).cast("decimal(38,0)")).alias("vw"),
+        F.sum(dt.cast("decimal(38,0)")).alias("tw"),
+    )
+    twap = F.when(
+        F.col("tw") > 0,
+        F.col("vw").cast("double") / F.col("tw").cast("double") / F.lit(100.0),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.col("tw").cast("long").alias("total_us"),
+        twap.alias("twap"),
+    ).orderBy("user_id")
+
+
+def time_weighted_average_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS next_us
+  FROM events
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(CAST(cents * (next_us - us) AS HUGEINT)) AS vw,
+         SUM(CAST(next_us - us AS HUGEINT)) AS tw
+  FROM seq GROUP BY user_id
+)
+SELECT user_id, n_events, CAST(tw AS BIGINT) AS total_us,
+       CASE WHEN tw > 0 THEN
+         CAST(CAST(vw AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(tw AS VARCHAR) AS DOUBLE) / 100.0
+       END AS twap
+FROM agg ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# RFM (recency / frequency / monetary) customer segmentation
+# --------------------------------------------------------------------------
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM segmentation — the classic marketing/CRM customer scoring:
+    each customer's Recency (last order date), Frequency (order
+    count) and Monetary (total spend) dimension is scored into
+    quartiles 1..4 and customers roll up per 3-digit segment code
+    (rfm = r*100 + f*10 + m, 4 = best).
+
+    Recency quartiles are computed on the last-order DATE directly
+    (more recent = higher quartile), so no global "today" anchor is
+    needed. Quartile edges are percentile_disc SELECTIONS (actual
+    attained values) of the per-customer table, broadcast as one row;
+    scoring is pure comparisons, so everything is integer/date-exact
+    and engine-portable — no interpolated quantiles, no RNG.
+
+    Scale: orders aggregate once by customer (one key shuffle); the
+    edges are ONE tiny aggregation over that per-customer table; the
+    scored rollup is a <= 64-key aggregation. Quartile boundary
+    semantics: score q means value > edge_{q-1} (strict), edges at
+    the 25/50/75 percentile_disc selections.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("cents"),
+    )
+    edges = per_cust.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY {c})"
+            ).alias(f"{c}_{int(q * 100)}")
+            for c in ("last_date", "freq", "cents")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def score(c: str):
+        return (
+            F.when(F.col(c) > F.col(f"{c}_75"), 4)
+            .when(F.col(c) > F.col(f"{c}_50"), 3)
+            .when(F.col(c) > F.col(f"{c}_25"), 2)
+            .otherwise(1)
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(edges)).select(
+        (
+            score("last_date") * 100 + score("freq") * 10 + score("cents")
+        ).alias("rfm"),
+        "cents",
+    )
+    return (
+        scored.groupBy("rfm")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(100.0)
+            ).alias("avg_monetary"),
+        )
+        .orderBy("rfm")
+    )
+
+
+def rfm_segments_sql() -> str:
+    edge_sel = ", ".join(
+        f"quantile_disc({c}, {q}) AS {c}_{int(q * 100)}"
+        for c in ("last_date", "freq", "cents")
+        for q in (0.25, 0.5, 0.75)
+    )
+
+    def score(c: str) -> str:
+        return (
+            f"CASE WHEN {c} > {c}_75 THEN 4"
+            f" WHEN {c} > {c}_50 THEN 3"
+            f" WHEN {c} > {c}_25 THEN 2 ELSE 1 END"
+        )
+
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_date,
+         COUNT(*) AS freq,
+         SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+edges AS (SELECT {edge_sel} FROM per_cust),
+scored AS (
+  SELECT {score('last_date')} * 100 + {score('freq')} * 10
+           + {score('cents')} AS rfm,
+         cents
+  FROM per_cust CROSS JOIN edges
+)
+SELECT rfm, COUNT(*) AS n_customers,
+       CAST(CAST(SUM(cents) AS VARCHAR) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_monetary
+FROM scored GROUP BY rfm ORDER BY rfm
 """
