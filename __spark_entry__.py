@@ -469,6 +469,60 @@ def _q_label_vote(spark: SparkSession, sf: str) -> DataFrame:
     return textops.label_vote(read_table(spark, sf, "documents"))
 
 
+# --- new round-8 operators ---
+
+
+def _q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    # Reliability-diagram bins (score vs empirical rate, exact).
+    return _mlprep_mod().calibration_bins(read_table(spark, sf, "orders"))
+
+
+def _q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact two-sample KS via bucket-partitioned prefix sums.
+    return _mlprep_mod().ks_drift(read_table(spark, sf, "orders"))
+
+
+def _q_ips_policy_eval(spark: SparkSession, sf: str) -> DataFrame:
+    # IPS / SNIPS off-policy value estimate over logged events.
+    return _mlprep_mod().ips_policy_eval(read_table(spark, sf, "events"))
+
+
+def _q_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic contrastive negatives via union-tag anti-join.
+    return _mlprep_mod().negative_sampling(
+        read_table(spark, sf, "orders"),
+        read_table(spark, sf, "lineitem"),
+        read_table(spark, sf, "part"),
+    )
+
+
+def _q_time_weighted_average(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-user TWAP with integer-microsecond weights.
+    return windows.time_weighted_average(read_table(spark, sf, "events"))
+
+
+def _q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    # Quartile-scored RFM segmentation rollup.
+    return windows.rfm_segments(read_table(spark, sf, "orders"))
+
+
+def _q_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    # Token-concentration (Simpson) screen, log-free.
+    return textops.simpson_diversity(read_table(spark, sf, "documents"))
+
+
+def _q_edit_distance_join(spark: SparkSession, sf: str) -> DataFrame:
+    # FastSS deletion-neighborhood edit-distance-1 key join.
+    return textops.edit_distance_join(read_table(spark, sf, "documents"))
+
+
+def _q_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
+    # Market-basket support/confidence/lift top-K rules.
+    return _joins_mod().basket_rules(
+        read_table(spark, sf, "orders"), read_table(spark, sf, "lineitem")
+    )
+
+
 def _q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     return psq.q2_min_cost_supplier(
         read_table(spark, sf, "part"),
@@ -1763,6 +1817,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": _q_corr_matrix,
         "text_canonicalize": _q_text_canonicalize,
         "label_vote": _q_label_vote,
+        # --- new round-8 operators (never verified) ---
+        "calibration_bins": _q_calibration_bins,
+        "ks_drift": _q_ks_drift,
+        "ips_policy_eval": _q_ips_policy_eval,
+        "negative_sampling": _q_negative_sampling,
+        "time_weighted_average": _q_time_weighted_average,
+        "rfm_segments": _q_rfm_segments,
+        "simpson_diversity": _q_simpson_diversity,
+        "edit_distance_join": _q_edit_distance_join,
+        "basket_rules": _q_basket_rules,
         # --- r5-green ML surfaces; accuracy oracle needs its driver row ---
         "ml_train_many_accuracy": _q_ml_train_many_accuracy,
         "ml_train_many": _q_ml_train_many,
@@ -1987,6 +2051,16 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix": windows.corr_matrix_sql(),
         "text_canonicalize": textops.text_canonicalize_sql(),
         "label_vote": textops.label_vote_sql(),
+        # --- new round-8 operators ---
+        "calibration_bins": _mlprep_mod().calibration_bins_sql(),
+        "ks_drift": _mlprep_mod().ks_drift_sql(),
+        "ips_policy_eval": _mlprep_mod().ips_policy_eval_sql(),
+        "negative_sampling": _mlprep_mod().negative_sampling_sql(),
+        "time_weighted_average": windows.time_weighted_average_sql(),
+        "rfm_segments": windows.rfm_segments_sql(),
+        "simpson_diversity": textops.simpson_diversity_sql(),
+        "edit_distance_join": textops.edit_distance_join_sql(),
+        "basket_rules": _joins_mod().basket_rules_sql(),
         "scd2_intervals": windows.scd2_intervals_sql(),
         "group_sample_topk": textops.group_sample_topk_sql(),
         "bm25_search": textops.bm25_search_sql(),

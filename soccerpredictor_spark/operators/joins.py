@@ -668,3 +668,111 @@ cand AS (
 SELECT a, b, CAST(levenshtein(a, b) AS INTEGER) AS dist
 FROM cand WHERE levenshtein(a, b) <= {FUZZY_MAX_DIST}
 """
+
+
+# --------------------------------------------------------------------------
+# market-basket association rules (support / confidence / lift)
+# --------------------------------------------------------------------------
+
+#: rules reported (by pair count, deterministic tie-break).
+BASKET_TOP_K = 20
+
+
+def basket_rules(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Top-K pairwise association rules over order baskets — the
+    classic market-basket readout (support / confidence / lift,
+    Agrawal & Srikant 1994) a feature pipeline mines for co-purchase
+    features.
+
+    Scale shape (the load-bearing choices): the pair generation is a
+    self-join keyed on the ORDER (baskets are small and bounded — the
+    fan-out per order is < |basket|²/2, never corpus-quadratic), and
+    both sides of that self-join are the identical distinct-items
+    subtree, so the order-keyed exchange is planned once and reused.
+    Pair counts aggregate map-side; only the TOP-K pairs (a TakeOrdered
+    heap, count desc, then (item_a, item_b) asc) join back against the
+    per-item counts, and those two joins BROADCAST the 20-row side —
+    the item-count table never moves. n_orders is a 1-row broadcast.
+
+    Exactness: support/confidence are single divisions of exact
+    counts; lift = (n * c_xy) / (c_x * c_y) with both products in
+    decimal(38,0) (int64 overflows at ~3e9 baskets) and ONE double
+    division — bit-identical cross-engine (VARCHAR-mediated cast in
+    the DuckDB twin).
+    """
+    d38 = "decimal(38,0)"
+    items = lineitem.select(
+        F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = items.select("oid", F.col("item").alias("item_a"))
+    b = items.select("oid", F.col("item").alias("item_b"))
+    pair_counts = (
+        a.join(b, "oid")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    top = pair_counts.orderBy(
+        F.col("c_xy").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(BASKET_TOP_K)
+    item_counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    n_orders = orders.agg(F.count(F.lit(1)).alias("n_orders"))
+    joined = (
+        item_counts.join(
+            F.broadcast(top), F.col("item") == F.col("item_a")
+        )
+        .select("item_a", "item_b", "c_xy", F.col("c").alias("c_x"))
+        .alias("j1")
+    )
+    joined2 = item_counts.join(
+        F.broadcast(joined), F.col("item") == F.col("item_b")
+    ).select("item_a", "item_b", "c_xy", "c_x", F.col("c").alias("c_y"))
+    out = joined2.crossJoin(F.broadcast(n_orders))
+    support = F.col("c_xy").cast("double") / F.col("n_orders").cast("double")
+    confidence = F.col("c_xy").cast("double") / F.col("c_x").cast("double")
+    lift = (
+        (F.col("n_orders").cast(d38) * F.col("c_xy").cast(d38)).cast("double")
+        / (F.col("c_x").cast(d38) * F.col("c_y").cast(d38)).cast("double")
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "c_xy",
+        "c_x",
+        "c_y",
+        support.alias("support"),
+        confidence.alias("confidence"),
+        lift.alias("lift"),
+    ).orderBy(F.col("c_xy").desc(), "item_a", "item_b")
+
+
+def basket_rules_sql() -> str:
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+),
+pair_counts AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS c_xy
+  FROM items a JOIN items b USING (oid)
+  WHERE a.item < b.item
+  GROUP BY a.item, b.item
+),
+top AS (
+  SELECT * FROM pair_counts
+  ORDER BY c_xy DESC, item_a ASC, item_b ASC LIMIT {BASKET_TOP_K}
+),
+item_counts AS (SELECT item, COUNT(*) AS c FROM items GROUP BY item),
+n_t AS (SELECT COUNT(*) AS n_orders FROM orders)
+SELECT t.item_a, t.item_b, t.c_xy, x.c AS c_x, y.c AS c_y,
+       CAST(t.c_xy AS DOUBLE) / CAST(n.n_orders AS DOUBLE) AS support,
+       CAST(t.c_xy AS DOUBLE) / CAST(x.c AS DOUBLE) AS confidence,
+       CAST(CAST(CAST(n.n_orders AS HUGEINT) * CAST(t.c_xy AS HUGEINT)
+                 AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(x.c AS HUGEINT) * CAST(y.c AS HUGEINT)
+                     AS VARCHAR) AS DOUBLE) AS lift
+FROM top t
+JOIN item_counts x ON x.item = t.item_a
+JOIN item_counts y ON y.item = t.item_b
+CROSS JOIN n_t n
+ORDER BY t.c_xy DESC, t.item_a, t.item_b
+"""

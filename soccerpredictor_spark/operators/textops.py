@@ -2471,3 +2471,176 @@ SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(majority) AS BIGINT) AS majority_keep
 FROM voted GROUP BY source ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# Simpson diversity (token concentration) per source
+# --------------------------------------------------------------------------
+
+
+def simpson_diversity(docs: DataFrame) -> DataFrame:
+    """Per-source token concentration via the Simpson index — the
+    RNG-free diversity screen a curation pipeline runs to catch
+    template/boilerplate-dominated sources: collision_prob is the
+    exact probability two tokens drawn without replacement from the
+    source are the SAME type, Σc(c-1)/(n(n-1)).
+
+    Unlike Shannon entropy this needs no runtime log (whose last ulp
+    differs between JVM Math and libm): both numerator and
+    denominator are exact integer sums, accumulated as decimal(38,0)
+    because c² overflows int64 once one token type exceeds ~3e9
+    occurrences, and the index is ONE double division. Scale: one
+    explode pass, a (source, token) map-side-combinable count, a
+    tiny per-source rollup; only counts shuffle, never text.
+    """
+    d38 = "decimal(38,0)"
+    tok = fan_out(docs).select(
+        "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    per_tok = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_tok.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.col("c").cast(d38) * (F.col("c") - 1).cast(d38)
+        ).alias("coll"),
+    )
+    cp = F.when(
+        F.col("n_tokens") > 1,
+        F.col("coll").cast("double")
+        / (
+            F.col("n_tokens").cast(d38) * (F.col("n_tokens") - 1).cast(d38)
+        ).cast("double"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        cp.alias("collision_prob"),
+        (F.lit(1.0) - cp).alias("diversity"),
+    ).orderBy("source")
+
+
+def simpson_diversity_sql() -> str:
+    toks = _sql_tokens("lower(text)")
+    return f"""
+WITH tok AS (SELECT source, unnest({toks}) AS w FROM documents),
+per_tok AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+agg AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct,
+         SUM(CAST(c AS HUGEINT) * CAST(c - 1 AS HUGEINT)) AS coll
+  FROM per_tok GROUP BY source
+)
+SELECT source, n_tokens, n_distinct,
+       CASE WHEN n_tokens > 1 THEN
+         CAST(CAST(coll AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(CAST(n_tokens AS HUGEINT)
+                       * CAST(n_tokens - 1 AS HUGEINT) AS VARCHAR) AS DOUBLE)
+       END AS collision_prob,
+       1.0 - CASE WHEN n_tokens > 1 THEN
+         CAST(CAST(coll AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(CAST(n_tokens AS HUGEINT)
+                       * CAST(n_tokens - 1 AS HUGEINT) AS VARCHAR) AS DOUBLE)
+       END AS diversity
+FROM agg ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# edit-distance-1 key join via deletion-neighborhood blocking (FastSS)
+# --------------------------------------------------------------------------
+
+#: prefix length used as the join key.
+EDIT_KEY_LEN = 12
+
+
+def edit_distance_join(docs: DataFrame) -> DataFrame:
+    """All pairs of distinct doc-key prefixes within edit distance 1,
+    via FastSS deletion-neighborhood blocking (Bocek et al. 2007) —
+    the fuzzy-match primitive for typo-tolerant dedup/entity
+    resolution. Key = first 12 chars of the lowercased text.
+
+    Two keys are within edit distance 1 iff they share a member of
+    their deletion neighborhoods (the key itself + every delete-one
+    variant, <= L+1 strings), so candidate generation is a linear
+    explode + an equi-join on the variant — NEVER an all-pairs
+    levenshtein. The join self-shuffles the (variant, key) table on
+    the variant (both sides are the identical subtree, so the
+    exchange is reused); candidates are deduped and verified with one
+    levenshtein call per surviving pair (identical DP both engines).
+
+    Scale: neighborhood size is bounded by the key length; bucket
+    sizes are bounded by near-dup density (the same argument as the
+    minhash LSH bands). Keys collapse to one representative (min
+    doc_id) BEFORE blocking, so volume is distinct-key-bounded.
+    """
+    key = F.lower(F.substring(F.col("text"), 1, EDIT_KEY_LEN))
+    keys = (
+        fan_out(docs)
+        .select(key.alias("k"), "doc_id")
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("rep_id"))
+    )
+    variants = keys.select(
+        "k",
+        "rep_id",
+        F.explode(
+            F.expr("sequence(0, length(k))")
+        ).alias("pos"),
+    ).select(
+        "k",
+        "rep_id",
+        F.when(F.col("pos") == 0, F.col("k"))
+        .otherwise(
+            F.concat(
+                F.expr("substring(k, 1, pos - 1)"),
+                F.expr("substring(k, pos + 1)"),
+            )
+        )
+        .alias("variant"),
+    )
+    a = variants.select(
+        F.col("variant"), F.col("k").alias("key_a"), F.col("rep_id").alias("doc_a")
+    )
+    b = variants.select(
+        F.col("variant"), F.col("k").alias("key_b"), F.col("rep_id").alias("doc_b")
+    )
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("key_a", "key_b"))
+        .filter(F.col("dist") <= 1)
+        .orderBy("key_a", "key_b")
+    )
+
+
+def edit_distance_join_sql() -> str:
+    return f"""
+WITH keys AS (
+  SELECT lower(substr(text, 1, {EDIT_KEY_LEN})) AS k,
+         MIN(doc_id) AS rep_id
+  FROM documents GROUP BY 1
+),
+variants AS (
+  SELECT k, rep_id,
+         CASE WHEN g = 0 THEN k
+              ELSE substr(k, 1, g - 1) || substr(k, g + 1) END AS variant
+  FROM keys, LATERAL (SELECT unnest(range(0, length(k) + 1)) AS g)
+),
+cand AS (
+  SELECT DISTINCT a.k AS key_a, b.k AS key_b,
+                  a.rep_id AS doc_a, b.rep_id AS doc_b
+  FROM variants a JOIN variants b USING (variant)
+  WHERE a.k < b.k
+)
+SELECT key_a, key_b, doc_a, doc_b,
+       levenshtein(key_a, key_b) AS dist
+FROM cand
+WHERE levenshtein(key_a, key_b) <= 1
+ORDER BY key_a, key_b
+"""

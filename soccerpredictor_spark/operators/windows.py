@@ -1857,9 +1857,10 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     quartiles 1..4 and customers roll up per 3-digit segment code
     (rfm = r*100 + f*10 + m, 4 = best).
 
-    Recency quartiles are computed on the last-order DATE directly
-    (more recent = higher quartile), so no global "today" anchor is
-    needed. Quartile edges are percentile_disc SELECTIONS (actual
+    Recency quartiles are computed on the last-order date directly
+    (as integer epoch days — Spark's percentile_disc takes numerics
+    only; more recent = higher quartile), so no global "today" anchor
+    is needed. Quartile edges are percentile_disc SELECTIONS (actual
     attained values) of the per-customer table, broadcast as one row;
     scoring is pure comparisons, so everything is integer/date-exact
     and engine-portable — no interpolated quantiles, no RNG.
@@ -1871,7 +1872,11 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     the 25/50/75 percentile_disc selections.
     """
     per_cust = orders.groupBy("o_custkey").agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        F.max(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+        ).alias("last_date"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(
             F.round(F.col("o_totalprice") * 100)
@@ -1934,7 +1939,8 @@ def rfm_segments_sql() -> str:
     return f"""
 WITH per_cust AS (
   SELECT o_custkey,
-         MAX(CAST(o_orderdate AS DATE)) AS last_date,
+         MAX(CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS INTEGER)) AS last_date,
          COUNT(*) AS freq,
          SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
            AS cents

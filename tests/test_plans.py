@@ -1141,3 +1141,94 @@ def test_label_vote_pure_projection_single_agg(spark, sf001):
     assert "Join" not in plan
     # groupBy(source) + the output-order rangepartitioning only
     assert plan.count("hashpartitioning(") == 1
+
+
+def test_calibration_bins_single_scan_tiny_agg(spark, sf001):
+    """Calibration: bin membership is scan-side integer arithmetic
+    feeding a 10-key map-side-combinable aggregation — one scan, no
+    joins, no Python."""
+    plan = _plan(entry.queries()["calibration_bins"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ks_drift_bucket_partitioned_prefix(spark, sf001):
+    """KS: the row-scale prefix window is PARTITIONED by the value
+    bucket (parallel prefix sum, the roc_auc shape); the bucket cums
+    join back broadcast; no global sort over row-scale data."""
+    plan = _plan(entry.queries()["ks_drift"](spark, sf001))
+    assert "windowspecdefinition(bucket" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ips_single_scan_o1_state(spark, sf001):
+    """IPS/SNIPS: one scan, one O(1)-state aggregation, zero joins —
+    the match indicator and reward are scan projections."""
+    plan = _plan(entry.queries()["ips_policy_eval"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "PushedFilters: [In(event_type" in _formatted(
+        entry.queries()["ips_policy_eval"](spark, sf001)
+    )
+
+
+def test_negative_sampling_union_tag_no_double_positives(spark, sf001):
+    """Negative sampling: the anti-join is the union-tag aggregation,
+    so the positives subtree (orders ⋈ lineitem) appears ONCE — no
+    SMJ, the item-domain size is a 1-row broadcast."""
+    plan = _plan(entry.queries()["negative_sampling"](spark, sf001))
+    assert plan.count("FileScan parquet") <= 4  # orders x2 + lineitem + part
+    assert plan.count("Union") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_twap_window_then_agg_one_user_shuffle(spark, sf001):
+    """TWAP: the lead window and the user aggregation share the
+    user_id hash partitioning — the fact table shuffles once."""
+    plan = _plan(entry.queries()["time_weighted_average"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan
+
+
+def test_rfm_broadcast_edges_tiny_rollup(spark, sf001):
+    """RFM: quartile edges are a 1-row broadcast against the
+    per-customer table; the segment rollup is a <=64-key agg; no SMJ."""
+    plan = _plan(entry.queries()["rfm_segments"](spark, sf001))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row edges cross join
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan") == 2  # per_cust + edges branches
+
+
+def test_simpson_counts_only_shuffle(spark, sf001):
+    """Simpson diversity: one explode pass; the (source, token) agg is
+    map-side combinable and only counts shuffle — never text; no
+    Python, no joins."""
+    plan = _plan(entry.queries()["simpson_diversity"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+    assert "Generate explode" in plan
+
+
+def test_edit_distance_join_variant_blocked(spark, sf001):
+    """FastSS join: candidates come from an equi-join on the deletion
+    variant (never a cartesian/levenshtein-everywhere pass); the
+    verify filter touches only candidate pairs."""
+    plan = _plan(entry.queries()["edit_distance_join"](spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+    # the candidate join is keyed on the deletion variant (broadcast
+    # at fixture scale, shuffle at corpus scale — either is variant-keyed)
+    assert "Join [variant" in plan
+
+
+def test_basket_rules_order_keyed_pairs_broadcast_topk(spark, sf001):
+    """Basket rules: the pair self-join is keyed on the ORDER (bounded
+    baskets), the top-K pair set joins the item counts BROADCAST, and
+    the corpus size is a 1-row broadcast — the item-count table never
+    shuffles into a join."""
+    plan = _plan(entry.queries()["basket_rules"](spark, sf001))
+    assert "hashpartitioning(oid" in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # self-join + 2 top-K joins
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
