@@ -230,6 +230,35 @@ ORDER BY feature, category
 #: equal-frequency bin count for quantile_bins.
 QB_BINS = 10
 
+#: session-lifetime cache for the shared price-decile edge vector
+#: (quantile_bins + decile_lift build the IDENTICAL 9x percentile_disc
+#: aggregation; within one session the family pays it once).
+_PRICE_EDGES_CACHE: dict = {}
+
+
+def _price_decile_edges(orders: DataFrame, n_bins: int) -> DataFrame:
+    """The (n_bins - 1)-column percentile_disc edge vector over
+    o_totalprice, materialized once per (session, input plan) via
+    ``plan_keyed_cache`` — a 1-row localCheckpoint, so the second
+    family member's build costs zero jobs (the temp-view contract;
+    see operators/scale.py::plan_keyed_cache / clear_caches)."""
+    from soccerpredictor_spark.operators.scale import plan_keyed_cache
+
+    def build() -> DataFrame:
+        qs = [i / n_bins for i in range(1, n_bins)]
+        edges = orders.agg(
+            *[
+                F.expr(
+                    f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
+                ).alias(f"e{i}")
+                for i, q in enumerate(qs, start=1)
+            ]
+        )
+        return edges.localCheckpoint(eager=True)
+
+    return plan_keyed_cache(_PRICE_EDGES_CACHE, orders, ("price_edges", n_bins), build)
+
+
 
 def quantile_bins(orders: DataFrame) -> DataFrame:
     """Equal-frequency (quantile) discretization of a numeric feature
@@ -244,15 +273,7 @@ def quantile_bins(orders: DataFrame) -> DataFrame:
     the naive single-partition ranking shape is exactly what this
     operator avoids at 100 TB.
     """
-    qs = [i / QB_BINS for i in range(1, QB_BINS)]
-    edges = orders.agg(
-        *[
-            F.expr(
-                f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
-            ).alias(f"e{i}")
-            for i, q in enumerate(qs, start=1)
-        ]
-    )
+    edges = _price_decile_edges(orders, QB_BINS)
     bin_expr = reduce(
         lambda acc, i: acc
         + F.when(F.col("o_totalprice") > F.col(f"e{i}"), 1).otherwise(0),
@@ -425,15 +446,7 @@ def decile_lift(orders: DataFrame) -> DataFrame:
     (cum_pos * n_total) / (cum_n * pos_total) is one double
     expression.
     """
-    qs = [i / LIFT_BINS for i in range(1, LIFT_BINS)]
-    edges = orders.agg(
-        *[
-            F.expr(
-                f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
-            ).alias(f"e{i}")
-            for i, q in enumerate(qs, start=1)
-        ]
-    )
+    edges = _price_decile_edges(orders, LIFT_BINS)
     asc_bin = reduce(
         lambda acc, i: acc
         + F.when(F.col("o_totalprice") > F.col(f"e{i}"), 1).otherwise(0),
@@ -752,8 +765,11 @@ def subsample_ci(orders: DataFrame) -> DataFrame:
     subsampling; the hash-gated replicate trick makes it exact-
     reproducible on any engine, no RNG state).
 
-    Each of the 32 replicates is an expected-50% Bernoulli subsample
-    gated by md5(rep:orderkey); the replicate means' 2.5%/97.5%
+    Replicate k is the expected-50% Bernoulli subsample selected by
+    BIT k of md5('ci' || orderkey) — ONE md5 per row gates all 32
+    replicates (an md5-per-(rep,row) gate costs 32x the hash work,
+    the dominant CPU at 100 TB; the 32 low bits of one md5 are
+    independent Bernoullis). The replicate means' 2.5%/97.5%
     percentile_disc SELECTIONS (actual double values, no
     interpolation arithmetic) form the interval.
 
@@ -775,22 +791,26 @@ def subsample_ci(orders: DataFrame) -> DataFrame:
         F.col("id").alias("rep")
     )
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bits = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ci"), F.col("k").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
     member = (
-        orders.select(F.col("o_orderkey").alias("k"), cents.alias("cents"))
+        orders.select(
+            F.col("o_orderkey").alias("k"), cents.alias("cents")
+        )
+        .select("cents", bits.alias("bits"))
         .crossJoin(F.broadcast(spark_reps))
         .filter(
+            # greatest(rep, 0): vectorized engines evaluate BOTH OR
+            # branches, and a shift by -1 is engine-defined garbage
             (F.col("rep") == -1)
             | (
-                _md5_mod(
-                    "ci",
-                    F.concat(
-                        F.col("rep").cast("string"),
-                        F.lit(":"),
-                        F.col("k").cast("string"),
-                    ),
-                    2,
-                )
-                == 0
+                F.expr("shiftright(bits, greatest(CAST(rep AS INT), 0))") % 2
+                == 1
             )
         )
     )
@@ -813,7 +833,7 @@ def subsample_ci(orders: DataFrame) -> DataFrame:
     # The summary (interval + point estimate) rides ONE global window
     # over the 33-row per table instead of a second aggregation branch
     # (a branch re-instantiates the scan+fan-out subtree: two full
-    # scans + double the md5 work, verified in the physical plan).
+    # scans, verified in the physical plan).
     # With n <= 39 replicates, percentile_disc(0.025)/(0.975) SELECT
     # the min/max replicate mean (ceil(0.025*n) = 1, ceil(0.975*n)
     # = n), so min/max over the window IS the disc selection — the
@@ -847,28 +867,37 @@ def subsample_ci(orders: DataFrame) -> DataFrame:
 
 
 def subsample_ci_sql() -> str:
-    gate = _sql_md5_mod("ci", "CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)", 2)
     return f"""
-WITH reps AS (SELECT unnest(range(0, {CI_REPLICATES})) AS rep),
+WITH reps AS (SELECT unnest(range(-1, {CI_REPLICATES})) AS rep),
+rows_h AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST('0x' || substr(md5('ci' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+              AS BIGINT) AS bits
+  FROM orders
+),
 member AS (
-  SELECT rep, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders CROSS JOIN reps
-  WHERE {gate} = 0
+  SELECT rep, cents
+  FROM rows_h CROSS JOIN reps
+  WHERE rep = -1 OR (bits >> GREATEST(rep, 0)) % 2 = 1
 ),
 per AS (
   SELECT rep, COUNT(*) AS n_rows,
-         CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
-           AS rep_mean
+         CAST(CAST(SUM(CAST(cents AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) / 100.0 AS rep_mean
   FROM member GROUP BY rep
 ),
-ci AS (SELECT quantile_disc(rep_mean, {CI_LO_Q}) AS ci_lo,
-              quantile_disc(rep_mean, {CI_HI_Q}) AS ci_hi FROM per),
-pt AS (SELECT COUNT(*) AS n_total,
-              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
-                / CAST(COUNT(*) AS DOUBLE) / 100.0 AS point_mean
-       FROM orders)
+win AS (
+  SELECT rep, n_rows, rep_mean,
+         quantile_disc(rep_mean, {CI_LO_Q})
+           FILTER (WHERE rep >= 0) OVER () AS ci_lo,
+         quantile_disc(rep_mean, {CI_HI_Q})
+           FILTER (WHERE rep >= 0) OVER () AS ci_hi,
+         MAX(CASE WHEN rep = -1 THEN rep_mean END) OVER () AS point_mean,
+         MAX(CASE WHEN rep = -1 THEN n_rows END) OVER () AS n_total
+  FROM per
+)
 SELECT rep, n_rows, rep_mean, ci_lo, ci_hi, point_mean, n_total
-FROM per CROSS JOIN ci CROSS JOIN pt ORDER BY rep
+FROM win WHERE rep >= 0 ORDER BY rep
 """
 
 

@@ -229,7 +229,8 @@ def plan_keyed_cache(cache: dict, df_in: DataFrame, extra_key, build, max_entrie
 def clear_caches() -> int:
     """Empty every ``plan_keyed_cache`` store in the package (graph
     edge lists, minhash verified pairs, dedup CC labels, embedding
-    near-dup pairs) and return how many entries were dropped.
+    near-dup pairs, shared price-decile edges) and return how many
+    entries were dropped.
 
     The cache key is (analyzed plan, params, session) — it cannot see
     files behind an input path being overwritten mid-session, so any
@@ -240,13 +241,14 @@ def clear_caches() -> int:
     already-materialized checkpoint handles; dropping them affects
     future lookups only.
     """
-    from soccerpredictor_spark.operators import dedup, graph, similarity
+    from soccerpredictor_spark.operators import dedup, graph, mlprep, similarity
 
     stores = (
         graph._EDGE_CACHE,
         dedup._MINHASH_PAIR_CACHE,
         dedup._LABEL_CACHE,
         similarity._PAIR_CACHE,
+        mlprep._PRICE_EDGES_CACHE,
     )
     n = sum(len(s) for s in stores)
     for s in stores:

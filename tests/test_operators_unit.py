@@ -694,3 +694,25 @@ class TestPlanKeyedCache:
                 cache, spark.range(100 + i), None, lambda: None, max_entries=4
             )
         assert len(cache) <= 4
+
+
+def test_price_decile_edges_shared_across_family(spark):
+    """quantile_bins and decile_lift share one materialized edge
+    vector per (session, input plan): the second family member's
+    build must reuse the first's localCheckpoint, and clear_caches()
+    must drop it."""
+    from soccerpredictor_spark.operators import mlprep
+    from soccerpredictor_spark.operators.scale import clear_caches
+
+    clear_caches()
+    orders = spark.createDataFrame(
+        [(k, float(k)) for k in range(100)], ["o_orderkey", "o_totalprice"]
+    )
+    e1 = mlprep._price_decile_edges(orders, 10)
+    e2 = mlprep._price_decile_edges(orders, 10)
+    assert e2 is e1  # cache hit -> the same materialized handle
+    e3 = mlprep._price_decile_edges(orders, 4)
+    assert e3 is not e1  # different bin count -> different entry
+    assert clear_caches() >= 2
+    e4 = mlprep._price_decile_edges(orders, 10)
+    assert e4 is not e1  # cleared -> rebuilt
