@@ -522,6 +522,50 @@ def _q_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
         read_table(spark, sf, "orders"), read_table(spark, sf, "lineitem")
     )
 
+def _q_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
+    # Islands & gaps: merged activity covers per user, one window pass.
+    from soccerpredictor_spark.operators import timeseries
+
+    return timeseries.interval_merge(read_table(spark, sf, "events"))
+
+
+def _q_linear_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    # Hourly-grid linear interpolation via the union-window as-of trick.
+    from soccerpredictor_spark.operators import timeseries
+
+    return timeseries.linear_interpolate(read_table(spark, sf, "events"))
+
+
+def _q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    # Reciprocal-rank fusion of price/recency rankings per customer.
+    return _mlprep_mod().rrf_fusion(read_table(spark, sf, "orders"))
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-language pieces-per-word / chars-per-piece cost forecast.
+    return textops.tokenizer_fertility(read_table(spark, sf, "documents"))
+
+
+def _q_media_scene_segments(spark: SparkSession, sf: str) -> DataFrame:
+    # Shot-boundary segmentation over stub-decoded frame signatures.
+    from soccerpredictor_spark.operators import multimodal
+
+    media = multimodal.media_from_documents(read_table(spark, sf, "documents"))
+    return multimodal.media_scene_segments(media)
+
+def _q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    # Row-level reconciliation of two synthetic table versions.
+    from soccerpredictor_spark.sources.upsert import snapshot_diff_orders
+
+    return snapshot_diff_orders(read_table(spark, sf, "orders"))
+
+
+def _q_delta_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    # Segment contribution to the period-over-period topline delta.
+    return windows.delta_attribution(read_table(spark, sf, "events"))
+
+
+
 
 def _q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     return psq.q2_min_cost_supplier(
@@ -1827,6 +1871,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpson_diversity": _q_simpson_diversity,
         "edit_distance_join": _q_edit_distance_join,
         "basket_rules": _q_basket_rules,
+        "interval_merge": _q_interval_merge,
+        "linear_interpolate": _q_linear_interpolate,
+        "rrf_fusion": _q_rrf_fusion,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "media_scene_segments": _q_media_scene_segments,
+        "snapshot_diff": _q_snapshot_diff,
+        "delta_attribution": _q_delta_attribution,
         # --- r5-green ML surfaces; accuracy oracle needs its driver row ---
         "ml_train_many_accuracy": _q_ml_train_many_accuracy,
         "ml_train_many": _q_ml_train_many,
@@ -2061,6 +2112,13 @@ def oracle_sql() -> dict[str, str]:
         "simpson_diversity": textops.simpson_diversity_sql(),
         "edit_distance_join": textops.edit_distance_join_sql(),
         "basket_rules": _joins_mod().basket_rules_sql(),
+        "interval_merge": _timeseries_mod().interval_merge_sql(),
+        "linear_interpolate": _timeseries_mod().linear_interpolate_sql(),
+        "rrf_fusion": _mlprep_mod().rrf_fusion_sql(),
+        "tokenizer_fertility": textops.tokenizer_fertility_sql(),
+        "media_scene_segments": _multimodal_mod().media_scene_segments_sql(),
+        "snapshot_diff": _snapshot_diff_sql(),
+        "delta_attribution": windows.delta_attribution_sql(),
         "scd2_intervals": windows.scd2_intervals_sql(),
         "group_sample_topk": textops.group_sample_topk_sql(),
         "bm25_search": textops.bm25_search_sql(),
@@ -2486,3 +2544,15 @@ def _joins_mod():
     from soccerpredictor_spark.operators import joins
 
     return joins
+
+
+def _timeseries_mod():
+    from soccerpredictor_spark.operators import timeseries
+
+    return timeseries
+
+
+def _snapshot_diff_sql() -> str:
+    from soccerpredictor_spark.sources.upsert import snapshot_diff_orders_sql
+
+    return snapshot_diff_orders_sql()

@@ -43,6 +43,24 @@ OPS = [
     "roc_auc",
     "skyline_pareto",
     "bloom_probe",
+    # round-8 registrations whose scaling shapes matter: the KS and CI
+    # prefix/fan-out paths must stay linear; the FastSS variant join
+    # and the basket pair join are the two bounded-fan-out candidates;
+    # negative_sampling's union-tag aggregation is the big shuffle;
+    # simpson's token counts and ndcg's per-customer windows are the
+    # explode-bound paths.
+    "subsample_ci",
+    "ks_drift",
+    "ndcg_at_k",
+    "grouped_ols",
+    "rfm_segments",
+    "corr_matrix",
+    "attribution",
+    "time_weighted_average",
+    "simpson_diversity",
+    "edit_distance_join",
+    "basket_rules",
+    "negative_sampling",
 ]
 SFS = [
     ("sf0.01", "/root/testdata/sf0.01"),
@@ -71,10 +89,18 @@ def main() -> None:
         from soccerpredictor_spark.operators import similarity
         from soccerpredictor_spark.sources.catalog import read_table
 
+        import gc
+
         t0 = time.monotonic()
         try:
             n = qs[op](spark, sf_dir).count()
-            return time.monotonic() - t0, n
+            dt = time.monotonic() - t0
+            # release checkpoint/persist blocks promptly (the bench.py
+            # discipline) — without this, blocks pinned by the dedup /
+            # graph families degrade every LATER cell 5-10x (observed:
+            # rfm_segments 0.7s warm -> 6.5s in the timed pass)
+            gc.collect()
+            return dt, n
         except RuntimeError as e:
             if "candidate-pair bound" not in str(e):
                 raise

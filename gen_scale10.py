@@ -131,6 +131,12 @@ def main() -> None:
     for tname, key_cols in (
         ("orders", {"o_orderkey": DOC_ID_STRIDE, "o_custkey": 1_000_000}),
         ("customer", {"c_custkey": 1_000_000}),
+        # lineitem shards ride the SAME orderkey offsets as orders, so
+        # orders ⋈ lineitem stays shard-local; l_partkey is copied
+        # verbatim -> per-order basket structure (and the pair fan-out
+        # of basket_rules) is identical per shard, item counts scale
+        # exactly 10x: expected curve linear in rows.
+        ("lineitem", {"l_orderkey": DOC_ID_STRIDE}),
     ):
         t = con.execute(
             f"SELECT * FROM read_parquet('{SRC}/{tname}.parquet')"
@@ -150,6 +156,16 @@ def main() -> None:
         )
         pq.write_table(cast_t, os.path.join(OUT, f"{tname}.parquet"))
         print(f"{tname}: {len(allt)} rows ({len(t)} x {SHARDS})")
+
+    # small dimensions copied verbatim (broadcast sides; their size is
+    # not part of any scaling hypothesis)
+    import shutil
+
+    for dim in ("nation", "region", "part", "supplier"):
+        srcp = os.path.join(SRC, f"{dim}.parquet")
+        if os.path.exists(srcp):
+            shutil.copyfile(srcp, os.path.join(OUT, f"{dim}.parquet"))
+            print(f"{dim}: copied verbatim")
 
 
 if __name__ == "__main__":

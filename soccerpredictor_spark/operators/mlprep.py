@@ -1799,3 +1799,89 @@ GROUP BY user_id
 HAVING SUM(is_pos) >= 1
 ORDER BY user_id
 """
+
+# --------------------------------------------------------------------------
+# reciprocal-rank fusion of two per-customer rankings
+# --------------------------------------------------------------------------
+
+#: the RRF smoothing constant (Cormack et al. 2009's k = 60).
+RRF_K = 60
+
+
+def rrf_fusion(orders: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings — the standard way to
+    merge heterogeneous retrieval scores (BM25 + dense, or here: each
+    customer's orders ranked by price and by recency) without score
+    calibration: rrf = Σ 1/(k + rank_i), k = 60.
+
+    Exactness: ranks are integer row_numbers from two windows over
+    the SAME customer partitioning (one shuffle, two in-partition
+    sorts); rrf is the two-term sum 1/(60+r1) + 1/(60+r2) — a FIXED
+    two-operand double expression, not an order-dependent reduction —
+    identical in both engines. Output: each customer's top fused
+    order (max_by on the (rrf, -orderkey) pair, deterministic).
+    """
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w_date = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w_price).alias("r_price"),
+        F.row_number().over(w_date).alias("r_date"),
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("r_price").cast("double"))
+        + F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("r_date").cast("double"))
+    )
+    scored = ranked.select(
+        "o_custkey", "o_orderkey", "r_price", "r_date", rrf.alias("rrf")
+    )
+    # top fused order per customer: smallest (r_price + r_date) sum is
+    # NOT equivalent — rrf's harmonic weighting must decide; tie-break
+    # on the smaller orderkey via min_by on a (-rrf, orderkey) struct.
+    best = scored.groupBy("o_custkey").agg(
+        F.min_by(
+            F.struct("o_orderkey", "r_price", "r_date", "rrf"),
+            F.struct(-F.col("rrf"), F.col("o_orderkey")),
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return best.select(
+        "o_custkey",
+        F.col("b.o_orderkey").alias("best_orderkey"),
+        F.col("b.r_price").alias("r_price"),
+        F.col("b.r_date").alias("r_date"),
+        F.col("b.rrf").alias("rrf"),
+        "n_orders",
+    ).orderBy("o_custkey")
+
+
+def rrf_fusion_sql() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS r_price,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey ASC) AS r_date
+  FROM orders
+),
+scored AS (
+  SELECT *, CAST(1.0 AS DOUBLE) / ({RRF_K} + CAST(r_price AS DOUBLE))
+            + CAST(1.0 AS DOUBLE) / ({RRF_K} + CAST(r_date AS DOUBLE)) AS rrf
+  FROM ranked
+),
+best AS (
+  SELECT o_custkey, o_orderkey AS best_orderkey, r_price, r_date, rrf,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+           ORDER BY rrf DESC, o_orderkey ASC) AS rn
+  FROM scored
+)
+SELECT o_custkey, best_orderkey, r_price, r_date, rrf, n_orders
+FROM best WHERE rn = 1 ORDER BY o_custkey
+"""

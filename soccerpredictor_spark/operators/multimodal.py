@@ -362,3 +362,112 @@ SELECT media_a, media_b, shared_chunks, n_chunks_a, n_chunks_b,
 FROM pairs
 WHERE shared_chunks >= {MIN_SHARED_CHUNKS}
 """
+
+
+# --------------------------------------------------------------------------
+# scene segmentation over sampled video frames (stubbed decode)
+# --------------------------------------------------------------------------
+
+#: frames sampled per video and the boundary threshold on the fake
+#: frame-signature distance (signatures are md5-derived ints mod 1000).
+SCENE_FRAMES = 12
+SCENE_SIG_MOD = 1000
+SCENE_THRESHOLD = 400
+
+
+def media_scene_segments(media: DataFrame) -> DataFrame:
+    """Scene segmentation plumbing for video: sample SCENE_FRAMES
+    frames per video, compute a per-frame signature, and cut a scene
+    boundary wherever consecutive signatures differ by more than the
+    threshold — the shot-boundary-detection shape (pairwise frame
+    difference -> threshold -> segment rollup) with the actual pixel
+    decode STUBBED (this container has no codecs): the signature is
+    md5(payload_fp ':' frame_idx) mod 1000, a deterministic fake that
+    exercises the real distribution — payload fingerprints come
+    through the Arrow-batched mapInPandas decode path, the frame
+    fan-out is a zero-shuffle explode, and the boundary pass is ONE
+    media-keyed window over <= 12 rows per video. Blobs never
+    shuffle; only (media_id, fingerprint) leaves the decode stage.
+    """
+    from pyspark.sql import Window
+
+    fp = extract_features(media.filter(F.col("kind") == "video")).select(
+        "media_id", "payload_fp"
+    )
+    frames = fp.select(
+        "media_id",
+        "payload_fp",
+        F.explode(F.expr(f"sequence(0, {SCENE_FRAMES - 1})")).alias("frame_idx"),
+    )
+    sig = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("payload_fp"),
+                        F.lit(":"),
+                        F.col("frame_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SCENE_SIG_MOD
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    sigs = frames.select("media_id", "frame_idx", sig.alias("sig"))
+    marked = sigs.select(
+        "media_id",
+        "frame_idx",
+        "sig",
+        F.when(
+            F.abs(F.col("sig") - F.lag("sig").over(w)) > SCENE_THRESHOLD, 1
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    return (
+        marked.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            (F.sum("boundary") + 1).alias("n_scenes"),
+            F.max("sig").alias("max_sig"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def media_scene_segments_sql() -> str:
+    """DuckDB twin over documents-derived media (payload_fp =
+    md5(text); videos are doc_id % 3 = 2)."""
+    return f"""
+WITH fp AS (
+  SELECT doc_id AS media_id, md5(text) AS payload_fp
+  FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT media_id, payload_fp, gs.g AS frame_idx
+  FROM fp, LATERAL (SELECT unnest(range(0, {SCENE_FRAMES})) AS g) gs
+),
+sigs AS (
+  SELECT media_id, frame_idx,
+         CAST('0x' || substr(md5(payload_fp || ':'
+                || CAST(frame_idx AS VARCHAR)), 1, 8) AS BIGINT)
+           % {SCENE_SIG_MOD} AS sig
+  FROM frames
+),
+marked AS (
+  SELECT media_id, frame_idx, sig,
+         CASE WHEN abs(sig - lag(sig) OVER (PARTITION BY media_id
+                ORDER BY frame_idx)) > {SCENE_THRESHOLD}
+              THEN 1 ELSE 0 END AS boundary
+  FROM sigs
+)
+SELECT media_id, COUNT(*) AS n_frames,
+       CAST(SUM(boundary) + 1 AS BIGINT) AS n_scenes,
+       CAST(MAX(sig) AS BIGINT) AS max_sig
+FROM marked GROUP BY media_id ORDER BY media_id
+"""

@@ -2644,3 +2644,79 @@ FROM cand
 WHERE levenshtein(key_a, key_b) <= 1
 ORDER BY key_a, key_b
 """
+
+
+# --------------------------------------------------------------------------
+# per-language tokenizer fertility (cost forecasting)
+# --------------------------------------------------------------------------
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility — pieces per word and chars
+    per piece, the corpus-level cost forecast ("how many model tokens
+    will this language cost per word?") every multilingual training
+    run budgets with. Pieces use the BPE-ish pretokenizer of
+    ``bpe_token_stats``; words are whitespace tokens.
+
+    Single scan: all counts are regexp projections aggregated into
+    exact integer sums per language (tiny key domain); fertility and
+    chars/piece are one double division each.
+    """
+    pieces = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PIECE_RE), 0))
+    words = F.size(X.tokens("text"))
+    piece_chars = F.length(F.regexp_replace(F.col("text"), "[ \\t\\n\\r]+", ""))
+    per = fan_out(docs).select(
+        "lang",
+        pieces.alias("p"),
+        words.alias("w"),
+        piece_chars.alias("c"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("p").alias("n_pieces"),
+        F.sum("w").alias("n_words"),
+        F.sum("c").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_pieces",
+        "n_words",
+        "n_chars",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_pieces").cast("double") / F.col("n_words").cast("double"),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_pieces") > 0,
+            F.col("n_chars").cast("double") / F.col("n_pieces").cast("double"),
+        ).alias("chars_per_piece"),
+    ).orderBy("lang")
+
+
+def tokenizer_fertility_sql() -> str:
+    toks = _sql_tokens()
+    piece_re = "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+'"
+    return f"""
+WITH per AS (
+  SELECT lang,
+         len(regexp_extract_all(text, {piece_re})) AS p,
+         len({toks}) AS w,
+         length(regexp_replace(text, '[ \\t\\n\\r]+', '', 'g')) AS c
+  FROM documents
+),
+agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(p) AS BIGINT) AS n_pieces,
+         CAST(SUM(w) AS BIGINT) AS n_words,
+         CAST(SUM(c) AS BIGINT) AS n_chars
+  FROM per GROUP BY lang
+)
+SELECT lang, n_docs, n_pieces, n_words, n_chars,
+       CASE WHEN n_words > 0 THEN
+         CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) END AS fertility,
+       CASE WHEN n_pieces > 0 THEN
+         CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE) END
+         AS chars_per_piece
+FROM agg ORDER BY lang
+"""

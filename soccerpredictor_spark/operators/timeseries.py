@@ -513,3 +513,252 @@ SELECT event_type, week, cnt, prev_cnt,
        END AS pct_change
 FROM lagged
 """
+
+
+# --------------------------------------------------------------------------
+# interval merge (islands & gaps) — total covered time per user
+# --------------------------------------------------------------------------
+
+#: an event "covers" this long; overlapping covers merge (seconds).
+INTERVAL_COVER_S = 600
+
+
+def interval_merge(events: DataFrame) -> DataFrame:
+    """Merge overlapping per-user activity intervals (each event opens
+    a 10-minute cover) into maximal islands — the classic
+    islands-and-gaps problem behind uptime/engagement accounting:
+    overlapping covers must not double-count.
+
+    The island id is the running count of gap-starts (a new island
+    begins when this event's start exceeds the running max end of all
+    previous covers), computed with ONE user-keyed ordered window pass
+    — never a self-join of intervals. Integer microseconds
+    throughout; the per-user rollup reports islands, covered time and
+    the largest island. The island aggregation reuses the window's
+    user partitioning (no second fact shuffle).
+    """
+    cover_us = INTERVAL_COVER_S * 1_000_000
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("s").asc(), F.col("event_id").asc()
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, -1)
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + cover_us).alias("e"),
+    )
+    marked = base.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(
+            F.coalesce(F.max("e").over(run), F.lit(-(1 << 62))) < F.col("s"), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = marked.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("is_s"),
+        F.max("e").alias("is_e"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("is_e") - F.col("is_s")).alias("covered_us"),
+            F.max(F.col("is_e") - F.col("is_s")).alias("max_island_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def interval_merge_sql() -> str:
+    cover_us = INTERVAL_COVER_S * 1_000_000
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {cover_us} AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN COALESCE(MAX(e) OVER (PARTITION BY user_id
+                ORDER BY s ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -4611686018427387904) < s THEN 1 ELSE 0 END AS new_island
+  FROM base
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id
+           ORDER BY s ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+per_island AS (
+  SELECT user_id, island, MIN(s) AS is_s, MAX(e) AS is_e,
+         COUNT(*) AS n_events
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, COUNT(*) AS n_islands,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(is_e - is_s) AS BIGINT) AS covered_us,
+       CAST(MAX(is_e - is_s) AS BIGINT) AS max_island_us
+FROM per_island GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# linear interpolation onto a fixed time grid
+# --------------------------------------------------------------------------
+
+#: interpolation grid spacing (seconds).
+INTERP_GRID_S = 3600
+
+
+def linear_interpolate(events: DataFrame) -> DataFrame:
+    """Linearly interpolate each user's irregular value series onto an
+    hourly grid — the resampling step before any fixed-frequency
+    model (the standard as-of + interpolate pattern).
+
+    Grid points are generated per user from the user's own observed
+    span (sequence(), zero-shuffle explode); the surrounding
+    observations attach via ONE ordered union-window pass (the as-of
+    trick: union grid points and observations, last/next values ride
+    last(ignorenulls) windows) — never a range self-join.
+    interp = (v0*(t1-g) + v1*(g-t0)) / (t1-t0) with integer
+    cents x microsecond products in decimal(38,0) and ONE double
+    division — bit-identical cross-engine. Grid points outside an
+    observation pair (before first / after last obs) are NULL.
+    """
+    d38 = "decimal(38,0)"
+    grid_us = INTERP_GRID_S * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    obs = events.select(
+        "user_id", us.alias("t"), cents.alias("v"), F.lit(0).alias("is_grid")
+    )
+    span = events.groupBy("user_id").agg(
+        F.min(us).alias("t0"), F.max(us).alias("t1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(ceil(t0 / {grid_us}) AS BIGINT) * {grid_us},"
+                f" t1, CAST({grid_us} AS BIGINT))"
+            )
+        ).alias("t"),
+    ).select("user_id", "t", F.lit(None).cast("long").alias("v"), F.lit(1).alias("is_grid"))
+    unioned = obs.unionByName(grid)
+    # observations sort BEFORE a grid point at the same timestamp so
+    # an exactly-on-grid observation interpolates to itself
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t").asc(), F.col("is_grid").asc()
+    )
+    prev_w = w.rowsBetween(Window.unboundedPreceding, 0)
+    next_w = w.rowsBetween(0, Window.unboundedFollowing)
+    enriched = unioned.select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last(F.when(F.col("is_grid") == 0, F.col("t")), ignorenulls=True)
+        .over(prev_w)
+        .alias("pt"),
+        F.last(F.when(F.col("is_grid") == 0, F.col("v")), ignorenulls=True)
+        .over(prev_w)
+        .alias("pv"),
+        F.first(F.when(F.col("is_grid") == 0, F.col("t")), ignorenulls=True)
+        .over(next_w)
+        .alias("nt"),
+        F.first(F.when(F.col("is_grid") == 0, F.col("v")), ignorenulls=True)
+        .over(next_w)
+        .alias("nv"),
+    )
+    num = (
+        F.col("pv").cast(d38) * (F.col("nt") - F.col("t")).cast(d38)
+        + F.col("nv").cast(d38) * (F.col("t") - F.col("pt")).cast(d38)
+    )
+    den = (F.col("nt") - F.col("pt")).cast(d38)
+    # a grid point that coincides with an observation returns that
+    # observation even at the series edge (where the one-sided next
+    # window no longer sees the same-timestamp row)
+    interp = F.when(
+        F.col("pt") == F.col("t"), F.col("pv").cast("double") / F.lit(100.0)
+    ).when(
+        F.col("pt").isNotNull() & F.col("nt").isNotNull(),
+        F.when(
+            F.col("nt") == F.col("pt"), F.col("pv").cast("double") / F.lit(100.0)
+        ).otherwise(
+            num.cast("double") / den.cast("double") / F.lit(100.0)
+        ),
+    )
+    return (
+        enriched.filter(F.col("is_grid") == 1)
+        .select("user_id", "t", interp.alias("value_interp"))
+        .orderBy("user_id", "t")
+    )
+
+
+def linear_interpolate_sql() -> str:
+    grid_us = INTERP_GRID_S * 1_000_000
+    return f"""
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS v, 0 AS is_grid
+  FROM events
+),
+span AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, gs.g AS t, CAST(NULL AS BIGINT) AS v, 1 AS is_grid
+  FROM span,
+       LATERAL (SELECT unnest(range(
+                  CAST(ceil(t0 / {grid_us}) AS BIGINT) * {grid_us},
+                  t1 + 1, {grid_us})) AS g) gs
+),
+unioned AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+enriched AS (
+  SELECT user_id, t, is_grid,
+         last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t ASC, is_grid ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t ASC, is_grid ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t ASC, is_grid ASC
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+         first_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t ASC, is_grid ASC
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM unioned
+)
+SELECT user_id, t,
+       CASE WHEN pt = t THEN CAST(pv AS DOUBLE) / 100.0
+            WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+         CASE WHEN nt = pt THEN CAST(pv AS DOUBLE) / 100.0
+         ELSE CAST(CAST(CAST(pv AS HUGEINT) * CAST(nt - t AS HUGEINT)
+                        + CAST(nv AS HUGEINT) * CAST(t - pt AS HUGEINT)
+                        AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(CAST(nt - pt AS HUGEINT) AS VARCHAR) AS DOUBLE)
+              / 100.0
+         END
+       END AS value_interp
+FROM enriched WHERE is_grid = 1
+ORDER BY user_id, t
+"""

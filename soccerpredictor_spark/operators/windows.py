@@ -1958,3 +1958,72 @@ SELECT rfm, COUNT(*) AS n_customers,
          / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_monetary
 FROM scored GROUP BY rfm ORDER BY rfm
 """
+
+
+# --------------------------------------------------------------------------
+# period-over-period delta attribution by segment
+# --------------------------------------------------------------------------
+
+
+def delta_attribution(events: DataFrame) -> DataFrame:
+    """Which segment explains the change? Split the event stream into
+    two deterministic fortnight-parity periods and attribute the
+    total count delta to event types — the root-cause decomposition
+    ("sessions dropped 8%; checkout -12pp, search +4pp") every
+    metrics/ops review runs on a moved topline.
+
+    Exact: period = epoch-day mod 14 < 7 (pure integer arithmetic on
+    the timestamp), per-type counts and deltas are exact integers,
+    and share_of_delta = delta / total_delta is ONE double division
+    (NULL when the topline didn't move). One scan, one tiny-key
+    aggregation; the topline total attaches as a window over the
+    per-type rows (no second scan)."""
+    day = F.expr("unix_micros(ts) div 86400000000")
+    in_a = ((day % 14) < 7).cast("int")
+    per = events.groupBy("event_type").agg(
+        F.sum(in_a).alias("cnt_a"),
+        F.sum(1 - in_a).alias("cnt_b"),
+    )
+    w_all = Window.partitionBy()
+    enriched = per.select(
+        "event_type",
+        "cnt_a",
+        "cnt_b",
+        (F.col("cnt_b") - F.col("cnt_a")).alias("delta"),
+        F.sum(F.col("cnt_b") - F.col("cnt_a")).over(w_all).alias("total_delta"),
+    )
+    share = F.when(
+        F.col("total_delta") != 0,
+        F.col("delta").cast("double") / F.col("total_delta").cast("double"),
+    )
+    return enriched.select(
+        "event_type",
+        "cnt_a",
+        "cnt_b",
+        "delta",
+        "total_delta",
+        share.alias("share_of_delta"),
+    ).orderBy("event_type")
+
+
+def delta_attribution_sql() -> str:
+    return """
+WITH per AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 14 < 7
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 14 < 7
+                       THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+  FROM events GROUP BY event_type
+),
+enriched AS (
+  SELECT event_type, cnt_a, cnt_b, cnt_b - cnt_a AS delta,
+         CAST(SUM(cnt_b - cnt_a) OVER () AS BIGINT) AS total_delta
+  FROM per
+)
+SELECT event_type, cnt_a, cnt_b, delta, total_delta,
+       CASE WHEN total_delta <> 0 THEN
+         CAST(delta AS DOUBLE) / CAST(total_delta AS DOUBLE)
+       END AS share_of_delta
+FROM enriched ORDER BY event_type
+"""

@@ -205,3 +205,119 @@ def apply_cdc(
         return survivors
     keep = existing.join(latest.select(*pk), list(pk), "left_anti")
     return keep.unionByName(survivors)
+
+
+# --------------------------------------------------------------------------
+# snapshot diff: row-level reconciliation of two table versions
+# --------------------------------------------------------------------------
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, pk: str, hash_cols: list[str]) -> DataFrame:
+    """Row-level diff of two snapshots of the same table — the
+    reconciliation report every CDC/replication pipeline runs to
+    audit an apply (did the upsert produce exactly the expected adds/
+    removes/changes?): full-outer join on the primary key, rows
+    classified by presence and by an md5 row fingerprint over the
+    compared columns.
+
+    Scale: ONE key-shuffle join (co-partitionable/bucketable on the
+    PK); the fingerprint is computed scan-side so the exchange
+    carries (pk, 32-byte hash), never the row payload. Classification
+    and counts are exact; output is 4 rows.
+    """
+    def fp(df: DataFrame) -> F.Column:
+        return F.md5(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in hash_cols])
+        )
+
+    lo = old.select(F.col(pk).alias("k"), fp(old).alias("h_old"))
+    ln = new.select(F.col(pk).alias("k"), fp(new).alias("h_new"))
+    joined = lo.join(ln, "k", "full_outer")
+    klass = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") != F.col("h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(klass.alias("klass"))
+        .groupBy("klass")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("klass")
+    )
+
+
+#: deterministic synthetic-version gates (percent of keys).
+SNAPSHOT_REMOVED_MOD = 20  # h % 20 == 0 -> row only in OLD
+SNAPSHOT_ADDED_MOD = 20    # h % 20 == 1 -> row only in NEW
+SNAPSHOT_CHANGED_MOD = 20  # h % 20 == 2 -> price bumped in NEW
+
+
+def snapshot_diff_orders(orders: DataFrame) -> DataFrame:
+    """``snapshot_diff`` driven by two deterministic synthetic
+    versions of the orders table (md5-gated: 1/20 of keys removed,
+    1/20 added, 1/20 price-changed; the gates are disjoint residues
+    of one hash), so the expected class counts are reproducible on
+    any engine."""
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sd"), F.col("o_orderkey").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % SNAPSHOT_REMOVED_MOD
+    )
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        h.alias("g"),
+    )
+    old = base.filter(F.col("g") != 1).select(
+        "o_orderkey", "o_orderstatus", "cents"
+    )
+    new = base.filter(F.col("g") != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            F.col("cents") + F.when(F.col("g") == 2, 100).otherwise(0)
+        ).alias("cents"),
+    )
+    return snapshot_diff(
+        old, new, "o_orderkey", ["o_orderstatus", "cents"]
+    )
+
+
+def snapshot_diff_orders_sql() -> str:
+    gate = (
+        "CAST('0x' || substr(md5('sd' || CAST(o_orderkey AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) % {SNAPSHOT_REMOVED_MOD}"
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         {gate} AS g
+  FROM orders
+),
+old AS (
+  SELECT o_orderkey AS k,
+         md5(CAST(o_orderstatus AS VARCHAR) || chr(31)
+             || CAST(cents AS VARCHAR)) AS h_old
+  FROM base WHERE g <> 1
+),
+new_v AS (
+  SELECT o_orderkey AS k,
+         md5(CAST(o_orderstatus AS VARCHAR) || chr(31)
+             || CAST(cents + CASE WHEN g = 2 THEN 100 ELSE 0 END
+                     AS VARCHAR)) AS h_new
+  FROM base WHERE g <> 0
+)
+SELECT CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_old <> h_new THEN 'changed'
+            ELSE 'unchanged' END AS klass,
+       COUNT(*) AS n_rows
+FROM old FULL OUTER JOIN new_v USING (k)
+GROUP BY 1 ORDER BY 1
+"""

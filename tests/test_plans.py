@@ -115,6 +115,7 @@ NO_PYTHON_EXCEPTIONS = {
     "ml_train_many_accuracy",  # same applyInPandas fit, accuracy surface
     "streaming_hourly",  # executes eagerly at build time
     "knn_graph",  # same Arrow sketch+verify kernels as embedding_near_dup
+    "media_scene_segments",  # mapInPandas decode feeding frame signatures
 }
 
 
@@ -1232,3 +1233,75 @@ def test_basket_rules_order_keyed_pairs_broadcast_topk(spark, sf001):
     assert "hashpartitioning(oid" in plan
     assert plan.count("BroadcastHashJoin") >= 3  # self-join + 2 top-K joins
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_merge_single_window_pass_no_self_join(spark, sf001):
+    """Islands & gaps: the island id comes from ONE user-keyed ordered
+    window pass — never an interval self-join; the rollups reuse the
+    user partitioning."""
+    plan = _plan(entry.queries()["interval_merge"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "windowspecdefinition(user_id" in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_linear_interpolate_union_window_no_range_join(spark, sf001):
+    """Grid interpolation: surrounding observations attach via the
+    union + last/first(ignorenulls) window trick — no range self-join,
+    no cartesian; the grid explode is zero-shuffle."""
+    plan = _plan(entry.queries()["linear_interpolate"](spark, sf001))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_rrf_two_windows_one_customer_shuffle(spark, sf001):
+    """RRF: both rankings are windows over the SAME customer
+    partitioning — one shuffle, two in-partition sorts, no join."""
+    plan = _plan(entry.queries()["rrf_fusion"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(o_custkey") == 1
+
+
+def test_tokenizer_fertility_pure_projection(spark, sf001):
+    """Fertility: regexp projections into a tiny-key agg; one scan,
+    no Python, no joins."""
+    plan = _plan(entry.queries()["tokenizer_fertility"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+def test_media_scene_segments_blobs_stay_in_decode(spark, sf001):
+    """Scene segmentation: payload bytes enter the Arrow decode stage
+    and only (media_id, fingerprint) leaves it; the frame fan-out is a
+    zero-shuffle explode and the boundary pass is one media-keyed
+    window."""
+    plan = _plan(entry.queries()["media_scene_segments"](spark, sf001))
+    assert "MapInPandas" in plan
+    assert "windowspecdefinition(media_id" in plan
+    # no exchange may carry the payload column
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "payload" not in ln
+
+
+def test_snapshot_diff_single_pk_join_hash_only_shuffle(spark, sf001):
+    """Snapshot diff: ONE full-outer join keyed on the PK; the row
+    fingerprint is computed scan-side so the exchange carries
+    (pk, hash), never payload columns."""
+    plan = _plan(entry.queries()["snapshot_diff"](spark, sf001))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "FullOuter" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "o_orderstatus" not in ln and "cents" not in ln
+
+
+def test_delta_attribution_one_scan_tiny_window(spark, sf001):
+    """Delta attribution: one scan, one tiny-key agg; the topline
+    total rides a window over the per-type rows, not a second scan."""
+    plan = _plan(entry.queries()["delta_attribution"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan

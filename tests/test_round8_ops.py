@@ -245,3 +245,178 @@ def test_basket_rules_exact_lift(spark):
     assert r12.lift == pytest.approx(1.0)
     r13 = rules[(1, 3)]
     assert r13.lift == pytest.approx(3 * 1 / (3 * 1))
+
+
+def test_interval_merge_islands(spark):
+    """Three events: two overlapping covers merge into one island, a
+    distant third opens a second island; covered time never
+    double-counts the overlap."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.timeseries import (
+        INTERVAL_COVER_S,
+        interval_merge,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    cover = INTERVAL_COVER_S  # 600 s
+    rows = [
+        (1, t0, 1),
+        (1, t0 + dt.timedelta(seconds=300), 2),  # overlaps the first
+        (1, t0 + dt.timedelta(seconds=10_000), 3),  # far -> new island
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    [r] = interval_merge(events).collect()
+    assert r.n_islands == 2 and r.n_events == 3
+    # island 1 spans 300 + 600 = 900 s, island 2 spans 600 s
+    assert r.covered_us == (300 + cover + cover) * 1_000_000
+    assert r.max_island_us == (300 + cover) * 1_000_000
+
+
+def test_linear_interpolate_exact_midpoint(spark):
+    """Observations 10.0 at t=0s and 20.0 at t=7200s: the hourly grid
+    point at 3600s interpolates to exactly 15.0; grid points on an
+    observation return the observation."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.timeseries import linear_interpolate
+
+    t0 = dt.datetime(2024, 1, 1)  # exactly on the hourly grid
+    rows = [
+        (1, t0, 1, 10.0),
+        (1, t0 + dt.timedelta(seconds=7200), 2, 20.0),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    got = {r.t: r.value_interp for r in linear_interpolate(events).collect()}
+    import calendar
+
+    base_us = calendar.timegm(t0.timetuple()) * 1_000_000
+    assert got[base_us] == 10.0
+    assert got[base_us + 3_600_000_000] == 15.0
+    assert got[base_us + 7_200_000_000] == 20.0
+
+
+def test_rrf_harmonic_beats_rank_sum(spark):
+    """Customer with 3 orders where order A is rank (1, 3) and order B
+    is rank (2, 2): rrf(A) = 1/61 + 1/63 > rrf(B) = 2/62 — the
+    harmonic weighting must pick A (a rank-sum tie would be ambiguous)."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.mlprep import rrf_fusion
+
+    d = dt.date(2024, 1, 1)
+    rows = [
+        # orderkey, price rank order, date rank order
+        (10, 300.0, d + dt.timedelta(days=0)),  # price r1, date r3
+        (11, 200.0, d + dt.timedelta(days=1)),  # price r2, date r2
+        (12, 100.0, d + dt.timedelta(days=2)),  # price r3, date r1
+    ]
+    orders = spark.createDataFrame(
+        [(1, k, p, dd) for k, p, dd in rows],
+        ["o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    [r] = rrf_fusion(orders).collect()
+    assert 1 / 61 + 1 / 63 > 2 / 62  # the fixture's premise
+    assert r.best_orderkey in (10, 12)  # the two symmetric (1,3) orders
+    assert r.best_orderkey == 10  # tie-break: smaller orderkey
+    assert r.rrf == pytest.approx(1 / 61 + 1 / 63)
+
+
+def test_tokenizer_fertility_known_ratio(spark):
+    """'ab cd' -> 2 pieces / 2 words / 4 chars: fertility 1.0, 2.0
+    chars per piece; punctuation inflates fertility."""
+    from soccerpredictor_spark.operators.textops import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [("en", "ab cd"), ("de", "ab, cd!")],
+        ["lang", "text"],
+    )
+    got = {r.lang: r for r in tokenizer_fertility(docs).collect()}
+    assert got["en"].fertility == 1.0
+    assert got["en"].chars_per_piece == 2.0
+    assert got["de"].n_pieces == 4  # ab , cd !
+    assert got["de"].fertility == 2.0
+
+
+def test_media_scene_segments_bounds(spark):
+    """Every video reports exactly SCENE_FRAMES frames and a scene
+    count in [1, n_frames]; only kind == video rows appear."""
+    from soccerpredictor_spark.operators.multimodal import (
+        SCENE_FRAMES,
+        media_from_documents,
+        media_scene_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}", "en", "web", 10) for i in range(9)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    media = media_from_documents(docs)
+    rows = media_scene_segments(media).collect()
+    assert {r.media_id for r in rows} == {2, 5, 8}  # doc_id % 3 == 2
+    for r in rows:
+        assert r.n_frames == SCENE_FRAMES
+        assert 1 <= r.n_scenes <= r.n_frames
+
+
+def test_snapshot_diff_classes(spark):
+    """Hand-built versions: one removed, one added, one changed, one
+    unchanged row — each class counted exactly once."""
+    from soccerpredictor_spark.sources.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40)], ["k", "s", "v"]
+    )
+    got = {r.klass: r.n_rows for r in snapshot_diff(old, new, "k", ["s", "v"]).collect()}
+    assert got == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_orders_gates_disjoint(spark):
+    """The synthetic version gates are disjoint residues: every order
+    key lands in exactly one of removed/added/changed/unchanged, so
+    class counts sum to the base row count plus nothing double."""
+    from soccerpredictor_spark.sources.upsert import snapshot_diff_orders
+
+    orders = spark.createDataFrame(
+        [(k, "O", 100.0 + k) for k in range(400)],
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    got = {r.klass: r.n_rows for r in snapshot_diff_orders(orders).collect()}
+    # removed keys are absent from new, added absent from old:
+    # total distinct keys seen = 400 (each key in >= one version)
+    assert sum(got.values()) == 400
+    assert got.get("changed", 0) > 0
+    assert got.get("added", 0) > 0 and got.get("removed", 0) > 0
+
+
+def test_delta_attribution_shares_sum_to_one(spark):
+    """Deltas are exact; when the topline moved, the per-type shares
+    sum to exactly 1 (rational family with common denominator)."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.windows import delta_attribution
+
+    t0 = dt.datetime(2024, 1, 1)  # epoch day 19723 -> day % 14 = 11 -> period b
+    rows = []
+    eid = 0
+    # week-a timestamps: shift back 7 days into the other parity window
+    ta = t0 - dt.timedelta(days=7)
+    for n, ty in ((5, "view"), (3, "click")):
+        for i in range(n):
+            rows.append((1, ta, eid, ty)); eid += 1
+    for n, ty in ((9, "view"), (2, "click")):
+        for i in range(n):
+            rows.append((1, t0, eid, ty)); eid += 1
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {r.event_type: r for r in delta_attribution(events).collect()}
+    # one of the two timestamps is period a, the other period b; which
+    # is which depends on epoch-day parity — check invariants instead
+    deltas = {ty: r.delta for ty, r in got.items()}
+    assert abs(deltas["view"]) == 4 and abs(deltas["click"]) == 1
+    total = got["view"].total_delta
+    assert all(r.total_delta == total for r in got.values())
+    if total != 0:
+        assert sum(r.share_of_delta for r in got.values()) == pytest.approx(1.0)
