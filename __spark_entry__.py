@@ -564,6 +564,11 @@ def _q_delta_attribution(spark: SparkSession, sf: str) -> DataFrame:
     # Segment contribution to the period-over-period topline delta.
     return windows.delta_attribution(read_table(spark, sf, "events"))
 
+def _q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    # Top principal direction via exact-integer covariance power steps.
+    return similarity.embedding_pca_power(read_table(spark, sf, "embeddings"))
+
+
 
 
 
@@ -1878,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_scene_segments": _q_media_scene_segments,
         "snapshot_diff": _q_snapshot_diff,
         "delta_attribution": _q_delta_attribution,
+        "embedding_pca_power": _q_embedding_pca_power,
         # --- r5-green ML surfaces; accuracy oracle needs its driver row ---
         "ml_train_many_accuracy": _q_ml_train_many_accuracy,
         "ml_train_many": _q_ml_train_many,
@@ -2119,6 +2125,7 @@ def oracle_sql() -> dict[str, str]:
         "media_scene_segments": _multimodal_mod().media_scene_segments_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "delta_attribution": windows.delta_attribution_sql(),
+        "embedding_pca_power": similarity.embedding_pca_power_sql(),
         "scd2_intervals": windows.scd2_intervals_sql(),
         "group_sample_topk": textops.group_sample_topk_sql(),
         "bm25_search": textops.bm25_search_sql(),

@@ -1477,3 +1477,160 @@ SELECT label, n_a, n_b,
          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * {float(s)!r}) AS shift
 FROM per_label
 """
+
+
+# --------------------------------------------------------------------------
+# top principal direction via exact-integer covariance power iteration
+# --------------------------------------------------------------------------
+
+#: embedding quantization for the PCA sufficient statistics (fixed
+#: point, round-half-away-from-zero in both engines). Two digits is
+#: deliberate: the exact-decimal ladder of the SECOND power step is
+#: v2 <= d^2 * C^2 with C <= 2*(3*PCA_Q)^2*n^2, so q=100 keeps two
+#: unrolled steps inside decimal(38,0) up to PCA_EXACT_MAX_ROWS.
+PCA_Q = 100
+#: beyond this many vectors the second power step can overflow the
+#: exact decimal(38,0) ladder -> the operator raises; at corpus scale
+#: run it on a hash subsample (a principal-direction SCREEN needs
+#: ~1e5 rows for ~1e-2 loading error, not the full corpus).
+PCA_EXACT_MAX_ROWS = 200_000
+
+
+def embedding_pca_power(embeddings: DataFrame) -> DataFrame:
+    """Leading principal direction of the embedding cloud by power
+    iteration on the EXACT integer covariance — the PCA screen a
+    pipeline runs to catch a dominant nuisance axis (batch effects,
+    norm artifacts) before indexing/training.
+
+    Math, all exact until the final division: vectors quantize to
+    int (x * 100, half-away-from-zero); the Gram G = Sigma q q^T and
+    per-dimension sums s accumulate as decimal(38,0); the scaled
+    covariance C = n*G - s s^T is the exact n^2-scaled covariance;
+    two unrolled power steps from the ones vector, v2 = C*(C*1),
+    stay inside decimal(38,0) for n <= 200k rows (the ladder:
+    |C| <= 2*(300)^2*n^2 ~ 7e15, |v1| <= 64|C|, |v2| <= 64|C||v1|
+    ~ 2e35 < 1e38) — a guard RAISES past that; at 100 TB you run the
+    screen on a deterministic hash subsample, which estimates the
+    direction to ~1e-2 at 1e5 rows. Output loadings are v2 / max|v2|:
+    ONE double division per dimension of two exactly-cast decimals
+    (DuckDB twin VARCHAR-mediates), deterministic at any
+    partitioning; two steps separate the top axis by (l1/l2)^2.
+
+    Scale shape: the d^2 fan-out (posexplode x 2) is the textbook
+    distributed Gram — n*d^2 work, map-side combined to <= d^2
+    partial rows per partition; everything after the Gram is
+    d^2-sized (4096 rows), joined broadcast. No driver-side linear
+    algebra, no RNG, no libm.
+    """
+    d38 = "decimal(38,0)"
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x * PCA_Q).cast("long"),
+    )
+    base = embeddings.select(q.alias("qv"))
+    ex1 = base.select(
+        F.posexplode(F.col("qv")).alias("i", "xi"), F.col("qv")
+    )
+    ex2 = ex1.select(
+        "i", "xi", F.posexplode(F.col("qv")).alias("j", "xj")
+    )
+    gram = ex2.groupBy("i", "j").agg(
+        F.sum((F.col("xi") * F.col("xj")).cast(d38)).alias("g"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sums = base.select(F.posexplode(F.col("qv")).alias("i", "xi")).groupBy(
+        "i"
+    ).agg(F.sum(F.col("xi").cast(d38)).alias("s"))
+    si = sums.select(F.col("i").alias("ii"), F.col("s").alias("s_i"))
+    sj = sums.select(F.col("i").alias("jj"), F.col("s").alias("s_j"))
+    guard = F.when(
+        F.col("n") > PCA_EXACT_MAX_ROWS,
+        F.raise_error(
+            F.lit(
+                "embedding_pca_power: exact decimal ladder certified to "
+                f"{PCA_EXACT_MAX_ROWS} rows — run on a hash subsample"
+            )
+        ).cast(d38),
+    )
+    cov = (
+        gram.join(F.broadcast(si), F.col("i") == F.col("ii"))
+        .join(F.broadcast(sj), F.col("j") == F.col("jj"))
+        .select(
+            "i",
+            "j",
+            F.coalesce(
+                guard,
+                F.col("n").cast(d38) * F.col("g")
+                - F.col("s_i") * F.col("s_j"),
+            ).alias("c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    v1 = cov.groupBy(F.col("j").alias("vj")).agg(F.sum("c").alias("v1"))
+    v2 = (
+        cov.join(F.broadcast(v1), F.col("j") == F.col("vj"))
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("v1")).alias("v2"))
+    )
+    w_all = Window.partitionBy()
+    out = v2.select(
+        F.col("i").alias("dim"),
+        "v2",
+        F.max(F.abs(F.col("v2"))).over(w_all).alias("m"),
+    )
+    loading = F.when(
+        F.col("m") > 0, F.col("v2").cast("double") / F.col("m").cast("double")
+    ).otherwise(F.lit(0.0))
+    return out.select("dim", loading.alias("loading")).orderBy("dim")
+
+
+def embedding_pca_power_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(x * {PCA_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+ex1 AS (
+  SELECT gs.i - 1 AS i, qv[gs.i] AS xi, qv
+  FROM base, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) gs
+),
+ex2 AS (
+  SELECT i, xi, gs.j - 1 AS j, qv[gs.j] AS xj
+  FROM ex1, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS j) gs
+),
+gram AS (
+  SELECT i, j, SUM(CAST(xi AS HUGEINT) * CAST(xj AS HUGEINT)) AS g,
+         COUNT(*) AS n
+  FROM ex2 GROUP BY i, j
+),
+sums AS (
+  SELECT i, SUM(CAST(xi AS HUGEINT)) AS s FROM ex1 GROUP BY i
+),
+cov AS (
+  SELECT g.i, g.j,
+         CASE WHEN g.n > {PCA_EXACT_MAX_ROWS}
+              THEN error('embedding_pca_power: exact decimal ladder'
+                         ' certified to {PCA_EXACT_MAX_ROWS} rows')
+              ELSE CAST(g.n AS HUGEINT) * g.g - si.s * sj.s END AS c
+  FROM gram g
+  JOIN sums si ON g.i = si.i
+  JOIN sums sj ON g.j = sj.i
+),
+v1 AS (SELECT j AS vj, SUM(c) AS v1 FROM cov GROUP BY j),
+v2 AS (
+  SELECT i, SUM(c * v1.v1) AS v2
+  FROM cov JOIN v1 ON cov.j = v1.vj
+  GROUP BY i
+),
+outp AS (
+  SELECT i AS dim, v2, MAX(abs(v2)) OVER () AS m FROM v2
+)
+SELECT dim,
+       CASE WHEN m > 0 THEN
+         CAST(CAST(v2 AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(m AS VARCHAR) AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS loading
+FROM outp ORDER BY dim
+"""

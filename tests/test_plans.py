@@ -1305,3 +1305,13 @@ def test_delta_attribution_one_scan_tiny_window(spark, sf001):
     plan = _plan(entry.queries()["delta_attribution"](spark, sf001))
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+def test_pca_power_gram_mapside_then_broadcast(spark, sf001):
+    """PCA power: the d^2 Gram aggregation is map-side combinable
+    (partial HashAggregate under the explode) and everything after it
+    joins broadcast — no SMJ, no cartesian."""
+    plan = _plan(entry.queries()["embedding_pca_power"](spark, sf001))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # s_i, s_j, v1
+    assert "Generate posexplode" in plan

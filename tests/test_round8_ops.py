@@ -420,3 +420,37 @@ def test_delta_attribution_shares_sum_to_one(spark):
     assert all(r.total_delta == total for r in got.values())
     if total != 0:
         assert sum(r.share_of_delta for r in got.values()) == pytest.approx(1.0)
+
+
+def test_pca_power_recovers_dominant_axis(spark):
+    """Vectors spread along axis 2 with small noise on axis 0: the
+    leading-direction loading must peak (magnitude 1) at dim 2 and be
+    near zero elsewhere."""
+    from soccerpredictor_spark.operators.similarity import embedding_pca_power
+
+    rows = []
+    for k in range(40):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[2] = float(k - 20)          # dominant spread
+        v[0] = 0.01 * ((k % 3) - 1)   # tiny noise
+        rows.append((k, v))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.dim: r.loading for r in embedding_pca_power(emb).collect()}
+    assert abs(got[2]) == 1.0
+    for d in (0, 1, 3):
+        assert abs(got[d]) < 0.05
+    # constant dims contribute exactly zero
+    assert got[1] == 0.0 and got[3] == 0.0
+
+
+def test_pca_power_exact_ladder_guard(spark, monkeypatch):
+    """Past the certified exact-decimal row bound the operator must
+    raise, steering the caller to a hash subsample."""
+    from soccerpredictor_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "PCA_EXACT_MAX_ROWS", 3)
+    emb = spark.createDataFrame(
+        [(k, [1.0, 2.0]) for k in range(5)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="exact decimal ladder"):
+        similarity.embedding_pca_power(emb).collect()
