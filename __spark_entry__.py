@@ -568,6 +568,12 @@ def _q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     # Top principal direction via exact-integer covariance power steps.
     return similarity.embedding_pca_power(read_table(spark, sf, "embeddings"))
 
+def _q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    # The scrubbing pass pii_scan only counts: typed placeholders +
+    # per-source compliance audit with an order-free checksum.
+    return textops.pii_redact(read_table(spark, sf, "documents"))
+
+
 
 
 
@@ -1884,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "delta_attribution": _q_delta_attribution,
         "embedding_pca_power": _q_embedding_pca_power,
+        "pii_redact": _q_pii_redact,
         # --- r5-green ML surfaces; accuracy oracle needs its driver row ---
         "ml_train_many_accuracy": _q_ml_train_many_accuracy,
         "ml_train_many": _q_ml_train_many,
@@ -2126,6 +2133,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _snapshot_diff_sql(),
         "delta_attribution": windows.delta_attribution_sql(),
         "embedding_pca_power": similarity.embedding_pca_power_sql(),
+        "pii_redact": textops.pii_redact_sql(),
         "scd2_intervals": windows.scd2_intervals_sql(),
         "group_sample_topk": textops.group_sample_topk_sql(),
         "bm25_search": textops.bm25_search_sql(),

@@ -2720,3 +2720,131 @@ SELECT lang, n_docs, n_pieces, n_words, n_chars,
          AS chars_per_piece
 FROM agg ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# PII redaction: the transformation pii_scan only counts
+# --------------------------------------------------------------------------
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Redact PII spans (email / SSN / phone -> typed placeholders) and
+    AUDIT the rewrite per source — the actual scrubbing pass a
+    training-data pipeline runs after ``pii_scan`` flags a corpus,
+    with the numbers compliance wants: how many spans of each class,
+    how many documents touched, how many characters removed, and an
+    order-insensitive corpus checksum of the redacted text.
+
+    Uses pii_scan's deterministic PII synthesis (the fixture has no
+    real PII) so hit and miss paths are oracle-checked. Redaction
+    order matters and is pinned: SSN before phone (an SSN tail can
+    nest a phone-shaped span), email independent. The checksum is the
+    SUM of per-document int64 text hashes — commutative and exact
+    (decimal(38,0)), so it is partition-order-free where a concat
+    checksum would not be. Scale: pure per-row regexp projections
+    into one tiny-key aggregation; redacted text never shuffles.
+    """
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-0142 today")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" id 123-45-6789 leaked")).otherwise(
+            F.lit("")
+        ),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(synth, PII_EMAIL, "[EMAIL]"),
+            PII_SSN,
+            "[SSN]",
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(synth, F.lit(PII_EMAIL)).alias("n_email"),
+        F.regexp_count(F.regexp_replace(synth, PII_SSN, "#"), F.lit(PII_PHONE)).alias(
+            "n_phone"
+        ),
+        F.regexp_count(synth, F.lit(PII_SSN)).alias("n_ssn"),
+        F.length(synth).alias("len_raw"),
+        F.length(red).alias("len_red"),
+        F.conv(F.substring(F.md5(red), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    touched = (
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ssn")) > 0
+    ).cast("int")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(touched).alias("docs_redacted"),
+            F.sum("n_email").cast("long").alias("emails"),
+            F.sum("n_phone").cast("long").alias("phones"),
+            F.sum("n_ssn").cast("long").alias("ssns"),
+            F.sum(F.col("len_raw") - F.col("len_red")).cast("long").alias(
+                "chars_delta"
+            ),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "docs_redacted",
+            "emails",
+            "phones",
+            "ssns",
+            "chars_delta",
+            F.col("checksum").cast("double").alias("checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+def pii_redact_sql() -> str:
+    synth = (
+        "text || "
+        "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END || "
+        "CASE WHEN doc_id % 11 = 0 THEN ' call 555-0142 today' ELSE '' END || "
+        "CASE WHEN doc_id % 13 = 0 THEN ' id 123-45-6789 leaked' ELSE '' END"
+    )
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, '{PII_EMAIL}',"
+        f" '[EMAIL]', 'g'), '{PII_SSN}', '[SSN]', 'g'), '{PII_PHONE}',"
+        " '[PHONE]', 'g')"
+    )
+    return f"""
+WITH base AS (SELECT source, {synth} AS t FROM documents),
+per_doc AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INT) AS n_email,
+         CAST(len(regexp_extract_all(regexp_replace(t, '{PII_SSN}', '#', 'g'),
+                                     '{PII_PHONE}')) AS INT) AS n_phone,
+         CAST(len(regexp_extract_all(t, '{PII_SSN}')) AS INT) AS n_ssn,
+         length(t) AS len_raw,
+         length({red}) AS len_red,
+         CAST('0x' || substr(md5({red}), 1, 8) AS BIGINT) AS h
+  FROM base
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_email + n_phone + n_ssn > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_redacted,
+       CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(SUM(n_ssn) AS BIGINT) AS ssns,
+       CAST(SUM(len_raw - len_red) AS BIGINT) AS chars_delta,
+       CAST(CAST(SUM(CAST(h AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS checksum
+FROM per_doc GROUP BY source ORDER BY source
+"""

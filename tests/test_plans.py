@@ -1315,3 +1315,15 @@ def test_pca_power_gram_mapside_then_broadcast(spark, sf001):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # s_i, s_j, v1
     assert "Generate posexplode" in plan
+
+
+def test_pii_redact_projection_only(spark, sf001):
+    """Redaction is a scan-side regexp projection chain into one
+    tiny-key agg: one scan, no joins, no Python, and no exchange
+    carries the (redacted) text."""
+    plan = _plan(entry.queries()["pii_redact"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text" not in ln

@@ -454,3 +454,27 @@ def test_pca_power_exact_ladder_guard(spark, monkeypatch):
     )
     with pytest.raises(Exception, match="exact decimal ladder"):
         similarity.embedding_pca_power(emb).collect()
+
+
+def test_pii_redact_counts_and_shrinkage(spark):
+    """A crafted doc with one of each PII class: counts per class,
+    docs_redacted, and the char delta all match hand computation; a
+    clean doc contributes zero."""
+    from soccerpredictor_spark.operators.textops import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text", "web"),       # doc_id 1: no synth PII
+            (7, "x", "web"),                # %7 -> email appended
+            (11, "y", "web"),               # %11 -> phone appended
+            (13, "z", "web"),               # %13 -> ssn appended
+        ],
+        ["doc_id", "text", "source"],
+    )
+    [r] = pii_redact(docs).collect()
+    assert r.n_docs == 4 and r.docs_redacted == 3
+    assert (r.emails, r.phones, r.ssns) == (1, 1, 1)
+    # email 'user7@example.com' (17 ch) -> '[EMAIL]' (7): -10
+    # phone '555-0142' (8) -> '[PHONE]' (7): -1
+    # ssn '123-45-6789' (11) -> '[SSN]' (5): -6
+    assert r.chars_delta == 10 + 1 + 6
