@@ -918,3 +918,123 @@ def test_link_prediction_matches_python_ra(spark, edges):
                         sum(LINK_RA_SCALE // len(nbrs[z]) for z in common),
                     )
     assert got == expect
+
+
+R8_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),        # user_id
+        st.integers(min_value=0, max_value=100_000),  # seconds offset
+        st.integers(min_value=-500, max_value=500),   # value (cents/100)
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=R8_EVENTS)
+def test_interval_merge_invariants_property(spark, rows):
+    """For arbitrary event sets: per user, covered time is between one
+    cover (nonempty) and n_events * cover; islands <= events; a
+    single-pass python sweep reproduces covered_us exactly."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.timeseries import (
+        INTERVAL_COVER_S,
+        interval_merge,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [
+        (u, t0 + dt.timedelta(seconds=s), i)
+        for i, (u, s, _) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(ev, ["user_id", "ts", "event_id"])
+    got = {r.user_id: r for r in interval_merge(df).collect()}
+    cover_us = INTERVAL_COVER_S * 1_000_000
+    per_user: dict[int, list[int]] = {}
+    for u, s, _ in rows:
+        per_user.setdefault(u, []).append(s * 1_000_000)
+    for u, starts in per_user.items():
+        r = got[u]
+        assert 1 <= r.n_islands <= r.n_events == len(starts)
+        # python reference sweep
+        covered, islands = 0, 0
+        cur_s = cur_e = None
+        for s in sorted(starts):
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                cur_s, cur_e = s, s + cover_us
+                islands += 1
+            else:
+                cur_e = max(cur_e, s + cover_us)
+        covered += cur_e - cur_s
+        assert r.covered_us == covered and r.n_islands == islands
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=R8_EVENTS)
+def test_ks_drift_bounds_property(spark, rows):
+    """For arbitrary price multisets: 0 <= D <= 1, the split is a
+    partition (n0 + n1 = N), and the location is an attained value."""
+    from soccerpredictor_spark.operators.mlprep import ks_drift
+
+    orders = spark.createDataFrame(
+        [(i, float(abs(v)) + 1.0) for i, (_, _, v) in enumerate(rows)],
+        ["o_orderkey", "o_totalprice"],
+    )
+    [r] = ks_drift(orders).collect()
+    assert r.n0 + r.n1 == len(rows)
+    if r.n0 > 0 and r.n1 > 0:
+        assert 0.0 <= r.d_stat <= 1.0
+    vals = {float(abs(v)) + 1.0 for _, _, v in rows}
+    assert r.ks_location in vals
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=R8_EVENTS)
+def test_simpson_bounds_property(spark, rows):
+    """Collision probability is a probability for arbitrary token
+    streams and equals a direct python computation."""
+    from collections import Counter
+
+    from soccerpredictor_spark.operators.textops import simpson_diversity
+
+    docs = spark.createDataFrame(
+        [("s", " ".join(f"w{v % 7}" for _ in range(u)) or "w0")
+         for u, _, v in rows],
+        ["source", "text"],
+    )
+    [r] = simpson_diversity(docs).collect()
+    # rebuild exactly what the fixture produced
+    toks = []
+    for u, _, v in rows:
+        t = [f"w{v % 7}"] * u
+        toks += t if t else ["w0"]
+    n = len(toks)
+    if n > 1:
+        c = Counter(toks)
+        expect = sum(k * (k - 1) for k in c.values()) / (n * (n - 1))
+        assert r.collision_prob == expect
+        assert 0.0 <= r.collision_prob <= 1.0
+    assert r.n_tokens == n
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=R8_EVENTS)
+def test_snapshot_diff_is_partition_property(spark, rows):
+    """For arbitrary key/value snapshots the four classes partition
+    the union of keys."""
+    from soccerpredictor_spark.sources.upsert import snapshot_diff
+
+    old = list({k: (k, str(v)) for k, _, v in rows}.values())
+    new = list({k: (k, str(v + s % 2)) for k, s, v in rows if s % 3 != 0}.values())
+    old_df = spark.createDataFrame(old or [(0, "x")], ["k", "v"])
+    new_df = spark.createDataFrame(new or [(1, "y")], ["k", "v"])
+    got = {r.klass: r.n_rows for r in snapshot_diff(old_df, new_df, "k", ["v"]).collect()}
+    keys_old = {k for k, _ in (old or [(0, "x")])}
+    keys_new = {k for k, _ in (new or [(1, "y")])}
+    assert sum(got.values()) == len(keys_old | keys_new)
+    assert got.get("removed", 0) == len(keys_old - keys_new)
+    assert got.get("added", 0) == len(keys_new - keys_old)
