@@ -61,6 +61,19 @@ OPS = [
     "edit_distance_join",
     "basket_rules",
     "negative_sampling",
+    # batch 2/3 + closers: window/union-window shapes (interval and
+    # interpolation), the d^2 Gram (PCA), the projection-only passes
+    # (fertility, pii_redact, delta_attribution), the PK-keyed
+    # full-outer diff, and the stub-decode frame fan-out.
+    "interval_merge",
+    "linear_interpolate",
+    "rrf_fusion",
+    "tokenizer_fertility",
+    "media_scene_segments",
+    "snapshot_diff",
+    "delta_attribution",
+    "embedding_pca_power",
+    "pii_redact",
 ]
 SFS = [
     ("sf0.01", "/root/testdata/sf0.01"),
