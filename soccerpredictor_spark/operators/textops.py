@@ -2737,8 +2737,11 @@ def pii_redact(docs: DataFrame) -> DataFrame:
 
     Uses pii_scan's deterministic PII synthesis (the fixture has no
     real PII) so hit and miss paths are oracle-checked. Redaction
-    order matters and is pinned: SSN before phone (an SSN tail can
-    nest a phone-shaped span), email independent. The checksum is the
+    order matters and is pinned: email, then SSN, then phone — and
+    the phone COUNT runs on the email-and-SSN-masked text so a
+    phone-shaped span nested in an email or SSN (consumed by the
+    earlier replacement) is never counted; the audit numbers
+    reconcile with chars_delta by construction. The checksum is the
     SUM of per-document int64 text hashes — commutative and exact
     (decimal(38,0)), so it is partition-order-free where a concat
     checksum would not be. Scale: pure per-row regexp projections
@@ -2773,9 +2776,12 @@ def pii_redact(docs: DataFrame) -> DataFrame:
     per_doc = docs.select(
         "source",
         F.regexp_count(synth, F.lit(PII_EMAIL)).alias("n_email"),
-        F.regexp_count(F.regexp_replace(synth, PII_SSN, "#"), F.lit(PII_PHONE)).alias(
-            "n_phone"
-        ),
+        F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(synth, PII_EMAIL, "#"), PII_SSN, "#"
+            ),
+            F.lit(PII_PHONE),
+        ).alias("n_phone"),
         F.regexp_count(synth, F.lit(PII_SSN)).alias("n_ssn"),
         F.length(synth).alias("len_raw"),
         F.length(red).alias("len_red"),
@@ -2830,8 +2836,10 @@ WITH base AS (SELECT source, {synth} AS t FROM documents),
 per_doc AS (
   SELECT source,
          CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INT) AS n_email,
-         CAST(len(regexp_extract_all(regexp_replace(t, '{PII_SSN}', '#', 'g'),
-                                     '{PII_PHONE}')) AS INT) AS n_phone,
+         CAST(len(regexp_extract_all(
+                regexp_replace(regexp_replace(t, '{PII_EMAIL}', '#', 'g'),
+                               '{PII_SSN}', '#', 'g'),
+                '{PII_PHONE}')) AS INT) AS n_phone,
          CAST(len(regexp_extract_all(t, '{PII_SSN}')) AS INT) AS n_ssn,
          length(t) AS len_raw,
          length({red}) AS len_red,

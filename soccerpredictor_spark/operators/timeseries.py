@@ -653,15 +653,26 @@ def linear_interpolate(events: DataFrame) -> DataFrame:
     span = events.groupBy("user_id").agg(
         F.min(us).alias("t0"), F.max(us).alias("t1")
     )
-    grid = span.select(
-        "user_id",
-        F.explode(
-            F.expr(
-                f"sequence(CAST(ceil(t0 / {grid_us}) AS BIGINT) * {grid_us},"
-                f" t1, CAST({grid_us} AS BIGINT))"
-            )
-        ).alias("t"),
-    ).select("user_id", "t", F.lit(None).cast("long").alias("v"), F.lit(1).alias("is_grid"))
+    # a user whose whole span sits strictly inside one grid cell has no
+    # grid point: sequence() would see start > stop with a positive step
+    # and raise, while the DuckDB twin's end-exclusive range() returns
+    # empty — filter those spans out BEFORE exploding so both engines
+    # agree (such users contribute no grid rows).
+    grid = (
+        span.filter(
+            F.expr(f"CAST(ceil(t0 / {grid_us}) AS BIGINT) * {grid_us} <= t1")
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    f"sequence(CAST(ceil(t0 / {grid_us}) AS BIGINT) * {grid_us},"
+                    f" t1, CAST({grid_us} AS BIGINT))"
+                )
+            ).alias("t"),
+        )
+        .select("user_id", "t", F.lit(None).cast("long").alias("v"), F.lit(1).alias("is_grid"))
+    )
     unioned = obs.unionByName(grid)
     # observations sort BEFORE a grid point at the same timestamp so
     # an exactly-on-grid observation interpolates to itself

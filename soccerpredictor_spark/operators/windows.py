@@ -1782,9 +1782,11 @@ def time_weighted_average(events: DataFrame) -> DataFrame:
     cannot drown a long-lived expensive one.
 
     Exactness: weights are integer microseconds (lead - ts), values
-    integer cents, the weighted sum accumulates as decimal(38,0)
-    (cents * us fits int64 per-term to ~2.9 years of gap); twap is
-    one double division of two exact sums. The last event of a user
+    integer cents, and each cents * dt term multiplies as
+    decimal(38,0) x decimal(38,0) — two int64 factors always fit the
+    38-digit product (<= 8.5e37), so there is NO per-term gap bound
+    and no silent int64 wrap; twap is one double division of two
+    exact sums. The last event of a user
     has no duration and contributes nothing (standard left-open
     TWAP); single-event users surface NULL. Scale: one user-keyed
     window pass (the lead), then a user-keyed aggregation on the SAME
@@ -1805,7 +1807,12 @@ def time_weighted_average(events: DataFrame) -> DataFrame:
     dt = F.col("next_us") - F.col("us")
     agg = seq.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.when(dt.isNotNull(), (F.col("cents") * dt)).otherwise(None).cast("decimal(38,0)")).alias("vw"),
+        F.sum(
+            F.when(
+                dt.isNotNull(),
+                F.col("cents").cast("decimal(38,0)") * dt.cast("decimal(38,0)"),
+            ).otherwise(None)
+        ).alias("vw"),
         F.sum(dt.cast("decimal(38,0)")).alias("tw"),
     )
     twap = F.when(
@@ -1832,7 +1839,7 @@ WITH seq AS (
 ),
 agg AS (
   SELECT user_id, COUNT(*) AS n_events,
-         SUM(CAST(cents * (next_us - us) AS HUGEINT)) AS vw,
+         SUM(CAST(cents AS HUGEINT) * (next_us - us)) AS vw,
          SUM(CAST(next_us - us AS HUGEINT)) AS tw
   FROM seq GROUP BY user_id
 )

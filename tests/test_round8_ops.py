@@ -296,6 +296,34 @@ def test_linear_interpolate_exact_midpoint(spark):
     assert got[base_us + 7_200_000_000] == 20.0
 
 
+def test_linear_interpolate_span_inside_one_grid_cell(spark):
+    """A user whose whole observation span sits strictly inside one
+    hourly grid cell (no grid point touched) must yield ZERO grid
+    rows — not a sequence() boundary crash.  A second user with a
+    normal span still interpolates (regression for the round-8
+    advice: sequence start > stop for in-cell spans)."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.timeseries import linear_interpolate
+
+    t0 = dt.datetime(2024, 1, 1, 0, 10)  # off-grid start
+    rows = [
+        # user 1: 20-minute span strictly inside the 00:00-01:00 cell
+        (1, t0, 1, 5.0),
+        (1, t0 + dt.timedelta(minutes=20), 2, 7.0),
+        # user 2: spans a grid point at 01:00
+        (2, t0, 3, 10.0),
+        (2, t0 + dt.timedelta(hours=1), 4, 20.0),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    got = linear_interpolate(events).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert 1 not in by_user  # in-cell span: no grid rows, no crash
+    assert len(by_user[2]) == 1  # exactly the 01:00 grid point
+
+
 def test_rrf_harmonic_beats_rank_sum(spark):
     """Customer with 3 orders where order A is rank (1, 3) and order B
     is rank (2, 2): rrf(A) = 1/61 + 1/63 > rrf(B) = 2/62 — the
