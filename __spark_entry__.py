@@ -1843,79 +1843,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness verifies the
     # first 50 entries in dict order (observed in CORRECTNESS_r01).
     return {
-        # --- FIRST 50 = the driver verification window (the driver
-        # hash-checks queries()[0:50] in dict order). Round-8 occupants,
-        # in priority order:
-        #   1. the 9 round-7 staged operators, registered this round
-        #      (never driver-verified -> forced into the window by
-        #      test_driver_verification_window_ordering);
-        #   2. any NEW round-8 operators (same rule) -- inserted
-        #      directly below the staged block as they land;
-        #   3. ml_train_many_accuracy / ml_train_many: r5-driver-green,
-        #      but the accuracy leg's closed-form oracle (re-shaped r6)
-        #      has never had a driver row -- round-7 verdict gap #2;
-        #   4. the r3 cohort (stalest driver rows), oldest-first, fills
-        #      the window to exactly 50; its overflow sits immediately
-        #      after the window and heads round 9.
-        # After the window: r3 remnant, then the r4, r5, r7 cohorts in
-        # staleness order, so future rotations are a pure prefix shift.
-        # Cadence is CI-enforced by
+        # ORDER MATTERS: the driver verifies queries()[0:50] in dict
+        # order. Round-9 window layout:
+        #   1. NEW round-9 operators (never driver-verified -> forced
+        #      into the window by test_driver_verification_window_ordering)
+        #      are inserted at the HEAD of this dict as they land;
+        #   2. the full 20-entry r3 cohort -- at the ceil(n/50)+1
+        #      staleness bound this round, MUST re-verify;
+        #   3. r4-cohort fill to 50 (oldest-first; whatever the new
+        #      registrations push past position 50 simply waits for
+        #      round 10, where the r4 cohort is due anyway).
+        # After the window: r4 remnant -> r5 -> r7 -> r8 in staleness
+        # order, so future rotations stay a pure prefix shift.  CI:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
-        # ---
-        # --- round-7 staged operators, registered round 8 (never verified) ---
-        "subsample_ci": _q_subsample_ci,
-        "grouped_ols": _q_grouped_ols,
-        "ndcg_at_k": _q_ndcg_at_k,
-        "conformal_interval": _q_conformal_interval,
-        "ab_test_ztest": _q_ab_test_ztest,
-        "attribution": _q_attribution,
-        "corr_matrix": _q_corr_matrix,
-        "text_canonicalize": _q_text_canonicalize,
-        "label_vote": _q_label_vote,
-        # --- new round-8 operators (never verified) ---
-        "calibration_bins": _q_calibration_bins,
-        "ks_drift": _q_ks_drift,
-        "ips_policy_eval": _q_ips_policy_eval,
-        "negative_sampling": _q_negative_sampling,
-        "time_weighted_average": _q_time_weighted_average,
-        "rfm_segments": _q_rfm_segments,
-        "simpson_diversity": _q_simpson_diversity,
-        "edit_distance_join": _q_edit_distance_join,
-        "basket_rules": _q_basket_rules,
-        "interval_merge": _q_interval_merge,
-        "linear_interpolate": _q_linear_interpolate,
-        "rrf_fusion": _q_rrf_fusion,
-        "tokenizer_fertility": _q_tokenizer_fertility,
-        "media_scene_segments": _q_media_scene_segments,
-        "snapshot_diff": _q_snapshot_diff,
-        "delta_attribution": _q_delta_attribution,
-        "embedding_pca_power": _q_embedding_pca_power,
-        "pii_redact": _q_pii_redact,
-        # --- r5-green ML surfaces; accuracy oracle needs its driver row ---
-        "ml_train_many_accuracy": _q_ml_train_many_accuracy,
-        "ml_train_many": _q_ml_train_many,
-        # --- r3 cohort (stalest): fills the window, overflow heads r9 ---
-        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "contamination_check": _q_contamination_check,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_containment": _q_dedup_containment,
-        "dedup_jaccard": _q_dedup_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "doc_chunks": _q_doc_chunks,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "embedding_centroids": _q_embedding_centroids,
-        "fraction_avg": _q_fraction_avg,
-        "lang_confusion": _q_lang_confusion,
-        "left_join_dropna": _q_left_join_dropna,
-        "media_stats": _q_media_stats,
-        "multimodal_decode": _q_multimodal_decode,
-        "pack_sequences": _q_pack_sequences,
-        "pii_scan": _q_pii_scan,
-        "pivot_avg": _q_pivot_avg,
-        "range_join": _q_range_join,
-        "range_join_bands": _q_range_join_bands,
-        "regex_extract_all": _q_regex_extract_all,
+        # --- NEW round-9 operators land here (never verified) ---
+        # --- r3 cohort (stalest, due this round: all 20) ---
         "repetition_profile": _q_repetition_profile,
         "salted_agg": _q_salted_agg,
         "salted_join": _q_salted_join,
@@ -1934,10 +1876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arity_filter": _q_arity_filter,
         "encode_binary": _q_encode_binary,
         "regex_extract": _q_regex_extract,
-        # --- END of the 50-entry driver window ---
         "case_encode": _q_case_encode,
         "filter_cast_range": _q_filter_cast_range,
-        # --- r4 cohort ---
+        # --- r4 cohort (due r10; head entries fill the r9 window) ---
         "hourly_anomaly": _q_hourly_anomaly,
         "streaming_upsert": _q_streaming_upsert,
         "bucketed_join": _q_bucketed_join,
@@ -1987,7 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union": _q_set_union,
         "upsert_latest": _q_upsert_latest,
         "streaming_hourly": _q_streaming_hourly,
-        # --- r5 cohort ---
+        # --- r5 cohort (due r11) ---
         "dedup_canonical": _q_dedup_canonical,
         "int8_recall_eval": _q_int8_recall_eval,
         "streaming_cdc": _q_streaming_cdc,
@@ -2036,7 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": _q_tpch_q9,
         "window_topn_per_group": _q_window_topn,
         "distinct_projection": _q_distinct_projection,
-        # --- r7 cohort (freshest) ---
+        # --- r7 cohort (due r12-r13) ---
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
@@ -2087,6 +2028,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": _q_link_prediction,
         "roc_auc": _q_roc_auc,
         "skyline_pareto": _q_skyline_pareto,
+        # --- r8 cohort (freshest) ---
+        "subsample_ci": _q_subsample_ci,
+        "grouped_ols": _q_grouped_ols,
+        "ndcg_at_k": _q_ndcg_at_k,
+        "conformal_interval": _q_conformal_interval,
+        "ab_test_ztest": _q_ab_test_ztest,
+        "attribution": _q_attribution,
+        "corr_matrix": _q_corr_matrix,
+        "text_canonicalize": _q_text_canonicalize,
+        "label_vote": _q_label_vote,
+        "calibration_bins": _q_calibration_bins,
+        "ks_drift": _q_ks_drift,
+        "ips_policy_eval": _q_ips_policy_eval,
+        "negative_sampling": _q_negative_sampling,
+        "time_weighted_average": _q_time_weighted_average,
+        "rfm_segments": _q_rfm_segments,
+        "simpson_diversity": _q_simpson_diversity,
+        "edit_distance_join": _q_edit_distance_join,
+        "basket_rules": _q_basket_rules,
+        "interval_merge": _q_interval_merge,
+        "linear_interpolate": _q_linear_interpolate,
+        "rrf_fusion": _q_rrf_fusion,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "media_scene_segments": _q_media_scene_segments,
+        "snapshot_diff": _q_snapshot_diff,
+        "delta_attribution": _q_delta_attribution,
+        "embedding_pca_power": _q_embedding_pca_power,
+        "pii_redact": _q_pii_redact,
+        "ml_train_many_accuracy": _q_ml_train_many_accuracy,
+        "ml_train_many": _q_ml_train_many,
+        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "contamination_check": _q_contamination_check,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_containment": _q_dedup_containment,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "doc_chunks": _q_doc_chunks,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_centroids": _q_embedding_centroids,
+        "fraction_avg": _q_fraction_avg,
+        "lang_confusion": _q_lang_confusion,
+        "left_join_dropna": _q_left_join_dropna,
+        "media_stats": _q_media_stats,
+        "multimodal_decode": _q_multimodal_decode,
+        "pack_sequences": _q_pack_sequences,
+        "pii_scan": _q_pii_scan,
+        "pivot_avg": _q_pivot_avg,
+        "range_join": _q_range_join,
+        "range_join_bands": _q_range_join_bands,
+        "regex_extract_all": _q_regex_extract_all,
     }
 
 
