@@ -786,6 +786,60 @@ def _q_write_roundtrip_csv(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_media_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    # perceptual (dHash-banded) media near-dup over the Arrow decode
+    # plumbing — the image-side analogue of dedup_simhash.
+    from soccerpredictor_spark.operators import multimodal
+
+    media = multimodal.media_from_documents(read_table(spark, sf, "documents"))
+    return multimodal.media_phash_neardup(media)
+
+
+def _q_perplexity_filter(spark: SparkSession, sf: str) -> DataFrame:
+    # CCNet/KenLM-style per-document LM quality gate in log-free rank
+    # form over the add-one bigram LM (textops.perplexity_filter).
+    return textops.perplexity_filter(read_table(spark, sf, "documents"))
+
+
+def _q_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # S9 (XGBoost/Predictor.py:132,159 — `test.to_excel('test.xlsx')`):
+    # the driver-side small-result export, driver-proven. Aggregate
+    # per-nation customer stats (small by construction, like the
+    # reference's feature matrix), export via sinks.export_small to an
+    # .xlsx path (openpyxl when present; this sandbox exercises the
+    # documented CSV fallback), read the exported FILE back with
+    # pandas, and return it as a DataFrame — the oracle aggregates the
+    # source directly, so the export must be lossless. Integer columns
+    # only (cents), per the CSV-leg convention.
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from soccerpredictor_spark.sources.sinks import export_small
+
+    customer = read_table(spark, sf, "customer")
+    agg = (
+        customer.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .alias("bal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="export_roundtrip_"), "stats.xlsx")
+    written = export_small(agg, out)
+    pdf = (
+        pd.read_excel(written)
+        if written.endswith(".xlsx")
+        else pd.read_csv(written)
+    )
+    return spark.createDataFrame(
+        pdf, schema="c_nationkey bigint, n_customers bigint, bal_cents bigint"
+    )
+
+
 def _q_write_roundtrip_json(spark: SparkSession, sf: str) -> DataFrame:
     # The JSON-lines leg of the source/sink pair: write a projection
     # as one-object-per-line JSON (the splittable layout), read it
@@ -1856,7 +1910,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # After the window: r4 remnant -> r5 -> r7 -> r8 in staleness
         # order, so future rotations stay a pure prefix shift.  CI:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
-        # --- NEW round-9 operators land here (never verified) ---
+        # --- NEW round-9 operators (never verified) ---
+        "export_roundtrip": _q_export_roundtrip,
+        "perplexity_filter": _q_perplexity_filter,
+        "media_phash_neardup": _q_media_phash_neardup,
         # --- r3 cohort (stalest, due this round: all 20) ---
         "repetition_profile": _q_repetition_profile,
         "salted_agg": _q_salted_agg,
@@ -2495,6 +2552,13 @@ ORDER BY user_id
         "write_roundtrip_csv": (
             "SELECT c_mktsegment, COUNT(*) AS n_customers, "
             "CAST(SUM(c_custkey) AS BIGINT) AS key_sum FROM customer GROUP BY c_mktsegment"
+        ),
+        "perplexity_filter": textops.perplexity_filter_sql(),
+        "media_phash_neardup": _multimodal_mod().media_phash_neardup_sql(),
+        "export_roundtrip": (
+            "SELECT c_nationkey, COUNT(*) AS n_customers, "
+            "CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            "AS bal_cents FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"
         ),
         "dedup_containment": dedup.containment_pairs_sql(),
         "mad_outliers": windows.mad_outliers_sql(),

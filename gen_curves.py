@@ -94,6 +94,10 @@ def main() -> None:
 
     qs = m.queries()
 
+    # optional CLI filter: `python gen_curves.py op1 op2 ...` runs only
+    # the named cells (for re-recording a subset without the full hour)
+    ops = [o for o in OPS if o in sys.argv[1:]] if len(sys.argv) > 1 else OPS
+
     def run(op: str, sf_dir: str) -> tuple[float, object]:
         """Run one cell; on a candidate-budget abort (expected for the
         fixed-geometry embedding banding at 10x — the guard working),
@@ -127,7 +131,7 @@ def main() -> None:
 
     results: dict[tuple[str, str], tuple[float, object]] = {}
     for timed in (False, True):
-        for op in OPS:
+        for op in ops:
             for sf_name, sf_dir in SFS:
                 dt, n = run(op, sf_dir)
                 tag = "TIMED" if timed else "warm "
@@ -136,7 +140,7 @@ def main() -> None:
                 print(f"{tag} {op} {sf_name}: {dt:.2f}s ({n} rows)", flush=True)
     print("\n| operator | " + " | ".join(s for s, _ in SFS) + " |")
     print("|---|" + "---|" * len(SFS))
-    for op in OPS:
+    for op in ops:
         cells = " | ".join(f"{results[(op, s)][0]:.2f}" for s, _ in SFS)
         print(f"| {op} | {cells} |")
     spark.stop()

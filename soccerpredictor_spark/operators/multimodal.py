@@ -471,3 +471,198 @@ SELECT media_id, COUNT(*) AS n_frames,
        CAST(MAX(sig) AS BIGINT) AS max_sig
 FROM marked GROUP BY media_id ORDER BY media_id
 """
+
+
+# --------------------------------------------------------------------------
+# perceptual (dHash-style) image near-duplicate detection
+# --------------------------------------------------------------------------
+
+#: pseudo-pixel grid: byte intensities fold into this many cells
+#: (position mod PHASH_CELLS), adjacent-cell gradients give the bits.
+PHASH_CELLS = 64
+#: gradient bits = cells - 1, packed into ONE signed int64 (< 2^63 so
+#: both engines stay in plain BIGINT arithmetic — no sign wrap).
+PHASH_BITS = PHASH_CELLS - 1
+#: LSH banding over the 63 bits: 3 bands x 21 bits.
+PHASH_BANDS = 3
+PHASH_BAND_BITS = 21
+#: verified-pair acceptance: Hamming distance over the 63 bits.
+PHASH_MAX_HAMMING = 8
+#: df-cap — a band bucket bigger than this generates no candidates
+#: (the media_chunk_dedup / dedup_jaccard blocking contract).
+MAX_MEDIA_PER_PHASH_BAND = 100
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """dHash-style perceptual fingerprint per media payload through
+    the REAL Arrow decode plumbing (mapInPandas): (media_id, phash).
+
+    A real deployment decodes pixels and compares adjacent downscaled
+    luminances; the container has no codecs (see ``decode_image``),
+    so the deterministic stand-in "image" is the byte stream folded
+    into PHASH_CELLS positional cells — cell c holds the (sum, count)
+    of bytes at positions ≡ c (mod PHASH_CELLS), i.e. a stride
+    downscale of the payload. Bit c = 1 iff mean(cell c+1) >
+    mean(cell c), compared CROSS-MULTIPLIED in exact integers
+    (sum1*cnt0 > sum0*cnt1 — no float means), so the hash is
+    bit-identical across engines and locality-preserving: payloads
+    differing in a few bytes differ in few gradient bits — exactly
+    the property banding exploits. Swapping in a real decoder changes
+    only the intensity extraction, not the hash/banding pipeline.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def phash_of(b: bytes | None) -> int:
+        if b is None:
+            b = b""
+        arr = np.frombuffer(bytes(b), dtype=np.uint8)
+        sums = [0] * PHASH_CELLS
+        cnts = [0] * PHASH_CELLS
+        for c in range(PHASH_CELLS):
+            sl = arr[c::PHASH_CELLS]
+            sums[c] = int(sl.sum())
+            cnts[c] = int(sl.size)
+        h = 0
+        for c in range(PHASH_BITS):
+            if sums[c + 1] * cnts[c] > sums[c] * cnts[c + 1]:
+                h |= 1 << c
+        return h
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["payload"].map(phash_of).astype("int64"),
+                }
+            )
+
+    from soccerpredictor_spark.operators.scale import fan_out
+
+    return fan_out(media).mapInPandas(op, schema="media_id long, phash long")
+
+
+def media_phash_neardup(media: DataFrame) -> DataFrame:
+    """Perceptual near-duplicate media pairs: dHash fingerprints,
+    banded-LSH candidate generation, exact Hamming verification —
+    the image-side analogue of ``dedup_simhash`` (closes the
+    image-near-dup gap: ``media_dedup`` only catches byte-exact
+    copies; this catches re-encodes/small edits whose perceptual
+    fingerprints stay close).
+
+    Scale: candidates come ONLY from media sharing one of
+    PHASH_BANDS 21-bit band values, df-capped at
+    MAX_MEDIA_PER_PHASH_BAND per bucket (an over-dense bucket — a
+    solid-color thumbnail band — generates nothing rather than an
+    all-pairs blowup); the verify step is one integer
+    bit_count(a XOR b) per candidate. Only (media_id, 3 x 21-bit
+    ints) shuffle — payloads never leave the scan stage.
+    """
+    fp = media_phash(media)
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = fp.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftright(F.col("phash"), j * PHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
+    sizes = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n_in_bucket"))
+        .filter(F.col("n_in_bucket") <= MAX_MEDIA_PER_PHASH_BAND)
+    )
+    capped = bands.join(sizes.select("band_idx", "band_val"), ["band_idx", "band_val"])
+    a = capped.select(
+        "band_idx", "band_val",
+        F.col("media_id").alias("media_a"), F.col("phash").alias("h_a"),
+    )
+    b = capped.select(
+        "band_idx", "band_val",
+        F.col("media_id").alias("media_b"), F.col("phash").alias("h_b"),
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b", "h_a", "h_b")
+        .agg(F.countDistinct("band_idx").cast("long").alias("n_bands"))
+    )
+    hamming = F.bit_count(
+        F.col("h_a").bitwiseXOR(F.col("h_b"))
+    ).cast("int")
+    return (
+        cand.select("media_a", "media_b", hamming.alias("hamming"), "n_bands")
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .orderBy("media_a", "media_b")
+    )
+
+
+def media_phash_neardup_sql() -> str:
+    """DuckDB twin over documents-derived media: ascii(substr) on the
+    pure-ASCII fixture text reproduces the payload bytes the Spark
+    kernel folds (byte == code point for ASCII, checked in tests)."""
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands_sel = " UNION ALL ".join(
+        f"SELECT media_id, phash, {j} AS band_idx, "
+        f"(phash >> {j * PHASH_BAND_BITS}) & {mask} AS band_val FROM fp"
+        for j in range(PHASH_BANDS)
+    )
+    return f"""
+WITH bytes AS (
+  SELECT doc_id AS media_id,
+         CAST((u.i - 1) % {PHASH_CELLS} AS INT) AS cell,
+         ascii(substr(text, CAST(u.i AS INT), 1)) AS v
+  FROM documents, UNNEST(range(1, strlen(text) + 1)) AS u(i)
+),
+cells AS (
+  SELECT media_id, cell, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM bytes GROUP BY media_id, cell
+),
+bits AS (
+  SELECT c0.media_id, c0.cell AS c,
+         CASE WHEN c1.s * c0.n > c0.s * c1.n THEN 1 ELSE 0 END AS bit
+  FROM cells c0 JOIN cells c1
+    ON c0.media_id = c1.media_id AND c1.cell = c0.cell + 1
+),
+fp AS (
+  SELECT media_id,
+         CAST(COALESCE(SUM(CAST(bit AS BIGINT) << c), 0) AS BIGINT) AS phash
+  FROM bits GROUP BY media_id
+),
+bands AS ({bands_sel}),
+sizes AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY band_idx, band_val
+  HAVING COUNT(*) <= {MAX_MEDIA_PER_PHASH_BAND}
+),
+capped AS (
+  SELECT b.* FROM bands b JOIN sizes s
+    ON b.band_idx = s.band_idx AND b.band_val = s.band_val
+),
+cand AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b,
+         a.phash AS h_a, b.phash AS h_b,
+         CAST(COUNT(DISTINCT a.band_idx) AS BIGINT) AS n_bands
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.media_id < b.media_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming, n_bands
+FROM cand
+WHERE bit_count(xor(h_a, h_b)) <= {PHASH_MAX_HAMMING}
+ORDER BY media_a, media_b
+"""

@@ -2856,3 +2856,129 @@ SELECT source, COUNT(*) AS n_docs,
        CAST(CAST(SUM(CAST(h AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS checksum
 FROM per_doc GROUP BY source ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# perplexity-style document quality filter (CCNet/KenLM pattern)
+# --------------------------------------------------------------------------
+
+#: a document is kept when at most this fraction of its bigram
+#: occurrences are rarer than the corpus-median bigram type
+#: (cross-multiplied integer comparison, no float threshold).
+PPL_RARE_NUM, PPL_RARE_DEN = 1, 4
+
+
+def perplexity_filter(docs: DataFrame) -> DataFrame:
+    """Per-document LM quality score + keep/drop gate — the CCNet /
+    KenLM filtering pattern (score every document under a corpus
+    language model, drop the tail) re-expressed log-free.
+
+    True perplexity is exp of the mean negative log-probability;
+    ln() is libm-dependent (1-ulp JVM/libm divergence, see
+    pmi_collocations), so the score uses the RANK form: a bigram
+    occurrence is "rare" when its add-one-smoothed probability
+    (c_xy + 1) / (c_x + V) — the exact ``bigram_lm`` statistic — is
+    strictly below the median over bigram TYPES, and a document's
+    score is its rare-occurrence fraction (exact integers, one double
+    division). The gate keeps documents with
+    n_rare / n_bigrams <= 1/4, compared cross-multiplied in integers.
+    Monotone in the same ordering a log-prob threshold on the median
+    type would induce; bit-identical across engines.
+
+    Scale: the per-occurrence join is keyed by (x, y) against the
+    TYPE table (the model — vocabulary-bounded, prunable to
+    min-count and broadcastable in production); the median is one
+    sorted row_number over that same type table, never the corpus;
+    the 1-row median joins back as a broadcast scalar. Documents with
+    fewer than two tokens have no bigrams and are dropped (no LM
+    evidence either way), matching the twin's inner joins.
+    """
+    from pyspark.sql import Window
+
+    bg = _bigram_rows(docs)
+    pair = bg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    ctx = pair.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    vocab = (
+        pair.select(F.col("x").alias("w"))
+        .unionAll(pair.select(F.col("y").alias("w")))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    prob = (F.col("c_xy") + F.lit(1)).cast("double") / (
+        F.col("c_x") + F.col("v")
+    ).cast("double")
+    types = (
+        pair.join(F.broadcast(ctx), "x")
+        .crossJoin(F.broadcast(vocab))
+        .select("x", "y", prob.alias("prob"))
+    )
+    # deterministic non-interpolating median over bigram types: sort by
+    # (prob, x, y), pick row (n+1)//2 — identical in both engines and
+    # free of percentile-interpolation semantics differences
+    wo = Window.orderBy(F.col("prob").asc(), F.col("x").asc(), F.col("y").asc())
+    med = (
+        types.select(
+            "prob",
+            F.row_number().over(wo).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_types"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n_types") + 1) / 2))
+        .select(F.col("prob").alias("prob_med"))
+    )
+    scored = (
+        bg.join(types, ["x", "y"])
+        .crossJoin(F.broadcast(med))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("prob") < F.col("prob_med"), 1).otherwise(0)
+            ).cast("long").alias("n_rare"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_rare",
+        (F.col("n_rare").cast("double") / F.col("n_bigrams").cast("double")).alias(
+            "rare_rate"
+        ),
+        F.when(
+            F.col("n_rare") * PPL_RARE_DEN <= F.col("n_bigrams") * PPL_RARE_NUM, 1
+        )
+        .otherwise(0)
+        .alias("kept"),
+    ).orderBy("doc_id")
+
+
+def perplexity_filter_sql() -> str:
+    return f"""
+WITH bg AS ({_SQL_BIGRAMS}),
+pair AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY x, y),
+ctx AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM pair GROUP BY x),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM
+         (SELECT x AS w FROM pair UNION ALL SELECT y FROM pair) u),
+types AS (
+  SELECT p.x, p.y,
+         CAST(p.c_xy + 1 AS DOUBLE) / CAST(c.c_x + vb.v AS DOUBLE) AS prob
+  FROM pair p JOIN ctx c USING (x) CROSS JOIN vocab vb
+),
+med AS (
+  SELECT prob AS prob_med FROM (
+    SELECT prob, ROW_NUMBER() OVER (ORDER BY prob ASC, x ASC, y ASC) AS rn,
+           COUNT(*) OVER () AS n_types
+    FROM types
+  ) r WHERE rn = (n_types + 1) // 2
+),
+scored AS (
+  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(CASE WHEN t.prob < m.prob_med THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare
+  FROM bg JOIN types t ON bg.x = t.x AND bg.y = t.y CROSS JOIN med m
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams, n_rare,
+       CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_rate,
+       CAST(CASE WHEN n_rare * {PPL_RARE_DEN} <= n_bigrams * {PPL_RARE_NUM}
+            THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM scored ORDER BY doc_id
+"""
