@@ -229,8 +229,8 @@ def plan_keyed_cache(cache: dict, df_in: DataFrame, extra_key, build, max_entrie
 def clear_caches() -> int:
     """Empty every ``plan_keyed_cache`` store in the package (graph
     edge lists, minhash verified pairs, dedup CC labels, embedding
-    near-dup pairs, shared price-decile edges) and return how many
-    entries were dropped.
+    near-dup pairs, sign-LSH sketch bases, shared price-decile edges)
+    and return how many entries were dropped.
 
     The cache key is (analyzed plan, params, session) — it cannot see
     files behind an input path being overwritten mid-session, so any
@@ -248,6 +248,7 @@ def clear_caches() -> int:
         dedup._MINHASH_PAIR_CACHE,
         dedup._LABEL_CACHE,
         similarity._PAIR_CACHE,
+        similarity._SKETCH_CACHE,
         mlprep._PRICE_EDGES_CACHE,
     )
     n = sum(len(s) for s in stores)

@@ -178,16 +178,7 @@ def lsh_ann_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFram
     Each vector is quantized once and its norm/bucket derived from the
     materialized array — not re-quantized per plane and per similarity
     term (see cosine_near_dup for the same pattern)."""
-    planes = _planes()[:PLANES_PER_BAND]
-    base = fan_out(emb).select(
-        "vec_id", "label", V.int_vec(F.col("embedding")).alias("iv")
-    ).select(
-        "vec_id",
-        "label",
-        "iv",
-        V.sq_norm_iv(F.col("iv")).alias("nrm"),
-        V.lsh_bucket_iv(F.col("iv"), planes).alias("bucket"),
-    )
+    base = _band0_base(emb)
     q = base.filter(F.col("vec_id") == query_vec_id).select(
         F.col("iv").alias("q_iv"),
         F.col("nrm").alias("q_nrm"),
@@ -334,6 +325,65 @@ LIMIT {k}
 #: (``scale.plan_keyed_cache`` semantics).
 _PAIR_CACHE: dict = {}
 
+#: session-lifetime cache of checkpointed sign-LSH sketch bases —
+#: the Arrow-matmul quantize+bucket pass is the ANN family's dominant
+#: cost, and three entries (cosine_near_dup and everything built on
+#: it, knn_graph, lsh_ann_topk/ann_recall_eval) used to rebuild it
+#: per entry (round-8 verdict #1). Keyed like _PAIR_CACHE:
+#: (session, analyzed emb plan, which-sketch) — a different corpus or
+#: geometry can never hit a stale entry. Registered in
+#: ``scale.clear_caches``.
+_SKETCH_CACHE: dict = {}
+
+
+def _nd_sketch_base(emb: DataFrame) -> DataFrame:
+    """Checkpointed (vec_id, iv, nrm, buckets) ND sketch — ONE Arrow
+    matmul per (session, emb plan), shared by ``cosine_near_dup``
+    (hence embedding_near_dup / embedding_dedup_clusters / the
+    near-dup audits) and ``knn_graph``."""
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+    from soccerpredictor_spark.operators.scale import plan_keyed_cache
+
+    def build() -> DataFrame:
+        return _reliable_checkpoint(
+            fan_out(emb)
+            .select("vec_id", _nd_sketch_udf()(F.col("embedding")).alias("sk"))
+            .select(
+                "vec_id",
+                F.col("sk.iv").alias("iv"),
+                F.col("sk.nrm").alias("nrm"),
+                F.col("sk.buckets").alias("buckets"),
+            )
+        )
+
+    return plan_keyed_cache(_SKETCH_CACHE, emb, "nd_sketch", build)
+
+
+def _band0_base(emb: DataFrame) -> DataFrame:
+    """Checkpointed single-band quantized base (vec_id, label, iv,
+    nrm, bucket) shared by ``lsh_ann_topk`` and ``ann_recall_eval``'s
+    approximate leg (which calls lsh_ann_topk and therefore hits this
+    cache on its second in-session use)."""
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+    from soccerpredictor_spark.operators.scale import plan_keyed_cache
+
+    planes = _planes()[:PLANES_PER_BAND]
+
+    def build() -> DataFrame:
+        return _reliable_checkpoint(
+            fan_out(emb)
+            .select("vec_id", "label", V.int_vec(F.col("embedding")).alias("iv"))
+            .select(
+                "vec_id",
+                "label",
+                "iv",
+                V.sq_norm_iv(F.col("iv")).alias("nrm"),
+                V.lsh_bucket_iv(F.col("iv"), planes).alias("bucket"),
+            )
+        )
+
+    return plan_keyed_cache(_SKETCH_CACHE, emb, "band0", build)
+
 
 def cosine_near_dup(
     emb: DataFrame,
@@ -360,13 +410,13 @@ def cosine_near_dup(
       otherwise), and verification is one vectorized elementwise
       multiply-sum per candidate batch (``_pair_dot_udf``).
 
-    Cache discipline (round 6): ``base`` is persisted once, so the
-    Arrow sketch matmul — this operator's dominant cost — runs ONE
-    time for the budget guard, the band self-join, and both
-    verification sides (previously it re-ran per reference); the
-    verified-pair result is eagerly pinned (same mode-aware
-    checkpoint as the minhash path) and ``base`` unpersisted in
-    ``finally`` so no cached blocks outlive the call. The
+    Cache discipline (round 6, tightened round 9): the sketch base —
+    the Arrow matmul, this operator's dominant cost — is checkpointed
+    and SESSION-cached via ``_nd_sketch_base``, so the budget guard,
+    the band self-join, both verification sides, AND ``knn_graph``
+    all read one materialization (previously knn_graph re-ran the
+    matmul per entry); the verified-pair result is eagerly pinned
+    (same mode-aware checkpoint as the minhash path). The
     ``candidate_budget_guard`` call is the no-silent-caps abort for a
     degenerate banding (round-5 verdict #6).
 
@@ -394,46 +444,45 @@ def _cosine_near_dup_build(
     from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
     from soccerpredictor_spark.operators.scale import candidate_budget_guard
 
-    base = fan_out(emb).select(
-        "vec_id", _nd_sketch_udf()(F.col("embedding")).alias("sk")
-    ).select("vec_id", F.col("sk.iv").alias("iv"), F.col("sk.nrm").alias("nrm"), F.col("sk.buckets").alias("buckets")).persist()
-    try:
-        bnd = base.select(
-            "vec_id", F.posexplode("buckets").alias("band", "bucket")
+    # the sketch base is checkpointed + session-cached (_nd_sketch_base)
+    # rather than persisted per-call: knn_graph and every near-dup
+    # consumer read the same materialization, and downstream plans see
+    # a flat scan instead of the Arrow-matmul subtree
+    base = _nd_sketch_base(emb)
+    bnd = base.select(
+        "vec_id", F.posexplode("buckets").alias("band", "bucket")
+    )
+    guard_kwargs = (
+        {} if max_pairs_per_row is None
+        else {"max_pairs_per_row": max_pairs_per_row}
+    )
+    candidate_budget_guard(bnd, ["band", "bucket"], "cosine_near_dup", **guard_kwargs)
+    a = bnd.alias("a")
+    b = bnd.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
         )
-        guard_kwargs = (
-            {} if max_pairs_per_row is None
-            else {"max_pairs_per_row": max_pairs_per_row}
-        )
-        candidate_budget_guard(bnd, ["band", "bucket"], "cosine_near_dup", **guard_kwargs)
-        a = bnd.alias("a")
-        b = bnd.alias("b")
-        cand = (
-            a.join(b, ["band", "bucket"])
-            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-            .select(
-                F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-            )
-            .dropDuplicates(["vec_a", "vec_b"])
-        )
-        va = base.select(
-            F.col("vec_id").alias("vec_a"), F.col("iv").alias("iv_a"), F.col("nrm").alias("nrm_a")
-        )
-        vb = base.select(
-            F.col("vec_id").alias("vec_b"), F.col("iv").alias("iv_b"), F.col("nrm").alias("nrm_b")
-        )
-        sim = _pair_dot_udf()(F.col("iv_a"), F.col("iv_b")).cast("double") / (
-            F.sqrt(F.col("nrm_a").cast("double")) * F.sqrt(F.col("nrm_b").cast("double"))
-        )
-        return _reliable_checkpoint(
-            cand.join(va, "vec_a")
-            .join(vb, "vec_b")
-            .select("vec_a", "vec_b", sim.alias("sim"))
-            .filter(F.col("sim") >= threshold)
-        )
-    finally:
-        base.unpersist()
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("iv").alias("iv_a"), F.col("nrm").alias("nrm_a")
+    )
+    vb = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("iv").alias("iv_b"), F.col("nrm").alias("nrm_b")
+    )
+    sim = _pair_dot_udf()(F.col("iv_a"), F.col("iv_b")).cast("double") / (
+        F.sqrt(F.col("nrm_a").cast("double")) * F.sqrt(F.col("nrm_b").cast("double"))
+    )
+    return _reliable_checkpoint(
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 def cosine_near_dup_sql(threshold: float = 0.25) -> str:
@@ -1021,66 +1070,56 @@ def knn_graph(emb: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
     from soccerpredictor_spark.operators.scale import candidate_budget_guard
     from pyspark.sql.window import Window as W
 
-    base = fan_out(emb).select(
-        "vec_id", _nd_sketch_udf()(F.col("embedding")).alias("sk")
-    ).select(
-        "vec_id",
-        F.col("sk.iv").alias("iv"),
-        F.col("sk.nrm").alias("nrm"),
-        F.col("sk.buckets").alias("buckets"),
-    ).persist()
-    try:
-        bnd = base.select("vec_id", F.posexplode("buckets").alias("band", "bucket"))
-        candidate_budget_guard(bnd, ["band", "bucket"], "knn_graph")
-        a = bnd.alias("a")
-        b = bnd.alias("b")
-        cand = (
-            a.join(b, ["band", "bucket"])
-            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-            .select(
-                F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-            )
-            .dropDuplicates(["vec_a", "vec_b"])
+    base = _nd_sketch_base(emb)
+    bnd = base.select("vec_id", F.posexplode("buckets").alias("band", "bucket"))
+    candidate_budget_guard(bnd, ["band", "bucket"], "knn_graph")
+    a = bnd.alias("a")
+    b = bnd.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
         )
-        va = base.select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("iv").alias("iv_a"),
-            F.col("nrm").alias("nrm_a"),
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("iv").alias("iv_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    vb = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("iv").alias("iv_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = _pair_dot_udf()(F.col("iv_a"), F.col("iv_b")).cast("double") / (
+        F.sqrt(F.col("nrm_a").cast("double"))
+        * F.sqrt(F.col("nrm_b").cast("double"))
+    )
+    # materialize the half-sized sims ONCE (mode-aware checkpoint);
+    # without the cut the union's two branches would each re-run
+    # the join + Arrow dot subtree (exchange reuse does not span
+    # the differing projections above it).
+    undirected = _reliable_checkpoint(
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+    )
+    directed = undirected.unionAll(
+        undirected.select(
+            F.col("vec_b").alias("vec_a"),
+            F.col("vec_a").alias("vec_b"),
+            "sim",
         )
-        vb = base.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("iv").alias("iv_b"),
-            F.col("nrm").alias("nrm_b"),
-        )
-        sim = _pair_dot_udf()(F.col("iv_a"), F.col("iv_b")).cast("double") / (
-            F.sqrt(F.col("nrm_a").cast("double"))
-            * F.sqrt(F.col("nrm_b").cast("double"))
-        )
-        # materialize the half-sized sims ONCE (mode-aware checkpoint);
-        # without the cut the union's two branches would each re-run
-        # the join + Arrow dot subtree (exchange reuse does not span
-        # the differing projections above it).
-        undirected = _reliable_checkpoint(
-            cand.join(va, "vec_a")
-            .join(vb, "vec_b")
-            .select("vec_a", "vec_b", sim.alias("sim"))
-        )
-        directed = undirected.unionAll(
-            undirected.select(
-                F.col("vec_b").alias("vec_a"),
-                F.col("vec_a").alias("vec_b"),
-                "sim",
-            )
-        )
-        w = W.partitionBy("vec_a").orderBy(F.col("sim").desc(), F.col("vec_b").asc())
-        return (
-            directed.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("vec_a", "vec_b", "sim", "rnk")
-        )
-    finally:
-        base.unpersist()
+    )
+    w = W.partitionBy("vec_a").orderBy(F.col("sim").desc(), F.col("vec_b").asc())
+    return (
+        directed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("vec_a", "vec_b", "sim", "rnk")
+    )
 
 
 def knn_graph_sql(k: int = KNN_GRAPH_K) -> str:

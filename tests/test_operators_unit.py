@@ -185,6 +185,32 @@ def test_components_multi_hop_chain(spark):
     }
 
 
+def test_components_unconverged_raises_by_default(spark):
+    """A path graph whose diameter exceeds what max_iter rounds of
+    pointer-jumped propagation can cover must RAISE (no silent wrong
+    cluster ids); on_nonconverged="warn" opts into the old warning
+    behavior and returns the (possibly wrong) labels."""
+    import warnings
+
+    import pytest
+
+    from soccerpredictor_spark.operators.dedup import _components_from_pairs
+
+    # path 0-1-2-...-40: diameter 40 > the 2^2 coverage of max_iter=2
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="convergence not confirmed"):
+        _components_from_pairs(pairs, max_iter=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows = _components_from_pairs(
+            pairs, max_iter=2, on_nonconverged="warn"
+        ).collect()
+    assert any(issubclass(x.category, RuntimeWarning) for x in w)
+    assert len(rows) == 41
+
+
 class TestDocChunks:
     def test_chunk_geometry(self, spark):
         """Chunks stride by (chunk - overlap); the tail chunk may be
