@@ -786,6 +786,30 @@ def _q_write_roundtrip_csv(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_decision_stump(spark: SparkSession, sf: str) -> DataFrame:
+    # best Gini split via one bucketed-prefix-sum pass over distinct
+    # thresholds (the boosted-tree weak-learner kernel;
+    # XGBoost/Predictor.py:96-110 trains exactly such stumps).
+    return _mlprep_mod().decision_stump(read_table(spark, sf, "orders"))
+
+
+def _q_cohen_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    # chance-corrected agreement of the lang-ID heuristic vs labels.
+    return textops.cohen_kappa(read_table(spark, sf, "documents"))
+
+
+def _q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    # Kaplan-Meier retention curve with horizon-based right-censoring;
+    # suffix-sum at-risk counts + ordered-fold survival products.
+    return _timeseries_mod().kaplan_meier(read_table(spark, sf, "events"))
+
+
+def _q_pr_auc(spark: SparkSession, sf: str) -> DataFrame:
+    # exact average precision via the roc_auc bucketed prefix sums +
+    # descending-order double fold (imbalanced-label ranking metric).
+    return _mlprep_mod().pr_auc(read_table(spark, sf, "orders"))
+
+
 def _q_media_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # perceptual (dHash-banded) media near-dup over the Arrow decode
     # plumbing — the image-side analogue of dedup_simhash.
@@ -1914,6 +1938,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_roundtrip": _q_export_roundtrip,
         "perplexity_filter": _q_perplexity_filter,
         "media_phash_neardup": _q_media_phash_neardup,
+        "pr_auc": _q_pr_auc,
+        "kaplan_meier": _q_kaplan_meier,
+        "decision_stump": _q_decision_stump,
+        "cohen_kappa": _q_cohen_kappa,
         # --- r3 cohort (stalest, due this round: all 20) ---
         "repetition_profile": _q_repetition_profile,
         "salted_agg": _q_salted_agg,
@@ -2555,6 +2583,10 @@ ORDER BY user_id
         ),
         "perplexity_filter": textops.perplexity_filter_sql(),
         "media_phash_neardup": _multimodal_mod().media_phash_neardup_sql(),
+        "pr_auc": _mlprep_mod().pr_auc_sql(),
+        "kaplan_meier": _timeseries_mod().kaplan_meier_sql(),
+        "decision_stump": _mlprep_mod().decision_stump_sql(),
+        "cohen_kappa": textops.cohen_kappa_sql(),
         "export_roundtrip": (
             "SELECT c_nationkey, COUNT(*) AS n_customers, "
             "CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "

@@ -1885,3 +1885,312 @@ best AS (
 SELECT o_custkey, best_orderkey, r_price, r_date, rrf, n_orders
 FROM best WHERE rn = 1 ORDER BY o_custkey
 """
+
+
+# --------------------------------------------------------------------------
+# round-9 additions: PR-AUC, Kaplan-Meier survival, decision stump
+# --------------------------------------------------------------------------
+
+
+def pr_auc(orders: DataFrame, bucket_cents: int = AUC_BUCKET_CENTS) -> DataFrame:
+    """Exact average precision (area under the precision-recall
+    curve, the step-function form sklearn computes): with every
+    distinct score a threshold,
+
+        AP = sum_s (p_s / P) * precision_at(s)
+           = (1/P) * sum_s p_s * TP_s / rank_s
+
+    over distinct scores s DESCENDING — the ranking metric that stays
+    informative when ROC-AUC saturates on imbalanced labels (the
+    ``roc_auc`` companion; same label/score encoding: urgent
+    priority vs exact int64 price cents).
+
+    Exactness: TP_s (positives at score >= s) and rank_s (rows at
+    score >= s) come from the same TWO-LEVEL bucketed prefix sum as
+    ``roc_auc`` — windows partitioned by score bucket, only
+    per-bucket totals cross the tiny global window, no single-reducer
+    sort over row-scale data. Each per-score term is exact integers
+    -> ONE double division; the final sum is a strict LEFT FOLD over
+    terms in descending-score order (Spark ``aggregate`` / DuckDB
+    ``list_reduce`` — the repo's double-fold convention), so both
+    engines evaluate the identical IEEE sequence. The fold array is
+    one row per DISTINCT score (the cent grid — bounded, not
+    row-scale); a 100 TB run would cap distinct thresholds by
+    quantizing scores, exactly as recommenders do.
+    """
+    by_score = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("score"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("label"),
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("label").alias("p"),
+            F.count(F.lit(1)).alias("r"),
+        )
+        .withColumn("bucket", F.expr(f"score div {bucket_cents}"))
+    )
+    # descending prefix sums INCLUSIVE of the current score group
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = by_score.withColumn("tp_in", F.sum("p").over(w_in)).withColumn(
+        "rk_in", F.sum("r").over(w_in)
+    )
+    bucket_tot = by_score.groupBy("bucket").agg(
+        F.sum("p").alias("bp"), F.sum("r").alias("br")
+    )
+    w_b = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_cum = bucket_tot.select(
+        "bucket",
+        F.coalesce(F.sum("bp").over(w_b), F.lit(0)).alias("tp_above"),
+        F.coalesce(F.sum("br").over(w_b), F.lit(0)).alias("rk_above"),
+    )
+    joined = within.join(F.broadcast(bucket_cum), "bucket").select(
+        "score",
+        "p",
+        (F.col("tp_above") + F.col("tp_in")).alias("tp"),
+        (F.col("rk_above") + F.col("rk_in")).alias("rank"),
+    )
+    term = (
+        F.col("p").cast("decimal(38,0)") * F.col("tp").cast("decimal(38,0)")
+    ).cast("double") / F.col("rank").cast("double")
+    folded = (
+        joined.filter(F.col("p") > 0)
+        .select(F.struct((-F.col("score")).alias("ns"), term.alias("t")).alias("st"))
+        .agg(F.array_sort(F.collect_list("st")).alias("terms"))
+        .select(
+            F.aggregate(
+                F.transform(F.col("terms"), lambda x: x["t"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("ap_num")
+        )
+    )
+    totals = by_score.agg(
+        F.sum("p").alias("n_pos"), F.sum(F.col("r") - F.col("p")).alias("n_neg")
+    )
+    return folded.crossJoin(F.broadcast(totals)).select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            F.col("n_pos") > 0, F.col("ap_num") / F.col("n_pos").cast("double")
+        ).alias("average_precision"),
+    )
+
+
+def pr_auc_sql(bucket_cents: int = AUC_BUCKET_CENTS) -> str:
+    return f"""
+WITH by_score AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+bucketed AS (SELECT *, score // {bucket_cents} AS bucket FROM by_score),
+within AS (
+  SELECT *,
+         CAST(SUM(p) OVER (PARTITION BY bucket ORDER BY score DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS tp_in,
+         CAST(SUM(r) OVER (PARTITION BY bucket ORDER BY score DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS rk_in
+  FROM bucketed
+),
+bucket_cum AS (
+  SELECT bucket,
+         COALESCE(CAST(SUM(bp) OVER (ORDER BY bucket DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS tp_above,
+         COALESCE(CAST(SUM(br) OVER (ORDER BY bucket DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS rk_above
+  FROM (SELECT bucket, CAST(SUM(p) AS BIGINT) AS bp,
+               CAST(SUM(r) AS BIGINT) AS br FROM bucketed GROUP BY bucket)
+),
+terms AS (
+  SELECT w.score,
+         CAST(CAST(CAST(w.p AS HUGEINT) * (b.tp_above + w.tp_in) AS VARCHAR)
+              AS DOUBLE)
+           / CAST(b.rk_above + w.rk_in AS DOUBLE) AS t
+  FROM within w JOIN bucket_cum b USING (bucket)
+  WHERE w.p > 0
+),
+folded AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS DOUBLE), list(t ORDER BY score DESC)),
+           (acc, x) -> acc + x) AS ap_num
+  FROM terms
+),
+totals AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(r - p) AS BIGINT) AS n_neg
+  FROM by_score
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 THEN ap_num / CAST(n_pos AS DOUBLE) END
+         AS average_precision
+FROM folded, totals
+"""
+
+
+def decision_stump(orders: DataFrame, bucket_cents: int = AUC_BUCKET_CENTS) -> DataFrame:
+    """Best binary split of a numeric feature against a binary label
+    (the depth-1 decision tree / boosting weak learner): the
+    threshold t maximizing the purity score
+
+        (pL^2 + qL^2) / nL  +  (pR^2 + qR^2) / nR
+
+    — an affine transform of negative weighted Gini impurity, so
+    argmax(purity) == argmin(weighted Gini). Label = urgent order,
+    feature = exact int64 price cents; split rule is score <= t.
+
+    Every candidate threshold (= distinct score) is evaluated from
+    ONE pass of cumulative (positives, rows): the same two-level
+    bucketed prefix sum as ``roc_auc`` — no per-candidate scan, no
+    single-reducer sort. Squares accumulate as decimal(38,0) (p^2
+    overflows int64 past ~3e9 rows) and each side's term is one
+    exactly-cast double division; the argmax orders by (purity DESC,
+    threshold ASC) — a distributed TakeOrdered, deterministic on
+    bit-identical doubles. The max score is excluded (its right side
+    is empty). This is the split-finding kernel XGBoost/LightGBM run
+    per feature per node — the reference trains exactly such boosted
+    stumps remotely (XGBoost/Predictor.py:96-110).
+    """
+    by_score = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("score"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("label"),
+        )
+        .groupBy("score")
+        .agg(F.sum("label").alias("p"), F.count(F.lit(1)).alias("r"))
+        .withColumn("bucket", F.expr(f"score div {bucket_cents}"))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = by_score.withColumn("p_in", F.sum("p").over(w_in)).withColumn(
+        "r_in", F.sum("r").over(w_in)
+    )
+    bucket_tot = by_score.groupBy("bucket").agg(
+        F.sum("p").alias("bp"), F.sum("r").alias("br")
+    )
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_cum = bucket_tot.select(
+        "bucket",
+        F.coalesce(F.sum("bp").over(w_b), F.lit(0)).alias("p_below"),
+        F.coalesce(F.sum("br").over(w_b), F.lit(0)).alias("r_below"),
+    )
+    totals = by_score.agg(
+        F.sum("p").alias("tp"), F.sum("r").alias("tr")
+    )
+    d38 = "decimal(38,0)"
+    cum = (
+        within.join(F.broadcast(bucket_cum), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "score",
+            (F.col("p_below") + F.col("p_in")).alias("pl"),
+            (F.col("r_below") + F.col("r_in")).alias("nl"),
+            (F.col("tp") - F.col("p_below") - F.col("p_in")).alias("pr_"),
+            (F.col("tr") - F.col("r_below") - F.col("r_in")).alias("nr"),
+        )
+        .filter(F.col("nr") > 0)
+    )
+    ql = F.col("nl") - F.col("pl")
+    qr = F.col("nr") - F.col("pr_")
+    purity = (
+        (
+            F.col("pl").cast(d38) * F.col("pl").cast(d38)
+            + ql.cast(d38) * ql.cast(d38)
+        ).cast("double")
+        / F.col("nl").cast("double")
+        + (
+            F.col("pr_").cast(d38) * F.col("pr_").cast(d38)
+            + qr.cast(d38) * qr.cast(d38)
+        ).cast("double")
+        / F.col("nr").cast("double")
+    )
+    return (
+        cum.select(
+            F.col("score").alias("split_cents"),
+            F.col("nl").alias("n_left"),
+            F.col("pl").alias("pos_left"),
+            F.col("nr").alias("n_right"),
+            F.col("pr_").alias("pos_right"),
+            purity.alias("purity"),
+        )
+        .orderBy(F.col("purity").desc(), F.col("split_cents").asc())
+        .limit(1)
+    )
+
+
+def decision_stump_sql(bucket_cents: int = AUC_BUCKET_CENTS) -> str:
+    term = (
+        "CAST(CAST(CAST({p} AS HUGEINT) * {p} + CAST({q} AS HUGEINT) * {q}"
+        " AS VARCHAR) AS DOUBLE) / CAST({n} AS DOUBLE)"
+    )
+    tl = term.format(p="pl", q="(nl - pl)", n="nl")
+    tr_ = term.format(p="pr_", q="(nr - pr_)", n="nr")
+    return f"""
+WITH by_score AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+bucketed AS (SELECT *, score // {bucket_cents} AS bucket FROM by_score),
+within AS (
+  SELECT *,
+         CAST(SUM(p) OVER (PARTITION BY bucket ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS p_in,
+         CAST(SUM(r) OVER (PARTITION BY bucket ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS r_in
+  FROM bucketed
+),
+bucket_cum AS (
+  SELECT bucket,
+         COALESCE(CAST(SUM(bp) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS p_below,
+         COALESCE(CAST(SUM(br) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS r_below
+  FROM (SELECT bucket, CAST(SUM(p) AS BIGINT) AS bp,
+               CAST(SUM(r) AS BIGINT) AS br FROM bucketed GROUP BY bucket)
+),
+totals AS (SELECT CAST(SUM(p) AS BIGINT) AS tp, CAST(SUM(r) AS BIGINT) AS tr
+           FROM by_score),
+cum AS (
+  SELECT w.score,
+         b.p_below + w.p_in AS pl,
+         b.r_below + w.r_in AS nl,
+         t.tp - b.p_below - w.p_in AS pr_,
+         t.tr - b.r_below - w.r_in AS nr
+  FROM within w JOIN bucket_cum b USING (bucket), totals t
+)
+SELECT score AS split_cents, nl AS n_left, pl AS pos_left,
+       nr AS n_right, pr_ AS pos_right,
+       {tl} + {tr_} AS purity
+FROM cum WHERE nr > 0
+ORDER BY purity DESC, split_cents ASC
+LIMIT 1
+"""

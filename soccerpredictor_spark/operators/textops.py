@@ -2982,3 +2982,99 @@ SELECT doc_id, n_bigrams, n_rare,
             THEN 1 ELSE 0 END AS INTEGER) AS kept
 FROM scored ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa: chance-corrected classifier/annotator agreement
+# --------------------------------------------------------------------------
+
+
+def cohen_kappa(docs: DataFrame) -> DataFrame:
+    """Cohen's kappa of the marker-heuristic language classifier
+    against the corpus labels — the chance-corrected agreement score
+    (the standard annotator-agreement / weak-labeler acceptance
+    metric; raw accuracy flatters any classifier on a skewed label
+    mix, kappa discounts exactly that):
+
+        kappa = (Po - Pe) / (1 - Pe),
+        Po = sum_k diag_k / N,   Pe = sum_k row_k * col_k / N^2.
+
+    Derived entirely from ``lang_confusion``'s tiny confusion table
+    (one corpus pass, then label-count-sized arithmetic): marginals
+    come from one grouped aggregation over the cells; all sums are
+    exact integers — sum(row_k * col_k) accumulates as decimal(38,0)
+    (N^2-scale) — and Po/Pe/kappa are final double expressions
+    evaluated identically by both engines. Degenerate Pe = 1 (single
+    observed class on both sides) surfaces NULL, the
+    ``feature_corr`` zero-denominator convention.
+    """
+    conf = lang_confusion(docs)
+    cells = conf.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.when(F.col("lang") == F.col("lang_pred"), F.col("n_docs"))
+        .otherwise(0)
+        .alias("diag"),
+    )
+    # one pass for N and diag; marginal products via a self-joined
+    # pair of tiny grouped views (label-count-sized, broadcast)
+    rows_m = cells.groupBy("lang").agg(F.sum("n_docs").alias("row_n"))
+    cols_m = cells.groupBy("lang_pred").agg(F.sum("n_docs").alias("col_n"))
+    prod = (
+        rows_m.join(
+            cols_m, rows_m.lang == cols_m.lang_pred, "inner"
+        ).agg(
+            F.sum(
+                F.col("row_n").cast("decimal(38,0)")
+                * F.col("col_n").cast("decimal(38,0)")
+            ).alias("sum_rc")
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_docs").alias("n"), F.sum("diag").alias("n_agree")
+    )
+    n_d = F.col("n").cast("double")
+    po = F.col("n_agree").cast("double") / n_d
+    pe = F.col("sum_rc").cast("double") / (n_d * n_d)
+    return tot.crossJoin(F.broadcast(prod)).select(
+        F.col("n").alias("n_docs"),
+        F.col("n_agree"),
+        po.alias("po"),
+        pe.alias("pe"),
+        F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+def cohen_kappa_sql() -> str:
+    conf = lang_confusion_sql()
+    return f"""
+WITH conf AS ({conf}),
+rows_m AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS row_n
+           FROM conf GROUP BY lang),
+cols_m AS (SELECT lang_pred, CAST(SUM(n_docs) AS BIGINT) AS col_n
+           FROM conf GROUP BY lang_pred),
+prod AS (
+  SELECT SUM(CAST(row_n AS HUGEINT) * col_n) AS sum_rc
+  FROM rows_m r JOIN cols_m c ON r.lang = c.lang_pred
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN lang = lang_pred THEN n_docs ELSE 0 END)
+              AS BIGINT) AS n_agree
+  FROM conf
+)
+SELECT n AS n_docs, n_agree,
+       CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       CAST(CAST(sum_rc AS VARCHAR) AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+       CASE WHEN CAST(CAST(sum_rc AS VARCHAR) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+            THEN (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(CAST(sum_rc AS VARCHAR) AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - CAST(CAST(sum_rc AS VARCHAR) AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       END AS kappa
+FROM tot, prod
+"""

@@ -773,3 +773,126 @@ SELECT user_id, t,
 FROM enriched WHERE is_grid = 1
 ORDER BY user_id, t
 """
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival estimation (user retention curve)
+# --------------------------------------------------------------------------
+
+#: a user whose last event is at least this long before the corpus
+#: horizon (global max ts) is an observed churn; later = censored
+#: (still active at the end of the observation window).
+KM_CENSOR_HORIZON_H = 168  # 7 days
+
+
+def kaplan_meier(events: DataFrame) -> DataFrame:
+    """Kaplan-Meier retention curve over user lifetimes — the
+    survival-analysis estimator every churn/retention analysis runs:
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i) over distinct lifetimes
+    t_i with d_i observed churns and n_i users still at risk,
+    correctly discounting right-censored users (active at the end of
+    the window — their lifetime is a lower bound, not a death).
+
+    Lifetime = whole hours from a user's first to last event;
+    censoring is horizon-based: a user whose last event is within
+    KM_CENSOR_HORIZON_H of the corpus max timestamp is censored.
+    Both per-user reductions are one groupBy; the at-risk counts
+    n_i are a SUFFIX sum over distinct lifetimes (tiny — bounded by
+    the corpus span in hours, not by users), and each survival point
+    is a strict LEFT FOLD product of the per-time factors in
+    ascending-time order (Spark ``aggregate`` / DuckDB
+    ``list_reduce`` — the double-fold convention), each factor one
+    exact-integer division. The per-row fold re-folds the prefix
+    slice (O(T^2) over T distinct lifetimes — bounded by span-hours;
+    a 100 TB run buckets lifetimes exactly like this hour grid).
+    """
+    us = F.unix_micros(F.col("ts"))
+    horizon_us = KM_CENSOR_HORIZON_H * 3600 * 1_000_000
+    per_user = events.groupBy("user_id").agg(
+        F.min(us).alias("t0"), F.max(us).alias("t1")
+    )
+    gmax = per_user.agg(F.max("t1").alias("gmax"))
+    lives = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.floor((F.col("t1") - F.col("t0")) / F.lit(3_600_000_000)).alias("life_h"),
+        F.when(F.col("t1") <= F.col("gmax") - F.lit(horizon_us), 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    by_t = lives.groupBy("life_h").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    w_suffix = Window.orderBy(F.col("life_h").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = by_t.withColumn("n_risk", F.sum("total").over(w_suffix))
+    factor = (F.col("n_risk") - F.col("d")).cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    pts = at_risk.select(
+        "life_h", "d", (F.col("total") - F.col("d")).alias("c"), "n_risk",
+        factor.alias("f"),
+    )
+    arr = pts.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("life_h").alias("t"), F.col("f")))
+        ).alias("fs")
+    )
+    surv = pts.crossJoin(F.broadcast(arr)).select(
+        "life_h",
+        F.col("n_risk").alias("n_risk"),
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.aggregate(
+            F.transform(
+                F.filter(F.col("fs"), lambda x: x["t"] <= F.col("life_h")),
+                lambda x: x["f"],
+            ),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("survival"),
+    )
+    return surv.orderBy("life_h")
+
+
+def kaplan_meier_sql() -> str:
+    horizon_us = KM_CENSOR_HORIZON_H * 3600 * 1_000_000
+    return f"""
+WITH per_user AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+  FROM events GROUP BY user_id
+),
+gm AS (SELECT MAX(t1) AS gmax FROM per_user),
+lives AS (
+  SELECT CAST(floor((t1 - t0) / 3600000000.0) AS BIGINT) AS life_h,
+         CASE WHEN t1 <= gmax - {horizon_us} THEN 1 ELSE 0 END AS churned
+  FROM per_user, gm
+),
+by_t AS (
+  SELECT life_h, CAST(SUM(churned) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM lives GROUP BY life_h
+),
+at_risk AS (
+  SELECT *, CAST(SUM(total) OVER (ORDER BY life_h DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_risk
+  FROM by_t
+),
+pts AS (
+  SELECT life_h, d, total - d AS c, n_risk,
+         CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+  FROM at_risk
+),
+arr AS (SELECT list(f ORDER BY life_h ASC) AS fs,
+               list(life_h ORDER BY life_h ASC) AS ts FROM pts)
+SELECT p.life_h, p.n_risk, p.d AS n_churned, p.c AS n_censored,
+       list_reduce(
+         list_prepend(CAST(1 AS DOUBLE),
+           list_transform(
+             list_filter(range(1, len(a.fs) + 1), i -> a.ts[i] <= p.life_h),
+             i -> a.fs[i])),
+         (acc, x) -> acc * x) AS survival
+FROM pts p, arr a
+ORDER BY p.life_h
+"""
