@@ -786,6 +786,24 @@ def _q_write_roundtrip_csv(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    # sqrt-temperature (T=1/2) source mixture weights — the
+    # multilingual rebalance between uniform (T=0) and natural (T=1).
+    return textops.temperature_mix(read_table(spark, sf, "documents"))
+
+
+def _q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # URL canonicalization + keep-min dedup over synthesized crawl
+    # URLs (case/utm/fragment/trailing-slash variants).
+    return textops.url_dedup(read_table(spark, sf, "documents"))
+
+
+def _q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # HyperLogLog cardinality sketch with exact-integer registers and
+    # an exact-distinct audit column (m-bounded shuffle).
+    return _sketch_mod().hll_distinct(read_table(spark, sf, "events"))
+
+
 def _q_decision_stump(spark: SparkSession, sf: str) -> DataFrame:
     # best Gini split via one bucketed-prefix-sum pass over distinct
     # thresholds (the boosted-tree weak-learner kernel;
@@ -1942,6 +1960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": _q_kaplan_meier,
         "decision_stump": _q_decision_stump,
         "cohen_kappa": _q_cohen_kappa,
+        "hll_distinct": _q_hll_distinct,
+        "temperature_mix": _q_temperature_mix,
+        "url_dedup": _q_url_dedup,
         # --- r3 cohort (stalest, due this round: all 20) ---
         "repetition_profile": _q_repetition_profile,
         "salted_agg": _q_salted_agg,
@@ -2587,6 +2608,9 @@ ORDER BY user_id
         "kaplan_meier": _timeseries_mod().kaplan_meier_sql(),
         "decision_stump": _mlprep_mod().decision_stump_sql(),
         "cohen_kappa": textops.cohen_kappa_sql(),
+        "hll_distinct": _sketch_mod().hll_distinct_sql(),
+        "temperature_mix": textops.temperature_mix_sql(),
+        "url_dedup": textops.url_dedup_sql(),
         "export_roundtrip": (
             "SELECT c_nationkey, COUNT(*) AS n_customers, "
             "CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "

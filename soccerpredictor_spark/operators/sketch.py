@@ -274,3 +274,138 @@ FROM est
 ORDER BY exact_cnt DESC, user_id ASC
 LIMIT {CMS_TOPK}
 """
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (exact-integer registers)
+# --------------------------------------------------------------------------
+
+#: HLL register count (m = 2^p, p = 8). Standard error ~ 1.04/sqrt(m)
+#: ≈ 6.5% — the classic memory/accuracy trade at 256 registers.
+HLL_M = 256
+#: rho window: trailing-zero rank is read from this many hash bits
+#: above the register index; an all-zero window ranks HLL_W_BITS + 1.
+HLL_W_BITS = 32
+#: bias constant alpha_m for m >= 128 (Flajolet et al. 2007).
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_distinct(events: DataFrame) -> DataFrame:
+    """HyperLogLog distinct count of event ids, audited against the
+    exact distinct — the fixed-memory cardinality estimator every
+    100 TB pipeline uses where countDistinct would shuffle the full
+    key set (Spark's own approx_count_distinct is HLL++; this is the
+    same estimator built from first principles so both engines run
+    the IDENTICAL arithmetic and the driver can hash-compare it).
+
+    Register assembly is EXACT integer arithmetic end-to-end: the
+    md5-derived key hash (repo-portable convention) splits into a
+    register index (mod m) and a 32-bit window whose trailing-zero
+    rank rho = bit_count((w & -w) - 1) + 1 — bit tricks only, no
+    libm. Each register keeps max(rho) — a decomposable aggregate
+    (map-side combinable, the CMS scale property: the shuffle carries
+    at most m rows per partition). The harmonic mean's sum of
+    2^(-M_j) is rescaled by 2^(HLL_W_BITS+1) so every addend — empty
+    registers included — is an exact int64 power of two summed in ONE
+    integer aggregate; the estimate is alpha * m^2 * 2^33 / S as a
+    single double division of exactly-cast operands. (The small-range
+    linear-counting correction needs ln() — libm-dependent — so the
+    raw estimator is reported with n_empty for the caller to judge;
+    at n >> m, the operating regime here, the correction is inactive
+    anyway.)
+    """
+    max_rho = HLL_W_BITS + 1
+    # 15 hex digits = 60 hash bits — fits signed int64 in BOTH engines
+    # (DuckDB's hex-string cast stops at BIGINT), and 8 index bits +
+    # 32 rho-window bits need only 40
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("event_id").cast("string"))),
+            1, 15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    j = h % HLL_M
+    w = F.shiftright(h, 8).bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))
+    rho = F.when(w == 0, max_rho).otherwise(
+        F.bit_count((w.bitwiseAND(-w)) - 1) + 1
+    )
+    regs = (
+        events.select(j.alias("j"), rho.alias("rho"))
+        .groupBy("j")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    # SUM over all m registers of 2^(max_rho - M_j), empties at 2^max_rho
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        # numBits is a column here, so the SQL form (F.shiftleft wants a
+        # python int)
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rho} - m_j)")).alias(
+            "s_present"
+        ),
+    )
+    exact = events.agg(F.countDistinct("event_id").alias("exact_distinct"))
+    s_total = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("n_present")) * F.lit(2 ** max_rho)
+    )
+    est = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M))
+        * F.lit(float(HLL_M))
+        * F.lit(float(2 ** max_rho))
+        / s_total.cast("double")
+    )
+    return agg.crossJoin(F.broadcast(exact)).select(
+        F.lit(HLL_M).alias("m"),
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("n_empty"),
+        est.alias("hll_estimate"),
+        "exact_distinct",
+        ((est - F.col("exact_distinct").cast("double"))
+         / F.col("exact_distinct").cast("double")).alias("rel_error"),
+    )
+
+
+def hll_distinct_sql() -> str:
+    max_rho = HLL_W_BITS + 1
+    return f"""
+WITH hashed AS (
+  SELECT CAST('0x' || substr(md5('hll:' || CAST(event_id AS VARCHAR)),
+              1, 15) AS BIGINT) AS h
+  FROM events
+),
+rhos AS (
+  SELECT h % {HLL_M} AS j,
+         CASE WHEN ((h >> 8) & {(1 << HLL_W_BITS) - 1}) = 0 THEN {max_rho}
+              ELSE bit_count((((h >> 8) & {(1 << HLL_W_BITS) - 1})
+                   & -((h >> 8) & {(1 << HLL_W_BITS) - 1})) - 1) + 1
+         END AS rho
+  FROM hashed
+),
+regs AS (SELECT j, MAX(rho) AS m_j FROM rhos GROUP BY j),
+agg AS (
+  SELECT COUNT(*) AS n_present,
+         CAST(SUM(CAST(1 AS BIGINT) << ({max_rho} - m_j)) AS BIGINT)
+           AS s_present
+  FROM regs
+),
+exact AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct
+          FROM events)
+SELECT CAST({HLL_M} AS INT) AS m,
+       CAST({HLL_M} - n_present AS BIGINT) AS n_empty,
+       CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M)!r} AS DOUBLE)
+         * CAST({float(HLL_M)!r} AS DOUBLE)
+         * CAST({float(2 ** max_rho)!r} AS DOUBLE)
+         / CAST(s_present + ({HLL_M} - n_present)
+                * CAST({2 ** max_rho} AS BIGINT) AS DOUBLE) AS hll_estimate,
+       exact_distinct,
+       (CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M)!r} AS DOUBLE)
+         * CAST({float(HLL_M)!r} AS DOUBLE)
+         * CAST({float(2 ** max_rho)!r} AS DOUBLE)
+         / CAST(s_present + ({HLL_M} - n_present)
+                * CAST({2 ** max_rho} AS BIGINT) AS DOUBLE)
+        - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)
+         AS rel_error
+FROM agg, exact
+"""

@@ -3078,3 +3078,199 @@ SELECT n AS n_docs, n_agree,
        END AS kappa
 FROM tot, prod
 """
+
+
+# --------------------------------------------------------------------------
+# temperature-scaled domain mixture (sqrt temperature, T = 1/2)
+# --------------------------------------------------------------------------
+
+#: total sampling budget the temperature mix allocates.
+TEMP_MIX_BUDGET = 10_000
+
+
+def temperature_mix(docs: DataFrame) -> DataFrame:
+    """Temperature-scaled source mixture — the multilingual/multi-
+    domain rebalancing rule (mBERT/XLM-R style): sample source s with
+    probability proportional to n_s^T, which upweights small sources
+    without flattening the mix entirely. T = 1/2 exactly, so the
+    weight is sqrt(n_s) — IEEE-correctly-rounded in BOTH engines (a
+    general pow(n, 0.7) would be libm-dependent; the engine's
+    log/pow-free determinism conventions pick the sqrt temperature).
+
+    The share denominator sum_s sqrt(n_s) is a strict LEFT FOLD over
+    sources in source order (the double-fold convention) — a plain
+    SUM over doubles would be partition-order-dependent. Quotas are
+    budget * share, floored to integers plus a half-away-from-zero
+    rounded display share; source count is mixture-sized (tiny), so
+    every step after the one count aggregation is broadcast
+    arithmetic. Compare ``domain_mix`` (uniform target) — this is the
+    production generalization between uniform (T=0) and natural
+    (T=1).
+    """
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wts = counts.select(
+        "source", "n_docs", F.sqrt(F.col("n_docs").cast("double")).alias("w")
+    )
+    denom = wts.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("source").alias("s"), F.col("w")))
+                ),
+                lambda x: x["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("denom")
+    )
+    share = F.col("w") / F.col("denom")
+    return (
+        wts.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            F.col("w").alias("weight"),
+            share.alias("share"),
+            F.floor(share * F.lit(float(TEMP_MIX_BUDGET))).cast("long").alias(
+                "quota"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def temperature_mix_sql() -> str:
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+wts AS (
+  SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM counts
+),
+denom AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY source ASC)),
+           (acc, x) -> acc + x) AS denom
+  FROM wts
+)
+SELECT source, n_docs, w AS weight, w / denom AS share,
+       CAST(floor(w / denom * CAST({float(TEMP_MIX_BUDGET)!r} AS DOUBLE))
+            AS BIGINT) AS quota
+FROM wts, denom
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + dedup (web-corpus pipeline)
+# --------------------------------------------------------------------------
+
+
+def _synth_url():
+    """Deterministic URL synthesis from the documents fixture (it has
+    no URL column): variants that canonicalize together — host case
+    (doc_id % 2), tracking params (doc_id % 3), trailing slash
+    (doc_id % 5), fragment (doc_id % 4) — over a path key shared by
+    doc_id % 40, so every canonical target collects several raw
+    variants (the pii_redact synthesis pattern: hit and miss paths
+    both oracle-checked)."""
+    host = F.when(F.col("doc_id") % 2 == 0, "WWW.Example.COM").otherwise(
+        "www.example.com"
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/page-"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, "/").otherwise(""),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&utm_campaign=c"),
+                     (F.col("doc_id") % 7).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+
+
+_SQL_SYNTH_URL = (
+    "'https://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM'"
+    " ELSE 'www.example.com' END || '/' || source || '/page-'"
+    " || CAST(doc_id % 40 AS VARCHAR)"
+    " || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=c'"
+    " || CAST(doc_id % 7 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END"
+)
+
+
+def url_dedup(docs: DataFrame) -> DataFrame:
+    """URL canonicalization + duplicate grouping — the first dedup
+    pass of every web-crawl pipeline (CommonCrawl-style): re-fetches
+    of the same resource differ only by host case, tracking
+    parameters, fragments, and trailing slashes, and canonicalizing
+    before content dedup removes them for the cost of a projection.
+
+    Canonical form, applied in order: strip the #fragment; strip
+    utm_* tracking parameters (and a then-empty '?'); lowercase the
+    scheme+host (NOT the path — paths are case-sensitive); drop one
+    trailing slash. Pure regexp_replace chain —
+    JVM-side codegen, no UDF — then one groupBy over the canonical
+    key: per group the variant count, distinct-raw count, and the
+    keep-min-doc_id canonical survivor (the media_dedup keeper rule).
+    Only groups with >1 raw variants are dup work; all groups are
+    reported with the collision count so the dedup rate is auditable.
+    """
+    raw = _synth_url()
+    no_frag = F.regexp_replace(raw, r"#.*$", "")
+    no_utm = F.regexp_replace(no_frag, r"([?&])utm_[^&]*", "$1")
+    tidy_q = F.regexp_replace(
+        F.regexp_replace(no_utm, r"[?&]+$", ""), r"\?&", "?"
+    )
+    lower_host = F.concat(
+        F.lower(F.regexp_extract(tidy_q, r"^(https?://[^/]*)", 1)),
+        F.regexp_extract(tidy_q, r"^https?://[^/]*(.*)$", 1),
+    )
+    canonical = F.regexp_replace(lower_host, r"(.)/$", "$1")
+    return (
+        docs.select(
+            "doc_id", raw.alias("url_raw"), canonical.alias("url_canonical")
+        )
+        .groupBy("url_canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("url_raw").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("url_canonical")
+    )
+
+
+def url_dedup_sql() -> str:
+    return f"""
+WITH raw AS (SELECT doc_id, {_SQL_SYNTH_URL} AS u FROM documents),
+canon AS (
+  SELECT doc_id, u AS url_raw,
+         regexp_replace(
+           lower(regexp_extract(s, '^(https?://[^/]*)', 1))
+             || regexp_extract(s, '^https?://[^/]*(.*)$', 1),
+           '(.)/$', '\\1') AS url_canonical
+  FROM (
+    SELECT doc_id, u,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(u, '#.*$', ''),
+                 '([?&])utm_[^&]*', '\\1', 'g'),
+               '[?&]+$', ''),
+             '\\?&', '?') AS s
+    FROM raw
+  )
+)
+SELECT url_canonical, COUNT(*) AS n_urls,
+       CAST(COUNT(DISTINCT url_raw) AS BIGINT) AS n_raw_variants,
+       MIN(doc_id) AS keep_doc_id
+FROM canon GROUP BY url_canonical ORDER BY url_canonical
+"""
