@@ -1933,6 +1933,11 @@ def pr_auc(orders: DataFrame, bucket_cents: int = AUC_BUCKET_CENTS) -> DataFrame
         )
         .withColumn("bucket", F.expr(f"score div {bucket_cents}"))
     )
+    # distinct-score-sized with four consumers (within, bucket totals,
+    # fold terms, grand totals) — checkpoint so the fact scans ONCE
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    by_score = _reliable_checkpoint(by_score)
     # descending prefix sums INCLUSIVE of the current score group
     w_in = (
         Window.partitionBy("bucket")
@@ -2079,6 +2084,11 @@ def decision_stump(orders: DataFrame, bucket_cents: int = AUC_BUCKET_CENTS) -> D
         .agg(F.sum("label").alias("p"), F.count(F.lit(1)).alias("r"))
         .withColumn("bucket", F.expr(f"score div {bucket_cents}"))
     )
+    # distinct-score-sized; three consumers (within, bucket totals,
+    # grand totals) — checkpoint so the orders fact scans ONCE
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    by_score = _reliable_checkpoint(by_score)
     w_in = (
         Window.partitionBy("bucket")
         .orderBy("score")

@@ -3008,7 +3008,11 @@ def cohen_kappa(docs: DataFrame) -> DataFrame:
     observed class on both sides) surfaces NULL, the
     ``feature_corr`` zero-denominator convention.
     """
-    conf = lang_confusion(docs)
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    # the label-count-sized confusion table feeds three consumers
+    # (marginals x2, totals); checkpoint it so the corpus scans once
+    conf = _reliable_checkpoint(lang_confusion(docs))
     cells = conf.select(
         "lang",
         "lang_pred",
@@ -3107,7 +3111,15 @@ def temperature_mix(docs: DataFrame) -> DataFrame:
     production generalization between uniform (T=0) and natural
     (T=1).
     """
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    # the mixture-sized count table feeds BOTH the weight rows and the
+    # fold denominator; checkpoint it so the corpus scans once (the
+    # corr_matrix single-scan lesson: each consumer of a lazy subtree
+    # re-instantiates the scan underneath it)
+    counts = _reliable_checkpoint(
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     wts = counts.select(
         "source", "n_docs", F.sqrt(F.col("n_docs").cast("double")).alias("w")
     )

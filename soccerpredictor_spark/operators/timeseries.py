@@ -794,33 +794,55 @@ def kaplan_meier(events: DataFrame) -> DataFrame:
     the window — their lifetime is a lower bound, not a death).
 
     Lifetime = whole hours from a user's first to last event;
-    censoring is horizon-based: a user whose last event is within
-    KM_CENSOR_HORIZON_H of the corpus max timestamp is censored.
-    Both per-user reductions are one groupBy; the at-risk counts
-    n_i are a SUFFIX sum over distinct lifetimes (tiny — bounded by
-    the corpus span in hours, not by users), and each survival point
-    is a strict LEFT FOLD product of the per-time factors in
-    ascending-time order (Spark ``aggregate`` / DuckDB
-    ``list_reduce`` — the double-fold convention), each factor one
-    exact-integer division. The per-row fold re-folds the prefix
-    slice (O(T^2) over T distinct lifetimes — bounded by span-hours;
-    a 100 TB run buckets lifetimes exactly like this hour grid).
+    censoring is horizon-based ON THE HOUR GRID: a user whose
+    last-event hour is more than KM_CENSOR_HORIZON_H below the corpus
+    max last-event hour is an observed churn, later users are
+    censored. Hour-grid censoring lets the whole estimator derive
+    from ONE fact scan: the per-user reduction collapses straight to
+    an (hour-grid) (life_h, last_h) cell table — span-bounded, not
+    user-bounded — which is CHECKPOINTED and feeds the corpus-max
+    scalar, the risk sets, and the survival fold without
+    re-instantiating the events scan per consumer (the corr_matrix
+    single-scan lesson). The at-risk counts n_i are a SUFFIX sum over
+    distinct lifetimes, and each survival point is a strict LEFT FOLD
+    product of the per-time factors in ascending-time order (Spark
+    ``aggregate`` / DuckDB ``list_reduce`` — the double-fold
+    convention), each factor one exact-integer division. The per-row
+    fold re-folds the prefix slice (O(T^2) over T distinct lifetimes
+    — bounded by span-hours).
     """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
     us = F.unix_micros(F.col("ts"))
-    horizon_us = KM_CENSOR_HORIZON_H * 3600 * 1_000_000
-    per_user = events.groupBy("user_id").agg(
-        F.min(us).alias("t0"), F.max(us).alias("t1")
+    hour_us = 3_600_000_000
+    cells = _reliable_checkpoint(
+        events.groupBy("user_id")
+        .agg(F.min(us).alias("t0"), F.max(us).alias("t1"))
+        .select(
+            F.floor((F.col("t1") - F.col("t0")) / F.lit(hour_us)).alias("life_h"),
+            F.floor(F.col("t1") / F.lit(hour_us)).alias("last_h"),
+        )
+        .groupBy("life_h", "last_h")
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
-    gmax = per_user.agg(F.max("t1").alias("gmax"))
-    lives = per_user.crossJoin(F.broadcast(gmax)).select(
-        F.floor((F.col("t1") - F.col("t0")) / F.lit(3_600_000_000)).alias("life_h"),
-        F.when(F.col("t1") <= F.col("gmax") - F.lit(horizon_us), 1)
-        .otherwise(0)
-        .alias("churned"),
-    )
-    by_t = lives.groupBy("life_h").agg(
-        F.sum("churned").cast("long").alias("d"),
-        F.count(F.lit(1)).cast("long").alias("total"),
+    gmax = cells.agg(F.max("last_h").alias("gmax_h"))
+    by_t = (
+        cells.crossJoin(F.broadcast(gmax))
+        .select(
+            "life_h",
+            F.when(
+                F.col("last_h") <= F.col("gmax_h") - KM_CENSOR_HORIZON_H,
+                F.col("n_users"),
+            )
+            .otherwise(0)
+            .alias("churned"),
+            "n_users",
+        )
+        .groupBy("life_h")
+        .agg(
+            F.sum("churned").cast("long").alias("d"),
+            F.sum("n_users").cast("long").alias("total"),
+        )
     )
     w_suffix = Window.orderBy(F.col("life_h").desc()).rowsBetween(
         Window.unboundedPreceding, 0
@@ -856,22 +878,22 @@ def kaplan_meier(events: DataFrame) -> DataFrame:
 
 
 def kaplan_meier_sql() -> str:
-    horizon_us = KM_CENSOR_HORIZON_H * 3600 * 1_000_000
     return f"""
-WITH per_user AS (
-  SELECT user_id, MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
-  FROM events GROUP BY user_id
-),
-gm AS (SELECT MAX(t1) AS gmax FROM per_user),
-lives AS (
+WITH cells AS (
   SELECT CAST(floor((t1 - t0) / 3600000000.0) AS BIGINT) AS life_h,
-         CASE WHEN t1 <= gmax - {horizon_us} THEN 1 ELSE 0 END AS churned
-  FROM per_user, gm
+         CAST(floor(t1 / 3600000000.0) AS BIGINT) AS last_h,
+         COUNT(*) AS n_users
+  FROM (SELECT user_id, MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+        FROM events GROUP BY user_id)
+  GROUP BY 1, 2
 ),
+gm AS (SELECT MAX(last_h) AS gmax_h FROM cells),
 by_t AS (
-  SELECT life_h, CAST(SUM(churned) AS BIGINT) AS d,
-         CAST(COUNT(*) AS BIGINT) AS total
-  FROM lives GROUP BY life_h
+  SELECT life_h,
+         CAST(SUM(CASE WHEN last_h <= gmax_h - {KM_CENSOR_HORIZON_H}
+                       THEN n_users ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(n_users) AS BIGINT) AS total
+  FROM cells, gm GROUP BY life_h
 ),
 at_risk AS (
   SELECT *, CAST(SUM(total) OVER (ORDER BY life_h DESC

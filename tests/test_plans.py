@@ -116,6 +116,7 @@ NO_PYTHON_EXCEPTIONS = {
     "streaming_hourly",  # executes eagerly at build time
     "knn_graph",  # same Arrow sketch+verify kernels as embedding_near_dup
     "media_scene_segments",  # mapInPandas decode feeding frame signatures
+    "media_phash_neardup",  # mapInPandas dHash kernel over payload bytes
 }
 
 
@@ -1327,3 +1328,113 @@ def test_pii_redact_projection_only(spark, sf001):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "text" not in ln
+
+
+# --------------------------------------------------------------------------
+# round-9 additions
+# --------------------------------------------------------------------------
+
+
+def test_perplexity_filter_type_keyed_join_broadcast_median(spark, sf001):
+    """The per-occurrence join is keyed by (x, y) against the
+    vocabulary-bounded type table; the median arrives as a broadcast
+    1-row scalar; ctx/vocab sides broadcast. Document text never
+    rides an exchange (only two-word bigram rows shuffle)."""
+    plan = _plan(entry.queries()["perplexity_filter"](spark, sf001))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastExchange") >= 3  # ctx, vocab, median
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text" not in ln
+
+
+def test_pr_auc_bucketed_prefix_no_global_row_sort(spark, sf001):
+    """The AP prefix sums run bucket-partitioned; only per-bucket
+    totals and the distinct-score term list cross a single-partition
+    boundary — never row-scale data."""
+    plan = _plan(entry.queries()["pr_auc"](spark, sf001))
+    # the two bucket-partitioned windows + the tiny global ones
+    assert "hashpartitioning(bucket" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_decision_stump_one_scan_take_ordered(spark, sf001):
+    """All thresholds are evaluated from ONE orders scan (the
+    distinct-score table is checkpointed before its three consumers);
+    the argmax is a distributed TakeOrdered, not a global sort."""
+    plan = _plan(entry.queries()["decision_stump"](spark, sf001))
+    # the distinct-score table is checkpointed at build time: the fact scan ran ONCE during
+    # materialization, and the query plan reads the flat handle
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kaplan_meier_user_agg_then_lifetime_sized(spark, sf001):
+    """One user-keyed aggregation over events collapses to the
+    checkpointed hour-grid cell table; everything after is
+    lifetime-grid-sized (suffix window + fold). The events fact scan
+    runs once."""
+    plan = _plan(entry.queries()["kaplan_meier"](spark, sf001))
+    # the hour-grid cell table is checkpointed at build time: the fact scan ran ONCE during
+    # materialization, and the query plan reads the flat handle
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cohen_kappa_confusion_sized_arithmetic(spark, sf001):
+    """One corpus pass builds the confusion cells; marginal products
+    and totals are label-count-sized with broadcast joins only."""
+    plan = _plan(entry.queries()["cohen_kappa"](spark, sf001))
+    # the confusion table is checkpointed at build time: the fact scan ran ONCE during
+    # materialization, and the query plan reads the flat handle
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_distinct_register_bounded_shuffle(spark, sf001):
+    """The register table shuffles at most m rows per partition
+    (map-side-combined max); no join in the sketch path; the only
+    joins are the broadcast audit crossJoin."""
+    plan = _plan(entry.queries()["hll_distinct"](spark, sf001))
+    assert "SortMergeJoin" not in plan
+    assert "partial_max" in plan  # map-side combine of registers
+
+
+def test_temperature_mix_single_count_agg(spark, sf001):
+    """One source-keyed count aggregation; weights/shares/quotas are
+    mixture-sized broadcast arithmetic."""
+    plan = _plan(entry.queries()["temperature_mix"](spark, sf001))
+    # the count table is checkpointed at build time: the fact scan ran ONCE during
+    # materialization, and the query plan reads the flat handle
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_url_dedup_projection_then_group(spark, sf001):
+    """Canonicalization is a scan-side regexp projection chain (no
+    UDF, no join); one groupBy on the canonical key."""
+    plan = _plan(entry.queries()["url_dedup"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+def test_media_phash_neardup_hashes_only_shuffle(spark, sf001):
+    """Payload bytes stay inside the Arrow decode stage: every
+    exchange after the kernel carries only (media_id, phash, band)
+    integers — never the payload."""
+    plan = _plan(entry.queries()["media_phash_neardup"](spark, sf001))
+    assert "MapInPandas" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "payload" not in ln
+
+
+def test_export_roundtrip_aggregate_pushdown(spark, sf001):
+    """The export leg aggregates before the driver-side collect; the
+    read-back is a local relation (the export is small by contract)."""
+    plan = _plan(entry.queries()["export_roundtrip"](spark, sf001))
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan

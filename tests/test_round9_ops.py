@@ -1,0 +1,202 @@
+"""Semantic unit tests for the new round-9 operators — hand-built
+micro-fixtures with closed-form answers, complementing the DuckDB
+parity sweep and the plan-shape assertions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+def test_pr_auc_perfect_and_worst_ranking(spark):
+    """A score that ranks every positive above every negative has
+    AP = 1; one that ranks them all below has AP = sum_k k/(N+k)/P."""
+    from soccerpredictor_spark.operators.mlprep import pr_auc
+
+    def orders(rows):
+        return spark.createDataFrame(
+            [(i, p, float(s)) for i, (p, s) in enumerate(rows)],
+            ["o_orderkey", "o_orderpriority", "o_totalprice"],
+        )
+
+    perfect = orders(
+        [("1-URGENT", 100), ("1-URGENT", 90), ("5-LOW", 10), ("5-LOW", 5)]
+    )
+    [r] = pr_auc(perfect).collect()
+    assert r.n_pos == 2 and r.n_neg == 2
+    assert r.average_precision == 1.0
+
+    worst = orders(
+        [("5-LOW", 100), ("5-LOW", 90), ("1-URGENT", 10), ("1-URGENT", 5)]
+    )
+    [r] = pr_auc(worst).collect()
+    # thresholds descending: positives at ranks 3 and 4 ->
+    # AP = (1*(1/3) + 1*(2/4)) / 2
+    assert abs(r.average_precision - (1 / 3 + 2 / 4) / 2) < 1e-12
+
+
+def test_decision_stump_perfectly_separable(spark):
+    """Labels separate exactly at a price threshold: the stump finds
+    it and both sides are pure (purity = nL + nR = n)."""
+    from soccerpredictor_spark.operators.mlprep import decision_stump
+
+    rows = [(i, "1-URGENT", 10.0 + i) for i in range(5)] + [
+        (10 + i, "5-LOW", 100.0 + i) for i in range(5)
+    ]
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    [r] = decision_stump(orders).collect()
+    # split at the largest positive score (cents)
+    assert r.split_cents == 1400
+    assert r.n_left == 5 and r.pos_left == 5
+    assert r.n_right == 5 and r.pos_right == 0
+    assert r.purity == 10.0  # 25/5 + 25/5
+
+
+def test_kaplan_meier_hand_case(spark):
+    """Three users: lifetimes 0h, 1h, 2h; the 2h user's last event is
+    at the corpus max (censored), the others churn. S(0) = 2/3,
+    S(1) = 1/3, S(2) = 1/3 (censored lifetime contributes no
+    factor)."""
+    from soccerpredictor_spark.operators.timeseries import kaplan_meier
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: single event long ago -> lifetime 0, churned
+        (1, t0, 1),
+        # user 2: span 1h, last event long ago -> churned
+        (2, t0, 2), (2, t0 + h, 3),
+        # user 3: span 2h ending at corpus max -> censored
+        (3, t0 + dt.timedelta(days=30), 4),
+        (3, t0 + dt.timedelta(days=30) + 2 * h, 5),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    got = {r.life_h: r for r in kaplan_meier(ev).collect()}
+    assert got[0].n_risk == 3 and got[0].n_churned == 1
+    assert abs(got[0].survival - 2 / 3) < 1e-12
+    assert got[1].n_risk == 2 and got[1].n_churned == 1
+    assert abs(got[1].survival - (2 / 3) * (1 / 2)) < 1e-12
+    assert got[2].n_risk == 1 and got[2].n_churned == 0
+    assert got[2].n_censored == 1
+    assert abs(got[2].survival - (2 / 3) * (1 / 2)) < 1e-12
+
+
+def test_cohen_kappa_perfect_agreement_is_one(spark):
+    """Documents whose text contains their own language's markers are
+    all predicted correctly -> Po = 1, kappa = 1 (multi-class mix so
+    Pe < 1)."""
+    from soccerpredictor_spark.operators.textops import cohen_kappa
+
+    rows = [
+        (1, "the and is of to the and", "en"),
+        (2, "el la los de que el la", "es"),
+        (3, "der und die das ist der", "de"),
+        (4, "the of and to is in the", "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    [r] = cohen_kappa(docs).collect()
+    assert r.n_agree == 4 and r.po == 1.0
+    assert r.kappa == 1.0
+
+
+def test_hll_distinct_estimate_in_error_band(spark):
+    """At n >> m the raw HLL estimate lands within a few standard
+    errors (1.04/sqrt(256) ~ 6.5%) of the exact distinct."""
+    from soccerpredictor_spark.operators.sketch import hll_distinct
+
+    ev = spark.range(0, 20_000).select(F_col("id").alias("event_id"))
+    [r] = hll_distinct(ev).collect()
+    assert r.exact_distinct == 20_000
+    assert abs(r.rel_error) < 0.2  # ~3 sigma of the 6.5% band
+
+
+def F_col(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name)
+
+
+def test_temperature_mix_sqrt_weights(spark):
+    """Sources with 1 and 4 docs get weights 1 and 2: shares 1/3 and
+    2/3 — flatter than the natural 1/5:4/5 mix, steeper than
+    uniform."""
+    from soccerpredictor_spark.operators.textops import temperature_mix
+
+    rows = [(0, "a")] + [(i, "b") for i in range(1, 5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {r.source: r for r in temperature_mix(docs).collect()}
+    assert got["a"].weight == 1.0 and got["b"].weight == 2.0
+    assert abs(got["a"].share - 1 / 3) < 1e-12
+    assert abs(got["b"].share - 2 / 3) < 1e-12
+    assert got["a"].quota + got["b"].quota <= 10_000
+
+
+def test_url_dedup_variants_collapse(spark):
+    """doc_ids 0 and 40 share source+path-key: their case/utm/slash/
+    fragment variants canonicalize to ONE url with 2 raw variants."""
+    from soccerpredictor_spark.operators.textops import url_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "src0"), (40, "src0")], ["doc_id", "source"]
+    )
+    rows = url_dedup(docs).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert r.url_canonical == "https://www.example.com/src0/page-0"
+    assert r.n_urls == 2 and r.n_raw_variants == 2 and r.keep_doc_id == 0
+
+
+def test_media_phash_locality_and_exact_dup(spark):
+    """Byte-identical payloads collide at hamming 0; a payload with a
+    few flipped bytes stays within the near-dup hamming budget while
+    an unrelated payload does not pair at all."""
+    from soccerpredictor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_phash_neardup,
+    )
+
+    base = bytes([(7 * i) % 256 for i in range(640)])
+    tweaked = bytearray(base)
+    for i in range(0, 640, 160):  # perturb 4 of 640 bytes
+        tweaked[i] = (tweaked[i] + 128) % 256
+    other = bytes([(13 * i + 91) % 256 for i in range(640)])
+    rows = [
+        (1, "image", "application/x-fake-image", base, {}),
+        (2, "image", "application/x-fake-image", bytes(base), {}),
+        (3, "image", "application/x-fake-image", bytes(tweaked), {}),
+        (4, "image", "application/x-fake-image", other, {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {(r.media_a, r.media_b): r.hamming for r in media_phash_neardup(media).collect()}
+    assert pairs[(1, 2)] == 0  # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 8  # near dup survives
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_perplexity_filter_flags_rare_bigram_doc(spark):
+    """Docs repeating a common bigram score 0 rare; a doc made of
+    one-off bigrams scores a higher rare rate and fails the 1/4
+    gate."""
+    from soccerpredictor_spark.operators.textops import perplexity_filter
+
+    # 7 high-frequency bigram types (the cycle) outnumber the 3
+    # one-off types of doc 4, so the type median lands on a common
+    # type and doc 4's bigrams all fall strictly below it
+    common = "one two three four five six seven " * 5
+    rows = [
+        (1, common.strip()),
+        (2, common.strip()),
+        (3, common.strip()),
+        (4, "zeta eta theta iota"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in perplexity_filter(docs).collect()}
+    # the common docs pass the 1/4 gate (only the seam bigram ranks
+    # below the type median); the one-off doc is all-rare and fails
+    assert got[1].kept == 1
+    assert got[4].rare_rate == 1.0
+    assert got[4].rare_rate > got[1].rare_rate
+    assert got[4].kept == 0
