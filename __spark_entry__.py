@@ -786,6 +786,36 @@ def _q_write_roundtrip_csv(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cms_merge_audit(spark: SparkSession, sf: str) -> DataFrame:
+    # sketch mergeability proven as a query: shard sketches add
+    # cell-wise to the whole-corpus sketch (CMS linearity).
+    return _sketch_mod().cms_merge_audit(read_table(spark, sf, "events"))
+
+
+def _q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    # additive trend/daily-seasonal/remainder decomposition of the
+    # hourly series (full-window moving average, exact-int seasonal).
+    return _timeseries_mod().seasonal_decompose(read_table(spark, sf, "events"))
+
+
+def _q_item_cf(spark: SparkSession, sf: str) -> DataFrame:
+    # item-item collaborative filtering: co-purchase cosine top-k per
+    # part (basket-bounded pair join, count-bounded rank window).
+    return _joins_mod().item_cf(read_table(spark, sf, "lineitem"))
+
+
+def _q_mutual_knn(spark: SparkSession, sf: str) -> DataFrame:
+    # reciprocal-kNN match candidates (hub-robust pair filter) over
+    # the session-cached kNN graph.
+    return similarity.mutual_knn(read_table(spark, sf, "embeddings"))
+
+
+def _q_graph_bfs(spark: SparkSession, sf: str) -> DataFrame:
+    # multi-source BFS distances over the co-activity graph (frontier
+    # relaxation, checkpointed rounds, recursive-CTE oracle).
+    return _graph_mod().graph_bfs(read_table(spark, sf, "events"))
+
+
 def _q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     # sqrt-temperature (T=1/2) source mixture weights — the
     # multilingual rebalance between uniform (T=0) and natural (T=1).
@@ -1963,6 +1993,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "temperature_mix": _q_temperature_mix,
         "url_dedup": _q_url_dedup,
+        "graph_bfs": _q_graph_bfs,
+        "mutual_knn": _q_mutual_knn,
+        "item_cf": _q_item_cf,
+        "seasonal_decompose": _q_seasonal_decompose,
+        "cms_merge_audit": _q_cms_merge_audit,
         # --- r3 cohort (stalest, due this round: all 20) ---
         "repetition_profile": _q_repetition_profile,
         "salted_agg": _q_salted_agg,
@@ -2611,6 +2646,11 @@ ORDER BY user_id
         "hll_distinct": _sketch_mod().hll_distinct_sql(),
         "temperature_mix": textops.temperature_mix_sql(),
         "url_dedup": textops.url_dedup_sql(),
+        "graph_bfs": _graph_mod().graph_bfs_sql(),
+        "mutual_knn": similarity.mutual_knn_sql(),
+        "item_cf": _joins_mod().item_cf_sql(),
+        "seasonal_decompose": _timeseries_mod().seasonal_decompose_sql(),
+        "cms_merge_audit": _sketch_mod().cms_merge_audit_sql(),
         "export_roundtrip": (
             "SELECT c_nationkey, COUNT(*) AS n_customers, "
             "CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "

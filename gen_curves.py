@@ -74,6 +74,19 @@ OPS = [
     "delta_attribution",
     "embedding_pca_power",
     "pii_redact",
+    # round-9 registrations: the bigram-type join (perplexity), the
+    # banded dHash pair join (phash), the prefix-sum metric pair
+    # (pr_auc/stump), the span-bounded survival fold, the sketch, and
+    # the projection-only mix/url/kappa passes.
+    "perplexity_filter",
+    "media_phash_neardup",
+    "pr_auc",
+    "decision_stump",
+    "kaplan_meier",
+    "cohen_kappa",
+    "hll_distinct",
+    "temperature_mix",
+    "url_dedup",
 ]
 SFS = [
     ("sf0.01", "/root/testdata/sf0.01"),

@@ -505,3 +505,109 @@ reach(a, b) AS (
 )
 SELECT a AS user_id, MIN(b) AS component_id FROM reach GROUP BY a
 """
+
+
+# --------------------------------------------------------------------------
+# multi-source BFS distances
+# --------------------------------------------------------------------------
+
+#: BFS seed set size (the smallest connected user ids — deterministic).
+BFS_SEEDS = 3
+#: hop cap; unreached-within-cap nodes are excluded on BOTH engines.
+BFS_MAX_HOPS = 12
+
+
+def graph_bfs(
+    events: DataFrame,
+    max_hops: int = BFS_MAX_HOPS,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
+    """Multi-source BFS over the recurring co-activity graph:
+    (user_id, dist) = fewest hops from the seed set (the BFS_SEEDS
+    smallest connected user ids) — the influence-radius / proximity
+    primitive behind friend-of-friend features and blast-radius
+    analyses, and the remaining basic graph statistic the family
+    lacked (components answers "which", BFS answers "how far").
+
+    Iterative frontier relaxation as plain DataFrame ops: each round
+    every node takes min(own dist, neighbor dist + 1); fixed point in
+    O(diameter) rounds (true BFS distance has no pointer-jump
+    shortcut — each hop must be traversed). Same loop discipline as
+    ``dedup._components_from_pairs``: mode-aware checkpoint cuts the
+    per-round plan, a (count, sum) fixed-point witness detects
+    convergence, and an UNCONFIRMED fixed point at the cap RAISES by
+    default. Distances are capped at ``max_hops`` on both engines
+    (the recursive-CTE twin explores (node, d) pairs with d <
+    max_hops, so an any-cycle walk terminates), making the reachable
+    set identical by construction. Each round is one shuffle join of
+    the frontier against the checkpointed edge list — edges are never
+    rewritten.
+    """
+    import warnings
+
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    edges = _edges_checkpointed(events)
+    sym = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    seeds = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(BFS_SEEDS)
+    )
+    dist = _reliable_checkpoint(
+        seeds.select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    prev_witness = None
+    converged = False
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(sym, dist.node == sym.u)
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .filter(F.col("dist") <= max_hops)
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        relaxed = _reliable_checkpoint(relaxed)
+        row = relaxed.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("dist").alias("s")
+        ).collect()[0]
+        witness = (row.c, row.s)
+        dist = relaxed
+        if witness == prev_witness:
+            converged = True
+            break
+        prev_witness = witness
+    if not converged:
+        msg = (
+            f"BFS: fixed point not confirmed within max_hops={max_hops}; "
+            "distances may be non-final for nodes farther than the cap — "
+            'raise max_hops, or pass on_nonconverged="warn"'
+        )
+        if on_nonconverged == "warn":
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        else:
+            raise RuntimeError(msg)
+    return dist.select(F.col("node").alias("user_id"), "dist").orderBy("user_id")
+
+
+def graph_bfs_sql(max_hops: int = BFS_MAX_HOPS) -> str:
+    return f"""
+WITH RECURSIVE
+{_strong_edges_cte()},
+sym AS MATERIALIZED (SELECT u, v FROM strong
+                     UNION ALL SELECT v, u FROM strong),
+seeds AS (SELECT u AS node FROM (SELECT DISTINCT u FROM sym) n
+          ORDER BY node LIMIT {BFS_SEEDS}),
+walk(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT s.v, w.d + 1 FROM walk w JOIN sym s ON s.u = w.node
+  WHERE w.d < {max_hops}
+)
+SELECT node AS user_id, CAST(MIN(d) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY user_id
+"""

@@ -776,3 +776,107 @@ JOIN item_counts y ON y.item = t.item_b
 CROSS JOIN n_t n
 ORDER BY t.c_xy DESC, t.item_a, t.item_b
 """
+
+
+# --------------------------------------------------------------------------
+# item-item collaborative filtering (cosine over co-purchase counts)
+# --------------------------------------------------------------------------
+
+#: neighbors reported per anchor item.
+ITEM_CF_K = 5
+#: minimum co-occurrences for a pair to count as evidence.
+ITEM_CF_MIN_CO = 2
+
+
+def item_cf(lineitem: DataFrame) -> DataFrame:
+    """Item-item collaborative-filtering neighbors: for each part,
+    the top-``ITEM_CF_K`` parts by co-purchase cosine
+
+        sim(i, j) = c_ij / sqrt(c_i * c_j)
+
+    over order baskets — the classic "people who bought X also
+    bought Y" item-CF kernel (Sarwar et al. 2001), and the
+    recommendation-side complement of ``basket_rules`` (rules rank by
+    confidence/lift for a FEW top pairs; this emits a bounded
+    neighbor list for EVERY item with co-purchase evidence).
+
+    Scale: identical basket-bounded pair generation as basket_rules
+    (order-keyed self-join, fan-out < |basket|^2/2 per order, both
+    sides one reused exchange); a support floor (c_ij >=
+    ITEM_CF_MIN_CO) kills singleton noise before the per-item rank
+    window, which is count-bounded at k rows per item. The cosine is
+    one double expression over exact integer counts — c_i * c_j in
+    decimal(38,0) (int64 overflows past ~3e9 baskets), one sqrt, one
+    division, bit-identical cross-engine. Neighbor lists are emitted
+    in BOTH directions (i's list may contain j while j's list ranks
+    others higher) — reciprocity filtering is ``mutual_knn``'s job on
+    the embedding side.
+    """
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    items = lineitem.select(
+        F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = items.select("oid", F.col("item").alias("item_a"))
+    b = items.select("oid", F.col("item").alias("item_b"))
+    pair_counts = (
+        a.join(b, "oid")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= ITEM_CF_MIN_CO)
+    )
+    item_counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    withc = (
+        pair_counts.join(
+            item_counts.select(F.col("item").alias("item_a"), F.col("c").alias("c_x")),
+            "item_a",
+        )
+        .join(
+            item_counts.select(F.col("item").alias("item_b"), F.col("c").alias("c_y")),
+            "item_b",
+        )
+    )
+    sim = F.col("c_xy").cast("double") / F.sqrt(
+        (F.col("c_x").cast(d38) * F.col("c_y").cast(d38)).cast("double")
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("sim").desc(), F.col("item_b").asc()
+    )
+    return (
+        withc.select("item_a", "item_b", "c_xy", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ITEM_CF_K)
+        .orderBy("item_a", "rnk")
+    )
+
+
+def item_cf_sql() -> str:
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+),
+pair_counts AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS c_xy
+  FROM items a JOIN items b ON a.oid = b.oid AND a.item != b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {ITEM_CF_MIN_CO}
+),
+item_counts AS (SELECT item, COUNT(*) AS c FROM items GROUP BY item),
+scored AS (
+  SELECT p.item_a, p.item_b, p.c_xy,
+         CAST(p.c_xy AS DOUBLE)
+           / sqrt(CAST(CAST(CAST(x.c AS HUGEINT) * y.c AS VARCHAR) AS DOUBLE))
+           AS sim
+  FROM pair_counts p
+  JOIN item_counts x ON p.item_a = x.item
+  JOIN item_counts y ON p.item_b = y.item
+)
+SELECT item_a, item_b, c_xy, sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY item_a
+            ORDER BY sim DESC, item_b ASC) AS INTEGER) AS rnk
+FROM scored
+QUALIFY rnk <= {ITEM_CF_K}
+ORDER BY item_a, rnk
+"""

@@ -1673,3 +1673,47 @@ SELECT dim,
        ELSE CAST(0.0 AS DOUBLE) END AS loading
 FROM outp ORDER BY dim
 """
+
+
+def mutual_knn(emb: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs: (a, b) kept only when b is
+    in a's top-k AND a is in b's top-k — the mutual-kNN filter that
+    turns a kNN graph into high-precision match candidates (entity
+    resolution, semantic dedup, bitext mining all use reciprocity to
+    kill hub-induced false neighbors: a hub lands in everyone's list,
+    but few land in the hub's).
+
+    Pure composition over ``knn_graph``'s directed edge list — which
+    is itself built from the session-cached sign-LSH sketch
+    (``_nd_sketch_base``), so a session that already ran any ANN
+    entry pays only the (tiny) reciprocity self-join here: the
+    directed list joins itself on the reversed key, keeps a < b, and
+    reports both ranks. Output is bounded by n*k edges before the
+    filter, pairs after it.
+    """
+    g = knn_graph(emb, k)
+    a = g.select(
+        F.col("vec_a"), F.col("vec_b"), F.col("sim"), F.col("rnk").alias("rank_ab")
+    )
+    b = g.select(
+        F.col("vec_a").alias("vec_b"),
+        F.col("vec_b").alias("vec_a"),
+        F.col("rnk").alias("rank_ba"),
+    )
+    return (
+        a.join(b, ["vec_a", "vec_b"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "sim", "rank_ab", "rank_ba")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def mutual_knn_sql(k: int = KNN_GRAPH_K) -> str:
+    return f"""
+WITH g AS ({knn_graph_sql(k)})
+SELECT a.vec_a, a.vec_b, a.sim,
+       a.rnk AS rank_ab, b.rnk AS rank_ba
+FROM g a JOIN g b ON a.vec_a = b.vec_b AND a.vec_b = b.vec_a
+WHERE a.vec_a < a.vec_b
+ORDER BY a.vec_a, a.vec_b
+"""

@@ -409,3 +409,79 @@ SELECT CAST({HLL_M} AS INT) AS m,
          AS rel_error
 FROM agg, exact
 """
+
+
+def cms_merge_audit(events: DataFrame) -> DataFrame:
+    """Sketch MERGEABILITY, proven as a query: build count-min
+    sketches over two disjoint shards (user_id parity — the stand-in
+    for two ingest days or two clusters), merge them cell-wise, and
+    verify the merged grid equals the whole-corpus grid cell for
+    cell. One summary row: cells checked, cells equal, max absolute
+    divergence (0 by the CMS linearity property).
+
+    This is THE property that makes sketches work at 100 TB: each
+    executor/day/cluster sketches independently and the d x w integer
+    grids ADD — no re-scan, no key exchange. The audit makes the
+    engine's guarantee testable instead of asserted (the
+    ``ann_recall_eval`` acceptance-gate pattern applied to the
+    sketch family). All arithmetic is exact integer cell counts; the
+    comparison is grid-bounded (d*w rows), never key-scale.
+    """
+    idx = _index_df(events, CMS_DEPTH, "j")
+    prefix = F.concat(F.lit("cms"), F.col("j").cast("string"))
+    keyed = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cells = (
+        keyed.crossJoin(F.broadcast(idx))
+        .select(
+            "cnt",
+            "j",
+            _hash_mod(prefix, F.col("k"), CMS_WIDTH).alias("cell"),
+            (F.col("k") % 2).alias("shard"),
+        )
+    )
+    whole = cells.groupBy("j", "cell").agg(F.sum("cnt").alias("whole_cnt"))
+    sharded = (
+        cells.groupBy("shard", "j", "cell")
+        .agg(F.sum("cnt").alias("part_cnt"))
+        .groupBy("j", "cell")
+        .agg(F.sum("part_cnt").alias("merged_cnt"))
+    )
+    both = whole.join(sharded, ["j", "cell"], "full_outer").select(
+        F.coalesce("whole_cnt", F.lit(0)).alias("w"),
+        F.coalesce("merged_cnt", F.lit(0)).alias("m"),
+    )
+    return both.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum((F.col("w") == F.col("m")).cast("long")).alias("n_equal"),
+        F.max(F.abs(F.col("w") - F.col("m"))).alias("max_divergence"),
+    )
+
+
+def cms_merge_audit_sql() -> str:
+    pos = _sql_hash_mod("'cms' || CAST(j AS VARCHAR)", "k", CMS_WIDTH)
+    return f"""
+WITH idx AS (SELECT unnest(range({CMS_DEPTH})) AS j),
+keyed AS (SELECT user_id AS k, COUNT(*) AS cnt FROM events GROUP BY user_id),
+cells AS (
+  SELECT cnt, j, {pos} AS cell, k % 2 AS shard
+  FROM keyed CROSS JOIN idx
+),
+whole AS (SELECT j, cell, CAST(SUM(cnt) AS BIGINT) AS whole_cnt
+          FROM cells GROUP BY j, cell),
+sharded AS (
+  SELECT j, cell, CAST(SUM(part_cnt) AS BIGINT) AS merged_cnt
+  FROM (SELECT shard, j, cell, SUM(cnt) AS part_cnt
+        FROM cells GROUP BY shard, j, cell)
+  GROUP BY j, cell
+),
+both_g AS (
+  SELECT COALESCE(w.whole_cnt, 0) AS w, COALESCE(s.merged_cnt, 0) AS m
+  FROM whole w FULL OUTER JOIN sharded s USING (j, cell)
+)
+SELECT COUNT(*) AS n_cells,
+       CAST(SUM(CASE WHEN w = m THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+       CAST(MAX(abs(w - m)) AS BIGINT) AS max_divergence
+FROM both_g
+"""

@@ -918,3 +918,119 @@ SELECT p.life_h, p.n_risk, p.d AS n_churned, p.c AS n_censored,
 FROM pts p, arr a
 ORDER BY p.life_h
 """
+
+
+# --------------------------------------------------------------------------
+# seasonal decomposition (trend / daily-seasonal / remainder)
+# --------------------------------------------------------------------------
+
+#: centered moving-average half-width for the trend (full window =
+#: 2*12 + 1 = 25 hours, one seasonal period + 1 for an odd center).
+DECOMP_HALF_W = 12
+DECOMP_W = 2 * DECOMP_HALF_W + 1
+
+
+def seasonal_decompose(events: DataFrame) -> DataFrame:
+    """Classical additive decomposition of each type's hourly-count
+    series: cnt = trend + seasonal + remainder — the moving-average
+    STL-lite every monitoring pipeline runs before alerting on the
+    remainder (``seasonal_naive_error`` scores a forecast; this
+    EXPLAINS the series).
+
+    trend = centered 25-hour moving average, kept ONLY where the
+    window is full (edge hours have no defined trend — standard
+    decomposition behavior and the exactness key: with W constant,
+    every seasonal mean is a ratio of exact integers). seasonal
+    (per hour-of-day h) = mean of detrended values:
+    (W * sum(cnt_h) - sum(S_h)) / (W * n_h) with S the window SUM —
+    exact int64 arithmetic, ONE double division; remainder =
+    cnt - S/W - seasonal evaluates the identical IEEE tree in both
+    engines. Scale: one hourly rollup (the timeseries-family shared
+    shape), one series-sized window pass — CHECKPOINTED before its
+    two consumers (seasonal agg + remainder join) so the fact scans
+    once — and the 24-row-per-type seasonal table broadcasts back.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    hourly = _hourly_counts(events)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-DECOMP_HALF_W, DECOMP_HALF_W)
+    )
+    trended = _reliable_checkpoint(
+        hourly.select(
+            "event_type",
+            "hour",
+            "cnt",
+            F.sum("cnt").over(w).alias("s"),
+            F.count(F.lit(1)).over(w).alias("wn"),
+        ).filter(F.col("wn") == DECOMP_W)
+    )
+    hod = F.hour(F.col("hour"))
+    seasonal = (
+        trended.groupBy("event_type", hod.alias("hod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_h"),
+            F.sum("cnt").alias("sc"),
+            F.sum("s").alias("ss"),
+        )
+        .select(
+            "event_type",
+            "hod",
+            (
+                (F.lit(DECOMP_W) * F.col("sc") - F.col("ss")).cast("double")
+                / (F.lit(DECOMP_W) * F.col("n_h")).cast("double")
+            ).alias("seasonal"),
+        )
+    )
+    trend = F.col("s").cast("double") / F.lit(float(DECOMP_W))
+    return (
+        trended.withColumn("hod", hod)
+        .join(F.broadcast(seasonal), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            trend.alias("trend"),
+            "seasonal",
+            (F.col("cnt").cast("double") - trend - F.col("seasonal")).alias(
+                "remainder"
+            ),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def seasonal_decompose_sql() -> str:
+    return f"""
+WITH {_HOURLY_CTE},
+trended AS (
+  SELECT * FROM (
+    SELECT event_type, hour, cnt,
+           CAST(SUM(cnt) OVER win AS BIGINT) AS s,
+           COUNT(*) OVER win AS wn
+    FROM hourly
+    WINDOW win AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN {DECOMP_HALF_W} PRECEDING
+                   AND {DECOMP_HALF_W} FOLLOWING)
+  ) t WHERE wn = {DECOMP_W}
+),
+seasonal AS (
+  SELECT event_type, CAST(extract(hour FROM hour) AS INT) AS hod,
+         CAST({DECOMP_W} * SUM(cnt) - SUM(s) AS DOUBLE)
+           / CAST({DECOMP_W} * COUNT(*) AS DOUBLE) AS seasonal
+  FROM trended GROUP BY 1, 2
+)
+SELECT t.event_type, t.hour, t.cnt,
+       CAST(t.s AS DOUBLE) / CAST({float(DECOMP_W)!r} AS DOUBLE) AS trend,
+       sn.seasonal,
+       CAST(t.cnt AS DOUBLE)
+         - CAST(t.s AS DOUBLE) / CAST({float(DECOMP_W)!r} AS DOUBLE)
+         - sn.seasonal AS remainder
+FROM trended t
+JOIN seasonal sn
+  ON t.event_type = sn.event_type
+ AND CAST(extract(hour FROM t.hour) AS INT) = sn.hod
+ORDER BY t.event_type, t.hour
+"""
