@@ -87,6 +87,11 @@ OPS = [
     "hll_distinct",
     "temperature_mix",
     "url_dedup",
+    "graph_bfs",
+    "mutual_knn",
+    "item_cf",
+    "seasonal_decompose",
+    "cms_merge_audit",
 ]
 SFS = [
     ("sf0.01", "/root/testdata/sf0.01"),

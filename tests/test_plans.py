@@ -1438,3 +1438,49 @@ def test_export_roundtrip_aggregate_pushdown(spark, sf001):
     read-back is a local relation (the export is small by contract)."""
     plan = _plan(entry.queries()["export_roundtrip"](spark, sf001))
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_graph_bfs_frontier_reads_checkpoints(spark, sf001):
+    """The converged distance table is a checkpointed flat handle
+    (each round's plan was cut); no row-Python anywhere."""
+    plan = _plan(entry.queries()["graph_bfs"](spark, sf001))
+    assert "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mutual_knn_reciprocity_join_on_checkpointed_graph(spark, sf001):
+    """The reciprocity self-join runs over knn_graph's checkpointed
+    undirected edge list — the Arrow sketch kernel never re-runs in
+    this plan (it ran once at sketch-cache build)."""
+    plan = _plan(entry.queries()["mutual_knn"](spark, sf001))
+    assert "Scan ExistingRDD" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_item_cf_basket_bounded_pair_join(spark, sf001):
+    """Pair generation self-joins on the ORDER key (basket-bounded)
+    over the ONE checkpointed distinct-items table (its four
+    consumers read the flat handle — zero parquet re-scans); item
+    counts join broadcast."""
+    plan = _plan(entry.queries()["item_cf"](spark, sf001))
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_seasonal_decompose_checkpointed_series(spark, sf001):
+    """The trended series (hours-sized) is checkpointed before its
+    two consumers; the seasonal table joins back broadcast."""
+    plan = _plan(entry.queries()["seasonal_decompose"](spark, sf001))
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cms_merge_audit_grid_bounded(spark, sf001):
+    """Both grids aggregate with map-side combine (partial_sum);
+    the comparison join is grid-bounded, never key-scale."""
+    plan = _plan(entry.queries()["cms_merge_audit"](spark, sf001))
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan

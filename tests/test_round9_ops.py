@@ -200,3 +200,114 @@ def test_perplexity_filter_flags_rare_bigram_doc(spark):
     assert got[4].rare_rate == 1.0
     assert got[4].rare_rate > got[1].rare_rate
     assert got[4].kept == 0
+
+
+def test_mutual_knn_reciprocity(spark):
+    """Every mutual pair must appear in BOTH directions of the kNN
+    graph; a vector excluded from its neighbor's top-k produces no
+    pair."""
+    from soccerpredictor_spark.operators.scale import clear_caches
+    from soccerpredictor_spark.operators.similarity import knn_graph, mutual_knn
+
+    clear_caches()
+
+    def v(axis, wobble=0.0):
+        e = [0.0] * 64
+        e[axis] = 1.0
+        e[(axis + 1) % 64] = wobble
+        return e
+
+    rows = [
+        (1, v(0), 0),
+        (2, v(0, 0.1), 0),
+        (3, v(7), 1),
+        (4, v(7, 0.2), 1),
+        (5, [0.5] * 64, 2),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    g = {(r.vec_a, r.vec_b) for r in knn_graph(emb, k=2).collect()}
+    pairs = {(r.vec_a, r.vec_b) for r in mutual_knn(emb, k=2).collect()}
+    for a, b in pairs:
+        assert (a, b) in g and (b, a) in g
+    assert (1, 2) in pairs  # closest mutual pair survives
+    clear_caches()
+
+
+def test_item_cf_hand_case(spark):
+    """Parts 1,2 co-occur in 2 of their baskets: sim = 2/sqrt(3*3);
+    part 3 shares fewer than MIN_CO baskets with anything -> no
+    rows."""
+    from soccerpredictor_spark.operators.joins import item_cf
+
+    rows = [
+        (10, 1), (10, 2),
+        (11, 1), (11, 2),
+        (12, 1), (12, 3),
+        (13, 2), (13, 3),
+    ]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    got = {(r.item_a, r.item_b): r for r in item_cf(li).collect()}
+    import math
+
+    assert abs(got[(1, 2)].sim - 2 / math.sqrt(3 * 3)) < 1e-12
+    assert got[(1, 2)].c_xy == 2 and got[(2, 1)].c_xy == 2
+    assert not any(3 in k for k in got)  # below the support floor
+
+
+def test_cms_merge_audit_always_equal(spark):
+    """CMS linearity: shard grids summed cell-wise EQUAL the whole
+    grid — zero divergence on any input."""
+    from soccerpredictor_spark.operators.sketch import cms_merge_audit
+
+    ev = spark.range(0, 5000).selectExpr("id AS event_id", "id % 97 AS user_id")
+    [r] = cms_merge_audit(ev).collect()
+    assert r.n_cells == r.n_equal
+    assert r.max_divergence == 0
+
+
+def test_seasonal_decompose_constant_series(spark):
+    """A constant hourly series: trend = the constant, seasonal = 0,
+    remainder = 0 at every full-window hour."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.timeseries import seasonal_decompose
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i * 10 + j, t0 + dt.timedelta(hours=i), 1, "click")
+        for i in range(72)
+        for j in range(3)  # 3 events every hour for 3 days
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = seasonal_decompose(ev).collect()
+    assert len(got) == 72 - 24  # 12 edge hours trimmed each side
+    for r in got:
+        assert r.cnt == 3 and r.trend == 3.0
+        assert r.seasonal == 0.0 and r.remainder == 0.0
+
+
+def test_graph_bfs_seed_distances(spark):
+    """A path-shaped co-activity graph: seeds at distance 0, their
+    neighbors at 1, etc.; the distance is the fewest hops."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.graph import graph_bfs
+    from soccerpredictor_spark.operators.scale import clear_caches
+
+    clear_caches()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # users u and u+1 share buckets b(u) twice -> edge weight 2 (a
+    # path 1-2-3-4-5); bucket = 900s windows
+    for u in range(1, 5):
+        for rep in range(2):
+            b = t0 + dt.timedelta(seconds=900 * (u * 10 + rep))
+            for user in (u, u + 1):
+                rows.append((eid, b, user, "click")); eid += 1
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {r.user_id: r.dist for r in graph_bfs(ev).collect()}
+    # seeds = 3 smallest connected users (1, 2, 3) at dist 0
+    assert got[1] == 0 and got[2] == 0 and got[3] == 0
+    assert got[4] == 1 and got[5] == 2
+    clear_caches()
