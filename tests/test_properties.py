@@ -1038,3 +1038,88 @@ def test_snapshot_diff_is_partition_property(spark, rows):
     assert sum(got.values()) == len(keys_old | keys_new)
     assert got.get("removed", 0) == len(keys_old - keys_new)
     assert got.get("added", 0) == len(keys_new - keys_old)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.booleans(),                              # label
+            st.integers(min_value=1, max_value=500),    # price dollars
+        ),
+        min_size=2,
+        max_size=14,
+    ).filter(lambda rs: any(p for p, _ in rs) and any(not p for p, _ in rs))
+)
+def test_pr_auc_bounds_and_row_order_invariance(spark, rows):
+    """For any mixed-label set: AP is in (0, 1]; and it is invariant
+    under input row ORDER (the fold is pinned to score order, not
+    arrival order)."""
+    from soccerpredictor_spark.operators.mlprep import pr_auc
+
+    def run(rws):
+        df = spark.createDataFrame(
+            [
+                (i, "1-URGENT" if pos else "5-LOW", float(price))
+                for i, (pos, price) in enumerate(rws)
+            ],
+            ["o_orderkey", "o_orderpriority", "o_totalprice"],
+        )
+        return pr_auc(df).collect()[0]
+
+    r1 = run(rows)
+    r2 = run(list(reversed(rows)))
+    assert 0.0 < r1.average_precision <= 1.0
+    assert r1.average_precision == r2.average_precision
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lifetimes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # lifetime hours
+            st.booleans(),                           # censored?
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_kaplan_meier_survival_non_increasing(spark, lifetimes):
+    """For ANY user set: the KM curve is non-increasing in lifetime
+    and every survival value sits in [0, 1]."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.timeseries import kaplan_meier
+
+    t0 = dt.datetime(2024, 1, 1)
+    # censored users end at the (shared) corpus max hour; churned
+    # users end well before the 168h horizon below it
+    far = dt.timedelta(days=60)
+    rows, eid = [], 0
+    for uid, (life, censored) in enumerate(lifetimes):
+        start = t0 + (far if censored else dt.timedelta(0))
+        rows.append((eid, start, uid)); eid += 1
+        rows.append((eid, start + dt.timedelta(hours=life), uid)); eid += 1
+    # anchor the corpus max so "censored" users really are at the max
+    rows.append((eid, t0 + far + dt.timedelta(hours=40), 999_999))
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    got = sorted(kaplan_meier(ev).collect(), key=lambda r: r.life_h)
+    prev = 1.0
+    for r in got:
+        assert 0.0 <= r.survival <= prev + 1e-12
+        prev = r.survival
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n=st.integers(min_value=100, max_value=3000))
+def test_hll_distinct_unique_keys_estimate_sane(spark, n):
+    """For any unique-key cardinality: exact_distinct == n and the
+    raw HLL estimate is positive and within a loose 3x band (the
+    raw estimator without linear-counting correction biases low at
+    small n/m, never to zero or infinity)."""
+    from soccerpredictor_spark.operators.sketch import hll_distinct
+
+    ev = spark.range(0, n).selectExpr("id AS event_id")
+    [r] = hll_distinct(ev).collect()
+    assert r.exact_distinct == n
+    assert 0 < r.hll_estimate < 3 * n
