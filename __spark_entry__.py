@@ -786,6 +786,29 @@ def _q_write_roundtrip_csv(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cluster_labels(spark: SparkSession, sf: str) -> DataFrame:
+    # distinctive-term labels for multi-doc near-dup clusters (lift
+    # scoring over the cached CC labels — the dedup triage report).
+    return dedup.cluster_labels(read_table(spark, sf, "documents"))
+
+
+def _q_zipf_audit(spark: SparkSession, sf: str) -> DataFrame:
+    # rank x frequency corpus-health fingerprint (log-free Zipf check).
+    return textops.zipf_audit(read_table(spark, sf, "documents"))
+
+
+def _q_jl_projection(spark: SparkSession, sf: str) -> DataFrame:
+    # JL sign projection 64->16 dims + exact distance-distortion audit
+    # (the pre-ANN dimensionality cut; Achlioptas 2003).
+    return similarity.jl_projection(read_table(spark, sf, "embeddings"))
+
+
+def _q_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    # cross-feature rank normalization (microarray-classic ML prep):
+    # one stacked rank window, exact rank means, equi-join back.
+    return _mlprep_mod().quantile_normalize(read_table(spark, sf, "lineitem"))
+
+
 def _q_cms_merge_audit(spark: SparkSession, sf: str) -> DataFrame:
     # sketch mergeability proven as a query: shard sketches add
     # cell-wise to the whole-corpus sketch (CMS linearity).
@@ -1998,6 +2021,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_cf": _q_item_cf,
         "seasonal_decompose": _q_seasonal_decompose,
         "cms_merge_audit": _q_cms_merge_audit,
+        "quantile_normalize": _q_quantile_normalize,
+        "jl_projection": _q_jl_projection,
+        "zipf_audit": _q_zipf_audit,
+        "cluster_labels": _q_cluster_labels,
         # --- r3 cohort (stalest, due this round: all 20) ---
         "repetition_profile": _q_repetition_profile,
         "salted_agg": _q_salted_agg,
@@ -2651,6 +2678,10 @@ ORDER BY user_id
         "item_cf": _joins_mod().item_cf_sql(),
         "seasonal_decompose": _timeseries_mod().seasonal_decompose_sql(),
         "cms_merge_audit": _sketch_mod().cms_merge_audit_sql(),
+        "quantile_normalize": _mlprep_mod().quantile_normalize_sql(),
+        "jl_projection": similarity.jl_projection_sql(),
+        "zipf_audit": textops.zipf_audit_sql(),
+        "cluster_labels": dedup.cluster_labels_sql(),
         "export_roundtrip": (
             "SELECT c_nationkey, COUNT(*) AS n_customers, "
             "CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "

@@ -2204,3 +2204,96 @@ FROM cum WHERE nr > 0
 ORDER BY purity DESC, split_cents ASC
 LIMIT 1
 """
+
+
+def quantile_normalize(lineitem: DataFrame) -> DataFrame:
+    """Quantile normalization across features — the cross-feature
+    distribution equalizer (canonical in bioinformatics microarrays,
+    used in ML prep wherever features must share one distribution):
+    each value is replaced by the MEAN of the values holding the same
+    rank in every feature, so all normalized feature columns share an
+    identical empirical distribution by construction.
+
+    Features here: quantity, extended price, discount (all exact
+    cents/integer units). Shape: one rank window per feature — run in
+    ONE pass by unpivoting the three columns with ``stack`` and
+    window-ranking PARTITIONED BY feature (parallel across features,
+    each partition one feature's column); rank means are a grouped
+    exact-integer aggregation (sum of int64 cents / count -> one
+    double division); the normalized value joins back on (feature,
+    rank) — an equi-join on a ranks-sized table. Ties get
+    deterministic distinct ranks via the (value, l_orderkey,
+    l_linenumber) total order — the reproducibility contract a
+    hash-partitioned rerun needs. Scale note: the per-feature rank
+    window is a single-partition sort per feature at row scale — the
+    honest cost of EXACT quantile normalization; production
+    approximates with B quantile bins (the quantile_bins machinery)
+    when rows >> memory, trading exactness it can no longer afford.
+    """
+    feats = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3,"
+            " 'quantity', CAST(l_quantity AS BIGINT) * 100,"
+            " 'price', CAST(round(l_extendedprice * 100) AS BIGINT),"
+            " 'discount', CAST(round(l_discount * 10000) AS BIGINT))"
+        ).alias("feature", "v"),
+    )
+    w = Window.partitionBy("feature").orderBy(
+        F.col("v").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    # the ranked stream feeds the rank-mean aggregation AND the
+    # join-back; checkpoint so the scan + the per-feature sort (the
+    # expensive part) run ONCE, not once per consumer
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    ranked = _reliable_checkpoint(feats.withColumn("rnk", F.row_number().over(w)))
+    rank_means = ranked.groupBy("rnk").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "norm_v"
+        )
+    )
+    out = ranked.join(rank_means, "rnk")
+    # compact, deterministic audit surface: per feature, the mean and
+    # extremes of the normalized column (identical across features up
+    # to row-count parity — the property quantile normalization exists
+    # to enforce) plus the pre-normalization integer sum
+    return (
+        out.groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("raw_sum"),
+            F.min("norm_v").alias("norm_min"),
+            F.max("norm_v").alias("norm_max"),
+        )
+        .orderBy("feature")
+    )
+
+
+def quantile_normalize_sql() -> str:
+    return """
+WITH feats AS (
+  SELECT l_orderkey, l_linenumber, f.feature, f.v
+  FROM lineitem, LATERAL (VALUES
+    ('quantity', CAST(l_quantity AS BIGINT) * 100),
+    ('price', CAST(round(l_extendedprice * 100) AS BIGINT)),
+    ('discount', CAST(round(l_discount * 10000) AS BIGINT))
+  ) AS f(feature, v)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+              ORDER BY v ASC, l_orderkey ASC, l_linenumber ASC) AS rnk
+  FROM feats
+),
+rank_means AS (
+  SELECT rnk, CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS norm_v
+  FROM ranked GROUP BY rnk
+)
+SELECT r.feature, COUNT(*) AS n_rows,
+       CAST(SUM(r.v) AS BIGINT) AS raw_sum,
+       MIN(m.norm_v) AS norm_min,
+       MAX(m.norm_v) AS norm_max
+FROM ranked r JOIN rank_means m USING (rnk)
+GROUP BY r.feature ORDER BY r.feature
+"""

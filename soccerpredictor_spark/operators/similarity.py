@@ -1717,3 +1717,145 @@ FROM g a JOIN g b ON a.vec_a = b.vec_b AND a.vec_b = b.vec_a
 WHERE a.vec_a < a.vec_b
 ORDER BY a.vec_a, a.vec_b
 """
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + distortion audit
+# --------------------------------------------------------------------------
+
+#: JL output dimensionality (64 -> 16: a 4x cost cut for downstream
+#: pair arithmetic, at the distortion the audit below measures).
+JL_OUT_DIMS = 16
+JL_IN_DIMS = 64
+
+
+def _jl_signs() -> list[list[int]]:
+    """The +-1 projection matrix, md5-derived (hashlib at build time,
+    embedded as literals in BOTH engines — the vectors.py plane
+    convention)."""
+    import hashlib
+
+    rows = []
+    for k in range(JL_OUT_DIMS):
+        row = []
+        for d in range(JL_IN_DIMS):
+            h = hashlib.md5(f"jl:{k}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) >= 8 else -1)
+        rows.append(row)
+    return rows
+
+
+def jl_projection(emb: DataFrame) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection (64 -> 16 dims) with a
+    distance-distortion audit — the dimensionality-reduction step a
+    100 TB embedding pipeline runs BEFORE pair-heavy work (near-dup,
+    kNN): with a +-1 matrix R, E[||Rx||^2] = K*||x||^2, so squared
+    distances survive projection up to the distortion this audit
+    measures (Achlioptas 2003 database-friendly JL).
+
+    Exactness end-to-end: inputs quantize to int64 (vectors.SCALE);
+    each projected coordinate is an exact signed integer sum; audit
+    pairs are the deterministic (vec_id, vec_id+1) chain; the
+    original squared distance stays int64, the projected one
+    accumulates as decimal(38,0) (16 * (1.3e9)^2 exceeds int64), and
+    the aggregate ratio sum(d2_proj) / (K * sum(d2_orig)) is ONE
+    double division of exact totals — order-free, bit-identical
+    (HUGEINT + VARCHAR-cast in the twin). Per-pair min/max ratios are
+    order-free extremes. Scale: projection is a pure scan projection
+    (zero shuffle); the audit join is an id-chain equi-join.
+    """
+    signs = _jl_signs()
+    iv = V.int_vec(F.col("embedding"))
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("iv"),
+                F.array(*[F.lit(s) for s in signs[k]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"y{k}")
+        for k in range(JL_OUT_DIMS)
+    ]
+    base = emb.select("vec_id", iv.alias("iv")).select("vec_id", "iv", *proj_cols)
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b, F.col("b.vec_id") == F.col("a.vec_id") + 1
+    )
+    d2_orig = F.aggregate(
+        F.zip_with(F.col("a.iv"), F.col("b.iv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d2_proj = sum(
+        (
+            (F.col(f"a.y{k}") - F.col(f"b.y{k}")).cast("decimal(38,0)")
+            * (F.col(f"a.y{k}") - F.col(f"b.y{k}")).cast("decimal(38,0)")
+            for k in range(JL_OUT_DIMS)
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    ratio = d2_proj.cast("double") / (
+        F.lit(float(JL_OUT_DIMS)) * d2_orig.cast("double")
+    )
+    per_pair = pairs.select(
+        d2_orig.alias("d2o"),
+        d2_proj.alias("d2p"),
+        ratio.alias("r"),
+    ).filter(F.col("d2o") > 0)
+    return per_pair.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.lit(JL_IN_DIMS).alias("dims_in"),
+        F.lit(JL_OUT_DIMS).alias("dims_out"),
+        (
+            F.sum("d2p").cast("double")
+            / (F.lit(float(JL_OUT_DIMS)) * F.sum("d2o").cast("double"))
+        ).alias("agg_ratio"),
+        F.min("r").alias("min_ratio"),
+        F.max("r").alias("max_ratio"),
+    )
+
+
+def jl_projection_sql() -> str:
+    signs = _jl_signs()
+    iv = V.sql_int_vec("embedding")
+    y = []
+    for k in range(JL_OUT_DIMS):
+        arr = "[" + ", ".join(str(s) for s in signs[k]) + "]"
+        y.append(
+            f"list_sum(list_transform(range(1, len(iv)+1),"
+            f" i -> iv[i] * ({arr})[i])) AS y{k}"
+        )
+    d2p = " + ".join(
+        f"CAST(a.y{k} - b.y{k} AS HUGEINT) * (a.y{k} - b.y{k})"
+        for k in range(JL_OUT_DIMS)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, iv, {', '.join(y)}
+  FROM (SELECT vec_id, {iv} AS iv FROM embeddings) q
+),
+pairs AS (
+  SELECT
+    list_sum(list_transform(range(1, len(a.iv)+1),
+      i -> (a.iv[i] - b.iv[i]) * (a.iv[i] - b.iv[i]))) AS d2o,
+    ({d2p}) AS d2p
+  FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+),
+live AS (SELECT * FROM pairs WHERE d2o > 0)
+SELECT COUNT(*) AS n_pairs,
+       CAST({JL_IN_DIMS} AS INT) AS dims_in,
+       CAST({JL_OUT_DIMS} AS INT) AS dims_out,
+       CAST(CAST(SUM(d2p) AS VARCHAR) AS DOUBLE)
+         / (CAST({float(JL_OUT_DIMS)!r} AS DOUBLE)
+            * CAST(CAST(SUM(d2o) AS VARCHAR) AS DOUBLE)) AS agg_ratio,
+       MIN(CAST(CAST(d2p AS VARCHAR) AS DOUBLE)
+           / (CAST({float(JL_OUT_DIMS)!r} AS DOUBLE) * CAST(d2o AS DOUBLE)))
+         AS min_ratio,
+       MAX(CAST(CAST(d2p AS VARCHAR) AS DOUBLE)
+           / (CAST({float(JL_OUT_DIMS)!r} AS DOUBLE) * CAST(d2o AS DOUBLE)))
+         AS max_ratio
+FROM live
+"""

@@ -3314,3 +3314,85 @@ SELECT url_canonical, COUNT(*) AS n_urls,
        MIN(doc_id) AS keep_doc_id
 FROM canon GROUP BY url_canonical ORDER BY url_canonical
 """
+
+
+# --------------------------------------------------------------------------
+# Zipf audit: rank x frequency diagnostic of the corpus vocabulary
+# --------------------------------------------------------------------------
+
+#: vocabulary ranks audited.
+ZIPF_TOP_K = 30
+
+
+def zipf_audit(docs: DataFrame) -> DataFrame:
+    """Zipf's-law audit of the corpus vocabulary: for the top
+    ``ZIPF_TOP_K`` terms by frequency, rank x frequency should be
+    roughly constant (f_r ~ C/r). Natural text tracks the law;
+    synthetic/templated/boilerplate-heavy corpora — exactly what a
+    curation pipeline must catch — deviate hard, making the
+    normalized rank-frequency product a cheap corpus-health
+    fingerprint (the distribution-level cousin of the per-doc
+    ``repetition_profile``).
+
+    The log-log regression slope the textbook fits needs ln();
+    rank * freq is its log-free monotone diagnostic (constant iff
+    slope = -1), in the engine's conventions: counts are exact
+    int64 from one map-side-combinable term aggregation, rank is a
+    deterministic (freq DESC, term ASC) position, and the only
+    doubles are rank*freq/total shares — one division each. Scale:
+    top-K lands via a distributed TakeOrdered heap; the rank window
+    runs over K collected rows, never the vocabulary.
+    """
+    from pyspark.sql import Window
+
+    tok = fan_out(docs).select(
+        F.explode(X.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    total = counts.agg(F.sum("freq").alias("total"))
+    top = counts.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(
+        ZIPF_TOP_K
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "term",
+            "freq",
+            (F.col("rank") * F.col("freq")).alias("rank_x_freq"),
+            (
+                (F.col("rank") * F.col("freq")).cast("double")
+                / F.col("total").cast("double")
+            ).alias("zipf_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+def zipf_audit_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT u.term FROM (
+    SELECT {_sql_tokens('lower(text)')} AS ws FROM documents
+  ) t, UNNEST(ws) AS u(term)
+),
+counts AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY term),
+total AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM counts),
+top AS (
+  SELECT term, freq FROM counts
+  ORDER BY freq DESC, term ASC LIMIT {ZIPF_TOP_K}
+),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS INT)
+           AS rank, term, freq
+  FROM top
+)
+SELECT r.rank, r.term, r.freq,
+       CAST(r.rank * r.freq AS BIGINT) AS rank_x_freq,
+       CAST(r.rank * r.freq AS DOUBLE) / CAST(t.total AS DOUBLE)
+         AS zipf_share
+FROM ranked r, total t
+ORDER BY r.rank
+"""

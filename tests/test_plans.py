@@ -1484,3 +1484,40 @@ def test_cms_merge_audit_grid_bounded(spark, sf001):
     plan = _plan(entry.queries()["cms_merge_audit"](spark, sf001))
     assert "partial_sum" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_quantile_normalize_stacked_single_scan(spark, sf001):
+    """All three features rank in ONE pass over one stacked scan
+    (Expand projection) — never a per-feature re-scan; rank means
+    join back equi."""
+    # the ranked stream is checkpointed: scan + per-feature sort ran
+    # once at build; both consumers read the flat handle
+    plan = _plan(entry.queries()["quantile_normalize"](spark, sf001))
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_jl_projection_zero_shuffle_projection(spark, sf001):
+    """The 16 projected coordinates are scan-side HOF arithmetic; the
+    audit join is the id-chain equi-join — no Python, no vector
+    shuffle beyond the join keys."""
+    plan = _plan(entry.queries()["jl_projection"](spark, sf001))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zipf_audit_take_ordered_topk(spark, sf001):
+    """Vocabulary top-K lands via a distributed TakeOrdered heap; the
+    rank window runs over K rows only."""
+    plan = _plan(entry.queries()["zipf_audit"](spark, sf001))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cluster_labels_gated_before_tokenize(spark, sf001):
+    """Only multi-doc clusters' documents are tokenized (the size
+    gate precedes the explode); the CC labels come from the cached
+    checkpoint (no LSH re-run in this plan)."""
+    plan = _plan(entry.queries()["cluster_labels"](spark, sf001))
+    assert "Scan ExistingRDD" in plan  # cached CC labels
+    assert "BatchEvalPython" not in plan

@@ -311,3 +311,89 @@ def test_graph_bfs_seed_distances(spark):
     assert got[1] == 0 and got[2] == 0 and got[3] == 0
     assert got[4] == 1 and got[5] == 2
     clear_caches()
+
+
+def test_quantile_normalize_identical_distributions(spark):
+    """After normalization every feature's min/max (and by extension
+    the whole empirical distribution) is identical across features —
+    the property the operator exists to enforce."""
+    from soccerpredictor_spark.operators.mlprep import quantile_normalize
+
+    rows = [
+        (1, 1, 5.0, 100.0, 0.01),
+        (1, 2, 3.0, 900.0, 0.09),
+        (2, 1, 9.0, 500.0, 0.05),
+        (2, 2, 7.0, 300.0, 0.03),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    got = quantile_normalize(li).collect()
+    assert len(got) == 3
+    mins = {r.norm_min for r in got}
+    maxs = {r.norm_max for r in got}
+    assert len(mins) == 1 and len(maxs) == 1  # shared distribution
+    assert all(r.n_rows == 4 for r in got)
+
+
+def test_jl_projection_ratio_near_one(spark):
+    """For random-ish vectors the aggregate distortion ratio
+    E[d2_proj]/(K*d2_orig) concentrates near 1 (JL property)."""
+    from soccerpredictor_spark.operators.similarity import jl_projection
+
+    import hashlib
+
+    def vec(i):
+        out = []
+        for d in range(64):
+            h = hashlib.md5(f"v:{i}:{d}".encode()).hexdigest()
+            out.append((int(h[:4], 16) / 65535.0) - 0.5)
+        return out
+
+    emb = spark.createDataFrame(
+        [(i, vec(i), 0) for i in range(40)], ["vec_id", "embedding", "label"]
+    )
+    [r] = jl_projection(emb).collect()
+    assert r.n_pairs == 39
+    assert 0.5 < r.agg_ratio < 1.5  # concentration, loose band
+    assert r.min_ratio <= r.agg_ratio <= r.max_ratio
+
+
+def test_zipf_audit_rank_one_is_top_term(spark):
+    """Rank 1 is the most frequent term; shares are freq-ordered by
+    construction of the fixture."""
+    from soccerpredictor_spark.operators.textops import zipf_audit
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa aa bb bb cc")], ["doc_id", "text"]
+    )
+    got = {r.rank: r for r in zipf_audit(docs).collect()}
+    assert got[1].term == "aa" and got[1].freq == 4
+    assert got[1].zipf_share == 4 / 7
+    assert got[2].term == "bb" and got[2].rank_x_freq == 4
+    assert got[3].term == "cc" and got[3].rank_x_freq == 3
+
+
+def test_cluster_labels_distinctive_terms(spark):
+    """Two exact-dup families: each multi-doc cluster's top label is
+    a term distinctive to that family, not the shared filler."""
+    from soccerpredictor_spark.operators.dedup import cluster_labels
+    from soccerpredictor_spark.operators.scale import clear_caches
+
+    clear_caches()
+    fam_a = "alpha beta gamma delta epsilon common filler words here now"
+    fam_b = "zeta eta theta iota kappa common filler words here now"
+    docs = spark.createDataFrame(
+        [(1, fam_a), (2, fam_a), (3, fam_b), (4, fam_b), (5, "totally unrelated text nothing shared")],
+        ["doc_id", "text"],
+    )
+    rows = cluster_labels(docs).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.term)
+    assert set(by_cluster) == {1, 3}
+    assert "alpha" in by_cluster[1] or "beta" in by_cluster[1]
+    assert "zeta" in by_cluster[3] or "eta" in by_cluster[3]
+    assert "common" not in by_cluster[1] and "common" not in by_cluster[3]
+    clear_caches()
