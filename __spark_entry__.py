@@ -786,6 +786,24 @@ def _q_write_roundtrip_csv(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ivf_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF acceptance gate: recall@k vs exact — completes the
+    # per-index recall symmetry (LSH/int8/IVF each gated).
+    return similarity.ivf_recall_eval(read_table(spark, sf, "embeddings"))
+
+
+def _q_conversion_lag(spark: SparkSession, sf: str) -> DataFrame:
+    # click->purchase latency histogram via the strictly-preceding
+    # as-of window (attribution-window / funnel-SLA readout).
+    return windows.conversion_lag(read_table(spark, sf, "events"))
+
+
+def _q_concurrency_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # peak concurrent sessions per hour: sweep-line +1/-1 deltas with
+    # the two-level bucketed prefix sum (no global ordered reducer).
+    return windows.concurrency_profile(read_table(spark, sf, "events"))
+
+
 def _q_cluster_labels(spark: SparkSession, sf: str) -> DataFrame:
     # distinctive-term labels for multi-doc near-dup clusters (lift
     # scoring over the cached CC labels — the dedup triage report).
@@ -2025,6 +2043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_projection": _q_jl_projection,
         "zipf_audit": _q_zipf_audit,
         "cluster_labels": _q_cluster_labels,
+        "concurrency_profile": _q_concurrency_profile,
+        "conversion_lag": _q_conversion_lag,
+        "ivf_recall_eval": _q_ivf_recall_eval,
         # --- r3 cohort (stalest, due this round: all 20) ---
         "repetition_profile": _q_repetition_profile,
         "salted_agg": _q_salted_agg,
@@ -2682,6 +2703,9 @@ ORDER BY user_id
         "jl_projection": similarity.jl_projection_sql(),
         "zipf_audit": textops.zipf_audit_sql(),
         "cluster_labels": dedup.cluster_labels_sql(),
+        "concurrency_profile": windows.concurrency_profile_sql(),
+        "conversion_lag": windows.conversion_lag_sql(),
+        "ivf_recall_eval": similarity.ivf_recall_eval_sql(),
         "export_roundtrip": (
             "SELECT c_nationkey, COUNT(*) AS n_customers, "
             "CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "

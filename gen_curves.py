@@ -92,6 +92,13 @@ OPS = [
     "item_cf",
     "seasonal_decompose",
     "cms_merge_audit",
+    "quantile_normalize",
+    "jl_projection",
+    "zipf_audit",
+    "cluster_labels",
+    "concurrency_profile",
+    "conversion_lag",
+    "ivf_recall_eval",
 ]
 SFS = [
     ("sf0.01", "/root/testdata/sf0.01"),

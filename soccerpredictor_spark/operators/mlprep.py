@@ -2215,21 +2215,23 @@ def quantile_normalize(lineitem: DataFrame) -> DataFrame:
     identical empirical distribution by construction.
 
     Features here: quantity, extended price, discount (all exact
-    cents/integer units). Shape: one rank window per feature — run in
-    ONE pass by unpivoting the three columns with ``stack`` and
-    window-ranking PARTITIONED BY feature (parallel across features,
-    each partition one feature's column); rank means are a grouped
-    exact-integer aggregation (sum of int64 cents / count -> one
-    double division); the normalized value joins back on (feature,
-    rank) — an equi-join on a ranks-sized table. Ties get
-    deterministic distinct ranks via the (value, l_orderkey,
-    l_linenumber) total order — the reproducibility contract a
-    hash-partitioned rerun needs. Scale note: the per-feature rank
-    window is a single-partition sort per feature at row scale — the
-    honest cost of EXACT quantile normalization; production
-    approximates with B quantile bins (the quantile_bins machinery)
-    when rows >> memory, trading exactness it can no longer afford.
+    cents/integer units). Shape: the three columns unpivot with ONE
+    ``stack`` pass, and the EXACT per-feature rank is assembled with
+    the two-level bucketed pattern (the roc_auc shape) instead of a
+    per-feature single-partition sort: approximate percentile edges
+    split each feature's value range into ~64 order-contiguous
+    buckets (the edges only affect BALANCE — any constants give the
+    identical rank, since equal values share a bucket and lower
+    buckets' counts are exact offsets), rows row_number WITHIN their
+    bucket on the (v, l_orderkey, l_linenumber) total order, and
+    rank = bucket offset + within-rank. Measured: the single-
+    partition sort was 51 s at the 10x decade; bucketed it
+    re-linearizes. Rank means are exact-integer aggregations (one
+    double division); the normalized value joins back on rank. The
+    ranked stream is checkpointed before its two consumers.
     """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
     feats = lineitem.select(
         "l_orderkey",
         "l_linenumber",
@@ -2240,15 +2242,44 @@ def quantile_normalize(lineitem: DataFrame) -> DataFrame:
             " 'discount', CAST(round(l_discount * 10000) AS BIGINT))"
         ).alias("feature", "v"),
     )
-    w = Window.partitionBy("feature").orderBy(
+    # balance-only approximate edges (31 cuts -> <=32 range buckets per
+    # feature, accuracy 100 — cheap); rank correctness is
+    # edge-independent (see docstring), so the sketch costs nothing in
+    # exactness
+    probs = F.array(*[F.lit(i / 32.0) for i in range(1, 32)])
+    edges = feats.groupBy("feature").agg(
+        F.percentile_approx("v", probs, F.lit(100)).alias("edges")
+    )
+    bucketed = feats.join(F.broadcast(edges), "feature").select(
+        "feature",
+        "v",
+        "l_orderkey",
+        "l_linenumber",
+        F.size(F.filter(F.col("edges"), lambda e: e < F.col("v"))).alias("vb"),
+    )
+    w_in = Window.partitionBy("feature", "vb").orderBy(
         F.col("v").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
     )
-    # the ranked stream feeds the rank-mean aggregation AND the
-    # join-back; checkpoint so the scan + the per-feature sort (the
-    # expensive part) run ONCE, not once per consumer
-    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
-
-    ranked = _reliable_checkpoint(feats.withColumn("rnk", F.row_number().over(w)))
+    counts = bucketed.groupBy("feature", "vb").agg(F.count(F.lit(1)).alias("bc"))
+    w_off = (
+        Window.partitionBy("feature")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "feature",
+        "vb",
+        F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off"),
+    )
+    ranked = _reliable_checkpoint(
+        bucketed.withColumn("rn_in", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), ["feature", "vb"])
+        .select(
+            "feature",
+            "v",
+            (F.col("off") + F.col("rn_in")).alias("rnk"),
+        )
+    )
     rank_means = ranked.groupBy("rnk").agg(
         (F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "norm_v"

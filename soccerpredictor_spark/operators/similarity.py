@@ -1859,3 +1859,46 @@ SELECT COUNT(*) AS n_pairs,
          AS max_ratio
 FROM live
 """
+
+
+def ivf_recall_eval(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """IVF acceptance gate: recall@k of the inverted-file approximate
+    top-k (``ivf_topk`` — seeded centroids, IVF_NPROBE probed lists)
+    against the exact brute-force cosine ranking — completing the
+    per-index recall symmetry (``ann_recall_eval`` gates LSH,
+    ``int8_recall_eval`` gates scalar quantization, this gates IVF):
+    every approximate path in the engine now has its measured
+    acceptance gate, so an index choice at 100 TB is a comparison of
+    recall rows, not a guess.
+
+    Cost is the two top-k scans (both zero-shuffle TakeOrdered
+    shapes); the comparison joins two k-row sets; n_probe-pruned
+    shortfalls surface via n_ivf < k rather than silently inflating
+    recall (the ann_recall_eval convention).
+    """
+    exact = cosine_topk(emb, query_vec_id, k).select("vec_id")
+    approx = ivf_topk(emb, query_vec_id, k).select("vec_id")
+    hit = exact.join(approx, "vec_id", "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_ivf")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_ivf",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.lit(float(k))).alias("recall"),
+        )
+    )
+
+
+def ivf_recall_eval_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH exact_k AS (SELECT vec_id FROM ({cosine_topk_sql(query_vec_id, k)}) e),
+approx_k AS (SELECT vec_id FROM ({ivf_topk_sql(query_vec_id, k)}) a),
+hit AS (SELECT vec_id FROM exact_k WHERE vec_id IN (SELECT vec_id FROM approx_k))
+SELECT (SELECT COUNT(*) FROM exact_k) AS n_exact,
+       (SELECT COUNT(*) FROM approx_k) AS n_ivf,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / {float(k)} AS recall
+"""

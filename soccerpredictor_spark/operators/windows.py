@@ -2034,3 +2034,223 @@ SELECT event_type, cnt_a, cnt_b, delta, total_delta,
        END AS share_of_delta
 FROM enriched ORDER BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# concurrency profile: sweep-line over session intervals
+# --------------------------------------------------------------------------
+
+#: concurrency prefix-sum bucket width (microseconds) — one hour.
+CONC_BUCKET_US = 3_600_000_000
+
+
+def concurrency_profile(events: DataFrame) -> DataFrame:
+    """Peak concurrent sessions per hour — the capacity-planning
+    sweep-line every serving/infra team runs: sessionize, emit +1 at
+    each session start and -1 at its end, and the running sum of
+    deltas in time order IS the concurrency; per hour, report the
+    delta counts and the maximum concurrency reached.
+
+    The classic algorithm needs one GLOBAL ordered prefix sum — a
+    single reducer at 100 TB — so the running sum is assembled with
+    the two-level bucketed pattern (the roc_auc shape): deltas
+    prefix-sum WITHIN their hour bucket (parallel windows), only the
+    per-hour delta totals cross the tiny global window, and each
+    row's concurrency = its bucket's carry-in + its within-bucket
+    prefix. Tie order is pinned (t ASC, delta ASC): an end meeting a
+    start at the same microsecond processes first, so touching
+    sessions never double-count. All arithmetic is exact integers.
+    Hours with no session boundary carry constant concurrency and
+    emit no row (the delta stream is empty there) — the consumer
+    forward-fills, exactly like ``date_spine_fill`` composes with
+    sparse rollups.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    sess = session_windows(events)
+    # one pass over sessions: each emits its +1/-1 boundary rows; the
+    # delta stream feeds both the within-bucket windows and the bucket
+    # totals, so it is checkpointed (sessions-sized, one events scan)
+    deltas = _reliable_checkpoint(
+        sess.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.unix_micros(F.col("first_ts")).alias("t"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.unix_micros(F.col("last_ts")).alias("t"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("d")
+        ).select(
+            F.col("d.t").alias("t"),
+            F.col("d.delta").alias("delta"),
+            F.expr(f"d.t div {CONC_BUCKET_US}").alias("bkt"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("t").asc(), F.col("delta").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = deltas.withColumn("run_in", F.sum("delta").over(w_in))
+    btot = deltas.groupBy("bkt").agg(F.sum("delta").alias("bsum"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bcum = btot.select(
+        "bkt", F.coalesce(F.sum("bsum").over(w_b), F.lit(0)).alias("carry")
+    )
+    conc = within.join(F.broadcast(bcum), "bkt").select(
+        "bkt",
+        "delta",
+        (F.col("carry") + F.col("run_in")).alias("conc"),
+    )
+    return (
+        conc.groupBy("bkt")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("starts"),
+            F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("ends"),
+            F.max("conc").cast("long").alias("max_concurrency"),
+        )
+        .select(
+            F.timestamp_micros(F.col("bkt") * CONC_BUCKET_US).alias("hour"),
+            "starts",
+            "ends",
+            "max_concurrency",
+        )
+        .orderBy("hour")
+    )
+
+
+def concurrency_profile_sql(gap_seconds: int = 1800) -> str:
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   >= {gap_seconds}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+sess AS (
+  SELECT MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+  FROM sessions GROUP BY user_id, sid
+),
+deltas AS (
+  SELECT d.t, d.delta, d.t // {CONC_BUCKET_US} AS bkt
+  FROM sess, LATERAL (VALUES (s, 1), (e, -1)) AS d(t, delta)
+),
+within AS (
+  SELECT *, CAST(SUM(delta) OVER (PARTITION BY bkt
+              ORDER BY t ASC, delta ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS run_in
+  FROM deltas
+),
+bcum AS (
+  SELECT bkt, COALESCE(CAST(SUM(bsum) OVER (ORDER BY bkt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+              AS carry
+  FROM (SELECT bkt, SUM(delta) AS bsum FROM deltas GROUP BY bkt)
+)
+SELECT make_timestamp(w.bkt * {CONC_BUCKET_US}) AS hour,
+       CAST(SUM(CASE WHEN w.delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS starts,
+       CAST(SUM(CASE WHEN w.delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS ends,
+       CAST(MAX(b.carry + w.run_in) AS BIGINT) AS max_concurrency
+FROM within w JOIN bcum b USING (bkt)
+GROUP BY w.bkt ORDER BY hour
+"""
+
+
+def conversion_lag(events: DataFrame) -> DataFrame:
+    """Click-to-purchase latency histogram — the conversion-lag
+    readout behind attribution windows and funnel SLAs: for every
+    purchase, the time since that user's MOST RECENT prior click (the
+    as-of pattern as a window, like ``attribution``'s last-touch),
+    bucketed into whole minutes with each bucket's share of all
+    conversions.
+
+    One user-keyed window pass computes the as-of click per purchase
+    (strictly-preceding frame: a click at the purchase's own
+    microsecond does not convert to itself); lags are exact integer
+    microseconds; the histogram is a tiny-key aggregation and the
+    share divides by a window total over the (minute-bounded) bucket
+    table — never the event stream. Purchases with no prior click
+    (organic/direct) are counted in the lag_min = -1 bucket rather
+    than dropped, so the histogram partitions ALL purchases.
+    """
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        us.alias("us"),
+        F.last(
+            F.when(F.col("event_type") == "click", us), ignorenulls=True
+        )
+        .over(w)
+        .alias("prev_click_us"),
+    )
+    lags = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("prev_click_us").isNotNull(),
+            F.floor((F.col("us") - F.col("prev_click_us")) / F.lit(60_000_000)),
+        )
+        .otherwise(F.lit(-1))
+        .alias("lag_min")
+    )
+    hist = lags.groupBy("lag_min").agg(F.count(F.lit(1)).alias("n_conversions"))
+    total_w = Window.partitionBy()
+    return (
+        hist.select(
+            "lag_min",
+            "n_conversions",
+            (
+                F.col("n_conversions").cast("double")
+                / F.sum("n_conversions").over(total_w).cast("double")
+            ).alias("share"),
+        )
+        .orderBy("lag_min")
+    )
+
+
+def conversion_lag_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_click_us
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+lags AS (
+  SELECT CASE WHEN prev_click_us IS NOT NULL
+              THEN CAST(floor((us - prev_click_us) / 60000000.0) AS BIGINT)
+              ELSE -1 END AS lag_min
+  FROM seq WHERE event_type = 'purchase'
+),
+hist AS (SELECT lag_min, COUNT(*) AS n_conversions FROM lags GROUP BY lag_min)
+SELECT lag_min, n_conversions,
+       CAST(n_conversions AS DOUBLE)
+         / CAST(SUM(n_conversions) OVER () AS DOUBLE) AS share
+FROM hist ORDER BY lag_min
+"""

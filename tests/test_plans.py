@@ -1521,3 +1521,33 @@ def test_cluster_labels_gated_before_tokenize(spark, sf001):
     plan = _plan(entry.queries()["cluster_labels"](spark, sf001))
     assert "Scan ExistingRDD" in plan  # cached CC labels
     assert "BatchEvalPython" not in plan
+
+
+def test_concurrency_profile_bucketed_prefix(spark, sf001):
+    """The sweep-line running sum is bucket-partitioned (two-level
+    prefix); the delta stream is checkpointed (one events scan at
+    build); the carry joins back broadcast."""
+    plan = _plan(entry.queries()["concurrency_profile"](spark, sf001))
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "hashpartitioning(bkt" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_conversion_lag_single_scan_single_window(spark, sf001):
+    """One events scan with the type filter pushed down; one
+    user-keyed window; the share total runs over the tiny bucket
+    table only."""
+    plan = _plan(entry.queries()["conversion_lag"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_recall_eval_zero_vector_shuffle(spark, sf001):
+    """Both rankings are TakeOrdered shapes; no sort-merge join and
+    no Python anywhere."""
+    plan = _plan(entry.queries()["ivf_recall_eval"](spark, sf001))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

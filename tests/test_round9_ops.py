@@ -397,3 +397,48 @@ def test_cluster_labels_distinctive_terms(spark):
     assert "zeta" in by_cluster[3] or "eta" in by_cluster[3]
     assert "common" not in by_cluster[1] and "common" not in by_cluster[3]
     clear_caches()
+
+
+def test_concurrency_profile_hand_case(spark):
+    """Three overlapping sessions within one hour peak at 3; a
+    touching end/start at the same microsecond does NOT double-count
+    (the end processes first)."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.windows import concurrency_profile
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # three users whose sessions overlap at 10:10
+        (1, m(0), 1, "click"), (1, m(10), 2, "click"),
+        (2, m(5), 3, "click"), (2, m(12), 4, "click"),
+        (3, m(8), 5, "click"), (3, m(15), 6, "click"),
+        # user 4 starts EXACTLY when user 3's session ends
+        (4, m(15), 7, "click"), (4, m(20), 8, "click"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    [r] = concurrency_profile(ev).collect()
+    assert r.starts == 4 and r.ends == 4
+    assert r.max_concurrency == 3  # the touch does not make it 4
+
+
+def test_conversion_lag_buckets(spark):
+    """Purchases 30s and 90s after the last click land in minute
+    buckets 0 and 1; a purchase with no prior click lands in -1."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.windows import conversion_lag
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda k: t0 + dt.timedelta(seconds=k)  # noqa: E731
+    rows = [
+        (1, s(0), 1, "click"), (1, s(30), 2, "purchase"),
+        (2, s(0), 3, "click"), (2, s(90), 4, "purchase"),
+        (3, s(0), 5, "purchase"),  # organic
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {r.lag_min: r for r in conversion_lag(ev).collect()}
+    assert got[0].n_conversions == 1 and got[1].n_conversions == 1
+    assert got[-1].n_conversions == 1
+    assert abs(sum(r.share for r in got.values()) - 1.0) < 1e-12
