@@ -8,8 +8,9 @@ the large-scale extension operators) to a (spark, sf_dir) callable;
 Registry ordering is LOAD-BEARING: the driver's correctness harness
 verifies the first 50 entries in dict order, so entries without a
 green row in an earlier ``CORRECTNESS_r*.json`` come first (see the
-comment in ``queries()``); every entry past the window was
-driver-verified in round 1.
+comment in ``queries()``); every entry past the window carries a
+green driver row from an earlier round, rotated back through the
+window within the CI-enforced staleness bound.
 
 Cross-engine determinism: every floating-point aggregate follows the
 exact-decimal convention documented in
