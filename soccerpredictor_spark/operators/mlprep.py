@@ -2328,3 +2328,193 @@ SELECT r.feature, COUNT(*) AS n_rows,
 FROM ranked r JOIN rank_means m USING (rnk)
 GROUP BY r.feature ORDER BY r.feature
 """
+
+
+#: total sample budget the Neyman allocator distributes.
+NEYMAN_BUDGET = 5_000
+
+
+def neyman_allocation(orders: DataFrame) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: quota_h
+    proportional to N_h * S_h (stratum size x stratum standard
+    deviation) — the survey-sampling / eval-set design rule that
+    minimizes the variance of the estimated mean at a fixed budget,
+    upweighting big AND volatile strata (uniform and proportional
+    allocation are both strictly worse unless all S_h are equal).
+    STAGED round 9 for the round-10 driver window.
+
+    Strata = order priority; metric = exact price cents. Per-stratum
+    variance is the exact-integer form (n * sum(x^2) - sum(x)^2 in
+    decimal(38,0) — the feature_corr convention) with ONE sqrt and
+    division into doubles; the share denominator sum_h N_h * S_h is
+    a strict LEFT FOLD over strata in stratum order (the double-fold
+    convention — a plain double SUM would be partition-order-
+    dependent). One scan, one tiny-key aggregation; everything after
+    is strata-sized broadcast arithmetic.
+    """
+    d38 = "decimal(38,0)"
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = orders.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents.cast(d38) * cents.cast(d38)).alias("sxx"),
+    )
+    var = (
+        (
+            F.col("n").cast(d38) * F.col("sxx")
+            - F.col("sx").cast(d38) * F.col("sx").cast(d38)
+        ).cast("double")
+        / (F.col("n").cast("double") * F.col("n").cast("double"))
+    )
+    wts = per.select(
+        "stratum",
+        "n",
+        F.sqrt(var).alias("sd_cents"),
+        (F.col("n").cast("double") * F.sqrt(var)).alias("w"),
+    )
+    denom = wts.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("stratum").alias("s"), F.col("w")))
+                ),
+                lambda x: x["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("denom")
+    )
+    share = F.col("w") / F.col("denom")
+    return (
+        wts.crossJoin(F.broadcast(denom))
+        .select(
+            "stratum",
+            "n",
+            "sd_cents",
+            share.alias("share"),
+            F.floor(share * F.lit(float(NEYMAN_BUDGET))).cast("long").alias(
+                "quota"
+            ),
+        )
+        .orderBy("stratum")
+    )
+
+
+def neyman_allocation_sql() -> str:
+    var = (
+        "CAST(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx"
+        " AS VARCHAR) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    )
+    return f"""
+WITH per AS (
+  SELECT o_orderpriority AS stratum, COUNT(*) AS n,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sx,
+         SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS BIGINT)) AS sxx
+  FROM orders GROUP BY 1
+),
+wts AS (
+  SELECT stratum, n, sqrt({var}) AS sd_cents,
+         CAST(n AS DOUBLE) * sqrt({var}) AS w
+  FROM per
+),
+denom AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY stratum ASC)),
+           (acc, x) -> acc + x) AS denom
+  FROM wts
+)
+SELECT stratum, n, sd_cents, w / denom AS share,
+       CAST(floor(w / denom * CAST({float(NEYMAN_BUDGET)!r} AS DOUBLE))
+            AS BIGINT) AS quota
+FROM wts, denom
+ORDER BY stratum
+"""
+
+
+#: categories kept verbatim by the collapse; the tail becomes OTHER.
+COLLAPSE_KEEP_K = 20
+
+
+def rare_category_collapse(lineitem: DataFrame) -> DataFrame:
+    """Rare-category collapse for a high-cardinality feature (part
+    key): keep the top-``COLLAPSE_KEEP_K`` categories verbatim, fold
+    the long tail into one OTHER bucket — the standard cardinality
+    cap before one-hot/target encoding (an unbounded category column
+    is a model-size and privacy hazard; the tail carries no per-level
+    signal anyway). STAGED round 9 for the round-10 driver window.
+
+    Rank-based (top-K), not count-threshold-based, so the mapping is
+    scale-free: the same operator yields the same RELATIVE coverage
+    at any sf. Output: each kept category with its support and
+    share, plus the OTHER rollup (how many source categories and
+    rows it swallowed) — the audit a feature store publishes next to
+    the mapping. One scan into a category-sized count table
+    (checkpointed before its three consumers: top-K heap, tail
+    rollup, total), shares are single divisions of exact counts.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    counts = _reliable_checkpoint(
+        lineitem.groupBy(F.col("l_partkey").alias("cat")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("cat").asc()).limit(
+        COLLAPSE_KEEP_K
+    )
+    tail = counts.join(top.select("cat"), "cat", "left_anti").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("n_source_categories"),
+    )
+    kept = top.select(
+        F.col("cat").cast("string").alias("category"),
+        "n",
+        F.lit(1).cast("long").alias("n_source_categories"),
+    )
+    other = tail.select(
+        F.lit("OTHER").alias("category"),
+        "n",
+        F.col("n_source_categories").cast("long"),
+    )
+    return (
+        kept.unionByName(other)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "category",
+            "n",
+            "n_source_categories",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n").desc(), F.col("category").asc())
+    )
+
+
+def rare_category_collapse_sql() -> str:
+    return f"""
+WITH counts AS (
+  SELECT l_partkey AS cat, COUNT(*) AS n FROM lineitem GROUP BY 1
+),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+top AS (SELECT cat, n FROM counts ORDER BY n DESC, cat ASC
+        LIMIT {COLLAPSE_KEEP_K}),
+tail AS (
+  SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_source_categories
+  FROM counts WHERE cat NOT IN (SELECT cat FROM top)
+),
+unioned AS (
+  SELECT CAST(cat AS VARCHAR) AS category, CAST(n AS BIGINT) AS n,
+         CAST(1 AS BIGINT) AS n_source_categories
+  FROM top
+  UNION ALL
+  SELECT 'OTHER', n, n_source_categories FROM tail
+)
+SELECT category, n, n_source_categories,
+       CAST(n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+FROM unioned, total t
+ORDER BY n DESC, category ASC
+"""

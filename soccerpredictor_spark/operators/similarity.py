@@ -1902,3 +1902,43 @@ SELECT (SELECT COUNT(*) FROM exact_k) AS n_exact,
        (SELECT COUNT(*) FROM hit) AS n_hit,
        CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / {float(k)} AS recall
 """
+
+
+def pq_recall_eval(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Product-quantization acceptance gate: recall@k of the PQ-ADC
+    ranking (``pq_topk``) against the exact brute-force cosine —
+    closing the LAST approximate path without a measured gate
+    (``ann_recall_eval`` gates LSH, ``int8_recall_eval`` scalar
+    quantization, ``ivf_recall_eval`` IVF). STAGED round 9 for the
+    round-10 driver window.
+
+    Same shape as its siblings: two top-k scans, a k-row comparison
+    join, recall over the exact set; a short PQ candidate list
+    surfaces via n_pq < k rather than silently inflating recall.
+    """
+    exact = cosine_topk(emb, query_vec_id, k).select("vec_id")
+    approx = pq_topk(emb, query_vec_id, k).select("vec_id")
+    hit = exact.join(approx, "vec_id", "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_pq")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_pq",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.lit(float(k))).alias("recall"),
+        )
+    )
+
+
+def pq_recall_eval_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH exact_k AS (SELECT vec_id FROM ({cosine_topk_sql(query_vec_id, k)}) e),
+approx_k AS (SELECT vec_id FROM ({pq_topk_sql(query_vec_id, k)}) a),
+hit AS (SELECT vec_id FROM exact_k WHERE vec_id IN (SELECT vec_id FROM approx_k))
+SELECT (SELECT COUNT(*) FROM exact_k) AS n_exact,
+       (SELECT COUNT(*) FROM approx_k) AS n_pq,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / {float(k)} AS recall
+"""

@@ -485,3 +485,251 @@ SELECT COUNT(*) AS n_cells,
        CAST(MAX(abs(w - m)) AS BIGINT) AS max_divergence
 FROM both_g
 """
+
+
+def hll_merge_audit(events: DataFrame) -> DataFrame:
+    """HLL MERGEABILITY, proven as a query (the ``cms_merge_audit``
+    contract applied to cardinality): sketch two disjoint shards
+    (event parity), merge by per-register MAX, and verify the merged
+    register vector — and therefore the estimate — equals the
+    whole-stream sketch exactly. STAGED round 9 for the round-10
+    driver window.
+
+    This is why distributed count-distinct works at 100 TB: register
+    max is associative/commutative/idempotent, so shard sketches
+    union with zero error (unlike CMS deltas, HLL merge is EXACT with
+    respect to the sketch). Output: registers compared, registers
+    equal, the two power-of-two harmonic sums (equal iff the vectors
+    are), and the shared estimate. All integer arithmetic.
+    """
+    max_rho = HLL_W_BITS + 1
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("event_id").cast("string"))),
+            1, 15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rho = F.when(
+        (F.shiftright(h, 8).bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))) == 0,
+        max_rho,
+    ).otherwise(
+        F.bit_count(
+            (
+                F.shiftright(h, 8).bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))
+            ).bitwiseAND(
+                -(F.shiftright(h, 8).bitwiseAND(F.lit((1 << HLL_W_BITS) - 1)))
+            )
+            - 1
+        )
+        + 1
+    )
+    rows = events.select(
+        (h % HLL_M).alias("j"),
+        rho.alias("rho"),
+        (F.col("event_id") % 2).alias("shard"),
+    )
+    whole = rows.groupBy("j").agg(F.max("rho").alias("m_whole"))
+    merged = (
+        rows.groupBy("shard", "j")
+        .agg(F.max("rho").alias("m_part"))
+        .groupBy("j")
+        .agg(F.max("m_part").alias("m_merged"))
+    )
+    both = whole.join(merged, "j", "full_outer").select(
+        F.coalesce("m_whole", F.lit(0)).alias("w"),
+        F.coalesce("m_merged", F.lit(0)).alias("m"),
+    )
+    return both.agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum((F.col("w") == F.col("m")).cast("long")).alias("n_equal"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rho} - w)")).alias(
+            "s_whole"
+        ),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rho} - m)")).alias(
+            "s_merged"
+        ),
+    )
+
+
+def hll_merge_audit_sql() -> str:
+    max_rho = HLL_W_BITS + 1
+    mask = (1 << HLL_W_BITS) - 1
+    return f"""
+WITH hashed AS (
+  SELECT CAST('0x' || substr(md5('hll:' || CAST(event_id AS VARCHAR)),
+              1, 15) AS BIGINT) AS h,
+         event_id % 2 AS shard
+  FROM events
+),
+rows_r AS (
+  SELECT h % {HLL_M} AS j, shard,
+         CASE WHEN ((h >> 8) & {mask}) = 0 THEN {max_rho}
+              ELSE bit_count((((h >> 8) & {mask}) & -((h >> 8) & {mask})) - 1)
+                   + 1
+         END AS rho
+  FROM hashed
+),
+whole AS (SELECT j, MAX(rho) AS m_whole FROM rows_r GROUP BY j),
+merged AS (
+  SELECT j, MAX(m_part) AS m_merged
+  FROM (SELECT shard, j, MAX(rho) AS m_part FROM rows_r GROUP BY shard, j)
+  GROUP BY j
+),
+both_g AS (
+  SELECT COALESCE(w.m_whole, 0) AS w, COALESCE(m.m_merged, 0) AS m
+  FROM whole w FULL OUTER JOIN merged m USING (j)
+)
+SELECT COUNT(*) AS n_registers,
+       CAST(SUM(CASE WHEN w = m THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+       CAST(SUM(CAST(1 AS BIGINT) << ({max_rho} - w)) AS BIGINT) AS s_whole,
+       CAST(SUM(CAST(1 AS BIGINT) << ({max_rho} - m)) AS BIGINT) AS s_merged
+FROM both_g
+"""
+
+
+#: heavy-change keys reported (by exact |change|, for the audit).
+CMS_CHANGE_TOPK = 20
+
+
+def cms_heavy_change(events: DataFrame) -> DataFrame:
+    """Heavy-CHANGE detection via sketch subtraction: CMS grids are
+    LINEAR, so (late-half grid) - (early-half grid) is itself a
+    sketch of per-key count deltas, and the keys whose traffic moved
+    most between the two halves of the window are estimated without
+    ever diffing exact per-key counts — the k-ary-sketch change
+    detection pattern (Krishnamurthy et al. 2003). STAGED round 9
+    for the round-10 driver window.
+
+    The stream splits at its midpoint timestamp (global min/max —
+    two scalars broadcast); each half's grid is the standard
+    map-side-combinable cell sum, the delta grid is one full-outer
+    cell join, and each key's change estimate is the minimum-
+    magnitude cell delta across depths (collisions ADD spurious
+    positive and negative mass; min-|.| is the conservative pick).
+    The top-CMS_CHANGE_TOPK keys BY EXACT |change| are reported with
+    estimate vs exact — the heavy_hitters_cms audit convention: the
+    sketch answers, the exact columns grade it.
+    """
+    idx = _index_df(events, CMS_DEPTH, "j")
+    prefix = F.concat(F.lit("cms"), F.col("j").cast("string"))
+    us = F.unix_micros(F.col("ts"))
+    bounds = events.agg(
+        F.min(us).alias("t0"), F.max(us).alias("t1")
+    )
+    halves = events.crossJoin(F.broadcast(bounds)).select(
+        F.col("user_id").alias("k"),
+        F.when(us * 2 <= F.col("t0") + F.col("t1"), 0).otherwise(1).alias("half"),
+    )
+    keyed = halves.groupBy("k", "half").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = keyed.crossJoin(F.broadcast(idx)).select(
+        "k",
+        "half",
+        "cnt",
+        "j",
+        _hash_mod(prefix, F.col("k"), CMS_WIDTH).alias("cell"),
+    )
+    grids = cells.groupBy("half", "j", "cell").agg(
+        F.sum("cnt").alias("c")
+    )
+    delta = (
+        grids.groupBy("j", "cell")
+        .pivot("half", [0, 1])
+        .agg(F.coalesce(F.first("c"), F.lit(0)))
+        .select(
+            "j",
+            "cell",
+            (
+                F.coalesce(F.col("1"), F.lit(0))
+                - F.coalesce(F.col("0"), F.lit(0))
+            ).alias("d"),
+        )
+    )
+    exact = (
+        keyed.groupBy("k")
+        .pivot("half", [0, 1])
+        .agg(F.coalesce(F.first("cnt"), F.lit(0)))
+        .select(
+            "k",
+            (
+                F.coalesce(F.col("1"), F.lit(0))
+                - F.coalesce(F.col("0"), F.lit(0))
+            ).alias("exact_change"),
+        )
+    )
+    probe = (
+        exact.crossJoin(F.broadcast(idx))
+        .select(
+            "k",
+            "exact_change",
+            "j",
+            _hash_mod(prefix, F.col("k"), CMS_WIDTH).alias("cell"),
+        )
+        .join(F.broadcast(delta), ["j", "cell"])
+        .groupBy("k", "exact_change")
+        .agg(
+            # deterministic min-|.| pick: tie on |d| breaks on signed d
+            F.min_by(
+                "d", F.struct(F.abs(F.col("d")).alias("a"), F.col("d").alias("d"))
+            ).alias("est_change"),
+        )
+    )
+    return (
+        probe.select(
+            F.col("k").alias("user_id"),
+            "exact_change",
+            "est_change",
+            (F.col("est_change") - F.col("exact_change")).alias("est_error"),
+        )
+        .orderBy(
+            F.abs(F.col("exact_change")).desc(), F.col("user_id").asc()
+        )
+        .limit(CMS_CHANGE_TOPK)
+    )
+
+
+def cms_heavy_change_sql() -> str:
+    pos = _sql_hash_mod("'cms' || CAST(j AS VARCHAR)", "k", CMS_WIDTH)
+    return f"""
+WITH idx AS (SELECT unnest(range({CMS_DEPTH})) AS j),
+bounds AS (SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events),
+halves AS (
+  SELECT user_id AS k,
+         CASE WHEN epoch_us(ts) * 2 <= b.t0 + b.t1 THEN 0 ELSE 1 END AS half
+  FROM events, bounds b
+),
+keyed AS (SELECT k, half, COUNT(*) AS cnt FROM halves GROUP BY k, half),
+cells AS (
+  SELECT k, half, cnt, j, {pos} AS cell FROM keyed CROSS JOIN idx
+),
+grids AS (SELECT half, j, cell, CAST(SUM(cnt) AS BIGINT) AS c
+          FROM cells GROUP BY half, j, cell),
+delta AS (
+  SELECT j, cell,
+         COALESCE(SUM(CASE WHEN half = 1 THEN c END), 0)
+           - COALESCE(SUM(CASE WHEN half = 0 THEN c END), 0) AS d
+  FROM grids GROUP BY j, cell
+),
+exact AS (
+  SELECT k,
+         COALESCE(SUM(CASE WHEN half = 1 THEN cnt END), 0)
+           - COALESCE(SUM(CASE WHEN half = 0 THEN cnt END), 0) AS exact_change
+  FROM keyed GROUP BY k
+),
+cand AS (
+  SELECT e.k, e.exact_change, d.d,
+         ROW_NUMBER() OVER (PARTITION BY e.k
+           ORDER BY abs(d.d) ASC, d.d ASC) AS rn
+  FROM exact e CROSS JOIN idx
+  JOIN delta d ON d.j = idx.j AND d.cell = ({_sql_hash_mod("'cms' || CAST(idx.j AS VARCHAR)", "e.k", CMS_WIDTH)})
+),
+probe AS (
+  SELECT k, exact_change, d AS est_change FROM cand WHERE rn = 1
+)
+SELECT k AS user_id, exact_change, est_change,
+       CAST(est_change - exact_change AS BIGINT) AS est_error
+FROM probe
+ORDER BY abs(exact_change) DESC, user_id ASC
+LIMIT {CMS_CHANGE_TOPK}
+"""

@@ -1034,3 +1034,139 @@ JOIN seasonal sn
  AND CAST(extract(hour FROM t.hour) AS INT) = sn.hod
 ORDER BY t.event_type, t.hour
 """
+
+
+def theil_sen_trend(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend per event-type series: the MEDIAN of
+    all pairwise slopes (and the median-residual intercept) over the
+    hourly counts — the estimator that shrugs off the outlier hours
+    that wreck an OLS fit (up to ~29% contamination). STAGED round 9
+    for the round-10 driver window.
+
+    Exactness: times are integer epoch-hours, counts exact int64;
+    each pairwise slope is ONE double division of exact integers, and
+    both medians use the deterministic rank-selection convention
+    (ORDER BY value, then the integer keys; row (n+1)//2) — no
+    percentile-interpolation semantics, bit-identical across engines.
+    Scale: the pair fan-out is per-SERIES (span-hours choose 2 —
+    bounded by the calendar, independent of event rows; the hourly
+    rollup is the only pass over the fact table), the rank windows
+    partition by event_type (parallel across series), and the
+    hours-sized hourly table is checkpointed before its three
+    consumers.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    hourly = _reliable_checkpoint(
+        _hourly_counts(events).select(
+            "event_type",
+            (F.unix_micros(F.col("hour")) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("t"),
+            "cnt",
+        )
+    )
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.t").alias("ti"),
+            F.col("b.t").alias("tj"),
+            (
+                (F.col("b.cnt") - F.col("a.cnt")).cast("double")
+                / (F.col("b.t") - F.col("a.t")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w_s = Window.partitionBy("event_type").orderBy(
+        F.col("slope").asc(), F.col("ti").asc(), F.col("tj").asc()
+    )
+    w_n = Window.partitionBy("event_type")
+    med_slope = (
+        slopes.select(
+            "event_type",
+            "slope",
+            F.row_number().over(w_s).alias("rn"),
+            F.count(F.lit(1)).over(w_n).alias("n_pairs"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select("event_type", F.col("slope").alias("sen_slope"), "n_pairs")
+    )
+    resid = hourly.join(F.broadcast(med_slope), "event_type").select(
+        "event_type",
+        "n_pairs",
+        "t",
+        (
+            F.col("cnt").cast("double")
+            - F.col("sen_slope") * F.col("t").cast("double")
+        ).alias("b0"),
+        "sen_slope",
+    )
+    w_b = Window.partitionBy("event_type").orderBy(
+        F.col("b0").asc(), F.col("t").asc()
+    )
+    return (
+        resid.select(
+            "event_type",
+            "n_pairs",
+            "sen_slope",
+            "b0",
+            F.row_number().over(w_b).alias("rn"),
+            F.count(F.lit(1)).over(w_n).alias("n_points"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n_points") + 1) / 2))
+        .select(
+            "event_type",
+            "n_points",
+            "n_pairs",
+            "sen_slope",
+            F.col("b0").alias("sen_intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def theil_sen_trend_sql() -> str:
+    return f"""
+WITH {_HOURLY_CTE},
+pts AS (
+  SELECT event_type,
+         CAST(epoch_us(hour) / 3600000000.0 AS BIGINT) AS t, cnt
+  FROM hourly
+),
+slopes AS (
+  SELECT a.event_type, a.t AS ti, b.t AS tj,
+         CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+  FROM pts a JOIN pts b
+    ON a.event_type = b.event_type AND a.t < b.t
+),
+med_slope AS (
+  SELECT event_type, slope AS sen_slope, n_pairs FROM (
+    SELECT event_type, slope, ti, tj,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY slope ASC, ti ASC, tj ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+    FROM slopes
+  ) s WHERE rn = (n_pairs + 1) // 2
+),
+resid AS (
+  SELECT p.event_type, m.n_pairs, p.t, m.sen_slope,
+         CAST(p.cnt AS DOUBLE) - m.sen_slope * CAST(p.t AS DOUBLE) AS b0
+  FROM pts p JOIN med_slope m USING (event_type)
+)
+SELECT event_type, n_points, n_pairs, sen_slope, b0 AS sen_intercept
+FROM (
+  SELECT event_type, n_pairs, sen_slope, b0,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+           ORDER BY b0 ASC, t ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_points
+  FROM resid
+) r WHERE rn = (n_points + 1) // 2
+ORDER BY event_type
+"""
