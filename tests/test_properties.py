@@ -1123,3 +1123,84 @@ def test_hll_distinct_unique_keys_estimate_sane(spark, n):
     [r] = hll_distinct(ev).collect()
     assert r.exact_distinct == n
     assert 0 < r.hll_estimate < 3 * n
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    doc_ids=st.lists(
+        st.integers(min_value=0, max_value=400), min_size=1, max_size=12, unique=True
+    )
+)
+def test_url_dedup_partitions_and_keeps_min(spark, doc_ids):
+    """For ANY doc-id set: canonical groups partition all raw URLs
+    (sum of n_urls = inputs), every keeper is the min doc_id of its
+    group, and raw-variant counts never exceed group sizes."""
+    from soccerpredictor_spark.operators.textops import url_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in doc_ids], ["doc_id", "source"]
+    )
+    rows = url_dedup(docs).collect()
+    assert sum(r.n_urls for r in rows) == len(doc_ids)
+    assert all(r.n_raw_variants <= r.n_urls for r in rows)
+    assert all(r.keep_doc_id in doc_ids for r in rows)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sources=st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=2, max_size=20
+    ).filter(lambda xs: len(set(xs)) >= 2)
+)
+def test_temperature_mix_shares_partition_unity(spark, sources):
+    """For ANY source mix: shares sum to exactly the fold total (1.0
+    within float tolerance), each share sits strictly between the
+    uniform and natural extremes' bounds, and quotas never exceed the
+    budget."""
+    from soccerpredictor_spark.operators.textops import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sources)], ["doc_id", "source"]
+    )
+    rows = temperature_mix(docs).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    assert sum(r.quota for r in rows) <= 10_000
+    # sqrt flattening: the biggest source's share <= its natural share
+    n = len(sources)
+    for r in rows:
+        natural = r.n_docs / n
+        if r.n_docs * len(rows) > n:  # above-average source
+            assert r.share <= natural + 1e-12
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lengths=st.lists(
+        st.integers(min_value=64, max_value=400), min_size=2, max_size=6
+    )
+)
+def test_media_phash_pairs_are_canonical_and_bounded(spark, lengths):
+    """For ANY payload set: every reported pair is ordered (a < b),
+    within the Hamming budget, and identical payloads always pair at
+    hamming 0."""
+    from soccerpredictor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        PHASH_MAX_HAMMING,
+        media_phash_neardup,
+    )
+
+    rows = []
+    for i, ln in enumerate(lengths):
+        payload = bytes([(11 * i + 3 * j) % 256 for j in range(ln)])
+        rows.append((i, "image", "x", payload, {}))
+    # duplicate of row 0 at a fresh id
+    rows.append((len(lengths), "image", "x", bytes(rows[0][3]), {}))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = media_phash_neardup(media).collect()
+    for r in pairs:
+        assert r.media_a < r.media_b
+        assert 0 <= r.hamming <= PHASH_MAX_HAMMING
+    assert any(
+        r.media_a == 0 and r.media_b == len(lengths) and r.hamming == 0
+        for r in pairs
+    )
