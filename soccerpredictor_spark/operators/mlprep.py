@@ -2518,3 +2518,92 @@ SELECT category, n, n_source_categories,
 FROM unioned, total t
 ORDER BY n DESC, category ASC
 """
+
+
+#: MRR cutoff rank.
+MRR_K = 10
+
+
+def mrr_at_k(orders: DataFrame) -> DataFrame:
+    """Mean reciprocal rank @ K over the per-customer ranked lists
+    (the ``ndcg_at_k`` retrieval framing: rank orders by price desc,
+    relevant = finished status): per customer, RR = 1/rank of the
+    FIRST relevant item within the top K (0 if none); the summary row
+    reports the macro mean. MRR is THE first-relevant-hit metric for
+    known-item search and QA retrieval — NDCG grades the whole list,
+    MRR grades how fast the list gets to one right answer. STAGED
+    round 9 for the round-10 driver window.
+
+    Exactness: the first relevant rank is an integer MIN over a
+    bounded window; each RR is ONE double division (1/r with r in
+    1..K — exactly representable beyond even that); the mean is the
+    SUM of RRs computed as an exact rational: sum over customers of
+    (K! / r) in int64 divided by (n * K!) — both exact integers, one
+    double division, order-free (no double accumulation at all).
+    """
+    # K!/r stays int64 for K = 10 (10! = 3628800)
+    import math
+
+    kfact = math.factorial(MRR_K)
+    rel = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_custkey", "o_totalprice", "o_orderkey", rel.alias("rel")
+    ).withColumn("pos", F.row_number().over(w))
+    first_hit = (
+        ranked.filter((F.col("pos") <= MRR_K) & (F.col("rel") == 1))
+        .groupBy("o_custkey")
+        .agg(F.min("pos").alias("first_rel"))
+    )
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    scored = per_cust.join(first_hit, "o_custkey", "left").select(
+        "o_custkey",
+        F.coalesce(
+            (F.lit(kfact) / F.col("first_rel")).cast("long"), F.lit(0)
+        ).alias("rr_scaled"),
+        F.col("first_rel").isNotNull().cast("int").alias("hit"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("hit").cast("long").alias("n_hit"),
+        (
+            F.sum("rr_scaled").cast("double")
+            / (F.count(F.lit(1)) * F.lit(kfact)).cast("double")
+        ).alias("mrr"),
+    )
+
+
+def mrr_at_k_sql() -> str:
+    import math
+
+    kfact = math.factorial(MRR_K)
+    return f"""
+WITH ranked AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS pos
+  FROM orders
+),
+first_hit AS (
+  SELECT o_custkey, CAST(MIN(pos) AS BIGINT) AS first_rel
+  FROM ranked WHERE pos <= {MRR_K} AND rel = 1
+  GROUP BY o_custkey
+),
+per_cust AS (SELECT o_custkey FROM ranked GROUP BY o_custkey),
+scored AS (
+  SELECT p.o_custkey,
+         COALESCE(CAST({kfact} / f.first_rel AS BIGINT), 0) AS rr_scaled,
+         CASE WHEN f.first_rel IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM per_cust p LEFT JOIN first_hit f USING (o_custkey)
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       CAST(SUM(rr_scaled) AS DOUBLE)
+         / CAST(COUNT(*) * {kfact} AS DOUBLE) AS mrr
+FROM scored
+"""

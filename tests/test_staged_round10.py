@@ -6,7 +6,7 @@ test_oracle_parity, run here because staged operators are not yet in
 ``queries()``/``oracle_sql()``.
 
 Staged set: pq_recall_eval, theil_sen_trend, neyman_allocation,
-rare_category_collapse, hll_merge_audit, cms_heavy_change.
+rare_category_collapse, hll_merge_audit, cms_heavy_change, mrr_at_k.
 """
 
 from __future__ import annotations
@@ -47,6 +47,11 @@ STAGED = [
         "cms_heavy_change",
         "soccerpredictor_spark.operators.sketch",
         "events",
+    ),
+    (
+        "mrr_at_k",
+        "soccerpredictor_spark.operators.mlprep",
+        "orders",
     ),
 ]
 
@@ -184,3 +189,23 @@ def test_cms_heavy_change_flags_mover(spark):
     got = cms_heavy_change(ev).collect()
     assert got[0].user_id == 1 and got[0].exact_change == 95
     assert abs(got[0].est_change) >= abs(got[1].exact_change)
+
+
+def test_mrr_first_hit_rank(spark):
+    """Customer 1's first relevant item ranks 2nd -> RR = 1/2;
+    customer 2 has no relevant item in top K -> RR = 0; MRR = 1/4."""
+    from soccerpredictor_spark.operators.mlprep import mrr_at_k
+
+    rows = [
+        (1, 1, "O", 100.0),  # rank 1, not relevant
+        (2, 1, "F", 90.0),   # rank 2, relevant -> RR 1/2
+        (3, 1, "F", 80.0),
+        (4, 2, "O", 50.0),
+        (5, 2, "P", 40.0),
+    ]
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+    [r] = mrr_at_k(orders).collect()
+    assert r.n_queries == 2 and r.n_hit == 1
+    assert r.mrr == 0.25
