@@ -1204,3 +1204,64 @@ def test_media_phash_pairs_are_canonical_and_bounded(spark, lengths):
         r.media_a == 0 and r.media_b == len(lengths) and r.hamming == 0
         for r in pairs
     )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.integers(min_value=1, max_value=300),
+        ),
+        min_size=2,
+        max_size=14,
+    ).filter(lambda rs: any(p for p, _ in rs) and any(not p for p, _ in rs))
+)
+def test_decision_stump_never_worse_than_no_split(spark, rows):
+    """Gini never worsens by splitting: the returned purity must be
+    >= the unsplit root's (P^2 + Q^2)/n for ANY label/score mix, and
+    the reported side counts must partition the input."""
+    from soccerpredictor_spark.operators.mlprep import decision_stump
+
+    df = spark.createDataFrame(
+        [
+            (i, "1-URGENT" if pos else "5-LOW", float(price))
+            for i, (pos, price) in enumerate(rows)
+        ],
+        ["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    out = decision_stump(df).collect()
+    n = len(rows)
+    p = sum(1 for pos, _ in rows if pos)
+    q = n - p
+    root_purity = (p * p + q * q) / n
+    if not out:
+        return  # all rows share one score: no valid split exists
+    [r] = out
+    assert r.n_left + r.n_right == n
+    assert r.pos_left + r.pos_right == p
+    assert r.purity >= root_purity - 1e-9
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    labels=st.lists(
+        st.sampled_from(["en", "es", "de"]), min_size=2, max_size=10
+    )
+)
+def test_cohen_kappa_bounded_above_by_one(spark, labels):
+    """kappa <= 1 for any corpus, with equality only at perfect
+    agreement; Po and Pe are probabilities."""
+    from soccerpredictor_spark.operators.textops import cohen_kappa
+
+    marker = {"en": "the and is", "es": "el la los", "de": "der und die"}
+    docs = spark.createDataFrame(
+        [(i, marker[l], l) for i, l in enumerate(labels)],
+        ["doc_id", "text", "lang"],
+    )
+    [r] = cohen_kappa(docs).collect()
+    assert 0.0 <= r.po <= 1.0 and 0.0 <= r.pe <= 1.0
+    if r.kappa is not None:
+        assert r.kappa <= 1.0 + 1e-12
+        if r.po == 1.0:
+            assert r.kappa == 1.0
