@@ -787,6 +787,62 @@ def _q_write_roundtrip_csv(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_pq_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    # PQ acceptance gate: recall@k of the product-quantized ADC scan
+    # vs exact cosine — closes the recall symmetry for the last
+    # approximate index (LSH/int8/IVF/PQ each measured).
+    return similarity.pq_recall_eval(read_table(spark, sf, "embeddings"))
+
+
+def _q_theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
+    # robust hourly-volume trend: median of pairwise slopes (Sen's
+    # estimator) over the bounded hourly series — outlier-immune
+    # where OLS is not.
+    return _timeseries_mod().theil_sen_trend(read_table(spark, sf, "events"))
+
+
+def _q_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    # Neyman-optimal stratified sampling quotas (N_h * S_h shares,
+    # exact-integer variances, largest-remainder top-up to the exact
+    # budget).
+    return _mlprep_mod().neyman_allocation(read_table(spark, sf, "orders"))
+
+
+def _q_rare_category_collapse(spark: SparkSession, sf: str) -> DataFrame:
+    # high-cardinality categorical -> top-K + OTHER collapse with
+    # exact coverage accounting (the no-silent-caps encode prep).
+    return _mlprep_mod().rare_category_collapse(
+        read_table(spark, sf, "lineitem")
+    )
+
+
+def _q_hll_merge_audit(spark: SparkSession, sf: str) -> DataFrame:
+    # HLL mergeability proven as a query: shard-sketch register max
+    # equals the whole-stream sketch (why distributed count-distinct
+    # unions losslessly).
+    return _sketch_mod().hll_merge_audit(read_table(spark, sf, "events"))
+
+
+def _q_cms_heavy_change(spark: SparkSession, sf: str) -> DataFrame:
+    # heavy-change detection via CMS linearity: late-half minus
+    # early-half grids sketch the per-key traffic deltas.
+    return _sketch_mod().cms_heavy_change(read_table(spark, sf, "events"))
+
+
+def _q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # exact repeated-substring span dedup (Lee et al. 2022 grain):
+    # per-doc merged duplicated character ranges + bytes accounting —
+    # every-position k-gram fingerprints, ONE count-window shuffle,
+    # islands merge per doc; never all-pairs.
+    return textops.substring_dedup(read_table(spark, sf, "documents"))
+
+
+def _q_mrr_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    # exact mean reciprocal rank @ k in rational (sum of 1/rank as
+    # exact fraction) form — the ranking-eval companion to ndcg_at_k.
+    return _mlprep_mod().mrr_at_k(read_table(spark, sf, "orders"))
+
+
 def _q_ivf_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     # IVF acceptance gate: recall@k vs exact — completes the
     # per-index recall symmetry (LSH/int8/IVF each gated).
@@ -2012,71 +2068,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 entries in dict order (observed in CORRECTNESS_r01).
     return {
         # ORDER MATTERS: the driver verifies queries()[0:50] in dict
-        # order. Round-9 window layout:
-        #   1. NEW round-9 operators (never driver-verified -> forced
-        #      into the window by test_driver_verification_window_ordering)
-        #      are inserted at the HEAD of this dict as they land;
-        #   2. the full 20-entry r3 cohort -- at the ceil(n/50)+1
-        #      staleness bound this round, MUST re-verify;
-        #   3. r4-cohort fill to 50 (oldest-first; whatever the new
-        #      registrations push past position 50 simply waits for
-        #      round 10, where the r4 cohort is due anyway).
-        # After the window: r4 remnant -> r5 -> r7 -> r8 in staleness
+        # order. Round-10 window layout (the r4 cohort hit the
+        # ceil(n/50)+1 staleness bound this round):
+        #   1. the full 41-entry r4 cohort (positions 0-40, MUST
+        #      re-verify this round);
+        #   2. the 7 round-9-staged operators (never driver-verified
+        #      -> forced into the window by
+        #      test_driver_verification_window_ordering);
+        #   3. r5-cohort fill to 50 (oldest-first; the r5 cohort owns
+        #      the r11 window, so verifying its head early only eases
+        #      that rotation).
+        # After the window: r5 remnant -> r7 -> r8 -> r9 in staleness
         # order, so future rotations stay a pure prefix shift.  CI:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
-        # --- NEW round-9 operators (never verified) ---
-        "export_roundtrip": _q_export_roundtrip,
-        "perplexity_filter": _q_perplexity_filter,
-        "media_phash_neardup": _q_media_phash_neardup,
-        "pr_auc": _q_pr_auc,
-        "kaplan_meier": _q_kaplan_meier,
-        "decision_stump": _q_decision_stump,
-        "cohen_kappa": _q_cohen_kappa,
-        "hll_distinct": _q_hll_distinct,
-        "temperature_mix": _q_temperature_mix,
-        "url_dedup": _q_url_dedup,
-        "graph_bfs": _q_graph_bfs,
-        "mutual_knn": _q_mutual_knn,
-        "item_cf": _q_item_cf,
-        "seasonal_decompose": _q_seasonal_decompose,
-        "cms_merge_audit": _q_cms_merge_audit,
-        "quantile_normalize": _q_quantile_normalize,
-        "jl_projection": _q_jl_projection,
-        "zipf_audit": _q_zipf_audit,
-        "cluster_labels": _q_cluster_labels,
-        "concurrency_profile": _q_concurrency_profile,
-        "conversion_lag": _q_conversion_lag,
-        "ivf_recall_eval": _q_ivf_recall_eval,
-        # --- r3 cohort (stalest, due this round: all 20) ---
-        "repetition_profile": _q_repetition_profile,
-        "salted_agg": _q_salted_agg,
-        "salted_join": _q_salted_join,
-        "semi_join": _q_semi_join,
-        "soccer_pipeline": _q_soccer_pipeline,
-        "stratified_sample": _q_stratified_sample,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_join": _q_streaming_join,
-        "streaming_sliding": _q_streaming_sliding,
-        "top_k_count": _q_top_k_count,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q21": _q_tpch_q21,
-        "winnowing": _q_winnowing,
-        "write_roundtrip": _q_write_roundtrip,
-        "write_roundtrip_csv": _q_write_roundtrip_csv,
-        "arity_filter": _q_arity_filter,
-        "encode_binary": _q_encode_binary,
-        "regex_extract": _q_regex_extract,
-        "case_encode": _q_case_encode,
-        "filter_cast_range": _q_filter_cast_range,
-        # --- r4 cohort (due r10; head entries fill the r9 window) ---
-        "hourly_anomaly": _q_hourly_anomaly,
-        "streaming_upsert": _q_streaming_upsert,
-        "bucketed_join": _q_bucketed_join,
-        "scd2_intervals": _q_scd2_intervals,
-        "group_sample_topk": _q_group_sample_topk,
-        "bm25_search": _q_bm25_search,
-        "inverted_index": _q_inverted_index,
-        "domain_mix": _q_domain_mix,
+        # --- r4 cohort (stalest, due this round: all 41) ---
         "streaming_sessions": _q_streaming_sessions,
         "write_roundtrip_json": _q_write_roundtrip_json,
         "partitioned_prune": _q_partitioned_prune,
@@ -2118,9 +2123,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union": _q_set_union,
         "upsert_latest": _q_upsert_latest,
         "streaming_hourly": _q_streaming_hourly,
-        # --- r5 cohort (due r11) ---
+        # --- round-9 staged operators, registered this round ---
+        "pq_recall_eval": _q_pq_recall_eval,
+        "theil_sen_trend": _q_theil_sen_trend,
+        "neyman_allocation": _q_neyman_allocation,
+        "rare_category_collapse": _q_rare_category_collapse,
+        "hll_merge_audit": _q_hll_merge_audit,
+        "cms_heavy_change": _q_cms_heavy_change,
+        "mrr_at_k": _q_mrr_at_k,
+        # --- NEW round-10 operator ---
+        "substring_dedup": _q_substring_dedup,
+        # --- r5-cohort fill (r5 owns the r11 window) ---
         "dedup_canonical": _q_dedup_canonical,
         "int8_recall_eval": _q_int8_recall_eval,
+        # --- r5 cohort remnant (due r11) ---
         "streaming_cdc": _q_streaming_cdc,
         "doc_sim_knn": _q_doc_sim_knn,
         "event_transitions": _q_event_transitions,
@@ -2167,7 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": _q_tpch_q9,
         "window_topn_per_group": _q_window_topn,
         "distinct_projection": _q_distinct_projection,
-        # --- r7 cohort (due r12-r13) ---
+        # --- r7 cohort (due r12) ---
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
@@ -2218,7 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": _q_link_prediction,
         "roc_auc": _q_roc_auc,
         "skyline_pareto": _q_skyline_pareto,
-        # --- r8 cohort (freshest) ---
+        # --- r8 cohort ---
         "subsample_ci": _q_subsample_ci,
         "grouped_ols": _q_grouped_ols,
         "ndcg_at_k": _q_ndcg_at_k,
@@ -2269,6 +2285,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "range_join_bands": _q_range_join_bands,
         "regex_extract_all": _q_regex_extract_all,
+        # --- r9 cohort (freshest) ---
+        "export_roundtrip": _q_export_roundtrip,
+        "perplexity_filter": _q_perplexity_filter,
+        "media_phash_neardup": _q_media_phash_neardup,
+        "pr_auc": _q_pr_auc,
+        "kaplan_meier": _q_kaplan_meier,
+        "decision_stump": _q_decision_stump,
+        "cohen_kappa": _q_cohen_kappa,
+        "hll_distinct": _q_hll_distinct,
+        "temperature_mix": _q_temperature_mix,
+        "url_dedup": _q_url_dedup,
+        "graph_bfs": _q_graph_bfs,
+        "mutual_knn": _q_mutual_knn,
+        "item_cf": _q_item_cf,
+        "seasonal_decompose": _q_seasonal_decompose,
+        "cms_merge_audit": _q_cms_merge_audit,
+        "quantile_normalize": _q_quantile_normalize,
+        "jl_projection": _q_jl_projection,
+        "zipf_audit": _q_zipf_audit,
+        "cluster_labels": _q_cluster_labels,
+        "concurrency_profile": _q_concurrency_profile,
+        "conversion_lag": _q_conversion_lag,
+        "ivf_recall_eval": _q_ivf_recall_eval,
+        "repetition_profile": _q_repetition_profile,
+        "salted_agg": _q_salted_agg,
+        "salted_join": _q_salted_join,
+        "semi_join": _q_semi_join,
+        "soccer_pipeline": _q_soccer_pipeline,
+        "stratified_sample": _q_stratified_sample,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_join": _q_streaming_join,
+        "streaming_sliding": _q_streaming_sliding,
+        "top_k_count": _q_top_k_count,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q21": _q_tpch_q21,
+        "winnowing": _q_winnowing,
+        "write_roundtrip": _q_write_roundtrip,
+        "write_roundtrip_csv": _q_write_roundtrip_csv,
+        "arity_filter": _q_arity_filter,
+        "encode_binary": _q_encode_binary,
+        "regex_extract": _q_regex_extract,
+        "case_encode": _q_case_encode,
+        "filter_cast_range": _q_filter_cast_range,
+        "hourly_anomaly": _q_hourly_anomaly,
+        "streaming_upsert": _q_streaming_upsert,
+        "bucketed_join": _q_bucketed_join,
+        "scd2_intervals": _q_scd2_intervals,
+        "group_sample_topk": _q_group_sample_topk,
+        "bm25_search": _q_bm25_search,
+        "inverted_index": _q_inverted_index,
+        "domain_mix": _q_domain_mix,
     }
 
 
@@ -2287,6 +2354,15 @@ def _pivot_avg_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- round-9 staged operators, registered round 10 ---
+        "pq_recall_eval": similarity.pq_recall_eval_sql(),
+        "theil_sen_trend": _timeseries_mod().theil_sen_trend_sql(),
+        "neyman_allocation": _mlprep_mod().neyman_allocation_sql(),
+        "rare_category_collapse": _mlprep_mod().rare_category_collapse_sql(),
+        "hll_merge_audit": _sketch_mod().hll_merge_audit_sql(),
+        "cms_heavy_change": _sketch_mod().cms_heavy_change_sql(),
+        "mrr_at_k": _mlprep_mod().mrr_at_k_sql(),
+        "substring_dedup": textops.substring_dedup_sql(),
         # --- round-7 staged operators, registered round 8 ---
         "subsample_ci": _mlprep_mod().subsample_ci_sql(),
         "grouped_ols": _mlprep_mod().grouped_ols_sql(),

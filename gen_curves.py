@@ -99,6 +99,18 @@ OPS = [
     "concurrency_profile",
     "conversion_lag",
     "ivf_recall_eval",
+    # round-10 registrations: the every-position gram explode
+    # (substring_dedup — the one new fan-out shape), the PQ ADC scan,
+    # the pairwise-slope median (hour-bounded), the sketch audits, and
+    # the strata/rank-bounded allocations/metrics.
+    "substring_dedup",
+    "pq_recall_eval",
+    "theil_sen_trend",
+    "neyman_allocation",
+    "rare_category_collapse",
+    "hll_merge_audit",
+    "cms_heavy_change",
+    "mrr_at_k",
 ]
 SFS = [
     ("sf0.01", "/root/testdata/sf0.01"),

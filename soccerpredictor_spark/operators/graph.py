@@ -520,7 +520,6 @@ BFS_MAX_HOPS = 12
 def graph_bfs(
     events: DataFrame,
     max_hops: int = BFS_MAX_HOPS,
-    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Multi-source BFS over the recurring co-activity graph:
     (user_id, dist) = fewest hops from the seed set (the BFS_SEEDS
@@ -532,19 +531,25 @@ def graph_bfs(
     Iterative frontier relaxation as plain DataFrame ops: each round
     every node takes min(own dist, neighbor dist + 1); fixed point in
     O(diameter) rounds (true BFS distance has no pointer-jump
-    shortcut — each hop must be traversed). Same loop discipline as
+    shortcut — each hop must be traversed). Loop discipline as in
     ``dedup._components_from_pairs``: mode-aware checkpoint cuts the
-    per-round plan, a (count, sum) fixed-point witness detects
-    convergence, and an UNCONFIRMED fixed point at the cap RAISES by
-    default. Distances are capped at ``max_hops`` on both engines
-    (the recursive-CTE twin explores (node, d) pairs with d <
-    max_hops, so an any-cycle walk terminates), making the reachable
-    set identical by construction. Each round is one shuffle join of
-    the frontier against the checkpointed edge list — edges are never
-    rewritten.
+    per-round plan and a (count, sum) fixed-point witness allows an
+    EARLY exit once a round changes nothing. Unlike min-label
+    propagation (where hitting the iteration cap leaves labels
+    possibly non-final, so that operator raises), capped BFS needs no
+    convergence confirmation at the cap: each relaxation round
+    extends reach by exactly one hop and distances are filtered to
+    <= max_hops, so after max_hops rounds every node within the cap
+    holds its exact final distance — the witness only saves rounds,
+    it never gates correctness (round-9 ADVICE: the previous raise
+    here loudly diverged from the recursive-CTE twin's identical,
+    correct rows on seed-eccentricity >= max_hops graphs). Distances
+    are capped at ``max_hops`` on both engines (the twin explores
+    (node, d) pairs with d < max_hops, so an any-cycle walk
+    terminates), making the reachable set identical by construction.
+    Each round is one shuffle join of the frontier against the
+    checkpointed edge list — edges are never rewritten.
     """
-    import warnings
-
     from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
 
     edges = _edges_checkpointed(events)
@@ -561,7 +566,6 @@ def graph_bfs(
         seeds.select("node", F.lit(0).cast("long").alias("dist"))
     )
     prev_witness = None
-    converged = False
     for _ in range(max_hops):
         relaxed = (
             dist.join(sym, dist.node == sym.u)
@@ -578,19 +582,8 @@ def graph_bfs(
         witness = (row.c, row.s)
         dist = relaxed
         if witness == prev_witness:
-            converged = True
-            break
+            break  # early exit only — max_hops rounds are already final
         prev_witness = witness
-    if not converged:
-        msg = (
-            f"BFS: fixed point not confirmed within max_hops={max_hops}; "
-            "distances may be non-final for nodes farther than the cap — "
-            'raise max_hops, or pass on_nonconverged="warn"'
-        )
-        if on_nonconverged == "warn":
-            warnings.warn(msg, RuntimeWarning, stacklevel=2)
-        else:
-            raise RuntimeError(msg)
     return dist.select(F.col("node").alias("user_id"), "dist").orderBy("user_id")
 
 

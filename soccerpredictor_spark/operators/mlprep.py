@@ -2227,11 +2227,20 @@ def quantile_normalize(lineitem: DataFrame) -> DataFrame:
     rank = bucket offset + within-rank. Measured: the single-
     partition sort was 51 s at the 10x decade; bucketed it
     re-linearizes. Rank means are exact-integer aggregations (one
-    double division); the normalized value joins back on rank. The
-    ranked stream is checkpointed before its two consumers.
-    """
-    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+    double division).
 
+    The round-9 cut (the engine's heaviest warm cell was the per-row
+    ``ranked JOIN rank_means ON rnk`` — an equi-join of TWO n-row
+    streams): a bucket's ranks are CONTIGUOUS (rank = off + rn_in
+    with rn_in in 1..bc), so the per-feature min/max of norm_v comes
+    from rank_means range-joined to the tiny (<= 3*32-row, broadcast)
+    bucket table on ``rnk BETWEEN off+1 AND off+bc`` — and the
+    per-feature row counts and raw sums fall out of the same bucket
+    aggregate. The n-row ranked stream now has exactly ONE consumer
+    (the rank_means aggregation), so the join shuffle AND the
+    checkpoint both disappear; values are bit-identical (same norm_v
+    set per feature, exact-integer sums).
+    """
     feats = lineitem.select(
         "l_orderkey",
         "l_linenumber",
@@ -2250,17 +2259,58 @@ def quantile_normalize(lineitem: DataFrame) -> DataFrame:
     edges = feats.groupBy("feature").agg(
         F.percentile_approx("v", probs, F.lit(100)).alias("edges")
     )
-    bucketed = feats.join(F.broadcast(edges), "feature").select(
+    # the edge table is 3 rows x 31 ints — read it to the driver and
+    # compile the bucket lookup into a literal binary-search CASE tree
+    # (depth 5). A HOF `F.filter` lambda over the edge array is
+    # interpreted per element (31 comparisons/row outside codegen —
+    # measured ~2.3 s of the sf0.1 warm cell); the CASE tree is
+    # whole-stage-codegen'd at ~5 comparisons/row. Legitimate driver
+    # read: strata-sized, same class as the LSH budget guards.
+    edge_map = {r["feature"]: list(r["edges"]) for r in edges.collect()}
+
+    def _lt_count(sorted_edges: list, base: int):
+        # expression computing base + |{e in sorted_edges : e < v}|
+        if not sorted_edges:
+            return F.lit(base)
+        m = len(sorted_edges) // 2
+        return F.when(
+            F.lit(int(sorted_edges[m])) < F.col("v"),
+            _lt_count(sorted_edges[m + 1:], base + m + 1),
+        ).otherwise(_lt_count(sorted_edges[:m], base))
+
+    vb_expr = None
+    for feat_name, feat_edges in sorted(edge_map.items()):
+        branch = _lt_count(feat_edges, 0)
+        vb_expr = (
+            F.when(F.col("feature") == feat_name, branch)
+            if vb_expr is None
+            else vb_expr.when(F.col("feature") == feat_name, branch)
+        )
+    # empty input -> no edge rows -> constant bucket 0 (ranks are
+    # edge-independent, and there is nothing to rank anyway)
+    vb_final = F.lit(0) if vb_expr is None else vb_expr.otherwise(F.lit(0))
+    bucketed = feats.select(
         "feature",
         "v",
         "l_orderkey",
         "l_linenumber",
-        F.size(F.filter(F.col("edges"), lambda e: e < F.col("v"))).alias("vb"),
+        vb_final.alias("vb"),
     )
     w_in = Window.partitionBy("feature", "vb").orderBy(
         F.col("v").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
     )
-    counts = bucketed.groupBy("feature", "vb").agg(F.count(F.lit(1)).alias("bc"))
+    winned = (
+        bucketed.withColumn("rn_in", F.row_number().over(w_in))
+        .select("feature", "vb", "v", "rn_in")
+    )
+    # bucket sizes come from the POST-window stream (bc = max rn_in,
+    # already grouped by the window's own hash partitioning), so the
+    # counts branch and the rank branch share ONE exchange subtree
+    # (ReusedExchange in the physical plan) and the scan+stack+bucket
+    # pipeline runs once, not twice
+    counts = winned.groupBy("feature", "vb").agg(
+        F.max("rn_in").alias("bc"), F.sum("v").alias("sv")
+    )
     w_off = (
         Window.partitionBy("feature")
         .orderBy("vb")
@@ -2269,35 +2319,53 @@ def quantile_normalize(lineitem: DataFrame) -> DataFrame:
     offsets = counts.select(
         "feature",
         "vb",
+        "bc",
+        "sv",
         F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off"),
     )
-    ranked = _reliable_checkpoint(
-        bucketed.withColumn("rn_in", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), ["feature", "vb"])
-        .select(
-            "feature",
-            "v",
-            (F.col("off") + F.col("rn_in")).alias("rnk"),
-        )
+    ranked = winned.join(
+        F.broadcast(offsets.select("feature", "vb", "off")),
+        ["feature", "vb"],
+    ).select(
+        "feature",
+        "v",
+        (F.col("off") + F.col("rn_in")).alias("rnk"),
     )
     rank_means = ranked.groupBy("rnk").agg(
         (F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "norm_v"
         )
     )
-    out = ranked.join(rank_means, "rnk")
-    # compact, deterministic audit surface: per feature, the mean and
-    # extremes of the normalized column (identical across features up
-    # to row-count parity — the property quantile normalization exists
-    # to enforce) plus the pre-normalization integer sum
-    return (
-        out.groupBy("feature")
+    # per-(feature, bucket) rank range [off+1, off+bc] -> broadcast
+    # range join against the n-row rank_means stream (each rank hits
+    # exactly one bucket per feature), replacing the former n-row x
+    # n-row equi-join back on rnk
+    ranges = offsets.select(
+        "feature",
+        (F.col("off") + 1).alias("lo"),
+        (F.col("off") + F.col("bc")).alias("hi"),
+    )
+    stats = (
+        rank_means.join(
+            F.broadcast(ranges),
+            (F.col("rnk") >= F.col("lo")) & (F.col("rnk") <= F.col("hi")),
+        )
+        .groupBy("feature")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("v").alias("raw_sum"),
             F.min("norm_v").alias("norm_min"),
             F.max("norm_v").alias("norm_max"),
         )
+    )
+    totals = offsets.groupBy("feature").agg(
+        F.sum("bc").alias("n_rows"), F.sum("sv").alias("raw_sum")
+    )
+    # compact, deterministic audit surface: per feature, the extremes
+    # of the normalized column (identical across features up to
+    # row-count parity — the property quantile normalization exists
+    # to enforce) plus the pre-normalization integer sum
+    return (
+        totals.join(stats, "feature")
+        .select("feature", "n_rows", "raw_sum", "norm_min", "norm_max")
         .orderBy("feature")
     )
 
@@ -2351,6 +2419,16 @@ def neyman_allocation(orders: DataFrame) -> DataFrame:
     convention — a plain double SUM would be partition-order-
     dependent). One scan, one tiny-key aggregation; everything after
     is strata-sized broadcast arithmetic.
+
+    Flooring each share independently would strand up to
+    n_strata - 1 budget samples, so the floors get a deterministic
+    largest-remainder top-up (Hamilton's method): the
+    budget - sum(floor) leftover goes one-each to the strata with the
+    largest fractional remainders (ties broken by stratum name), so
+    sum(quota) == NEYMAN_BUDGET exactly whenever any stratum has
+    positive variance. The remainder rank runs over the strata-sized
+    (priority-bounded, <=5-row) frame — the bounded-global-window
+    pattern, never over fact rows.
     """
     d38 = "decimal(38,0)"
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -2385,16 +2463,31 @@ def neyman_allocation(orders: DataFrame) -> DataFrame:
         ).alias("denom")
     )
     share = F.col("w") / F.col("denom")
+    scaled = share * F.lit(float(NEYMAN_BUDGET))
+    floored = wts.crossJoin(F.broadcast(denom)).select(
+        "stratum",
+        "n",
+        "sd_cents",
+        share.alias("share"),
+        F.floor(scaled).cast("long").alias("q0"),
+        (scaled - F.floor(scaled)).alias("rem"),
+    )
+    spent = floored.agg(F.sum("q0").alias("spent"))
+    w_rem = Window.orderBy(F.col("rem").desc(), F.col("stratum").asc())
     return (
-        wts.crossJoin(F.broadcast(denom))
+        floored.crossJoin(F.broadcast(spent))
+        .withColumn("rnk", F.row_number().over(w_rem))
         .select(
             "stratum",
             "n",
             "sd_cents",
-            share.alias("share"),
-            F.floor(share * F.lit(float(NEYMAN_BUDGET))).cast("long").alias(
-                "quota"
-            ),
+            "share",
+            (
+                F.col("q0")
+                + F.when(
+                    F.col("rnk") <= F.lit(NEYMAN_BUDGET) - F.col("spent"), 1
+                ).otherwise(0)
+            ).alias("quota"),
         )
         .orderBy("stratum")
     )
@@ -2423,11 +2516,21 @@ denom AS (
            list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY stratum ASC)),
            (acc, x) -> acc + x) AS denom
   FROM wts
-)
-SELECT stratum, n, sd_cents, w / denom AS share,
-       CAST(floor(w / denom * CAST({float(NEYMAN_BUDGET)!r} AS DOUBLE))
-            AS BIGINT) AS quota
-FROM wts, denom
+),
+floored AS (
+  SELECT stratum, n, sd_cents, w / denom AS share,
+         CAST(floor(w / denom * CAST({float(NEYMAN_BUDGET)!r} AS DOUBLE))
+              AS BIGINT) AS q0,
+         w / denom * CAST({float(NEYMAN_BUDGET)!r} AS DOUBLE)
+           - floor(w / denom * CAST({float(NEYMAN_BUDGET)!r} AS DOUBLE)) AS rem
+  FROM wts, denom
+),
+spent AS (SELECT SUM(q0) AS spent FROM floored)
+SELECT stratum, n, sd_cents, share,
+       q0 + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum ASC)
+                      <= {NEYMAN_BUDGET} - spent
+                 THEN 1 ELSE 0 END AS quota
+FROM floored, spent
 ORDER BY stratum
 """
 

@@ -500,7 +500,11 @@ def hll_merge_audit(events: DataFrame) -> DataFrame:
     union with zero error (unlike CMS deltas, HLL merge is EXACT with
     respect to the sketch). Output: registers compared, registers
     equal, the two power-of-two harmonic sums (equal iff the vectors
-    are), and the shared estimate. All integer arithmetic.
+    are), and the shared estimate alpha * m^2 * 2^(w+1) / S computed
+    from the whole-stream sum with the empty-register correction
+    (identical to ``hll_distinct``'s, and equal for both sketches
+    whenever n_equal == n_registers). Comparison is all integer
+    arithmetic; only the estimate divides into a double.
     """
     max_rho = HLL_W_BITS + 1
     h = F.conv(
@@ -541,7 +545,7 @@ def hll_merge_audit(events: DataFrame) -> DataFrame:
         F.coalesce("m_whole", F.lit(0)).alias("w"),
         F.coalesce("m_merged", F.lit(0)).alias("m"),
     )
-    return both.agg(
+    agg = both.agg(
         F.count(F.lit(1)).alias("n_registers"),
         F.sum((F.col("w") == F.col("m")).cast("long")).alias("n_equal"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rho} - w)")).alias(
@@ -550,6 +554,23 @@ def hll_merge_audit(events: DataFrame) -> DataFrame:
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rho} - m)")).alias(
             "s_merged"
         ),
+    )
+    s_full = (
+        F.col("s_whole")
+        + (F.lit(HLL_M) - F.col("n_registers")) * F.lit(2 ** max_rho)
+    )
+    return agg.select(
+        "n_registers",
+        "n_equal",
+        "s_whole",
+        "s_merged",
+        (
+            F.lit(HLL_ALPHA)
+            * F.lit(float(HLL_M))
+            * F.lit(float(HLL_M))
+            * F.lit(float(2 ** max_rho))
+            / s_full.cast("double")
+        ).alias("estimate"),
     )
 
 
@@ -580,12 +601,21 @@ merged AS (
 both_g AS (
   SELECT COALESCE(w.m_whole, 0) AS w, COALESCE(m.m_merged, 0) AS m
   FROM whole w FULL OUTER JOIN merged m USING (j)
+),
+agg AS (
+  SELECT COUNT(*) AS n_registers,
+         CAST(SUM(CASE WHEN w = m THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+         CAST(SUM(CAST(1 AS BIGINT) << ({max_rho} - w)) AS BIGINT) AS s_whole,
+         CAST(SUM(CAST(1 AS BIGINT) << ({max_rho} - m)) AS BIGINT) AS s_merged
+  FROM both_g
 )
-SELECT COUNT(*) AS n_registers,
-       CAST(SUM(CASE WHEN w = m THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
-       CAST(SUM(CAST(1 AS BIGINT) << ({max_rho} - w)) AS BIGINT) AS s_whole,
-       CAST(SUM(CAST(1 AS BIGINT) << ({max_rho} - m)) AS BIGINT) AS s_merged
-FROM both_g
+SELECT n_registers, n_equal, s_whole, s_merged,
+       CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M)!r} AS DOUBLE)
+         * CAST({float(HLL_M)!r} AS DOUBLE)
+         * CAST({float(2 ** max_rho)!r} AS DOUBLE)
+         / CAST(s_whole + ({HLL_M} - n_registers)
+                * CAST({2 ** max_rho} AS BIGINT) AS DOUBLE) AS estimate
+FROM agg
 """
 
 
@@ -727,7 +757,8 @@ cand AS (
 probe AS (
   SELECT k, exact_change, d AS est_change FROM cand WHERE rn = 1
 )
-SELECT k AS user_id, exact_change, est_change,
+SELECT k AS user_id, CAST(exact_change AS BIGINT) AS exact_change,
+       CAST(est_change AS BIGINT) AS est_change,
        CAST(est_change - exact_change AS BIGINT) AS est_error
 FROM probe
 ORDER BY abs(exact_change) DESC, user_id ASC

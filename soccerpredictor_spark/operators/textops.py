@@ -3138,6 +3138,15 @@ def temperature_mix(docs: DataFrame) -> DataFrame:
     arithmetic. Compare ``domain_mix`` (uniform target) — this is the
     production generalization between uniform (T=0) and natural
     (T=1).
+
+    Documented shortfall (no-silent-caps convention, round-9 ADVICE):
+    the quotas are INDEPENDENT floors, so sum(quota) can fall short
+    of the budget by up to n_sources - 1 samples; shares sum to 1
+    exactly, so the loss is bounded and auditable from the output
+    (budget - sum(quota)). Callers needing the budget met exactly
+    should apply a largest-remainder top-up — see
+    ``mlprep.neyman_allocation`` for the deterministic Hamilton
+    implementation of exactly that on the same share shape.
     """
     from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
 
@@ -3395,4 +3404,166 @@ SELECT r.rank, r.term, r.freq,
          AS zipf_share
 FROM ranked r, total t
 ORDER BY r.rank
+"""
+
+
+# --------------------------------------------------------------------------
+# exact repeated-substring (span) dedup — Lee et al. 2022 grain
+# --------------------------------------------------------------------------
+
+#: duplicated-span gram length (chars): a span is reported when a
+#: k-char substring occurs more than once in the corpus.
+DUP_SPAN_K = 30
+
+
+def substring_dedup(docs: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
+    """Exact repeated-substring dedup accounting — the
+    "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022) grain the document/chunk-level family lacked:
+    find, per document, the merged character spans covered by any
+    k-char substring that occurs MORE THAN ONCE in the whole corpus
+    (including intra-document repeats), and report per-doc span
+    count, duplicated characters, and duplicated fraction.
+
+    Spark-first shape (suffix arrays are a single-node construction;
+    this is the distributed equivalent for fixed minimum span k):
+
+    1. every k-char gram position hashes once (md5-15-hex -> int64 —
+       the engine's cross-engine hash convention; "exact" modulo that
+       64-bit fingerprint, as in ``doc_fingerprint``);
+    2. corpus-wide multiplicity via a COUNT window partitioned by
+       fingerprint — ONE shuffle of the gram stream, no gram
+       self-join, no all-pairs anywhere;
+    3. duplicated positions merge into maximal spans with the
+       ``interval_merge`` islands shape inside a per-document window
+       (bounded by document length, the bounded-partition
+       convention): a gram starting within k chars of its
+       predecessor overlaps-or-abuts it, so island id = running sum
+       of gap breaks and each island is one span [min(i),
+       max(i)+k-1].
+
+    At 100 TB each stage is linear in corpus characters with
+    map-side-combinable aggregations; the only wide ops are the two
+    hash-partitioned shuffles (by fingerprint, then by doc), both
+    skew-tolerant under AQE. Output rows: only documents containing
+    at least one duplicated span, doc_id-ordered.
+    """
+    from pyspark.sql import Window
+
+    base = fan_out(docs).select(
+        "doc_id", "text", F.length("text").alias("doc_len")
+    )
+    grams = base.filter(F.col("doc_len") >= k).select(
+        "doc_id",
+        "doc_len",
+        F.explode(
+            F.sequence(F.lit(1), F.col("doc_len") - F.lit(k - 1))
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "doc_len",
+        "i",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ss:"),
+                        F.col("text").substr(F.col("i"), F.lit(k)),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("fp"),
+    )
+    dup = (
+        grams.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("c") > 1)
+        .select("doc_id", "doc_len", "i")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    brk = dup.select(
+        "doc_id",
+        "doc_len",
+        "i",
+        F.when(F.col("i") - F.lag("i").over(w_doc) <= k, 0)
+        .otherwise(1)
+        .alias("b"),
+    )
+    grp = brk.withColumn(
+        "gid",
+        F.sum("b").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = grp.groupBy("doc_id", "doc_len", "gid").agg(
+        F.min("i").alias("s"), (F.max("i") + F.lit(k - 1)).alias("e")
+    )
+    return (
+        spans.groupBy("doc_id", "doc_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+        )
+        .select(
+            "doc_id",
+            # long on both engines (DuckDB length() is BIGINT)
+            F.col("doc_len").cast("long").alias("doc_len"),
+            "n_dup_spans",
+            "dup_chars",
+            (
+                F.col("dup_chars").cast("double")
+                / F.col("doc_len").cast("double")
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def substring_dedup_sql(k: int = DUP_SPAN_K) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS doc_len
+  FROM documents WHERE length(text) >= {k}
+),
+grams AS (
+  SELECT doc_id, doc_len, g.i,
+         CAST('0x' || substr(md5('ss:' || substr(text, g.i, {k})), 1, 15)
+              AS BIGINT) AS fp
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, doc_len - {k - 1})) AS i) g
+),
+dup AS (
+  SELECT doc_id, doc_len, i
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY fp) AS c FROM grams)
+  WHERE c > 1
+),
+brk AS (
+  SELECT doc_id, doc_len, i,
+         CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) <= {k}
+              THEN 0 ELSE 1 END AS b
+  FROM dup
+),
+grp AS (
+  SELECT doc_id, doc_len, i,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS UNBOUNDED PRECEDING) AS gid
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, doc_len, gid, MIN(i) AS s, MAX(i) + {k - 1} AS e
+  FROM grp GROUP BY doc_id, doc_len, gid
+)
+SELECT doc_id, doc_len,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+       CAST(SUM(e - s + 1) AS DOUBLE) / CAST(doc_len AS DOUBLE)
+         AS dup_fraction
+FROM spans GROUP BY doc_id, doc_len
+ORDER BY doc_id
 """

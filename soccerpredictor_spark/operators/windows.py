@@ -2059,7 +2059,16 @@ def concurrency_profile(events: DataFrame) -> DataFrame:
     row's concurrency = its bucket's carry-in + its within-bucket
     prefix. Tie order is pinned (t ASC, delta ASC): an end meeting a
     start at the same microsecond processes first, so touching
-    sessions never double-count. All arithmetic is exact integers.
+    sessions never double-count. Documented consequence of that tie
+    order (round-9 ADVICE): a ZERO-DURATION session (single-event,
+    first_ts == last_ts) emits its -1 before its own +1, so it
+    contributes 0 to peak concurrency and the running sum can dip
+    transiently negative at its instant — instantaneous sessions are
+    deliberately NOT counted as capacity load (they hold no resource
+    for any positive duration); both engines implement the identical
+    ordering, so parity is exact. Consumers that want point sessions
+    to register should pre-extend last_ts by one microsecond before
+    sessionizing. All arithmetic is exact integers.
     Hours with no session boundary carry constant concurrency and
     emit no row (the delta stream is empty there) — the consumer
     forward-fills, exactly like ``date_spine_fill`` composes with

@@ -1487,15 +1487,26 @@ def test_cms_merge_audit_grid_bounded(spark, sf001):
 
 
 def test_quantile_normalize_stacked_single_scan(spark, sf001):
-    """All three features rank in ONE pass over one stacked scan
-    (Expand projection) — never a per-feature re-scan; rank means
-    join back equi."""
-    # the ranked stream is checkpointed: scan + per-feature sort ran
-    # once at build; both consumers read the flat handle
-    plan = _plan(entry.queries()["quantile_normalize"](spark, sf001))
-    assert plan.count("FileScan") == 0
-    assert "Scan ExistingRDD" in plan
+    """All three features rank in ONE pass over one stacked scan —
+    never a per-feature re-scan. Round-10 shape: the n-row
+    ``ranked JOIN rank_means ON rnk`` equi-join (the engine's
+    heaviest warm cell in r9) is gone — per-feature extremes come
+    from rank_means range-joined BROADCAST against the <=96-row
+    bucket table, the bucket lookup is a literal codegen'd CASE tree
+    (no interpreted HOF over the edge array), and the shared window
+    subtree is deduplicated at runtime by AQE ReuseExchange (so no
+    checkpoint either)."""
+    df = entry.queries()["quantile_normalize"](spark, sf001)
+    plan = _plan(df)
     assert "BatchEvalPython" not in plan
+    # the rank->bucket range join broadcasts the tiny side
+    assert "BroadcastNestedLoopJoin" in plan
+    # no interpreted higher-order filter in the hot path
+    assert "ArrayFilter" not in plan and "lambdafunction" not in plan
+    # runtime dedup: the window exchange is computed once and reused
+    df.collect()
+    post = _plan(df)
+    assert "ReusedExchange" in post, post
 
 
 def test_jl_projection_zero_shuffle_projection(spark, sf001):
@@ -1551,3 +1562,14 @@ def test_ivf_recall_eval_zero_vector_shuffle(spark, sf001):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_substring_dedup_single_scan_no_joins(spark, sf001):
+    """Exact repeated-substring dedup is ONE scan -> explode ->
+    count-window on fingerprint -> per-doc islands: no gram
+    self-join, no Python, exactly one file scan (the corpus never
+    reads twice and candidates never pair up)."""
+    plan = _plan(entry.queries()["substring_dedup"](spark, sf001))
+    assert plan.count("FileScan") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

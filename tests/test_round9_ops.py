@@ -313,6 +313,35 @@ def test_graph_bfs_seed_distances(spark):
     clear_caches()
 
 
+def test_graph_bfs_at_cap_returns_final_capped_distances(spark):
+    """Seed eccentricity >= max_hops: capped BFS distances are
+    provably final after max_hops relaxation rounds (each round
+    extends exactly one hop; dist is filtered to <= max_hops), so the
+    operator must RETURN the capped rows — matching the recursive-CTE
+    oracle — not raise a non-convergence witness (round-9 ADVICE)."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.graph import graph_bfs
+    from soccerpredictor_spark.operators.scale import clear_caches
+
+    clear_caches()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # a 1-2-...-8 path; with seeds {1,2,3} and max_hops=2, node 6 is
+    # at capped distance... nodes 7,8 are beyond the cap (excluded);
+    # the witness can never stabilize within 2 rounds
+    for u in range(1, 8):
+        for rep in range(2):
+            b = t0 + dt.timedelta(seconds=900 * (u * 10 + rep))
+            for user in (u, u + 1):
+                rows.append((eid, b, user, "click")); eid += 1
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {r.user_id: r.dist for r in graph_bfs(ev, max_hops=2).collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}
+    clear_caches()
+
+
 def test_quantile_normalize_identical_distributions(spark):
     """After normalization every feature's min/max (and by extension
     the whole empirical distribution) is identical across features —
