@@ -2710,3 +2710,294 @@ SELECT COUNT(*) AS n_queries,
          / CAST(COUNT(*) * {kfact} AS DOUBLE) AS mrr
 FROM scored
 """
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) — exact tie-corrected nonparametric test
+# --------------------------------------------------------------------------
+
+#: score-range bucket width (cents) for the two-level rank prefix sum.
+MWU_BUCKET_CENTS = AUC_BUCKET_CENTS
+
+
+def mann_whitney_u(orders: DataFrame) -> DataFrame:
+    """Exact Mann-Whitney U / Wilcoxon rank-sum test between two
+    groups — the nonparametric A/B readout for skewed metrics where
+    ``ab_test_ztest``'s mean comparison misleads (revenue, latency):
+    does the finished-order price distribution stochastically
+    dominate the open-order one? STAGED round 10 for the round-11
+    window.
+
+    Groups: order status F vs O (P excluded); metric: exact price
+    cents. All rank arithmetic is exact integers in DOUBLED units
+    (a midrank is a half-integer, so 2*midrank is integer): per
+    distinct value v with a = |A at v|, b = |B at v|, t = a + b and
+    cum = #(observations < v),
+
+        R_A2  = sum_v a * (2*cum + t + 1)      (twice A's rank sum)
+        U_A2  = R_A2 - n_a * (n_a + 1)         (twice the U statistic)
+
+    ``cum`` is assembled with the ``roc_auc`` two-level prefix sum
+    (value rows window WITHIN fixed-width cent buckets; only bucket
+    totals cross the tiny global window) — no single-partition sort
+    at any scale. The doubled rank-sum accumulates as decimal(38,0)
+    (n * max_rank exceeds int64 near ~3e9 rows). The tie-corrected
+    normal approximation
+
+        z = (U_A - n_a n_b / 2)
+            / sqrt( n_a n_b / 12 * ((n+1) - sum_v(t^3 - t)/(n(n-1))) )
+
+    has every ingredient an exact integer (sum(t^3 - t) in
+    decimal(38,0)); both engines evaluate the identical final double
+    expression, so the result is bit-equal. No p-value on purpose:
+    the normal CDF needs erf(), which differs by ulps across libms
+    (the engine's log/erf-free determinism convention) — consumers
+    threshold |z| directly, as with ``ab_test_ztest``.
+    """
+    scored = orders.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("in_a"),
+    )
+    by_score = (
+        scored.groupBy("score")
+        .agg(
+            F.sum("in_a").alias("a"),
+            F.sum(1 - F.col("in_a")).alias("b"),
+        )
+        .withColumn("t", F.col("a") + F.col("b"))
+        .withColumn("bucket", F.expr(f"score div {MWU_BUCKET_CENTS}"))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = by_score.withColumn(
+        "cum_in", F.coalesce(F.sum("t").over(w_in), F.lit(0))
+    )
+    bucket_tot = by_score.groupBy("bucket").agg(F.sum("t").alias("bt"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_cum = bucket_tot.select(
+        "bucket", F.coalesce(F.sum("bt").over(w_b), F.lit(0)).alias("cum_b")
+    )
+    d38 = "decimal(38,0)"
+    joined = within.join(F.broadcast(bucket_cum), "bucket")
+    agg = joined.agg(
+        F.sum("a").alias("n_a"),
+        F.sum("b").alias("n_b"),
+        F.sum(
+            F.col("a").cast(d38)
+            * (
+                2 * (F.col("cum_b") + F.col("cum_in")) + F.col("t") + 1
+            ).cast(d38)
+        ).alias("ra2"),
+        F.sum(
+            (
+                F.col("t").cast(d38) * F.col("t").cast(d38) * F.col("t").cast(d38)
+                - F.col("t").cast(d38)
+            )
+        ).alias("tie3"),
+    )
+    n_a_d = F.col("n_a").cast("double")
+    n_b_d = F.col("n_b").cast("double")
+    n_d = (F.col("n_a") + F.col("n_b")).cast("double")
+    u_a2 = F.col("ra2") - (F.col("n_a").cast(d38) * (F.col("n_a") + 1).cast(d38))
+    var = (
+        n_a_d
+        * n_b_d
+        / F.lit(12.0)
+        * (
+            (n_d + F.lit(1.0))
+            - F.col("tie3").cast("double") / (n_d * (n_d - F.lit(1.0)))
+        )
+    )
+    # zero-variance guard (every observation tied): NULL, not a
+    # 0/0 whose NaN-vs-NULL surface differs between engines — the
+    # _pearson_from_sums convention
+    z = F.when(
+        var > 0,
+        (u_a2.cast("double") - n_a_d * n_b_d) / (F.lit(2.0) * F.sqrt(var)),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u_a2.cast("double").alias("u2_a"),
+        z.alias("z"),
+    )
+
+
+def mann_whitney_u_sql() -> str:
+    return f"""
+WITH scored AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS in_a
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+by_score AS (
+  SELECT score, CAST(SUM(in_a) AS BIGINT) AS a,
+         CAST(SUM(1 - in_a) AS BIGINT) AS b,
+         CAST(SUM(1) AS BIGINT) AS t,
+         score // {MWU_BUCKET_CENTS} AS bucket
+  FROM scored GROUP BY score
+),
+within AS (
+  SELECT *, COALESCE(SUM(t) OVER (PARTITION BY bucket ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_in
+  FROM by_score
+),
+bucket_cum AS (
+  SELECT bucket, COALESCE(SUM(bt) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_b
+  FROM (SELECT bucket, SUM(t) AS bt FROM by_score GROUP BY bucket)
+),
+agg AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b,
+         SUM(CAST(a AS HUGEINT) * (2 * (cum_b + cum_in) + t + 1)) AS ra2,
+         SUM(CAST(t AS HUGEINT) * t * t - t) AS tie3
+  FROM within JOIN bucket_cum USING (bucket)
+)
+SELECT n_a, n_b,
+       CAST(CAST(ra2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS VARCHAR)
+            AS DOUBLE) AS u2_a,
+       CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12.0 AS DOUBLE)
+           * ((CAST(n_a + n_b AS DOUBLE) + CAST(1.0 AS DOUBLE))
+              - CAST(CAST(tie3 AS VARCHAR) AS DOUBLE)
+                / (CAST(n_a + n_b AS DOUBLE)
+                   * (CAST(n_a + n_b AS DOUBLE) - CAST(1.0 AS DOUBLE)))) > 0 THEN
+       (CAST(CAST(ra2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS VARCHAR)
+             AS DOUBLE)
+        - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+       / (CAST(2.0 AS DOUBLE) * sqrt(
+           CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12.0 AS DOUBLE)
+           * ((CAST(n_a + n_b AS DOUBLE) + CAST(1.0 AS DOUBLE))
+              - CAST(CAST(tie3 AS VARCHAR) AS DOUBLE)
+                / (CAST(n_a + n_b AS DOUBLE)
+                   * (CAST(n_a + n_b AS DOUBLE) - CAST(1.0 AS DOUBLE))))))
+       END AS z
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# grouped holdout split + leakage audit
+# --------------------------------------------------------------------------
+
+#: split modulus and train share: hash % 5 < 4 -> ~80/20.
+GROUP_SPLIT_MOD = 5
+GROUP_SPLIT_TRAIN = 4
+
+
+def group_holdout_split(orders: DataFrame) -> DataFrame:
+    """Grouped train/holdout split with a leakage audit — the
+    ML-prep safeguard ``hash_split`` lacks: when rows of one entity
+    (customer) land on BOTH sides of a split, the holdout leaks
+    (the model memorizes the entity, eval overstates). The operator
+    computes the SAME 80/20 deterministic md5 split two ways — keyed
+    by customer (GroupShuffleSplit semantics) and keyed by order row
+    — and reports, for each method, the split sizes and the number
+    of customers with orders on both sides. The group-keyed method
+    is leak-free BY CONSTRUCTION (every order inherits its
+    customer's side); the row-keyed method's leaked-customer count
+    is the measured cost of the naive split. STAGED round 10 for the
+    round-11 window.
+
+    Shape: one scan, per-customer min/max side flags (map-side
+    combinable), two tiny 1-row summaries unioned — no joins, no
+    windows. Hashes are the md5-first-8-hex convention, so the
+    assignment is reproducible across engines and runs.
+    """
+
+    def bucket(prefix: str, col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long") % GROUP_SPLIT_MOD
+
+    sides = orders.select(
+        "o_custkey",
+        (bucket("gh:", F.col("o_custkey")) < GROUP_SPLIT_TRAIN)
+        .cast("int")
+        .alias("grp_train"),
+        (bucket("rh:", F.col("o_orderkey")) < GROUP_SPLIT_TRAIN)
+        .cast("int")
+        .alias("row_train"),
+    )
+    per_cust = sides.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("grp_train").alias("g_tr"),
+        F.sum("row_train").alias("r_tr"),
+    )
+
+    def summary(method: str, tr_col: str):
+        leaked = (
+            (F.col(tr_col) > 0) & (F.col(tr_col) < F.col("n"))
+        ).cast("long")
+        return per_cust.agg(
+            F.sum(tr_col).alias("n_train_rows"),
+            (F.sum("n") - F.sum(tr_col)).alias("n_test_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(leaked).alias("n_leaked_groups"),
+        ).select(
+            F.lit(method).alias("split_method"),
+            "n_train_rows",
+            "n_test_rows",
+            "n_groups",
+            "n_leaked_groups",
+            (
+                F.col("n_leaked_groups").cast("double")
+                / F.col("n_groups").cast("double")
+            ).alias("leak_fraction"),
+        )
+
+    return summary("group", "g_tr").unionByName(
+        summary("row", "r_tr")
+    ).orderBy("split_method")
+
+
+def group_holdout_split_sql() -> str:
+    def bucket(prefix: str, col: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5('{prefix}' || CAST({col} AS VARCHAR)),"
+            f" 1, 8) AS BIGINT) % {GROUP_SPLIT_MOD}"
+        )
+
+    return f"""
+WITH sides AS (
+  SELECT o_custkey,
+         CASE WHEN {bucket("gh:", "o_custkey")} < {GROUP_SPLIT_TRAIN}
+              THEN 1 ELSE 0 END AS grp_train,
+         CASE WHEN {bucket("rh:", "o_orderkey")} < {GROUP_SPLIT_TRAIN}
+              THEN 1 ELSE 0 END AS row_train
+  FROM orders
+),
+per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n,
+         CAST(SUM(grp_train) AS BIGINT) AS g_tr,
+         CAST(SUM(row_train) AS BIGINT) AS r_tr
+  FROM sides GROUP BY o_custkey
+),
+s AS (
+  SELECT 'group' AS split_method,
+         CAST(SUM(g_tr) AS BIGINT) AS n_train_rows,
+         CAST(SUM(n) - SUM(g_tr) AS BIGINT) AS n_test_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN g_tr > 0 AND g_tr < n THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_leaked_groups
+  FROM per_cust
+  UNION ALL
+  SELECT 'row',
+         CAST(SUM(r_tr) AS BIGINT),
+         CAST(SUM(n) - SUM(r_tr) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN r_tr > 0 AND r_tr < n THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM per_cust
+)
+SELECT split_method, n_train_rows, n_test_rows, n_groups, n_leaked_groups,
+       CAST(n_leaked_groups AS DOUBLE) / CAST(n_groups AS DOUBLE)
+         AS leak_fraction
+FROM s ORDER BY split_method
+"""

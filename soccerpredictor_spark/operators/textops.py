@@ -3567,3 +3567,237 @@ SELECT doc_id, doc_len,
 FROM spans GROUP BY doc_id, doc_len
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# stupid-backoff trigram LM — held-out scoring (Brants et al. 2007)
+# --------------------------------------------------------------------------
+
+#: backoff discount (the paper's alpha; same literal on both engines).
+SB_ALPHA = 0.4
+#: worst-scored held-out docs reported.
+SB_BOTTOM_K = 20
+
+
+def stupid_backoff_lm(docs: DataFrame) -> DataFrame:
+    """Stupid-backoff trigram scoring of a held-out corpus half —
+    the LM smoothing BUILT for distributed corpora ("Large Language
+    Models in Machine Translation", Brants et al. 2007: no
+    normalization, no held-out discount estimation, just raw-count
+    ratios with a fixed backoff penalty — chosen at Google precisely
+    because it MapReduces):
+
+        S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)            if seen, else
+                        alpha * c(w2w3)/c(w2)         if seen, else
+                        alpha^2 * c(w3)/N
+
+    Counts come from the md5-hash half of the corpus (train); the
+    OTHER half scores against them (the held-out shape that actually
+    exercises backoff — self-scoring would always hit the trigram
+    branch), exactly the ``hash_split`` convention. Per held-out doc
+    the mean token score sums via the per-doc ORDERED position fold
+    (doc-length bounded; a plain double SUM would be partition-order
+    dependent), and the report is the SB_BOTTOM_K worst-modeled docs
+    (filter candidates / distribution-shift triage) via a
+    distributed TakeOrdered heap — never a global sort.
+
+    Scale: three train-count aggregations (map-side combinable), the
+    occurrence->count joins are word-keyed equi-joins (count tables
+    are vocabulary-bounded), and every double division/multiply is
+    the identical expression tree on both engines (alpha is the same
+    literal; integer casts precede every division). STAGED round 10
+    for the round-11 window.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    split = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sb:"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16,
+        10,
+    ).cast("long") % 2
+    tok = fan_out(docs).select(
+        "doc_id",
+        split.alias("half"),
+        X.tokens(F.lower(F.col("text"))).alias("w"),
+    )
+    tris = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("w")) - 3),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(F.col("w"), i + 1).alias("w1"),
+            F.element_at(F.col("w"), i + 2).alias("w2"),
+            F.element_at(F.col("w"), i + 3).alias("w3"),
+        ),
+    )
+    tri_rows = (
+        tok.filter(F.size(F.col("w")) >= 3)
+        .select("doc_id", "half", F.explode(tris).alias("t"))
+        .select(
+            "doc_id", "half",
+            F.col("t.pos").alias("pos"),
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+    )
+    bi_rows = (
+        tok.filter((F.col("half") == 0) & (F.size(F.col("w")) >= 2))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col("w")) - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("w"), i + 1).alias("x"),
+                        F.element_at(F.col("w"), i + 2).alias("y"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    )
+    uni_rows = tok.filter(F.col("half") == 0).select(
+        F.explode(F.col("w")).alias("u")
+    )
+    tri_c = (
+        tri_rows.filter(F.col("half") == 0)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    bi_c = bi_rows.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni_c = uni_rows.groupBy("u").agg(F.count(F.lit(1)).alias("c_u"))
+    n_tok = uni_rows.agg(F.count(F.lit(1)).alias("n_train"))
+
+    held = tri_rows.filter(F.col("half") == 1)
+    joined = (
+        held.join(tri_c, ["w1", "w2", "w3"], "left")
+        .join(
+            bi_c.select(
+                F.col("x").alias("w1"), F.col("y").alias("w2"),
+                F.col("c_xy").alias("c12"),
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bi_c.select(
+                F.col("x").alias("w2"), F.col("y").alias("w3"),
+                F.col("c_xy").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(uni_c.select(F.col("u").alias("w2"), F.col("c_u").alias("c2")),
+              ["w2"], "left")
+        .join(uni_c.select(F.col("u").alias("w3"), F.col("c_u").alias("c3")),
+              ["w3"], "left")
+        .crossJoin(F.broadcast(n_tok))
+    )
+    alpha = F.lit(SB_ALPHA)
+    score = (
+        F.when(
+            F.col("c123").isNotNull(),
+            F.col("c123").cast("double") / F.col("c12").cast("double"),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            alpha * (F.col("c23").cast("double") / F.col("c2").cast("double")),
+        )
+        .otherwise(
+            alpha
+            * alpha
+            * (
+                F.coalesce(F.col("c3"), F.lit(0)).cast("double")
+                / F.col("n_train").cast("double")
+            )
+        )
+    )
+    per_doc = (
+        joined.select("doc_id", "pos", score.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pos").alias("p"), F.col("s"))
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sum_s"),
+        )
+        .select(
+            "doc_id",
+            "n_scored",
+            (F.col("sum_s") / F.col("n_scored").cast("double")).alias(
+                "mean_score"
+            ),
+        )
+    )
+    return per_doc.orderBy(
+        F.col("mean_score").asc(), F.col("doc_id").asc()
+    ).limit(SB_BOTTOM_K)
+
+
+def stupid_backoff_lm_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS half,
+         {_sql_tokens('lower(text)')} AS w
+  FROM documents
+),
+tri_rows AS (
+  SELECT doc_id, half, i - 1 AS pos, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+  FROM tok, UNNEST(range(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 3
+),
+bi_rows AS (
+  SELECT w[i] AS x, w[i+1] AS y
+  FROM tok, UNNEST(range(1, len(w))) AS u(i)
+  WHERE half = 0 AND len(w) >= 2
+),
+uni_rows AS (SELECT unnest(w) AS u FROM tok WHERE half = 0),
+tri_c AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri_rows
+          WHERE half = 0 GROUP BY w1, w2, w3),
+bi_c AS (SELECT x, y, COUNT(*) AS c_xy FROM bi_rows GROUP BY x, y),
+uni_c AS (SELECT u, COUNT(*) AS c_u FROM uni_rows GROUP BY u),
+n_tok AS (SELECT COUNT(*) AS n_train FROM uni_rows),
+held AS (SELECT * FROM tri_rows WHERE half = 1),
+joined AS (
+  SELECT h.doc_id, h.pos,
+         CASE
+           WHEN t.c123 IS NOT NULL
+             THEN CAST(t.c123 AS DOUBLE) / CAST(b12.c_xy AS DOUBLE)
+           WHEN b23.c_xy IS NOT NULL
+             THEN CAST({SB_ALPHA!r} AS DOUBLE)
+                  * (CAST(b23.c_xy AS DOUBLE) / CAST(u2.c_u AS DOUBLE))
+           ELSE CAST({SB_ALPHA!r} AS DOUBLE) * CAST({SB_ALPHA!r} AS DOUBLE)
+                * (CAST(COALESCE(u3.c_u, 0) AS DOUBLE)
+                   / CAST(n.n_train AS DOUBLE))
+         END AS s
+  FROM held h
+  LEFT JOIN tri_c t ON t.w1 = h.w1 AND t.w2 = h.w2 AND t.w3 = h.w3
+  LEFT JOIN bi_c b12 ON b12.x = h.w1 AND b12.y = h.w2
+  LEFT JOIN bi_c b23 ON b23.x = h.w2 AND b23.y = h.w3
+  LEFT JOIN uni_c u2 ON u2.u = h.w2
+  LEFT JOIN uni_c u3 ON u3.u = h.w3
+  CROSS JOIN n_tok n
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY pos ASC)),
+           (acc, x) -> acc + x) / CAST(COUNT(*) AS DOUBLE) AS mean_score
+  FROM joined GROUP BY doc_id
+)
+SELECT doc_id, n_scored, mean_score
+FROM per_doc ORDER BY mean_score ASC, doc_id ASC LIMIT {SB_BOTTOM_K}
+"""

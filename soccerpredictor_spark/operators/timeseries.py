@@ -1036,6 +1036,12 @@ ORDER BY t.event_type, t.hour
 """
 
 
+#: trailing-window length (hours) the Sen estimator runs over — caps
+#: the O(W^2/2) per-series pair fan-out at a corpus-size-independent
+#: constant; any series shorter than W gets the full exact estimator.
+TS_TREND_WINDOW_H = 1024
+
+
 def theil_sen_trend(events: DataFrame) -> DataFrame:
     """Theil-Sen robust trend per event-type series: the MEDIAN of
     all pairwise slopes (and the median-residual intercept) over the
@@ -1048,23 +1054,34 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
     both medians use the deterministic rank-selection convention
     (ORDER BY value, then the integer keys; row (n+1)//2) — no
     percentile-interpolation semantics, bit-identical across engines.
-    Scale: the pair fan-out is per-SERIES (span-hours choose 2 —
-    bounded by the calendar, independent of event rows; the hourly
-    rollup is the only pass over the fact table), the rank windows
-    partition by event_type (parallel across series), and the
-    hours-sized hourly table is checkpointed before its three
-    consumers.
+
+    Scale: exact Theil-Sen is O(H^2) pairs in the series length, and
+    the slope-median rank runs per series — so the estimator is
+    computed over the TRAILING ``TS_TREND_WINDOW_H`` hours of each
+    series (the capacity-monitoring framing: a trend is a recent-
+    window statistic; the round-10 curve caught the unbounded form
+    at 380 s on a 7200-hour decade corpus, a per-series 26M-pair
+    sort). The window caps the fan-out at W^2/2 pairs per series —
+    CONSTANT in corpus size — while every span shorter than W (both
+    driver scales included) is byte-identical to the unbounded
+    estimator. The hourly rollup is the only pass over the fact
+    table; the hours-sized series table is checkpointed before its
+    three consumers.
     """
     from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
 
+    allh = _hourly_counts(events).select(
+        "event_type",
+        (F.unix_micros(F.col("hour")) / F.lit(3_600_000_000))
+        .cast("long")
+        .alias("t"),
+        "cnt",
+    )
+    tmax = allh.groupBy("event_type").agg(F.max("t").alias("t_max"))
     hourly = _reliable_checkpoint(
-        _hourly_counts(events).select(
-            "event_type",
-            (F.unix_micros(F.col("hour")) / F.lit(3_600_000_000))
-            .cast("long")
-            .alias("t"),
-            "cnt",
-        )
+        allh.join(F.broadcast(tmax), "event_type")
+        .filter(F.col("t") > F.col("t_max") - F.lit(TS_TREND_WINDOW_H))
+        .select("event_type", "t", "cnt")
     )
     a = hourly.alias("a")
     b = hourly.alias("b")
@@ -1135,10 +1152,16 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
 def theil_sen_trend_sql() -> str:
     return f"""
 WITH {_HOURLY_CTE},
-pts AS (
+allpts AS (
   SELECT event_type,
          CAST(epoch_us(hour) / 3600000000.0 AS BIGINT) AS t, cnt
   FROM hourly
+),
+tmax AS (SELECT event_type, MAX(t) AS t_max FROM allpts GROUP BY event_type),
+pts AS (
+  SELECT p.event_type, p.t, p.cnt
+  FROM allpts p JOIN tmax m USING (event_type)
+  WHERE p.t > m.t_max - {TS_TREND_WINDOW_H}
 ),
 slopes AS (
   SELECT a.event_type, a.t AS ti, b.t AS tj,
@@ -1169,4 +1192,152 @@ FROM (
   FROM resid
 ) r WHERE rn = (n_points + 1) // 2
 ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential) — ordered fold
+# --------------------------------------------------------------------------
+
+#: level/trend smoothing constants — 1/2 is EXACTLY representable, so
+#: the whole recursion stays in dyadic rationals and both engines'
+#: IEEE folds agree bit-for-bit (a 0.3 here would too, but 1/2 makes
+#: the determinism argument trivial).
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.5
+
+
+def holt_winters(events: DataFrame) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing of each
+    type's hourly-count series — the level+trend forecaster between
+    ``ewma_window`` (level only) and ``seasonal_decompose`` (level +
+    season): l_t = a*y_t + (1-a)(l_{t-1}+b_{t-1}),
+    b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}, init l=y_1 then
+    (l,b)=(y_2, y_2-y_1), smoothing and one-step-ahead errors from
+    the third point. Output per series: final level/trend, the
+    next-hour forecast l+b, and the RMSE of the one-step forecasts
+    (the in-sample accuracy readout). STAGED round 10 for the
+    round-11 window.
+
+    The recursion is inherently sequential per series, so it runs as
+    ONE strict left fold over the hour-sorted array (Spark
+    ``aggregate`` / DuckDB ``list_reduce`` with a struct
+    accumulator — the kaplan_meier/EWMA discipline); series length
+    is time-bounded (hours, not rows: a decade is <90k elements), the
+    canonical bounded-collect shape. One shuffle total (the hourly
+    aggregation); everything after is per-series array arithmetic.
+    """
+    hourly = _hourly_counts(events)
+    arr = hourly.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("hour").alias("h"), F.col("cnt")))
+        ).alias("ys"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    a = F.lit(HOLT_ALPHA)
+    g = F.lit(HOLT_BETA)
+    one = F.lit(1.0)
+
+    def step(acc, x):
+        y = x["cnt"].cast("double")
+        i, l, b, sse = acc["i"], acc["l"], acc["b"], acc["sse"]
+        pred = l + b
+        err = y - pred
+        l_new = a * y + (one - a) * (l + b)
+        b_new = g * (l_new - l) + (one - g) * b
+        return (
+            F.when(
+                i == 0,
+                F.struct(
+                    F.lit(1).alias("i"), y.alias("l"),
+                    F.lit(0.0).alias("b"), F.lit(0.0).alias("sse"),
+                ),
+            )
+            .when(
+                i == 1,
+                F.struct(
+                    F.lit(2).alias("i"), y.alias("l"),
+                    (y - l).alias("b"), F.lit(0.0).alias("sse"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    (i + 1).alias("i"), l_new.alias("l"),
+                    b_new.alias("b"), (sse + err * err).alias("sse"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.lit(0).alias("i"), F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"), F.lit(0.0).alias("sse"),
+    )
+    folded = arr.filter(F.col("n_hours") >= 2).select(
+        "event_type",
+        "n_hours",
+        F.aggregate(F.col("ys"), init, step).alias("st"),
+    )
+    rmse = F.when(
+        F.col("n_hours") >= 3,
+        F.sqrt(
+            F.col("st.sse") / (F.col("n_hours") - 2).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    return folded.select(
+        "event_type",
+        "n_hours",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        (F.col("st.l") + F.col("st.b")).alias("forecast_next"),
+        rmse.alias("rmse_one_step"),
+    ).orderBy("event_type")
+
+
+def holt_winters_sql() -> str:
+    a = f"CAST({HOLT_ALPHA!r} AS DOUBLE)"
+    g = f"CAST({HOLT_BETA!r} AS DOUBLE)"
+    # NOT list_reduce: DuckDB 1.0 mis-evaluates struct-typed fold
+    # accumulators (verified: a 4-element Holt fold returns b=2.25
+    # where the hand-computed answer is 3.0 — field expressions see stale
+    # accumulator state). A recursive CTE carries the (l, b, sse)
+    # state through columns instead — the graph_bfs oracle pattern —
+    # and matches the Spark struct fold bit-for-bit.
+    return f"""
+WITH RECURSIVE {_HOURLY_CTE},
+seq AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour)
+              AS BIGINT) AS i,
+         CAST(cnt AS DOUBLE) AS y
+  FROM hourly
+),
+nn AS (SELECT event_type, CAST(MAX(i) AS BIGINT) AS n_hours
+       FROM seq GROUP BY event_type),
+rec AS (
+  SELECT event_type, i, y AS l, CAST(0.0 AS DOUBLE) AS b,
+         CAST(0.0 AS DOUBLE) AS sse
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT r.event_type, s.i,
+         CASE WHEN r.i = 1 THEN s.y
+              ELSE {a} * s.y + (CAST(1.0 AS DOUBLE) - {a}) * (r.l + r.b)
+         END,
+         CASE WHEN r.i = 1 THEN s.y - r.l
+              ELSE {g} * (({a} * s.y + (CAST(1.0 AS DOUBLE) - {a})
+                           * (r.l + r.b)) - r.l)
+                   + (CAST(1.0 AS DOUBLE) - {g}) * r.b
+         END,
+         CASE WHEN r.i = 1 THEN CAST(0.0 AS DOUBLE)
+              ELSE r.sse + (s.y - (r.l + r.b)) * (s.y - (r.l + r.b))
+         END
+  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.i = r.i + 1
+)
+SELECT r.event_type, n.n_hours, r.l AS level, r.b AS trend,
+       r.l + r.b AS forecast_next,
+       CASE WHEN n.n_hours >= 3
+            THEN sqrt(r.sse / CAST(n.n_hours - 2 AS DOUBLE))
+            ELSE CAST(0.0 AS DOUBLE) END AS rmse_one_step
+FROM rec r JOIN nn n USING (event_type)
+WHERE r.i = n.n_hours AND n.n_hours >= 2
+ORDER BY r.event_type
 """

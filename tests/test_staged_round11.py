@@ -1,0 +1,197 @@
+"""Round-10-STAGED operators (register in the round-11 driver window
+— which the r5 cohort owns, leaving ~4 free slots): semantic unit
+tests with closed-form answers PLUS a direct Spark-vs-DuckDB value
+parity check for each, the same gate registered entries get from
+test_oracle_parity, run here because staged operators are not yet in
+``queries()``/``oracle_sql()``.
+
+Staged set: mann_whitney_u, stupid_backoff_lm, holt_winters,
+group_holdout_split.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+STAGED = [
+    ("mann_whitney_u", "soccerpredictor_spark.operators.mlprep", "orders"),
+    ("stupid_backoff_lm", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("holt_winters", "soccerpredictor_spark.operators.timeseries", "events"),
+    ("group_holdout_split", "soccerpredictor_spark.operators.mlprep",
+     "orders"),
+]
+
+
+@pytest.mark.parametrize("name,module,table", STAGED)
+def test_staged_parity_vs_duckdb(spark, name, module, table):
+    """Every staged operator's Spark result must match its DuckDB
+    twin exactly on the sf0.001 fixtures (rows, columns, numeric
+    KIND, values) — the registration-readiness gate. Unlike the
+    round-10 staged gate, dtype KIND is asserted too (the driver's
+    value hash is type-sensitive; cms_heavy_change slipped a HUGEINT
+    through the weaker check)."""
+    import importlib
+
+    import duckdb
+    import pandas as pd
+
+    from soccerpredictor_spark.sources.catalog import read_table
+
+    mod = importlib.import_module(module)
+    sdf = getattr(mod, name)(read_table(spark, SF, table)).toPandas()
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    odf = con.execute(getattr(mod, f"{name}_sql")()).fetchdf()
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs {len(odf)}"
+    sc, oc = sorted(sdf.columns), sorted(odf.columns)
+    assert sc == oc, f"{name}: columns {sc} vs {oc}"
+    a = sdf[sc].sort_values(sc).reset_index(drop=True)
+    b = odf[oc].sort_values(oc).reset_index(drop=True)
+    for c in sc:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if {ka, kb} <= {"i", "u", "f"}:
+            assert (ka in "iu") == (kb in "iu"), (
+                f"{name}.{c}: numeric kind mismatch {a[c].dtype} vs "
+                f"{b[c].dtype} — un-cast HUGEINT in the oracle?"
+            )
+        pd.testing.assert_series_equal(
+            a[c], b[c], check_dtype=False, check_names=False, check_exact=True
+        )
+
+
+class TestMannWhitneyU:
+    def test_closed_form_no_ties(self, spark):
+        """A = {30, 40}, B = {10, 20}: every A beats every B, so
+        U_A = 4 (u2 = 8); ranks 1..4 exactly."""
+        from soccerpredictor_spark.operators.mlprep import mann_whitney_u
+
+        rows = [
+            (1, 1, "F", 0.30), (2, 2, "F", 0.40),
+            (3, 3, "O", 0.10), (4, 4, "O", 0.20),
+            (5, 5, "P", 9.99),  # excluded status
+        ]
+        orders = spark.createDataFrame(
+            rows, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        )
+        [r] = mann_whitney_u(orders).collect()
+        assert (r.n_a, r.n_b) == (2, 2)
+        assert r.u2_a == 8.0
+        # z = (U - n_a n_b/2)/sqrt(n_a n_b (n+1)/12) = 2/sqrt(5/3*...)
+        var = 2 * 2 / 12 * (5 - 0)
+        assert abs(r.z - (4 - 2) / math.sqrt(var)) < 1e-12
+
+    def test_all_tied_z_is_zero_numerator(self, spark):
+        """Every observation equal: midranks make U exactly
+        n_a*n_b/2 and the tie correction drives the variance to 0 —
+        the zero-variance guard surfaces z as NULL on BOTH engines
+        (the _pearson_from_sums convention; a raw 0/0 would be
+        NaN-vs-NULL engine-dependent). Pin the exact U."""
+        from soccerpredictor_spark.operators.mlprep import mann_whitney_u
+
+        rows = [
+            (1, 1, "F", 1.00), (2, 2, "F", 1.00),
+            (3, 3, "O", 1.00), (4, 4, "O", 1.00),
+        ]
+        orders = spark.createDataFrame(
+            rows, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        )
+        [r] = mann_whitney_u(orders).collect()
+        assert r.u2_a == 2.0 * 2 * 2 / 2 * 2 / 2  # 2*U = n_a*n_b = 4
+        assert r.z is None
+
+
+class TestHoltWinters:
+    def test_linear_series_zero_error(self, spark):
+        """Counts on an exact line y_t = 2 + 3t: Holt with any alpha
+        tracks a perfect line exactly once initialized — level ends
+        at the last y, trend at the slope, RMSE 0."""
+        from soccerpredictor_spark.operators.timeseries import holt_winters
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for h in range(6):
+            for _ in range(2 + 3 * h):
+                rows.append((eid, t0 + dt.timedelta(hours=h, minutes=5),
+                             1, "click"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = holt_winters(ev).collect()
+        assert r.n_hours == 6
+        assert r.level == 2 + 3 * 5
+        assert r.trend == 3.0
+        assert r.forecast_next == 2 + 3 * 6
+        assert r.rmse_one_step == 0.0
+
+
+class TestGroupHoldoutSplit:
+    def test_group_method_never_leaks(self, spark):
+        """The customer-keyed split puts every order of a customer on
+        one side (0 leaked groups); the row-keyed split on the same
+        data leaks any multi-order customer whose orders hash apart."""
+        from soccerpredictor_spark.operators.mlprep import group_holdout_split
+
+        rows = [
+            (k, k % 7, "F", float(k)) for k in range(1, 200)
+        ]
+        orders = spark.createDataFrame(
+            rows, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        )
+        got = {r.split_method: r for r in group_holdout_split(orders).collect()}
+        assert got["group"].n_leaked_groups == 0
+        assert got["group"].n_groups == 7
+        # 199 orders over 7 customers: the row split almost surely
+        # splits at least one customer (deterministic given md5)
+        assert got["row"].n_leaked_groups > 0
+        for m in ("group", "row"):
+            assert got[m].n_train_rows + got[m].n_test_rows == 199
+
+
+class TestStupidBackoff:
+    def test_backoff_branches(self, spark):
+        """Constructed 4-doc corpus where held-out trigrams hit all
+        three branches; scores bounded in (0, 1] and the worst doc is
+        the OOV one."""
+        from soccerpredictor_spark.operators.textops import stupid_backoff_lm
+
+        # find doc ids for each half deterministically (md5 'sb:<id>')
+        import hashlib
+
+        def half(doc_id: int) -> int:
+            return int(hashlib.md5(f"sb:{doc_id}".encode()).hexdigest()[:8],
+                       16) % 2
+
+        train_ids = [i for i in range(40) if half(i) == 0][:2]
+        held_ids = [i for i in range(40) if half(i) == 1][:2]
+        assert len(train_ids) == 2 and len(held_ids) == 2
+        docs = spark.createDataFrame(
+            [
+                (train_ids[0], "the cat sat on the mat", "s"),
+                (train_ids[1], "the cat ran on the mat", "s"),
+                # held-out: seen trigram path + backoff paths
+                (held_ids[0], "the cat sat on the mat", "s"),
+                (held_ids[1], "zz qq ww", "s"),  # full OOV -> score 0
+            ],
+            ["doc_id", "text", "source"],
+        )
+        got = {r.doc_id: r for r in stupid_backoff_lm(docs).collect()}
+        assert set(got) == set(held_ids)
+        seen = got[held_ids[0]]
+        oov = got[held_ids[1]]
+        assert seen.n_scored == 4 and oov.n_scored == 1
+        assert oov.mean_score == 0.0
+        assert 0.0 < seen.mean_score <= 1.0
