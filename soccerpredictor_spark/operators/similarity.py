@@ -1942,3 +1942,165 @@ SELECT (SELECT COUNT(*) FROM exact_k) AS n_exact,
        (SELECT COUNT(*) FROM hit) AS n_hit,
        CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / {float(k)} AS recall
 """
+
+
+# --------------------------------------------------------------------------
+# kNN-classifier holdout evaluation over the embedding space
+# --------------------------------------------------------------------------
+
+#: evaluation panel size (fixed query count — keeps the exact-scan
+#: eval cost linear in the train side regardless of corpus size).
+KNN_EVAL_QUERIES = 64
+#: neighbors per query for the majority vote.
+KNN_EVAL_K = 5
+
+
+def knn_label_eval(emb: DataFrame) -> DataFrame:
+    """kNN-classifier holdout accuracy over the embedding column —
+    the standard label-quality / embedding-quality probe (if a
+    5-NN majority vote can't recover held-out labels, the space
+    won't power retrieval or dedup either; the eval the
+    ``embedding_quality`` centroid readout approximates without
+    neighbors): md5-hash 20% of vectors out, take a fixed
+    ``KNN_EVAL_QUERIES``-query panel (smallest held-out vec_ids —
+    deterministic), vote each query's label from its
+    ``KNN_EVAL_K`` nearest TRAIN vectors by exact quantized cosine
+    (count desc, label asc tie-break), and report the confusion
+    summary. STAGED round 10 for the round-11/12 windows.
+
+    Scale: the panel broadcasts (64 rows x d), so the train side
+    NEVER shuffles for the similarity pass — each train partition
+    scores its rows against the panel in place (the
+    ``ann_recall_eval`` shape, panel-many queries at once); the
+    per-query top-k rank window is panel-bounded (64 partitions).
+    At 100 TB you would swap the exact scan for the IVF/LSH index
+    probe — this entry is the eval-grade EXACT baseline those
+    indexes are gated against.
+    """
+    from pyspark.sql import Window
+
+    split = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kv:"), F.col("vec_id").cast("string"))),
+                1, 8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    base = fan_out(emb).select(
+        "vec_id", "label", V.int_vec(F.col("embedding")).alias("iv"),
+        split.alias("bkt"),
+    ).withColumn("nrm", V.int_dot_iv(F.col("iv"), F.col("iv")))
+    panel = (
+        base.filter(F.col("bkt") == 4)
+        .orderBy("vec_id")
+        .limit(KNN_EVAL_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("iv").alias("q_iv"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    train = base.filter(F.col("bkt") != 4)
+    sim = V.int_dot_iv(F.col("iv"), F.col("q_iv")).cast("double") / (
+        F.sqrt(F.col("nrm").cast("double"))
+        * F.sqrt(F.col("q_nrm").cast("double"))
+    )
+    scored = train.crossJoin(F.broadcast(panel)).select(
+        "q_id", "q_label", "vec_id", "label", sim.alias("sim")
+    )
+    w_q = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w_q)).filter(
+        F.col("rn") <= KNN_EVAL_K
+    )
+    votes = topk.groupBy("q_id", "q_label", "label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w_v = Window.partitionBy("q_id").orderBy(
+        F.col("v").desc(), F.col("label").asc()
+    )
+    pred = (
+        votes.withColumn("rv", F.row_number().over(w_v))
+        .filter(F.col("rv") == 1)
+        .select(
+            "q_id",
+            "q_label",
+            F.col("label").alias("pred_label"),
+            F.col("v").alias("votes"),
+        )
+    )
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            (F.col("pred_label") == F.col("q_label")).cast("long")
+        ).alias("n_correct"),
+    ).select(
+        "n_queries",
+        F.lit(KNN_EVAL_K).alias("k"),
+        "n_correct",
+        (
+            F.col("n_correct").cast("double")
+            / F.col("n_queries").cast("double")
+        ).alias("accuracy"),
+    )
+
+
+def knn_label_eval_sql() -> str:
+    iv = V.sql_int_vec("embedding")
+    dot = "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]))"
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, {iv} AS iv,
+         CAST('0x' || substr(md5('kv:' || CAST(vec_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 5 AS bkt
+  FROM embeddings
+),
+nbase AS (
+  SELECT vec_id, label, iv, bkt,
+         CAST({dot.format(a='iv', b='iv')} AS BIGINT) AS nrm
+  FROM base
+),
+panel AS (
+  SELECT vec_id AS q_id, label AS q_label, iv AS q_iv, nrm AS q_nrm
+  FROM nbase WHERE bkt = 4 ORDER BY vec_id LIMIT {KNN_EVAL_QUERIES}
+),
+scored AS (
+  SELECT p.q_id, p.q_label, t.vec_id, t.label,
+         CAST({dot.format(a='t.iv', b='p.q_iv')} AS DOUBLE)
+           / (sqrt(CAST(t.nrm AS DOUBLE)) * sqrt(CAST(p.q_nrm AS DOUBLE)))
+           AS sim
+  FROM nbase t CROSS JOIN panel p
+  WHERE t.bkt != 4
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {KNN_EVAL_K}
+),
+votes AS (
+  SELECT q_id, q_label, label, COUNT(*) AS v
+  FROM topk GROUP BY q_id, q_label, label
+),
+pred AS (
+  SELECT q_id, q_label, label AS pred_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY v DESC, label ASC) AS rv
+    FROM votes
+  ) WHERE rv = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST({KNN_EVAL_K} AS INT) AS k,
+       CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM pred
+"""

@@ -764,3 +764,159 @@ FROM probe
 ORDER BY abs(exact_change) DESC, user_id ASC
 LIMIT {CMS_CHANGE_TOPK}
 """
+
+
+# --------------------------------------------------------------------------
+# bottom-k (KMV) sampling — mergeability audit + distinct estimate
+# --------------------------------------------------------------------------
+
+#: sample size (the K in bottom-K / K-minimum-values).
+BOTTOMK_K = 256
+#: hash range upper bound: md5-15-hex -> [0, 16^15).
+BOTTOMK_HMAX = float(16 ** 15)
+
+
+def bottomk_sample_audit(events: DataFrame) -> DataFrame:
+    """Bottom-k (KMV) sampling proven MERGEABLE as a query — the
+    ``hll_merge_audit`` contract applied to uniform sampling: the k
+    smallest md5 hashes of the DISTINCT user ids are a uniform
+    distinct-value sample, and bottom-k(shard A ∪ shard B) ==
+    bottom-k(bottom-k(A) ∪ bottom-k(B)) element-for-element — which
+    is why a 1000-executor cluster can keep one fixed-size uniform
+    sample per partition and merge them losslessly (reservoir
+    sampling, the textbook alternative, is NOT mergeable without
+    weights). Also surfaces the classic KMV distinct estimate
+    (k-1) * H / h_(k) against the exact count.
+
+    Shape: the per-shard candidates come from a rank window over
+    each shard's distinct-hash stream (k-bounded output), the merge
+    is a union + distributed TakeOrdered heap, and the comparison
+    joins whole-vs-merged ON RANK (k-bounded). No stage materializes
+    more than shards * k rows after the one distinct aggregation.
+    STAGED round 10 for the round-11/12 windows.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bk:"), F.col("user_id").cast("string"))),
+            1, 15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashes = (
+        events.select(F.col("user_id"), (F.col("user_id") % 2).alias("shard"))
+        .distinct()
+        .select(h.alias("h"), "shard")
+    )
+    # k-bounded global rank windows (over LIMITed K-row streams) are
+    # fine; the per-SHARD bottom-k must NOT be a 2-partition global
+    # sort, so it uses the two-level bucketed rank (hash-range
+    # buckets, uniform by construction): within-(shard,bucket)
+    # row_number + tiny cumulative bucket offsets, keep off+rs <= K.
+    w_rank = Window.orderBy(F.col("h").asc())
+    whole = (
+        hashes.select("h")
+        .orderBy("h")
+        .limit(BOTTOMK_K)
+        .withColumn("rnk", F.row_number().over(w_rank))
+    )
+    bucket_w = int(BOTTOMK_HMAX) // 4096
+    bucketed = hashes.withColumn("bk", F.expr(f"h div {bucket_w}"))
+    w_in = Window.partitionBy("shard", "bk").orderBy(F.col("h").asc())
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("shard", "bk")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .select(
+            "shard",
+            "bk",
+            F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off"),
+        )
+    )
+    shard_bottom = (
+        bucketed.withColumn("rs", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), ["shard", "bk"])
+        .filter(F.col("off") + F.col("rs") <= BOTTOMK_K)
+    )
+    merged = (
+        shard_bottom.select("h")
+        .orderBy("h")
+        .limit(BOTTOMK_K)
+        .withColumn("rnk", F.row_number().over(w_rank))
+    )
+    both = whole.alias("w").join(
+        merged.alias("m"), F.col("w.rnk") == F.col("m.rnk"), "full_outer"
+    )
+    exact = events.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    agg = both.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            (F.col("w.h") == F.col("m.h")).cast("long")
+        ).alias("n_equal"),
+        F.max("w.h").alias("hk"),
+    )
+    est = (
+        F.lit(float(BOTTOMK_K - 1))
+        * F.lit(BOTTOMK_HMAX)
+        / F.col("hk").cast("double")
+    )
+    return agg.crossJoin(F.broadcast(exact)).select(
+        "k",
+        "n_equal",
+        est.alias("est_distinct"),
+        "exact_distinct",
+        (
+            (est - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_error"),
+    )
+
+
+def bottomk_sample_audit_sql() -> str:
+    return f"""
+WITH hashes AS (
+  SELECT CAST('0x' || substr(md5('bk:' || CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h,
+         shard
+  FROM (SELECT DISTINCT user_id, user_id % 2 AS shard FROM events)
+),
+whole AS (
+  SELECT h, CAST(ROW_NUMBER() OVER (ORDER BY h ASC) AS BIGINT) AS rnk
+  FROM (SELECT h FROM hashes ORDER BY h ASC LIMIT {BOTTOMK_K})
+),
+merged AS (
+  SELECT h, CAST(ROW_NUMBER() OVER (ORDER BY h ASC) AS BIGINT) AS rnk
+  FROM (
+    SELECT h FROM (
+      SELECT h, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h ASC) AS rs
+      FROM hashes
+    ) WHERE rs <= {BOTTOMK_K}
+    ORDER BY h ASC LIMIT {BOTTOMK_K}
+  )
+),
+exact AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+          FROM events),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN w.h = m.h THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_equal,
+         MAX(w.h) AS hk
+  FROM whole w FULL OUTER JOIN merged m ON w.rnk = m.rnk
+)
+SELECT k, n_equal,
+       CAST({float(BOTTOMK_K - 1)!r} AS DOUBLE)
+         * CAST({BOTTOMK_HMAX!r} AS DOUBLE) / CAST(hk AS DOUBLE)
+         AS est_distinct,
+       exact_distinct,
+       (CAST({float(BOTTOMK_K - 1)!r} AS DOUBLE)
+          * CAST({BOTTOMK_HMAX!r} AS DOUBLE) / CAST(hk AS DOUBLE)
+        - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)
+         AS rel_error
+FROM agg, exact
+"""

@@ -3801,3 +3801,175 @@ per_doc AS (
 SELECT doc_id, n_scored, mean_score
 FROM per_doc ORDER BY mean_score ASC, doc_id ASC LIMIT {SB_BOTTOM_K}
 """
+
+
+# --------------------------------------------------------------------------
+# eval-set decontamination at n-gram-span grain (GPT-3 / Pile protocol)
+# --------------------------------------------------------------------------
+
+#: collision gram length (tokens) — the GPT-3 report's 13-gram rule.
+DECON_N = 13
+#: sources treated as the benchmark/eval suite (deterministic subset).
+DECON_BENCH_SOURCES = ("src0", "src1")
+
+
+def ngram_decontaminate(docs: DataFrame, n: int = DECON_N) -> DataFrame:
+    """Training-vs-benchmark decontamination at the span grain — the
+    GPT-3 appendix-C / Pile protocol (remove training text sharing a
+    13-token gram with any eval-suite document), the contamination
+    counterpart of ``substring_dedup``: ``contamination_check`` asks
+    WHICH documents overlap an n-gram; this reports exactly WHERE —
+    per training doc, the merged token spans covered by any
+    13-token gram that also occurs in the benchmark subset
+    (sources ``DECON_BENCH_SOURCES``), with token-count accounting
+    so the caller can cut spans rather than whole docs.
+
+    Scale shape (the load-bearing asymmetry): the benchmark side is
+    SMALL by nature (an eval suite, not a corpus), so its distinct
+    gram-fingerprint set builds once and joins BROADCAST against the
+    training gram stream — the training corpus never shuffles at
+    all; contaminated positions then merge into maximal spans with
+    the interval_merge islands shape inside per-document windows
+    (doc-length bounded). Fingerprints are md5-15-hex -> int64 over
+    the space-joined lowercased token gram (the cross-engine hash
+    convention). One scan of the corpus, zero corpus-scale shuffles
+    before the (contaminated-positions-only) islands pass.
+    """
+    from pyspark.sql import Window
+
+    tok = fan_out(docs).select(
+        "doc_id",
+        "source",
+        X.tokens(F.lower(F.col("text"))).alias("w"),
+    )
+    grams = (
+        tok.filter(F.size(F.col("w")) >= n)
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.col("w")).alias("n_tokens"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col("w")) - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit("dc:"),
+                                        F.array_join(
+                                            F.slice(
+                                                F.col("w"), i + 1, n
+                                            ),
+                                            " ",
+                                        ),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("long")
+                        .alias("fp"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id", "source", "n_tokens",
+            F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"),
+        )
+    )
+    bench = F.col("source").isin(*DECON_BENCH_SOURCES)
+    bench_fps = grams.filter(bench).select("fp").distinct()
+    hits = (
+        grams.filter(~bench)
+        .join(F.broadcast(bench_fps), "fp", "left_semi")
+        .select("doc_id", "n_tokens", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = hits.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w_doc) <= n, 0)
+        .otherwise(1)
+        .alias("b"),
+    )
+    grp = brk.withColumn(
+        "gid",
+        F.sum("b").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = grp.groupBy("doc_id", "n_tokens", "gid").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(n - 1)).alias("e")
+    )
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_contam_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("contam_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_contam_spans",
+            "contam_tokens",
+            (
+                F.col("contam_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("contam_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ngram_decontaminate_sql(n: int = DECON_N) -> str:
+    bench = ", ".join(f"'{s}'" for s in DECON_BENCH_SOURCES)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, {_sql_tokens('lower(text)')} AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, len(w) AS n_tokens, i - 1 AS pos,
+         CAST('0x' || substr(md5('dc:' ||
+              array_to_string(w[i : i + {n - 1}], ' ')), 1, 15)
+              AS BIGINT) AS fp
+  FROM tok, UNNEST(range(1, len(w) - {n - 2})) AS u(i)
+  WHERE len(w) >= {n}
+),
+bench_fps AS (
+  SELECT DISTINCT fp FROM grams WHERE source IN ({bench})
+),
+hits AS (
+  SELECT g.doc_id, g.n_tokens, g.pos
+  FROM grams g SEMI JOIN bench_fps b ON g.fp = b.fp
+  WHERE g.source NOT IN ({bench})
+),
+brk AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {n} THEN 0 ELSE 1 END AS b
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS gid
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, n_tokens, gid, MIN(pos) AS s, MAX(pos) + {n - 1} AS e
+  FROM grp GROUP BY doc_id, n_tokens, gid
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_contam_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS contam_tokens,
+       CAST(SUM(e - s + 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS contam_fraction
+FROM spans GROUP BY doc_id, n_tokens
+ORDER BY doc_id
+"""

@@ -1341,3 +1341,140 @@ FROM rec r JOIN nn n USING (event_type)
 WHERE r.i = n.n_hours AND n.n_hours >= 2
 ORDER BY r.event_type
 """
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test — significance companion to theil_sen_trend
+# --------------------------------------------------------------------------
+
+
+def mann_kendall(events: DataFrame) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event-type series — the
+    nonparametric significance readout for ``theil_sen_trend``'s
+    slope (the standard pairing in hydrology/telemetry monitoring:
+    Sen gives the magnitude, MK decides whether a trend exists at
+    all): S = sum over hour pairs i<j of sign(y_j - y_i), with the
+    tie-corrected variance
+
+        var(S) = [ n(n-1)(2n+5) - sum_t t(t-1)(2t+5) ] / 18
+
+    and the continuity-corrected z = (S -+ 1)/sqrt(var) (0 when
+    S = 0, NULL when the variance degenerates — the
+    _pearson_from_sums guard convention). Every ingredient is an
+    exact int64 (S is a sum of -1/0/+1; the variance numerators are
+    integer products); z is ONE double expression evaluated
+    identically by both engines. No p-value by convention (erf is
+    libm-dependent); threshold |z|.
+
+    Scale: pairs come from the SAME trailing ``TS_TREND_WINDOW_H``
+    window as theil_sen_trend, capping the fan-out at W^2/2 per
+    series independent of corpus size; the hourly rollup is the only
+    pass over facts. STAGED round 10 for the round-11/12 windows.
+    """
+    allh = _hourly_counts(events).select(
+        "event_type",
+        (F.unix_micros(F.col("hour")) / F.lit(3_600_000_000))
+        .cast("long")
+        .alias("t"),
+        "cnt",
+    )
+    tmax = allh.groupBy("event_type").agg(F.max("t").alias("t_max"))
+    pts = (
+        allh.join(F.broadcast(tmax), "event_type")
+        .filter(F.col("t") > F.col("t_max") - F.lit(TS_TREND_WINDOW_H))
+        .select("event_type", "t", "cnt")
+    )
+    a = pts.alias("a")
+    b = pts.alias("b")
+    s_stat = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.signum(
+                (F.col("b.cnt") - F.col("a.cnt")).cast("double")
+            ).cast("long").alias("sg"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("sg").alias("s_stat"))
+    )
+    ties = (
+        pts.groupBy("event_type", "cnt")
+        .agg(F.count(F.lit(1)).alias("tt"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5)
+            ).alias("tie_term"),
+            F.sum("tt").alias("n_points"),
+        )
+    )
+    joined = s_stat.join(ties, "event_type")
+    n = F.col("n_points")
+    var18 = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    ).cast("double") / F.lit(18.0)
+    z = F.when(
+        var18 > 0,
+        F.when(F.col("s_stat") > 0,
+               (F.col("s_stat") - 1).cast("double") / F.sqrt(var18))
+        .when(F.col("s_stat") < 0,
+              (F.col("s_stat") + 1).cast("double") / F.sqrt(var18))
+        .otherwise(F.lit(0.0)),
+    )
+    return joined.select(
+        "event_type", "n_points", "s_stat", z.alias("z")
+    ).orderBy("event_type")
+
+
+def mann_kendall_sql() -> str:
+    return f"""
+WITH {_HOURLY_CTE},
+allpts AS (
+  SELECT event_type,
+         CAST(epoch_us(hour) / 3600000000.0 AS BIGINT) AS t, cnt
+  FROM hourly
+),
+tmax AS (SELECT event_type, MAX(t) AS t_max FROM allpts GROUP BY event_type),
+pts AS (
+  SELECT p.event_type, p.t, p.cnt
+  FROM allpts p JOIN tmax m USING (event_type)
+  WHERE p.t > m.t_max - {TS_TREND_WINDOW_H}
+),
+s_stat AS (
+  SELECT a.event_type,
+         CAST(SUM(CAST(sign(CAST(b.cnt - a.cnt AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS s_stat
+  FROM pts a JOIN pts b
+    ON a.event_type = b.event_type AND a.t < b.t
+  GROUP BY a.event_type
+),
+ties AS (
+  SELECT event_type,
+         CAST(SUM(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tie_term,
+         CAST(SUM(tt) AS BIGINT) AS n_points
+  FROM (SELECT event_type, cnt, COUNT(*) AS tt
+        FROM pts GROUP BY event_type, cnt)
+  GROUP BY event_type
+)
+SELECT s.event_type, t.n_points, s.s_stat,
+       CASE WHEN CAST(t.n_points * (t.n_points - 1) * (2 * t.n_points + 5)
+                      - t.tie_term AS DOUBLE) / CAST(18.0 AS DOUBLE) > 0
+            THEN CASE
+              WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                / sqrt(CAST(t.n_points * (t.n_points - 1)
+                       * (2 * t.n_points + 5) - t.tie_term AS DOUBLE)
+                       / CAST(18.0 AS DOUBLE))
+              WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                / sqrt(CAST(t.n_points * (t.n_points - 1)
+                       * (2 * t.n_points + 5) - t.tie_term AS DOUBLE)
+                       / CAST(18.0 AS DOUBLE))
+              ELSE CAST(0.0 AS DOUBLE)
+            END
+       END AS z
+FROM s_stat s JOIN ties t USING (event_type)
+ORDER BY s.event_type
+"""

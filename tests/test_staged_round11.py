@@ -5,8 +5,10 @@ parity check for each, the same gate registered entries get from
 test_oracle_parity, run here because staged operators are not yet in
 ``queries()``/``oracle_sql()``.
 
-Staged set: mann_whitney_u, stupid_backoff_lm, holt_winters,
-group_holdout_split.
+Staged set (batch 1): mann_whitney_u, stupid_backoff_lm,
+holt_winters, group_holdout_split.
+Staged set (batch 2): ngram_decontaminate, mann_kendall,
+bottomk_sample_audit, knn_label_eval.
 """
 
 from __future__ import annotations
@@ -25,6 +27,13 @@ STAGED = [
     ("holt_winters", "soccerpredictor_spark.operators.timeseries", "events"),
     ("group_holdout_split", "soccerpredictor_spark.operators.mlprep",
      "orders"),
+    ("ngram_decontaminate", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("mann_kendall", "soccerpredictor_spark.operators.timeseries", "events"),
+    ("bottomk_sample_audit", "soccerpredictor_spark.operators.sketch",
+     "events"),
+    ("knn_label_eval", "soccerpredictor_spark.operators.similarity",
+     "embeddings"),
 ]
 
 
@@ -195,3 +204,122 @@ class TestStupidBackoff:
         assert seen.n_scored == 4 and oov.n_scored == 1
         assert oov.mean_score == 0.0
         assert 0.0 < seen.mean_score <= 1.0
+
+
+class TestNgramDecontaminate:
+    def test_shared_span_flagged_clean_doc_not(self, spark):
+        """A train doc sharing a 15-token run with a benchmark doc
+        reports exactly that span; an unrelated train doc emits no
+        row; benchmark docs are never self-reported."""
+        from soccerpredictor_spark.operators.textops import (
+            ngram_decontaminate,
+        )
+
+        shared = " ".join(f"w{i}" for i in range(15))  # 15 tokens
+        pre = " ".join(f"a{i}" for i in range(10))
+        post = " ".join(f"b{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [
+                (1, f"benchmark prefix {shared} benchmark suffix", "en",
+                 "src0", 0),
+                (2, f"{pre} {shared} {post}", "en", "src5", 0),
+                (3, " ".join(f"c{i}" for i in range(40)), "en", "src6", 0),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        rows = {r.doc_id: r for r in ngram_decontaminate(docs).collect()}
+        assert set(rows) == {2}
+        r = rows[2]
+        # 15-token shared run -> 3 colliding 13-gram starts -> ONE
+        # merged span of 15 tokens out of 35
+        assert r.n_contam_spans == 1
+        assert r.contam_tokens == 15
+        assert r.n_tokens == 35
+        assert abs(r.contam_fraction - 15 / 35) < 1e-12
+
+
+class TestMannKendall:
+    def test_strictly_increasing(self, spark):
+        """y = 1..6 strictly rising: S = C(6,2) = 15, no ties, z > 0
+        with the continuity correction (S-1)."""
+        from soccerpredictor_spark.operators.timeseries import mann_kendall
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for h in range(6):
+            for _ in range(1 + h):
+                rows.append((eid, t0 + dt.timedelta(hours=h, minutes=2),
+                             1, "view"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = mann_kendall(ev).collect()
+        assert r.n_points == 6 and r.s_stat == 15
+        var = 6 * 5 * 17 / 18.0
+        assert abs(r.z - (15 - 1) / math.sqrt(var)) < 1e-12
+
+    def test_constant_series_null_z(self, spark):
+        """All counts equal: every pair ties, S = 0 and the tie
+        correction zeroes the variance -> z is NULL (guarded)."""
+        from soccerpredictor_spark.operators.timeseries import mann_kendall
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for h in range(5):
+            for _ in range(3):
+                rows.append((eid, t0 + dt.timedelta(hours=h, minutes=2),
+                             1, "view"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = mann_kendall(ev).collect()
+        assert r.s_stat == 0 and r.z is None
+
+
+class TestBottomkSampleAudit:
+    def test_merge_is_lossless_and_estimate_sane(self, spark):
+        """500 distinct users: bottom-k(shard-k union) equals the
+        whole-stream bottom-k rank-for-rank (n_equal == k), and the
+        KMV estimate lands within 50% of truth at k=256/n=500."""
+        from soccerpredictor_spark.operators.sketch import (
+            bottomk_sample_audit,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + dt.timedelta(minutes=i), i % 500, "click")
+            for i in range(1500)
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = bottomk_sample_audit(ev).collect()
+        assert r.k == 256
+        assert r.n_equal == 256  # mergeability is exact
+        assert r.exact_distinct == 500
+        assert abs(r.rel_error) < 0.5
+
+
+class TestKnnLabelEval:
+    def test_separable_clusters_perfect_accuracy(self, spark):
+        """Two orthogonal label clusters with tiny deterministic
+        jitter: every held-out query's 5-NN vote recovers its label."""
+        from soccerpredictor_spark.operators.similarity import knn_label_eval
+
+        rows = []
+        for vid in range(120):
+            lab = vid % 2
+            base = [0.0] * 8
+            base[lab * 4] = 1.0
+            base[lab * 4 + 1] = 0.001 * (vid % 7)  # jitter, same side
+            rows.append((vid, base, lab))
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        [r] = knn_label_eval(emb).collect()
+        assert r.k == 5
+        assert r.n_queries > 0
+        assert r.n_correct == r.n_queries
+        assert r.accuracy == 1.0
