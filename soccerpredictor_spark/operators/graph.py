@@ -604,3 +604,316 @@ walk(node, d) AS (
 SELECT node AS user_id, CAST(MIN(d) AS BIGINT) AS dist
 FROM walk GROUP BY node ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# per-vertex clustering coefficient
+# --------------------------------------------------------------------------
+
+
+def clustering_coefficient(events: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the co-activity
+    graph: lcc(v) = 2*T(v) / (deg(v) * (deg(v) - 1)) — the
+    per-node version of ``graph_triangles``'s global census (global
+    answers "how clique-ish is the graph", this answers "WHICH nodes
+    sit in cliques" — the ego-density feature behind community
+    seeds and bot/collusion detection).
+
+    Scale shape: same degree-ordered orientation as graph_triangles
+    (each triangle enumerated exactly ONCE, wedge fan-out bounded by
+    oriented out-degree), then each found triangle {a,b,c} explodes
+    to its three corners and a per-vertex count aggregates — linear
+    in triangles, never quadratic in nodes. Nodes with deg < 2 have
+    no defined coefficient and emit no row (their wedge count is 0).
+    """
+    e = _edges_checkpointed(events).select("u", "v")
+    sym = e.select(F.col("u").alias("user_id")).unionAll(
+        e.select(F.col("v").alias("user_id"))
+    )
+    deg = sym.groupBy("user_id").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("user_id").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("user_id").alias("v"), F.col("deg").alias("deg_v"))
+    lesser_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lesser_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lesser_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+    closing = oriented.select(
+        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("user_id")
+    )
+    t_v = corners.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_tri"))
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(t_v, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+            (
+                F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+            ).alias("lcc"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def clustering_coefficient_sql() -> str:
+    return f"""
+WITH {_strong_edges_cte()},
+e AS (SELECT u, v FROM strong),
+sym AS (SELECT u AS user_id FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT user_id, COUNT(*) AS deg FROM sym GROUP BY user_id),
+oriented AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM e JOIN deg du ON e.u = du.user_id
+         JOIN deg dv ON e.v = dv.user_id
+),
+wedges AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+  WHERE e1.dst < e2.dst
+),
+closing AS (SELECT least(src, dst) AS b, greatest(src, dst) AS c FROM oriented),
+tri AS (
+  SELECT a, b, c FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM closing cl WHERE cl.b = w.b AND cl.c = w.c)
+),
+corners AS (
+  SELECT a AS user_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+t_v AS (SELECT user_id, COUNT(*) AS n_tri FROM corners GROUP BY user_id)
+SELECT d.user_id, CAST(d.deg AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(2.0 AS DOUBLE) * CAST(COALESCE(t.n_tri, 0) AS DOUBLE)
+         / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS lcc
+FROM deg d LEFT JOIN t_v t USING (user_id)
+WHERE d.deg >= 2
+ORDER BY d.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# degree assortativity
+# --------------------------------------------------------------------------
+
+
+def graph_assortativity(events: DataFrame) -> DataFrame:
+    """Degree assortativity of the co-activity graph: the Pearson
+    correlation of endpoint degrees over the SYMMETRIZED edge list
+    (Newman 2002) — positive means hubs attach to hubs (social
+    shape), negative means hub-and-spoke (infrastructure shape); the
+    one-number topology fingerprint degree histograms can't see.
+
+    Exactness: both directions of every edge contribute, so the two
+    endpoint marginals coincide and the statistic is the standard
+    Pearson over exact int64 degree sums (the feature_corr
+    sufficient-statistics convention, decimal(38,0) products, one
+    final double expression, NULL-guarded on degree-regular graphs).
+    One broadcast degree join over the checkpointed edge list; all
+    aggregations map-side combinable.
+    """
+    e = _edges_checkpointed(events).select("u", "v")
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = (
+        sym.select(F.col("u").alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    pairs = (
+        sym.join(
+            F.broadcast(
+                deg.select(F.col("user_id").alias("u"), F.col("deg").alias("x"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("user_id").alias("v"), F.col("deg").alias("y"))
+            ),
+            "v",
+        )
+        .select("x", "y")
+    )
+    d38 = "decimal(38,0)"
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y").cast(d38)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return agg.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.when(den > 0, (n * sxy - sx * sy) / den).alias("assortativity"),
+    )
+
+
+def graph_assortativity_sql() -> str:
+    hug = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+    return f"""
+WITH {_strong_edges_cte()},
+e AS (SELECT u, v FROM strong),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u AS user_id, COUNT(*) AS deg FROM sym GROUP BY u),
+pairs AS (
+  SELECT dx.deg AS x, dy.deg AS y
+  FROM sym s JOIN deg dx ON s.u = dx.user_id
+             JOIN deg dy ON s.v = dy.user_id
+),
+agg AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       CASE WHEN sqrt(CAST(n AS DOUBLE) * {hug.format(x='sxx')}
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * {hug.format(x='syy')}
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * {hug.format(x='sxy')}
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * {hug.format(x='sxx')}
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * {hug.format(x='syy')}
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS assortativity
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (fixed k, iterative peel)
+# --------------------------------------------------------------------------
+
+#: the core order: nodes surviving repeated removal of degree < K.
+KCORE_K = 3
+#: peel-round cap; unconfirmed convergence raises (components rule:
+#: an unfinished peel is NOT final, unlike capped BFS distances).
+KCORE_MAX_ITER = 30
+
+
+def kcore_decomposition(events: DataFrame, k: int = KCORE_K) -> DataFrame:
+    """k-core of the co-activity graph: the maximal subgraph where
+    every node keeps degree >= k after everyone weaker is removed —
+    the standard dense-nucleus extractor (spam/collusion rings,
+    community cores, the "keep the connected heart" filter that
+    plain degree thresholds get WRONG because removing one weak node
+    weakens its neighbors in cascade).
+
+    Iterative peel as plain DataFrame ops: each round drops nodes
+    with CURRENT degree < k and recomputes degrees on the induced
+    subgraph; fixed point when the node count stops changing (the
+    (count, sum) witness; since the survivor set only shrinks,
+    count equality IS set equality — no hash needed). Peeling is
+    idempotent at the fixed point, so an engine running extra
+    rounds agrees bit-for-bit with one that early-exits — the
+    oracle simply unrolls ``KCORE_MAX_ITER`` rounds. An UNCONFIRMED
+    fixed point at the cap raises (the components discipline — a
+    half-peeled core is not a k-core; contrast graph_bfs, whose
+    capped distances ARE final). Each round is one shuffle join of
+    the (shrinking, checkpointed) edge list; the raw edges are
+    built once.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    edges = _edges_checkpointed(events).select("u", "v")
+    cur = _reliable_checkpoint(edges)
+    prev_n = None
+    converged = False
+    for _ in range(KCORE_MAX_ITER):
+        sym = cur.select(F.col("u").alias("user_id")).unionAll(
+            cur.select(F.col("v").alias("user_id"))
+        )
+        deg = sym.groupBy("user_id").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("user_id")
+        nxt = _reliable_checkpoint(
+            cur.join(
+                keep.select(F.col("user_id").alias("u")), "u", "left_semi"
+            ).join(
+                keep.select(F.col("user_id").alias("v")), "v", "left_semi"
+            )
+        )
+        n = nxt.count()
+        cur = nxt
+        if prev_n is not None and n == prev_n:
+            converged = True
+            break
+        prev_n = n
+    if not converged:
+        raise RuntimeError(
+            f"k-core: peel not converged within {KCORE_MAX_ITER} rounds — "
+            "raise KCORE_MAX_ITER (a truncated peel is not a k-core)"
+        )
+    sym = cur.select(F.col("u").alias("user_id")).unionAll(
+        cur.select(F.col("v").alias("user_id"))
+    )
+    return (
+        sym.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+        .orderBy("user_id")
+    )
+
+
+def kcore_decomposition_sql(k: int = KCORE_K) -> str:
+    # unrolled peel: r0 = strong edges; r_{i+1} = r_i restricted to
+    # endpoints with degree >= k in r_i. Idempotent past the fixed
+    # point, so a fixed unroll depth equals the converged Spark loop.
+    rounds = []
+    prev = "strong"
+    for i in range(KCORE_MAX_ITER):
+        # AS MATERIALIZED is load-bearing: each round references its
+        # predecessor 3x, so inlined CTEs would expand 3^30 ways (the
+        # un-materialized form actually exhausted file handles
+        # re-opening the parquet scan)
+        rounds.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT user_id, COUNT(*) AS deg FROM (
+    SELECT u AS user_id FROM {prev} UNION ALL SELECT v FROM {prev}
+  ) GROUP BY user_id
+),
+k{i} AS MATERIALIZED (SELECT user_id FROM d{i} WHERE deg >= {k}),
+r{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  WHERE EXISTS (SELECT 1 FROM k{i} a WHERE a.user_id = e.u)
+    AND EXISTS (SELECT 1 FROM k{i} b WHERE b.user_id = e.v)
+)""")
+        prev = f"r{i}"
+    body = ",".join(rounds)
+    return f"""
+WITH {_strong_edges_cte()},{body}
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+  SELECT u AS user_id FROM {prev} UNION ALL SELECT v FROM {prev}
+) GROUP BY user_id HAVING COUNT(*) >= {k}
+ORDER BY user_id
+"""

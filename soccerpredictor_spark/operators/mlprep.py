@@ -3001,3 +3001,228 @@ SELECT split_method, n_train_rows, n_test_rows, n_groups, n_leaked_groups,
          AS leak_fraction
 FROM s ORDER BY split_method
 """
+
+
+# --------------------------------------------------------------------------
+# Bradley-Terry preference strengths (MM iterations)
+# --------------------------------------------------------------------------
+
+#: item universe: the BT_TOP_N most frequent parts (bounds the
+#: pairwise tables at N^2 regardless of corpus size).
+BT_TOP_N = 30
+#: fixed minorization-maximization iterations (deterministic depth).
+BT_ITERS = 10
+
+
+def bradley_terry_strength(lineitem: DataFrame) -> DataFrame:
+    """Bradley-Terry preference strengths via the classic MM update
+    (Hunter 2004) — THE pairwise-preference fitting primitive behind
+    reward-model data curation, ranker evaluation, and match-outcome
+    rating (the reference's own domain: SoccerPredictor rates teams
+    from pairwise results; this is that estimator, engine-native):
+
+        p_i <- W_i / sum_j ( n_ij / (p_i + p_j) ),  then rescale
+
+    Preferences here: within every order, each part pair with
+    unequal quantities is one comparison won by the larger quantity
+    (ties skipped); the item universe is the ``BT_TOP_N`` most
+    frequent parts, so every table after the one corpus scan is
+    N- or N^2-bounded and the basket pair fan-out is
+    basket-choose-2 (order-bounded), never corpus-quadratic.
+
+    Determinism: the MM denominator and the rescale total are sums
+    of DOUBLES, so both run as strict ORDERED folds (by opponent id
+    / item id — Spark sorted-array ``aggregate``, DuckDB
+    ``list_reduce`` over ``list(... ORDER BY ...)``); the iteration
+    count is FIXED (no convergence witness needed — both engines run
+    exactly ``BT_ITERS`` rounds). The rescale (mean strength = 1)
+    pins the scale invariance of the likelihood. STAGED round 10
+    for the round-11/12 windows.
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        lineitem.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), F.col("l_partkey").asc())
+        .limit(BT_TOP_N)
+        .select(F.col("l_partkey").alias("item"))
+    )
+    li = lineitem.join(
+        F.broadcast(freq),
+        lineitem.l_partkey == freq.item,
+    ).select("l_orderkey", "item", "l_quantity")
+    a = li.alias("a")
+    b = li.alias("b")
+    comps = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .filter(F.col("a.l_quantity") != F.col("b.l_quantity"))
+        .select(
+            F.col("a.item").alias("i"),
+            F.col("b.item").alias("j"),
+            (F.col("a.l_quantity") > F.col("b.l_quantity"))
+            .cast("long")
+            .alias("win_i"),
+        )
+    )
+    games = (
+        comps.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("win_i").alias("w_i"))
+    )
+    # symmetric direction table: (i, j, n_ij, wins of i over j)
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    sym = _reliable_checkpoint(
+        games.select("i", "j", "n", F.col("w_i").alias("w")).unionByName(
+            games.select(
+                F.col("j").alias("i"),
+                F.col("i").alias("j"),
+                "n",
+                (F.col("n") - F.col("w_i")).alias("w"),
+            )
+        )
+    )
+    wins = sym.groupBy("i").agg(
+        F.sum("w").alias("w_total"), F.sum("n").alias("n_games")
+    )
+    strengths = wins.select("i", F.lit(1.0).alias("p"))
+    for _ in range(BT_ITERS):
+        pj = strengths.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
+        denom = (
+            sym.join(F.broadcast(strengths), "i")
+            .join(F.broadcast(pj), "j")
+            .groupBy("i")
+            .agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("j").alias("k"),
+                                (
+                                    F.col("n").cast("double")
+                                    / (F.col("p") + F.col("p_j"))
+                                ).alias("t"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["t"],
+                ).alias("d")
+            )
+        )
+        raw = wins.join(denom, "i").select(
+            "i",
+            (F.col("w_total").cast("double") / F.col("d")).alias("p_raw"),
+        )
+        total = raw.agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("i").alias("k"), F.col("p_raw"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["p_raw"],
+            ).alias("tot"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        strengths = _reliable_checkpoint(
+            raw.crossJoin(F.broadcast(total)).select(
+                "i",
+                (
+                    F.col("p_raw")
+                    * F.col("n_items").cast("double")
+                    / F.col("tot")
+                ).alias("p"),
+            )
+        )
+    w_rank = Window.orderBy(
+        F.col("strength").desc(), F.col("item").asc()
+    )
+    return (
+        wins.join(strengths, "i")
+        .select(
+            F.col("i").alias("item"),
+            "n_games",
+            F.col("w_total").alias("n_wins"),
+            F.col("p").alias("strength"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .orderBy("rank")
+    )
+
+
+def bradley_terry_strength_sql() -> str:
+    rounds = []
+    prev = "s0"
+    for t in range(BT_ITERS):
+        # AS MATERIALIZED prevents exponential CTE inlining (each
+        # round references its predecessor twice; the kcore oracle
+        # exhausted file handles the same way)
+        rounds.append(f"""
+d{t} AS MATERIALIZED (
+  SELECT g.i,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(g.n AS DOUBLE) / (si.p + sj.p) ORDER BY g.j ASC)),
+           (acc, x) -> acc + x) AS d
+  FROM sym g JOIN {prev} si ON g.i = si.i JOIN {prev} sj ON g.j = sj.i
+  GROUP BY g.i
+),
+raw{t} AS MATERIALIZED (
+  SELECT w.i, CAST(w.w_total AS DOUBLE) / d{t}.d AS p_raw
+  FROM wins w JOIN d{t} ON w.i = d{t}.i
+),
+tot{t} AS MATERIALIZED (
+  SELECT list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list(p_raw ORDER BY i ASC)),
+           (acc, x) -> acc + x) AS tot,
+         COUNT(*) AS n_items
+  FROM raw{t}
+),
+s{t + 1} AS MATERIALIZED (
+  SELECT r.i, r.p_raw * CAST(t.n_items AS DOUBLE) / t.tot AS p
+  FROM raw{t} r, tot{t} t
+)""")
+        prev = f"s{t + 1}"
+    body = ",".join(rounds)
+    return f"""
+WITH freq AS (
+  SELECT l_partkey AS item FROM lineitem
+  GROUP BY l_partkey ORDER BY COUNT(*) DESC, l_partkey ASC LIMIT {BT_TOP_N}
+),
+li AS (
+  SELECT l.l_orderkey, l.l_partkey AS item, l.l_quantity
+  FROM lineitem l SEMI JOIN freq f ON l.l_partkey = f.item
+),
+comps AS (
+  SELECT a.item AS i, b.item AS j,
+         CASE WHEN a.l_quantity > b.l_quantity THEN 1 ELSE 0 END AS win_i
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.item < b.item AND a.l_quantity != b.l_quantity
+),
+games AS (
+  SELECT i, j, COUNT(*) AS n, CAST(SUM(win_i) AS BIGINT) AS w_i
+  FROM comps GROUP BY i, j
+),
+sym AS MATERIALIZED (
+  SELECT i, j, n, w_i AS w FROM games
+  UNION ALL
+  SELECT j AS i, i AS j, n, n - w_i AS w FROM games
+),
+wins AS MATERIALIZED (
+  SELECT i, CAST(SUM(w) AS BIGINT) AS w_total,
+         CAST(SUM(n) AS BIGINT) AS n_games
+  FROM sym GROUP BY i
+),
+s0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM wins),{body}
+SELECT item, n_games, n_wins, strength,
+       CAST(ROW_NUMBER() OVER (ORDER BY strength DESC, item ASC) AS BIGINT)
+         AS rank
+FROM (
+  SELECT w.i AS item, w.n_games, w.w_total AS n_wins, s.p AS strength
+  FROM wins w JOIN {prev} s ON w.i = s.i
+)
+ORDER BY rank
+"""

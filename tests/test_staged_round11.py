@@ -9,6 +9,8 @@ Staged set (batch 1): mann_whitney_u, stupid_backoff_lm,
 holt_winters, group_holdout_split.
 Staged set (batch 2): ngram_decontaminate, mann_kendall,
 bottomk_sample_audit, knn_label_eval.
+Staged set (batch 3): clustering_coefficient, graph_assortativity,
+kcore_decomposition, bradley_terry_strength.
 """
 
 from __future__ import annotations
@@ -34,6 +36,14 @@ STAGED = [
      "events"),
     ("knn_label_eval", "soccerpredictor_spark.operators.similarity",
      "embeddings"),
+    ("clustering_coefficient", "soccerpredictor_spark.operators.graph",
+     "events"),
+    ("graph_assortativity", "soccerpredictor_spark.operators.graph",
+     "events"),
+    ("kcore_decomposition", "soccerpredictor_spark.operators.graph",
+     "events"),
+    ("bradley_terry_strength", "soccerpredictor_spark.operators.mlprep",
+     "lineitem"),
 ]
 
 
@@ -323,3 +333,108 @@ class TestKnnLabelEval:
         assert r.n_queries > 0
         assert r.n_correct == r.n_queries
         assert r.accuracy == 1.0
+
+
+def _edge_events(spark, edges):
+    """Events realizing EXACTLY the given co-activity edge list: each
+    (u, v) pair shares two distinct 900s buckets (weight 2 >= the
+    MIN_EDGE_WEIGHT threshold), and every bucket holds only that pair
+    (under the per-bucket user cap)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for n, (u, v) in enumerate(edges):
+        for rep in range(2):
+            b = t0 + dt.timedelta(seconds=900 * (n * 10 + rep))
+            for user in (u, v):
+                rows.append((eid, b, user, "click"))
+                eid += 1
+    return spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+
+
+class TestClusteringCoefficient:
+    def test_triangle_with_pendant(self, spark):
+        """Triangle 1-2-3 plus pendant 3-4: lcc(1)=lcc(2)=1 (their
+        whole neighborhood is connected), lcc(3)=1/3 (one of three
+        neighbor pairs closed), node 4 (deg 1) emits no row."""
+        from soccerpredictor_spark.operators.graph import (
+            clustering_coefficient,
+        )
+        from soccerpredictor_spark.operators.scale import clear_caches
+
+        clear_caches()
+        ev = _edge_events(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+        got = {
+            r.user_id: (r.degree, r.n_triangles, r.lcc)
+            for r in clustering_coefficient(ev).collect()
+        }
+        assert got == {
+            1: (2, 1, 1.0),
+            2: (2, 1, 1.0),
+            3: (3, 1, 1.0 / 3.0),
+        }
+        clear_caches()
+
+
+class TestAssortativity:
+    def test_star_is_perfectly_disassortative(self, spark):
+        """A star K_{1,3}: every edge joins degree 3 to degree 1, so
+        the endpoint-degree correlation is exactly -1."""
+        from soccerpredictor_spark.operators.graph import graph_assortativity
+        from soccerpredictor_spark.operators.scale import clear_caches
+
+        clear_caches()
+        ev = _edge_events(spark, [(10, 1), (10, 2), (10, 3)])
+        [r] = graph_assortativity(ev).collect()
+        assert r.n_edges == 3
+        assert abs(r.assortativity - (-1.0)) < 1e-12
+        clear_caches()
+
+
+class TestKCore:
+    def test_k4_survives_tail_peeled(self, spark):
+        """K4 on {1,2,3,4} with a tail 4-5-6: the 3-core peel removes
+        6 (deg 1), then 5, leaving exactly the K4 — every survivor at
+        core degree 3. A plain degree>=3 filter would have kept
+        nothing extra but also not cascaded; the tail proves the
+        cascade."""
+        from soccerpredictor_spark.operators.graph import kcore_decomposition
+        from soccerpredictor_spark.operators.scale import clear_caches
+
+        clear_caches()
+        k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        ev = _edge_events(spark, k4 + [(4, 5), (5, 6)])
+        got = {
+            r.user_id: r.core_degree
+            for r in kcore_decomposition(ev).collect()
+        }
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+        clear_caches()
+
+
+class TestBradleyTerry:
+    def test_two_items_win_ratio(self, spark):
+        """Item A beats item B in 3 of 4 comparisons: the BT MLE has
+        p_A/p_B = 3 exactly (two-item closed form w_A/w_B), and the
+        mean-1 rescale pins p_A + p_B = 2 -> (1.5, 0.5). Ten MM
+        rounds converge far past 1e-9 on two items."""
+        from soccerpredictor_spark.operators.mlprep import (
+            bradley_terry_strength,
+        )
+
+        rows = []
+        # 4 orders, each with parts 100 and 200; A=100 larger qty in 3
+        for ok, (qa, qb) in enumerate([(5, 1), (4, 2), (9, 3), (1, 7)]):
+            rows.append((ok, 100, float(qa)))
+            rows.append((ok, 200, float(qb)))
+        li = spark.createDataFrame(
+            rows, ["l_orderkey", "l_partkey", "l_quantity"]
+        )
+        got = {r.item: r for r in bradley_terry_strength(li).collect()}
+        assert got[100].n_games == 4 and got[100].n_wins == 3
+        assert got[200].n_wins == 1
+        assert abs(got[100].strength / got[200].strength - 3.0) < 1e-6
+        assert abs(got[100].strength + got[200].strength - 2.0) < 1e-12
+        assert got[100].rank == 1 and got[200].rank == 2
