@@ -438,3 +438,19 @@ class TestBradleyTerry:
         assert abs(got[100].strength / got[200].strength - 3.0) < 1e-6
         assert abs(got[100].strength + got[200].strength - 2.0) < 1e-12
         assert got[100].rank == 1 and got[200].rank == 2
+
+
+@pytest.mark.parametrize("name,module,table", STAGED)
+def test_staged_plan_stays_jvm_side(spark, name, module, table):
+    """Convention gate at staging time (mirrors tests/test_plans.py
+    for registered entries): no row-at-a-time Python anywhere, and no
+    Arrow Python either — every staged operator is pure DataFrame."""
+    import importlib
+
+    from soccerpredictor_spark.sources.catalog import read_table
+
+    mod = importlib.import_module(module)
+    df = getattr(mod, name)(read_table(spark, SF, table))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
