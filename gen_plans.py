@@ -56,6 +56,8 @@ HEADLINE = {
     "incremental_dedup": "Batch-vs-corpus dedup: corpus distinct-reduced to fingerprints before the membership join; text never crosses an exchange",
     "embedding_outliers": "Per-label centroid-distance outliers: (label, dim) sums broadcast, exact decimal numerator combined map-side, count-bounded rank window",
     "interval_overlap_join": "Interval x interval overlap bucketized to hour grain: the temporal join is a plain equi-join on the hour key — no inequality-pair join",
+    "substring_dedup": "Exact repeated-span dedup: ONE scan -> gram explode -> count-window on fingerprint -> per-doc islands; zero joins, no all-pairs",
+    "quantile_normalize": "Exact cross-feature rank normalization: bucket lookup as codegen CASE tree, ONE windowed rank stream (AQE-reused exchange), rank means range-joined broadcast to the 96-row bucket table — no n-row equi-join, no checkpoint",
 }
 
 # Performance-notes sections are maintained by hand in PLANS.md and
