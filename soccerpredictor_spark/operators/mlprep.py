@@ -3226,3 +3226,130 @@ FROM (
 )
 ORDER BY rank
 """
+
+
+# --------------------------------------------------------------------------
+# expected calibration error (one-row summary over the reliability bins)
+# --------------------------------------------------------------------------
+
+
+def calibration_ece(orders: DataFrame) -> DataFrame:
+    """Expected Calibration Error summary — the one-number readouts
+    every reliability diagram collapses to (Guo et al. 2017):
+    ECE = sum_b (n_b / N) * |mean_score_b - pos_rate_b| over the
+    ``calibration_bins`` bins, MCE = the max bin gap, plus the Brier
+    score as the proper-scoring cross-check (a model can have low
+    ECE by predicting the base rate; Brier catches that).
+
+    Exactness: the bin table is bins-bounded (10 rows), so ECE sums
+    via the ordered fold over bins; Brier expands to
+    (S2/K^2 - 2*SY/K + Y)/N with S2 = sum(cents^2), SY =
+    sum(cents*y), Y = sum(y) all exact decimal(38,0)/int64 sums —
+    the whole statistic is ONE double expression of exact integers
+    (no per-row double accumulation anywhere). One scan, one 10-key
+    aggregation + one global aggregation. STAGED round 10.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bin_w_cents = int(CALIB_BIN_WIDTH * 100)
+    b = F.least(
+        (cents / F.lit(bin_w_cents)).cast("long"), F.lit(CALIB_N_BINS - 1)
+    )
+    label = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    d38 = "decimal(38,0)"
+    rows = orders.select(
+        b.alias("bin"), cents.alias("c"), label.alias("y")
+    )
+    per = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum(F.col("c").cast(d38)).alias("sc"),
+    )
+    k = F.lit(100.0 * CALIB_SCALE)
+    gap_term = (
+        F.abs(
+            F.col("sc").cast("double") / F.col("n").cast("double") / k
+            - F.col("n_pos").cast("double") / F.col("n").cast("double")
+        )
+        * F.col("n").cast("double")
+    )
+    folded = per.agg(
+        F.sum("n").alias("n_total"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("bin").alias("k"), gap_term.alias("g"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["g"],
+        ).alias("ece_num"),
+        F.max(
+            F.abs(
+                F.col("sc").cast("double") / F.col("n").cast("double") / k
+                - F.col("n_pos").cast("double") / F.col("n").cast("double")
+            )
+        ).alias("mce"),
+    )
+    tot = rows.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum(F.col("c").cast(d38) * F.col("c").cast(d38)).alias("s2"),
+        F.sum(F.col("c").cast(d38) * F.col("y").cast(d38)).alias("sy"),
+        F.sum("y").alias("ypos"),
+    )
+    brier = (
+        F.col("s2").cast("double") / (k * k)
+        - F.lit(2.0) * F.col("sy").cast("double") / k
+        + F.col("ypos").cast("double")
+    ) / F.col("nn").cast("double")
+    return folded.crossJoin(F.broadcast(tot)).select(
+        F.col("n_total").alias("n"),
+        (F.col("ece_num") / F.col("n_total").cast("double")).alias("ece"),
+        "mce",
+        brier.alias("brier"),
+    )
+
+
+def calibration_ece_sql() -> str:
+    bin_w_cents = int(CALIB_BIN_WIDTH * 100)
+    k = f"CAST({100.0 * CALIB_SCALE!r} AS DOUBLE)"
+    gap = (
+        "abs(CAST(CAST(sc AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" / {k} - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    return f"""
+WITH rows_r AS (
+  SELECT LEAST(CAST(round(o_totalprice * 100) AS BIGINT) // {bin_w_cents},
+               {CALIB_N_BINS - 1}) AS bin,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+per AS (
+  SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+         SUM(CAST(c AS HUGEINT)) AS sc
+  FROM rows_r GROUP BY bin
+),
+folded AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list({gap} * CAST(n AS DOUBLE) ORDER BY bin ASC)),
+           (acc, x) -> acc + x) AS ece_num,
+         MAX({gap}) AS mce
+  FROM per
+),
+tot AS (
+  SELECT COUNT(*) AS nn,
+         SUM(CAST(c AS HUGEINT) * c) AS s2,
+         SUM(CAST(c AS HUGEINT) * y) AS sy,
+         CAST(SUM(y) AS BIGINT) AS ypos
+  FROM rows_r
+)
+SELECT n_total AS n,
+       ece_num / CAST(n_total AS DOUBLE) AS ece,
+       mce,
+       (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / ({k} * {k})
+        - CAST(2.0 AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / {k}
+        + CAST(ypos AS DOUBLE)) / CAST(nn AS DOUBLE) AS brier
+FROM folded, tot
+"""

@@ -11,6 +11,7 @@ Staged set (batch 2): ngram_decontaminate, mann_kendall,
 bottomk_sample_audit, knn_label_eval.
 Staged set (batch 3): clustering_coefficient, graph_assortativity,
 kcore_decomposition, bradley_terry_strength.
+Staged set (batch 4): calibration_ece, source_overlap_matrix.
 """
 
 from __future__ import annotations
@@ -44,6 +45,9 @@ STAGED = [
      "events"),
     ("bradley_terry_strength", "soccerpredictor_spark.operators.mlprep",
      "lineitem"),
+    ("calibration_ece", "soccerpredictor_spark.operators.mlprep", "orders"),
+    ("source_overlap_matrix", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 
@@ -454,3 +458,55 @@ def test_staged_plan_stays_jvm_side(spark, name, module, table):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+class TestCalibrationEce:
+    def test_perfectly_calibrated_binary_scores(self, spark):
+        """Scores exactly 0 or 600k (bins 0 and 9) with pos_rate
+        equal to mean score in each bin -> ECE = MCE = 0; Brier
+        equals the in-bin variance p(1-p) = 0 here (labels match
+        scores exactly)."""
+        from soccerpredictor_spark.operators.mlprep import calibration_ece
+
+        rows = []
+        for i in range(10):
+            rows.append((i, 1, "5-LOW", 0.0))           # score 0, y=0
+            rows.append((100 + i, 1, "1-URGENT", 600_000.0))  # ~1, y=1
+        orders = spark.createDataFrame(
+            rows,
+            ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"],
+        )
+        [r] = calibration_ece(orders).collect()
+        assert r.n == 20
+        assert abs(r.ece) < 1e-12
+        assert abs(r.mce) < 1e-12
+        assert abs(r.brier) < 1e-12
+
+
+class TestSourceOverlapMatrix:
+    def test_counts_shared_spans(self, spark):
+        """srcA and srcB share one verbatim 30-char doc (all its
+        grams); srcC's doc is unique — one output row, full overlap
+        coefficient for the smaller side."""
+        from soccerpredictor_spark.operators.textops import (
+            source_overlap_matrix,
+        )
+
+        copied = "x" * 30  # exactly one 30-gram
+        uniq_a = "".join(chr(97 + (i * 13 + i * i) % 26) for i in range(60))
+        docs = spark.createDataFrame(
+            [
+                (1, copied, "en", "srcA", 0),
+                (2, uniq_a, "en", "srcA", 0),
+                (3, copied, "en", "srcB", 0),
+                (4, "unrelated words that never repeat..", "en", "srcC", 0),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        rows = source_overlap_matrix(docs).collect()
+        assert len(rows) == 1
+        [r] = rows
+        assert (r.src_a, r.src_b) == ("srcA", "srcB")
+        assert r.n_shared == 1  # the single shared 30-gram
+        assert r.n_b == 1
+        assert r.overlap_coef == 1.0
