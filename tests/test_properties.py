@@ -1265,3 +1265,129 @@ def test_cohen_kappa_bounded_above_by_one(spark, labels):
         assert r.kappa <= 1.0 + 1e-12
         if r.po == 1.0:
             assert r.kappa == 1.0
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=120),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_substring_dedup_spans_bounded_property(spark, texts):
+    """For ANY corpus: every reported doc has 0 < dup_chars <=
+    doc_len (spans never exceed the document), n_dup_spans >= 1, each
+    span is at least k chars so dup_chars >= k * 1, and dup_fraction
+    is exactly dup_chars/doc_len. A tiny alphabet forces heavy gram
+    collisions — the stress the fixtures don't have."""
+    from soccerpredictor_spark.operators.textops import substring_dedup
+
+    k = 8
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        ["doc_id", "text", "source"],
+    )
+    for r in substring_dedup(docs, k=k).collect():
+        assert r.n_dup_spans >= 1
+        assert k <= r.dup_chars <= r.doc_len
+        assert r.dup_fraction == r.dup_chars / r.doc_len
+        assert len(texts[r.doc_id]) == r.doc_len
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["F", "O"]),
+            st.integers(min_value=1, max_value=40),  # price units
+        ),
+        min_size=4,
+        max_size=24,
+    )
+)
+def test_mann_whitney_u_bounds_property(spark, rows):
+    """For ANY two-group sample: 0 <= U_A <= n_a * n_b (so u2_a in
+    [0, 2*n_a*n_b]), and U_A + U_B = n_a*n_b exactly (checked via the
+    rank-sum identity on the doubled units). Requires both groups
+    non-empty."""
+    if not any(s == "F" for s, _ in rows) or not any(
+        s == "O" for s, _ in rows
+    ):
+        return
+    from soccerpredictor_spark.operators.mlprep import mann_whitney_u
+
+    orders = spark.createDataFrame(
+        [
+            (i, i, s, float(p))
+            for i, (s, p) in enumerate(rows)
+        ],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    [r] = mann_whitney_u(orders).collect()
+    assert 0.0 <= r.u2_a <= 2.0 * r.n_a * r.n_b
+    # cross-check vs a direct pairwise count with half credit for ties
+    wins2 = 0  # doubled units
+    a_vals = [p for s, p in rows if s == "F"]
+    b_vals = [p for s, p in rows if s == "O"]
+    for x in a_vals:
+        for y in b_vals:
+            wins2 += 2 if x > y else (1 if x == y else 0)
+    assert r.u2_a == wins2
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),
+            st.integers(min_value=1, max_value=8),
+        ).map(lambda t: (min(t), max(t))),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_kcore_every_survivor_has_core_degree_property(spark, edges):
+    """For ANY graph: every node the peel returns has core degree >=
+    k WITHIN the returned subgraph, and the k-core is unique — so
+    re-peeling the survivors changes nothing (idempotence)."""
+    edges = [(u, v) for u, v in edges if u != v]
+    if not edges:
+        return
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.graph import kcore_decomposition
+    from soccerpredictor_spark.operators.scale import clear_caches
+
+    clear_caches()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for n, (u, v) in enumerate(edges):
+        for rep in range(2):
+            b = t0 + dt.timedelta(seconds=900 * (n * 10 + rep))
+            for user in (u, v):
+                rows.append((eid, b, user, "click"))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {r.user_id: r.core_degree for r in kcore_decomposition(ev).collect()}
+    # python reference peel at k=3 over the same edge set
+    es = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        nxt = {(u, v) for u, v in es if u in keep and v in keep}
+        if nxt == es:
+            break
+        es = nxt
+    expect: dict[int, int] = {}
+    for u, v in es:
+        expect[u] = expect.get(u, 0) + 1
+        expect[v] = expect.get(v, 0) + 1
+    assert got == {n: d for n, d in expect.items() if d >= 3}
+    clear_caches()
