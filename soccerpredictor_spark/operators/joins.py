@@ -887,3 +887,188 @@ FROM scored
 QUALIFY rnk <= {ITEM_CF_K}
 ORDER BY item_a, rnk
 """
+
+
+# --------------------------------------------------------------------------
+# join-cardinality estimation audit (the CBO histogram discipline)
+# --------------------------------------------------------------------------
+
+#: histogram bucket count for the coarse estimate.
+JOINSIZE_BUCKETS = 64
+
+
+def join_size_audit(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Join-cardinality estimation audit — the cost-based-optimizer
+    arithmetic every 100 TB engine runs before picking a join
+    strategy, surfaced as a measurable query: predict
+    |orders ⋈ lineitem on orderkey| three ways and compare to the
+    measured row count.
+
+    1. EXACT per-key histograms: sum_k n_o(k) * n_l(k) — equals the
+       actual count identically (the audit that the decomposable
+       per-key arithmetic is right; products in decimal(38,0)).
+    2. COARSE equi-width histograms (what a real CBO stores):
+       ``JOINSIZE_BUCKETS`` key-range buckets, containment estimate
+       sum_b n_o(b) * n_l(b) / max(d_o(b), d_l(b)) with the
+       uniformity assumption — the per-bucket double terms sum via
+       the ordered bucket fold.
+    3. The independence baseline |O|*|L|/d — what you get with no
+       histogram at all.
+
+    rel_error columns quantify what bucket resolution buys: the
+    optimizer lesson (and the audit that our histogram pipeline is
+    mergeable/decomposable) in one row. All inputs are one
+    aggregation per side; nothing joins at row scale except the one
+    measured count — and at production scale you'd TRUST the exact
+    prediction instead of running it (they are provably equal;
+    asserting that equality cheaply at eval scale is this entry's
+    point).
+    """
+    n_o = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_o")
+    )
+    n_l = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_l")
+    )
+    d38 = "decimal(38,0)"
+    exact = (
+        n_o.join(n_l, "k")
+        .agg(
+            F.sum(
+                F.col("c_o").cast(d38) * F.col("c_l").cast(d38)
+            ).alias("pred")
+        )
+        .select(F.col("pred").cast("double").alias("pred_exact"))
+    )
+    kmax = orders.agg(F.max("o_orderkey").alias("km"))
+    bucket = F.expr(f"k div (km div {JOINSIZE_BUCKETS} + 1)")
+    bo = (
+        n_o.crossJoin(F.broadcast(kmax))
+        .select(bucket.alias("b"), "c_o")
+        .groupBy("b")
+        .agg(
+            F.sum("c_o").alias("no_b"),
+            F.count(F.lit(1)).alias("do_b"),
+        )
+    )
+    bl = (
+        n_l.crossJoin(F.broadcast(kmax))
+        .select(bucket.alias("b"), "c_l")
+        .groupBy("b")
+        .agg(
+            F.sum("c_l").alias("nl_b"),
+            F.count(F.lit(1)).alias("dl_b"),
+        )
+    )
+    terms = bo.join(bl, "b").select(
+        "b",
+        (
+            F.col("no_b").cast("double")
+            * F.col("nl_b").cast("double")
+            / F.greatest("do_b", "dl_b").cast("double")
+        ).alias("t"),
+    )
+    coarse = terms.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("b").alias("k"), F.col("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("pred_coarse")
+    )
+    indep = (
+        orders.agg(
+            F.count(F.lit(1)).alias("no"),
+            F.countDistinct("o_orderkey").alias("do"),
+        )
+        .crossJoin(
+            F.broadcast(
+                lineitem.agg(
+                    F.count(F.lit(1)).alias("nl"),
+                    F.countDistinct("l_orderkey").alias("dl"),
+                )
+            )
+        )
+        .select(
+            (
+                F.col("no").cast("double")
+                * F.col("nl").cast("double")
+                / F.greatest("do", "dl").cast("double")
+            ).alias("pred_indep")
+        )
+    )
+    actual = (
+        orders.select(F.col("o_orderkey").alias("k"))
+        .join(lineitem.select(F.col("l_orderkey").alias("k")), "k")
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    err = lambda c: (  # noqa: E731
+        (F.col(c) - F.col("actual").cast("double"))
+        / F.col("actual").cast("double")
+    )
+    return (
+        actual.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(coarse))
+        .crossJoin(F.broadcast(indep))
+        .select(
+            "actual",
+            "pred_exact",
+            "pred_coarse",
+            "pred_indep",
+            err("pred_exact").alias("err_exact"),
+            err("pred_coarse").alias("err_coarse"),
+            err("pred_indep").alias("err_indep"),
+        )
+    )
+
+
+def join_size_audit_sql() -> str:
+    return f"""
+WITH n_o AS (SELECT o_orderkey AS k, COUNT(*) AS c_o FROM orders GROUP BY 1),
+n_l AS (SELECT l_orderkey AS k, COUNT(*) AS c_l FROM lineitem GROUP BY 1),
+exact AS (
+  SELECT CAST(CAST(SUM(CAST(c_o AS HUGEINT) * c_l) AS VARCHAR) AS DOUBLE)
+           AS pred_exact
+  FROM n_o JOIN n_l USING (k)
+),
+km AS (SELECT MAX(o_orderkey) AS km FROM orders),
+bo AS (
+  SELECT k // (km // {JOINSIZE_BUCKETS} + 1) AS b,
+         CAST(SUM(c_o) AS BIGINT) AS no_b, COUNT(*) AS do_b
+  FROM n_o, km GROUP BY 1
+),
+bl AS (
+  SELECT k // (km // {JOINSIZE_BUCKETS} + 1) AS b,
+         CAST(SUM(c_l) AS BIGINT) AS nl_b, COUNT(*) AS dl_b
+  FROM n_l, km GROUP BY 1
+),
+coarse AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(no_b AS DOUBLE) * CAST(nl_b AS DOUBLE)
+                  / CAST(GREATEST(do_b, dl_b) AS DOUBLE) ORDER BY b ASC)),
+           (acc, x) -> acc + x) AS pred_coarse
+  FROM bo JOIN bl USING (b)
+),
+indep AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders)
+         * (SELECT CAST(COUNT(*) AS DOUBLE) FROM lineitem)
+         / GREATEST(
+             (SELECT CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) FROM orders),
+             (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE)
+              FROM lineitem)) AS pred_indep
+),
+actual AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS actual
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT actual, pred_exact, pred_coarse, pred_indep,
+       (pred_exact - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE)
+         AS err_exact,
+       (pred_coarse - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE)
+         AS err_coarse,
+       (pred_indep - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE)
+         AS err_indep
+FROM actual, exact, coarse, indep
+"""

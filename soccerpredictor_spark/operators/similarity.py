@@ -2104,3 +2104,140 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
          / CAST(COUNT(*) AS DOUBLE) AS accuracy
 FROM pred
 """
+
+
+# --------------------------------------------------------------------------
+# embedding distribution drift (per-dimension two-sample check)
+# --------------------------------------------------------------------------
+
+
+def embedding_drift(emb: DataFrame) -> DataFrame:
+    """Per-dimension embedding drift check — the ML-ops monitor for
+    "did the encoder (or the corpus) move?": split the vectors into
+    two deterministic md5 halves (in production: last week vs this
+    week), and for every dimension report the two-sample z statistic
+
+        z_d = (mean_a - mean_b) / sqrt(var_p * (1/n_a + 1/n_b))
+
+    with the pooled variance from exact integer sufficient
+    statistics (values quantized to int64 by the engine's vector
+    convention; sums of squares in decimal(38,0)). On the static
+    fixture the halves are exchangeable, so |z| stays small — the
+    operator's value is the REJECTION case on drifted production
+    data, and its cross-engine exactness makes the alarm threshold
+    reproducible. Dimensions are the output grain (embedding-width
+    rows, 64 here).
+
+    Shape: one posexplode of the quantized vectors, one (dim, half)
+    aggregation — map-side combinable, dimension-keyed shuffle
+    only; no pairs, no windows over row-scale data. NULL z on
+    degenerate variance (the _pearson guard convention). STAGED
+    round 10.
+    """
+    split = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ed:"), F.col("vec_id").cast("string"))),
+                1, 8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    d38 = "decimal(38,0)"
+    cells = (
+        fan_out(emb)
+        .select(split.alias("half"), V.int_vec(F.col("embedding")).alias("iv"))
+        .select("half", F.posexplode("iv").alias("dim", "x"))
+    )
+    per = cells.groupBy("dim", "half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("sxx"),
+    )
+    a = per.filter(F.col("half") == 0).select(
+        "dim", F.col("n").alias("n_a"), F.col("sx").alias("sx_a"),
+        F.col("sxx").alias("sxx_a"),
+    )
+    b = per.filter(F.col("half") == 1).select(
+        "dim", F.col("n").alias("n_b"), F.col("sx").alias("sx_b"),
+        F.col("sxx").alias("sxx_b"),
+    )
+    j = a.join(b, "dim")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("sx_a").cast("double") / na
+    mb = F.col("sx_b").cast("double") / nb
+    # pooled variance: (SSa + SSb) / (n_a + n_b - 2), SS from the
+    # exact sums: SS = sxx - sx^2/n
+    ssa = F.col("sxx_a").cast("double") - (
+        F.col("sx_a").cast("double") * F.col("sx_a").cast("double")
+    ) / na
+    ssb = F.col("sxx_b").cast("double") - (
+        F.col("sx_b").cast("double") * F.col("sx_b").cast("double")
+    ) / nb
+    varp = (ssa + ssb) / (na + nb - F.lit(2.0))
+    z = F.when(
+        varp > 0,
+        (ma - mb)
+        / F.sqrt(varp * (F.lit(1.0) / na + F.lit(1.0) / nb)),
+    )
+    return j.select(
+        "dim",
+        "n_a",
+        "n_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        z.alias("z"),
+    ).orderBy("dim")
+
+
+def embedding_drift_sql() -> str:
+    iv = V.sql_int_vec("embedding")
+    return f"""
+WITH cells AS (
+  SELECT CAST('0x' || substr(md5('ed:' || CAST(vec_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS half,
+         u.i - 1 AS dim, v.iv[u.i] AS x
+  FROM (SELECT vec_id, {iv} AS iv FROM embeddings) v,
+       UNNEST(range(1, len(v.iv) + 1)) AS u(i)
+),
+per AS (
+  SELECT dim, half, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM cells GROUP BY dim, half
+),
+j AS (
+  SELECT a.dim,
+         a.n AS n_a, a.sx AS sx_a, a.sxx AS sxx_a,
+         b.n AS n_b, b.sx AS sx_b, b.sxx AS sxx_b
+  FROM (SELECT * FROM per WHERE half = 0) a
+  JOIN (SELECT * FROM per WHERE half = 1) b USING (dim)
+)
+SELECT dim, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+       CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+       CASE WHEN ((CAST(CAST(sxx_a AS VARCHAR) AS DOUBLE)
+                   - (CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE))
+                     / CAST(n_a AS DOUBLE))
+                  + (CAST(CAST(sxx_b AS VARCHAR) AS DOUBLE)
+                   - (CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE))
+                     / CAST(n_b AS DOUBLE)))
+                 / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                    - CAST(2.0 AS DOUBLE)) > 0
+            THEN (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((((CAST(CAST(sxx_a AS VARCHAR) AS DOUBLE)
+                           - (CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE))
+                             / CAST(n_a AS DOUBLE))
+                          + (CAST(CAST(sxx_b AS VARCHAR) AS DOUBLE)
+                           - (CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE))
+                             / CAST(n_b AS DOUBLE)))
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                            - CAST(2.0 AS DOUBLE)))
+                        * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+       END AS z
+FROM j ORDER BY dim
+"""

@@ -12,6 +12,8 @@ bottomk_sample_audit, knn_label_eval.
 Staged set (batch 3): clustering_coefficient, graph_assortativity,
 kcore_decomposition, bradley_terry_strength.
 Staged set (batch 4): calibration_ece, source_overlap_matrix.
+Staged set (batch 5): lsh_pair_recall_eval, join_size_audit,
+embedding_drift.
 """
 
 from __future__ import annotations
@@ -48,6 +50,10 @@ STAGED = [
     ("calibration_ece", "soccerpredictor_spark.operators.mlprep", "orders"),
     ("source_overlap_matrix", "soccerpredictor_spark.operators.textops",
      "documents"),
+    ("lsh_pair_recall_eval", "soccerpredictor_spark.operators.dedup",
+     "documents"),
+    ("embedding_drift", "soccerpredictor_spark.operators.similarity",
+     "embeddings"),
 ]
 
 
@@ -510,3 +516,87 @@ class TestSourceOverlapMatrix:
         assert r.n_shared == 1  # the single shared 30-gram
         assert r.n_b == 1
         assert r.overlap_coef == 1.0
+
+
+def test_staged_join_size_audit_parity(spark):
+    """join_size_audit takes TWO tables, so it gets its own parity
+    gate outside the single-table parametrization."""
+    import duckdb
+    import pandas as pd
+
+    from soccerpredictor_spark.operators.joins import (
+        join_size_audit,
+        join_size_audit_sql,
+    )
+    from soccerpredictor_spark.sources.catalog import read_table
+
+    sdf = join_size_audit(
+        read_table(spark, SF, "orders"), read_table(spark, SF, "lineitem")
+    ).toPandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    odf = con.execute(join_size_audit_sql()).fetchdf()
+    sc, oc = sorted(sdf.columns), sorted(odf.columns)
+    assert sc == oc and len(sdf) == len(odf) == 1
+    for c in sc:
+        ka, kb = sdf[c].dtype.kind, odf[c].dtype.kind
+        assert (ka in "iu") == (kb in "iu"), (c, sdf[c].dtype, odf[c].dtype)
+        pd.testing.assert_series_equal(
+            sdf[c], odf[c], check_dtype=False, check_names=False,
+            check_exact=True,
+        )
+
+
+class TestJoinSizeAudit:
+    def test_exact_prediction_is_exact(self, spark):
+        """The per-key histogram prediction equals the measured join
+        size identically; the independence baseline does not (skewed
+        key multiplicities)."""
+        from soccerpredictor_spark.operators.joins import join_size_audit
+
+        orders = spark.createDataFrame(
+            [(k, 1) for k in [1, 1, 2, 3]], ["o_orderkey", "x"]
+        )
+        lineitem = spark.createDataFrame(
+            [(k, 1) for k in [1, 1, 1, 2]], ["l_orderkey", "y"]
+        )
+        [r] = join_size_audit(orders, lineitem).collect()
+        # key 1: 2*3=6, key 2: 1*1=1 -> actual 7
+        assert r.actual == 7
+        assert r.pred_exact == 7.0 and r.err_exact == 0.0
+        assert r.pred_indep != 7.0
+
+
+class TestLshPairRecall:
+    def test_recall_one_on_identical_docs(self, spark):
+        """Two identical docs always share every band -> LSH finds
+        the single true pair: recall = precision = 1."""
+        from soccerpredictor_spark.operators.dedup import lsh_pair_recall_eval
+
+        text = "alpha beta gamma delta epsilon zeta eta theta iota"
+        docs = spark.createDataFrame(
+            [(1, text, "s"), (2, text, "s"),
+             (3, "completely different words here entirely", "s")],
+            ["doc_id", "text", "source"],
+        )
+        [r] = lsh_pair_recall_eval(docs).collect()
+        assert r.n_true == 1 and r.n_lsh == 1 and r.n_hit == 1
+        assert r.recall == 1.0 and r.precision == 1.0
+
+
+class TestEmbeddingDrift:
+    def test_identical_halves_zero_z(self, spark):
+        """A constant embedding column: means equal, variance 0 ->
+        z NULL (guarded); distinct dims all reported."""
+        from soccerpredictor_spark.operators.similarity import embedding_drift
+
+        rows = [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        got = {r.dim: r for r in embedding_drift(emb).collect()}
+        assert set(got) == {0, 1, 2, 3}
+        for d, r in got.items():
+            assert r.mean_a == r.mean_b
+            assert r.z is None
