@@ -600,3 +600,65 @@ class TestEmbeddingDrift:
         for d, r in got.items():
             assert r.mean_a == r.mean_b
             assert r.z is None
+
+
+def test_staged_ops_survive_empty_tables(spark):
+    """Registration-readiness: every staged operator must run on
+    EMPTY inputs without crashing (mirrors the registered-entry
+    test_empty_inputs gate, so registration day holds no surprises)."""
+    import pyspark.sql.types as T
+
+    from soccerpredictor_spark.operators import (
+        dedup, graph, joins, mlprep, similarity, sketch, textops,
+        timeseries,
+    )
+    from soccerpredictor_spark.operators.scale import clear_caches
+
+    def empty(schema):
+        return spark.createDataFrame([], schema)
+
+    orders = empty(
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderpriority string, o_totalprice double, o_orderdate date"
+    )
+    docs = empty(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    events = empty("event_id long, ts timestamp, user_id long, event_type string")
+    emb = empty(
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("label", T.IntegerType()),
+            ]
+        )
+    )
+    lineitem = empty(
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_returnflag string, l_shipdate date"
+    )
+    builders = [
+        lambda: mlprep.mann_whitney_u(orders),
+        lambda: textops.stupid_backoff_lm(docs),
+        lambda: timeseries.holt_winters(events),
+        lambda: mlprep.group_holdout_split(orders),
+        lambda: textops.ngram_decontaminate(docs),
+        lambda: timeseries.mann_kendall(events),
+        lambda: sketch.bottomk_sample_audit(events),
+        lambda: similarity.knn_label_eval(emb),
+        lambda: graph.clustering_coefficient(events),
+        lambda: graph.graph_assortativity(events),
+        lambda: graph.kcore_decomposition(events),
+        lambda: mlprep.bradley_terry_strength(lineitem),
+        lambda: mlprep.calibration_ece(orders),
+        lambda: textops.source_overlap_matrix(docs),
+        lambda: dedup.lsh_pair_recall_eval(docs),
+        lambda: joins.join_size_audit(orders, lineitem),
+        lambda: similarity.embedding_drift(emb),
+    ]
+    for build in builders:
+        clear_caches()
+        build().count()  # must not raise
+    clear_caches()
