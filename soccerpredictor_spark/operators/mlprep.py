@@ -3353,3 +3353,116 @@ SELECT n_total AS n,
         + CAST(ypos AS DOUBLE)) / CAST(nn AS DOUBLE) AS brier
 FROM folded, tot
 """
+
+
+# --------------------------------------------------------------------------
+# stratified k-fold assignment (exact balance by construction)
+# --------------------------------------------------------------------------
+
+#: stratified fold count (matches KFOLD_K's readout shape).
+SKFOLD_K = 5
+
+
+def stratified_kfold(orders: DataFrame) -> DataFrame:
+    """Stratified k-fold assignment — the guarantee ``kfold_assign``
+    only AUDITS: every label's rows spread across the K folds with
+    sizes differing by AT MOST ONE (fold = within-label rank mod K),
+    so minority-class folds can never starve, however unlucky the
+    hash. Rows order within their label by the md5 of the key
+    (pseudo-random but deterministic and rerun-stable), so fold
+    membership is still effectively random per label — the
+    scikit-learn StratifiedKFold contract, engine-native.
+
+    The within-label rank is the two-level bucketed pattern (never a
+    per-label single-partition sort): md5-hash range buckets, within-
+    (label, bucket) row_number, tiny per-label cumulative bucket
+    offsets. Output is the (fold, label) count table plus each
+    cell's deviation from the exact per-label fold floor — all zeros
+    and ones BY CONSTRUCTION (the property the plain hash split
+    cannot promise). STAGED round 10.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("skf:"), F.col("o_orderkey").cast("string"))),
+            1, 8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket_w = (1 << 32) // 4096 + 1
+    rows = orders.select(
+        F.col("o_orderstatus").alias("label"),
+        h.alias("h"),
+        F.col("o_orderkey").alias("k"),
+    ).withColumn("bk", F.expr(f"h div {bucket_w}"))
+    w_in = Window.partitionBy("label", "bk").orderBy(
+        F.col("h").asc(), F.col("k").asc()
+    )
+    counts = rows.groupBy("label", "bk").agg(F.count(F.lit(1)).alias("bc"))
+    w_off = (
+        Window.partitionBy("label")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "label",
+        "bk",
+        F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off"),
+    )
+    ranked = (
+        rows.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), ["label", "bk"])
+        .select(
+            "label",
+            ((F.col("off") + F.col("rn") - 1) % SKFOLD_K).alias("fold"),
+        )
+    )
+    per = ranked.groupBy("fold", "label").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy("label").agg(F.sum("n").alias("n_label"))
+    return (
+        per.join(F.broadcast(tot), "label")
+        .select(
+            "fold",
+            "label",
+            "n",
+            (F.col("n") - F.expr(f"n_label div {SKFOLD_K}")).alias(
+                "over_floor"
+            ),
+        )
+        .orderBy("fold", "label")
+    )
+
+
+def stratified_kfold_sql() -> str:
+    bucket_w = (1 << 32) // 4096 + 1
+    return f"""
+WITH rows_r AS (
+  SELECT o_orderstatus AS label,
+         CAST('0x' || substr(md5('skf:' || CAST(o_orderkey AS VARCHAR)),
+              1, 8) AS BIGINT) AS h,
+         o_orderkey AS k
+  FROM orders
+),
+bucketed AS (SELECT *, h // {bucket_w} AS bk FROM rows_r),
+offsets AS (
+  SELECT label, bk,
+         COALESCE(SUM(bc) OVER (PARTITION BY label ORDER BY bk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT label, bk, COUNT(*) AS bc FROM bucketed GROUP BY label, bk)
+),
+ranked AS (
+  SELECT b.label,
+         CAST((o.off + ROW_NUMBER() OVER (PARTITION BY b.label, b.bk
+            ORDER BY b.h ASC, b.k ASC) - 1) % {SKFOLD_K} AS BIGINT) AS fold
+  FROM bucketed b JOIN offsets o ON b.label = o.label AND b.bk = o.bk
+),
+per AS (SELECT fold, label, COUNT(*) AS n FROM ranked GROUP BY fold, label),
+tot AS (SELECT label, CAST(SUM(n) AS BIGINT) AS n_label FROM per
+        GROUP BY label)
+SELECT p.fold, p.label, p.n,
+       CAST(p.n - t.n_label // {SKFOLD_K} AS BIGINT) AS over_floor
+FROM per p JOIN tot t USING (label)
+ORDER BY p.fold, p.label
+"""

@@ -13,7 +13,7 @@ Staged set (batch 3): clustering_coefficient, graph_assortativity,
 kcore_decomposition, bradley_terry_strength.
 Staged set (batch 4): calibration_ece, source_overlap_matrix.
 Staged set (batch 5): lsh_pair_recall_eval, join_size_audit,
-embedding_drift.
+embedding_drift, stratified_kfold.
 """
 
 from __future__ import annotations
@@ -54,6 +54,7 @@ STAGED = [
      "documents"),
     ("embedding_drift", "soccerpredictor_spark.operators.similarity",
      "embeddings"),
+    ("stratified_kfold", "soccerpredictor_spark.operators.mlprep", "orders"),
 ]
 
 
@@ -657,8 +658,40 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: dedup.lsh_pair_recall_eval(docs),
         lambda: joins.join_size_audit(orders, lineitem),
         lambda: similarity.embedding_drift(emb),
+        lambda: mlprep.stratified_kfold(orders),
     ]
     for build in builders:
         clear_caches()
         build().count()  # must not raise
     clear_caches()
+
+
+class TestStratifiedKfold:
+    def test_exact_balance_per_label(self, spark):
+        """23 'F' rows + 7 'O' rows over 5 folds: every (label, fold)
+        cell is floor or floor+1 (over_floor in {0, 1}) and each
+        label's cells sum back to its total — the guarantee the plain
+        hash split cannot make."""
+        from soccerpredictor_spark.operators.mlprep import (
+            SKFOLD_K,
+            stratified_kfold,
+        )
+
+        rows = [(k, 1, "F", 1.0) for k in range(23)] + [
+            (100 + k, 1, "O", 1.0) for k in range(7)
+        ]
+        orders = spark.createDataFrame(
+            rows, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        )
+        out = stratified_kfold(orders).collect()
+        by_label: dict[str, list] = {}
+        for r in out:
+            assert r.over_floor in (0, 1)
+            by_label.setdefault(r.label, []).append(r.n)
+        assert sum(by_label["F"]) == 23
+        assert sum(by_label["O"]) == 7
+        assert max(by_label["F"]) - min(by_label["F"]) <= 1
+        # 7 rows over 5 folds -> five cells of 1 or 2
+        assert sorted(by_label["O"]) in ([1, 1, 1, 2, 2], [1, 1, 1, 1, 3])
+        assert sorted(by_label["O"]) == [1, 1, 1, 2, 2]
+        assert len(out) <= 2 * SKFOLD_K
