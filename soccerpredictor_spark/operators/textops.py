@@ -4128,3 +4128,156 @@ JOIN per_source na ON o.src_a = na.source
 JOIN per_source nb ON o.src_b = nb.source
 ORDER BY o.src_a, o.src_b
 """
+
+
+# --------------------------------------------------------------------------
+# capped uniform mixture (waterfilling allocation)
+# --------------------------------------------------------------------------
+
+#: total sample budget the waterfill distributes (below the sf0.01
+#: corpus size so the water line is actually exercised at the
+#: driver's correctness scale; a budget >= sum(caps) degenerates to
+#: alloc = cap everywhere, which the operator handles but teaches
+#: nothing).
+WATERFILL_BUDGET = 300
+
+
+def capped_mix_waterfill(docs: DataFrame) -> DataFrame:
+    """Uniform-with-caps mixture allocation (waterfilling): give
+    every source an equal share of the sample budget EXCEPT where a
+    source simply doesn't have that many documents — cap it at its
+    size and re-level the remainder over the others. This is the
+    allocation ``domain_mix`` (pure uniform target) and
+    ``temperature_mix`` (power-law target) both approximate from
+    different ends, computed exactly: the unique water line L with
+    sum_s min(cap_s, L) == budget (when feasible), found by the
+    classic sort-by-cap scan.
+
+    All integer arithmetic over the mixture-sized source table
+    (sorted-fold prefix sums, one pass): for each source in cap
+    order, test whether leveling the REMAINING budget over the
+    remaining sources clears this cap; the first survivor fixes
+    L = remaining_budget div n_remaining, and the division remainder
+    tops up the lexicographically first sources at the line
+    (largest-remainder determinism, as in ``neyman_allocation``).
+    sum(alloc) == min(budget, sum caps) EXACTLY — the no-silent-caps
+    convention as an algebraic identity. STAGED round 10.
+    """
+    from pyspark.sql import Window
+
+    caps = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cap"))
+    w_cap = Window.orderBy(F.col("cap").asc(), F.col("source").asc())
+    w_prefix = w_cap.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    ranked = caps.select(
+        "source",
+        "cap",
+        F.row_number().over(w_cap).alias("i"),
+        F.coalesce(F.sum("cap").over(w_prefix), F.lit(0)).alias(
+            "prefix_smaller"
+        ),
+        F.count(F.lit(1)).over(w_all).alias("n_src"),
+        F.sum("cap").over(w_all).alias("total_cap"),
+    )
+    budget = F.lit(WATERFILL_BUDGET)
+    eff_budget = F.least(budget, F.col("total_cap"))
+    remaining = eff_budget - F.col("prefix_smaller")
+    n_rem = F.col("n_src") - F.col("i") + 1
+    # source is CAPPED iff leveling the remaining budget over the
+    # remaining sources would exceed its cap
+    is_capped = F.col("cap") * n_rem <= remaining
+    marked = ranked.select(
+        "source", "cap", "i", "prefix_smaller", "n_src", eff_budget.alias("eb"),
+        is_capped.cast("int").alias("capped"),
+    )
+    # the water line comes from the FIRST uncapped source's state;
+    # min_by over an EMPTY filter (budget >= sum caps: every source
+    # capped) yields a NULL row, coalesced to a 0-line — the
+    # degenerate case where alloc = cap everywhere
+    line = (
+        marked.filter(F.col("capped") == 0)
+        .select(
+            "i",
+            ((F.col("eb") - F.col("prefix_smaller"))
+             / (F.col("n_src") - F.col("i") + 1)).cast("long").alias("lvl_c"),
+            ((F.col("eb") - F.col("prefix_smaller"))
+             % (F.col("n_src") - F.col("i") + 1)).alias("rem_c"),
+        )
+        .agg(
+            F.coalesce(
+                F.min_by(F.col("lvl_c"), F.col("i")), F.lit(0)
+            ).alias("lvl"),
+            F.coalesce(
+                F.min_by(F.col("rem_c"), F.col("i")), F.lit(0)
+            ).alias("rem"),
+        )
+    )
+    w_rem = Window.orderBy(F.col("source").asc())
+    out = (
+        marked.join(F.broadcast(line), how="cross")
+        .withColumn(
+            "alloc_base",
+            F.when(F.col("capped") == 1, F.col("cap")).otherwise(F.col("lvl")),
+        )
+        .withColumn(
+            "rnk_uncapped",
+            F.row_number().over(
+                Window.partitionBy("capped").orderBy(F.col("source").asc())
+            ),
+        )
+        .withColumn(
+            "alloc",
+            F.col("alloc_base")
+            + F.when(
+                (F.col("capped") == 0) & (F.col("rnk_uncapped") <= F.col("rem")),
+                1,
+            ).otherwise(0),
+        )
+    )
+    return out.select(
+        "source", "cap", "alloc", F.col("capped").alias("at_cap")
+    ).orderBy("source")
+
+
+def capped_mix_waterfill_sql() -> str:
+    return f"""
+WITH caps AS (SELECT source, COUNT(*) AS cap FROM documents GROUP BY source),
+ranked AS (
+  SELECT source, cap,
+         CAST(ROW_NUMBER() OVER (ORDER BY cap ASC, source ASC) AS BIGINT)
+           AS i,
+         COALESCE(SUM(cap) OVER (ORDER BY cap ASC, source ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix_smaller,
+         COUNT(*) OVER () AS n_src,
+         SUM(cap) OVER () AS total_cap
+  FROM caps
+),
+marked AS (
+  SELECT source, cap, i, prefix_smaller, n_src,
+         LEAST({WATERFILL_BUDGET}, total_cap) AS eb,
+         CASE WHEN cap * (n_src - i + 1)
+                   <= LEAST({WATERFILL_BUDGET}, total_cap) - prefix_smaller
+              THEN 1 ELSE 0 END AS capped
+  FROM ranked
+),
+line AS (
+  SELECT CAST(COALESCE(arg_min((eb - prefix_smaller) // (n_src - i + 1), i),
+              0) AS BIGINT) AS lvl,
+         CAST(COALESCE(arg_min((eb - prefix_smaller) % (n_src - i + 1), i),
+              0) AS BIGINT) AS rem
+  FROM marked WHERE capped = 0
+),
+out AS (
+  SELECT m.source, m.cap, m.capped,
+         CASE WHEN m.capped = 1 THEN m.cap ELSE l.lvl END
+         + CASE WHEN m.capped = 0
+                     AND ROW_NUMBER() OVER (PARTITION BY m.capped
+                         ORDER BY m.source ASC) <= l.rem
+                THEN 1 ELSE 0 END AS alloc
+  FROM marked m CROSS JOIN line l
+)
+SELECT source, CAST(cap AS BIGINT) AS cap, CAST(alloc AS BIGINT) AS alloc,
+       CAST(capped AS INT) AS at_cap
+FROM out ORDER BY source
+"""

@@ -1478,3 +1478,129 @@ SELECT s.event_type, t.n_points, s.s_stat,
 FROM s_stat s JOIN ties t USING (event_type)
 ORDER BY s.event_type
 """
+
+
+# --------------------------------------------------------------------------
+# burst episodes (threshold runs over the hourly series)
+# --------------------------------------------------------------------------
+
+#: burst gate: hours with cnt > mean + BURST_SIGMAS * sd.
+BURST_SIGMAS = 2.0
+
+
+def burst_episodes(events: DataFrame) -> DataFrame:
+    """Burst episodes per event-type series: maximal runs of
+    CONSECUTIVE hours whose count exceeds mean + 2*sd of the series
+    — what ``hourly_anomaly`` flags hour-by-hour, merged into the
+    episode grain an incident reviewer actually reads (start, end,
+    duration, peak, volume). The islands shape (interval_merge /
+    substring_dedup) applied to the time axis: a gap of more than
+    one hour between hot hours breaks the episode.
+
+    Exactness: the mean + 2*sd gate is ONE double expression from
+    exact integer sums (n, sum, sum-of-squares in decimal(38,0)) —
+    identical on both engines, so the hot set is identical; islands
+    arithmetic is pure integers from there. Hot hours are
+    anomaly-sparse by construction, so the per-series island window
+    runs over a small filtered set (bounded by hours, filtered to
+    the tail). One hourly aggregation, one broadcast of the 5-row
+    stats table, one bounded window pass. STAGED round 10.
+    """
+    hourly = _hourly_counts(events).select(
+        "event_type",
+        (F.unix_micros(F.col("hour")) / F.lit(3_600_000_000))
+        .cast("long")
+        .alias("t"),
+        "cnt",
+    )
+    d38 = "decimal(38,0)"
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sx"),
+        F.sum(F.col("cnt").cast(d38) * F.col("cnt").cast(d38)).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / n
+    var = (
+        F.col("sxx").cast("double")
+        - (F.col("sx").cast("double") * F.col("sx").cast("double")) / n
+    ) / n
+    gate = mean + F.lit(BURST_SIGMAS) * F.sqrt(var)
+    hot = hourly.join(F.broadcast(stats), "event_type").filter(
+        F.col("cnt").cast("double") > gate
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("t")
+    brk = hot.select(
+        "event_type",
+        "t",
+        "cnt",
+        F.when(F.col("t") - F.lag("t").over(w) <= 1, 0).otherwise(1).alias(
+            "b"
+        ),
+    )
+    grp = brk.withColumn(
+        "gid", F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        grp.groupBy("event_type", "gid")
+        .agg(
+            F.min("t").alias("start_h"),
+            F.max("t").alias("end_h"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.max("cnt").alias("peak_cnt"),
+            F.sum("cnt").alias("total_cnt"),
+        )
+        .select(
+            "event_type", "start_h", "end_h", "n_hours", "peak_cnt",
+            "total_cnt",
+        )
+        .orderBy("event_type", "start_h")
+    )
+
+
+def burst_episodes_sql() -> str:
+    gate = (
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" + CAST({BURST_SIGMAS!r} AS DOUBLE)"
+        " * sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE)"
+        " - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))"
+        " / CAST(n AS DOUBLE))"
+    )
+    return f"""
+WITH {_HOURLY_CTE},
+pts AS (
+  SELECT event_type,
+         CAST(epoch_us(hour) / 3600000000.0 AS BIGINT) AS t, cnt
+  FROM hourly
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS sx,
+         SUM(CAST(cnt AS HUGEINT) * cnt) AS sxx
+  FROM pts GROUP BY event_type
+),
+hot AS (
+  SELECT p.event_type, p.t, p.cnt
+  FROM pts p JOIN stats s USING (event_type)
+  WHERE CAST(p.cnt AS DOUBLE) > {gate}
+),
+brk AS (
+  SELECT event_type, t, cnt,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY event_type ORDER BY t) <= 1
+              THEN 0 ELSE 1 END AS b
+  FROM hot
+),
+grp AS (
+  SELECT event_type, t, cnt,
+         SUM(b) OVER (PARTITION BY event_type ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) AS gid
+  FROM brk
+)
+SELECT event_type, MIN(t) AS start_h, MAX(t) AS end_h,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(MAX(cnt) AS BIGINT) AS peak_cnt,
+       CAST(SUM(cnt) AS BIGINT) AS total_cnt
+FROM grp GROUP BY event_type, gid
+ORDER BY event_type, start_h
+"""

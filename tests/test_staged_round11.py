@@ -14,6 +14,8 @@ kcore_decomposition, bradley_terry_strength.
 Staged set (batch 4): calibration_ece, source_overlap_matrix.
 Staged set (batch 5): lsh_pair_recall_eval, join_size_audit,
 embedding_drift, stratified_kfold.
+Staged set (batch 6): dedup_threshold_sweep, burst_episodes,
+capped_mix_waterfill.
 """
 
 from __future__ import annotations
@@ -55,6 +57,12 @@ STAGED = [
     ("embedding_drift", "soccerpredictor_spark.operators.similarity",
      "embeddings"),
     ("stratified_kfold", "soccerpredictor_spark.operators.mlprep", "orders"),
+    ("dedup_threshold_sweep", "soccerpredictor_spark.operators.dedup",
+     "documents"),
+    ("burst_episodes", "soccerpredictor_spark.operators.timeseries",
+     "events"),
+    ("capped_mix_waterfill", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 
@@ -659,6 +667,9 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: joins.join_size_audit(orders, lineitem),
         lambda: similarity.embedding_drift(emb),
         lambda: mlprep.stratified_kfold(orders),
+        lambda: dedup.dedup_threshold_sweep(docs),
+        lambda: timeseries.burst_episodes(events),
+        lambda: textops.capped_mix_waterfill(docs),
     ]
     for build in builders:
         clear_caches()
@@ -695,3 +706,105 @@ class TestStratifiedKfold:
         assert sorted(by_label["O"]) in ([1, 1, 1, 2, 2], [1, 1, 1, 1, 3])
         assert sorted(by_label["O"]) == [1, 1, 1, 2, 2]
         assert len(out) <= 2 * SKFOLD_K
+
+
+class TestCappedMixWaterfill:
+    def test_water_line_with_mixed_caps(self, spark):
+        """Caps {a: 2, b: 10, c: 100} with budget 300 hard-coded?
+        no — budget is the module constant 300, total 112 < 300: the
+        degenerate all-capped case -> alloc == cap everywhere."""
+        from soccerpredictor_spark.operators.textops import (
+            capped_mix_waterfill,
+        )
+
+        rows = []
+        did = 0
+        for src, cap in [("a", 2), ("b", 10), ("c", 100)]:
+            for _ in range(cap):
+                rows.append((did, f"text {did}", "en", src, 0))
+                did += 1
+        docs = spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        got = {r.source: r for r in capped_mix_waterfill(docs).collect()}
+        assert {s: r.alloc for s, r in got.items()} == {
+            "a": 2, "b": 10, "c": 100
+        }
+        assert all(r.at_cap == 1 for r in got.values())
+
+    def test_line_levels_the_big_sources(self, spark):
+        """Caps {a: 5, b: 200, c: 200} with budget 300: a keeps its
+        5, the remaining 295 levels over b and c as 147/148 (the
+        lexicographically first uncapped source takes the remainder)
+        — and the allocations sum EXACTLY to the budget."""
+        from soccerpredictor_spark.operators.textops import (
+            WATERFILL_BUDGET,
+            capped_mix_waterfill,
+        )
+
+        assert WATERFILL_BUDGET == 300
+        rows = []
+        did = 0
+        for src, cap in [("a", 5), ("b", 200), ("c", 200)]:
+            for _ in range(cap):
+                rows.append((did, f"text {did}", "en", src, 0))
+                did += 1
+        docs = spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        got = {r.source: r for r in capped_mix_waterfill(docs).collect()}
+        assert got["a"].alloc == 5 and got["a"].at_cap == 1
+        assert got["b"].alloc == 148  # 295 = 2*147 + 1 -> b gets the +1
+        assert got["c"].alloc == 147
+        assert sum(r.alloc for r in got.values()) == 300
+
+
+class TestBurstEpisodes:
+    def test_single_burst_run_merges(self, spark):
+        """A flat series with one 3-hour spike: exactly one episode
+        spanning those 3 hours with the right peak and volume."""
+        from soccerpredictor_spark.operators.timeseries import burst_episodes
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for h in range(24):
+            n = 50 if h in (10, 11, 12) else 2
+            for _ in range(n):
+                rows.append((eid, t0 + dt.timedelta(hours=h, minutes=3),
+                             1, "click"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        eps = burst_episodes(ev).collect()
+        assert len(eps) == 1
+        [e] = eps
+        assert e.n_hours == 3
+        assert e.end_h - e.start_h == 2
+        assert e.peak_cnt == 50 and e.total_cnt == 150
+
+
+class TestDedupThresholdSweep:
+    def test_monotone_and_exact_at_known_pair(self, spark):
+        """Pair counts are non-increasing in the threshold, and two
+        identical docs contribute a jaccard-1.0 pair visible at
+        every threshold."""
+        from soccerpredictor_spark.operators.dedup import (
+            dedup_threshold_sweep,
+        )
+
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [(1, text, "s"), (2, text, "s"),
+             (3, "unrelated words entirely different again", "s")],
+            ["doc_id", "text", "source"],
+        )
+        rows = sorted(
+            dedup_threshold_sweep(docs).collect(), key=lambda r: r.threshold
+        )
+        assert len(rows) == 9
+        counts = [r.n_pairs for r in rows]
+        assert counts == sorted(counts, reverse=True)
+        assert rows[-1].threshold == 0.9 and rows[-1].n_pairs == 1
+        assert rows[-1].n_docs == 2
