@@ -3466,3 +3466,95 @@ SELECT p.fold, p.label, p.n,
 FROM per p JOIN tot t USING (label)
 ORDER BY p.fold, p.label
 """
+
+
+# --------------------------------------------------------------------------
+# Matthews correlation coefficient of the fixed-threshold stump
+# --------------------------------------------------------------------------
+
+#: fixed stump threshold (price cents): predict urgent iff
+#: o_totalprice <= this. Deliberately NOT the decision_stump argmax —
+#: MCC here scores a FIXED deployed rule, the way a production gate
+#: is monitored after the split was frozen at training time.
+MCC_SPLIT_CENTS = 15_000_000
+
+
+def matthews_corr(orders: DataFrame) -> DataFrame:
+    """Matthews correlation coefficient of the frozen price-threshold
+    stump (predict urgent iff price <= t) against the urgent label —
+    the single-number confusion summary that stays honest under
+    class imbalance (accuracy and even F1 flatter a majority-class
+    guesser; MCC is the full fourfold-table correlation):
+
+        MCC = (TP*TN - FP*FN)
+              / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)).
+
+    One conditional aggregation pass produces the four exact integer
+    cells (map-side combinable — four int64 sums); products
+    accumulate as decimal(38,0) (the 4-marginal product is N^4-scale
+    and overflows int64 past ~55k rows) and MCC is one double
+    expression over their exactly-cast values — sqrt is
+    IEEE-correctly-rounded in both engines (the ``temperature_mix``
+    determinism note), so the audit row hash-matches. A zero
+    marginal makes MCC undefined -> NULL (the ``feature_corr``
+    zero-denominator convention).
+    """
+    label = (F.col("o_orderpriority") == "1-URGENT").cast("long")
+    pred = (
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        <= MCC_SPLIT_CENTS
+    ).cast("long")
+    cells = orders.select(label.alias("y"), pred.alias("p")).agg(
+        F.sum(F.col("y") * F.col("p")).alias("tp"),
+        F.sum((F.lit(1) - F.col("y")) * F.col("p")).alias("fp"),
+        F.sum(F.col("y") * (F.lit(1) - F.col("p"))).alias("fn"),
+        F.sum((F.lit(1) - F.col("y")) * (F.lit(1) - F.col("p"))).alias("tn"),
+    )
+    d38 = "decimal(38,0)"
+
+    def d(c):
+        return F.col(c).cast(d38)
+
+    num = (d("tp") * d("tn") - d("fp") * d("fn")).cast("double")
+    den2 = (
+        (d("tp") + d("fp")) * (d("tp") + d("fn"))
+        * (d("tn") + d("fp")) * (d("tn") + d("fn"))
+    ).cast("double")
+    n = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    acc = (F.col("tp") + F.col("tn")).cast("double") / n.cast("double")
+    return cells.select(
+        "tp", "fp", "fn", "tn",
+        n.alias("n_rows"),
+        acc.alias("accuracy"),
+        F.when(den2 > 0, num / F.sqrt(den2)).alias("mcc"),
+    )
+
+
+def matthews_corr_sql() -> str:
+    hug = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+    num = hug.format(x="CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn")
+    den2 = hug.format(
+        x="(CAST(tp AS HUGEINT) + fp) * (CAST(tp AS HUGEINT) + fn)"
+        " * (CAST(tn AS HUGEINT) + fp) * (CAST(tn AS HUGEINT) + fn)"
+    )
+    return f"""
+WITH flagged AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+         CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                   <= {MCC_SPLIT_CENTS} THEN 1 ELSE 0 END AS p
+  FROM orders
+),
+cells AS (
+  SELECT CAST(SUM(y * p) AS BIGINT) AS tp,
+         CAST(SUM((1 - y) * p) AS BIGINT) AS fp,
+         CAST(SUM(y * (1 - p)) AS BIGINT) AS fn,
+         CAST(SUM((1 - y) * (1 - p)) AS BIGINT) AS tn
+  FROM flagged
+)
+SELECT tp, fp, fn, tn,
+       CAST(tp + fp + fn + tn AS BIGINT) AS n_rows,
+       CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+         AS accuracy,
+       CASE WHEN {den2} > 0 THEN {num} / sqrt({den2}) END AS mcc
+FROM cells
+"""

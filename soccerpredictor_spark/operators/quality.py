@@ -201,3 +201,104 @@ SELECT digit, observed,
          / (CAST(n AS DOUBLE) * (CASE digit {cases} END)) AS chi2_term
 FROM counts CROSS JOIN tot
 """
+
+
+# --------------------------------------------------------------------------
+# functional-dependency audit
+# --------------------------------------------------------------------------
+
+#: candidate FDs audited over lineitem: (name, lhs columns, rhs column).
+#: The PK candidate (orderkey, linenumber) -> quantity MUST hold; the
+#: others measure how far the table is from each plausible dependency.
+FD_CANDIDATES = (
+    ("l_orderkey->l_linestatus", ("l_orderkey",), "l_linestatus"),
+    ("l_orderkey->l_suppkey", ("l_orderkey",), "l_suppkey"),
+    ("l_partkey->l_suppkey", ("l_partkey",), "l_suppkey"),
+    ("l_orderkey,l_linenumber->l_quantity",
+     ("l_orderkey", "l_linenumber"), "l_quantity"),
+)
+
+
+def fd_audit(lineitem: DataFrame) -> DataFrame:
+    """Functional-dependency audit (the profiling step schema-
+    discovery tools like Metanome/HyFD run before normalization or
+    key inference): for each candidate X -> Y, how many X-groups
+    exist, how many VIOLATE the dependency (more than one distinct Y
+    inside the group), how many rows sit in violating groups, and
+    the worst group's distinct-Y count. holds = 1 is a discovered
+    exact dependency — the composite-PK candidate must report it,
+    giving the audit a built-in self-check.
+
+    ONE scan for all candidates: each row unpivots (stack — a
+    map-side Generate, no reshape shuffle) into one (fd, lhs-key,
+    rhs-value) tuple per candidate, then a single groupBy(fd, key)
+    computes exact distinct-Y and row counts, and a candidate-sized
+    rollup summarizes. A groupBy per candidate would scan the fact
+    table once per FD — four full scans at 100 TB. Keys stringify
+    with a '|' separator purely as an injective grouping key (never
+    surfaced); all outputs are exact integer counts.
+    """
+    pairs = []
+    for name, lhs, rhs in FD_CANDIDATES:
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in lhs])
+        pairs.append(
+            F.struct(
+                F.lit(name).alias("fd"),
+                key.alias("k"),
+                F.col(rhs).cast("string").alias("v"),
+            )
+        )
+    exploded = lineitem.select(
+        F.explode(F.array(*pairs)).alias("e")
+    ).select("e.fd", "e.k", "e.v")
+    groups = exploded.groupBy("fd", "k").agg(
+        F.countDistinct("v").alias("nd"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    viol = F.col("nd") > 1
+    return (
+        groups.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(viol.cast("long")).alias("n_violating_groups"),
+            F.sum(F.when(viol, F.col("cnt")).otherwise(0)).alias(
+                "n_violating_rows"
+            ),
+            F.max("nd").alias("max_rhs_variants"),
+        )
+        .select(
+            "fd", "n_groups", "n_violating_groups", "n_violating_rows",
+            "max_rhs_variants",
+            (F.col("n_violating_groups") == 0).cast("int").alias("holds"),
+        )
+        .orderBy("fd")
+    )
+
+
+def fd_audit_sql() -> str:
+    arms = []
+    for name, lhs, rhs in FD_CANDIDATES:
+        key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in lhs)
+        arms.append(
+            f"SELECT '{name}' AS fd, {key} AS k,"
+            f" CAST({rhs} AS VARCHAR) AS v FROM lineitem"
+        )
+    union = "\n  UNION ALL ".join(arms)
+    return f"""
+WITH exploded AS (
+  {union}
+),
+groups AS (
+  SELECT fd, k, COUNT(DISTINCT v) AS nd, COUNT(*) AS cnt
+  FROM exploded GROUP BY fd, k
+)
+SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(SUM(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_violating_rows,
+       CAST(MAX(nd) AS BIGINT) AS max_rhs_variants,
+       CAST(CASE WHEN SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS INT) AS holds
+FROM groups GROUP BY fd ORDER BY fd
+"""

@@ -920,3 +920,110 @@ SELECT k, n_equal,
          AS rel_error
 FROM agg, exact
 """
+
+
+# --------------------------------------------------------------------------
+# AMS (tug-of-war) second-moment sketch, audited against exact F2
+# --------------------------------------------------------------------------
+
+#: AMS counter count K: the estimate averages K independent
+#: tug-of-war counters; rel std of the mean ~ sqrt(2/K) ~ 25%.
+AMS_K = 32
+
+
+def ams_f2_audit(events: DataFrame) -> DataFrame:
+    """AMS "tug-of-war" sketch (Alon-Matias-Szegedy) for the second
+    frequency moment F2 = sum_k f_k^2 of the per-user event counts,
+    audited against the exact value — the classic fixed-memory
+    estimator of join/self-join SIZE and skew energy (F2 over a join
+    key IS the self-join cardinality, the quantity a CBO wants
+    before it commits to a shuffle strategy; ``join_size_audit``
+    measures one join, this sketches the moment in O(K) memory).
+
+    Each counter i keeps Z_i = sum_k s_i(k) * f_k with s_i(k) a
+    +/-1 four-universal-style hash sign; E[Z_i^2] = F2. Everything
+    is EXACT integer arithmetic end to end: signs are md5-parity
+    derived (the engine-portable keyed hash, hash index INSIDE the
+    md5 input), Z_i is an int64 sum, Z_i^2 and the exact F2
+    accumulate as decimal(38,0), and the only doubles are the final
+    mean/rel_error divisions — both engines compute identical
+    values, so the audit row hash-matches.
+
+    One corpus pass: per-user counts group once, the K-way fan-out
+    is a broadcast nested-loop over the tiny counter-index table,
+    and the per-counter reduction is map-side combinable (the
+    shuffle carries O(K * partitions) rows). Exact F2 rides the SAME
+    pass: sum_i sum_k f_k^2 = K * F2 exactly, so no second scan and
+    no multi-consumer re-instantiation of the keyed table.
+    """
+    idx = _index_df(events, AMS_K, "i")
+    prefix = F.concat(F.lit("ams"), F.col("i").cast("string"))
+    keyed = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    d38 = "decimal(38,0)"
+    sign = F.lit(1) - F.lit(2) * _hash_mod(prefix, F.col("k"), 2)
+    cells = keyed.crossJoin(F.broadcast(idx)).select(
+        "i",
+        (sign.cast("long") * F.col("cnt")).alias("zc"),
+        (F.col("cnt").cast(d38) * F.col("cnt").cast(d38)).alias("c2"),
+    )
+    per_i = cells.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("zc").alias("z"),
+        F.sum("c2").alias("f2"),
+    )
+    est = (F.col("z").cast(d38) * F.col("z").cast(d38)).alias("est")
+    agg = per_i.select("n_keys", "f2", est).agg(
+        F.max("n_keys").alias("n_keys"),
+        F.max("f2").alias("f2"),
+        F.sum("est").alias("est_sum"),
+        F.min("est").alias("est_min"),
+        F.max("est").alias("est_max"),
+    )
+    f2d = F.col("f2").cast("double")
+    mean = F.col("est_sum").cast("double") / F.lit(float(AMS_K))
+    return agg.select(
+        "n_keys",
+        f2d.alias("exact_f2"),
+        mean.alias("est_f2"),
+        F.col("est_min").cast("double").alias("est_min"),
+        F.col("est_max").cast("double").alias("est_max"),
+        F.when(f2d > 0, F.abs(mean - f2d) / f2d).alias("rel_error"),
+    )
+
+
+def ams_f2_audit_sql() -> str:
+    sign = (
+        "(1 - 2 * ("
+        + _sql_hash_mod("'ams' || CAST(i AS VARCHAR)", "k", 2)
+        + "))"
+    )
+    hug = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+    mean = hug.format(x="est_sum") + f" / CAST({AMS_K} AS DOUBLE)"
+    f2d = hug.format(x="f2")
+    return f"""
+WITH idx AS (SELECT unnest(range({AMS_K})) AS i),
+keyed AS (SELECT user_id AS k, COUNT(*) AS cnt FROM events GROUP BY user_id),
+cells AS (
+  SELECT i, {sign} * cnt AS zc, CAST(cnt AS HUGEINT) * cnt AS c2
+  FROM keyed CROSS JOIN idx
+),
+per_i AS (
+  SELECT i, COUNT(*) AS n_keys, SUM(zc) AS z, SUM(c2) AS f2
+  FROM cells GROUP BY i
+),
+agg AS (
+  SELECT CAST(MAX(n_keys) AS BIGINT) AS n_keys, MAX(f2) AS f2,
+         SUM(CAST(z AS HUGEINT) * z) AS est_sum,
+         MIN(CAST(z AS HUGEINT) * z) AS est_min,
+         MAX(CAST(z AS HUGEINT) * z) AS est_max
+  FROM per_i
+)
+SELECT n_keys, {f2d} AS exact_f2, {mean} AS est_f2,
+       {hug.format(x="est_min")} AS est_min,
+       {hug.format(x="est_max")} AS est_max,
+       CASE WHEN {f2d} > 0
+            THEN abs({mean} - {f2d}) / {f2d} END AS rel_error
+FROM agg
+"""

@@ -1604,3 +1604,73 @@ SELECT event_type, MIN(t) AS start_h, MAX(t) AS end_h,
 FROM grp GROUP BY event_type, gid
 ORDER BY event_type, start_h
 """
+
+
+# --------------------------------------------------------------------------
+# overdispersion audit (variance-to-mean of the hourly counts)
+# --------------------------------------------------------------------------
+
+
+def overdispersion_audit(events: DataFrame) -> DataFrame:
+    """Index of dispersion per event-type hourly series: the
+    variance-to-mean ratio (VMR) and the chi-square dispersion
+    statistic n*VMR — the standard "is this count stream Poisson?"
+    check run before rate-based alerting or Poisson capacity models
+    are trusted (VMR ~ 1 Poisson, >> 1 bursty/clumped, < 1
+    under-dispersed/regular). The distribution-model sibling of
+    ``hourly_anomaly``'s pointwise gate and ``burst_episodes``'
+    run-grain view.
+
+    Exactness discipline: VMR = (n*Sxx - Sx^2) / (n*Sx) is computed
+    as ONE division of two exactly-accumulated integers — n, Sx,
+    Sxx ride a single grouped pass as int64/decimal(38,0) sums, the
+    numerator and denominator build in decimal(38,0), and the only
+    doubles are the final mean/vmr/chi2 divisions, identical on both
+    engines. One hourly aggregation + one 5-row rollup; nothing in
+    the plan scales past the hour grid.
+    """
+    hourly = _hourly_counts(events)
+    d38 = "decimal(38,0)"
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sx"),
+        F.sum(F.col("cnt").cast(d38) * F.col("cnt").cast(d38)).alias("sxx"),
+    )
+    num = (
+        F.col("n").cast(d38) * F.col("sxx")
+        - F.col("sx").cast(d38) * F.col("sx").cast(d38)
+    ).cast("double")
+    den = (F.col("n").cast(d38) * F.col("sx").cast(d38)).cast("double")
+    vmr = F.when(F.col("sx") > 0, num / den)
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("sx").alias("n_events"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "mean_cnt"
+        ),
+        vmr.alias("vmr"),
+        (vmr * F.col("n").cast("double")).alias("chi2_stat"),
+    ).orderBy("event_type")
+
+
+def overdispersion_audit_sql() -> str:
+    hug = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+    num = hug.format(
+        x="CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx"
+    )
+    den = hug.format(x="CAST(n AS HUGEINT) * sx")
+    vmr = f"CASE WHEN sx > 0 THEN {num} / {den} END"
+    return f"""
+WITH {_HOURLY_CTE},
+stats AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS sx,
+         SUM(CAST(cnt AS HUGEINT) * cnt) AS sxx
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours, sx AS n_events,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cnt,
+       {vmr} AS vmr,
+       ({vmr}) * CAST(n AS DOUBLE) AS chi2_stat
+FROM stats ORDER BY event_type
+"""

@@ -16,6 +16,8 @@ Staged set (batch 5): lsh_pair_recall_eval, join_size_audit,
 embedding_drift, stratified_kfold.
 Staged set (batch 6): dedup_threshold_sweep, burst_episodes,
 capped_mix_waterfill.
+Staged set (batch 7): ams_f2_audit, fd_audit, matthews_corr,
+overdispersion_audit.
 """
 
 from __future__ import annotations
@@ -63,6 +65,11 @@ STAGED = [
      "events"),
     ("capped_mix_waterfill", "soccerpredictor_spark.operators.textops",
      "documents"),
+    ("ams_f2_audit", "soccerpredictor_spark.operators.sketch", "events"),
+    ("fd_audit", "soccerpredictor_spark.operators.quality", "lineitem"),
+    ("matthews_corr", "soccerpredictor_spark.operators.mlprep", "orders"),
+    ("overdispersion_audit", "soccerpredictor_spark.operators.timeseries",
+     "events"),
 ]
 
 
@@ -618,7 +625,7 @@ def test_staged_ops_survive_empty_tables(spark):
     import pyspark.sql.types as T
 
     from soccerpredictor_spark.operators import (
-        dedup, graph, joins, mlprep, similarity, sketch, textops,
+        dedup, graph, joins, mlprep, quality, similarity, sketch, textops,
         timeseries,
     )
     from soccerpredictor_spark.operators.scale import clear_caches
@@ -646,7 +653,7 @@ def test_staged_ops_survive_empty_tables(spark):
     lineitem = empty(
         "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
         "l_quantity double, l_extendedprice double, l_discount double, "
-        "l_returnflag string, l_shipdate date"
+        "l_returnflag string, l_linestatus string, l_shipdate date"
     )
     builders = [
         lambda: mlprep.mann_whitney_u(orders),
@@ -670,6 +677,10 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: dedup.dedup_threshold_sweep(docs),
         lambda: timeseries.burst_episodes(events),
         lambda: textops.capped_mix_waterfill(docs),
+        lambda: sketch.ams_f2_audit(events),
+        lambda: quality.fd_audit(lineitem),
+        lambda: mlprep.matthews_corr(orders),
+        lambda: timeseries.overdispersion_audit(events),
     ]
     for build in builders:
         clear_caches()
@@ -808,3 +819,161 @@ class TestDedupThresholdSweep:
         assert counts == sorted(counts, reverse=True)
         assert rows[-1].threshold == 0.9 and rows[-1].n_pairs == 1
         assert rows[-1].n_docs == 2
+
+
+class TestAmsF2Audit:
+    def test_single_key_is_exact(self, spark):
+        """One user with c events: every tug-of-war counter holds
+        Z_i = +/-c, so every estimate is c^2 EXACTLY — mean, min,
+        max, and the exact F2 all coincide and rel_error is 0.0."""
+        import datetime as dt
+
+        from soccerpredictor_spark.operators.sketch import ams_f2_audit
+
+        t0 = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [(i, t0, 7, "click") for i in range(13)],
+            ["event_id", "ts", "user_id", "event_type"],
+        )
+        [r] = ams_f2_audit(ev).collect()
+        assert r.n_keys == 1
+        assert r.exact_f2 == 169.0
+        assert r.est_f2 == 169.0
+        assert r.est_min == 169.0 and r.est_max == 169.0
+        assert r.rel_error == 0.0
+
+    def test_estimate_brackets_exact(self, spark):
+        """Multi-key corpus: the exact F2 is the known sum of squared
+        counts and the mean estimate sits inside [est_min, est_max]."""
+        import datetime as dt
+
+        from soccerpredictor_spark.operators.sketch import ams_f2_audit
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for uid, cnt in [(1, 5), (2, 3), (3, 2), (4, 1), (5, 1)]:
+            for _ in range(cnt):
+                rows.append((eid, t0, uid, "view"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = ams_f2_audit(ev).collect()
+        assert r.n_keys == 5
+        assert r.exact_f2 == float(25 + 9 + 4 + 1 + 1)
+        assert r.est_min <= r.est_f2 <= r.est_max
+
+
+class TestFdAudit:
+    def test_known_violations(self, spark):
+        """Two orders: order 1 carries two line statuses (violates
+        l_orderkey->l_linestatus with 2 variants across its 3 rows),
+        order 2 one; the composite-PK candidate holds by
+        construction."""
+        from soccerpredictor_spark.operators.quality import fd_audit
+
+        rows = [
+            # (okey, pkey, skey, lineno, qty, status)
+            (1, 10, 100, 1, 5.0, "O"),
+            (1, 11, 100, 2, 6.0, "O"),
+            (1, 12, 101, 3, 7.0, "F"),
+            (2, 10, 100, 1, 8.0, "F"),
+        ]
+        li = spark.createDataFrame(
+            rows,
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_linestatus"],
+        )
+        got = {r.fd: r for r in fd_audit(li).collect()}
+        m = got["l_orderkey->l_linestatus"]
+        assert (m.n_groups, m.n_violating_groups, m.n_violating_rows,
+                m.max_rhs_variants, m.holds) == (2, 1, 3, 2, 0)
+        pk = got["l_orderkey,l_linenumber->l_quantity"]
+        assert pk.holds == 1 and pk.n_violating_groups == 0
+        assert pk.n_groups == 4
+        # part 10 is supplied only by supplier 100 here -> holds
+        ps = got["l_partkey->l_suppkey"]
+        assert ps.holds == 1
+
+
+class TestMatthewsCorr:
+    def test_perfect_rule_is_one(self, spark):
+        """Labels engineered so the frozen threshold separates
+        perfectly: MCC = 1.0 exactly, accuracy 1.0."""
+        from soccerpredictor_spark.operators.mlprep import (
+            MCC_SPLIT_CENTS,
+            matthews_corr,
+        )
+
+        cheap = (MCC_SPLIT_CENTS - 100) / 100.0
+        dear = (MCC_SPLIT_CENTS + 100) / 100.0
+        rows = [(i, i, "1-URGENT", cheap) for i in range(6)] + [
+            (i + 6, i, "3-MEDIUM", dear) for i in range(4)
+        ]
+        orders = spark.createDataFrame(
+            rows, ["o_orderkey", "o_custkey", "o_orderpriority",
+                   "o_totalprice"]
+        )
+        [r] = matthews_corr(orders).collect()
+        assert (r.tp, r.fp, r.fn, r.tn) == (6, 0, 0, 4)
+        assert r.accuracy == 1.0 and r.mcc == 1.0
+
+    def test_constant_prediction_is_null(self, spark):
+        """Every price below the threshold -> the rule predicts all
+        positive -> a zero marginal -> MCC undefined (NULL)."""
+        from soccerpredictor_spark.operators.mlprep import matthews_corr
+
+        rows = [(1, 1, "1-URGENT", 10.0), (2, 2, "3-MEDIUM", 20.0)]
+        orders = spark.createDataFrame(
+            rows, ["o_orderkey", "o_custkey", "o_orderpriority",
+                   "o_totalprice"]
+        )
+        [r] = matthews_corr(orders).collect()
+        assert r.mcc is None
+        assert r.accuracy == 0.5
+
+
+class TestOverdispersionAudit:
+    def test_two_hour_closed_form(self, spark):
+        """Counts (1, 3) over two hours: n=2, Sx=4, Sxx=10 ->
+        VMR = (2*10 - 16) / (2*4) = 0.5, chi2 = 1.0, mean 2.0."""
+        import datetime as dt
+
+        from soccerpredictor_spark.operators.timeseries import (
+            overdispersion_audit,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(0, t0, 1, "click")] + [
+            (i + 1, t0 + dt.timedelta(hours=1), 1, "click") for i in range(3)
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = overdispersion_audit(ev).collect()
+        assert (r.n_hours, r.n_events) == (2, 4)
+        assert r.mean_cnt == 2.0
+        assert r.vmr == 0.5
+        assert r.chi2_stat == 1.0
+
+    def test_constant_series_zero_vmr(self, spark):
+        """A perfectly regular series (same count every hour) is
+        maximally under-dispersed: VMR = 0.0 exactly."""
+        import datetime as dt
+
+        from soccerpredictor_spark.operators.timeseries import (
+            overdispersion_audit,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for h in range(6):
+            for _ in range(4):
+                rows.append((eid, t0 + dt.timedelta(hours=h), 1, "view"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = overdispersion_audit(ev).collect()
+        assert r.vmr == 0.0 and r.chi2_stat == 0.0
