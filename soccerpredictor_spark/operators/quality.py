@@ -302,3 +302,132 @@ SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_groups,
                  THEN 1 ELSE 0 END AS INT) AS holds
 FROM groups GROUP BY fd ORDER BY fd
 """
+
+
+# --------------------------------------------------------------------------
+# histogram-overlap drift (transcendental-free two-sample distance)
+# --------------------------------------------------------------------------
+
+#: document-length histogram bin width (chars).
+HIST_DRIFT_BIN = 100
+
+
+def histogram_overlap_drift(docs: DataFrame) -> DataFrame:
+    """Two-sample distribution drift on the document-length
+    histogram, measured WITHOUT transcendentals: split the corpus
+    into two deterministic md5 halves (production: last snapshot vs
+    this one), bin n_chars, and report the histogram intersection
+    overlap = sum_b min(p_b, q_b) and the total-variation distance
+    (1 - overlap). The monitor PSI/KL would give — but PSI needs
+    ln(), which is 1-ulp engine-dependent (the tfidf libm note);
+    histogram intersection is the standard drift metric that stays
+    in exact arithmetic.
+
+    Exactness: min(cnt_a/n_a, cnt_b/n_b) is selected by the INTEGER
+    cross-multiplication min(cnt_a*n_b, cnt_b*n_a) — products in
+    decimal(38,0) — and the numerators sum over the common
+    denominator n_a*n_b, so overlap is ONE double division of two
+    exactly-accumulated integers. One corpus pass builds the binned
+    (cnt_a, cnt_b) table; it is checkpointed because totals and the
+    per-bin min both read it (two lazy consumers would re-scan the
+    corpus); everything after is bin-count-sized arithmetic.
+
+    On the static fixture the halves are exchangeable, so overlap
+    sits near 1 — the value is the REJECTION case on drifted data,
+    with a reproducible cross-engine threshold.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    half = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ho:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    bins = _reliable_checkpoint(
+        docs.select(
+            (F.col("n_chars") / F.lit(HIST_DRIFT_BIN))
+            .cast("long")
+            .alias("bin"),
+            half.alias("h"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("cnt_b"),
+        )
+    )
+    totals = bins.agg(
+        F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
+    )
+    d38 = "decimal(38,0)"
+    num = F.least(
+        F.col("cnt_a").cast(d38) * F.col("n_b").cast(d38),
+        F.col("cnt_b").cast(d38) * F.col("n_a").cast(d38),
+    )
+    per_bin = bins.crossJoin(F.broadcast(totals)).select(
+        num.alias("m"), "n_a", "n_b"
+    )
+    den = (F.col("n_a").cast(d38) * F.col("n_b").cast(d38)).cast("double")
+    overlap = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("num_sum").cast("double") / den,
+    )
+    return (
+        per_bin.groupBy("n_a", "n_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("m").alias("num_sum"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "n_bins",
+            overlap.alias("overlap"),
+            (F.lit(1.0) - overlap).alias("tv_distance"),
+        )
+    )
+
+
+def histogram_overlap_drift_sql() -> str:
+    h = (
+        "CAST('0x' || substr(md5('ho:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        " AS BIGINT) % 2"
+    )
+    ov = (
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN"
+        " CAST(CAST(num_sum AS VARCHAR) AS DOUBLE)"
+        " / CAST(CAST(CAST(n_a AS HUGEINT) * n_b AS VARCHAR) AS DOUBLE) END"
+    )
+    return f"""
+WITH binned AS (
+  SELECT n_chars // {HIST_DRIFT_BIN} AS bin, {h} AS h FROM documents
+),
+bins AS (
+  SELECT bin,
+         SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS cnt_a,
+         SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS cnt_b
+  FROM binned GROUP BY bin
+),
+totals AS (
+  SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+         CAST(SUM(cnt_b) AS BIGINT) AS n_b
+  FROM bins
+),
+agg AS (
+  SELECT n_a, n_b, COUNT(*) AS n_bins,
+         SUM(LEAST(CAST(cnt_a AS HUGEINT) * n_b,
+                   CAST(cnt_b AS HUGEINT) * n_a)) AS num_sum
+  FROM bins CROSS JOIN totals
+  GROUP BY n_a, n_b
+)
+SELECT n_a, n_b, CAST(n_bins AS BIGINT) AS n_bins,
+       {ov} AS overlap,
+       1.0 - ({ov}) AS tv_distance
+FROM agg
+"""

@@ -1674,3 +1674,236 @@ SELECT event_type, CAST(n AS BIGINT) AS n_hours, sx AS n_events,
        ({vmr}) * CAST(n AS DOUBLE) AS chi2_stat
 FROM stats ORDER BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# record highs (running-maximum records in the hourly series)
+# --------------------------------------------------------------------------
+
+
+def record_highs(events: DataFrame) -> DataFrame:
+    """Running-maximum records per event-type hourly series: how
+    many hours set a new all-time-high count, and when the last one
+    happened. For a stationary series records arrive ~log(n) times
+    and then stop; records that keep coming (or a recent
+    last_record_hour) are a growth/drift signature — the classic
+    records-test reading of a time series, complementing
+    ``mann_kendall``'s rank trend with an extreme-value lens.
+
+    The first hour counts as a record by convention. Pure integer
+    arithmetic: one hourly aggregation, one bounded window pass
+    (strict-past running max via rowsBetween(unbounded, -1)), one
+    5-row rollup — nothing scales past the hour grid.
+    """
+    from pyspark.sql import Window
+
+    hourly = _hourly_counts(events).select(
+        "event_type",
+        (F.unix_micros(F.col("hour")) / F.lit(3_600_000_000))
+        .cast("long")
+        .alias("t"),
+        "cnt",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rec = hourly.select(
+        "event_type",
+        "t",
+        "cnt",
+        (
+            F.max("cnt").over(w).isNull()
+            | (F.col("cnt") > F.max("cnt").over(w))
+        )
+        .cast("long")
+        .alias("is_rec"),
+    )
+    return (
+        rec.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("is_rec").alias("n_records"),
+            F.max(F.when(F.col("is_rec") == 1, F.col("t"))).alias(
+                "last_record_hour"
+            ),
+            F.max("cnt").alias("peak_cnt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def record_highs_sql() -> str:
+    return f"""
+WITH {_HOURLY_CTE},
+pts AS (
+  SELECT event_type,
+         CAST(epoch_us(hour) / 3600000000.0 AS BIGINT) AS t, cnt
+  FROM hourly
+),
+rec AS (
+  SELECT event_type, t, cnt,
+         CASE WHEN MAX(cnt) OVER (PARTITION BY event_type ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR cnt > MAX(cnt) OVER (PARTITION BY event_type ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_rec
+  FROM pts
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(is_rec) AS BIGINT) AS n_records,
+       MAX(CASE WHEN is_rec = 1 THEN t END) AS last_record_hour,
+       CAST(MAX(cnt) AS BIGINT) AS peak_cnt
+FROM rec GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# top-k churn between the early and late halves of the stream
+# --------------------------------------------------------------------------
+
+#: leaderboard size compared between the two time halves.
+TOPK_CHURN_K = 20
+
+
+def topk_churn(events: DataFrame) -> DataFrame:
+    """Leaderboard churn: compare the top-K most-active users of the
+    stream's EARLY half against its LATE half (split at the exact
+    midpoint of the observed time range) — overlap, Jaccard, rank
+    displacement of the survivors, and entry/exit counts. The
+    "what changed in the top sellers/talkers/abusers this period"
+    readout; a near-zero overlap flags regime change the way
+    ``cms_heavy_change`` flags per-key deltas, here at the ranked-
+    leaderboard grain.
+
+    Determinism: ties break by (count DESC, user_id ASC) — a total
+    order, so both engines pick the identical K. The split point is
+    exact integer arithmetic on epoch micros. Each half's top-K is a
+    TakeOrdered (per-partition heaps, never a global row sort);
+    ranks are then assigned on the K-row results. The per-user
+    counts table is checkpointed — it feeds both halves' top-K,
+    and two lazy consumers would re-instantiate the fact scan.
+    """
+    from pyspark.sql import Window
+
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    span = events.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    # integer midpoint: floor((hi-lo)/2) — NOT a bare double->long
+    # cast (Spark truncates, DuckDB rounds; the twins must both floor)
+    mid = F.col("lo") + F.floor(
+        (F.col("hi") - F.col("lo")) / F.lit(2)
+    ).cast("long")
+    counts = _reliable_checkpoint(
+        events.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            (F.unix_micros("ts") <= mid).cast("int").alias("late0"),
+        )
+        .groupBy("user_id", "late0")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "user_id",
+            (F.lit(1) - F.col("late0")).alias("late"),
+            "cnt",
+        )
+    )
+
+    def topk(late: int) -> DataFrame:
+        w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+        return (
+            counts.filter(F.col("late") == late)
+            .orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+            .limit(TOPK_CHURN_K)
+            .withColumn("rnk", F.row_number().over(w))
+        )
+
+    a = topk(0).select(
+        F.col("user_id").alias("u"), F.col("rnk").alias("rnk_a")
+    )
+    b = topk(1).select(
+        F.col("user_id").alias("u"), F.col("rnk").alias("rnk_b")
+    )
+    j = a.join(b, "u", "full_outer")
+    common = (F.col("rnk_a").isNotNull() & F.col("rnk_b").isNotNull()).cast(
+        "long"
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return j.agg(
+        F.count("rnk_a").alias("n_a"),
+        F.count("rnk_b").alias("n_b"),
+        F.sum(common).alias("n_common"),
+        F.sum((F.lit(1) - common)).alias("n_churned"),
+        F.sum(F.when(common == 1, F.abs(F.col("rnk_a") - F.col("rnk_b")))).alias(
+            "total_rank_shift"
+        ),
+    ).select(
+        F.lit(TOPK_CHURN_K).alias("k"),
+        "n_a",
+        "n_b",
+        "n_common",
+        "n_churned",
+        F.when(
+            union > 0,
+            F.col("n_common").cast("double") / union.cast("double"),
+        ).alias("jaccard"),
+        F.when(
+            F.col("n_common") > 0,
+            F.col("total_rank_shift").cast("double")
+            / F.col("n_common").cast("double"),
+        ).alias("mean_rank_shift"),
+    )
+
+
+def topk_churn_sql() -> str:
+    k = TOPK_CHURN_K
+    half = """
+  SELECT user_id AS u,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS rnk
+  FROM (SELECT user_id, COUNT(*) AS cnt FROM flagged
+        WHERE late = {late} GROUP BY user_id)
+  ORDER BY cnt DESC, u ASC LIMIT {k}
+"""
+    return f"""
+WITH span AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts)
+                   <= lo + CAST(floor((hi - lo) / 2) AS BIGINT)
+              THEN 0 ELSE 1 END AS late
+  FROM events CROSS JOIN span
+),
+a AS ({half.format(late=0, k=k)}),
+b AS ({half.format(late=1, k=k)}),
+j AS (
+  SELECT COALESCE(a.u, b.u) AS u, a.rnk AS rnk_a, b.rnk AS rnk_b
+  FROM a FULL OUTER JOIN b ON a.u = b.u
+),
+agg AS (
+  SELECT COUNT(rnk_a) AS n_a, COUNT(rnk_b) AS n_b,
+         SUM(CASE WHEN rnk_a IS NOT NULL AND rnk_b IS NOT NULL
+                  THEN 1 ELSE 0 END) AS n_common,
+         SUM(CASE WHEN rnk_a IS NOT NULL AND rnk_b IS NOT NULL
+                  THEN 0 ELSE 1 END) AS n_churned,
+         SUM(CASE WHEN rnk_a IS NOT NULL AND rnk_b IS NOT NULL
+                  THEN abs(rnk_a - rnk_b) END) AS total_rank_shift
+  FROM j
+)
+SELECT CAST({k} AS INT) AS k,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_churned AS BIGINT) AS n_churned,
+       CASE WHEN n_a + n_b - n_common > 0
+            THEN CAST(n_common AS DOUBLE)
+                 / CAST(n_a + n_b - n_common AS DOUBLE) END AS jaccard,
+       CASE WHEN n_common > 0
+            THEN CAST(total_rank_shift AS DOUBLE)
+                 / CAST(n_common AS DOUBLE) END AS mean_rank_shift
+FROM agg
+"""

@@ -18,6 +18,8 @@ Staged set (batch 6): dedup_threshold_sweep, burst_episodes,
 capped_mix_waterfill.
 Staged set (batch 7): ams_f2_audit, fd_audit, matthews_corr,
 overdispersion_audit.
+Staged set (batch 8): record_highs, topk_churn,
+histogram_overlap_drift.
 """
 
 from __future__ import annotations
@@ -70,6 +72,10 @@ STAGED = [
     ("matthews_corr", "soccerpredictor_spark.operators.mlprep", "orders"),
     ("overdispersion_audit", "soccerpredictor_spark.operators.timeseries",
      "events"),
+    ("record_highs", "soccerpredictor_spark.operators.timeseries", "events"),
+    ("topk_churn", "soccerpredictor_spark.operators.timeseries", "events"),
+    ("histogram_overlap_drift", "soccerpredictor_spark.operators.quality",
+     "documents"),
 ]
 
 
@@ -681,6 +687,9 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: quality.fd_audit(lineitem),
         lambda: mlprep.matthews_corr(orders),
         lambda: timeseries.overdispersion_audit(events),
+        lambda: timeseries.record_highs(events),
+        lambda: timeseries.topk_churn(events),
+        lambda: quality.histogram_overlap_drift(docs),
     ]
     for build in builders:
         clear_caches()
@@ -977,3 +986,135 @@ class TestOverdispersionAudit:
         )
         [r] = overdispersion_audit(ev).collect()
         assert r.vmr == 0.0 and r.chi2_stat == 0.0
+
+
+class TestRecordHighs:
+    def test_monotone_series_all_records(self, spark):
+        """Strictly increasing hourly counts: EVERY hour is a record;
+        a strictly decreasing series records only its first hour."""
+        from soccerpredictor_spark.operators.timeseries import record_highs
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for h in range(4):  # up: 1,2,3,4
+            for _ in range(h + 1):
+                rows.append((eid, t0 + dt.timedelta(hours=h), 1, "up"))
+                eid += 1
+        for h in range(4):  # down: 4,3,2,1
+            for _ in range(4 - h):
+                rows.append((eid, t0 + dt.timedelta(hours=h), 1, "down"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        got = {r.event_type: r for r in record_highs(ev).collect()}
+        assert got["up"].n_records == 4
+        assert got["up"].peak_cnt == 4
+        assert got["down"].n_records == 1
+        t_base = got["down"].last_record_hour
+        assert got["up"].last_record_hour == t_base + 3
+
+    def test_plateau_is_not_a_record(self, spark):
+        """Equal-to-max hours do NOT count (strict record): series
+        2,5,5 has exactly two records."""
+        from soccerpredictor_spark.operators.timeseries import record_highs
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for h, n in [(0, 2), (1, 5), (2, 5)]:
+            for _ in range(n):
+                rows.append((eid, t0 + dt.timedelta(hours=h), 1, "x"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = record_highs(ev).collect()
+        assert r.n_records == 2
+
+
+class TestTopkChurn:
+    def test_disjoint_halves_full_churn(self, spark):
+        """Early half dominated by users 1-3, late half by 11-13
+        (disjoint): n_common = 0, jaccard = 0, shift NULL."""
+        from soccerpredictor_spark.operators.timeseries import topk_churn
+
+        t0 = dt.datetime(2024, 1, 1)
+        t1 = dt.datetime(2024, 1, 10)
+        rows, eid = [], 0
+        for u in (1, 2, 3):
+            for _ in range(3):
+                rows.append((eid, t0, u, "click"))
+                eid += 1
+        for u in (11, 12, 13):
+            for _ in range(3):
+                rows.append((eid, t1, u, "click"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = topk_churn(ev).collect()
+        assert (r.n_a, r.n_b) == (3, 3)
+        assert r.n_common == 0 and r.n_churned == 6
+        assert r.jaccard == 0.0
+        assert r.mean_rank_shift is None
+
+    def test_rank_swap_measured(self, spark):
+        """Same two users both halves but activity order flips:
+        jaccard 1.0, mean |rank shift| = 1.0."""
+        from soccerpredictor_spark.operators.timeseries import topk_churn
+
+        t0 = dt.datetime(2024, 1, 1)
+        t1 = dt.datetime(2024, 1, 10)
+        rows, eid = [], 0
+        for u, n in [(1, 5), (2, 2)]:
+            for _ in range(n):
+                rows.append((eid, t0, u, "click"))
+                eid += 1
+        for u, n in [(1, 2), (2, 5)]:
+            for _ in range(n):
+                rows.append((eid, t1, u, "click"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = topk_churn(ev).collect()
+        assert r.n_common == 2 and r.jaccard == 1.0
+        assert r.mean_rank_shift == 1.0
+
+
+class TestHistogramOverlapDrift:
+    def test_identical_distributions_overlap_one(self, spark):
+        """Both md5 halves drawn from the same two length values in
+        the same proportions: overlap exactly 1.0, tv 0.0. Build
+        per-half-balanced data by putting BOTH lengths on every doc
+        pair so each bin's share is identical regardless of the md5
+        split? No — instead use a single length for all docs: one
+        bin, min(p,q) = 1 on both sides."""
+        from soccerpredictor_spark.operators.quality import (
+            histogram_overlap_drift,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "t", "en", "s", 250) for i in range(40)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        [r] = histogram_overlap_drift(docs).collect()
+        assert r.n_a + r.n_b == 40
+        assert r.n_bins == 1
+        assert r.overlap == 1.0
+        assert r.tv_distance == 0.0
+
+    def test_overlap_bounded(self, spark):
+        """Mixed lengths: overlap stays in [0, 1] and tv = 1 -
+        overlap exactly."""
+        from soccerpredictor_spark.operators.quality import (
+            histogram_overlap_drift,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "t", "en", "s", 100 * (i % 7) + 3) for i in range(60)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        [r] = histogram_overlap_drift(docs).collect()
+        assert 0.0 <= r.overlap <= 1.0
+        assert r.tv_distance == 1.0 - r.overlap
