@@ -3558,3 +3558,119 @@ SELECT tp, fp, fn, tn,
        CASE WHEN {den2} > 0 THEN {num} / sqrt({den2}) END AS mcc
 FROM cells
 """
+
+
+# --------------------------------------------------------------------------
+# weighted median (two-level bucketed weighted rank)
+# --------------------------------------------------------------------------
+
+#: bucket width (price cents) for the two-level weighted prefix sum.
+WMED_BUCKET_CENTS = 10_000_000
+
+
+def weighted_median(lineitem: DataFrame) -> DataFrame:
+    """Exact weighted median of the unit price per return flag,
+    weighted by quantity — "the price of the median UNIT shipped",
+    the robust per-unit price statistic an unweighted median of line
+    rows gets wrong whenever quantity correlates with price. Lower
+    weighted median, discretely defined: the smallest price p with
+    2 * cumweight(<= p) >= total_weight — all comparisons exact
+    integers (price as int64 cents, quantity as int64 units), so
+    both engines select the identical row.
+
+    Scale shape: the same two-level bucketed prefix sum as
+    ``roc_auc``/``decision_stump`` — per-(flag, price) weights group
+    once (map-side combinable), the within-bucket running sum
+    windows over bucket-bounded partitions, bucket offsets cumulate
+    over the tiny bucket table, and the winner per flag is a
+    distributed min — never a per-flag global row sort (a
+    single-partition Window.orderBy is the scale bug the repo's
+    bucketed-rank convention exists to avoid). The (flag, price)
+    table is checkpointed: within-sums, bucket totals, and flag
+    totals are three lazy consumers of one corpus scan.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    by_val = _reliable_checkpoint(
+        lineitem.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias(
+                "cents"
+            ),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("flag", "cents")
+        .agg(F.sum("q").alias("w"))
+        .withColumn("bucket", F.expr(f"cents div {WMED_BUCKET_CENTS}"))
+    )
+    w_in = (
+        Window.partitionBy("flag", "bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = by_val.withColumn("w_in", F.sum("w").over(w_in))
+    w_b = (
+        Window.partitionBy("flag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_cum = (
+        by_val.groupBy("flag", "bucket")
+        .agg(F.sum("w").alias("bw"))
+        .select(
+            "flag",
+            "bucket",
+            F.coalesce(F.sum("bw").over(w_b), F.lit(0)).alias("w_below"),
+        )
+    )
+    totals = by_val.groupBy("flag").agg(F.sum("w").alias("tw"))
+    cum = (
+        within.join(bucket_cum, ["flag", "bucket"])
+        .join(F.broadcast(totals), "flag")
+        .select(
+            "flag",
+            "cents",
+            (F.col("w_below") + F.col("w_in")).alias("cw"),
+            "tw",
+        )
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("cents").alias("median_cents"),
+            F.max("tw").alias("total_weight"),
+        )
+        .select(
+            "flag",
+            "total_weight",
+            "median_cents",
+            (F.col("median_cents").cast("double") / F.lit(100.0)).alias(
+                "median_price"
+            ),
+        )
+        .orderBy("flag")
+    )
+
+
+def weighted_median_sql() -> str:
+    return """
+WITH by_val AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, cents,
+         SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM by_val
+)
+SELECT flag, CAST(MAX(tw) AS BIGINT) AS total_weight,
+       CAST(MIN(cents) AS BIGINT) AS median_cents,
+       CAST(MIN(cents) AS DOUBLE) / 100.0 AS median_price
+FROM cum WHERE 2 * cw >= tw
+GROUP BY flag ORDER BY flag
+"""

@@ -1027,3 +1027,153 @@ SELECT n_keys, {f2d} AS exact_f2, {mean} AS est_f2,
             THEN abs({mean} - {f2d}) / {f2d} END AS rel_error
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter size sweep (memory vs false-positive-rate curve)
+# --------------------------------------------------------------------------
+
+#: filter sizes swept (bits). Brackets BLOOM_BITS so the curve shows
+#: both the saturated and the comfortable regime at test scale.
+BLOOM_SWEEP_BITS = (1024, 4096, 16384)
+
+
+def bloom_size_sweep(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """The Bloom-filter TUNING readout ``bloom_probe`` assumes
+    already done: the measured false-positive rate of the SAME
+    build/probe workload at every candidate filter size — the
+    memory-vs-precision curve you consult before fixing m for a
+    100 TB bloom-pruned join (the ``dedup_threshold_sweep`` pattern
+    applied to the sketch family). Also reports the saturation
+    fraction (bits set / m), the quantity that actually drives fp
+    rate (~ fill^k).
+
+    ONE pass over keys for every size: the md5 hash value is
+    computed once per (key, hash-index) and each size just reduces
+    it mod its own m (a 3-row broadcast config table; positions for
+    different m are NOT independent — exactly like a real system
+    re-sizing the same hash family, and deterministic cross-engine).
+    The per-size filter stays a DataFrame of distinct set positions
+    (<= m rows); probes pass iff all k positions hit, per size. All
+    counts exact integers; fp_rate/fill are final divisions.
+    """
+    build = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    idx = _index_df(orders, BLOOM_HASHES, "i")
+    sizes = orders.sparkSession.createDataFrame(
+        [(m,) for m in BLOOM_SWEEP_BITS], "m long"
+    )
+    prefix = F.concat(F.lit("bloom"), F.col("i").cast("string"))
+
+    def positions(keys: DataFrame) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(prefix, F.lit(":"), F.col("k").cast("string"))),
+                1, 8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            keys.crossJoin(F.broadcast(idx))
+            .select("k", h.alias("h"))
+            .crossJoin(F.broadcast(sizes))
+            .select("k", "m", (F.col("h") % F.col("m")).alias("pos"))
+        )
+
+    bits = positions(build).select("m", "pos").distinct()
+    probe = customer.select(F.col("c_custkey").alias("k")).distinct()
+    hits = (
+        positions(probe)
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), ["m", "pos"], "left")
+        .groupBy("m", "k")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .withColumn("passes", (F.col("n_hits") == BLOOM_HASHES).cast("long"))
+    )
+    truth = build.withColumn("is_member", F.lit(1))
+    audited = hits.join(truth, "k", "left").select(
+        "m",
+        "passes",
+        F.coalesce(F.col("is_member"), F.lit(0)).cast("long").alias("mem"),
+    )
+    fills = bits.groupBy("m").agg(F.count(F.lit(1)).alias("n_bits_set"))
+    per_m = audited.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum("mem").alias("n_member_probed"),
+        F.sum("passes").alias("n_pass"),
+        F.sum(F.col("passes") * (1 - F.col("mem"))).alias("n_false_pos"),
+    )
+    non_mem = F.col("n_probe") - F.col("n_member_probed")
+    return (
+        per_m.join(fills, "m")
+        .select(
+            "m",
+            "n_bits_set",
+            (
+                F.col("n_bits_set").cast("double") / F.col("m").cast("double")
+            ).alias("fill"),
+            "n_probe",
+            "n_pass",
+            "n_false_pos",
+            F.when(
+                non_mem > 0,
+                F.col("n_false_pos").cast("double") / non_mem.cast("double"),
+            ).alias("fp_rate"),
+        )
+        .orderBy("m")
+    )
+
+
+def bloom_size_sweep_sql() -> str:
+    h = (
+        "CAST('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || ':' ||"
+        " CAST(k AS VARCHAR)), 1, 8) AS BIGINT)"
+    )
+    sizes = ", ".join(f"({m})" for m in BLOOM_SWEEP_BITS)
+    return f"""
+WITH idx AS (SELECT unnest(range({BLOOM_HASHES})) AS i),
+sizes(m) AS (VALUES {sizes}),
+build AS (SELECT DISTINCT o_custkey AS k FROM orders
+          WHERE o_orderpriority = '1-URGENT'),
+bpos AS (
+  SELECT DISTINCT m, {h} % m AS pos
+  FROM build CROSS JOIN idx CROSS JOIN sizes
+),
+probe AS (SELECT DISTINCT c_custkey AS k FROM customer),
+ppos AS (
+  SELECT k, m, {h} % m AS pos
+  FROM probe CROSS JOIN idx CROSS JOIN sizes
+),
+hits AS (
+  SELECT p.m, p.k,
+         CASE WHEN SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                   = {BLOOM_HASHES} THEN 1 ELSE 0 END AS passes
+  FROM ppos p LEFT JOIN bpos b ON p.m = b.m AND p.pos = b.pos
+  GROUP BY p.m, p.k
+),
+audited AS (
+  SELECT h.m, h.passes,
+         CASE WHEN t.k IS NOT NULL THEN 1 ELSE 0 END AS mem
+  FROM hits h LEFT JOIN build t ON h.k = t.k
+),
+fills AS (SELECT m, COUNT(*) AS n_bits_set FROM bpos GROUP BY m),
+per_m AS (
+  SELECT m, COUNT(*) AS n_probe, SUM(mem) AS n_member_probed,
+         SUM(passes) AS n_pass,
+         SUM(passes * (1 - mem)) AS n_false_pos
+  FROM audited GROUP BY m
+)
+SELECT p.m, CAST(f.n_bits_set AS BIGINT) AS n_bits_set,
+       CAST(f.n_bits_set AS DOUBLE) / CAST(p.m AS DOUBLE) AS fill,
+       CAST(p.n_probe AS BIGINT) AS n_probe,
+       CAST(p.n_pass AS BIGINT) AS n_pass,
+       CAST(p.n_false_pos AS BIGINT) AS n_false_pos,
+       CASE WHEN p.n_probe - p.n_member_probed > 0
+            THEN CAST(p.n_false_pos AS DOUBLE)
+                 / CAST(p.n_probe - p.n_member_probed AS DOUBLE)
+       END AS fp_rate
+FROM per_m p JOIN fills f USING (m) ORDER BY p.m
+"""

@@ -1907,3 +1907,138 @@ SELECT CAST({k} AS INT) AS k,
                  / CAST(n_common AS DOUBLE) END AS mean_rank_shift
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# inter-arrival profile (exact discrete gap quantiles)
+# --------------------------------------------------------------------------
+
+#: quantiles reported: name -> (numerator, denominator).
+IAP_QUANTILES = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+#: bucket width (seconds) for the two-level gap-rank prefix sum.
+IAP_BUCKET_S = 3600
+
+
+def interarrival_profile(events: DataFrame) -> DataFrame:
+    """Per-event-type profile of USER inter-arrival gaps — the exact
+    p50/p90/p99 of the seconds between a user's consecutive events
+    of each type, the distribution a sessionization threshold or a
+    rate limiter is tuned against (``events_sessionize`` hard-codes
+    the gap; this measures what the data says it should be).
+
+    Discrete (type-7-free) quantiles, all integer arithmetic: the
+    q-quantile is the SMALLEST gap g whose cumulative count reaches
+    ceil(q * n), with ceil(q*n) computed as (n*num + den - 1) div
+    den on exact integers — no interpolation doubles, so both
+    engines select the identical gap. Gaps floor to whole seconds
+    (micros div 1e6).
+
+    Scale shape: the lag window partitions by (user, type) — real
+    per-user partitions, never a 5-partition sort of the whole
+    stream; the quantile selection is the repo's two-level bucketed
+    prefix sum over the (type, gap) count table (checkpointed: the
+    within-sums, bucket totals, and type totals are three lazy
+    consumers of one pass), and the winner per (type, quantile) is
+    a distributed min over the threshold-crossing rows.
+    """
+    from pyspark.sql import Window
+
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    w_seq = Window.partitionBy("user_id", "event_type").orderBy("ts")
+    gaps = (
+        events.select(
+            "event_type",
+            "user_id",
+            "ts",
+            F.lag(F.unix_micros(F.col("ts"))).over(w_seq).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            F.expr("(unix_micros(ts) - prev) div 1000000").alias("gap_s"),
+        )
+    )
+    by_gap = _reliable_checkpoint(
+        gaps.groupBy("event_type", "gap_s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("bucket", F.expr(f"gap_s div {IAP_BUCKET_S}"))
+    )
+    w_in = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = by_gap.withColumn("cw_in", F.sum("c").over(w_in))
+    w_b = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_cum = (
+        by_gap.groupBy("event_type", "bucket")
+        .agg(F.sum("c").alias("bc"))
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.sum("bc").over(w_b), F.lit(0)).alias("c_below"),
+        )
+    )
+    totals = by_gap.groupBy("event_type").agg(F.sum("c").alias("n"))
+    qgrid = events.sparkSession.createDataFrame(
+        [(name, num, den) for name, num, den in IAP_QUANTILES],
+        "quantile string, num int, den int",
+    )
+    cum = (
+        within.join(bucket_cum, ["event_type", "bucket"])
+        .join(F.broadcast(totals), "event_type")
+        .crossJoin(F.broadcast(qgrid))
+        .select(
+            "event_type",
+            "quantile",
+            "gap_s",
+            (F.col("c_below") + F.col("cw_in")).alias("cw"),
+            "n",
+            F.expr("(n * num + den - 1) div den").alias("k"),
+        )
+    )
+    return (
+        cum.filter(F.col("cw") >= F.col("k"))
+        .groupBy("event_type", "quantile")
+        .agg(F.min("gap_s").alias("gap_s"), F.max("n").alias("n_gaps"))
+        .select("event_type", "quantile", "n_gaps", "gap_s")
+        .orderBy("event_type", "quantile")
+    )
+
+
+def interarrival_profile_sql() -> str:
+    qrows = ", ".join(
+        f"('{name}', {num}, {den})" for name, num, den in IAP_QUANTILES
+    )
+    return f"""
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY user_id, event_type ORDER BY ts)) // 1000000
+           AS gap_s
+  FROM events
+  QUALIFY gap_s IS NOT NULL
+),
+by_gap AS (
+  SELECT event_type, gap_s, COUNT(*) AS c FROM gaps GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, gap_s,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY gap_s
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM by_gap
+),
+qgrid(quantile, num, den) AS (VALUES {qrows})
+SELECT event_type, quantile, CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_s) AS BIGINT) AS gap_s
+FROM cum CROSS JOIN qgrid
+WHERE cw >= (n * num + den - 1) // den
+GROUP BY event_type, quantile
+ORDER BY event_type, quantile
+"""

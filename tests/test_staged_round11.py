@@ -20,6 +20,8 @@ Staged set (batch 7): ams_f2_audit, fd_audit, matthews_corr,
 overdispersion_audit.
 Staged set (batch 8): record_highs, topk_churn,
 histogram_overlap_drift.
+Staged set (batch 9): bloom_size_sweep, weighted_median,
+interarrival_profile.
 """
 
 from __future__ import annotations
@@ -76,6 +78,9 @@ STAGED = [
     ("topk_churn", "soccerpredictor_spark.operators.timeseries", "events"),
     ("histogram_overlap_drift", "soccerpredictor_spark.operators.quality",
      "documents"),
+    ("weighted_median", "soccerpredictor_spark.operators.mlprep", "lineitem"),
+    ("interarrival_profile", "soccerpredictor_spark.operators.timeseries",
+     "events"),
 ]
 
 
@@ -690,6 +695,10 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: timeseries.record_highs(events),
         lambda: timeseries.topk_churn(events),
         lambda: quality.histogram_overlap_drift(docs),
+        lambda: sketch.bloom_size_sweep(orders, empty(
+            "c_custkey long, c_name string, c_nationkey long")),
+        lambda: mlprep.weighted_median(lineitem),
+        lambda: timeseries.interarrival_profile(events),
     ]
     for build in builders:
         clear_caches()
@@ -1118,3 +1127,151 @@ class TestHistogramOverlapDrift:
         [r] = histogram_overlap_drift(docs).collect()
         assert 0.0 <= r.overlap <= 1.0
         assert r.tv_distance == 1.0 - r.overlap
+
+
+def test_staged_bloom_size_sweep_parity(spark):
+    """bloom_size_sweep takes TWO tables, so it gets its own parity
+    gate outside the single-table parametrization (the
+    join_size_audit convention)."""
+    import duckdb
+    import pandas as pd
+
+    from soccerpredictor_spark.operators.sketch import (
+        bloom_size_sweep,
+        bloom_size_sweep_sql,
+    )
+    from soccerpredictor_spark.sources.catalog import read_table
+
+    sdf = (
+        bloom_size_sweep(
+            read_table(spark, SF, "orders"), read_table(spark, SF, "customer")
+        )
+        .toPandas()
+        .sort_values("m")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    odf = con.execute(bloom_size_sweep_sql()).fetchdf()
+    sc, oc = sorted(sdf.columns), sorted(odf.columns)
+    assert sc == oc and len(sdf) == len(odf) == 3
+    for c in sc:
+        ka, kb = sdf[c].dtype.kind, odf[c].dtype.kind
+        if {ka, kb} <= {"i", "u", "f"}:
+            assert (ka in "iu") == (kb in "iu"), (c, sdf[c].dtype, odf[c].dtype)
+        pd.testing.assert_series_equal(
+            sdf[c], odf[c], check_dtype=False, check_names=False,
+            check_exact=True,
+        )
+
+
+class TestBloomSizeSweep:
+    def test_fp_rate_monotone_in_size(self, spark):
+        """More bits, (weakly) fewer false positives — and no false
+        negatives at any size: every probed member passes."""
+        from soccerpredictor_spark.operators.sketch import bloom_size_sweep
+        from soccerpredictor_spark.sources.catalog import read_table
+
+        rows = (
+            bloom_size_sweep(
+                read_table(spark, SF, "orders"),
+                read_table(spark, SF, "customer"),
+            )
+            .orderBy("m")
+            .collect()
+        )
+        assert [r.m for r in rows] == [1024, 4096, 16384]
+        fps = [r.fp_rate for r in rows]
+        assert fps == sorted(fps, reverse=True)
+        for r in rows:
+            assert 0.0 <= r.fill <= 1.0
+            # no false negatives: passes >= members (fp only adds)
+            assert r.n_pass >= r.n_pass - r.n_false_pos >= 0
+
+
+class TestWeightedMedian:
+    def test_weight_pulls_the_median(self, spark):
+        """Prices 10, 20, 30 with weights 1, 1, 8: half the 10 units
+        sit at price 30, so the weighted median is 30 while the
+        unweighted row median is 20."""
+        from soccerpredictor_spark.operators.mlprep import weighted_median
+
+        li = spark.createDataFrame(
+            [(1, 1, 1, 1, 1.0, 10.0, "A"),
+             (2, 2, 2, 1, 1.0, 20.0, "A"),
+             (3, 3, 3, 1, 8.0, 30.0, "A")],
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_extendedprice", "l_returnflag"],
+        )
+        [r] = weighted_median(li).collect()
+        assert r.total_weight == 10
+        assert r.median_cents == 3000
+        assert r.median_price == 30.0
+
+    def test_even_split_takes_lower(self, spark):
+        """Weights 5 and 5 across prices 10 and 20: 2*cw >= tw is
+        first satisfied at the LOWER price (lower weighted median)."""
+        from soccerpredictor_spark.operators.mlprep import weighted_median
+
+        li = spark.createDataFrame(
+            [(1, 1, 1, 1, 5.0, 10.0, "R"),
+             (2, 2, 2, 1, 5.0, 20.0, "R")],
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_extendedprice", "l_returnflag"],
+        )
+        [r] = weighted_median(li).collect()
+        assert r.median_cents == 1000
+
+
+class TestInterarrivalProfile:
+    def test_known_gaps(self, spark):
+        """One user, gaps of exactly 10, 20, 30, 40 seconds: discrete
+        p50 = ceil(0.5*4)=2nd smallest = 20, p90 = ceil(3.6)=4th =
+        40, p99 = 4th = 40."""
+        from soccerpredictor_spark.operators.timeseries import (
+            interarrival_profile,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        offs = [0, 10, 30, 60, 100]
+        rows = [
+            (i, t0 + dt.timedelta(seconds=s), 1, "click")
+            for i, s in enumerate(offs)
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        got = {r.quantile: r for r in interarrival_profile(ev).collect()}
+        assert got["p50"].n_gaps == 4
+        assert got["p50"].gap_s == 20
+        assert got["p90"].gap_s == 40
+        assert got["p99"].gap_s == 40
+
+    def test_gaps_are_per_user(self, spark):
+        """Two users interleaved in time: gaps never cross users —
+        each user's own spacing (100 s) is the profile, not the
+        50 s interleave."""
+        from soccerpredictor_spark.operators.timeseries import (
+            interarrival_profile,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for u, off in [(1, 0), (2, 50)]:
+            for j in range(3):
+                rows.append(
+                    (eid, t0 + dt.timedelta(seconds=off + 100 * j), u,
+                     "view")
+                )
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        got = {r.quantile: r for r in interarrival_profile(ev).collect()}
+        assert got["p50"].n_gaps == 4
+        assert got["p50"].gap_s == 100
+        assert got["p99"].gap_s == 100
