@@ -2042,3 +2042,93 @@ WHERE cw >= (n * num + den - 1) // den
 GROUP BY event_type, quantile
 ORDER BY event_type, quantile
 """
+
+
+# --------------------------------------------------------------------------
+# hour-of-day uniformity (chi-square seasonality strength)
+# --------------------------------------------------------------------------
+
+
+def hod_uniformity(events: DataFrame) -> DataFrame:
+    """Hour-of-day seasonality strength per event type: the
+    chi-square statistic of the event distribution over the 24
+    hour-of-day cells against uniform — the single-number "how
+    diurnal is this stream" score behind ``hourly_profile``'s 24-row
+    shape (uniform traffic scores ~ chi2_df=23; a hard day/night
+    split scores huge). Plus the peak cell and its share.
+
+    Exactness: chi2_uniform = sum_h (S_h - S/24)^2 / (S/24)
+    simplifies ALGEBRAICALLY to (24 * sum_h S_h^2) / S - S, so the
+    whole statistic is one division of exactly-accumulated integers
+    (sum of squares in decimal(38,0)) minus an exactly-cast double —
+    no per-cell double is ever summed across cells in engine-
+    dependent order. The peak cell is an exact integer argmax (ties
+    to the earliest hour). The (type, hod) count table is
+    checkpointed: totals and the peak join are two lazy consumers
+    of the one corpus pass.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    d38 = "decimal(38,0)"
+    hod = _reliable_checkpoint(
+        events.groupBy(
+            "event_type", F.hour(F.col("ts")).alias("hod")
+        ).agg(F.count(F.lit(1)).alias("sg"))
+    )
+    stats = hod.groupBy("event_type").agg(
+        F.sum("sg").alias("s"),
+        F.sum(F.col("sg").cast(d38) * F.col("sg").cast(d38)).alias("ssq"),
+        F.count(F.lit(1)).alias("n_hods"),
+        F.max("sg").alias("ms"),
+    )
+    peak = (
+        hod.join(stats.select("event_type", "ms"), "event_type")
+        .filter(F.col("sg") == F.col("ms"))
+        .groupBy("event_type")
+        .agg(F.min("hod").alias("peak_hod"))
+    )
+    sd = F.col("s").cast("double")
+    chi2 = (F.lit(24).cast(d38) * F.col("ssq")).cast("double") / sd - sd
+    return (
+        stats.join(F.broadcast(peak), "event_type")
+        .select(
+            "event_type",
+            F.col("s").alias("n_events"),
+            "n_hods",
+            "peak_hod",
+            (F.col("ms").cast("double") / sd).alias("peak_share"),
+            F.when(F.col("s") > 0, chi2).alias("chi2_uniform"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hod_uniformity_sql() -> str:
+    chi2 = (
+        "CAST(CAST(24 * ssq AS VARCHAR) AS DOUBLE) / CAST(s AS DOUBLE)"
+        " - CAST(s AS DOUBLE)"
+    )
+    return f"""
+WITH hod AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod, COUNT(*) AS sg
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s,
+         SUM(CAST(sg AS HUGEINT) * sg) AS ssq,
+         COUNT(*) AS n_hods, CAST(MAX(sg) AS BIGINT) AS ms
+  FROM hod GROUP BY event_type
+),
+peak AS (
+  SELECT h.event_type, MIN(h.hod) AS peak_hod
+  FROM hod h JOIN stats t USING (event_type)
+  WHERE h.sg = t.ms GROUP BY h.event_type
+)
+SELECT s.event_type, s.s AS n_events,
+       CAST(s.n_hods AS BIGINT) AS n_hods,
+       CAST(p.peak_hod AS INT) AS peak_hod,
+       CAST(s.ms AS DOUBLE) / CAST(s.s AS DOUBLE) AS peak_share,
+       CASE WHEN s.s > 0 THEN {chi2} END AS chi2_uniform
+FROM stats s JOIN peak p USING (event_type)
+ORDER BY s.event_type
+"""

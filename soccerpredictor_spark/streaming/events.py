@@ -572,3 +572,53 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
   AND event_type <> 'click'
 ORDER BY user_id
 """
+
+
+#: histogram bucket width over the value column.
+VALUE_HIST_BUCKET = 10.0
+
+
+def value_histogram(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Windowed value HISTOGRAM — the streaming monitoring primitive
+    behind latency/size dashboards: per tumbling event-time window,
+    the count of events in each fixed-width value bucket. Unlike a
+    streaming quantile (which needs a mergeable sketch), a fixed-grid
+    histogram is a plain windowed count aggregation: state per
+    (window, bucket) is bounded by the grid and the watermark, and
+    the buckets are decomposable integer sums (map-side combinable).
+
+    The bucket index floor(value / width) is the identical double
+    expression in both engines before the integer cast, so the grid
+    is deterministic cross-engine.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    bucket = F.floor(F.col("value") / F.lit(VALUE_HIST_BUCKET)).cast("long")
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "bucket",
+            "n_events",
+        )
+    )
+
+
+def value_histogram_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot incremental run of the windowed value histogram (same
+    oracle-equivalence argument as ``hourly_rollup_available_now``:
+    one file = one micro-batch + complete mode = the batch plan)."""
+    return _drain_available_now(
+        spark, sf_dir, value_histogram, "value_hist_stream"
+    )
+
+
+def value_histogram_sql() -> str:
+    return f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(floor(value / {VALUE_HIST_BUCKET}) AS BIGINT) AS bucket,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""

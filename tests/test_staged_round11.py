@@ -22,6 +22,8 @@ Staged set (batch 8): record_highs, topk_churn,
 histogram_overlap_drift.
 Staged set (batch 9): bloom_size_sweep, weighted_median,
 interarrival_profile.
+Staged set (batch 10): dedup_shingle_sweep, hod_uniformity,
+streaming value_histogram.
 """
 
 from __future__ import annotations
@@ -80,6 +82,10 @@ STAGED = [
      "documents"),
     ("weighted_median", "soccerpredictor_spark.operators.mlprep", "lineitem"),
     ("interarrival_profile", "soccerpredictor_spark.operators.timeseries",
+     "events"),
+    ("dedup_shingle_sweep", "soccerpredictor_spark.operators.dedup",
+     "documents"),
+    ("hod_uniformity", "soccerpredictor_spark.operators.timeseries",
      "events"),
 ]
 
@@ -699,6 +705,8 @@ def test_staged_ops_survive_empty_tables(spark):
             "c_custkey long, c_name string, c_nationkey long")),
         lambda: mlprep.weighted_median(lineitem),
         lambda: timeseries.interarrival_profile(events),
+        lambda: dedup.dedup_shingle_sweep(docs),
+        lambda: timeseries.hod_uniformity(events),
     ]
     for build in builders:
         clear_caches()
@@ -1275,3 +1283,113 @@ class TestInterarrivalProfile:
         assert got["p50"].n_gaps == 4
         assert got["p50"].gap_s == 100
         assert got["p99"].gap_s == 100
+
+
+def test_staged_value_histogram_stream_parity(spark):
+    """The staged streaming histogram runs a REAL incremental
+    execution (availableNow into a memory sink) and must equal the
+    DuckDB batch oracle exactly — the streaming_hourly
+    one-file-one-microbatch equivalence applied to the new entry."""
+    import duckdb
+    import pandas as pd
+
+    from soccerpredictor_spark.streaming.events import (
+        value_histogram_available_now,
+        value_histogram_sql,
+    )
+
+    sdf = value_histogram_available_now(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    odf = con.execute(value_histogram_sql()).fetchdf()
+    assert len(sdf) == len(odf) and len(sdf) > 0
+    sc, oc = sorted(sdf.columns), sorted(odf.columns)
+    assert sc == oc
+    a = sdf[sc].sort_values(sc).reset_index(drop=True)
+    b = odf[oc].sort_values(oc).reset_index(drop=True)
+    for c in sc:
+        pd.testing.assert_series_equal(
+            a[c], b[c], check_dtype=False, check_names=False,
+            check_exact=True,
+        )
+
+
+class TestValueHistogram:
+    def test_batch_twin_buckets_known_values(self, spark):
+        """Values 5, 15, 15, 25 in one hour: buckets 0, 1, 1, 2."""
+        from soccerpredictor_spark.streaming.events import value_histogram
+
+        t0 = dt.datetime(2024, 1, 1, 10, 30)
+        rows = [
+            (0, t0, 1, "click", 5.0, "{}"),
+            (1, t0, 1, "click", 15.0, "{}"),
+            (2, t0, 2, "click", 15.0, "{}"),
+            (3, t0, 2, "click", 25.0, "{}"),
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        got = {r.bucket: r.n_events for r in value_histogram(ev).collect()}
+        assert got == {0: 1, 1: 2, 2: 1}
+
+
+class TestDedupShingleSweep:
+    def test_smaller_n_flags_more(self, spark):
+        """Docs sharing every bigram but no 5-gram: n=2 flags the
+        pair, n=5 does not — the sweep shows the monotone n curve."""
+        from soccerpredictor_spark.operators.dedup import dedup_shingle_sweep
+
+        a = "one two three four five six seven"
+        b = "one two three FOUR five six seven"  # one mid edit
+        docs = spark.createDataFrame(
+            [(1, a, "s"), (2, b, "s"),
+             (3, "completely different words here today friends", "s")],
+            ["doc_id", "text", "source"],
+        )
+        got = {r.ngram: r for r in dedup_shingle_sweep(docs).collect()}
+        assert set(got) == {2, 3, 5}
+        # bigrams: 4 shared of 8 union -> jaccard 0.5, flagged
+        assert got[2].n_pairs == 1 and got[2].n_docs == 2
+        # trigrams: 2 of 8 -> 0.25, below threshold
+        assert got[3].n_pairs == 0
+        # every 5-gram spans the edit -> nothing shared
+        assert got[5].n_pairs == 0 and got[5].n_docs == 0
+
+
+class TestHodUniformity:
+    def test_uniform_series_zero_chi2(self, spark):
+        """Exactly c events in every of the 24 hod cells: chi2 = 0,
+        peak share = 1/24."""
+        from soccerpredictor_spark.operators.timeseries import hod_uniformity
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for h in range(24):
+            for _ in range(3):
+                rows.append((eid, t0 + dt.timedelta(hours=h), 1, "flat"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = hod_uniformity(ev).collect()
+        assert r.n_events == 72 and r.n_hods == 24
+        assert r.chi2_uniform == 0.0
+        assert r.peak_hod == 0  # tie -> earliest hour
+        assert r.peak_share == 3.0 / 72.0
+
+    def test_single_cell_spike_closed_form(self, spark):
+        """All S events in one hod cell: chi2 = 24*S - S = 23*S."""
+        from soccerpredictor_spark.operators.timeseries import hod_uniformity
+
+        t0 = dt.datetime(2024, 1, 1, 13)
+        rows = [(i, t0, 1, "spike") for i in range(10)]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = hod_uniformity(ev).collect()
+        assert r.peak_hod == 13
+        assert r.peak_share == 1.0
+        assert r.chi2_uniform == 23.0 * 10
