@@ -431,3 +431,81 @@ SELECT n_a, n_b, CAST(n_bins AS BIGINT) AS n_bins,
        1.0 - ({ov}) AS tv_distance
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# order-independent table checksum
+# --------------------------------------------------------------------------
+
+#: stable lineitem key/measure columns fingerprinted per row (floats
+#: quantized to exact integer cents/units first — raw double->string
+#: would tie the checksum to each engine's float formatter).
+CHECKSUM_COLS_SQL = (
+    "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+    " || '|' || CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR)"
+    " || '|' || CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)"
+    " || '|' || l_returnflag"
+)
+
+
+def table_checksum(lineitem: DataFrame) -> DataFrame:
+    """Order-independent content checksum of the lineitem snapshot —
+    the replication/migration acceptance primitive: two copies of a
+    table (different engine, different partitioning, different row
+    order) agree iff their checksums agree, without moving either
+    copy. Each row hashes to an int64 (md5-15-hex of its quantized
+    stable columns); the table digest combines rows with the two
+    classic order-independent folds: XOR (permutation-invariant,
+    overflow-free) and SUM (catches the multiset changes XOR can
+    cancel out — a row added twice flips nothing in XOR but moves
+    the sum), plus the exact row count.
+
+    All integer arithmetic: floats quantize to cents/units BEFORE
+    stringification (raw double->string would tie the fingerprint to
+    each engine's float formatter), the hash keeps 15 hex digits
+    (the DuckDB hex-cast BIGINT ceiling), XOR aggregates exactly,
+    and the sum accumulates as decimal(38,0) surfaced through the
+    VARCHAR->double convention. One scan, one 1-row aggregate —
+    map-side combinable everywhere, nothing keyed, nothing sorted.
+    """
+    fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.round(F.col("l_quantity")).cast("long").cast("string"),
+                    F.round(F.col("l_extendedprice") * 100)
+                    .cast("long")
+                    .cast("string"),
+                    F.col("l_returnflag"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return lineitem.select(fp.alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(fp)").alias("xor_checksum"),
+        F.sum(F.col("fp").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sum_checksum"),
+    )
+
+
+def table_checksum_sql() -> str:
+    fp = (
+        f"CAST('0x' || substr(md5({CHECKSUM_COLS_SQL}), 1, 15) AS BIGINT)"
+    )
+    return f"""
+WITH fps AS (SELECT {fp} AS fp FROM lineitem)
+SELECT COUNT(*) AS n_rows,
+       CAST(bit_xor(fp) AS BIGINT) AS xor_checksum,
+       CAST(CAST(SUM(CAST(fp AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+         AS sum_checksum
+FROM fps
+"""

@@ -2132,3 +2132,96 @@ SELECT s.event_type, s.s AS n_events,
 FROM stats s JOIN peak p USING (event_type)
 ORDER BY s.event_type
 """
+
+
+# --------------------------------------------------------------------------
+# out-of-order arrival audit (watermark tuning readout)
+# --------------------------------------------------------------------------
+
+#: ingest-order bucket width for the two-level prefix max.
+OOO_BUCKET = 100_000
+
+
+def out_of_order_audit(events: DataFrame) -> DataFrame:
+    """How disordered is the stream? Taking event_id as the ingest
+    (arrival) order, count the events whose event time is OLDER than
+    some earlier-arrived event, and the worst lateness — exactly the
+    numbers that size a Structured Streaming WATERMARK: the
+    `withWatermark` slack must cover max (or chosen-quantile)
+    lateness or late rows are dropped. The repo's streaming entries
+    assume "2 hours"; this measures what the data actually needs.
+
+    Lateness_i = running_max(ts over arrivals before i) - ts_i when
+    positive — a global PREFIX MAX in arrival order, computed with
+    the two-level bucketed pattern (the prefix-SUM convention of
+    roc_auc/weighted_median applied to max): within-bucket strict-
+    past running max windows over bucket-bounded partitions, bucket
+    maxima prefix-combine over the tiny bucket table, and the
+    global predecessor is greatest(within, bucket-prefix) — never a
+    single-partition sort of the stream. All integer micros.
+    """
+    from pyspark.sql import Window
+
+    pts = events.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.expr(f"event_id div {OOO_BUCKET}").alias("bucket"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = pts.withColumn("max_in", F.max("t").over(w_in))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_prev = (
+        pts.groupBy("bucket")
+        .agg(F.max("t").alias("bm"))
+        .select("bucket", F.max("bm").over(w_b).alias("max_below"))
+    )
+    scored = within.join(F.broadcast(bucket_prev), "bucket").select(
+        F.when(
+            F.coalesce(F.greatest("max_in", "max_below"), F.lit(-1))
+            > F.col("t"),
+            F.greatest("max_in", "max_below") - F.col("t"),
+        ).alias("late_us")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("late_us").alias("n_out_of_order"),
+        F.coalesce(
+            F.expr("max(late_us) div 1000000"), F.lit(0)
+        ).alias("max_lateness_s"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.count("late_us").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+        ).alias("frac_late"),
+    )
+
+
+def out_of_order_audit_sql() -> str:
+    return """
+WITH pts AS (
+  SELECT event_id, epoch_us(ts) AS t FROM events
+),
+scored AS (
+  SELECT t,
+         MAX(t) OVER (ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM pts
+),
+late AS (
+  SELECT CASE WHEN prev_max > t THEN prev_max - t END AS late_us
+  FROM scored
+)
+SELECT COUNT(*) AS n_events,
+       COUNT(late_us) AS n_out_of_order,
+       CAST(COALESCE(MAX(late_us) // 1000000, 0) AS BIGINT)
+         AS max_lateness_s,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(COUNT(late_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       END AS frac_late
+FROM late
+"""

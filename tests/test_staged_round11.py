@@ -24,6 +24,7 @@ Staged set (batch 9): bloom_size_sweep, weighted_median,
 interarrival_profile.
 Staged set (batch 10): dedup_shingle_sweep, hod_uniformity,
 streaming value_histogram.
+Staged set (batch 11): table_checksum, out_of_order_audit.
 """
 
 from __future__ import annotations
@@ -86,6 +87,10 @@ STAGED = [
     ("dedup_shingle_sweep", "soccerpredictor_spark.operators.dedup",
      "documents"),
     ("hod_uniformity", "soccerpredictor_spark.operators.timeseries",
+     "events"),
+    ("table_checksum", "soccerpredictor_spark.operators.quality",
+     "lineitem"),
+    ("out_of_order_audit", "soccerpredictor_spark.operators.timeseries",
      "events"),
 ]
 
@@ -707,6 +712,8 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: timeseries.interarrival_profile(events),
         lambda: dedup.dedup_shingle_sweep(docs),
         lambda: timeseries.hod_uniformity(events),
+        lambda: quality.table_checksum(lineitem),
+        lambda: timeseries.out_of_order_audit(events),
     ]
     for build in builders:
         clear_caches()
@@ -1393,3 +1400,104 @@ class TestHodUniformity:
         assert r.peak_hod == 13
         assert r.peak_share == 1.0
         assert r.chi2_uniform == 23.0 * 10
+
+
+class TestTableChecksum:
+    def test_order_and_partition_invariant(self, spark):
+        """The digest must not move under row reordering or
+        repartitioning — the property that makes it a cross-copy
+        acceptance check."""
+        from soccerpredictor_spark.operators.quality import table_checksum
+
+        rows = [
+            (1, 10, 100, 1, 5.0, 1000.50, "A"),
+            (2, 11, 101, 2, 7.0, 2000.25, "R"),
+            (3, 12, 102, 1, 2.0, 300.10, "N"),
+        ]
+        cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_returnflag"]
+        a = spark.createDataFrame(rows, cols)
+        b = spark.createDataFrame(list(reversed(rows)), cols).repartition(7)
+        ra = table_checksum(a).collect()[0]
+        rb = table_checksum(b).collect()[0]
+        assert ra.n_rows == rb.n_rows == 3
+        assert ra.xor_checksum == rb.xor_checksum
+        assert ra.sum_checksum == rb.sum_checksum
+
+    def test_duplicate_row_moves_sum_not_always_xor(self, spark):
+        """Adding the same row TWICE leaves XOR unchanged (x^x = 0)
+        but moves the sum — the reason the digest carries both."""
+        from soccerpredictor_spark.operators.quality import table_checksum
+
+        cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_returnflag"]
+        base = [(1, 10, 100, 1, 5.0, 1000.50, "A")]
+        dup = base + [(2, 11, 101, 2, 7.0, 2000.25, "R")] * 2
+        ra = table_checksum(spark.createDataFrame(base, cols)).collect()[0]
+        rb = table_checksum(spark.createDataFrame(dup, cols)).collect()[0]
+        assert rb.n_rows == 3
+        assert rb.xor_checksum == ra.xor_checksum  # pair cancels
+        assert rb.sum_checksum != ra.sum_checksum  # sum catches it
+
+
+class TestOutOfOrderAudit:
+    def test_known_inversions(self, spark):
+        """Arrival order 0,1,2,3 with times 10, 30, 20, 40 s: exactly
+        one late event (id 2, 10 s late)."""
+        from soccerpredictor_spark.operators.timeseries import (
+            out_of_order_audit,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        secs = [10, 30, 20, 40]
+        rows = [
+            (i, t0 + dt.timedelta(seconds=s), 1, "click")
+            for i, s in enumerate(secs)
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = out_of_order_audit(ev).collect()
+        assert r.n_events == 4
+        assert r.n_out_of_order == 1
+        assert r.max_lateness_s == 10
+        assert r.frac_late == 0.25
+
+    def test_lateness_crosses_buckets(self, spark):
+        """The late event's predecessor max sits in an EARLIER
+        bucket (ids OOO_BUCKET apart): the two-level prefix max must
+        still see it."""
+        from soccerpredictor_spark.operators.timeseries import (
+            OOO_BUCKET,
+            out_of_order_audit,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, t0 + dt.timedelta(seconds=100), 1, "click"),
+            (OOO_BUCKET + 5, t0 + dt.timedelta(seconds=40), 1, "click"),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = out_of_order_audit(ev).collect()
+        assert r.n_out_of_order == 1
+        assert r.max_lateness_s == 60
+
+    def test_sorted_stream_clean(self, spark):
+        """A perfectly ordered stream: zero late events."""
+        from soccerpredictor_spark.operators.timeseries import (
+            out_of_order_audit,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + dt.timedelta(seconds=10 * i), 1, "click")
+            for i in range(6)
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = out_of_order_audit(ev).collect()
+        assert r.n_out_of_order == 0 and r.max_lateness_s == 0
+        assert r.frac_late == 0.0
