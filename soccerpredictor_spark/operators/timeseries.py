@@ -2225,3 +2225,88 @@ SELECT COUNT(*) AS n_events,
        END AS frac_late
 FROM late
 """
+
+
+# --------------------------------------------------------------------------
+# freshness audit (per-series staleness vs the snapshot head)
+# --------------------------------------------------------------------------
+
+#: "recent" horizon for the trailing-activity count (micros).
+FRESH_HORIZON_US = 24 * 3600 * 1_000_000
+
+
+def freshness_audit(events: DataFrame) -> DataFrame:
+    """Per-event-type freshness: last event time, staleness behind
+    the snapshot head (the global max), and activity inside the
+    trailing 24 h — the is-this-feed-alive check run before any
+    downstream consumer trusts a partition (a type whose staleness
+    suddenly exceeds its cadence is a dead producer, hours before a
+    volume alert would fire).
+
+    ONE corpus pass: the per-type aggregate carries last_us and the
+    trailing count CANNOT know the global head yet, so the trailing
+    window is computed against each type's own last event PLUS the
+    global head derived from the tiny per-type table itself (a
+    5-row window max — no second fact scan, the multi-consumer
+    convention). All staleness arithmetic is exact integer micros.
+    """
+    from pyspark.sql import Window
+
+    per_type = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
+    )
+    head = Window.partitionBy()
+    with_head = per_type.withColumn(
+        "head_us", F.max("last_us").over(head)
+    )
+    # trailing-24h activity needs event rows once more, but only as a
+    # conditional count against the head — ride a second aggregate of
+    # the SAME grouped pass by pre-joining the head in: count events
+    # with ts > head - horizon. The head is a 5-row broadcast.
+    heads = with_head.select("event_type", "head_us")
+    recent = (
+        events.join(F.broadcast(heads), "event_type")
+        .filter(
+            F.unix_micros(F.col("ts"))
+            > F.col("head_us") - F.lit(FRESH_HORIZON_US)
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_last_24h"))
+    )
+    return (
+        with_head.join(recent, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.timestamp_micros(F.col("last_us")).alias("last_ts"),
+            F.expr("(head_us - last_us) div 1000000").alias("staleness_s"),
+            F.coalesce("n_last_24h", F.lit(0)).alias("n_last_24h"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def freshness_audit_sql() -> str:
+    return f"""
+WITH per_type AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY event_type
+),
+with_head AS (
+  SELECT *, MAX(last_us) OVER () AS head_us FROM per_type
+),
+recent AS (
+  SELECT e.event_type, COUNT(*) AS n_last_24h
+  FROM events e JOIN with_head h USING (event_type)
+  WHERE epoch_us(e.ts) > h.head_us - {FRESH_HORIZON_US}
+  GROUP BY e.event_type
+)
+SELECT w.event_type, w.n_events,
+       make_timestamp(w.last_us) AS last_ts,
+       CAST((w.head_us - w.last_us) // 1000000 AS BIGINT) AS staleness_s,
+       CAST(COALESCE(r.n_last_24h, 0) AS BIGINT) AS n_last_24h
+FROM with_head w LEFT JOIN recent r USING (event_type)
+ORDER BY w.event_type
+"""

@@ -2263,3 +2263,105 @@ SELECT lag_min, n_conversions,
          / CAST(SUM(n_conversions) OVER () AS DOUBLE) AS share
 FROM hist ORDER BY lag_min
 """
+
+
+def attribution_compare(events: DataFrame) -> DataFrame:
+    """First-touch vs last-touch attribution, side by side — the
+    model-sensitivity readout a growth team checks before trusting
+    either number: per source channel, how many purchases each model
+    credits it with (and the delta). A channel that wins under
+    last-touch but loses under first-touch is closing, not
+    originating, demand.
+
+    Both models read ONE ordered pass: a time-bounded RANGE window
+    (rangeBetween(-lookback, -1) over integer micros — the lookback
+    is enforced by the FRAME, no post-filter) carries min/max over
+    source events packed into fixed-width sortable strings
+    (zero-padded micros || event_id || type), so the first/last
+    pick is a total lexicographic order — deterministic on ties in
+    both engines, the ``doc_fingerprint`` string-packing trick. One
+    shuffle on user_id, then a channel-count-sized aggregation.
+    """
+    us = F.unix_micros(F.col("ts"))
+    is_src = F.col("event_type").isin(*ATTR_SOURCES)
+    packed = F.when(
+        is_src,
+        F.concat(
+            F.lpad(us.cast("string"), 16, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            F.col("event_type"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-ATTR_WINDOW_US, -1)
+    )
+    enriched = events.select(
+        "event_type",
+        F.min(packed).over(w).alias("first_p"),
+        F.max(packed).over(w).alias("last_p"),
+    )
+    purchases = enriched.filter(F.col("event_type") == ATTR_CONVERSION)
+    src = lambda c: F.coalesce(F.substring(F.col(c), 29, 64), F.lit("none"))
+    credited = purchases.select(
+        src("first_p").alias("first_source"), src("last_p").alias("last_source")
+    )
+    firsts = credited.groupBy(F.col("first_source").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_first_touch")
+    )
+    lasts = credited.groupBy(F.col("last_source").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_last_touch")
+    )
+    return (
+        firsts.join(lasts, "source", "full_outer")
+        .select(
+            "source",
+            F.coalesce("n_first_touch", F.lit(0)).alias("n_first_touch"),
+            F.coalesce("n_last_touch", F.lit(0)).alias("n_last_touch"),
+            (
+                F.coalesce("n_first_touch", F.lit(0))
+                - F.coalesce("n_last_touch", F.lit(0))
+            ).alias("first_minus_last"),
+        )
+        .orderBy("source")
+    )
+
+
+def attribution_compare_sql() -> str:
+    srcs = ", ".join(f"'{s}'" for s in ATTR_SOURCES)
+    packed = (
+        "CASE WHEN event_type IN ({srcs}) THEN"
+        " lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')"
+        " || lpad(CAST(event_id AS VARCHAR), 12, '0') || event_type END"
+    ).format(srcs=srcs)
+    return f"""
+WITH enriched AS (
+  SELECT event_type,
+         MIN({packed}) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN {ATTR_WINDOW_US} PRECEDING AND 1 PRECEDING)
+           AS first_p,
+         MAX({packed}) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN {ATTR_WINDOW_US} PRECEDING AND 1 PRECEDING)
+           AS last_p
+  FROM events
+),
+credited AS (
+  SELECT COALESCE(substr(first_p, 29), 'none') AS first_source,
+         COALESCE(substr(last_p, 29), 'none') AS last_source
+  FROM enriched WHERE event_type = '{ATTR_CONVERSION}'
+),
+firsts AS (SELECT first_source AS source, COUNT(*) AS n_first_touch
+           FROM credited GROUP BY 1),
+lasts AS (SELECT last_source AS source, COUNT(*) AS n_last_touch
+          FROM credited GROUP BY 1)
+SELECT COALESCE(f.source, l.source) AS source,
+       CAST(COALESCE(f.n_first_touch, 0) AS BIGINT) AS n_first_touch,
+       CAST(COALESCE(l.n_last_touch, 0) AS BIGINT) AS n_last_touch,
+       CAST(COALESCE(f.n_first_touch, 0) - COALESCE(l.n_last_touch, 0)
+            AS BIGINT) AS first_minus_last
+FROM firsts f FULL OUTER JOIN lasts l ON f.source = l.source
+ORDER BY source
+"""

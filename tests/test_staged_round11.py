@@ -25,6 +25,8 @@ interarrival_profile.
 Staged set (batch 10): dedup_shingle_sweep, hod_uniformity,
 streaming value_histogram.
 Staged set (batch 11): table_checksum, out_of_order_audit.
+Staged set (batch 12): dedup_cluster_sizes, attribution_compare,
+freshness_audit.
 """
 
 from __future__ import annotations
@@ -91,6 +93,12 @@ STAGED = [
     ("table_checksum", "soccerpredictor_spark.operators.quality",
      "lineitem"),
     ("out_of_order_audit", "soccerpredictor_spark.operators.timeseries",
+     "events"),
+    ("dedup_cluster_sizes", "soccerpredictor_spark.operators.dedup",
+     "documents"),
+    ("attribution_compare", "soccerpredictor_spark.operators.windows",
+     "events"),
+    ("freshness_audit", "soccerpredictor_spark.operators.timeseries",
      "events"),
 ]
 
@@ -648,7 +656,7 @@ def test_staged_ops_survive_empty_tables(spark):
 
     from soccerpredictor_spark.operators import (
         dedup, graph, joins, mlprep, quality, similarity, sketch, textops,
-        timeseries,
+        timeseries, windows,
     )
     from soccerpredictor_spark.operators.scale import clear_caches
 
@@ -714,6 +722,9 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: timeseries.hod_uniformity(events),
         lambda: quality.table_checksum(lineitem),
         lambda: timeseries.out_of_order_audit(events),
+        lambda: dedup.dedup_cluster_sizes(docs),
+        lambda: windows.attribution_compare(events),
+        lambda: timeseries.freshness_audit(events),
     ]
     for build in builders:
         clear_caches()
@@ -1501,3 +1512,97 @@ class TestOutOfOrderAudit:
         [r] = out_of_order_audit(ev).collect()
         assert r.n_out_of_order == 0 and r.max_lateness_s == 0
         assert r.frac_late == 0.0
+
+
+class TestDedupClusterSizes:
+    def test_docs_identity_holds(self, spark):
+        """On the fixture corpus: n_docs == cluster_size * n_clusters
+        on every row, and total clustered docs equals the label-table
+        row count."""
+        from soccerpredictor_spark.operators.dedup import (
+            dedup_cluster_sizes,
+            near_dup_clusters,
+        )
+        from soccerpredictor_spark.operators.scale import clear_caches
+        from soccerpredictor_spark.sources.catalog import read_table
+
+        clear_caches()
+        docs = read_table(spark, SF, "documents")
+        rows = dedup_cluster_sizes(docs).collect()
+        assert all(r.n_docs == r.cluster_size * r.n_clusters for r in rows)
+        total = sum(r.n_docs for r in rows)
+        assert total == near_dup_clusters(docs).count()
+
+
+class TestAttributionCompare:
+    def test_first_vs_last_disagree(self, spark):
+        """view -> click -> purchase: first-touch credits view,
+        last-touch credits click; counts disagree per channel but
+        total purchases agree."""
+        from soccerpredictor_spark.operators.windows import (
+            attribution_compare,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, t0, 1, "view"),
+            (1, t0 + dt.timedelta(hours=1), 1, "click"),
+            (2, t0 + dt.timedelta(hours=2), 1, "purchase"),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        got = {r.source: r for r in attribution_compare(ev).collect()}
+        assert got["view"].n_first_touch == 1
+        assert got["view"].n_last_touch == 0
+        assert got["click"].n_last_touch == 1
+        assert got["click"].n_first_touch == 0
+        assert got["view"].first_minus_last == 1
+        assert got["click"].first_minus_last == -1
+
+    def test_lookback_bounds_the_frame(self, spark):
+        """A source 8 days before the purchase is OUTSIDE the 7-day
+        range frame: both models credit 'none'."""
+        from soccerpredictor_spark.operators.windows import (
+            attribution_compare,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, t0, 1, "click"),
+            (1, t0 + dt.timedelta(days=8), 1, "purchase"),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        got = {r.source: r for r in attribution_compare(ev).collect()}
+        assert set(got) == {"none"}
+        assert got["none"].n_first_touch == 1
+        assert got["none"].n_last_touch == 1
+
+
+class TestFreshnessAudit:
+    def test_staleness_vs_head(self, spark):
+        """Type B stops 2 hours before type A (the head): B's
+        staleness is 7200 s, A's is 0; the 24 h window counts only
+        in-horizon events."""
+        from soccerpredictor_spark.operators.timeseries import (
+            freshness_audit,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, t0 - dt.timedelta(days=3), 1, "B"),  # outside 24h
+            (1, t0 - dt.timedelta(hours=2), 1, "B"),
+            (2, t0 - dt.timedelta(hours=1), 1, "A"),
+            (3, t0, 1, "A"),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        got = {r.event_type: r for r in freshness_audit(ev).collect()}
+        assert got["A"].staleness_s == 0
+        assert got["B"].staleness_s == 7200
+        assert got["A"].n_last_24h == 2
+        assert got["B"].n_last_24h == 1  # the 3-day-old event is out
+        assert got["B"].n_events == 2
