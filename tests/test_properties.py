@@ -1391,3 +1391,160 @@ def test_kcore_every_survivor_has_core_degree_property(spark, edges):
         expect[v] = expect.get(v, 0) + 1
     assert got == {n: d for n, d in expect.items() if d >= 3}
     clear_caches()
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    caps=st.lists(
+        st.integers(min_value=1, max_value=400), min_size=1, max_size=6
+    )
+)
+def test_waterfill_identities_property(spark, caps):
+    """For ANY source-size multiset: sum(alloc) == min(budget, sum
+    caps) exactly, alloc never exceeds cap, capped sources sit AT
+    their cap, and uncapped allocations are level to within 1 (the
+    largest-remainder top-up)."""
+    from soccerpredictor_spark.operators.textops import (
+        WATERFILL_BUDGET,
+        capped_mix_waterfill,
+    )
+
+    rows = []
+    did = 0
+    for i, cap in enumerate(caps):
+        for _ in range(cap):
+            rows.append((did, f"t {did}", "en", f"s{i}", 0))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = capped_mix_waterfill(docs).collect()
+    total = sum(caps)
+    assert sum(r.alloc for r in got) == min(WATERFILL_BUDGET, total)
+    for r in got:
+        assert 0 <= r.alloc <= r.cap
+        if r.at_cap == 1:
+            assert r.alloc == r.cap
+    uncapped = [r.alloc for r in got if r.at_cap == 0]
+    if uncapped:
+        assert max(uncapped) - min(uncapped) <= 1
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),    # price dollars
+            st.integers(min_value=1, max_value=20),   # weight units
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_weighted_median_matches_bruteforce_property(spark, items):
+    """For ANY (price, weight) multiset the operator's lower weighted
+    median equals the brute-force scan: smallest price whose
+    cumulative weight doubles to at least the total."""
+    from soccerpredictor_spark.operators.mlprep import weighted_median
+
+    rows = [
+        (i, i, i, 1, float(w), float(p), "X")
+        for i, (p, w) in enumerate(items)
+    ]
+    li = spark.createDataFrame(
+        rows,
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+         "l_quantity", "l_extendedprice", "l_returnflag"],
+    )
+    [r] = weighted_median(li).collect()
+    tw = sum(w for _, w in items)
+    expect = None
+    agg: dict[int, int] = {}
+    for p, w in items:
+        agg[p] = agg.get(p, 0) + w
+    cum = 0
+    for p in sorted(agg):
+        cum += agg[p]
+        if 2 * cum >= tw:
+            expect = p * 100
+            break
+    assert r.median_cents == expect
+    assert r.total_weight == tw
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300_000),  # event_id
+            st.integers(min_value=0, max_value=10_000),   # seconds
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_out_of_order_matches_bruteforce_property(spark, rows):
+    """For ANY (arrival id, event time) set — ids spanning multiple
+    prefix-max buckets — the audit equals the sequential scan."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.timeseries import (
+        out_of_order_audit,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=s), 1, "x") for i, s in rows],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+    [r] = out_of_order_audit(ev).collect()
+    run_max = None
+    n_late = 0
+    worst = 0
+    for _, s in sorted(rows):
+        if run_max is not None and run_max > s:
+            n_late += 1
+            worst = max(worst, run_max - s)
+        run_max = s if run_max is None else max(run_max, s)
+    assert r.n_events == len(rows)
+    assert r.n_out_of_order == n_late
+    assert r.max_lateness_s == worst
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),
+            st.integers(min_value=1, max_value=5),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    seed=st.integers(min_value=0, max_value=3),
+)
+def test_table_checksum_permutation_invariant_property(spark, rows, seed):
+    """For ANY row multiset the digest is identical under any row
+    order and any partitioning — the property that makes it a
+    cross-copy acceptance check."""
+    import random
+
+    from soccerpredictor_spark.operators.quality import table_checksum
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_returnflag"]
+    full = [
+        (ok, ok, ok, ln, float(q), q * 10.5, "A") for ok, ln, q in rows
+    ]
+    shuffled = list(full)
+    random.Random(seed).shuffle(shuffled)
+    a = table_checksum(spark.createDataFrame(full, cols)).collect()[0]
+    b = table_checksum(
+        spark.createDataFrame(shuffled, cols).repartition(5)
+    ).collect()[0]
+    assert (a.n_rows, a.xor_checksum, a.sum_checksum) == (
+        b.n_rows, b.xor_checksum, b.sum_checksum,
+    )
