@@ -1072,3 +1072,146 @@ SELECT actual, pred_exact, pred_coarse, pred_indep,
          AS err_indep
 FROM actual, exact, coarse, indep
 """
+
+
+# --------------------------------------------------------------------------
+# ship-lag profile (temporal sanity + discrete lag quantiles)
+# --------------------------------------------------------------------------
+
+#: quantiles reported over the lag distribution.
+SHIP_LAG_QUANTILES = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+#: bucket width (days) for the two-level lag-rank prefix sum.
+SHIP_LAG_BUCKET = 30
+
+
+def ship_lag_profile(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Order-to-ship lag profile with a built-in temporal SANITY
+    audit: the discrete p50/p90/p99 of (ship date - order date) in
+    days, plus the count of line items that ship BEFORE their order
+    exists — a physically impossible negative lag that flags clock
+    skew, timezone bugs, or broken backfills (this fixture contains
+    such rows; the audit is what surfaces them).
+
+    The lag join is the natural co-keyed orders-lineitem equijoin
+    (both sides project to two columns before the shuffle; bucketed
+    layouts make it shuffle-free — see `bucketed_join`). Quantiles
+    are the repo's exact DISCRETE form: ceil(q*n) thresholds as
+    integer rationals over the two-level bucketed prefix sum of the
+    (lag_days, count) table (checkpointed — within-sums, bucket
+    totals, and grand totals are three lazy consumers), never a
+    global sort of the joined rows. All integer days.
+    """
+    from pyspark.sql import Window
+
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    lags = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("lag_d")
+    )
+    by_lag = _reliable_checkpoint(
+        lags.groupBy("lag_d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"CAST(floor(lag_d / {SHIP_LAG_BUCKET}.0) AS BIGINT)"
+            ),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("lag_d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = by_lag.withColumn("cw_in", F.sum("c").over(w_in))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_cum = (
+        by_lag.groupBy("bucket")
+        .agg(F.sum("c").alias("bc"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bc").over(w_b), F.lit(0)).alias("c_below"),
+        )
+    )
+    totals = by_lag.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("lag_d") < 0, F.col("c")).otherwise(0)).alias(
+            "n_negative"
+        ),
+    )
+    qgrid = lineitem.sparkSession.createDataFrame(
+        [(name, num, den) for name, num, den in SHIP_LAG_QUANTILES],
+        "quantile string, num int, den int",
+    )
+    cum = (
+        within.join(bucket_cum, "bucket")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(qgrid))
+        .select(
+            "quantile",
+            "lag_d",
+            (F.col("c_below") + F.col("cw_in")).alias("cw"),
+            "n",
+            "n_negative",
+            F.expr("(n * num + den - 1) div den").alias("k"),
+        )
+    )
+    picked = (
+        cum.filter(F.col("cw") >= F.col("k"))
+        .groupBy("quantile")
+        .agg(
+            F.min("lag_d").alias("lag"),
+            F.max("n").alias("n"),
+            F.max("n_negative").alias("neg"),
+        )
+    )
+    q = lambda name: F.max(F.when(F.col("quantile") == name, F.col("lag")))
+    return picked.agg(
+        F.max("n").alias("n_items"),
+        F.max("neg").alias("n_ship_before_order"),
+        q("p50").alias("p50_days"),
+        q("p90").alias("p90_days"),
+        q("p99").alias("p99_days"),
+    )
+
+
+def ship_lag_profile_sql() -> str:
+    qrows = ", ".join(
+        f"('{name}', {num}, {den})" for name, num, den in SHIP_LAG_QUANTILES
+    )
+    return f"""
+WITH lags AS (
+  SELECT datediff('day', o_orderdate, l_shipdate) AS lag_d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+by_lag AS (SELECT lag_d, COUNT(*) AS c FROM lags GROUP BY lag_d),
+cum AS (
+  SELECT lag_d,
+         SUM(c) OVER (ORDER BY lag_d ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(c) OVER () AS n,
+         SUM(CASE WHEN lag_d < 0 THEN c ELSE 0 END) OVER () AS n_negative
+  FROM by_lag
+),
+qgrid(quantile, num, den) AS (VALUES {qrows}),
+picked AS (
+  SELECT quantile, MIN(lag_d) AS lag, MAX(n) AS n,
+         MAX(n_negative) AS neg
+  FROM cum CROSS JOIN qgrid
+  WHERE cw >= (n * num + den - 1) // den
+  GROUP BY quantile
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_items,
+       CAST(MAX(neg) AS BIGINT) AS n_ship_before_order,
+       CAST(MAX(CASE WHEN quantile = 'p50' THEN lag END) AS BIGINT)
+         AS p50_days,
+       CAST(MAX(CASE WHEN quantile = 'p90' THEN lag END) AS BIGINT)
+         AS p90_days,
+       CAST(MAX(CASE WHEN quantile = 'p99' THEN lag END) AS BIGINT)
+         AS p99_days
+FROM picked
+"""

@@ -27,6 +27,7 @@ streaming value_histogram.
 Staged set (batch 11): table_checksum, out_of_order_audit.
 Staged set (batch 12): dedup_cluster_sizes, attribution_compare,
 freshness_audit.
+Staged set (batch 13): ship_lag_profile.
 """
 
 from __future__ import annotations
@@ -725,6 +726,7 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: dedup.dedup_cluster_sizes(docs),
         lambda: windows.attribution_compare(events),
         lambda: timeseries.freshness_audit(events),
+        lambda: joins.ship_lag_profile(lineitem, orders),
     ]
     for build in builders:
         clear_caches()
@@ -1606,3 +1608,63 @@ class TestFreshnessAudit:
         assert got["A"].n_last_24h == 2
         assert got["B"].n_last_24h == 1  # the 3-day-old event is out
         assert got["B"].n_events == 2
+
+
+def test_staged_ship_lag_profile_parity(spark):
+    """ship_lag_profile takes TWO tables, so it gets its own parity
+    gate outside the single-table parametrization (the
+    join_size_audit convention)."""
+    import duckdb
+    import pandas as pd
+
+    from soccerpredictor_spark.operators.joins import (
+        ship_lag_profile,
+        ship_lag_profile_sql,
+    )
+    from soccerpredictor_spark.sources.catalog import read_table
+
+    sdf = ship_lag_profile(
+        read_table(spark, SF, "lineitem"), read_table(spark, SF, "orders")
+    ).toPandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    odf = con.execute(ship_lag_profile_sql()).fetchdf()
+    sc, oc = sorted(sdf.columns), sorted(odf.columns)
+    assert sc == oc and len(sdf) == len(odf) == 1
+    for c in sc:
+        ka, kb = sdf[c].dtype.kind, odf[c].dtype.kind
+        if {ka, kb} <= {"i", "u", "f"}:
+            assert (ka in "iu") == (kb in "iu"), (c, sdf[c].dtype, odf[c].dtype)
+        pd.testing.assert_series_equal(
+            sdf[c], odf[c], check_dtype=False, check_names=False,
+            check_exact=True,
+        )
+
+
+class TestShipLagProfile:
+    def test_known_lags_with_violation(self, spark):
+        """Lags -2, 1, 3, 5 days (one impossible negative):
+        n_negative = 1, discrete p50 = 2nd smallest = 1, p99 = 5."""
+        from soccerpredictor_spark.operators.joins import ship_lag_profile
+
+        d0 = dt.date(2024, 1, 10)
+        orders = spark.createDataFrame(
+            [(i, d0) for i in range(1, 5)], ["o_orderkey", "o_orderdate"]
+        )
+        li = spark.createDataFrame(
+            [
+                (1, d0 + dt.timedelta(days=-2)),
+                (2, d0 + dt.timedelta(days=1)),
+                (3, d0 + dt.timedelta(days=3)),
+                (4, d0 + dt.timedelta(days=5)),
+            ],
+            ["l_orderkey", "l_shipdate"],
+        )
+        [r] = ship_lag_profile(li, orders).collect()
+        assert r.n_items == 4
+        assert r.n_ship_before_order == 1
+        assert r.p50_days == 1
+        assert r.p90_days == 5 and r.p99_days == 5
