@@ -1177,3 +1177,191 @@ SELECT p.m, CAST(f.n_bits_set AS BIGINT) AS n_bits_set,
        END AS fp_rate
 FROM per_m p JOIN fills f USING (m) ORDER BY p.m
 """
+
+
+# --------------------------------------------------------------------------
+# HLL set-intersection estimate (inclusion-exclusion), audited
+# --------------------------------------------------------------------------
+
+#: the two behavioral cohorts intersected (users who did each).
+HLL_IX_SET_A = "click"
+HLL_IX_SET_B = "purchase"
+
+
+def hll_intersection_est(events: DataFrame) -> DataFrame:
+    """Set-intersection cardinality from HLL sketches via
+    inclusion-exclusion — |A∩B| ~ est(A) + est(B) - est(A∪B) —
+    audited against the exact overlap. This is THE standard audience-
+    overlap trick (two cohorts sketched independently, union free by
+    register-wise max), and ALSO the standard cautionary tale: the
+    estimate's absolute error scales with the UNION size, so a small
+    true overlap of two big sets can even go negative. The audit
+    makes that error measurable instead of folklore.
+
+    One keyed pass: per-user membership flags for both cohorts group
+    once (the keyed table is CHECKPOINTED — the register build and
+    the exact-overlap count are two lazy consumers); each user
+    hashes once and its rho lands in three register banks (A, B,
+    union = max) in a single m-bounded aggregation. The three
+    estimates reuse ``hll_distinct``'s exact-integer register
+    arithmetic (power-of-two harmonic sums, one double division
+    each); inclusion-exclusion is arithmetic over three identically-
+    computed doubles.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    max_rho = HLL_W_BITS + 1
+    keyed = _reliable_checkpoint(
+        events.groupBy(F.col("user_id").alias("k")).agg(
+            F.max((F.col("event_type") == HLL_IX_SET_A).cast("int")).alias(
+                "in_a"
+            ),
+            F.max((F.col("event_type") == HLL_IX_SET_B).cast("int")).alias(
+                "in_b"
+            ),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hllix:"), F.col("k").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.shiftright(h, 8).bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))
+    rho = F.when(w == 0, max_rho).otherwise(
+        F.bit_count((w.bitwiseAND(-w)) - 1) + 1
+    )
+    members = keyed.filter(
+        (F.col("in_a") == 1) | (F.col("in_b") == 1)
+    ).select(
+        (h % HLL_M).alias("j"),
+        rho.alias("rho"),
+        "in_a",
+        "in_b",
+    )
+    regs = members.groupBy("j").agg(
+        F.max(F.when(F.col("in_a") == 1, F.col("rho"))).alias("ma"),
+        F.max(F.when(F.col("in_b") == 1, F.col("rho"))).alias("mb"),
+        F.max("rho").alias("mu"),
+    )
+
+    def bank(col: str):
+        present = F.count(F.col(col))
+        s_present = F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rho} - {col})")
+        )
+        return present, s_present
+
+    pa, sa = bank("ma")
+    pb, sb = bank("mb")
+    pu, su = bank("mu")
+    agg = regs.agg(
+        pa.alias("n_a"), F.coalesce(sa, F.lit(0)).alias("s_a"),
+        pb.alias("n_b"), F.coalesce(sb, F.lit(0)).alias("s_b"),
+        pu.alias("n_u"), F.coalesce(su, F.lit(0)).alias("s_u"),
+    )
+
+    def est(n: str, s: str):
+        s_total = (
+            F.col(s)
+            + (F.lit(HLL_M) - F.col(n)) * F.lit(2 ** max_rho)
+        )
+        return (
+            F.lit(HLL_ALPHA)
+            * F.lit(float(HLL_M))
+            * F.lit(float(HLL_M))
+            * F.lit(float(2 ** max_rho))
+            / s_total.cast("double")
+        )
+
+    exact = keyed.agg(
+        F.sum(
+            ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+        ).alias("exact_intersection")
+    )
+    ea, eb, eu = est("n_a", "s_a"), est("n_b", "s_b"), est("n_u", "s_u")
+    ei = ea + eb - eu
+    xd = F.col("exact_intersection").cast("double")
+    return agg.crossJoin(F.broadcast(exact)).select(
+        ea.alias("est_a"),
+        eb.alias("est_b"),
+        eu.alias("est_union"),
+        ei.alias("est_intersection"),
+        "exact_intersection",
+        F.when(F.col("exact_intersection") > 0, (ei - xd) / xd).alias(
+            "rel_error"
+        ),
+    )
+
+
+def hll_intersection_est_sql() -> str:
+    max_rho = HLL_W_BITS + 1
+    wexpr = f"((h >> 8) & {(1 << HLL_W_BITS) - 1})"
+    est = (
+        "CAST({a!r} AS DOUBLE) * CAST({m!r} AS DOUBLE) * CAST({m!r} AS DOUBLE)"
+        " * CAST({p!r} AS DOUBLE)"
+        " / CAST(s_{x} + ({mm} - n_{x}) * CAST({pp} AS BIGINT) AS DOUBLE)"
+    )
+
+    def e(x: str) -> str:
+        return est.format(
+            a=HLL_ALPHA, m=float(HLL_M), p=float(2 ** max_rho),
+            x=x, mm=HLL_M, pp=2 ** max_rho,
+        )
+
+    ei = f"({e('a')}) + ({e('b')}) - ({e('u')})"
+    return f"""
+WITH keyed AS MATERIALIZED (
+  SELECT user_id AS k,
+         MAX(CASE WHEN event_type = '{HLL_IX_SET_A}' THEN 1 ELSE 0 END)
+           AS in_a,
+         MAX(CASE WHEN event_type = '{HLL_IX_SET_B}' THEN 1 ELSE 0 END)
+           AS in_b
+  FROM events GROUP BY user_id
+),
+hashed AS (
+  SELECT CAST('0x' || substr(md5('hllix:' || CAST(k AS VARCHAR)),
+              1, 15) AS BIGINT) AS h,
+         in_a, in_b
+  FROM keyed WHERE in_a = 1 OR in_b = 1
+),
+rhos AS (
+  SELECT h % {HLL_M} AS j,
+         CASE WHEN {wexpr} = 0 THEN {max_rho}
+              ELSE bit_count(({wexpr} & -{wexpr}) - 1) + 1 END AS rho,
+         in_a, in_b
+  FROM hashed
+),
+regs AS (
+  SELECT j,
+         MAX(CASE WHEN in_a = 1 THEN rho END) AS ma,
+         MAX(CASE WHEN in_b = 1 THEN rho END) AS mb,
+         MAX(rho) AS mu
+  FROM rhos GROUP BY j
+),
+agg AS (
+  SELECT COUNT(ma) AS n_a,
+         COALESCE(CAST(SUM(CASE WHEN ma IS NOT NULL THEN
+           CAST(1 AS BIGINT) << ({max_rho} - ma) END) AS BIGINT), 0) AS s_a,
+         COUNT(mb) AS n_b,
+         COALESCE(CAST(SUM(CASE WHEN mb IS NOT NULL THEN
+           CAST(1 AS BIGINT) << ({max_rho} - mb) END) AS BIGINT), 0) AS s_b,
+         COUNT(mu) AS n_u,
+         COALESCE(CAST(SUM(CASE WHEN mu IS NOT NULL THEN
+           CAST(1 AS BIGINT) << ({max_rho} - mu) END) AS BIGINT), 0) AS s_u
+  FROM regs
+),
+exact AS (
+  SELECT CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS exact_intersection
+  FROM keyed
+)
+SELECT {e('a')} AS est_a, {e('b')} AS est_b, {e('u')} AS est_union,
+       {ei} AS est_intersection,
+       exact_intersection,
+       CASE WHEN exact_intersection > 0
+            THEN (({ei}) - CAST(exact_intersection AS DOUBLE))
+                 / CAST(exact_intersection AS DOUBLE) END AS rel_error
+FROM agg, exact
+"""

@@ -27,7 +27,7 @@ streaming value_histogram.
 Staged set (batch 11): table_checksum, out_of_order_audit.
 Staged set (batch 12): dedup_cluster_sizes, attribution_compare,
 freshness_audit.
-Staged set (batch 13): ship_lag_profile.
+Staged set (batch 13): ship_lag_profile, hll_intersection_est.
 """
 
 from __future__ import annotations
@@ -100,6 +100,8 @@ STAGED = [
     ("attribution_compare", "soccerpredictor_spark.operators.windows",
      "events"),
     ("freshness_audit", "soccerpredictor_spark.operators.timeseries",
+     "events"),
+    ("hll_intersection_est", "soccerpredictor_spark.operators.sketch",
      "events"),
 ]
 
@@ -727,6 +729,7 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: windows.attribution_compare(events),
         lambda: timeseries.freshness_audit(events),
         lambda: joins.ship_lag_profile(lineitem, orders),
+        lambda: sketch.hll_intersection_est(events),
     ]
     for build in builders:
         clear_caches()
@@ -1668,3 +1671,54 @@ class TestShipLagProfile:
         assert r.n_ship_before_order == 1
         assert r.p50_days == 1
         assert r.p90_days == 5 and r.p99_days == 5
+
+
+class TestHllIntersectionEst:
+    def test_identical_cohorts_estimate_collapses(self, spark):
+        """Every user does BOTH actions: the three register banks are
+        identical, so est_a == est_b == est_union and inclusion-
+        exclusion returns exactly est_a; the exact overlap is every
+        user."""
+        from soccerpredictor_spark.operators.sketch import (
+            hll_intersection_est,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for u in range(40):
+            for et in ("click", "purchase"):
+                rows.append((eid, t0, u, et))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = hll_intersection_est(ev).collect()
+        assert r.exact_intersection == 40
+        assert r.est_a == r.est_b == r.est_union
+        assert r.est_intersection == r.est_a
+
+    def test_disjoint_cohorts(self, spark):
+        """Clickers and purchasers are disjoint: exact overlap 0 and
+        rel_error NULL (zero-denominator guard); the union bank sees
+        every member."""
+        from soccerpredictor_spark.operators.sketch import (
+            hll_intersection_est,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for u in range(20):
+            rows.append((eid, t0, u, "click"))
+            eid += 1
+        for u in range(100, 120):
+            rows.append((eid, t0, u, "purchase"))
+            eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = hll_intersection_est(ev).collect()
+        assert r.exact_intersection == 0
+        assert r.rel_error is None
+        assert r.est_union >= max(r.est_a, r.est_b)
