@@ -1722,3 +1722,36 @@ class TestHllIntersectionEst:
         assert r.exact_intersection == 0
         assert r.rel_error is None
         assert r.est_union >= max(r.est_a, r.est_b)
+
+
+def test_staged_bucketed_rank_ops_shuffle_on_buckets(spark):
+    """The scale property of the staged two-level-rank operators,
+    asserted on the PHYSICAL plan: the row-scale window passes
+    hash-partition on their (group, bucket) keys — never a
+    SinglePartition sort of row-scale data. (SinglePartition windows
+    legitimately remain above the TINY bucket tables.)"""
+    from soccerpredictor_spark.operators.joins import ship_lag_profile
+    from soccerpredictor_spark.operators.mlprep import weighted_median
+    from soccerpredictor_spark.operators.timeseries import (
+        interarrival_profile,
+        out_of_order_audit,
+    )
+    from soccerpredictor_spark.sources.catalog import read_table
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    li = read_table(spark, SF, "lineitem")
+    ev = read_table(spark, SF, "events")
+    orders = read_table(spark, SF, "orders")
+
+    p = plan(weighted_median(li))
+    assert "hashpartitioning(flag" in p  # within-bucket cumsum keyed
+    p = plan(interarrival_profile(ev))
+    # the per-user lag pass runs INSIDE the by_gap checkpoint (already
+    # executed), so the visible plan starts at the bucketed quantile
+    assert "hashpartitioning(event_type" in p
+    p = plan(out_of_order_audit(ev))
+    assert "hashpartitioning(bucket" in p  # prefix-max bucket pass
+    p = plan(ship_lag_profile(li, orders))
+    assert "hashpartitioning(bucket" in p
