@@ -3674,3 +3674,94 @@ SELECT flag, CAST(MAX(tw) AS BIGINT) AS total_weight,
 FROM cum WHERE 2 * cw >= tw
 GROUP BY flag ORDER BY flag
 """
+
+
+# --------------------------------------------------------------------------
+# temporal leakage audit (time-split entity overlap)
+# --------------------------------------------------------------------------
+
+
+def temporal_leakage_audit(events: DataFrame) -> DataFrame:
+    """Entity leakage across a TIME-based train/test split: split the
+    stream at the exact midpoint of its observed range and measure
+    what fraction of test-period users also appear in the train
+    period — the number that decides between a plain temporal split
+    (fine for forecasting the same population) and a group-holdout
+    split (required when the model must generalize to UNSEEN
+    entities; ``group_holdout_split`` is the remedy this audit
+    prescribes).
+
+    One keyed pass: per-user early/late membership flags aggregate
+    once (map-side combinable maxes), the 1-row summary reads the
+    tiny flag table. The midpoint is exact integer micros with the
+    ``topk_churn`` floor convention (a bare double->BIGINT cast
+    truncates in Spark but ROUNDS in DuckDB). Counts exact; the
+    leak rate is one guarded double division.
+    """
+    span = events.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    mid = F.col("lo") + F.floor(
+        (F.col("hi") - F.col("lo")) / F.lit(2)
+    ).cast("long")
+    flags = (
+        events.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            (F.unix_micros("ts") <= mid).cast("int").alias("early"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("early").alias("in_train"),
+            F.max(F.lit(1) - F.col("early")).alias("in_test"),
+        )
+    )
+    leak = F.sum(
+        ((F.col("in_train") == 1) & (F.col("in_test") == 1)).cast("long")
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("in_train").alias("n_train_users"),
+        F.sum("in_test").alias("n_test_users"),
+        leak.alias("n_leaked"),
+    ).select(
+        "n_users",
+        "n_train_users",
+        "n_test_users",
+        "n_leaked",
+        F.when(
+            F.col("n_test_users") > 0,
+            F.col("n_leaked").cast("double")
+            / F.col("n_test_users").cast("double"),
+        ).alias("leak_rate"),
+    )
+
+
+def temporal_leakage_audit_sql() -> str:
+    return """
+WITH span AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN epoch_us(ts)
+                       <= lo + CAST(floor((hi - lo) / 2) AS BIGINT)
+                  THEN 1 ELSE 0 END) AS in_train,
+         MAX(CASE WHEN epoch_us(ts)
+                       <= lo + CAST(floor((hi - lo) / 2) AS BIGINT)
+                  THEN 0 ELSE 1 END) AS in_test
+  FROM events CROSS JOIN span
+  GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(in_train) AS BIGINT) AS n_train_users,
+       CAST(SUM(in_test) AS BIGINT) AS n_test_users,
+       CAST(SUM(CASE WHEN in_train = 1 AND in_test = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaked,
+       CASE WHEN SUM(in_test) > 0
+            THEN CAST(SUM(CASE WHEN in_train = 1 AND in_test = 1
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(in_test) AS DOUBLE) END AS leak_rate
+FROM flags
+"""

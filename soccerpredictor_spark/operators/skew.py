@@ -128,3 +128,144 @@ SELECT COUNT(*) AS n_keys,
        CAST(quantile_cont(cnt, 0.99) AS DOUBLE) AS p99_cnt
 FROM cnt
 """
+
+
+# --------------------------------------------------------------------------
+# activity concentration (exact Lorenz points)
+# --------------------------------------------------------------------------
+
+#: Lorenz points reported: top p% of users by activity.
+CONC_PCTS = (1, 5, 10, 50)
+
+
+def value_concentration(events: DataFrame) -> DataFrame:
+    """Exact Lorenz points of per-user activity: what share of all
+    events do the top 1 / 5 / 10 / 50 % of users produce — the
+    concentration readout that turns ``skew_profile``'s max/p99 into
+    the partitioning decision itself (a 1%-of-keys-own-half-the-rows
+    table needs salting; a flat one doesn't).
+
+    Exact under TIES, all integers: user counts collapse to the
+    (cnt, n_users_at, events_at) value table (distinct-count
+    bounded, checkpointed — the cumulative pass and the totals are
+    two lazy consumers); cumulating in cnt-DESC order gives, for
+    each Lorenz k = ceil(p * n_users / 100), the full value-groups
+    above the cutoff plus the PARTIAL tie group (k - users_above) *
+    cnt_at_cutoff — so the "top k users" is the exact deterministic
+    maximum any tie-breaking order could produce. One double
+    division per point.
+    """
+    from pyspark.sql import Window
+
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    by_cnt = _reliable_checkpoint(
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("cnt")
+        .agg(F.count(F.lit(1)).alias("u_at"))
+        .select(
+            "cnt",
+            "u_at",
+            (F.col("cnt").cast("decimal(38,0)") * F.col("u_at")).alias(
+                "e_at"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("cnt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = by_cnt.select(
+        "cnt",
+        "u_at",
+        "e_at",
+        F.coalesce(F.sum("u_at").over(w), F.lit(0)).alias("u_above"),
+        F.coalesce(F.sum("e_at").over(w), F.lit(0).cast("decimal(38,0)")).alias(
+            "e_above"
+        ),
+    )
+    totals = by_cnt.agg(
+        F.sum("u_at").alias("n_users"), F.sum("e_at").alias("n_events")
+    )
+    grid = events.sparkSession.createDataFrame(
+        [(p,) for p in CONC_PCTS], "pct int"
+    )
+    staged = (
+        cum.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(grid))
+        .withColumn(
+            "k", F.expr("(n_users * pct + 99) div 100")
+        )
+        .filter(F.col("u_above") + F.col("u_at") >= F.col("k"))
+    )
+    # cutoff row per pct = the LARGEST cnt whose inclusive cum reaches k
+    top_events = F.col("e_above") + (
+        (F.col("k") - F.col("u_above")).cast("decimal(38,0)")
+        * F.col("cnt").cast("decimal(38,0)")
+    )
+    picked = (
+        staged.groupBy("pct")
+        .agg(
+            F.max(F.struct(F.col("cnt"), top_events.alias("te"))).alias("s"),
+            F.max("k").alias("k_users"),
+            F.max("n_events").alias("n_events"),
+        )
+        .select(
+            "pct",
+            "k_users",
+            F.col("s.te").alias("top_events_d38"),
+            "n_events",
+        )
+    )
+    return picked.select(
+        "pct",
+        "k_users",
+        F.col("top_events_d38").cast("double").alias("top_events"),
+        (
+            F.col("top_events_d38").cast("double")
+            / F.col("n_events").cast("double")
+        ).alias("share"),
+    ).orderBy("pct")
+
+
+def value_concentration_sql() -> str:
+    pcts = ", ".join(f"({p})" for p in CONC_PCTS)
+    return f"""
+WITH by_user AS (SELECT user_id, COUNT(*) AS cnt FROM events
+                 GROUP BY user_id),
+by_cnt AS (
+  SELECT cnt, COUNT(*) AS u_at, CAST(cnt AS HUGEINT) * COUNT(*) AS e_at
+  FROM by_user GROUP BY cnt
+),
+cum AS (
+  SELECT cnt, u_at, e_at,
+         COALESCE(SUM(u_at) OVER (ORDER BY cnt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS u_above,
+         COALESCE(SUM(e_at) OVER (ORDER BY cnt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           CAST(0 AS HUGEINT)) AS e_above
+  FROM by_cnt
+),
+totals AS (
+  SELECT CAST(SUM(u_at) AS BIGINT) AS n_users, SUM(e_at) AS n_events
+  FROM by_cnt
+),
+grid(pct) AS (VALUES {pcts}),
+staged AS (
+  SELECT pct, cnt, u_at, e_at, u_above, e_above, n_users, n_events,
+         (n_users * pct + 99) // 100 AS k
+  FROM cum CROSS JOIN totals CROSS JOIN grid
+  WHERE u_above + u_at >= (n_users * pct + 99) // 100
+),
+picked AS (
+  SELECT pct, MAX(k) AS k_users, MAX(n_events) AS n_events,
+         MAX(struct_pack(cnt := cnt,
+             te := e_above + CAST(k - u_above AS HUGEINT) * cnt)) AS s
+  FROM staged GROUP BY pct
+)
+SELECT CAST(pct AS INT) AS pct, CAST(k_users AS BIGINT) AS k_users,
+       CAST(CAST(s.te AS VARCHAR) AS DOUBLE) AS top_events,
+       CAST(CAST(s.te AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(n_events AS VARCHAR) AS DOUBLE) AS share
+FROM picked ORDER BY pct
+"""

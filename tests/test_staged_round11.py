@@ -28,6 +28,7 @@ Staged set (batch 11): table_checksum, out_of_order_audit.
 Staged set (batch 12): dedup_cluster_sizes, attribution_compare,
 freshness_audit.
 Staged set (batch 13): ship_lag_profile, hll_intersection_est.
+Staged set (batch 14): value_concentration, temporal_leakage_audit.
 """
 
 from __future__ import annotations
@@ -102,6 +103,10 @@ STAGED = [
     ("freshness_audit", "soccerpredictor_spark.operators.timeseries",
      "events"),
     ("hll_intersection_est", "soccerpredictor_spark.operators.sketch",
+     "events"),
+    ("value_concentration", "soccerpredictor_spark.operators.skew",
+     "events"),
+    ("temporal_leakage_audit", "soccerpredictor_spark.operators.mlprep",
      "events"),
 ]
 
@@ -658,8 +663,8 @@ def test_staged_ops_survive_empty_tables(spark):
     import pyspark.sql.types as T
 
     from soccerpredictor_spark.operators import (
-        dedup, graph, joins, mlprep, quality, similarity, sketch, textops,
-        timeseries, windows,
+        dedup, graph, joins, mlprep, quality, similarity, sketch, skew,
+        textops, timeseries, windows,
     )
     from soccerpredictor_spark.operators.scale import clear_caches
 
@@ -730,6 +735,8 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: timeseries.freshness_audit(events),
         lambda: joins.ship_lag_profile(lineitem, orders),
         lambda: sketch.hll_intersection_est(events),
+        lambda: skew.value_concentration(events),
+        lambda: mlprep.temporal_leakage_audit(events),
     ]
     for build in builders:
         clear_caches()
@@ -1755,3 +1762,69 @@ def test_staged_bucketed_rank_ops_shuffle_on_buckets(spark):
     assert "hashpartitioning(bucket" in p  # prefix-max bucket pass
     p = plan(ship_lag_profile(li, orders))
     assert "hashpartitioning(bucket" in p
+
+
+class TestValueConcentration:
+    def test_tie_exact_partial_group(self, spark):
+        """10 users all with the same count: top-1% -> k=1 user ->
+        exactly 1/10 of events (the partial-tie-group arithmetic);
+        top-50% -> exactly half."""
+        from soccerpredictor_spark.operators.skew import value_concentration
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for u in range(10):
+            for _ in range(4):
+                rows.append((eid, t0, u, "click"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        got = {r.pct: r for r in value_concentration(ev).collect()}
+        assert got[1].k_users == 1 and got[1].share == 0.1
+        assert got[50].k_users == 5 and got[50].share == 0.5
+
+    def test_heavy_head_dominates(self, spark):
+        """One user with 90 events + 9 with 1 each (99 users? no —
+        10 users, 99 events): top-10% = 1 user = 90/99 share."""
+        from soccerpredictor_spark.operators.skew import value_concentration
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(i, t0, 0, "click") for i in range(90)]
+        eid = 90
+        for u in range(1, 10):
+            rows.append((eid, t0, u, "click"))
+            eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        got = {r.pct: r for r in value_concentration(ev).collect()}
+        assert got[10].k_users == 1
+        assert got[10].top_events == 90.0
+        assert got[10].share == 90.0 / 99.0
+
+
+class TestTemporalLeakageAudit:
+    def test_known_overlap(self, spark):
+        """Users {1,2} early only, {2,3} late (2 spans both): test
+        users = 2, leaked = 1, rate 0.5."""
+        from soccerpredictor_spark.operators.mlprep import (
+            temporal_leakage_audit,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        t1 = dt.datetime(2024, 1, 31)
+        rows = [
+            (0, t0, 1, "click"),
+            (1, t0, 2, "click"),
+            (2, t1, 2, "click"),
+            (3, t1, 3, "click"),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = temporal_leakage_audit(ev).collect()
+        assert (r.n_users, r.n_train_users, r.n_test_users) == (3, 2, 2)
+        assert r.n_leaked == 1
+        assert r.leak_rate == 0.5
