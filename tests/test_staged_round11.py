@@ -29,6 +29,7 @@ Staged set (batch 12): dedup_cluster_sizes, attribution_compare,
 freshness_audit.
 Staged set (batch 13): ship_lag_profile, hll_intersection_est.
 Staged set (batch 14): value_concentration, temporal_leakage_audit.
+Staged set (batch 15): source_dup_rate.
 """
 
 from __future__ import annotations
@@ -108,6 +109,8 @@ STAGED = [
      "events"),
     ("temporal_leakage_audit", "soccerpredictor_spark.operators.mlprep",
      "events"),
+    ("source_dup_rate", "soccerpredictor_spark.operators.dedup",
+     "documents"),
 ]
 
 
@@ -737,6 +740,7 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: sketch.hll_intersection_est(events),
         lambda: skew.value_concentration(events),
         lambda: mlprep.temporal_leakage_audit(events),
+        lambda: dedup.source_dup_rate(docs),
     ]
     for build in builders:
         clear_caches()
@@ -1828,3 +1832,25 @@ class TestTemporalLeakageAudit:
         assert (r.n_users, r.n_train_users, r.n_test_users) == (3, 2, 2)
         assert r.n_leaked == 1
         assert r.leak_rate == 0.5
+
+
+class TestSourceDupRate:
+    def test_rates_consistent_with_labels(self, spark):
+        """Per-source flagged counts must sum to the label-table row
+        count, and every rate stays in [0, 1] with the exact n_dup /
+        n_docs ratio."""
+        from soccerpredictor_spark.operators.dedup import (
+            near_dup_clusters,
+            source_dup_rate,
+        )
+        from soccerpredictor_spark.operators.scale import clear_caches
+        from soccerpredictor_spark.sources.catalog import read_table
+
+        clear_caches()
+        docs = read_table(spark, SF, "documents")
+        rows = source_dup_rate(docs).collect()
+        assert sum(r.n_dup for r in rows) == near_dup_clusters(docs).count()
+        assert sum(r.n_docs for r in rows) == docs.count()
+        for r in rows:
+            assert 0 <= r.n_dup <= r.n_docs
+            assert r.dup_rate == r.n_dup / r.n_docs
