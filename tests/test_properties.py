@@ -1548,3 +1548,91 @@ def test_table_checksum_permutation_invariant_property(spark, rows, seed):
     assert (a.n_rows, a.xor_checksum, a.sum_checksum) == (
         b.n_rows, b.xor_checksum, b.sum_checksum,
     )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=4, max_size=16
+    )
+)
+def test_burst_episodes_matches_bruteforce_property(spark, counts):
+    """For ANY hourly count series, the episodes equal a sequential
+    scan: flag hours above mean + 2sd, merge adjacent flagged hours,
+    report each run's span/peak/volume."""
+    import datetime as dt
+    import math
+
+    from soccerpredictor_spark.operators.timeseries import burst_episodes
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, "x"))
+            eid += 1
+    if not rows:
+        return
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = [
+        (e.n_hours, e.peak_cnt, e.total_cnt)
+        for e in burst_episodes(ev).collect()
+    ]
+    # brute force over OBSERVED hours only (zero-count hours produce
+    # no rows, exactly like the grouped hourly table)
+    obs = [(h, n) for h, n in enumerate(counts) if n > 0]
+    vals = [n for _, n in obs]
+    m = sum(vals) / len(vals)
+    var = sum(v * v for v in vals) / len(vals) - m * m
+    gate = m + 2.0 * math.sqrt(max(var, 0.0))
+    hot = [(h, n) for h, n in obs if n > gate]
+    expect = []
+    run: list = []
+    for h, n in hot:
+        if run and h - run[-1][0] <= 1:
+            run.append((h, n))
+        else:
+            if run:
+                expect.append(run)
+            run = [(h, n)]
+    if run:
+        expect.append(run)
+    expect = [
+        (len(r), max(n for _, n in r), sum(n for _, n in r)) for r in expect
+    ]
+    assert sorted(got) == sorted(expect)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    gaps=st.lists(
+        st.integers(min_value=0, max_value=5000), min_size=1, max_size=10
+    )
+)
+def test_interarrival_quantiles_match_bruteforce_property(spark, gaps):
+    """For ANY gap multiset the discrete quantiles equal the sorted-
+    list lookup at index ceil(q*n) (1-based)."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.timeseries import (
+        IAP_QUANTILES,
+        interarrival_profile,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(0, t0, 1, "x")]
+    s = 0
+    for i, g in enumerate(gaps):
+        s += g
+        rows.append((i + 1, t0 + dt.timedelta(seconds=s), 1, "x"))
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {r.quantile: r.gap_s for r in interarrival_profile(ev).collect()}
+    srt = sorted(gaps)
+    n = len(srt)
+    for name, num, den in IAP_QUANTILES:
+        k = (n * num + den - 1) // den
+        assert got[name] == srt[k - 1], (name, srt, got)
