@@ -269,3 +269,106 @@ SELECT CAST(pct AS INT) AS pct, CAST(k_users AS BIGINT) AS k_users,
          / CAST(CAST(n_events AS VARCHAR) AS DOUBLE) AS share
 FROM picked ORDER BY pct
 """
+
+
+# --------------------------------------------------------------------------
+# exact Gini coefficient of per-user activity
+# --------------------------------------------------------------------------
+
+
+def gini_activity(events: DataFrame) -> DataFrame:
+    """Exact Gini coefficient of the per-user event-count
+    distribution — the single-number inequality summary behind
+    ``value_concentration``'s Lorenz points (0 = everyone equally
+    active, ->1 = a handful of users own the stream):
+
+        G = (2 * sum_i rank_i * x_i - (n+1) * sum_i x_i)
+            / (n * sum_i x_i),   ranks ascending by x.
+
+    Tie-exact and order-independent: within a tie group x is
+    constant, so sum(rank * x) = x * sum(consecutive ranks) no
+    matter how ties order — and the rank-sum of a group is the
+    closed form u_below * u_at + u_at*(u_at+1)/2 in exact integers.
+    Everything accumulates over the distinct-COUNT table (bounded,
+    checkpointed: the cumulative window and the totals are two lazy
+    consumers) in decimal(38,0); G is ONE division of exactly-cast
+    operands.
+    """
+    from pyspark.sql import Window
+
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    d38 = "decimal(38,0)"
+    by_cnt = _reliable_checkpoint(
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("cnt")
+        .agg(F.count(F.lit(1)).alias("u_at"))
+    )
+    w = Window.orderBy(F.col("cnt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = by_cnt.select(
+        "cnt",
+        "u_at",
+        F.coalesce(F.sum("u_at").over(w), F.lit(0)).alias("u_below"),
+    )
+    # DOUBLED rank-sum of the tie group (2*u_below*u_at +
+    # u_at*(u_at+1)) — tracking 2*sum(rank*x) keeps the whole chain
+    # division-free (DuckDB's / is float division even on integers;
+    # Spark decimal / widens scale), and 2*S_rx feeds the numerator
+    # 2*S_rx - (n+1)*S_x directly.
+    rank_sum2 = (
+        F.lit(2).cast(d38) * F.col("u_below").cast(d38)
+        * F.col("u_at").cast(d38)
+        + F.col("u_at").cast(d38) * (F.col("u_at").cast(d38) + F.lit(1))
+    )
+    agg = ranked.select(
+        "cnt",
+        "u_at",
+        (F.col("cnt").cast(d38) * rank_sum2).alias("rx2"),
+        (F.col("cnt").cast(d38) * F.col("u_at").cast(d38)).alias("x"),
+    ).agg(
+        F.sum("u_at").alias("n"),
+        F.sum("rx2").alias("s_rx2"),
+        F.sum("x").alias("s_x"),
+    )
+    num = (
+        F.col("s_rx2")
+        - (F.col("n").cast(d38) + F.lit(1)) * F.col("s_x")
+    ).cast("double")
+    den = (F.col("n").cast(d38) * F.col("s_x")).cast("double")
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.col("s_x").cast("double").alias("n_events"),
+        F.when(den > 0, num / den).alias("gini"),
+    )
+
+
+def gini_activity_sql() -> str:
+    hug = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+    num = hug.format(x="s_rx2 - (CAST(n AS HUGEINT) + 1) * s_x")
+    den = hug.format(x="CAST(n AS HUGEINT) * s_x")
+    return f"""
+WITH by_user AS (SELECT user_id, COUNT(*) AS cnt FROM events
+                 GROUP BY user_id),
+by_cnt AS (SELECT cnt, COUNT(*) AS u_at FROM by_user GROUP BY cnt),
+ranked AS (
+  SELECT cnt, u_at,
+         COALESCE(SUM(u_at) OVER (ORDER BY cnt ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS u_below
+  FROM by_cnt
+),
+agg AS (
+  SELECT CAST(SUM(u_at) AS BIGINT) AS n,
+         SUM(CAST(cnt AS HUGEINT)
+             * (2 * CAST(u_below AS HUGEINT) * u_at
+                + CAST(u_at AS HUGEINT) * (CAST(u_at AS HUGEINT) + 1)))
+           AS s_rx2,
+         SUM(CAST(cnt AS HUGEINT) * u_at) AS s_x
+  FROM ranked
+)
+SELECT n AS n_users, {hug.format(x="s_x")} AS n_events,
+       CASE WHEN {den} > 0 THEN {num} / {den} END AS gini
+FROM agg
+"""

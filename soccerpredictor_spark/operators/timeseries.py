@@ -2310,3 +2310,202 @@ SELECT w.event_type, w.n_events,
 FROM with_head w LEFT JOIN recent r USING (event_type)
 ORDER BY w.event_type
 """
+
+
+# --------------------------------------------------------------------------
+# rank stability (Kendall tau between the time halves' leaderboards)
+# --------------------------------------------------------------------------
+
+#: leaderboard depth the tau is computed over.
+RANK_TAU_K = 50
+
+
+def rank_stability_tau(events: DataFrame) -> DataFrame:
+    """Kendall tau-a between the early-half and late-half activity
+    RANKINGS of the users present in both halves' top-K — the rank-
+    correlation companion to ``topk_churn``: churn counts who left
+    the leaderboard, tau measures whether the survivors kept their
+    ORDER (tau 1 = stable regime, ~0 = reshuffled, negative =
+    inverted). Pure integer arithmetic: concordant/discordant pairs
+    count over the <= K common members (a K^2-bounded self-join of a
+    broadcast-sized table), tau is one guarded double division.
+
+    The halves split at the exact integer midpoint (the
+    ``topk_churn`` floor convention) and each half's top-K is a
+    TakeOrdered with total (cnt DESC, user ASC) order — both engines
+    pick identical sets, so the pair census is deterministic.
+    """
+    from pyspark.sql import Window
+
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    span = events.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    mid = F.col("lo") + F.floor(
+        (F.col("hi") - F.col("lo")) / F.lit(2)
+    ).cast("long")
+    counts = _reliable_checkpoint(
+        events.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            (F.unix_micros("ts") <= mid).cast("int").alias("early"),
+        )
+        .groupBy("user_id", "early")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def topk(early: int, rname: str) -> DataFrame:
+        w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+        return (
+            counts.filter(F.col("early") == early)
+            .orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+            .limit(RANK_TAU_K)
+            .withColumn(rname, F.row_number().over(w))
+            .select(F.col("user_id").alias("u"), rname)
+        )
+
+    common = topk(1, "ra").join(topk(0, "rb"), "u")
+    a = common.select(
+        F.col("u").alias("u1"), F.col("ra").alias("ra1"),
+        F.col("rb").alias("rb1"),
+    )
+    b = common.select(
+        F.col("u").alias("u2"), F.col("ra").alias("ra2"),
+        F.col("rb").alias("rb2"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("u1") < F.col("u2")).select(
+        (
+            (F.col("ra1") - F.col("ra2")) * (F.col("rb1") - F.col("rb2")) > 0
+        ).cast("long").alias("conc")
+    )
+    m = common.agg(F.count(F.lit(1)).alias("m"))
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("conc").alias("n_conc"),
+    )
+    tau = F.when(
+        F.col("n_pairs") > 0,
+        (F.lit(2) * F.col("n_conc") - F.col("n_pairs")).cast("double")
+        / F.col("n_pairs").cast("double"),
+    )
+    return stats.crossJoin(F.broadcast(m)).select(
+        F.lit(RANK_TAU_K).alias("k"),
+        F.col("m").alias("n_common"),
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_conc", F.lit(0)).alias("n_concordant"),
+        tau.alias("tau"),
+    )
+
+
+def rank_stability_tau_sql() -> str:
+    k = RANK_TAU_K
+    half = """
+  SELECT user_id AS u,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS {rname}
+  FROM (SELECT user_id, COUNT(*) AS cnt FROM flagged
+        WHERE early = {early} GROUP BY user_id)
+  ORDER BY cnt DESC, u ASC LIMIT {k}
+"""
+    return f"""
+WITH span AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts)
+                   <= lo + CAST(floor((hi - lo) / 2) AS BIGINT)
+              THEN 1 ELSE 0 END AS early
+  FROM events CROSS JOIN span
+),
+ha AS ({half.format(early=1, rname="ra", k=k)}),
+hb AS ({half.format(early=0, rname="rb", k=k)}),
+common AS (SELECT ha.u, ha.ra, hb.rb FROM ha JOIN hb ON ha.u = hb.u),
+pairs AS (
+  SELECT CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0 THEN 1 ELSE 0 END
+           AS conc
+  FROM common a JOIN common b ON a.u < b.u
+),
+m AS (SELECT COUNT(*) AS m FROM common),
+stats AS (SELECT COUNT(*) AS n_pairs, SUM(conc) AS n_conc FROM pairs)
+SELECT CAST({k} AS INT) AS k, CAST(m AS BIGINT) AS n_common,
+       CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(n_conc, 0) AS BIGINT) AS n_concordant,
+       CASE WHEN n_pairs > 0
+            THEN CAST(2 * n_conc - n_pairs AS DOUBLE)
+                 / CAST(n_pairs AS DOUBLE) END AS tau
+FROM stats, m
+"""
+
+
+# --------------------------------------------------------------------------
+# activity streaks (longest consecutive-day runs per user)
+# --------------------------------------------------------------------------
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Distribution of each user's LONGEST consecutive-active-day
+    streak — the engagement shape behind retention curves (a corpus
+    of 1-day streaks and a corpus of 30-day streaks can have the
+    same DAU): rows of (streak_len, n_users). The islands shape
+    (``burst_episodes``) applied per user on the day grid.
+
+    Integer arithmetic on epoch-day numbers; the islands window
+    partitions by user (real partitions, never a global sort); the
+    distinct (user, day) grid is the only row-scale shuffle, and the
+    result is streak-length bounded.
+    """
+    from pyspark.sql import Window
+
+    days = events.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.when(F.col("d") - F.lag("d").over(w) == 1, 0)
+        .otherwise(1)
+        .alias("brk"),
+    ).withColumn(
+        "gid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    streaks = grp.groupBy("user_id", "gid").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("streak_len"))
+    return (
+        best.groupBy("streak_len")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("streak_len")
+    )
+
+
+def activity_streaks_sql() -> str:
+    return """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+brk AS (
+  SELECT user_id, d,
+         CASE WHEN d - LAG(d) OVER (PARTITION BY user_id ORDER BY d) = 1
+              THEN 0 ELSE 1 END AS b
+  FROM days
+),
+grp AS (
+  SELECT user_id, d,
+         SUM(b) OVER (PARTITION BY user_id ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS gid
+  FROM brk
+),
+streaks AS (SELECT user_id, gid, COUNT(*) AS len FROM grp
+            GROUP BY user_id, gid),
+best AS (SELECT user_id, MAX(len) AS streak_len FROM streaks
+         GROUP BY user_id)
+SELECT CAST(streak_len AS BIGINT) AS streak_len, COUNT(*) AS n_users
+FROM best GROUP BY streak_len ORDER BY streak_len
+"""

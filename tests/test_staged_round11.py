@@ -30,6 +30,8 @@ freshness_audit.
 Staged set (batch 13): ship_lag_profile, hll_intersection_est.
 Staged set (batch 14): value_concentration, temporal_leakage_audit.
 Staged set (batch 15): source_dup_rate.
+Staged set (batch 16): rank_stability_tau, activity_streaks,
+gini_activity.
 """
 
 from __future__ import annotations
@@ -111,6 +113,11 @@ STAGED = [
      "events"),
     ("source_dup_rate", "soccerpredictor_spark.operators.dedup",
      "documents"),
+    ("rank_stability_tau", "soccerpredictor_spark.operators.timeseries",
+     "events"),
+    ("activity_streaks", "soccerpredictor_spark.operators.timeseries",
+     "events"),
+    ("gini_activity", "soccerpredictor_spark.operators.skew", "events"),
 ]
 
 
@@ -741,6 +748,9 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: skew.value_concentration(events),
         lambda: mlprep.temporal_leakage_audit(events),
         lambda: dedup.source_dup_rate(docs),
+        lambda: timeseries.rank_stability_tau(events),
+        lambda: timeseries.activity_streaks(events),
+        lambda: skew.gini_activity(events),
     ]
     for build in builders:
         clear_caches()
@@ -1854,3 +1864,104 @@ class TestSourceDupRate:
         for r in rows:
             assert 0 <= r.n_dup <= r.n_docs
             assert r.dup_rate == r.n_dup / r.n_docs
+
+
+class TestRankStabilityTau:
+    def test_preserved_order_is_one(self, spark):
+        """Same three users, same activity ORDER both halves:
+        tau = 1.0 over 3 pairs."""
+        from soccerpredictor_spark.operators.timeseries import (
+            rank_stability_tau,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        t1 = dt.datetime(2024, 1, 20)
+        rows, eid = [], 0
+        for t in (t0, t1):
+            for u, n in [(1, 5), (2, 3), (3, 1)]:
+                for _ in range(n):
+                    rows.append((eid, t, u, "click"))
+                    eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = rank_stability_tau(ev).collect()
+        assert r.n_common == 3 and r.n_pairs == 3
+        assert r.n_concordant == 3
+        assert r.tau == 1.0
+
+    def test_inverted_order_is_minus_one(self, spark):
+        """Activity order flips between halves: tau = -1.0."""
+        from soccerpredictor_spark.operators.timeseries import (
+            rank_stability_tau,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        t1 = dt.datetime(2024, 1, 20)
+        rows, eid = [], 0
+        for u, n in [(1, 5), (2, 3), (3, 1)]:
+            for _ in range(n):
+                rows.append((eid, t0, u, "click"))
+                eid += 1
+        for u, n in [(1, 1), (2, 3), (3, 5)]:
+            for _ in range(n):
+                rows.append((eid, t1, u, "click"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = rank_stability_tau(ev).collect()
+        assert r.n_concordant == 0
+        assert r.tau == -1.0
+
+
+class TestActivityStreaks:
+    def test_streak_histogram(self, spark):
+        """User 1 active days {1,2,3, 10}: best streak 3; user 2 one
+        day: streak 1 -> histogram {1: 1, 3: 1}."""
+        from soccerpredictor_spark.operators.timeseries import (
+            activity_streaks,
+        )
+
+        d = lambda day: dt.datetime(2024, 1, day, 12)
+        rows = [
+            (0, d(1), 1, "x"), (1, d(2), 1, "x"), (2, d(3), 1, "x"),
+            (3, d(10), 1, "x"), (4, d(3), 1, "x"),  # same-day dup
+            (5, d(5), 2, "x"),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        got = {r.streak_len: r.n_users for r in activity_streaks(ev).collect()}
+        assert got == {1: 1, 3: 1}
+
+
+class TestGiniActivity:
+    def test_equal_activity_zero(self, spark):
+        """Everyone equally active: gini = 0.0 exactly."""
+        from soccerpredictor_spark.operators.skew import gini_activity
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for u in range(8):
+            for _ in range(3):
+                rows.append((eid, t0, u, "x"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = gini_activity(ev).collect()
+        assert r.n_users == 8 and r.gini == 0.0
+
+    def test_two_user_closed_form(self, spark):
+        """Counts {1, 3}: G = (2*(1*1 + 2*3) - 3*4) / (2*4) = 0.25."""
+        from soccerpredictor_spark.operators.skew import gini_activity
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(0, t0, 1, "x")] + [(i + 1, t0, 2, "x") for i in range(3)]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        [r] = gini_activity(ev).collect()
+        assert r.gini == 0.25
