@@ -1165,12 +1165,17 @@ def test_temperature_mix_shares_partition_unity(spark, sources):
     rows = temperature_mix(docs).collect()
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
     assert sum(r.quota for r in rows) <= 10_000
-    # sqrt flattening: the biggest source's share <= its natural share
+    # sqrt flattening is a THEOREM only at the extremes: the LARGEST
+    # source can never gain share (sqrt(n_j) <= sqrt(n_max) per term)
+    # and the SMALLEST can never lose it. A merely above-average
+    # source CAN gain when a still-bigger source is flattened harder
+    # (counts [5, 8, 1]: the 5 gains) — hypothesis found exactly that
+    # falsifying mix against the previous overbroad assertion.
     n = len(sources)
-    for r in rows:
-        natural = r.n_docs / n
-        if r.n_docs * len(rows) > n:  # above-average source
-            assert r.share <= natural + 1e-12
+    biggest = max(rows, key=lambda r: (r.n_docs, r.source))
+    smallest = min(rows, key=lambda r: (r.n_docs, r.source))
+    assert biggest.share <= biggest.n_docs / n + 1e-12
+    assert smallest.share >= smallest.n_docs / n - 1e-12
 
 
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
