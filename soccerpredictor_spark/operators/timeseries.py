@@ -2509,3 +2509,108 @@ best AS (SELECT user_id, MAX(len) AS streak_len FROM streaks
 SELECT CAST(streak_len AS BIGINT) AS streak_len, COUNT(*) AS n_users
 FROM best GROUP BY streak_len ORDER BY streak_len
 """
+
+
+# --------------------------------------------------------------------------
+# sessionization gap sensitivity sweep
+# --------------------------------------------------------------------------
+
+#: inactivity gaps swept (seconds).
+SESSION_SWEEP_GAPS = (900, 1800, 3600)
+
+
+def session_gap_sweep(events: DataFrame) -> DataFrame:
+    """Sessionization-threshold sensitivity: the session count (and
+    mean events per session) the corpus produces at inactivity gaps
+    of 15 / 30 / 60 minutes — the tuning readout BEHIND
+    ``events_sessionize``'s hard-coded 30-minute gap (the
+    ``dedup_threshold_sweep`` pattern applied to the session
+    operator; a cliff between two gaps means the choice matters, a
+    plateau means it doesn't).
+
+    No per-gap sessionization runs: a session STARTS at each user's
+    first event and at every inter-event gap >= g (exactly
+    session_window's half-open semantics), so sessions(g) =
+    n_users + #(gaps >= g) — ONE lag pass over user-partitioned
+    integer micros and one conditional aggregation answer all three
+    gaps. Tied timestamps produce zero-gaps, below every threshold
+    regardless of tie order, so the counts are order-independent.
+    Mean events/session is one double division per row.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = events.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("gap_us"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    ]
+    for g in SESSION_SWEEP_GAPS:
+        aggs.append(
+            F.sum(
+                (F.col("gap_us") >= F.lit(g * 1_000_000)).cast("long")
+            ).alias(f"brk_{g}")
+        )
+    one = gaps.agg(*aggs)
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(g).alias("gap_s"),
+                (F.col("n_users") + F.coalesce(F.col(f"brk_{g}"), F.lit(0)))
+                .alias("n_sessions"),
+            )
+            for g in SESSION_SWEEP_GAPS
+        ]
+    )
+    return (
+        one.select("n_events", F.explode(arms).alias("a"))
+        .select(
+            F.col("a.gap_s").alias("gap_s"),
+            F.col("a.n_sessions").alias("n_sessions"),
+            F.when(
+                F.col("a.n_sessions") > 0,
+                F.col("n_events").cast("double")
+                / F.col("a.n_sessions").cast("double"),
+            ).alias("mean_events_per_session"),
+        )
+        .orderBy("gap_s")
+    )
+
+
+def session_gap_sweep_sql() -> str:
+    brks = ",\n         ".join(
+        f"SUM(CASE WHEN gap_us >= {g * 1_000_000} THEN 1 ELSE 0 END)"
+        f" AS brk_{g}"
+        for g in SESSION_SWEEP_GAPS
+    )
+    arms = "\nUNION ALL ".join(
+        f"SELECT {g} AS gap_s, n_users + COALESCE(brk_{g}, 0) AS n_sessions,"
+        f" n_events FROM one"
+        for g in SESSION_SWEEP_GAPS
+    )
+    return f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM events
+),
+one AS (
+  SELECT COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+         {brks}
+  FROM gaps
+),
+arms AS ({arms})
+SELECT CAST(gap_s AS INT) AS gap_s,
+       CAST(n_sessions AS BIGINT) AS n_sessions,
+       CASE WHEN n_sessions > 0
+            THEN CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+       END AS mean_events_per_session
+FROM arms ORDER BY gap_s
+"""

@@ -32,6 +32,7 @@ Staged set (batch 14): value_concentration, temporal_leakage_audit.
 Staged set (batch 15): source_dup_rate.
 Staged set (batch 16): rank_stability_tau, activity_streaks,
 gini_activity.
+Staged set (batch 17): session_gap_sweep.
 """
 
 from __future__ import annotations
@@ -118,6 +119,8 @@ STAGED = [
     ("activity_streaks", "soccerpredictor_spark.operators.timeseries",
      "events"),
     ("gini_activity", "soccerpredictor_spark.operators.skew", "events"),
+    ("session_gap_sweep", "soccerpredictor_spark.operators.timeseries",
+     "events"),
 ]
 
 
@@ -751,6 +754,7 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: timeseries.rank_stability_tau(events),
         lambda: timeseries.activity_streaks(events),
         lambda: skew.gini_activity(events),
+        lambda: timeseries.session_gap_sweep(events),
     ]
     for build in builders:
         clear_caches()
@@ -1965,3 +1969,48 @@ class TestGiniActivity:
         )
         [r] = gini_activity(ev).collect()
         assert r.gini == 0.25
+
+
+class TestSessionGapSweep:
+    def test_known_gaps_per_threshold(self, spark):
+        """One user, events at 0 s / 10 s / 2000 s (gaps 10 and
+        1990): 15 min gap -> 2 sessions, 30 min -> 2, 60 min -> 1;
+        mean events/session follows exactly."""
+        from soccerpredictor_spark.operators.timeseries import (
+            session_gap_sweep,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, t0, 1, "x"),
+            (1, t0 + dt.timedelta(seconds=10), 1, "x"),
+            (2, t0 + dt.timedelta(seconds=2000), 1, "x"),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        got = {r.gap_s: r for r in session_gap_sweep(ev).collect()}
+        assert got[900].n_sessions == 2
+        assert got[1800].n_sessions == 2
+        assert got[3600].n_sessions == 1
+        assert got[900].mean_events_per_session == 1.5
+        assert got[3600].mean_events_per_session == 3.0
+
+    def test_exact_gap_starts_new_session(self, spark):
+        """A gap of EXACTLY the threshold starts a new session
+        (session_window's half-open [start, last+gap) semantics)."""
+        from soccerpredictor_spark.operators.timeseries import (
+            session_gap_sweep,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, t0, 1, "x"),
+            (1, t0 + dt.timedelta(seconds=900), 1, "x"),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        got = {r.gap_s: r for r in session_gap_sweep(ev).collect()}
+        assert got[900].n_sessions == 2
+        assert got[1800].n_sessions == 1
