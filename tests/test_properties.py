@@ -1641,3 +1641,65 @@ def test_interarrival_quantiles_match_bruteforce_property(spark, gaps):
     for name, num, den in IAP_QUANTILES:
         k = (n * num + den - 1) // den
         assert got[name] == srt[k - 1], (name, srt, got)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),        # user
+            st.integers(min_value=0, max_value=20_000),   # seconds
+            st.sampled_from(["click", "view", "purchase"]),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_attribution_compare_matches_bruteforce_property(spark, evs):
+    """For ANY event stream, first/last-touch credits equal the
+    sequential reference: among a user's source events STRICTLY
+    before the purchase and within the lookback, earliest/latest by
+    (time, event_id) wins; none -> 'none'. Seconds are scaled up so
+    some streams straddle the 7-day window."""
+    import datetime as dt
+
+    from soccerpredictor_spark.operators.windows import (
+        ATTR_WINDOW_US,
+        attribution_compare,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    scale = 60  # up to ~13.9 days of span
+    rows = [
+        (i, t0 + dt.timedelta(seconds=s * scale), u, et)
+        for i, (u, s, et) in enumerate(evs)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {
+        r.source: (r.n_first_touch, r.n_last_touch)
+        for r in attribution_compare(ev).collect()
+    }
+    firsts: dict = {}
+    lasts: dict = {}
+    for i, (u, s, et) in enumerate(evs):
+        if et != "purchase":
+            continue
+        t_us = s * scale * 1_000_000
+        cands = [
+            (s2 * scale * 1_000_000, j, e2)
+            for j, (u2, s2, e2) in enumerate(evs)
+            if u2 == u
+            and e2 in ("click", "view")
+            and t_us - ATTR_WINDOW_US <= s2 * scale * 1_000_000 <= t_us - 1
+        ]
+        f = min(cands)[2] if cands else "none"
+        l = max(cands)[2] if cands else "none"
+        firsts[f] = firsts.get(f, 0) + 1
+        lasts[l] = lasts.get(l, 0) + 1
+    expect = {
+        src: (firsts.get(src, 0), lasts.get(src, 0))
+        for src in set(firsts) | set(lasts)
+    }
+    assert got == expect
