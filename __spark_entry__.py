@@ -2063,80 +2063,45 @@ def _q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
     return textops.domain_mix(read_table(spark, sf, "documents"))
 
 
+def _q_stupid_backoff_lm(spark: SparkSession, sf: str) -> DataFrame:
+    # bigram LM with stupid-backoff smoothing: two vocab-bounded count
+    # tables (unigram/bigram), scored by a broadcast join — no row shuffle.
+    return textops.stupid_backoff_lm(read_table(spark, sf, "documents"))
+
+
+def _q_ngram_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # WHERE-grain companion to contamination_check: reports the matching
+    # n-gram spans, not just the verdict; benchmark side is broadcast.
+    return textops.ngram_decontaminate(read_table(spark, sf, "documents"))
+
+
+def _q_knn_label_eval(spark: SparkSession, sf: str) -> DataFrame:
+    # exact-kNN label-agreement baseline the ANN recall gates compare
+    # against; blocked exact dot products, exact int64 arithmetic.
+    from soccerpredictor_spark.operators import similarity
+
+    return similarity.knn_label_eval(read_table(spark, sf, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness verifies the
     # first 50 entries in dict order (observed in CORRECTNESS_r01).
     return {
         # ORDER MATTERS: the driver verifies queries()[0:50] in dict
-        # order. Round-10 window layout (the r4 cohort hit the
-        # ceil(n/50)+1 staleness bound this round):
-        #   1. the full 41-entry r4 cohort (positions 0-40, MUST
+        # order. Round-11 window layout (the 47-entry r5 cohort hits
+        # the ceil(247/50)+1 = 6-round staleness bound this round;
+        # int8_recall_eval is part of it — it missed the r10 window by
+        # the PLANS.md off-by-one the round-10 verdict flagged):
+        #   1. the full 47-entry r5 cohort (positions 0-46, MUST
         #      re-verify this round);
-        #   2. the 7 round-9-staged operators (never driver-verified
-        #      -> forced into the window by
-        #      test_driver_verification_window_ordering);
-        #   3. r5-cohort fill to 50 (oldest-first; the r5 cohort owns
-        #      the r11 window, so verifying its head early only eases
-        #      that rotation).
-        # After the window: r5 remnant -> r7 -> r8 -> r9 in staleness
-        # order, so future rotations stay a pure prefix shift.  CI:
+        #   2. the 3 round-11 registrations (never driver-verified ->
+        #      forced into the window by
+        #      test_driver_verification_window_ordering).
+        # After the window: r7 -> r8 -> r9 -> r10 in staleness order,
+        # so future rotations stay a pure prefix shift.  CI:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
-        # --- r4 cohort (stalest, due this round: all 41) ---
-        "streaming_sessions": _q_streaming_sessions,
-        "write_roundtrip_json": _q_write_roundtrip_json,
-        "partitioned_prune": _q_partitioned_prune,
-        "approx_quantile_check": _q_approx_quantile_check,
-        "ann_int8_topk": _q_ann_int8_topk,
-        "streaming_stateful": _q_streaming_stateful,
-        "unpivot_metrics": _q_unpivot_metrics,
-        "write_roundtrip_orc": _q_write_roundtrip_orc,
-        "grouping_sets": _q_grouping_sets,
-        "schema_evolution": _q_schema_evolution,
-        "media_frame_sample": _q_media_frame_sample,
-        "token_gini": _q_token_gini,
-        "embedding_quality": _q_embedding_quality,
-        "event_paths": _q_event_paths,
-        "quality_gate_sample": _q_quality_gate_sample,
-        "full_outer_reconcile": _q_full_outer_reconcile,
-        "sorted_layout_prune": _q_sorted_layout_prune,
-        "window_rank_stats": _q_window_rank_stats,
-        "approx_distinct_check": _q_approx_distinct_check,
-        "curation_funnel": _q_curation_funnel,
-        "minhash_est_vs_exact": _q_minhash_est_vs_exact,
-        "ann_recall_eval": _q_ann_recall_eval,
-        "skew_profile": _q_skew_profile,
-        "asof_join": _q_asof_join,
-        "cohort_retention": _q_cohort_retention,
-        "funnel_stages": _q_funnel_stages,
-        "mad_outliers": _q_mad_outliers,
-        "window_trailing_range": _q_window_trailing_range,
-        "window_running_sum": _q_window_running_sum,
-        "window_ntiles": _q_window_ntiles,
-        "events_hourly_rollup": _q_events_hourly,
-        "events_sessionize": _q_events_sessionize,
-        "json_extract": _q_json_extract,
-        "event_deltas": _q_event_deltas,
-        "rollup_agg": _q_rollup_agg,
-        "cube_agg": _q_cube_agg,
-        "percentile_stats": _q_percentile_stats,
-        "set_intersect": _q_set_intersect,
-        "set_union": _q_set_union,
-        "upsert_latest": _q_upsert_latest,
-        "streaming_hourly": _q_streaming_hourly,
-        # --- round-9 staged operators, registered this round ---
-        "pq_recall_eval": _q_pq_recall_eval,
-        "theil_sen_trend": _q_theil_sen_trend,
-        "neyman_allocation": _q_neyman_allocation,
-        "rare_category_collapse": _q_rare_category_collapse,
-        "hll_merge_audit": _q_hll_merge_audit,
-        "cms_heavy_change": _q_cms_heavy_change,
-        "mrr_at_k": _q_mrr_at_k,
-        # --- NEW round-10 operator ---
-        "substring_dedup": _q_substring_dedup,
-        # --- r5-cohort fill (r5 owns the r11 window) ---
-        "dedup_canonical": _q_dedup_canonical,
+        # --- r5 cohort (stalest, due this round: all 47) ---
         "int8_recall_eval": _q_int8_recall_eval,
-        # --- r5 cohort remnant (due r11) ---
         "streaming_cdc": _q_streaming_cdc,
         "doc_sim_knn": _q_doc_sim_knn,
         "event_transitions": _q_event_transitions,
@@ -2183,7 +2148,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": _q_tpch_q9,
         "window_topn_per_group": _q_window_topn,
         "distinct_projection": _q_distinct_projection,
-        # --- r7 cohort (due r12) ---
+        # --- round-11 registrations (never driver-verified) ---
+        "stupid_backoff_lm": _q_stupid_backoff_lm,
+        "ngram_decontaminate": _q_ngram_decontaminate,
+        "knn_label_eval": _q_knn_label_eval,
+        # --- r7 cohort (due r13) ---
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
@@ -2234,7 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": _q_link_prediction,
         "roc_auc": _q_roc_auc,
         "skyline_pareto": _q_skyline_pareto,
-        # --- r8 cohort ---
+        # --- r8 cohort (due r14) ---
         "subsample_ci": _q_subsample_ci,
         "grouped_ols": _q_grouped_ols,
         "ndcg_at_k": _q_ndcg_at_k,
@@ -2285,7 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "range_join_bands": _q_range_join_bands,
         "regex_extract_all": _q_regex_extract_all,
-        # --- r9 cohort (freshest) ---
+        # --- r9 cohort (due r15) ---
         "export_roundtrip": _q_export_roundtrip,
         "perplexity_filter": _q_perplexity_filter,
         "media_phash_neardup": _q_media_phash_neardup,
@@ -2336,6 +2305,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "inverted_index": _q_inverted_index,
         "domain_mix": _q_domain_mix,
+        # --- r10 cohort (due r16) ---
+        "streaming_sessions": _q_streaming_sessions,
+        "write_roundtrip_json": _q_write_roundtrip_json,
+        "partitioned_prune": _q_partitioned_prune,
+        "approx_quantile_check": _q_approx_quantile_check,
+        "ann_int8_topk": _q_ann_int8_topk,
+        "streaming_stateful": _q_streaming_stateful,
+        "unpivot_metrics": _q_unpivot_metrics,
+        "write_roundtrip_orc": _q_write_roundtrip_orc,
+        "grouping_sets": _q_grouping_sets,
+        "schema_evolution": _q_schema_evolution,
+        "media_frame_sample": _q_media_frame_sample,
+        "token_gini": _q_token_gini,
+        "embedding_quality": _q_embedding_quality,
+        "event_paths": _q_event_paths,
+        "quality_gate_sample": _q_quality_gate_sample,
+        "full_outer_reconcile": _q_full_outer_reconcile,
+        "sorted_layout_prune": _q_sorted_layout_prune,
+        "window_rank_stats": _q_window_rank_stats,
+        "approx_distinct_check": _q_approx_distinct_check,
+        "curation_funnel": _q_curation_funnel,
+        "minhash_est_vs_exact": _q_minhash_est_vs_exact,
+        "ann_recall_eval": _q_ann_recall_eval,
+        "skew_profile": _q_skew_profile,
+        "asof_join": _q_asof_join,
+        "cohort_retention": _q_cohort_retention,
+        "funnel_stages": _q_funnel_stages,
+        "mad_outliers": _q_mad_outliers,
+        "window_trailing_range": _q_window_trailing_range,
+        "window_running_sum": _q_window_running_sum,
+        "window_ntiles": _q_window_ntiles,
+        "events_hourly_rollup": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "json_extract": _q_json_extract,
+        "event_deltas": _q_event_deltas,
+        "rollup_agg": _q_rollup_agg,
+        "cube_agg": _q_cube_agg,
+        "percentile_stats": _q_percentile_stats,
+        "set_intersect": _q_set_intersect,
+        "set_union": _q_set_union,
+        "upsert_latest": _q_upsert_latest,
+        "streaming_hourly": _q_streaming_hourly,
+        "pq_recall_eval": _q_pq_recall_eval,
+        "theil_sen_trend": _q_theil_sen_trend,
+        "neyman_allocation": _q_neyman_allocation,
+        "rare_category_collapse": _q_rare_category_collapse,
+        "hll_merge_audit": _q_hll_merge_audit,
+        "cms_heavy_change": _q_cms_heavy_change,
+        "mrr_at_k": _q_mrr_at_k,
+        "substring_dedup": _q_substring_dedup,
+        "dedup_canonical": _q_dedup_canonical,
     }
 
 
@@ -2808,6 +2828,10 @@ ORDER BY user_id
             "GROUP BY s_nationkey"
         ),
         "streaming_join": _streaming_mod().purchase_attribution_sql(),
+        # --- round-11 registrations ---
+        "stupid_backoff_lm": textops.stupid_backoff_lm_sql(),
+        "ngram_decontaminate": textops.ngram_decontaminate_sql(),
+        "knn_label_eval": similarity.knn_label_eval_sql(),
     }
 
 
