@@ -45,19 +45,17 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 STAGED = [
+    # stupid_backoff_lm, ngram_decontaminate, knn_label_eval graduated to
+    # the registry in round 11 (driver window positions 47-49); their
+    # parity now runs via tests/test_oracle_parity.py like every
+    # registered entry. Closed-form unit tests below are kept.
     ("mann_whitney_u", "soccerpredictor_spark.operators.mlprep", "orders"),
-    ("stupid_backoff_lm", "soccerpredictor_spark.operators.textops",
-     "documents"),
     ("holt_winters", "soccerpredictor_spark.operators.timeseries", "events"),
     ("group_holdout_split", "soccerpredictor_spark.operators.mlprep",
      "orders"),
-    ("ngram_decontaminate", "soccerpredictor_spark.operators.textops",
-     "documents"),
     ("mann_kendall", "soccerpredictor_spark.operators.timeseries", "events"),
     ("bottomk_sample_audit", "soccerpredictor_spark.operators.sketch",
      "events"),
-    ("knn_label_eval", "soccerpredictor_spark.operators.similarity",
-     "embeddings"),
     ("clustering_coefficient", "soccerpredictor_spark.operators.graph",
      "events"),
     ("graph_assortativity", "soccerpredictor_spark.operators.graph",
