@@ -68,6 +68,14 @@ def main() -> None:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
+    # Sandbox timing is 1.5-15x noisy (hypervisor neighbors); recording
+    # the 1/5/15-min load average at start and end lets noise
+    # adjudication cite measured load instead of re-deriving it from
+    # implausible per-query deltas (round-10 verdict ask #5).
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = None
     for name in names:
         t0 = time.perf_counter()
         try:
@@ -98,7 +106,12 @@ def main() -> None:
     except Exception:
         pass
 
-    full = {"per_query": times, "sf": sf}
+    try:
+        load_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_end = None
+    full = {"per_query": times, "sf": sf,
+            "loadavg": {"start": load_start, "end": load_end}}
     if errors:
         full["errors"] = errors
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -121,6 +134,8 @@ def main() -> None:
     }
     if sidecar:
         out["queries_full"] = "bench_queries.json"
+    if load_start is not None or load_end is not None:
+        out["loadavg"] = {"start": load_start, "end": load_end}
     if errors:
         out["n_errors"] = len(errors)
     # LAST line, compact: the driver's tail capture must end with a
