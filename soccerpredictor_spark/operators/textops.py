@@ -4281,3 +4281,190 @@ SELECT source, CAST(cap AS BIGINT) AS cap, CAST(alloc AS BIGINT) AS alloc,
        CAST(capped AS INT) AS at_cap
 FROM out ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning (Sennrich et al. 2016) — the iterative top-pair loop
+# --------------------------------------------------------------------------
+
+#: number of merge rounds learned (each round = one pair-count agg over
+#: the TYPE table + one O(1)-row winner collect — the graph_pagerank
+#: convergence-witness shape).
+BPE_LEARN_MERGES = 10
+#: word-TYPE vocabulary cap: merge statistics are learned over the
+#: top-V word types by corpus frequency (deterministic tie-break:
+#: count desc, word asc). Types, not tokens — at 100 TB the token
+#: count grows unbounded but the type table stays ~millions; the cap
+#: bounds every round's explode regardless.
+BPE_LEARN_VOCAB = 2048
+#: word types longer than this are excluded (degenerate runs would
+#: dominate pair counts and blow up the per-type symbol arrays).
+BPE_LEARN_MAX_WORD = 16
+
+
+def _bpe_syms(seq_col):
+    # '|t||h||e|' -> ['t','h','e']: strip the outer delimiters, split
+    # on the '||' inter-symbol boundary. Each symbol owns BOTH its
+    # delimiters, so adjacent pair patterns never share characters —
+    # see the merge-rewrite note in bpe_learn_merges.
+    body = F.expr(f"substr({seq_col}, 2, length({seq_col}) - 2)")
+    return F.split(body, r"\|\|")
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = BPE_LEARN_MERGES,
+    vocab_cap: int = BPE_LEARN_VOCAB,
+) -> DataFrame:
+    """Learn the first ``n_merges`` byte-pair-encoding merges from the
+    corpus (Sennrich et al. 2016): per round, count adjacent symbol
+    pairs over the word-TYPE table weighted by corpus frequency, merge
+    the most frequent pair (tie-break: smaller pair lexicographically),
+    rewrite every type, repeat. Completes the tokenizer-design family:
+    ``bpe_token_stats`` (pretokenizer accounting), ``vocab_coverage``,
+    ``tokenizer_fertility`` measure a tokenizer; this LEARNS one.
+
+    Output: one row per learned merge —
+    (round, lhs, rhs, merged, pair_count), ordered by round.
+
+    Scale shape (the ``graph_pagerank`` fixed-point pattern):
+
+    - ONE token-level aggregation builds the word-type frequency table
+      (map-side partial agg; the only fact-table shuffle). Types are
+      capped to the top-``vocab_cap`` by (count desc, word asc) via
+      TakeOrdered — never a single-partition window — and the capped
+      table is checkpointed once; every round reads the ~V-row
+      checkpoint, not the corpus.
+    - Each round is one explode->groupBy over the type table plus an
+      O(1)-row winner collect (the convergence-witness pattern the
+      graph family uses; the loop is driver-side, the WORK is not).
+    - The merge rewrite is a single ``replace``: each symbol sequence
+      is rendered with every symbol owning its own delimiter pair
+      ('the' -> '|t||h||e|'), so the pattern '|a||b|' of adjacent
+      occurrences never shares characters and one left-to-right
+      non-overlapping replace() pass — identical semantics in Spark
+      and DuckDB — implements exactly BPE's leftmost-non-overlapping
+      merge ('|a||a||a|' -> '|aa||a|').
+
+    Exact integer counts everywhere; symbols are [a-z]+ substrings so
+    lexicographic tie-breaks are binary-collation-identical across
+    engines. Reference scope: the reference engine ships no tokenizer
+    (SURVEY.md §2 extension family).
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("word"))
+        .where(F.length("word").between(2, BPE_LEARN_MAX_WORD))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(vocab_cap)
+        .select(
+            "word",
+            "cnt",
+            F.regexp_replace(F.col("word"), r"(.)", r"|$1|").alias("seq"),
+        )
+    )
+    cur = _reliable_checkpoint(words)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        pairs = (
+            cur.select("cnt", _bpe_syms("seq").alias("syms"))
+            .where(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> named_struct('a', element_at(syms, i), "
+                        "'b', element_at(syms, i + 1)))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("cnt").alias("total"))
+        )
+        top = pairs.orderBy(F.desc("total"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:  # every surviving type fully merged
+            break
+        a, b, total = top[0].a, top[0].b, int(top[0].total)
+        merges.append((rnd, a, b, a + b, total))
+        cur = cur.select(
+            "word",
+            "cnt",
+            F.replace(
+                F.col("seq"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ).alias("seq"),
+        )
+        # one projection per round on a ~V-row checkpoint: lineage
+        # stays shallow, no re-checkpoint needed.
+
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, merged string, pair_count bigint"
+    ).orderBy("round")
+
+
+def bpe_learn_merges_sql(
+    n_merges: int = BPE_LEARN_MERGES, vocab_cap: int = BPE_LEARN_VOCAB
+) -> str:
+    """Unrolled-iteration DuckDB twin: w0 = the capped type table;
+    per round k, m{k} = the 1-row winner (MATERIALIZED — non-
+    materialized CTEs inline exponentially across unrolled rounds),
+    w{k} = the rewrite via the same single-pass replace(). list_zip
+    pads the shorter list with NULLs (as Spark's arrays_zip would);
+    the b IS NOT NULL filter drops the padding pair.
+    """
+    parts = [
+        f"""
+w0 AS MATERIALIZED (
+  SELECT word, cnt, regexp_replace(word, '(.)', '|\\1|', 'g') AS seq
+  FROM (
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
+          FROM documents)
+    WHERE length(word) BETWEEN 2 AND {BPE_LEARN_MAX_WORD}
+    GROUP BY word
+  )
+  ORDER BY cnt DESC, word ASC
+  LIMIT {vocab_cap}
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"w{k - 1}"
+        parts.append(
+            f"""
+m{k} AS MATERIALIZED (
+  SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(cnt) AS BIGINT) AS total
+  FROM (
+    SELECT cnt, unnest(list_zip(syms, syms[2:])) AS pr
+    FROM (SELECT cnt,
+                 string_split(substr(seq, 2, length(seq) - 2), '||') AS syms
+          FROM {prev})
+  )
+  WHERE pr[2] IS NOT NULL
+  GROUP BY pr[1], pr[2]
+  ORDER BY total DESC, a ASC, b ASC
+  LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""
+w{k} AS MATERIALIZED (
+  SELECT w.word, w.cnt,
+         replace(w.seq, '|' || m.a || '|' || '|' || m.b || '|',
+                 '|' || m.a || m.b || '|') AS seq
+  FROM {prev} w CROSS JOIN m{k} m
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS round, a AS lhs, b AS rhs, "
+        f"a || b AS merged, total AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",".join(parts) + "\nSELECT * FROM (\n" + unions
+        + "\n) ORDER BY round"
+    )

@@ -119,6 +119,9 @@ STAGED = [
     ("gini_activity", "soccerpredictor_spark.operators.skew", "events"),
     ("session_gap_sweep", "soccerpredictor_spark.operators.timeseries",
      "events"),
+    # round-11 staging
+    ("bpe_learn_merges", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 
@@ -531,6 +534,49 @@ def test_staged_plan_stays_jvm_side(spark, name, module, table):
     assert "ArrowEvalPython" not in plan
 
 
+class TestBpeLearnMerges:
+    def test_closed_form_merge_sequence(self, spark):
+        """Corpus = {aaab x3, xy x2}. Round 1: (a,a) appears twice per
+        'aaab' (overlapping pair counting) -> 6, beats (a,b)=3 and
+        (x,y)=2; the merge is leftmost-non-overlapping so 'aaab' ->
+        [aa, a, b]. Round 2: (aa,a) and (a,b) tie at 3 -> lexicographic
+        tie-break picks (a,b) ('a' < 'aa'), giving [aa, ab]. Round 3:
+        (aa,ab)=3 completes the word. Round 4: (x,y)=2."""
+        from soccerpredictor_spark.operators.textops import bpe_learn_merges
+
+        docs = spark.createDataFrame(
+            [(1, "aaab aaab xy"), (2, "aaab xy")], ["doc_id", "text"]
+        )
+        rows = bpe_learn_merges(docs, n_merges=4).collect()
+        got = [(r.round, r.lhs, r.rhs, r.merged, r.pair_count) for r in rows]
+        assert got == [
+            (1, "a", "a", "aa", 6),
+            (2, "a", "b", "ab", 3),
+            (3, "aa", "ab", "aaab", 3),
+            (4, "x", "y", "xy", 2),
+        ]
+
+    def test_early_stop_when_fully_merged(self, spark):
+        """A corpus whose only type is 2 chars exhausts its pairs after
+        one merge; requesting more rounds returns only the learnable
+        ones (the DuckDB twin's empty-m{k} CTEs drop the same rows)."""
+        from soccerpredictor_spark.operators.textops import bpe_learn_merges
+
+        docs = spark.createDataFrame([(1, "ab ab ab")], ["doc_id", "text"])
+        rows = bpe_learn_merges(docs, n_merges=5).collect()
+        assert [(r.round, r.merged, r.pair_count) for r in rows] == [
+            (1, "ab", 3)
+        ]
+
+    def test_single_char_words_excluded(self, spark):
+        """Words shorter than 2 chars never reach the type table (no
+        pairs to learn from); 'a b a b' alone learns nothing."""
+        from soccerpredictor_spark.operators.textops import bpe_learn_merges
+
+        docs = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+        assert bpe_learn_merges(docs, n_merges=3).count() == 0
+
+
 class TestCalibrationEce:
     def test_perfectly_calibrated_binary_scores(self, spark):
         """Scores exactly 0 or 600k (bins 0 and 9) with pos_rate
@@ -706,6 +752,7 @@ def test_staged_ops_survive_empty_tables(spark):
     )
     builders = [
         lambda: mlprep.mann_whitney_u(orders),
+        lambda: textops.bpe_learn_merges(docs),
         lambda: textops.stupid_backoff_lm(docs),
         lambda: timeseries.holt_winters(events),
         lambda: mlprep.group_holdout_split(orders),
