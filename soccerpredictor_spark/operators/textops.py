@@ -4468,3 +4468,195 @@ w{k} AS MATERIALIZED (
         "WITH " + ",".join(parts) + "\nSELECT * FROM (\n" + unions
         + "\n) ORDER BY round"
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic corpus-order global shuffle (training-order reproducibility)
+# --------------------------------------------------------------------------
+
+#: fixed shuffle seed baked into the hash input: re-running the
+#: pipeline (or recomputing any shard of it) reproduces the exact
+#: same training order — the property randomSplit/rand() cannot give.
+SHUFFLE_SEED = "sp-shuffle-42"
+#: md5 hex digits kept for the shuffle key (48 bits: collision-safe
+#: ordering entropy, far inside BIGINT on both engines).
+SHUFFLE_KEY_HEX = 12
+#: shuffle-key bucket shift for the two-level global rank: 48-bit key
+#: div 2^36 -> 4096 buckets; only the 4096-row bucket-size table
+#: crosses a global window, never document rows.
+SHUFFLE_BUCKET_SHIFT = 36
+
+
+def corpus_shuffle(docs: DataFrame) -> DataFrame:
+    """Deterministic global shuffle order for the training corpus:
+    (doc_id, shuffle_key, pos) where ``pos`` is the exact 1-based
+    global position ordered by (md5-derived key, doc_id).
+
+    Training-order reproducibility is a first-class requirement for
+    LLM data pipelines: the order documents are consumed must be (a)
+    statistically shuffled (no source/time runs), (b) bit-reproducible
+    across reruns, re-partitioning, and partial recomputation, and
+    (c) derivable per-shard without materializing a global permutation
+    — ``orderBy(rand())`` fails all three. Hashing a fixed seed with
+    the key gives (a) and (b); (c) is the two-level bucketed rank:
+
+    - key = first 12 md5 hex digits of (seed || doc_id) as int64 —
+      uniform in [0, 2^48);
+    - bucket = key div 2^36 (4096 buckets): within-bucket row_number
+      (partitioned window, never global), bucket offsets from the
+      4096-row bucket-count table's cumulative sum (broadcast back).
+
+    At 100 TB only the 4096-row bucket table is globally ordered;
+    document rows see one hash-partitioned window each. A consumer
+    sorts by ``pos`` (or range-partitions on it) to stream the corpus
+    in shuffled order. Ties (48-bit collisions) break by doc_id —
+    total order, both engines binary-identical.
+    """
+    from pyspark.sql import Window
+
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))),
+            1,
+            SHUFFLE_KEY_HEX,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+    ).withColumn("bucket", F.expr(f"shuffle_key div {2 ** SHUFFLE_BUCKET_SHIFT}"))
+    w_in = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    within = keyed.withColumn("rn", F.row_number().over(w_in))
+    sizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "bucket", F.coalesce(F.sum("n").over(w_b), F.lit(0)).alias("off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("off") + F.col("rn")).alias("pos"),
+        )
+        .orderBy("pos")
+    )
+
+
+def corpus_shuffle_sql() -> str:
+    # The oracle states the SEMANTICS (one global rank); the Spark side
+    # computes the identical total order with the two-level pattern.
+    return f"""
+SELECT doc_id, shuffle_key,
+       ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS pos
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x',
+              substr(md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)),
+                     1, {SHUFFLE_KEY_HEX})) AS BIGINT) AS shuffle_key
+  FROM documents
+) t
+ORDER BY pos
+"""
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram model (interpolated, fixed discount)
+# --------------------------------------------------------------------------
+
+#: absolute discount (Kneser-Ney's standard fixed value; 3/4 keeps
+#: every intermediate an exact quarter-integer).
+KN_DISCOUNT = 0.75
+#: bigram types reported (top by raw count; the model-inspection cut).
+KN_TOP_K = 50
+
+
+def kneser_ney_bigram(docs: DataFrame) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing
+    upgrade over ``stupid_backoff_lm``'s raw-ratio scores (Kneser &
+    Ney 1995; Chen & Goodman 1999's winner). For the top-K corpus
+    bigrams:
+
+        P_KN(w2 | w1) = (c(w1 w2) - D) / c(w1 ·)
+                      + D * N1+(w1 ·) / c(w1 ·) * N1+(· w2) / N1+(· ·)
+
+    where c(w1 ·) is the left-context token count, N1+(w1 ·) the
+    distinct continuations of w1, and N1+(· w2) w2's CONTINUATION
+    count — in how many distinct contexts it follows — the term that
+    makes KN model "francisco" as unlikely outside "san".
+
+    Scale shape: ONE bigram-type aggregation over the corpus (the
+    only fact-table shuffle, map-side combinable); c(w1 ·)/N1+(w1 ·)
+    and N1+(· w2) are groupBys OF THE TYPE TABLE (vocabulary-bounded,
+    like ``stupid_backoff_lm``'s count tables); the type-total is a
+    1-row broadcast; the report is a TakeOrdered top-K, never a
+    global sort. Every count is an exact int64; p_kn is one double
+    expression evaluated with the identical tree on both engines
+    (every literal cast to double in the twin — the DECIMAL-literal
+    trap).
+
+    Output: (w1, w2, c12, c1, n1p_w1, ncont_w2, p_kn), top
+    ``KN_TOP_K`` by (c12 desc, w1, w2).
+    """
+    tok = fan_out(docs).select(X.tokens(F.lower(F.col("text"))).alias("w"))
+    pairs = (
+        tok.where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> named_struct('w1', element_at(w, i), "
+                    "'w2', element_at(w, i + 1)))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ctx = pairs.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_w1")
+    )
+    cont = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont_w2"))
+    tot = pairs.agg(F.count(F.lit(1)).alias("ntot"))
+    d = F.lit(KN_DISCOUNT)
+    p_kn = (F.col("c12").cast("double") - d) / F.col("c1").cast("double") + d * (
+        F.col("n1p_w1").cast("double") / F.col("c1").cast("double")
+    ) * (F.col("ncont_w2").cast("double") / F.col("ntot").cast("double"))
+    return (
+        pairs.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c12", "c1", "n1p_w1", "ncont_w2", p_kn.alias("p_kn")
+        )
+        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(KN_TOP_K)
+    )
+
+
+def kneser_ney_bigram_sql() -> str:
+    toks = _sql_tokens("lower(text)")
+    return f"""
+WITH tok AS (SELECT {toks} AS w FROM documents),
+big AS (
+  SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS c12
+  FROM (SELECT unnest(list_zip(w, w[2:])) AS pr FROM tok WHERE len(w) >= 2)
+  WHERE pr[2] IS NOT NULL
+  GROUP BY pr[1], pr[2]
+),
+ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, count(*) AS n1p_w1
+        FROM big GROUP BY w1),
+cont AS (SELECT w2, count(*) AS ncont_w2 FROM big GROUP BY w2),
+tot AS (SELECT count(*) AS ntot FROM big)
+SELECT w1, w2, c12, c1, n1p_w1, ncont_w2,
+       (CAST(c12 AS DOUBLE) - CAST({KN_DISCOUNT} AS DOUBLE))
+         / CAST(c1 AS DOUBLE)
+       + CAST({KN_DISCOUNT} AS DOUBLE)
+         * (CAST(n1p_w1 AS DOUBLE) / CAST(c1 AS DOUBLE))
+         * (CAST(ncont_w2 AS DOUBLE) / CAST(ntot AS DOUBLE)) AS p_kn
+FROM big JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+ORDER BY c12 DESC, w1 ASC, w2 ASC
+LIMIT {KN_TOP_K}
+"""

@@ -122,6 +122,10 @@ STAGED = [
     # round-11 staging
     ("bpe_learn_merges", "soccerpredictor_spark.operators.textops",
      "documents"),
+    ("corpus_shuffle", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("kneser_ney_bigram", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 
@@ -577,6 +581,78 @@ class TestBpeLearnMerges:
         assert bpe_learn_merges(docs, n_merges=3).count() == 0
 
 
+class TestCorpusShuffle:
+    def test_matches_hashlib_and_is_permutation(self, spark):
+        """pos must equal the rank of md5('sp-shuffle-42' || doc_id)
+        computed independently with hashlib, and cover 1..n."""
+        import hashlib
+
+        from soccerpredictor_spark.operators.textops import corpus_shuffle
+
+        ids = [3, 17, 42, 99, 100, 8000]
+        docs = spark.createDataFrame([(i, "x") for i in ids], ["doc_id", "text"])
+        got = {r.doc_id: (r.shuffle_key, r.pos) for r in corpus_shuffle(docs).collect()}
+        keys = {
+            i: int(hashlib.md5(f"sp-shuffle-42{i}".encode()).hexdigest()[:12], 16)
+            for i in ids
+        }
+        expect_order = sorted(ids, key=lambda i: (keys[i], i))
+        for rank, i in enumerate(expect_order, start=1):
+            assert got[i] == (keys[i], rank)
+        assert sorted(p for _, p in got.values()) == list(range(1, len(ids) + 1))
+
+    def test_stable_under_repartitioning(self, spark):
+        """The order is a pure function of doc_id: any physical layout
+        of the input yields the identical permutation (the property
+        orderBy(rand()) lacks)."""
+        from soccerpredictor_spark.operators.textops import corpus_shuffle
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(200)], ["doc_id", "text"]
+        )
+        a = {(r.doc_id, r.pos) for r in corpus_shuffle(docs).collect()}
+        b = {(r.doc_id, r.pos) for r in corpus_shuffle(docs.repartition(7)).collect()}
+        assert a == b
+
+
+class TestKneserNeyBigram:
+    def test_closed_form_probabilities(self, spark):
+        """Corpus {'a b' x2, 'a c'}: c(a,b)=2, c(a,c)=1, c(a .)=3,
+        N1+(a .)=2, N1+(. b)=N1+(. c)=1, N1+(. .)=2.
+        P(b|a) = (2-.75)/3 + .75*(2/3)*(1/2) = 2/3
+        P(c|a) = (1-.75)/3 + .75*(2/3)*(1/2) = 1/3  — and the seen
+        mass sums to exactly 1 here (every continuation type seen)."""
+        from soccerpredictor_spark.operators.textops import kneser_ney_bigram
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+        )
+        rows = {(r.w1, r.w2): r for r in kneser_ney_bigram(docs).collect()}
+        assert rows[("a", "b")].c12 == 2 and rows[("a", "c")].c12 == 1
+        assert rows[("a", "b")].c1 == 3 and rows[("a", "b")].n1p_w1 == 2
+        assert abs(rows[("a", "b")].p_kn - 2 / 3) < 1e-15
+        assert abs(rows[("a", "c")].p_kn - 1 / 3) < 1e-15
+
+    def test_continuation_count_beats_raw_frequency(self, spark):
+        """The KN signature: 'francisco' is frequent but only ever
+        follows 'san', so its continuation count (1) must drag its
+        smoothed backoff weight below a rarer word seen in many
+        contexts. Compare the backoff TERM via ncont directly."""
+        from soccerpredictor_spark.operators.textops import kneser_ney_bigram
+
+        docs = spark.createDataFrame(
+            [
+                (1, "san francisco san francisco san francisco"),
+                (2, "the cat a cat one cat"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {(r.w1, r.w2): r for r in kneser_ney_bigram(docs).collect()}
+        # francisco: frequent (c12=3) but ncont=1; cat: ncont=3
+        assert rows[("san", "francisco")].ncont_w2 == 1
+        assert rows[("the", "cat")].ncont_w2 == 3
+
+
 class TestCalibrationEce:
     def test_perfectly_calibrated_binary_scores(self, spark):
         """Scores exactly 0 or 600k (bins 0 and 9) with pos_rate
@@ -753,6 +829,8 @@ def test_staged_ops_survive_empty_tables(spark):
     builders = [
         lambda: mlprep.mann_whitney_u(orders),
         lambda: textops.bpe_learn_merges(docs),
+        lambda: textops.corpus_shuffle(docs),
+        lambda: textops.kneser_ney_bigram(docs),
         lambda: textops.stupid_backoff_lm(docs),
         lambda: timeseries.holt_winters(events),
         lambda: mlprep.group_holdout_split(orders),
