@@ -4351,9 +4351,21 @@ def bpe_learn_merges(
     engines. Reference scope: the reference engine ships no tokenizer
     (SURVEY.md §2 extension family).
     """
+    merges, _ = _bpe_loop(docs, n_merges, vocab_cap)
+    return docs.sparkSession.createDataFrame(
+        merges, "round int, lhs string, rhs string, merged string, pair_count bigint"
+    ).orderBy("round")
+
+
+def _bpe_loop(
+    docs: DataFrame, n_merges: int, vocab_cap: int
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Shared BPE merge loop: returns (merges, final word-type table
+    with the post-merge ``seq`` column) so learn (the merge table) and
+    encode (fertility over the rewritten types) run the identical
+    iteration."""
     from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
 
-    spark = docs.sparkSession
     words = (
         docs.select(F.explode(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("word"))
         .where(F.length("word").between(2, BPE_LEARN_MAX_WORD))
@@ -4402,9 +4414,7 @@ def bpe_learn_merges(
         # one projection per round on a ~V-row checkpoint: lineage
         # stays shallow, no re-checkpoint needed.
 
-    return spark.createDataFrame(
-        merges, "round int, lhs string, rhs string, merged string, pair_count bigint"
-    ).orderBy("round")
+    return merges, cur
 
 
 def bpe_learn_merges_sql(
@@ -4417,6 +4427,23 @@ def bpe_learn_merges_sql(
     pads the shorter list with NULLs (as Spark's arrays_zip would);
     the b IS NOT NULL filter drops the padding pair.
     """
+    parts = _bpe_cte_chain(n_merges, vocab_cap)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS round, a AS lhs, b AS rhs, "
+        f"a || b AS merged, total AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",".join(parts) + "\nSELECT * FROM (\n" + unions
+        + "\n) ORDER BY round"
+    )
+
+
+def _bpe_cte_chain(n_merges: int, vocab_cap: int) -> list[str]:
+    """The shared w0 -> m1 -> w1 -> ... -> w{R} CTE chain. When a
+    round's winner m{k} is empty (merges exhausted), w{k} falls back
+    to w{k-1} unchanged — mirroring the Spark loop's early break, so
+    fertility over w{R} stays defined."""
     parts = [
         f"""
 w0 AS MATERIALIZED (
@@ -4457,16 +4484,87 @@ w{k} AS MATERIALIZED (
          replace(w.seq, '|' || m.a || '|' || '|' || m.b || '|',
                  '|' || m.a || m.b || '|') AS seq
   FROM {prev} w CROSS JOIN m{k} m
+  UNION ALL
+  SELECT word, cnt, seq FROM {prev}
+  WHERE NOT EXISTS (SELECT 1 FROM m{k})
 )"""
         )
-    unions = "\nUNION ALL\n".join(
-        f"SELECT CAST({k} AS INT) AS round, a AS lhs, b AS rhs, "
-        f"a || b AS merged, total AS pair_count FROM m{k}"
-        for k in range(1, n_merges + 1)
+    return parts
+
+
+def bpe_encode_fertility(
+    docs: DataFrame,
+    n_merges: int = BPE_LEARN_MERGES,
+    vocab_cap: int = BPE_LEARN_VOCAB,
+) -> DataFrame:
+    """Apply the corpus-learned BPE merges back to the corpus and
+    report the resulting tokenizer fertility — the learn->apply
+    closure of ``bpe_learn_merges``: after the same ``n_merges``
+    rounds, how many pieces does each word type need, and what is
+    the corpus-weighted pieces-per-token ratio? The number a
+    tokenizer designer actually tunes vocab size against
+    (``tokenizer_fertility`` measures a FIXED external tokenizer;
+    this measures the LEARNED one).
+
+    One row: (n_types, n_merges_applied, total_tokens, total_pieces,
+    pieces_per_token, pct_single_piece) over the capped word-type
+    vocabulary (same cap and scope as ``bpe_learn_merges`` —
+    documented: out-of-cap types are not modeled, exactly as the
+    learner never saw them).
+
+    Scale: the merge loop's cost shape (type-table rounds; see
+    ``bpe_learn_merges``) plus ONE final aggregation of the ~V-row
+    rewritten type table. Piece counts are exact integers; the two
+    ratios are single double divisions.
+    """
+    merges, final_words = _bpe_loop(docs, n_merges, vocab_cap)
+    n_pieces = F.size(_bpe_syms("seq"))
+    return final_words.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.lit(len(merges)).cast("int").alias("n_merges_applied"),
+        F.sum("cnt").alias("total_tokens"),
+        F.sum(F.col("cnt") * n_pieces).alias("total_pieces"),
+        (
+            F.sum(F.col("cnt") * n_pieces).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("pieces_per_token"),
+        (
+            F.sum(F.when(n_pieces == 1, F.col("cnt")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("cnt").cast("double")
+        ).alias("pct_single_piece"),
+    )
+
+
+def bpe_encode_fertility_sql(
+    n_merges: int = BPE_LEARN_MERGES, vocab_cap: int = BPE_LEARN_VOCAB
+) -> str:
+    """Twin: the shared CTE chain's final w{R} aggregated once. The
+    n_merges_applied column counts non-empty m{k} CTEs (= the Spark
+    loop's early-break round count)."""
+    parts = _bpe_cte_chain(n_merges, vocab_cap)
+    applied = " + ".join(
+        f"(SELECT count(*) FROM m{k})" for k in range(1, n_merges + 1)
     )
     return (
-        "WITH " + ",".join(parts) + "\nSELECT * FROM (\n" + unions
-        + "\n) ORDER BY round"
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT count(*) AS n_types,
+       CAST({applied} AS INT) AS n_merges_applied,
+       CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       CAST(SUM(cnt * len(string_split(substr(seq, 2, length(seq) - 2),
+                                        '||'))) AS BIGINT) AS total_pieces,
+       CAST(SUM(cnt * len(string_split(substr(seq, 2, length(seq) - 2),
+                                        '||'))) AS DOUBLE)
+         / CAST(SUM(cnt) AS DOUBLE) AS pieces_per_token,
+       CAST(SUM(CASE WHEN len(string_split(substr(seq, 2, length(seq) - 2),
+                                           '||')) = 1
+                     THEN cnt ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(cnt) AS DOUBLE) AS pct_single_piece
+FROM w{n_merges}
+"""
     )
 
 
@@ -4659,4 +4757,92 @@ SELECT w1, w2, c12, c1, n1p_w1, ncont_w2,
 FROM big JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
 ORDER BY c12 DESC, w1 ASC, w2 ASC
 LIMIT {KN_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# curriculum ordering (length tiers, shuffled within tier)
+# --------------------------------------------------------------------------
+
+#: length-tier edges (chars): the standard short->long sequence-length
+#: curriculum. Fixed literals, not data-driven quantiles, so the tier
+#: of a document never changes when the corpus grows (stability is the
+#: point of a curriculum schedule; corpus-relative tiers are what
+#: quantile_bins is for).
+CURRICULUM_TIER_EDGES = (200, 800)
+
+
+def curriculum_order(docs: DataFrame) -> DataFrame:
+    """Deterministic curriculum training order: documents stream
+    short -> long (sequence-length curriculum, the classic warm-up
+    schedule), SHUFFLED within each length tier — ``corpus_shuffle``
+    composed with a tier prefix. Output: (doc_id, tier, pos) where
+    ``pos`` is the exact 1-based global position ordered by
+    (tier, shuffle_key, doc_id).
+
+    Same scale shape as ``corpus_shuffle``: the two-level bucketed
+    rank with the tier folded into the bucket key (bucket =
+    tier * 4096 + key div 2^36, so the global window still sees only
+    the ~12k-row bucket table; tier ordering falls out of the bucket
+    ordering for free). Tiers come from the stored ``n_chars``
+    column against fixed edges — a pure scan projection.
+    """
+    from pyspark.sql import Window
+
+    lo, hi = CURRICULUM_TIER_EDGES
+    tier = (
+        F.when(F.col("n_chars") < lo, 0)
+        .when(F.col("n_chars") < hi, 1)
+        .otherwise(2)
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))),
+            1,
+            SHUFFLE_KEY_HEX,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.select(
+        "doc_id", tier.alias("tier"), key.alias("shuffle_key")
+    ).withColumn(
+        "bucket",
+        F.col("tier").cast("long") * 4096
+        + F.expr(f"shuffle_key div {2 ** SHUFFLE_BUCKET_SHIFT}"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    within = keyed.withColumn("rn", F.row_number().over(w_in))
+    sizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "bucket", F.coalesce(F.sum("n").over(w_b), F.lit(0)).alias("off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            F.col("tier").cast("int").alias("tier"),
+            (F.col("off") + F.col("rn")).alias("pos"),
+        )
+        .orderBy("pos")
+    )
+
+
+def curriculum_order_sql() -> str:
+    lo, hi = CURRICULUM_TIER_EDGES
+    return f"""
+SELECT doc_id, tier,
+       ROW_NUMBER() OVER (ORDER BY tier, shuffle_key, doc_id) AS pos
+FROM (
+  SELECT doc_id,
+         CAST(CASE WHEN n_chars < {lo} THEN 0
+                   WHEN n_chars < {hi} THEN 1
+                   ELSE 2 END AS INT) AS tier,
+         CAST(concat('0x',
+              substr(md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)),
+                     1, {SHUFFLE_KEY_HEX})) AS BIGINT) AS shuffle_key
+  FROM documents
+) t
+ORDER BY pos
 """

@@ -126,6 +126,10 @@ STAGED = [
      "documents"),
     ("kneser_ney_bigram", "soccerpredictor_spark.operators.textops",
      "documents"),
+    ("bpe_encode_fertility", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("curriculum_order", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 
@@ -581,6 +585,62 @@ class TestBpeLearnMerges:
         assert bpe_learn_merges(docs, n_merges=3).count() == 0
 
 
+class TestBpeEncodeFertility:
+    def test_closed_form_full_and_partial_merge(self, spark):
+        """Corpus {aaab x3, xy x2}: after 4 merges both types are one
+        piece (5 tokens, 5 pieces); after only 1 merge 'aaab' ->
+        [aa,a,b] and 'xy' -> [x,y], so 3*3 + 2*2 = 13 pieces and
+        fertility 13/5 = 2.6."""
+        from soccerpredictor_spark.operators.textops import bpe_encode_fertility
+
+        docs = spark.createDataFrame(
+            [(1, "aaab aaab xy"), (2, "aaab xy")], ["doc_id", "text"]
+        )
+        [r] = bpe_encode_fertility(docs, n_merges=4).collect()
+        assert (r.n_types, r.n_merges_applied, r.total_tokens, r.total_pieces) == (
+            2, 4, 5, 5,
+        )
+        assert r.pct_single_piece == 1.0
+        [r1] = bpe_encode_fertility(docs, n_merges=1).collect()
+        assert r1.total_pieces == 13
+        assert abs(r1.pieces_per_token - 2.6) < 1e-15
+
+    def test_merge_exhaustion_keeps_table_defined(self, spark):
+        """'ab' exhausts after 1 merge; asking for 5 must report
+        n_merges_applied=1 over the post-merge table (the oracle's
+        empty-m{k} fallback branch mirrors the Spark early break)."""
+        from soccerpredictor_spark.operators.textops import bpe_encode_fertility
+
+        docs = spark.createDataFrame([(1, "ab ab ab")], ["doc_id", "text"])
+        [r] = bpe_encode_fertility(docs, n_merges=5).collect()
+        assert (r.n_merges_applied, r.total_tokens, r.total_pieces) == (1, 3, 3)
+        assert r.pct_single_piece == 1.0
+
+
+class TestCurriculumOrder:
+    def test_tiers_monotone_and_shuffled_within(self, spark):
+        """pos must stream tier 0 before 1 before 2, and the order
+        WITHIN a tier must equal corpus_shuffle's relative order
+        (same seed, same key)."""
+        from soccerpredictor_spark.operators.textops import (
+            corpus_shuffle,
+            curriculum_order,
+        )
+
+        rows = [(i, "x", 100 if i % 3 == 0 else (500 if i % 3 == 1 else 900))
+                for i in range(60)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+        cur = curriculum_order(docs).collect()
+        tiers_along_pos = [r.tier for r in sorted(cur, key=lambda r: r.pos)]
+        assert tiers_along_pos == sorted(tiers_along_pos)
+        assert sorted(r.pos for r in cur) == list(range(1, 61))
+        # within-tier order == corpus_shuffle relative order
+        shuf = {r.doc_id: r.pos for r in corpus_shuffle(docs).collect()}
+        for t in (0, 1, 2):
+            ids = [r.doc_id for r in sorted(cur, key=lambda r: r.pos) if r.tier == t]
+            assert ids == sorted(ids, key=lambda i: shuf[i])
+
+
 class TestCorpusShuffle:
     def test_matches_hashlib_and_is_permutation(self, spark):
         """pos must equal the rank of md5('sp-shuffle-42' || doc_id)
@@ -829,7 +889,9 @@ def test_staged_ops_survive_empty_tables(spark):
     builders = [
         lambda: mlprep.mann_whitney_u(orders),
         lambda: textops.bpe_learn_merges(docs),
+        lambda: textops.bpe_encode_fertility(docs),
         lambda: textops.corpus_shuffle(docs),
+        lambda: textops.curriculum_order(docs),
         lambda: textops.kneser_ney_bigram(docs),
         lambda: textops.stupid_backoff_lm(docs),
         lambda: timeseries.holt_winters(events),
