@@ -1703,3 +1703,124 @@ def test_attribution_compare_matches_bruteforce_property(spark, evs):
         for src in set(firsts) | set(lasts)
     }
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# round-11 staged ops: BPE learning, corpus shuffle, Kneser-Ney
+# --------------------------------------------------------------------------
+
+def _py_bpe(word_counts: dict, n_merges: int):
+    """Reference BPE: overlapping pair counts, (count desc, pair asc)
+    winner, leftmost-non-overlapping merge — Sennrich's learn_bpe."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        pc: dict = {}
+        for w, cnt in word_counts.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + cnt
+        if not pc:
+            break
+        (a, b), total = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, a, b, a + b, total))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+BPE_WORDS = st.lists(
+    st.text(alphabet="ab", min_size=2, max_size=6),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(words=BPE_WORDS)
+def test_bpe_learn_matches_python_model(spark, words):
+    """For ANY small corpus over {a,b}: the distributed merge table
+    equals the sequential Sennrich reference — same winners, same
+    tie-breaks, same overlapping pair counts, same early stop."""
+    from soccerpredictor_spark.operators.textops import bpe_learn_merges
+
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    got = [
+        (r.round, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_learn_merges(docs, n_merges=5).collect()
+    ]
+    counts: dict = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    expect, _ = _py_bpe(counts, 5)
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**12), min_size=1, max_size=40,
+        unique=True,
+    )
+)
+def test_corpus_shuffle_matches_hashlib_rank(spark, ids):
+    """For ANY doc_id set: pos is the exact rank under the seeded md5
+    key (independent hashlib computation), 1..n with no gaps — the
+    two-level bucketed rank is invisible."""
+    import hashlib
+
+    from soccerpredictor_spark.operators.textops import corpus_shuffle
+
+    docs = spark.createDataFrame([(i, "x") for i in ids], ["doc_id", "text"])
+    got = {r.doc_id: r.pos for r in corpus_shuffle(docs).collect()}
+    key = {
+        i: int(hashlib.md5(f"sp-shuffle-42{i}".encode()).hexdigest()[:12], 16)
+        for i in ids
+    }
+    order = sorted(ids, key=lambda i: (key[i], i))
+    assert got == {i: rank for rank, i in enumerate(order, start=1)}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=2, max_size=20
+    )
+)
+def test_kneser_ney_matches_python_model(spark, words):
+    """For ANY short token stream: every reported bigram's p_kn equals
+    the sequential Kneser-Ney computation (D=0.75) to double
+    precision, and counts match exactly."""
+    from soccerpredictor_spark.operators.textops import kneser_ney_bigram
+
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = kneser_ney_bigram(docs).collect()
+    big: dict = {}
+    for w1, w2 in zip(words, words[1:]):
+        big[(w1, w2)] = big.get((w1, w2), 0) + 1
+    c1: dict = {}
+    n1p: dict = {}
+    ncont: dict = {}
+    for (w1, w2), c in big.items():
+        c1[w1] = c1.get(w1, 0) + c
+        n1p[w1] = n1p.get(w1, 0) + 1
+        ncont[w2] = ncont.get(w2, 0) + 1
+    ntot = len(big)
+    assert len(rows) == min(50, ntot)
+    for r in rows:
+        assert r.c12 == big[(r.w1, r.w2)]
+        assert (r.c1, r.n1p_w1, r.ncont_w2) == (
+            c1[r.w1], n1p[r.w1], ncont[r.w2]
+        )
+        expect = (big[(r.w1, r.w2)] - 0.75) / c1[r.w1] + 0.75 * (
+            n1p[r.w1] / c1[r.w1]
+        ) * (ncont[r.w2] / ntot)
+        assert abs(r.p_kn - expect) < 1e-12
