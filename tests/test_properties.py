@@ -1824,3 +1824,25 @@ def test_kneser_ney_matches_python_model(spark, words):
             n1p[r.w1] / c1[r.w1]
         ) * (ncont[r.w2] / ntot)
         assert abs(r.p_kn - expect) < 1e-12
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(words=BPE_WORDS)
+def test_bpe_fertility_matches_python_model(spark, words):
+    """For ANY small corpus over {a,b}: piece totals after the merge
+    loop equal the sequential reference's rewritten sequences (same
+    merges -> same segmentation -> same fertility)."""
+    from soccerpredictor_spark.operators.textops import bpe_encode_fertility
+
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    [r] = bpe_encode_fertility(docs, n_merges=3).collect()
+    counts: dict = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    merges, seqs = _py_bpe(counts, 3)
+    total_tokens = sum(counts.values())
+    total_pieces = sum(c * len(seqs[w]) for w, c in counts.items())
+    assert (r.n_types, r.n_merges_applied) == (len(counts), len(merges))
+    assert (r.total_tokens, r.total_pieces) == (total_tokens, total_pieces)
+    single = sum(c for w, c in counts.items() if len(seqs[w]) == 1)
+    assert abs(r.pct_single_piece - single / total_tokens) < 1e-15
