@@ -32,6 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # Ambient load BEFORE the Spark session exists: the bench's own
+    # local[32] warmup inflates the 1-min average, so only this first
+    # sample measures the neighbors rather than ourselves.
+    try:
+        load_ambient = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_ambient = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -111,7 +118,8 @@ def main() -> None:
     except OSError:
         load_end = None
     full = {"per_query": times, "sf": sf,
-            "loadavg": {"start": load_start, "end": load_end}}
+            "loadavg": {"ambient": load_ambient, "start": load_start,
+                        "end": load_end}}
     if errors:
         full["errors"] = errors
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -135,7 +143,8 @@ def main() -> None:
     if sidecar:
         out["queries_full"] = "bench_queries.json"
     if load_start is not None or load_end is not None:
-        out["loadavg"] = {"start": load_start, "end": load_end}
+        out["loadavg"] = {"ambient": load_ambient, "start": load_start,
+                          "end": load_end}
     if errors:
         out["n_errors"] = len(errors)
     # LAST line, compact: the driver's tail capture must end with a
