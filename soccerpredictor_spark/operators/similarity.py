@@ -2241,3 +2241,144 @@ SELECT dim, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        END AS z
 FROM j ORDER BY dim
 """
+
+
+# --------------------------------------------------------------------------
+# cross-split embedding leakage (near-dup pairs straddling the eval split)
+# --------------------------------------------------------------------------
+
+
+def _kv_eval_bucket(c):
+    # knn_label_eval's split, verbatim: md5('kv:'||id)[:8 hex] % 5,
+    # bucket 4 = the 20% eval holdout. Sharing the expression means
+    # this audit measures leakage INTO the exact split that
+    # knn_label_eval (and any consumer of the kv: convention) holds out.
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kv:"), c.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+
+
+def embedding_split_leakage(
+    emb: DataFrame, max_pairs_per_row: float | None = None
+) -> DataFrame:
+    """Train/eval leakage through NEAR-DUPLICATE embeddings — the
+    dense-space counterpart of ``ngram_decontaminate``: a benchmark
+    row whose near-twin sits in training is contaminated even when no
+    n-gram matches (paraphrases, re-encodes, crops). Counts the
+    verified near-dup pairs (``cosine_near_dup``'s banded-LSH + exact
+    verification, session-cached) that STRADDLE the md5 eval split,
+    and how many distinct eval vectors are touched.
+
+    One row: (n_pairs, n_cross, n_eval_contaminated, n_eval_total,
+    leak_rate, eval_contamination_rate, max_cross_sim). Rates are
+    NULL (not NaN/0-division) on empty denominators, both engines.
+
+    Scale: the pair table is the cached near-dup prerequisite (its
+    cost is the family build, amortized across the dedup/ANN
+    entries); everything here is two 1-row aggregations of that
+    small table plus one map-side count of the eval fraction —
+    nothing new shuffles. At 100 TB the same audit runs off whatever
+    pair table the dedup pass already materialized. Inherits the
+    family's candidate-budget guard (no-silent-caps abort on
+    degenerate banding; ``max_pairs_per_row`` is the explicit
+    override, as everywhere in the near-dup family).
+    """
+    pairs = cosine_near_dup(emb, max_pairs_per_row=max_pairs_per_row)
+    tagged = pairs.select(
+        "sim",
+        "vec_a",
+        "vec_b",
+        (_kv_eval_bucket(F.col("vec_a")) == 4).alias("a_eval"),
+        (_kv_eval_bucket(F.col("vec_b")) == 4).alias("b_eval"),
+    )
+    is_cross = F.col("a_eval") != F.col("b_eval")
+    stats = tagged.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum(is_cross.cast("long")), F.lit(0)).alias("n_cross"),
+        F.max(F.when(is_cross, F.col("sim"))).alias("max_cross_sim"),
+    )
+    contaminated = (
+        tagged.filter(is_cross)
+        .select(
+            F.when(F.col("a_eval"), F.col("vec_a"))
+            .otherwise(F.col("vec_b"))
+            .alias("vid")
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_eval_contaminated"))
+    )
+    n_eval = emb.select(
+        (_kv_eval_bucket(F.col("vec_id")) == 4).cast("long").alias("e")
+    ).agg(F.coalesce(F.sum("e"), F.lit(0)).alias("n_eval_total"))
+    return (
+        stats.crossJoin(contaminated)
+        .crossJoin(n_eval)
+        .select(
+            "n_pairs",
+            "n_cross",
+            "n_eval_contaminated",
+            "n_eval_total",
+            F.when(
+                F.col("n_pairs") > 0,
+                F.col("n_cross").cast("double") / F.col("n_pairs").cast("double"),
+            ).alias("leak_rate"),
+            F.when(
+                F.col("n_eval_total") > 0,
+                F.col("n_eval_contaminated").cast("double")
+                / F.col("n_eval_total").cast("double"),
+            ).alias("eval_contamination_rate"),
+            "max_cross_sim",
+        )
+    )
+
+
+def embedding_split_leakage_sql(threshold: float = 0.25) -> str:
+    bkt = (
+        "(CAST(concat('0x', substr(md5('kv:' || CAST({c} AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 5 = 4)"
+    )
+    a_eval, b_eval, v_eval = (
+        bkt.format(c="vec_a"), bkt.format(c="vec_b"), bkt.format(c="vec_id")
+    )
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT * FROM ({cosine_near_dup_sql(threshold)}) q
+),
+tagged AS (
+  SELECT sim, vec_a, vec_b, {a_eval} AS a_eval, {b_eval} AS b_eval
+  FROM pairs
+),
+stats AS (
+  SELECT count(*) AS n_pairs,
+         COALESCE(CAST(SUM(CASE WHEN a_eval <> b_eval THEN 1 ELSE 0 END)
+                  AS BIGINT), 0) AS n_cross,
+         MAX(CASE WHEN a_eval <> b_eval THEN sim END) AS max_cross_sim
+  FROM tagged
+),
+contaminated AS (
+  SELECT count(*) AS n_eval_contaminated FROM (
+    SELECT DISTINCT CASE WHEN a_eval THEN vec_a ELSE vec_b END AS vid
+    FROM tagged WHERE a_eval <> b_eval
+  )
+),
+n_eval AS (
+  SELECT COALESCE(CAST(SUM(CASE WHEN {v_eval} THEN 1 ELSE 0 END) AS BIGINT),
+                  0) AS n_eval_total
+  FROM embeddings
+)
+SELECT n_pairs, n_cross, n_eval_contaminated, n_eval_total,
+       CASE WHEN n_pairs > 0
+            THEN CAST(n_cross AS DOUBLE) / CAST(n_pairs AS DOUBLE) END
+         AS leak_rate,
+       CASE WHEN n_eval_total > 0
+            THEN CAST(n_eval_contaminated AS DOUBLE)
+                 / CAST(n_eval_total AS DOUBLE) END
+         AS eval_contamination_rate,
+       max_cross_sim
+FROM stats CROSS JOIN contaminated CROSS JOIN n_eval
+"""

@@ -4846,3 +4846,119 @@ FROM (
 ) t
 ORDER BY pos
 """
+
+
+# --------------------------------------------------------------------------
+# per-document token budget under the LEARNED BPE tokenizer
+# --------------------------------------------------------------------------
+
+#: histogram bucket width (pieces): context-window planning granularity.
+TOKEN_BUDGET_BUCKET = 128
+
+
+def doc_token_budget(
+    docs: DataFrame,
+    n_merges: int = BPE_LEARN_MERGES,
+    vocab_cap: int = BPE_LEARN_VOCAB,
+) -> DataFrame:
+    """Per-document piece-count histogram under the corpus-learned BPE
+    tokenizer — the context-window planning readout (how many docs fit
+    a 2k/8k window, what packing density to expect) measured against
+    the tokenizer the corpus actually trains, not an external proxy:
+    ``bpe_learn_merges`` learns it, ``bpe_encode_fertility`` reports
+    the corpus mean, this reports the per-doc DISTRIBUTION.
+
+    Every document's words join the post-merge type table for their
+    piece counts; words outside the modeled vocab (beyond the
+    ``vocab_cap`` head, length outside [2, 16]) fall back to
+    character-level pieces = length(word) — the same worst-case a
+    real byte-fallback tokenizer pays. Docs with no [a-z]+ words land
+    in the zero bucket.
+
+    Output: (piece_bucket, n_docs, tokens, pieces) per 128-piece
+    bucket, ordered by bucket.
+
+    Scale: the merge loop's type-table rounds (see
+    ``bpe_learn_merges``) + ONE broadcast join of the token stream
+    against the ~V-row piece map + a doc-keyed partial aggregation
+    (explode preserves row locality, so map-side combine collapses to
+    one row per doc before the shuffle) + a bucket-keyed rollup.
+    """
+    _, final_words = _bpe_loop(docs, n_merges, vocab_cap)
+    wp = final_words.select(
+        "word", F.size(_bpe_syms("seq")).alias("n_pieces")
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(text, '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(wp), "word", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_pieces"), F.length("word"))
+            .cast("long")
+            .alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("p").alias("doc_pieces"), F.count(F.lit(1)).alias("doc_tokens"))
+    )
+    alld = docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        F.coalesce(F.col("doc_pieces"), F.lit(0)).alias("doc_pieces"),
+        F.coalesce(F.col("doc_tokens"), F.lit(0)).alias("doc_tokens"),
+    )
+    return (
+        alld.groupBy(
+            (F.expr(f"doc_pieces div {TOKEN_BUDGET_BUCKET}")
+             * TOKEN_BUDGET_BUCKET).alias("piece_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_tokens").alias("tokens"),
+            F.sum("doc_pieces").alias("pieces"),
+        )
+        .orderBy("piece_bucket")
+    )
+
+
+def doc_token_budget_sql(
+    n_merges: int = BPE_LEARN_MERGES, vocab_cap: int = BPE_LEARN_VOCAB
+) -> str:
+    parts = _bpe_cte_chain(n_merges, vocab_cap)
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+wp AS MATERIALIZED (
+  SELECT word,
+         len(string_split(substr(seq, 2, length(seq) - 2), '||')) AS n_pieces
+  FROM w{n_merges}
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS word
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(COALESCE(n_pieces, length(word))) AS BIGINT) AS doc_pieces,
+         count(*) AS doc_tokens
+  FROM tok LEFT JOIN wp USING (word)
+  GROUP BY doc_id
+),
+alld AS (
+  SELECT COALESCE(p.doc_pieces, 0) AS doc_pieces,
+         COALESCE(p.doc_tokens, 0) AS doc_tokens
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT (doc_pieces // {TOKEN_BUDGET_BUCKET}) * {TOKEN_BUDGET_BUCKET}
+         AS piece_bucket,
+       count(*) AS n_docs,
+       CAST(SUM(doc_tokens) AS BIGINT) AS tokens,
+       CAST(SUM(doc_pieces) AS BIGINT) AS pieces
+FROM alld
+GROUP BY 1
+ORDER BY piece_bucket
+"""
+    )

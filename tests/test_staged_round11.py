@@ -130,6 +130,10 @@ STAGED = [
      "documents"),
     ("curriculum_order", "soccerpredictor_spark.operators.textops",
      "documents"),
+    ("doc_token_budget", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("embedding_split_leakage", "soccerpredictor_spark.operators.similarity",
+     "embeddings"),
 ]
 
 
@@ -641,6 +645,69 @@ class TestCurriculumOrder:
             assert ids == sorted(ids, key=lambda i: shuf[i])
 
 
+class TestDocTokenBudget:
+    def test_closed_form_piece_counts(self, spark):
+        """{aaab aaab xy | aaab xy}, 1 merge (a,a): 'aaab' -> 3
+        pieces, 'xy' -> 2. Doc1 = 8 pieces / 3 tokens, doc2 = 5 / 2 —
+        one 0-bucket row (2 docs, 5 tokens, 13 pieces)."""
+        from soccerpredictor_spark.operators.textops import doc_token_budget
+
+        docs = spark.createDataFrame(
+            [(1, "aaab aaab xy"), (2, "aaab xy")], ["doc_id", "text"]
+        )
+        [r] = doc_token_budget(docs, n_merges=1).collect()
+        assert (r.piece_bucket, r.n_docs, r.tokens, r.pieces) == (0, 2, 5, 13)
+
+    def test_oov_fallback_and_wordless_doc(self, spark):
+        """Words outside the modeled vocab fall back to char-level
+        pieces (1-char word -> 1; an 18-char run -> 18); a doc with no
+        [a-z]+ words lands in the zero bucket with 0 tokens."""
+        from soccerpredictor_spark.operators.textops import doc_token_budget
+
+        docs = spark.createDataFrame(
+            [(1, "a " + "z" * 18), (2, "???")], ["doc_id", "text"]
+        )
+        rows = {r.piece_bucket: r for r in doc_token_budget(docs, n_merges=1).collect()}
+        [r] = rows.values()
+        assert (r.piece_bucket, r.n_docs, r.tokens, r.pieces) == (0, 2, 2, 19)
+
+
+class TestEmbeddingSplitLeakage:
+    def test_closed_form_cross_pairs(self, spark):
+        """Three IDENTICAL vectors — one whose id hashes into the eval
+        bucket, two into train — plus two far-apart singletons: the
+        identical triple yields 3 pairs, 2 of them cross-split, 1
+        contaminated eval vector, max cross sim 1.0."""
+        import hashlib
+
+        from soccerpredictor_spark.operators.similarity import (
+            embedding_split_leakage,
+        )
+
+        def is_eval(i):
+            return int(hashlib.md5(f"kv:{i}".encode()).hexdigest()[:8], 16) % 5 == 4
+
+        eval_ids = [i for i in range(200) if is_eval(i)]
+        train_ids = [i for i in range(200) if not is_eval(i)]
+        ids = [eval_ids[0], train_ids[0], train_ids[1]]
+        v = [1.0] * 64
+        far = [[100.0 * (1 if d == k else 0) - 50.0 for d in range(64)]
+               for k in (0, 1)]
+        rows = [(i, v, 0) for i in ids] + [
+            (train_ids[2], far[0], 0), (train_ids[3], far[1], 0)
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        from soccerpredictor_spark.operators.scale import clear_caches
+
+        clear_caches()
+        [r] = embedding_split_leakage(emb).collect()
+        assert r.n_pairs >= 3  # the triple; far vectors may pair with nothing
+        assert r.n_cross == 2
+        assert r.n_eval_contaminated == 1
+        assert r.n_eval_total == 1
+        assert r.max_cross_sim == 1.0
+
+
 class TestCorpusShuffle:
     def test_matches_hashlib_and_is_permutation(self, spark):
         """pos must equal the rank of md5('sp-shuffle-42' || doc_id)
@@ -892,6 +959,8 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: textops.bpe_encode_fertility(docs),
         lambda: textops.corpus_shuffle(docs),
         lambda: textops.curriculum_order(docs),
+        lambda: textops.doc_token_budget(docs),
+        lambda: similarity.embedding_split_leakage(emb),
         lambda: textops.kneser_ney_bigram(docs),
         lambda: textops.stupid_backoff_lm(docs),
         lambda: timeseries.holt_winters(events),
