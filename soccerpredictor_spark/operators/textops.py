@@ -4962,3 +4962,210 @@ GROUP BY 1
 ORDER BY piece_bucket
 """
     )
+
+
+# --------------------------------------------------------------------------
+# token-balanced output shards (deterministic boustrophedon packing)
+# --------------------------------------------------------------------------
+
+#: number of output shards the packing audit targets.
+SHARD_K = 8
+#: n_chars bucket width for the two-level global rank.
+SHARD_BUCKET_CHARS = 64
+
+
+def token_balanced_shards(docs: DataFrame, k: int = SHARD_K) -> DataFrame:
+    """Deterministic assignment of documents to ``k`` output shards
+    with balanced total size — the writer-side step of a preprocessing
+    pipeline (equal-mass shards mean equal-duration downstream tasks;
+    hash sharding balances COUNTS, not bytes, and long-doc skew makes
+    count-balanced shards byte-imbalanced). Greedy bin packing is
+    inherently sequential; the distributed equivalent is boustrophedon
+    (snake) placement by size rank: rank docs by (n_chars desc,
+    doc_id), lay rank r at position (r-1) mod 2k folded back past k —
+    consecutive heavy docs land on DIFFERENT shards and each
+    pass-pair sums to the same rank mass, so the imbalance is bounded
+    by one document regardless of skew.
+
+    Output: the per-shard audit (shard, n_docs, chars, chars_share),
+    ordered by shard. (The per-doc assignment is the same expression
+    one projection earlier; the audit is the decision-grade readout.)
+
+    Scale: the rank is the two-level bucketed pattern on the stored
+    ``n_chars`` column (bucket = n_chars div 64 ordered desc;
+    per-bucket row_number + broadcast cumulative offsets — only the
+    bucket table crosses a global window), then one k-row
+    aggregation. No sort of the corpus, ever.
+    """
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+    ).withColumn("bucket", F.expr(f"w div {SHARD_BUCKET_CHARS}"))
+    w_in = Window.partitionBy("bucket").orderBy(F.desc("w"), F.asc("doc_id"))
+    within = keyed.withColumn("rn", F.row_number().over(w_in))
+    sizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w_b = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "bucket", F.coalesce(F.sum("n").over(w_b), F.lit(0)).alias("off")
+    )
+    ranked = within.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "w",
+        (F.col("off") + F.col("rn") - 1).alias("r0"),  # 0-based size rank
+    )
+    idx = F.col("r0") % (2 * k)
+    shard = F.when(idx < k, idx).otherwise(2 * k - 1 - idx).cast("int")
+    assigned = ranked.select("doc_id", "w", shard.alias("shard"))
+    per = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("w").alias("chars")
+    )
+    tot = assigned.agg(F.sum("w").alias("total_chars"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "chars",
+            F.when(
+                F.col("total_chars") > 0,
+                F.col("chars").cast("double") / F.col("total_chars").cast("double"),
+            ).alias("chars_share"),
+        )
+        .orderBy("shard")
+    )
+
+
+def token_balanced_shards_sql(k: int = SHARD_K) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS r0
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, w,
+         CAST(CASE WHEN r0 % {2 * k} < {k} THEN r0 % {2 * k}
+                   ELSE {2 * k - 1} - (r0 % {2 * k}) END AS INT) AS shard
+  FROM ranked
+),
+per AS (
+  SELECT shard, count(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS chars
+  FROM assigned GROUP BY shard
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total_chars FROM assigned)
+SELECT shard, n_docs, chars,
+       CASE WHEN total_chars > 0
+            THEN CAST(chars AS DOUBLE) / CAST(total_chars AS DOUBLE) END
+         AS chars_share
+FROM per CROSS JOIN tot
+ORDER BY shard
+"""
+
+
+# --------------------------------------------------------------------------
+# temperature sweep (mixture shares across the T schedule)
+# --------------------------------------------------------------------------
+
+
+def temperature_sweep(docs: DataFrame) -> DataFrame:
+    """Source-mixture shares across the sampling-temperature schedule
+    T in {1, 3/4, 1/2, 1/4} — the tuning table behind
+    ``temperature_mix``'s single fixed T (which T flattens the mix
+    how much is THE dial multilingual/multi-domain training sweeps;
+    the sweep-table family: dedup_threshold_sweep, session_gap_sweep,
+    bloom_size_sweep). One row per source:
+    (source, n_docs, share_t100, share_t75, share_t50, share_t25).
+
+    Determinism: quarter-power temperatures ONLY, by construction —
+    w = n^T composes from IEEE-correctly-rounded sqrt
+    (n^(1/2) = sqrt n, n^(1/4) = sqrt sqrt n, n^(3/4) = the product),
+    so both engines compute bit-identical weights, where a general
+    pow(n, 0.7) is libm-dependent (the engine's log/pow-free
+    convention, same reasoning as ``temperature_mix``). Each
+    denominator is the strict left fold over sources in source order.
+
+    Scale: one count aggregation of the corpus; everything after is
+    arithmetic on the mixture-sized table.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    counts = _reliable_checkpoint(
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    n = F.col("n_docs").cast("double")
+    w50 = F.sqrt(n)
+    w25 = F.sqrt(F.sqrt(n))
+    wts = counts.select(
+        "source",
+        "n_docs",
+        n.alias("w100"),
+        (w50 * w25).alias("w75"),
+        w50.alias("w50"),
+        w25.alias("w25"),
+    )
+
+    def fold(col: str):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("source").alias("s"), F.col(col)))
+                ),
+                lambda x: x[col],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{col[1:]}")
+
+    denom = wts.agg(fold("w100"), fold("w75"), fold("w50"), fold("w25"))
+    return (
+        wts.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("w100") / F.col("d100")).alias("share_t100"),
+            (F.col("w75") / F.col("d75")).alias("share_t75"),
+            (F.col("w50") / F.col("d50")).alias("share_t50"),
+            (F.col("w25") / F.col("d25")).alias("share_t25"),
+        )
+        .orderBy("source")
+    )
+
+
+def temperature_sweep_sql() -> str:
+    def fold(w: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list({w} ORDER BY source ASC)), (acc, x) -> acc + x)"
+        )
+
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+wts AS (
+  SELECT source, n_docs,
+         CAST(n_docs AS DOUBLE) AS w100,
+         sqrt(CAST(n_docs AS DOUBLE))
+           * sqrt(sqrt(CAST(n_docs AS DOUBLE))) AS w75,
+         sqrt(CAST(n_docs AS DOUBLE)) AS w50,
+         sqrt(sqrt(CAST(n_docs AS DOUBLE))) AS w25
+  FROM counts
+),
+denom AS (
+  SELECT {fold("w100")} AS d100, {fold("w75")} AS d75,
+         {fold("w50")} AS d50, {fold("w25")} AS d25
+  FROM wts
+)
+SELECT source, n_docs,
+       w100 / d100 AS share_t100,
+       w75 / d75 AS share_t75,
+       w50 / d50 AS share_t50,
+       w25 / d25 AS share_t25
+FROM wts, denom
+ORDER BY source
+"""

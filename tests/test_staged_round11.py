@@ -134,6 +134,10 @@ STAGED = [
      "documents"),
     ("embedding_split_leakage", "soccerpredictor_spark.operators.similarity",
      "embeddings"),
+    ("token_balanced_shards", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("temperature_sweep", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 
@@ -708,6 +712,75 @@ class TestEmbeddingSplitLeakage:
         assert r.max_cross_sim == 1.0
 
 
+class TestTokenBalancedShards:
+    def test_snake_placement_bounds_imbalance(self, spark):
+        """16 docs of strongly skewed sizes across k=4 shards: the
+        boustrophedon rank placement must bound the chars spread by
+        the largest document, and every shard gets exactly 4 docs on
+        an exact multiple of 2k."""
+        from soccerpredictor_spark.operators.textops import token_balanced_shards
+
+        sizes = [1000, 900, 800, 700, 60, 50, 40, 30, 9, 8, 7, 6, 4, 3, 2, 1]
+        docs = spark.createDataFrame(
+            [(i, "x", s) for i, s in enumerate(sizes)],
+            ["doc_id", "text", "n_chars"],
+        )
+        rows = token_balanced_shards(docs, k=4).collect()
+        assert [r.shard for r in rows] == [0, 1, 2, 3]
+        assert all(r.n_docs == 4 for r in rows)
+        # snake: rank0..3 -> shards 0..3, rank4..7 -> 3..0, ...
+        # shard0 gets 1000+30+9+1? ranks 0,7,8,15 -> 1000,30,9,1 = 1040
+        expect = {
+            0: 1000 + 30 + 9 + 1,
+            1: 900 + 40 + 8 + 2,
+            2: 800 + 50 + 7 + 3,
+            3: 700 + 60 + 6 + 4,
+        }
+        got = {r.shard: r.chars for r in rows}
+        assert got == expect
+        spread = max(got.values()) - min(got.values())
+        assert spread <= max(sizes)
+        assert abs(sum(r.chars_share for r in rows) - 1.0) < 1e-12
+
+    def test_ties_break_by_doc_id(self, spark):
+        """Equal sizes: rank order (and thus shard) is pinned by
+        doc_id, independent of physical layout."""
+        from soccerpredictor_spark.operators.textops import token_balanced_shards
+
+        docs = spark.createDataFrame(
+            [(i, "x", 100) for i in range(8)], ["doc_id", "text", "n_chars"]
+        )
+        a = {(r.shard, r.n_docs, r.chars) for r in
+             token_balanced_shards(docs, k=4).collect()}
+        b = {(r.shard, r.n_docs, r.chars) for r in
+             token_balanced_shards(docs.repartition(5), k=4).collect()}
+        assert a == b
+        assert all(n == 2 and c == 200 for _, n, c in a)
+
+
+class TestTemperatureSweep:
+    def test_flattening_monotone_in_temperature(self, spark):
+        """Counts 90/10: the small source's share must rise
+        monotonically as T falls (10% -> ~16% -> 25% -> ~37%), the
+        large source's fall, each row pair summing to 1; T=1 is the
+        natural mix exactly and T=1/2 is exactly 1/4
+        (sqrt(90) = 3 sqrt(10))."""
+        from soccerpredictor_spark.operators.textops import temperature_sweep
+
+        rows = [(i, "x", "big") for i in range(90)] + [
+            (100 + i, "x", "small") for i in range(10)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        got = {r.source: r for r in temperature_sweep(docs).collect()}
+        s = got["small"]
+        assert abs(s.share_t100 - 0.10) < 1e-15
+        assert s.share_t100 < s.share_t75 < s.share_t50 < s.share_t25 < 0.5
+        for t in ("share_t100", "share_t75", "share_t50", "share_t25"):
+            assert abs(getattr(s, t) + getattr(got["big"], t) - 1.0) < 1e-12
+        # T=1/2 exactly: sqrt(10)/(sqrt(90)+sqrt(10)) = 1/4
+        assert abs(s.share_t50 - 0.25) < 1e-12
+
+
 class TestCorpusShuffle:
     def test_matches_hashlib_and_is_permutation(self, spark):
         """pos must equal the rank of md5('sp-shuffle-42' || doc_id)
@@ -961,6 +1034,8 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: textops.curriculum_order(docs),
         lambda: textops.doc_token_budget(docs),
         lambda: similarity.embedding_split_leakage(emb),
+        lambda: textops.token_balanced_shards(docs),
+        lambda: textops.temperature_sweep(docs),
         lambda: textops.kneser_ney_bigram(docs),
         lambda: textops.stupid_backoff_lm(docs),
         lambda: timeseries.holt_winters(events),
