@@ -1846,3 +1846,30 @@ def test_bpe_fertility_matches_python_model(spark, words):
     assert (r.total_tokens, r.total_pieces) == (total_tokens, total_pieces)
     single = sum(c for w, c in counts.items() if len(seqs[w]) == 1)
     assert abs(r.pct_single_piece - single / total_tokens) < 1e-15
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(
+        st.integers(min_value=0, max_value=5000), min_size=1, max_size=40
+    )
+)
+def test_token_balanced_shards_invariants(spark, sizes):
+    """For ANY size distribution: shards partition the corpus (doc and
+    char totals conserved), per-shard doc counts differ by at most 1,
+    and the boustrophedon chars spread is bounded by the largest
+    document."""
+    from soccerpredictor_spark.operators.textops import token_balanced_shards
+
+    docs = spark.createDataFrame(
+        [(i, "x", s) for i, s in enumerate(sizes)],
+        ["doc_id", "text", "n_chars"],
+    )
+    rows = token_balanced_shards(docs, k=4).collect()
+    assert sum(r.n_docs for r in rows) == len(sizes)
+    assert sum(r.chars for r in rows) == sum(sizes)
+    counts = [r.n_docs for r in rows]
+    assert max(counts) - min(counts) <= 1
+    if len(rows) == 4:  # all shards populated -> spread bound applies
+        chars = [r.chars for r in rows]
+        assert max(chars) - min(chars) <= max(sizes)
