@@ -216,7 +216,8 @@ IVF_NPROBE = 4
 
 
 def ivf_topk(
-    emb: DataFrame, query_vec_id: int = 0, k: int = 10
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10,
+    nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """IVF-style approximate top-k: the inverted-file counterpart to
     the LSH path.
@@ -278,7 +279,7 @@ def ivf_topk(
         F.col("iv").alias("q_iv"),
         F.col("nrm").alias("q_nrm"),
         F.transform(
-            F.slice(F.array_sort(F.col("dists")), 1, IVF_NPROBE), lambda s: s["cid"]
+            F.slice(F.array_sort(F.col("dists")), 1, nprobe), lambda s: s["cid"]
         ).alias("probes"),
     )
     sim = V.int_dot_iv(F.col("iv"), F.col("q_iv")).cast("double") / (
@@ -293,7 +294,9 @@ def ivf_topk(
     )
 
 
-def ivf_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+def ivf_topk_sql(
+    query_vec_id: int = 0, k: int = 10, nprobe: int = IVF_NPROBE
+) -> str:
     dot_ac = V.sql_dot("embedding", "cemb")
     nrm_a = V.sql_dot("embedding", "embedding")
     nrm_c = V.sql_dot("cemb", "cemb")
@@ -312,7 +315,7 @@ ranked AS (
   FROM embeddings e CROSS JOIN cents c
 ),
 assigned AS (SELECT vec_id, label, embedding, cid AS list_id FROM ranked WHERE rn = 1),
-probe AS (SELECT cid AS list_id FROM ranked WHERE vec_id = {query_vec_id} AND rn <= {IVF_NPROBE}),
+probe AS (SELECT cid AS list_id FROM ranked WHERE vec_id = {query_vec_id} AND rn <= {nprobe}),
 q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id})
 SELECT a.vec_id, a.label, {cos.replace('embedding', 'a.embedding')} AS sim
 FROM assigned a JOIN probe USING (list_id) CROSS JOIN q
@@ -2381,4 +2384,224 @@ SELECT n_pairs, n_cross, n_eval_contaminated, n_eval_total,
          AS eval_contamination_rate,
        max_cross_sim
 FROM stats CROSS JOIN contaminated CROSS JOIN n_eval
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF nprobe sweep (recall-vs-probes tuning table)
+# --------------------------------------------------------------------------
+
+#: probed-list counts swept (nlist = 16 centroids, so 1/2/4 probes =
+#: 6%/12%/25% of the data read per query).
+IVF_SWEEP_PROBES = (1, 2, 4)
+
+
+def ivf_nprobe_sweep(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Recall@k vs nprobe for the IVF index — the tuning table behind
+    ``ivf_recall_eval``'s single fixed operating point (the sweep-
+    table family: how many lists must a query probe before recall
+    plateaus is THE latency/recall dial IVF deployments tune). One
+    row per nprobe in ``IVF_SWEEP_PROBES``:
+    (nprobe, n_exact, n_ivf, n_hit, recall).
+
+    Cost shape — ONE corpus scan for the whole sweep, not one per
+    level: the max-nprobe candidate set (vectors whose list is among
+    the query's 4 nearest, ~nprobe/nlist of the corpus) materializes
+    once with each vector's PROBE RANK (position of its list in the
+    query's sorted probe order), and every sweep level is then a
+    filter (probe_rank <= nprobe) + TakeOrdered over that small
+    checkpoint — by IVF monotonicity the level-np candidate set is
+    exactly the rank-<=np subset, so each leg is bit-identical to an
+    independent ``ivf_topk`` run (the equivalence the closed-form
+    test pins against ``ivf_recall_eval``). The exact top-k computes
+    once. Recall is non-decreasing in nprobe by construction.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    max_np = max(IVF_SWEEP_PROBES)
+    exact = _reliable_checkpoint(
+        cosine_topk(emb, query_vec_id, k).select("vec_id")
+    )
+
+    # one scan: assignment + query probes at max nprobe + probe rank
+    base = fan_out(emb).select(
+        "vec_id", "label", V.int_vec(F.col("embedding")).alias("iv")
+    ).select("vec_id", "label", "iv", V.sq_norm_iv(F.col("iv")).alias("nrm"))
+    cents_arr = (
+        base.orderBy("vec_id")
+        .limit(IVF_CENTROIDS)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("cid"),
+                        F.col("iv").alias("civ"),
+                        F.col("nrm").alias("cnrm"),
+                    )
+                )
+            ).alias("cs")
+        )
+    )
+    dists = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            (
+                F.col("nrm") - 2 * V.int_dot_iv(F.col("iv"), c["civ"]) + c["cnrm"]
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    with_d = base.crossJoin(F.broadcast(cents_arr)).withColumn("dists", dists)
+    assigned = with_d.select(
+        "vec_id", "label", "iv", "nrm",
+        F.array_min("dists")["cid"].alias("list_id"),
+    )
+    q = with_d.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("iv").alias("q_iv"),
+        F.col("nrm").alias("q_nrm"),
+        F.transform(
+            F.slice(F.array_sort(F.col("dists")), 1, max_np), lambda s: s["cid"]
+        ).alias("probes"),
+    )
+    sim = V.int_dot_iv(F.col("iv"), F.col("q_iv")).cast("double") / (
+        F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("q_nrm").cast("double"))
+    )
+    cand = _reliable_checkpoint(
+        assigned.crossJoin(F.broadcast(q))
+        .withColumn(
+            "probe_rank", F.array_position(F.col("probes"), F.col("list_id"))
+        )
+        .filter(F.col("probe_rank") >= 1)
+        .select("vec_id", sim.alias("sim"), "probe_rank")
+    )
+
+    out = None
+    for np_ in IVF_SWEEP_PROBES:
+        approx = (
+            cand.filter(F.col("probe_rank") <= np_)
+            .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            .limit(k)
+            .select("vec_id")
+        )
+        hit = exact.join(approx, "vec_id", "left_semi")
+        row = (
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_ivf")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_exact",
+                "n_ivf",
+                "n_hit",
+                (F.col("n_hit").cast("double") / F.lit(float(k))).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe")
+
+
+def ivf_nprobe_sweep_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    legs = []
+    for np_ in IVF_SWEEP_PROBES:
+        legs.append(
+            f"""
+SELECT CAST({np_} AS INT) AS nprobe,
+       (SELECT COUNT(*) FROM exact_k) AS n_exact,
+       (SELECT COUNT(*) FROM ({ivf_topk_sql(query_vec_id, k, nprobe=np_)}) a)
+         AS n_ivf,
+       (SELECT COUNT(*) FROM exact_k
+        WHERE vec_id IN (SELECT vec_id
+                         FROM ({ivf_topk_sql(query_vec_id, k, nprobe=np_)}) b))
+         AS n_hit,
+       CAST((SELECT COUNT(*) FROM exact_k
+             WHERE vec_id IN (SELECT vec_id
+                              FROM ({ivf_topk_sql(query_vec_id, k, nprobe=np_)}) c))
+            AS DOUBLE) / {float(k)} AS recall"""
+        )
+    body = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH exact_k AS MATERIALIZED (
+  SELECT vec_id FROM ({cosine_topk_sql(query_vec_id, k)}) e
+)
+SELECT * FROM (
+{body}
+) ORDER BY nprobe
+"""
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup threshold sweep
+# --------------------------------------------------------------------------
+
+#: cosine thresholds swept; the pair table builds ONCE at the loosest.
+EMB_SWEEP_THRESHOLDS = (0.25, 0.5, 0.75)
+
+
+def embedding_threshold_sweep(
+    emb: DataFrame, max_pairs_per_row: float | None = None
+) -> DataFrame:
+    """Near-duplicate pair counts vs cosine threshold for the
+    embedding dedup path — the dense-space sibling of
+    ``dedup_threshold_sweep`` (text jaccard): how aggressive can the
+    dedup cut be before it starts merging non-duplicates is tuned
+    from exactly this curve. One row per threshold:
+    (threshold, n_pairs, n_docs_affected).
+
+    Cost shape: the verified pair table builds ONCE at the loosest
+    threshold (``cosine_near_dup``'s session-cached checkpoint —
+    higher thresholds are pure FILTERS of it, never rebuilds);
+    affected-doc counts are distincts of the small pair table. By
+    construction both columns are non-increasing in the threshold,
+    which the closed-form test pins.
+    """
+    lo = min(EMB_SWEEP_THRESHOLDS)
+    pairs = cosine_near_dup(emb, threshold=lo, max_pairs_per_row=max_pairs_per_row)
+    out = None
+    for t in sorted(EMB_SWEEP_THRESHOLDS):
+        at_t = pairs.filter(F.col("sim") >= t)
+        docs_affected = (
+            at_t.select(F.col("vec_a").alias("v"))
+            .unionAll(at_t.select(F.col("vec_b").alias("v")))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_docs_affected"))
+        )
+        row = (
+            at_t.agg(F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_pairs"))
+            .crossJoin(docs_affected)
+            .select(
+                F.lit(t).cast("double").alias("threshold"),
+                "n_pairs",
+                "n_docs_affected",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("threshold")
+
+
+def embedding_threshold_sweep_sql() -> str:
+    lo = min(EMB_SWEEP_THRESHOLDS)
+    legs = []
+    for t in sorted(EMB_SWEEP_THRESHOLDS):
+        legs.append(
+            f"""
+SELECT CAST({t} AS DOUBLE) AS threshold,
+       (SELECT COUNT(*) FROM pairs WHERE sim >= {t}) AS n_pairs,
+       (SELECT COUNT(*) FROM (
+          SELECT DISTINCT v FROM (
+            SELECT vec_a AS v FROM pairs WHERE sim >= {t}
+            UNION ALL
+            SELECT vec_b AS v FROM pairs WHERE sim >= {t}
+          )
+        )) AS n_docs_affected"""
+        )
+    body = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT * FROM ({cosine_near_dup_sql(lo)}) q
+)
+SELECT * FROM (
+{body}
+) ORDER BY threshold
 """

