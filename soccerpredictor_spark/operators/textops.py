@@ -5169,3 +5169,133 @@ SELECT source, n_docs,
 FROM wts, denom
 ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# BPE merge curve (fertility vs merge count — the vocab-size dial)
+# --------------------------------------------------------------------------
+
+#: merge-count checkpoints reported (0 = character baseline).
+BPE_CURVE_POINTS = (0, 5, 10)
+
+
+def bpe_merge_curve(
+    docs: DataFrame, vocab_cap: int = BPE_LEARN_VOCAB
+) -> DataFrame:
+    """Tokenizer fertility as a function of merge count — BPE's vocab
+    size IS (alphabet + n_merges), so this is the vocab-size tuning
+    curve (how fast do pieces/token fall as the merge table grows; the
+    diminishing-returns knee is where production tokenizers stop).
+    One row per checkpoint in ``BPE_CURVE_POINTS``:
+    (n_merges, n_types, total_tokens, total_pieces, pieces_per_token).
+
+    Cost shape: ONE merge-loop run (``_bpe_loop`` is incremental —
+    the k-merge state exists on the way to the 10-merge state), with
+    a ~V-row aggregation captured at each checkpoint. The sweep costs
+    one loop + |points| tiny aggs, NOT |points| loops; the DuckDB
+    twin reads the same w{k} CTEs the learner's chain already
+    defines.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    spark = docs.sparkSession
+    max_k = max(BPE_CURVE_POINTS)
+    want = set(BPE_CURVE_POINTS)
+
+    # Re-run the shared loop, snapshotting the rewritten table at the
+    # requested checkpoints. (Duplicating _bpe_loop's 12 lines would
+    # drift; instead run it per segment: loop state is a DataFrame, so
+    # we advance via _bpe_loop on the PREVIOUS snapshot — but merges
+    # must continue from the same state, so we inline the loop here
+    # with the same primitives.)
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(text, '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .where(F.length("word").between(2, BPE_LEARN_MAX_WORD))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(vocab_cap)
+        .select(
+            "word",
+            "cnt",
+            F.regexp_replace(F.col("word"), r"(.)", r"|$1|").alias("seq"),
+        )
+    )
+    cur = _reliable_checkpoint(words)
+
+    def snapshot(df: DataFrame, k: int) -> DataFrame:
+        n_pieces = F.size(_bpe_syms("seq"))
+        return df.agg(
+            F.lit(k).cast("int").alias("n_merges"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("cnt").alias("total_tokens"),
+            F.sum(F.col("cnt") * n_pieces).alias("total_pieces"),
+            (
+                F.sum(F.col("cnt") * n_pieces).cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("pieces_per_token"),
+        )
+
+    out = snapshot(cur, 0) if 0 in want else None
+    for rnd in range(1, max_k + 1):
+        pairs = (
+            cur.select("cnt", _bpe_syms("seq").alias("syms"))
+            .where(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> named_struct('a', element_at(syms, i), "
+                        "'b', element_at(syms, i + 1)))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("cnt").alias("total"))
+        )
+        top = pairs.orderBy(
+            F.desc("total"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if top:
+            a, b = top[0].a, top[0].b
+            cur = cur.select(
+                "word",
+                "cnt",
+                F.replace(
+                    F.col("seq"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+                ).alias("seq"),
+            )
+        # on exhaustion cur stays as-is — matching the w{k} = w{k-1}
+        # fallback branch of the oracle chain
+        if rnd in want:
+            row = snapshot(cur, rnd)
+            out = row if out is None else out.unionAll(row)
+    return out.orderBy("n_merges")
+
+
+def bpe_merge_curve_sql(vocab_cap: int = BPE_LEARN_VOCAB) -> str:
+    max_k = max(BPE_CURVE_POINTS)
+    parts = _bpe_cte_chain(max_k, vocab_cap)
+    legs = []
+    for k in BPE_CURVE_POINTS:
+        pieces = "len(string_split(substr(seq, 2, length(seq) - 2), '||'))"
+        legs.append(
+            f"""
+SELECT CAST({k} AS INT) AS n_merges,
+       count(*) AS n_types,
+       CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       CAST(SUM(cnt * {pieces}) AS BIGINT) AS total_pieces,
+       CAST(SUM(cnt * {pieces}) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+         AS pieces_per_token
+FROM w{k}"""
+        )
+    body = "\nUNION ALL\n".join(legs)
+    return (
+        "WITH " + ",".join(parts)
+        + "\nSELECT * FROM (\n" + body + "\n) ORDER BY n_merges"
+    )

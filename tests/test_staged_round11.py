@@ -142,6 +142,8 @@ STAGED = [
      "embeddings"),
     ("embedding_threshold_sweep", "soccerpredictor_spark.operators.similarity",
      "embeddings"),
+    ("bpe_merge_curve", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 
@@ -716,6 +718,30 @@ class TestEmbeddingSplitLeakage:
         assert r.max_cross_sim == 1.0
 
 
+class TestBpeMergeCurve:
+    def test_monotone_and_consistent_with_fertility(self, spark):
+        """pieces_per_token is non-increasing in n_merges (every merge
+        can only shorten segmentations), the 0-merge row is the exact
+        character baseline (pieces = chars), and the final checkpoint
+        must equal bpe_encode_fertility's totals — one loop, same
+        state."""
+        from soccerpredictor_spark.operators.textops import (
+            bpe_encode_fertility,
+            bpe_merge_curve,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "aaab aaab xy"), (2, "aaab xy")], ["doc_id", "text"]
+        )
+        rows = {r.n_merges: r for r in bpe_merge_curve(docs).collect()}
+        assert rows[0].total_pieces == 3 * 4 + 2 * 2  # chars exactly
+        ppt = [rows[k].pieces_per_token for k in sorted(rows)]
+        assert ppt == sorted(ppt, reverse=True)
+        [f] = bpe_encode_fertility(docs, n_merges=10).collect()
+        assert rows[10].total_pieces == f.total_pieces
+        assert rows[10].pieces_per_token == f.pieces_per_token
+
+
 class TestIvfNprobeSweep:
     def test_recall_monotone_and_full_probe_exact(self, spark):
         """IVF probing monotonicity: recall@k is non-decreasing in
@@ -1091,6 +1117,7 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: textops.temperature_sweep(docs),
         lambda: similarity.ivf_nprobe_sweep(emb),
         lambda: similarity.embedding_threshold_sweep(emb),
+        lambda: textops.bpe_merge_curve(docs),
         lambda: textops.kneser_ney_bigram(docs),
         lambda: textops.stupid_backoff_lm(docs),
         lambda: timeseries.holt_winters(events),
