@@ -1315,13 +1315,13 @@ def ab_test_ztest(events: DataFrame) -> DataFrame:
     in both engines). Scale: one groupBy(user) over the event stream,
     then a 2-row aggregation — the z readout is O(1) state.
     """
-    per_user = events.groupBy("user_id").agg(
+    per_dayer = events.groupBy("user_id").agg(
         F.max(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("converted")
     )
     arm = _md5_mod("ab", F.col("user_id"), 2)
-    arms = per_user.select(arm.alias("arm"), "converted")
+    arms = per_dayer.select(arm.alias("arm"), "converted")
     agg = arms.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("converted").alias("n_conv"),
@@ -1365,12 +1365,12 @@ def ab_test_ztest(events: DataFrame) -> DataFrame:
 def ab_test_ztest_sql() -> str:
     gate = _sql_md5_mod("ab", "user_id", 2)
     return f"""
-WITH per_user AS (
+WITH per_dayer AS (
   SELECT user_id,
          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
   FROM events GROUP BY user_id
 ),
-arms AS (SELECT {gate} AS arm, converted FROM per_user),
+arms AS (SELECT {gate} AS arm, converted FROM per_dayer),
 agg AS (
   SELECT arm, COUNT(*) AS n_users, CAST(SUM(converted) AS BIGINT) AS n_conv
   FROM arms GROUP BY arm
@@ -3764,4 +3764,121 @@ SELECT COUNT(*) AS n_users,
                                THEN 1 ELSE 0 END) AS DOUBLE)
                  / CAST(SUM(in_test) AS DOUBLE) END AS leak_rate
 FROM flags
+"""
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles)
+# --------------------------------------------------------------------------
+
+#: quintile count for each RFM dimension (5x5x5 = 125 max segments).
+RFM_Q = 5
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation — recency/frequency/monetary quintile
+    codes, the classic value-segmentation grid (and a standard
+    engineered-feature triple for churn/LTV models). Per customer:
+    R = last order time, F = order count, M = exact lifetime cents;
+    each coded 1-5 by its own exact quintile edges (5 = most recent /
+    most frequent / highest spend). Output is the segment grid:
+    (r_q, f_q, m_q, n_customers, monetary_cents), ordered.
+
+    Scale & determinism (the ``quantile_bins`` pattern, applied three
+    ways): ONE orders aggregation builds the customer-grain table
+    (map-side combinable); the 12 quintile edges are percentile_disc
+    SELECTIONS over that table in one aggregation (actual data
+    values, no interpolation — ties land in the lower quintile in
+    both engines); the 1-row edge vector broadcasts back and each
+    code is a pure comparison count. Recency compares exact integer
+    epoch-DAYS (datediff vs DATE '1970-01-01', the ols_trend /
+    scd2 idiom — o_orderdate is TIMESTAMP_NTZ, which unix_micros
+    rejects, and day grain is RFM's natural unit anyway). No global
+    sort, no ntile window at any scale.
+    """
+    from functools import reduce
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long")
+        ).alias("r_day"),
+        F.count(F.lit(1)).alias("f_n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("m_cents"),
+    )
+    qs = [i / RFM_Q for i in range(1, RFM_Q)]
+    edges = per_cust.agg(
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})").alias(
+                f"{dim}{i}"
+            )
+            for dim, col in (("r", "r_day"), ("f", "f_n"), ("m", "m_cents"))
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+
+    def code(dim: str, col: str):
+        return reduce(
+            lambda acc, i: acc
+            + F.when(F.col(col) > F.col(f"{dim}{i}"), 1).otherwise(0),
+            range(2, RFM_Q),
+            F.lit(1) + F.when(F.col(col) > F.col(f"{dim}1"), 1).otherwise(0),
+        ).cast("int")
+
+    coded = per_cust.crossJoin(F.broadcast(edges)).select(
+        code("r", "r_day").alias("r_q"),
+        code("f", "f_n").alias("f_q"),
+        code("m", "m_cents").alias("m_q"),
+        "m_cents",
+    )
+    return (
+        coded.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("m_cents").alias("monetary_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+def rfm_segments_sql() -> str:
+    qs = [i / RFM_Q for i in range(1, RFM_Q)]
+    edge_cols = ", ".join(
+        f"quantile_disc({col}, {q}) AS {dim}{i}"
+        for dim, col in (("r", "r_day"), ("f", "f_n"), ("m", "m_cents"))
+        for i, q in enumerate(qs, start=1)
+    )
+
+    def code(dim: str, col: str) -> str:
+        cases = " + ".join(
+            f"CASE WHEN {col} > {dim}{i} THEN 1 ELSE 0 END"
+            for i in range(1, RFM_Q)
+        )
+        return f"CAST(1 + {cases} AS INTEGER)"
+
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT)) AS r_day,
+         COUNT(*) AS f_n,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+edges AS (SELECT {edge_cols} FROM per_cust),
+coded AS (
+  SELECT {code("r", "r_day")} AS r_q,
+         {code("f", "f_n")} AS f_q,
+         {code("m", "m_cents")} AS m_q,
+         m_cents
+  FROM per_cust CROSS JOIN edges
+)
+SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+       CAST(SUM(m_cents) AS BIGINT) AS monetary_cents
+FROM coded
+GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
 """

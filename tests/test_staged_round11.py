@@ -144,6 +144,7 @@ STAGED = [
      "embeddings"),
     ("bpe_merge_curve", "soccerpredictor_spark.operators.textops",
      "documents"),
+    ("rfm_segments", "soccerpredictor_spark.operators.mlprep", "orders"),
 ]
 
 
@@ -718,6 +719,46 @@ class TestEmbeddingSplitLeakage:
         assert r.max_cross_sim == 1.0
 
 
+class TestRfmSegments:
+    def test_closed_form_quintiles(self, spark):
+        """10 customers with strictly increasing R, F and M (customer
+        i has i+1 orders on day i, each 100*(i+1) total): every
+        dimension's quintiles split 2/2/2/2/2 and customer i lands in
+        quintile 1 + i//2 on ALL THREE axes — 5 diagonal segments of
+        2 customers each, monetary exact."""
+        import datetime as dt
+
+        from soccerpredictor_spark.operators.mlprep import rfm_segments
+
+        rows = []
+        ok = 0
+        for i in range(10):
+            for _ in range(i + 1):
+                rows.append(
+                    (
+                        ok,
+                        i,
+                        "F",
+                        float(100 * (i + 1)),
+                        dt.datetime(2024, 1, 1 + i),
+                        "1-URGENT",
+                    )
+                )
+                ok += 1
+        orders = spark.createDataFrame(
+            rows,
+            [
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority",
+            ],
+        )
+        got = {(r.r_q, r.f_q, r.m_q): r for r in rfm_segments(orders).collect()}
+        assert set(got) == {(q, q, q) for q in range(1, 6)}
+        assert all(r.n_customers == 2 for r in got.values())
+        # segment (5,5,5) = customers 8 (9 orders x 900) and 9 (10 x 1000)
+        assert got[(5, 5, 5)].monetary_cents == (9 * 900 + 10 * 1000) * 100
+
+
 class TestBpeMergeCurve:
     def test_monotone_and_consistent_with_fertility(self, spark):
         """pieces_per_token is non-increasing in n_merges (every merge
@@ -1107,6 +1148,7 @@ def test_staged_ops_survive_empty_tables(spark):
     )
     builders = [
         lambda: mlprep.mann_whitney_u(orders),
+        lambda: mlprep.rfm_segments(orders),
         lambda: textops.bpe_learn_merges(docs),
         lambda: textops.bpe_encode_fertility(docs),
         lambda: textops.corpus_shuffle(docs),
