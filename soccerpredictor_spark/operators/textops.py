@@ -5299,3 +5299,135 @@ FROM w{k}"""
         "WITH " + ",".join(parts)
         + "\nSELECT * FROM (\n" + body + "\n) ORDER BY n_merges"
     )
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed TRIGRAM model (interpolated, fixed discount)
+# --------------------------------------------------------------------------
+
+
+def kneser_ney_trigram(docs: DataFrame) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM probabilities — the full
+    recursive KN chain over the corpus (Chen & Goodman 1999), the
+    upgrade the round-10 verdict floated once the type tables proved
+    vocab-bounded at sf1x. For the top-K corpus trigrams:
+
+        P3(w3 | w1 w2) = (c123 - D)/c12  +  D * N1+(w1 w2 *)/c12 * P2
+        P2(w3 | w2)    = (N1+(* w2 w3) - D)/N1+(* w2 *)
+                         + D * N1+(w2 *)/N1+(* w2 *) * Pc
+        Pc(w3)         = N1+(* w3) / N1+(* *)
+
+    where every N1+ is a TYPE count from the trigram type table (the
+    defining KN move: lower orders count continuations, not tokens).
+    Observed types have c123 >= 1 > D, so the max(.-D, 0) clamps are
+    vacuous on the reported rows.
+
+    Scale shape: ONE trigram-type aggregation over the corpus (the
+    only fact shuffle); c12/N1+(w1 w2 *) group the type table by
+    (w1,w2); the middle-order tables group the DISTINCT (w2,w3)
+    projection by w2 and w3; the type-total is a 1-row broadcast;
+    report = TakeOrdered top-K. P2 materializes as a column and P3
+    references that column, so both engines evaluate the identical
+    double tree (every SQL literal cast to DOUBLE).
+
+    Output: (w1, w2, w3, c123, c12, p_kn3), top ``KN_TOP_K`` by
+    (c123 desc, w1, w2, w3).
+    """
+    tok = fan_out(docs).select(X.tokens(F.lower(F.col("text"))).alias("w"))
+    tris = (
+        tok.where(F.size("w") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), "
+                    "i -> named_struct('w1', element_at(w, i), "
+                    "'w2', element_at(w, i + 1), "
+                    "'w3', element_at(w, i + 2)))"
+                )
+            ).alias("t")
+        )
+        .groupBy(
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    ctx12 = tris.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n1p12")
+    )
+    # middle order: continuation-grain bigram types (w2, w3)
+    big23 = tris.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("ncont23"))
+    mid2 = big23.groupBy("w2").agg(
+        F.sum(F.lit(1)).alias("n1p2"),  # distinct w3 following w2
+        F.sum("ncont23").alias("nmid2"),  # N1+(* w2 *): distinct (w1,w3)
+    )
+    cont3 = big23.groupBy("w3").agg(F.count(F.lit(1)).alias("ncont_w3"))
+    tot = big23.agg(F.count(F.lit(1)).alias("ntot"))
+    d = F.lit(KN_DISCOUNT)
+    joined = (
+        tris.join(ctx12, ["w1", "w2"])
+        .join(big23, ["w2", "w3"])
+        .join(mid2, "w2")
+        .join(cont3, "w3")
+        .crossJoin(F.broadcast(tot))
+    )
+    p2 = (F.col("ncont23").cast("double") - d) / F.col("nmid2").cast("double") + d * (
+        F.col("n1p2").cast("double") / F.col("nmid2").cast("double")
+    ) * (F.col("ncont_w3").cast("double") / F.col("ntot").cast("double"))
+    with_p2 = joined.withColumn("p2", p2)
+    p3 = (F.col("c123").cast("double") - d) / F.col("c12").cast("double") + d * (
+        F.col("n1p12").cast("double") / F.col("c12").cast("double")
+    ) * F.col("p2")
+    return (
+        with_p2.select("w1", "w2", "w3", "c123", "c12", p3.alias("p_kn3"))
+        .orderBy(F.desc("c123"), F.asc("w1"), F.asc("w2"), F.asc("w3"))
+        .limit(KN_TOP_K)
+    )
+
+
+def kneser_ney_trigram_sql() -> str:
+    toks = _sql_tokens("lower(text)")
+    D = f"CAST({KN_DISCOUNT} AS DOUBLE)"
+    return f"""
+WITH tok AS (SELECT {toks} AS w FROM documents),
+tris AS (
+  SELECT t[1] AS w1, t[2] AS w2, t[3] AS w3, count(*) AS c123
+  FROM (
+    SELECT unnest(
+      list_transform(range(1, len(w) - 1),
+                     i -> [w[i], w[i + 1], w[i + 2]])) AS t
+    FROM tok WHERE len(w) >= 3
+  )
+  GROUP BY t[1], t[2], t[3]
+),
+ctx12 AS (
+  SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12, count(*) AS n1p12
+  FROM tris GROUP BY w1, w2
+),
+big23 AS (SELECT w2, w3, count(*) AS ncont23 FROM tris GROUP BY w2, w3),
+mid2 AS (
+  SELECT w2, count(*) AS n1p2, CAST(SUM(ncont23) AS BIGINT) AS nmid2
+  FROM big23 GROUP BY w2
+),
+cont3 AS (SELECT w3, count(*) AS ncont_w3 FROM big23 GROUP BY w3),
+tot AS (SELECT count(*) AS ntot FROM big23),
+joined AS (
+  SELECT t.*, c.c12, c.n1p12, b.ncont23, m.n1p2, m.nmid2, o.ncont_w3, ntot,
+         (CAST(ncont23 AS DOUBLE) - {D}) / CAST(nmid2 AS DOUBLE)
+         + {D} * (CAST(n1p2 AS DOUBLE) / CAST(nmid2 AS DOUBLE))
+               * (CAST(ncont_w3 AS DOUBLE) / CAST(ntot AS DOUBLE)) AS p2
+  FROM tris t
+  JOIN ctx12 c USING (w1, w2)
+  JOIN big23 b USING (w2, w3)
+  JOIN mid2 m USING (w2)
+  JOIN cont3 o USING (w3)
+  CROSS JOIN tot
+)
+SELECT w1, w2, w3, c123, c12,
+       (CAST(c123 AS DOUBLE) - {D}) / CAST(c12 AS DOUBLE)
+       + {D} * (CAST(n1p12 AS DOUBLE) / CAST(c12 AS DOUBLE)) * p2 AS p_kn3
+FROM joined
+ORDER BY c123 DESC, w1 ASC, w2 ASC, w3 ASC
+LIMIT {KN_TOP_K}
+"""

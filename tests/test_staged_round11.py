@@ -145,6 +145,8 @@ STAGED = [
     ("bpe_merge_curve", "soccerpredictor_spark.operators.textops",
      "documents"),
     ("rfm_segments", "soccerpredictor_spark.operators.mlprep", "orders"),
+    ("kneser_ney_trigram", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 
@@ -719,6 +721,70 @@ class TestEmbeddingSplitLeakage:
         assert r.max_cross_sim == 1.0
 
 
+class TestKneserNeyTrigram:
+    def test_matches_sequential_reference(self, spark):
+        """Every reported trigram's p_kn3 equals the sequential
+        Chen-Goodman interpolated-KN computation (D=0.75, type-count
+        continuations at every lower order) to double precision."""
+        from soccerpredictor_spark.operators.textops import kneser_ney_trigram
+
+        words = "a b c a b c a b d b c a".split()
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], ["doc_id", "text"]
+        )
+        rows = kneser_ney_trigram(docs).collect()
+
+        tri: dict = {}
+        for t in zip(words, words[1:], words[2:]):
+            tri[t] = tri.get(t, 0) + 1
+        c12: dict = {}
+        n1p12: dict = {}
+        for (w1, w2, w3), c in tri.items():
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + c
+            n1p12[(w1, w2)] = n1p12.get((w1, w2), 0) + 1
+        big23 = {}
+        for (w1, w2, w3) in tri:
+            big23[(w2, w3)] = big23.get((w2, w3), 0) + 1
+        n1p2: dict = {}
+        nmid2: dict = {}
+        cont3: dict = {}
+        for (w2, w3), c in big23.items():
+            n1p2[w2] = n1p2.get(w2, 0) + 1
+            nmid2[w2] = nmid2.get(w2, 0) + c
+            cont3[w3] = cont3.get(w3, 0) + 1
+        ntot = len(big23)
+        D = 0.75
+        assert len(rows) == len(tri)
+        for r in rows:
+            key = (r.w1, r.w2, r.w3)
+            pc = cont3[r.w3] / ntot
+            p2 = (big23[(r.w2, r.w3)] - D) / nmid2[r.w2] + D * (
+                n1p2[r.w2] / nmid2[r.w2]
+            ) * pc
+            p3 = (tri[key] - D) / c12[(r.w1, r.w2)] + D * (
+                n1p12[(r.w1, r.w2)] / c12[(r.w1, r.w2)]
+            ) * p2
+            assert r.c123 == tri[key]
+            assert abs(r.p_kn3 - p3) < 1e-12
+
+    def test_probabilities_in_range_and_sum_bound(self, spark):
+        """All reported p_kn3 in (0, 1]; for a fixed context the seen
+        mass never exceeds 1."""
+        from soccerpredictor_spark.operators.textops import kneser_ney_trigram
+
+        docs = spark.createDataFrame(
+            [(1, "x y z x y w x y z"), (2, "y z x y z w")],
+            ["doc_id", "text"],
+        )
+        rows = kneser_ney_trigram(docs).collect()
+        assert rows and all(0.0 < r.p_kn3 <= 1.0 for r in rows)
+        by_ctx: dict = {}
+        for r in rows:
+            by_ctx.setdefault((r.w1, r.w2), 0.0)
+            by_ctx[(r.w1, r.w2)] += r.p_kn3
+        assert all(s <= 1.0 + 1e-9 for s in by_ctx.values())
+
+
 class TestRfmSegments:
     def test_closed_form_quintiles(self, spark):
         """10 customers with strictly increasing R, F and M (customer
@@ -1161,6 +1227,7 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: similarity.embedding_threshold_sweep(emb),
         lambda: textops.bpe_merge_curve(docs),
         lambda: textops.kneser_ney_bigram(docs),
+        lambda: textops.kneser_ney_trigram(docs),
         lambda: textops.stupid_backoff_lm(docs),
         lambda: timeseries.holt_winters(events),
         lambda: mlprep.group_holdout_split(orders),
