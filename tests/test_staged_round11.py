@@ -1,14 +1,23 @@
-"""Round-10-STAGED operators (register in the round-11 driver window
-— which the r5 cohort owns, leaving ~4 free slots): semantic unit
-tests with closed-form answers PLUS a direct Spark-vs-DuckDB value
-parity check for each, the same gate registered entries get from
-test_oracle_parity, run here because staged operators are not yet in
-``queries()``/``oracle_sql()``.
+"""STAGED operators (the round-12 window registers 50 of them; no
+mandatory rotation cohort at r12 — see PLANS.md "Round-12 window
+plan"): semantic unit tests with closed-form answers PLUS a direct
+Spark-vs-DuckDB value parity check for each, the same gate registered
+entries get from test_oracle_parity, run here because staged
+operators are not yet in ``queries()``/``oracle_sql()``.
 
-Staged set (batch 1): mann_whitney_u, stupid_backoff_lm,
+Batches 1-17 were staged in round 10 (stupid_backoff_lm,
+ngram_decontaminate and knn_label_eval graduated to the registry in
+round 11); the round-11 batch adds the learned-tokenizer family
+(bpe_learn_merges / bpe_merge_curve / bpe_encode_fertility /
+doc_token_budget), training-order ops (corpus_shuffle,
+curriculum_order, token_balanced_shards), Kneser-Ney bigram+trigram,
+embedding_split_leakage, temperature_sweep, ivf_nprobe_sweep,
+embedding_threshold_sweep, rfm_segments.
+
+Staged set (batch 1): mann_whitney_u,
 holt_winters, group_holdout_split.
-Staged set (batch 2): ngram_decontaminate, mann_kendall,
-bottomk_sample_audit, knn_label_eval.
+Staged set (batch 2): mann_kendall,
+bottomk_sample_audit.
 Staged set (batch 3): clustering_coefficient, graph_assortativity,
 kcore_decomposition, bradley_terry_strength.
 Staged set (batch 4): calibration_ece, source_overlap_matrix.
