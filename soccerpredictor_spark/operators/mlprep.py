@@ -1315,13 +1315,13 @@ def ab_test_ztest(events: DataFrame) -> DataFrame:
     in both engines). Scale: one groupBy(user) over the event stream,
     then a 2-row aggregation — the z readout is O(1) state.
     """
-    per_dayer = events.groupBy("user_id").agg(
+    per_user = events.groupBy("user_id").agg(
         F.max(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("converted")
     )
     arm = _md5_mod("ab", F.col("user_id"), 2)
-    arms = per_dayer.select(arm.alias("arm"), "converted")
+    arms = per_user.select(arm.alias("arm"), "converted")
     agg = arms.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("converted").alias("n_conv"),
@@ -1365,12 +1365,12 @@ def ab_test_ztest(events: DataFrame) -> DataFrame:
 def ab_test_ztest_sql() -> str:
     gate = _sql_md5_mod("ab", "user_id", 2)
     return f"""
-WITH per_dayer AS (
+WITH per_user AS (
   SELECT user_id,
          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
   FROM events GROUP BY user_id
 ),
-arms AS (SELECT {gate} AS arm, converted FROM per_dayer),
+arms AS (SELECT {gate} AS arm, converted FROM per_user),
 agg AS (
   SELECT arm, COUNT(*) AS n_users, CAST(SUM(converted) AS BIGINT) AS n_conv
   FROM arms GROUP BY arm
@@ -3775,10 +3775,12 @@ FROM flags
 RFM_Q = 5
 
 
-def rfm_segments(orders: DataFrame) -> DataFrame:
-    """RFM customer segmentation — recency/frequency/monetary quintile
+def rfm_quintiles(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation — recency/frequency/monetary QUINTILE
     codes, the classic value-segmentation grid (and a standard
-    engineered-feature triple for churn/LTV models). Per customer:
+    engineered-feature triple for churn/LTV models). Named
+    ``rfm_quintiles`` to distinguish it from the registered
+    quartile-grain ``operators/windows.py::rfm_segments``. Per customer:
     R = last order time, F = order count, M = exact lifetime cents;
     each coded 1-5 by its own exact quintile edges (5 = most recent /
     most frequent / highest spend). Output is the segment grid:
@@ -3843,7 +3845,7 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     )
 
 
-def rfm_segments_sql() -> str:
+def rfm_quintiles_sql() -> str:
     qs = [i / RFM_Q for i in range(1, RFM_Q)]
     edge_cols = ", ".join(
         f"quantile_disc({col}, {q}) AS {dim}{i}"

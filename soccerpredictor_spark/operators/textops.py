@@ -4358,12 +4358,22 @@ def bpe_learn_merges(
 
 
 def _bpe_loop(
-    docs: DataFrame, n_merges: int, vocab_cap: int
+    docs: DataFrame,
+    n_merges: int,
+    vocab_cap: int,
+    on_state=None,
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Shared BPE merge loop: returns (merges, final word-type table
-    with the post-merge ``seq`` column) so learn (the merge table) and
-    encode (fertility over the rewritten types) run the identical
-    iteration."""
+    with the post-merge ``seq`` column) so learn (the merge table),
+    encode (fertility over the rewritten types), and the merge-count
+    curve all run the IDENTICAL iteration — the correctness argument
+    of the whole family rests on there being exactly one loop body.
+
+    ``on_state(k, table)``, if given, is invoked with the word-type
+    table after round k (and once with k=0 for the pre-merge state);
+    after pair exhaustion the remaining rounds re-deliver the final
+    table, matching the oracle CTE chain's ``w{k} = w{k-1}`` fallback
+    branch."""
     from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
 
     words = (
@@ -4380,6 +4390,8 @@ def _bpe_loop(
         )
     )
     cur = _reliable_checkpoint(words)
+    if on_state is not None:
+        on_state(0, cur)
 
     merges: list[tuple[int, str, str, str, int]] = []
     for rnd in range(1, n_merges + 1):
@@ -4401,6 +4413,9 @@ def _bpe_loop(
         )
         top = pairs.orderBy(F.desc("total"), F.asc("a"), F.asc("b")).limit(1).collect()
         if not top:  # every surviving type fully merged
+            if on_state is not None:
+                for k in range(rnd, n_merges + 1):
+                    on_state(k, cur)
             break
         a, b, total = top[0].a, top[0].b, int(top[0].total)
         merges.append((rnd, a, b, a + b, total))
@@ -4413,6 +4428,8 @@ def _bpe_loop(
         )
         # one projection per round on a ~V-row checkpoint: lineage
         # stays shallow, no re-checkpoint needed.
+        if on_state is not None:
+            on_state(rnd, cur)
 
     return merges, cur
 
@@ -5194,38 +5211,12 @@ def bpe_merge_curve(
     a ~V-row aggregation captured at each checkpoint. The sweep costs
     one loop + |points| tiny aggs, NOT |points| loops; the DuckDB
     twin reads the same w{k} CTEs the learner's chain already
-    defines.
+    defines. Checkpoints come from ``_bpe_loop``'s ``on_state``
+    callback, so the curve runs the learner's exact iteration — one
+    loop body in the codebase, nothing to drift.
     """
-    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
-
-    spark = docs.sparkSession
     max_k = max(BPE_CURVE_POINTS)
     want = set(BPE_CURVE_POINTS)
-
-    # Re-run the shared loop, snapshotting the rewritten table at the
-    # requested checkpoints. (Duplicating _bpe_loop's 12 lines would
-    # drift; instead run it per segment: loop state is a DataFrame, so
-    # we advance via _bpe_loop on the PREVIOUS snapshot — but merges
-    # must continue from the same state, so we inline the loop here
-    # with the same primitives.)
-    words = (
-        docs.select(
-            F.explode(
-                F.expr("regexp_extract_all(text, '[a-z]+', 0)")
-            ).alias("word")
-        )
-        .where(F.length("word").between(2, BPE_LEARN_MAX_WORD))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("word"))
-        .limit(vocab_cap)
-        .select(
-            "word",
-            "cnt",
-            F.regexp_replace(F.col("word"), r"(.)", r"|$1|").alias("seq"),
-        )
-    )
-    cur = _reliable_checkpoint(words)
 
     def snapshot(df: DataFrame, k: int) -> DataFrame:
         n_pieces = F.size(_bpe_syms("seq"))
@@ -5240,41 +5231,18 @@ def bpe_merge_curve(
             ).alias("pieces_per_token"),
         )
 
-    out = snapshot(cur, 0) if 0 in want else None
-    for rnd in range(1, max_k + 1):
-        pairs = (
-            cur.select("cnt", _bpe_syms("seq").alias("syms"))
-            .where(F.size("syms") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1), "
-                        "i -> named_struct('a', element_at(syms, i), "
-                        "'b', element_at(syms, i + 1)))"
-                    )
-                ).alias("pr"),
-            )
-            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
-            .agg(F.sum("cnt").alias("total"))
-        )
-        top = pairs.orderBy(
-            F.desc("total"), F.asc("a"), F.asc("b")
-        ).limit(1).collect()
-        if top:
-            a, b = top[0].a, top[0].b
-            cur = cur.select(
-                "word",
-                "cnt",
-                F.replace(
-                    F.col("seq"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
-                ).alias("seq"),
-            )
-        # on exhaustion cur stays as-is — matching the w{k} = w{k-1}
-        # fallback branch of the oracle chain
-        if rnd in want:
-            row = snapshot(cur, rnd)
-            out = row if out is None else out.unionAll(row)
+    snaps: list[DataFrame] = []
+    _bpe_loop(
+        docs,
+        max_k,
+        vocab_cap,
+        on_state=lambda k, cur: snaps.append(snapshot(cur, k))
+        if k in want
+        else None,
+    )
+    out = snaps[0]
+    for row in snaps[1:]:
+        out = out.unionAll(row)
     return out.orderBy("n_merges")
 
 

@@ -351,6 +351,120 @@ def test_driver_verification_window_ordering():
     )
 
 
+def test_registry_no_duplicate_keys():
+    """Registry uniqueness, enforced at the SOURCE level (round-11
+    verdict #7): a duplicate literal key in the queries()/oracle_sql()
+    dict would be silently collapsed by Python (last key wins),
+    evicting a driver-verified entry while every count still reads one
+    higher — the round-11 judge caught exactly this about to happen
+    (staged mlprep quintile op vs registered windows.py rfm_segments).
+    Parse the source with ast and compare literal-key counts against
+    the runtime dicts, so the collapse can never be silent again."""
+    import ast
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    src = open(os.path.abspath(entry_mod.__file__)).read()
+    tree = ast.parse(src)
+    literal_keys: dict[str, list[str]] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name in (
+            "queries",
+            "oracle_sql",
+        ):
+            keys: list[str] = []
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Dict):
+                    keys.extend(
+                        k.value
+                        for k in sub.keys
+                        if isinstance(k, ast.Constant) and isinstance(k.value, str)
+                    )
+            literal_keys[node.name] = keys
+    assert set(literal_keys) == {"queries", "oracle_sql"}
+    for fn, keys in literal_keys.items():
+        dupes = sorted({k for k in keys if keys.count(k) > 1})
+        assert not dupes, f"duplicate literal keys in {fn}(): {dupes}"
+    # source keys must equal the runtime dicts exactly (a dup would
+    # shrink the runtime dict below the source count)
+    assert len(literal_keys["queries"]) == len(entry_mod.queries())
+    runtime_q = set(entry_mod.queries())
+    assert set(literal_keys["queries"]) == runtime_q
+    # every oracle key must name a registered query (stale oracle keys
+    # would silently never be compared by the driver)
+    orphan = set(literal_keys["oracle_sql"]) - runtime_q
+    assert not orphan, f"oracle_sql() keys with no queries() entry: {orphan}"
+
+
+def test_next_window_feasibility():
+    """Forward-looking window arithmetic (round-11 verdict #2): the
+    NEXT round's 50-slot window must be able to hold every not-yet-
+    registered staged operator (they register never-verified, which
+    the ordering test forces into the window) PLUS every entry whose
+    staleness bound comes due next round. Round 7 hit exactly this
+    wall (44 + 6 = exactly 50); round-10's off-by-one came from doing
+    this arithmetic by hand. Computed from the actual staged list and
+    the recorded CORRECTNESS files so the plan cannot drift from the
+    artifacts."""
+    import glob
+    import json
+    import math
+    import os
+    import re
+    import sys
+
+    import __spark_entry__ as entry_mod
+
+    repo_root = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    sys.path.insert(0, os.path.join(repo_root, "tests"))
+    import test_staged_round11 as staged_mod
+
+    staged_names = {name for name, _, _ in staged_mod.STAGED} | {
+        "bloom_size_sweep",
+        "ship_lag_profile",
+        "streaming_value_histogram",
+    }
+    registered = set(entry_mod.queries())
+    pending = staged_names - registered  # register next round, never-verified
+
+    last_round: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        n = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        rounds.append(n)
+        with open(path) as f:
+            rows = json.load(f)
+        for name, r in rows.items():
+            if isinstance(r, dict) and (
+                r.get("hash_match") is True
+                or (r.get("err") == "no_oracle" and r.get("spark_rows") is not None)
+            ):
+                last_round[name] = max(last_round.get(name, 0), n)
+    if not rounds:
+        return
+    latest = max(rounds)
+    names = list(entry_mod.queries())
+    # this round's window verifies positions 0-49 at round latest+1;
+    # the round AFTER that (latest+2) is the next one we must plan for
+    n_after = len(names) + len(pending)
+    cycle = math.ceil(n_after / 50)
+    simulated = dict(last_round)
+    for i, name in enumerate(names):
+        if i < 50:
+            simulated[name] = latest + 1  # driver verifies this window
+    due_next = [
+        name
+        for name in names
+        if name in simulated and simulated[name] < (latest + 2) - cycle
+    ]
+    assert len(pending) + len(due_next) <= 50, (
+        f"next window infeasible: {len(pending)} pending staged "
+        f"registrations + {len(due_next)} entries hitting the staleness "
+        f"bound exceed the 50-slot window: {due_next}"
+    )
+
+
 def test_driver_window_rotation_staleness():
     """Rotation policy, enforced (round-4 verdict #8): with a
     50-entry window over a >50-entry registry, a full re-verification

@@ -1,9 +1,14 @@
-"""STAGED operators (the round-12 window registers 50 of them; no
-mandatory rotation cohort at r12 — see PLANS.md "Round-12 window
-plan"): semantic unit tests with closed-form answers PLUS a direct
-Spark-vs-DuckDB value parity check for each, the same gate registered
-entries get from test_oracle_parity, run here because staged
-operators are not yet in ``queries()``/``oracle_sql()``.
+"""STAGED operators — semantic unit tests with closed-form answers
+PLUS a direct Spark-vs-DuckDB value parity check for each, the same
+gate registered entries get from test_oracle_parity. ROUND-12 STATUS:
+50 of the 58 graduated to the registry (the whole r12 driver window;
+verified 50/50 driver-style pre-commit); the 8 leftovers —
+ivf_nprobe_sweep, embedding_threshold_sweep, bpe_merge_curve,
+rfm_quintiles, kneser_ney_trigram, bloom_size_sweep, ship_lag_profile,
+streaming_value_histogram — register in the r13 window alongside the
+r7 rotation cohort (PLANS.md "Round-13 window plan"). Gates stay on
+for graduated entries (precedent: test_staged_round10.py) — they are
+the family's closed-form/property coverage, not just parity.
 
 Batches 1-17 were staged in round 10 (stupid_backoff_lm,
 ngram_decontaminate and knn_label_eval graduated to the registry in
@@ -12,7 +17,7 @@ round 11); the round-11 batch adds the learned-tokenizer family
 doc_token_budget), training-order ops (corpus_shuffle,
 curriculum_order, token_balanced_shards), Kneser-Ney bigram+trigram,
 embedding_split_leakage, temperature_sweep, ivf_nprobe_sweep,
-embedding_threshold_sweep, rfm_segments.
+embedding_threshold_sweep, rfm_quintiles.
 
 Staged set (batch 1): mann_whitney_u,
 holt_winters, group_holdout_split.
@@ -153,7 +158,7 @@ STAGED = [
      "embeddings"),
     ("bpe_merge_curve", "soccerpredictor_spark.operators.textops",
      "documents"),
-    ("rfm_segments", "soccerpredictor_spark.operators.mlprep", "orders"),
+    ("rfm_quintiles", "soccerpredictor_spark.operators.mlprep", "orders"),
     ("kneser_ney_trigram", "soccerpredictor_spark.operators.textops",
      "documents"),
 ]
@@ -803,7 +808,7 @@ class TestRfmSegments:
         2 customers each, monetary exact."""
         import datetime as dt
 
-        from soccerpredictor_spark.operators.mlprep import rfm_segments
+        from soccerpredictor_spark.operators.mlprep import rfm_quintiles
 
         rows = []
         ok = 0
@@ -827,7 +832,7 @@ class TestRfmSegments:
                 "o_orderdate", "o_orderpriority",
             ],
         )
-        got = {(r.r_q, r.f_q, r.m_q): r for r in rfm_segments(orders).collect()}
+        got = {(r.r_q, r.f_q, r.m_q): r for r in rfm_quintiles(orders).collect()}
         assert set(got) == {(q, q, q) for q in range(1, 6)}
         assert all(r.n_customers == 2 for r in got.values())
         # segment (5,5,5) = customers 8 (9 orders x 900) and 9 (10 x 1000)
@@ -1223,7 +1228,7 @@ def test_staged_ops_survive_empty_tables(spark):
     )
     builders = [
         lambda: mlprep.mann_whitney_u(orders),
-        lambda: mlprep.rfm_segments(orders),
+        lambda: mlprep.rfm_quintiles(orders),
         lambda: textops.bpe_learn_merges(docs),
         lambda: textops.bpe_encode_fertility(docs),
         lambda: textops.corpus_shuffle(docs),
