@@ -5399,3 +5399,370 @@ FROM joined
 ORDER BY c123 DESC, w1 ASC, w2 ASC, w3 ASC
 LIMIT {KN_TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style hard EM) — the OTHER learned
+# tokenizer design production pipelines use, closing the family next to
+# the BPE loop (bpe_learn_merges). Reference repo has no tokenizer at all
+# (SoccerPredictor.py ships SQL to a remote cluster); this is extension
+# coverage for LLM-corpus preparation.
+# --------------------------------------------------------------------------
+
+#: word-TYPE vocabulary cap for unigram-LM learning (same rationale as
+#: BPE_LEARN_VOCAB: statistics over types, never tokens, so the table
+#: stays bounded at any corpus scale).
+UNI_VOCAB = 1024
+#: word types longer than this are excluded (recursion depth of the DP
+#: and of the oracle's recursive CTE == max word length).
+UNI_MAX_WORD = 12
+#: maximum candidate piece length (the DP looks back at most this far;
+#: the oracle's rolling state carries this many previous positions).
+UNI_MAX_PIECE = 4
+#: multi-char piece inventory cap per round (single chars are ALWAYS
+#: kept so every word stays segmentable — the coverage guarantee).
+UNI_PIECE_CAP = 256
+#: hard-EM rounds (Viterbi E-step + count M-step), unrolled in the
+#: oracle exactly like the BPE merge chain.
+UNI_ROUNDS = 2
+#: reported vocabulary rows.
+UNI_TOP_K = 64
+
+
+def _uni_bitlen(col):
+    # floor(log2(n)) + 1 as an exact INTEGER in both engines:
+    # length(bin(n)) — Spark's bin() and DuckDB's bin() both render
+    # the minimal binary string ('0' for 0, so the score floor is 1:
+    # a deterministic smoothing floor for retained-but-unused chars).
+    return F.length(F.bin(col)).cast("int")
+
+
+def _uni_viterbi(per_word: DataFrame, pen: int) -> DataFrame:
+    """Hard-EM E-step: per word type, the Viterbi segmentation under the
+    quantized unigram LM. Piece cost = ``pen - bitlen(cnt)`` — the
+    integer quantization of ``-log2 p(piece) = log2(total) -
+    log2(cnt)`` — so minimizing total cost maximizes quantized
+    log-likelihood, with ties broken by fewer pieces then the
+    lexicographically smallest packed piece sequence. The DP is ONE
+    zero-shuffle projection per word row: fold over positions 1..n,
+    each step an ``array_min`` over the <= UNI_MAX_PIECE candidate
+    structs (struct order (cost, k, seg) IS the objective order in
+    both engines). Exact in integers — no libm log anywhere.
+
+    ``per_word``: (word, cnt, edges sorted array of (e_end, prev, sc,
+    piece)) — built by the caller from the checkpointed candidate
+    grid joined against the CURRENT piece table (broadcast: the piece
+    inventory is capped)."""
+
+    def dp_fold(dp, i):
+        def cand_of(e):
+            prev = F.element_at(dp, e["prev"])
+            return F.struct(
+                (prev["cost"] + (F.lit(pen) - e["sc"])).alias("cost"),
+                (prev["k"] + 1).alias("k"),
+                F.concat(
+                    prev["seg"], F.lit("|"), e["piece"], F.lit("|")
+                ).alias("seg"),
+            )
+
+        return F.concat(
+            dp,
+            F.array(
+                F.array_min(
+                    F.transform(
+                        F.filter(F.col("edges"), lambda e: e["e_end"] == i),
+                        cand_of,
+                    )
+                )
+            ),
+        )
+
+    return per_word.select(
+        "word",
+        "cnt",
+        F.element_at(
+            F.aggregate(
+                F.sequence(F.lit(1), F.length("word")),
+                F.expr("array(named_struct('cost', 0, 'k', 0, 'seg', ''))"),
+                dp_fold,
+            ),
+            -1,
+        ).alias("best"),
+    ).select("word", "cnt", F.col("best.k").alias("k"), F.col("best.seg").alias("seg"))
+
+
+def unigram_lm_pieces(docs: DataFrame) -> DataFrame:
+    """Unigram-LM tokenizer vocabulary via SentencePiece-style hard EM
+    (Kudo 2018, Viterbi variant) — the probabilistic counterpart to
+    ``bpe_learn_merges``' greedy merges, completing the learned-
+    tokenizer family: seed a piece inventory from substring
+    statistics, then alternate (E) Viterbi-segment every word type
+    under the current piece LM and (M) re-estimate piece counts from
+    the winning segmentations, pruning pieces that stop earning
+    their place. Output: the top ``UNI_TOP_K`` final pieces as
+    (piece, n_chars, cnt, score) plus the corpus fertility
+    (pieces_per_word) of the final segmentation — the number that
+    says how good the learned vocabulary is.
+
+    Scale & determinism: statistics live on the capped word-TYPE
+    table (``UNI_VOCAB`` rows — bounded at any corpus size; the
+    corpus is touched ONCE to extract it). The candidate grid
+    (word x substring positions, <= 12*4 rows per type) is
+    checkpointed once; each EM round is one broadcast join of the
+    grid against the <= (256 + alphabet)-row piece table, a
+    zero-shuffle per-row Viterbi DP (fold over positions,
+    ``array_min`` over candidate structs), and one explode/groupBy
+    M-step over the winner segmentations. Likelihoods are QUANTIZED
+    to integer bit-lengths (piece cost = bitlen(total) -
+    bitlen(cnt) ~ -log2 p) so the DP is exact integer arithmetic —
+    bit-identical across engines where float log Viterbi would
+    diverge ulp-by-ulp. Single chars are never pruned (coverage);
+    ties break (cost, k, seg) lexicographically. Oracle: the same
+    chain with the DP as a per-round recursive CTE carrying a
+    UNI_MAX_PIECE-deep rolling state (struct-typed list_reduce is
+    broken in DuckDB 1.0 — the holt_winters note).
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(text, '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .where(F.length("word").between(2, UNI_MAX_WORD))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(UNI_VOCAB)
+    )
+
+    # candidate grid: every (start, len<=UNI_MAX_PIECE) substring of
+    # every type — checkpointed once, re-joined each round.
+    grid = _reliable_checkpoint(
+        words.select(
+            "word",
+            "cnt",
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(1, length(word)),
+                        s -> transform(
+                          sequence(1, least({UNI_MAX_PIECE}, length(word) - s + 1)),
+                          l -> named_struct('prev', s, 'e_end', s + l - 1,
+                                            'piece', substring(word, s, l)))))"""
+                )
+            ).alias("e"),
+        ).select("word", "cnt", "e.*")
+    )
+
+    # seed inventory: substring occurrences weighted by type frequency;
+    # ALL single chars + the top UNI_PIECE_CAP multi-char pieces.
+    seed = grid.groupBy("piece").agg(F.sum("cnt").alias("pcnt"))
+    chars = seed.where(F.length("piece") == 1)
+    pieces = _reliable_checkpoint(
+        chars.unionAll(
+            seed.where(F.length("piece") >= 2)
+            .orderBy(F.desc("pcnt"), F.asc("piece"))
+            .limit(UNI_PIECE_CAP)
+        )
+    )
+
+    seg = None
+    for _ in range(UNI_ROUNDS):
+        total = pieces.agg(
+            F.coalesce(F.sum("pcnt"), F.lit(0)).alias("t")
+        ).collect()[0][0]
+        pen = int(len(bin(max(int(total), 0))) - 2) if int(total) > 0 else 1
+        scored = pieces.select(
+            "piece", _uni_bitlen(F.coalesce(F.col("pcnt"), F.lit(0))).alias("sc")
+        )
+        edges = grid.join(F.broadcast(scored), "piece").select(
+            "word", "cnt", "prev", "e_end", "piece", "sc"
+        )
+        per_word = edges.groupBy("word", "cnt").agg(
+            F.sort_array(
+                F.collect_list(F.struct("e_end", "prev", "sc", "piece"))
+            ).alias("edges")
+        )
+        seg = _uni_viterbi(per_word, pen)
+        # M-step: piece usage counts from the winner segmentations;
+        # chars retained at coalesce-0, multi-char pruned to the cap.
+        used = (
+            seg.select(
+                "cnt",
+                F.explode(
+                    F.split(
+                        F.expr("substr(seg, 2, length(seg) - 2)"), r"\|\|"
+                    )
+                ).alias("piece"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("ucnt"))
+        )
+        pieces = _reliable_checkpoint(
+            chars.select("piece")
+            .join(used, "piece", "left")
+            .select("piece", F.coalesce("ucnt", F.lit(0)).alias("pcnt"))
+            .unionAll(
+                used.where(F.length("piece") >= 2)
+                .orderBy(F.desc("ucnt"), F.asc("piece"))
+                .limit(UNI_PIECE_CAP)
+                .select("piece", F.col("ucnt").alias("pcnt"))
+            )
+        )
+
+    fert = seg.agg(
+        (
+            F.sum(F.col("cnt") * F.col("k")).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("pieces_per_word")
+    )
+    return (
+        pieces.select(
+            "piece",
+            F.length("piece").cast("int").alias("n_chars"),
+            F.col("pcnt").cast("long").alias("cnt"),
+            _uni_bitlen(F.col("pcnt")).alias("score"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(UNI_TOP_K)
+        .crossJoin(F.broadcast(fert))
+    )
+
+
+def _uni_round_ctes(r: int, prev: str) -> str:
+    """One unrolled EM round of the unigram_lm_pieces oracle: score the
+    ``prev`` piece table, pivot the candidate grid, run the Viterbi DP
+    as a recursive CTE with a UNI_MAX_PIECE-deep rolling state, and
+    re-estimate counts. Mirrors the Spark round body exactly."""
+    st_t = "STRUCT(cost INTEGER, k INTEGER, seg VARCHAR)"
+    pivots = ",\n         ".join(
+        f"max(CASE WHEN c.e_end - c.prev = {l - 1} THEN c.piece END) AS p{l},\n"
+        f"         max(CASE WHEN c.e_end - c.prev = {l - 1} THEN p.sc END) AS s{l}"
+        for l in range(1, UNI_MAX_PIECE + 1)
+    )
+    # candidate of length l consumes the state at position i-l: the
+    # previous rec row holds st1 = state(i-1) .. st4 = state(i-4).
+    cands = ",\n           ".join(
+        f"CASE WHEN g.p{l} IS NOT NULL AND r.st{l} IS NOT NULL THEN\n"
+        f"             {{'cost': r.st{l}.cost + (pn.pen - g.s{l}),"
+        f" 'k': r.st{l}.k + 1,\n"
+        f"               'seg': r.st{l}.seg || '|' || g.p{l} || '|'}} END"
+        for l in range(1, UNI_MAX_PIECE + 1)
+    )
+    shift = ", ".join(f"r.st{l}" for l in range(1, UNI_MAX_PIECE))
+    nulls = ",\n         ".join(
+        f"CAST(NULL AS {st_t}) AS st{l}" for l in range(2, UNI_MAX_PIECE + 1)
+    )
+    return f"""
+pen{r} AS (
+  SELECT CAST(length(bin(COALESCE(SUM(pcnt), 0))) AS INTEGER) AS pen
+  FROM {prev}
+),
+scored{r} AS (
+  SELECT piece, CAST(length(bin(COALESCE(pcnt, 0))) AS INTEGER) AS sc
+  FROM {prev}
+),
+grid{r} AS MATERIALIZED (
+  SELECT c.word, c.cnt, c.e_end AS i,
+         {pivots}
+  FROM cand c JOIN scored{r} p ON p.piece = c.piece
+  GROUP BY c.word, c.cnt, c.e_end
+),
+rec{r} AS (
+  SELECT word, cnt, CAST(0 AS BIGINT) AS i,
+         {{'cost': 0, 'k': 0, 'seg': ''}}::{st_t} AS st1,
+         {nulls}
+  FROM words
+  UNION ALL
+  SELECT r.word, r.cnt, g.i,
+         list_sort(list_filter([
+           {cands}
+         ], x -> x IS NOT NULL))[1],
+         {shift}
+  FROM rec{r} r
+  JOIN grid{r} g ON g.word = r.word AND g.i = r.i + 1
+  CROSS JOIN pen{r} pn
+),
+seg{r} AS MATERIALIZED (
+  SELECT word, cnt, st1.k AS k, st1.seg AS seg
+  FROM rec{r} WHERE i = length(word)
+),
+used{r} AS (
+  SELECT u.piece, CAST(SUM(s.cnt) AS BIGINT) AS ucnt
+  FROM seg{r} s,
+       UNNEST(string_split(substr(s.seg, 2, length(s.seg) - 2), '||'))
+         AS u(piece)
+  GROUP BY u.piece
+),
+p{r} AS MATERIALIZED (
+  SELECT c.piece, COALESCE(u.ucnt, 0) AS pcnt
+  FROM chars c LEFT JOIN used{r} u ON u.piece = c.piece
+  UNION ALL
+  SELECT piece, ucnt AS pcnt
+  FROM (
+    SELECT piece, ucnt FROM used{r} WHERE length(piece) >= 2
+    ORDER BY ucnt DESC, piece ASC LIMIT {UNI_PIECE_CAP}
+  )
+)"""
+
+
+def unigram_lm_pieces_sql() -> str:
+    rounds = "".join(
+        "," + _uni_round_ctes(r, "p0" if r == 1 else f"p{r - 1}")
+        for r in range(1, UNI_ROUNDS + 1)
+    )
+    last = f"p{UNI_ROUNDS}"
+    last_seg = f"seg{UNI_ROUNDS}"
+    return f"""
+WITH RECURSIVE words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT u.word
+    FROM documents d,
+         UNNEST(regexp_extract_all(d.text, '[a-z]+', 0)) AS u(word)
+  )
+  WHERE length(word) BETWEEN 2 AND {UNI_MAX_WORD}
+  GROUP BY word
+  ORDER BY cnt DESC, word ASC
+  LIMIT {UNI_VOCAB}
+),
+cand AS MATERIALIZED (
+  SELECT w.word, w.cnt, CAST(s AS INTEGER) AS prev,
+         CAST(s + l - 1 AS INTEGER) AS e_end,
+         substr(w.word, CAST(s AS INTEGER), CAST(l AS INTEGER)) AS piece
+  FROM words w,
+       UNNEST(range(1, length(w.word) + 1)) AS t1(s),
+       UNNEST(range(1, {UNI_MAX_PIECE} + 1)) AS t2(l)
+  WHERE s + l - 1 <= length(w.word)
+),
+seed AS (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS pcnt
+  FROM cand GROUP BY piece
+),
+chars AS MATERIALIZED (
+  SELECT piece, pcnt FROM seed WHERE length(piece) = 1
+),
+p0 AS MATERIALIZED (
+  SELECT piece, pcnt FROM chars
+  UNION ALL
+  SELECT piece, pcnt FROM (
+    SELECT piece, pcnt FROM seed WHERE length(piece) >= 2
+    ORDER BY pcnt DESC, piece ASC LIMIT {UNI_PIECE_CAP}
+  )
+){rounds},
+fert AS (
+  SELECT CAST(SUM(cnt * k) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+         AS pieces_per_word
+  FROM {last_seg}
+)
+SELECT piece, CAST(length(piece) AS INTEGER) AS n_chars,
+       CAST(pcnt AS BIGINT) AS cnt,
+       CAST(length(bin(pcnt)) AS INTEGER) AS score,
+       fert.pieces_per_word
+FROM (
+  SELECT piece, pcnt FROM {last}
+  ORDER BY pcnt DESC, piece ASC LIMIT {UNI_TOP_K}
+) CROSS JOIN fert
+ORDER BY cnt DESC, piece ASC
+"""

@@ -2,11 +2,12 @@
 PLUS a direct Spark-vs-DuckDB value parity check for each, the same
 gate registered entries get from test_oracle_parity. ROUND-12 STATUS:
 50 of the 58 graduated to the registry (the whole r12 driver window;
-verified 50/50 driver-style pre-commit); the 8 leftovers —
+verified 50/50 driver-style pre-commit); the 9 pending —
 ivf_nprobe_sweep, embedding_threshold_sweep, bpe_merge_curve,
 rfm_quintiles, kneser_ney_trigram, bloom_size_sweep, ship_lag_profile,
-streaming_value_histogram — register in the r13 window alongside the
-r7 rotation cohort (PLANS.md "Round-13 window plan"). Gates stay on
+streaming_value_histogram, and the round-12-staged unigram_lm_pieces
+— register in the r13 window alongside the r7 rotation cohort
+(PLANS.md "Round-13 window plan"). Gates stay on
 for graduated entries (precedent: test_staged_round10.py) — they are
 the family's closed-form/property coverage, not just parity.
 
@@ -160,6 +161,8 @@ STAGED = [
      "documents"),
     ("rfm_quintiles", "soccerpredictor_spark.operators.mlprep", "orders"),
     ("kneser_ney_trigram", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("unigram_lm_pieces", "soccerpredictor_spark.operators.textops",
      "documents"),
 ]
 
@@ -863,6 +866,142 @@ class TestBpeMergeCurve:
         assert rows[10].pieces_per_token == f.pieces_per_token
 
 
+class TestUnigramLmPieces:
+    """Closed form: a corpus of one repeated word type 'abab' must
+    collapse to the whole-word piece. Seed counts: a=16, b=16, ab=16,
+    ba/aba/bab/abab=8 -> total 80, pen=7; Viterbi costs |abab|=3 vs
+    |ab||ab|=4 vs chars=8, so round 1 segments every occurrence as
+    one piece; the M-step then zeroes every other piece and round 2
+    (pen=4, score(abab)=4, chars floor 1) re-confirms. Final table:
+    (abab, 8) + retained chars at 0; fertility exactly 1.0."""
+
+    def test_closed_form_single_type(self, spark):
+        from soccerpredictor_spark.operators.textops import unigram_lm_pieces
+
+        docs = spark.createDataFrame(
+            [(i, "abab", "en", "s", 4) for i in range(8)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        got = {r.piece: r for r in unigram_lm_pieces(docs).collect()}
+        assert set(got) == {"abab", "a", "b"}
+        assert got["abab"].cnt == 8 and got["abab"].score == 4
+        assert got["abab"].n_chars == 4
+        assert got["a"].cnt == 0 and got["a"].score == 1
+        assert all(abs(r.pieces_per_word - 1.0) < 1e-15 for r in got.values())
+
+    def test_matches_sequential_reference(self, spark):
+        """Full-output equality against a sequential Python hard-EM
+        implementing the identical quantized objective (pen - bitlen
+        costs, (cost, k, seg) tie order, char retention, cap prune) on
+        a deterministic multi-word corpus."""
+        import re
+        from collections import Counter
+
+        from soccerpredictor_spark.operators.textops import (
+            UNI_MAX_PIECE,
+            UNI_MAX_WORD,
+            UNI_PIECE_CAP,
+            UNI_ROUNDS,
+            UNI_TOP_K,
+            UNI_VOCAB,
+            unigram_lm_pieces,
+        )
+
+        vocab_words = [
+            "scan", "scanner", "rescan", "sort", "sorted", "resort",
+            "ab", "abab", "ababab", "banana", "bandana", "cab",
+        ]
+        texts = []
+        for i in range(40):
+            # deterministic pseudo-corpus: doc i repeats words picked
+            # by index arithmetic (no RNG, no hash dependence)
+            ws = [vocab_words[(i * 7 + j * 3) % len(vocab_words)]
+                  for j in range(1 + i % 5)]
+            texts.append(" ".join(ws))
+
+        def bl(c):
+            return max(int(c).bit_length(), 1)
+
+        wc = Counter(
+            w
+            for t in texts
+            for w in re.findall("[a-z]+", t)
+            if 2 <= len(w) <= UNI_MAX_WORD
+        )
+        types = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:UNI_VOCAB]
+        seed = Counter()
+        for w, c in types:
+            for s in range(len(w)):
+                for ln in range(1, min(UNI_MAX_PIECE, len(w) - s) + 1):
+                    seed[w[s : s + ln]] += c
+        chars = sorted(p for p in seed if len(p) == 1)
+        pieces = {p: seed[p] for p in chars}
+        pieces.update(
+            dict(
+                sorted(
+                    ((p, c) for p, c in seed.items() if len(p) >= 2),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[:UNI_PIECE_CAP]
+            )
+        )
+        segf = {}
+        for _ in range(UNI_ROUNDS):
+            total = sum(pieces.values())
+            pen = total.bit_length() if total > 0 else 1
+            sc = {p: bl(c) for p, c in pieces.items()}
+            used = Counter()
+            segf = {}
+            for w, c in types:
+                n = len(w)
+                dp = [None] * (n + 1)
+                dp[0] = (0, 0, "")
+                for i in range(1, n + 1):
+                    best = None
+                    for ln in range(1, min(UNI_MAX_PIECE, i) + 1):
+                        p = w[i - ln : i]
+                        if p in sc and dp[i - ln] is not None:
+                            pr = dp[i - ln]
+                            cand = (
+                                pr[0] + pen - sc[p],
+                                pr[1] + 1,
+                                pr[2] + "|" + p + "|",
+                            )
+                            if best is None or cand < best:
+                                best = cand
+                    dp[i] = best
+                _, k, seg = dp[n]
+                segf[w] = (c, k)
+                for p in seg[1:-1].split("||"):
+                    used[p] += c
+            pieces = {p: used.get(p, 0) for p in chars}
+            pieces.update(
+                dict(
+                    sorted(
+                        ((p, c) for p, c in used.items() if len(p) >= 2),
+                        key=lambda kv: (-kv[1], kv[0]),
+                    )[:UNI_PIECE_CAP]
+                )
+            )
+        fert = sum(c * k for c, k in segf.values()) / sum(
+            c for c, _ in segf.values()
+        )
+        want = sorted(
+            ((p, c) for p, c in pieces.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:UNI_TOP_K]
+
+        docs = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        got = unigram_lm_pieces(docs).collect()
+        assert [(r.piece, r.cnt) for r in got] == [
+            (p, c) for p, c in want
+        ]
+        assert all(abs(r.pieces_per_word - fert) < 1e-12 for r in got)
+        assert all(r.score == bl(r.cnt) for r in got)
+
+
 class TestIvfNprobeSweep:
     def test_recall_monotone_and_full_probe_exact(self, spark):
         """IVF probing monotonicity: recall@k is non-decreasing in
@@ -1229,6 +1368,7 @@ def test_staged_ops_survive_empty_tables(spark):
     builders = [
         lambda: mlprep.mann_whitney_u(orders),
         lambda: mlprep.rfm_quintiles(orders),
+        lambda: textops.unigram_lm_pieces(docs),
         lambda: textops.bpe_learn_merges(docs),
         lambda: textops.bpe_encode_fertility(docs),
         lambda: textops.corpus_shuffle(docs),
