@@ -398,15 +398,21 @@ def test_registry_no_duplicate_keys():
 
 
 def test_next_window_feasibility():
-    """Forward-looking window arithmetic (round-11 verdict #2): the
-    NEXT round's 50-slot window must be able to hold every not-yet-
+    """Forward-looking window arithmetic (round-11 verdict #2,
+    extended to a 2-round horizon per round-12 verdict #5/#7): every
+    future 50-slot window must be able to hold every not-yet-
     registered staged operator (they register never-verified, which
     the ordering test forces into the window) PLUS every entry whose
-    staleness bound comes due next round. Round 7 hit exactly this
+    staleness bound comes due that round. Round 7 hit exactly this
     wall (44 + 6 = exactly 50); round-10's off-by-one came from doing
     this arithmetic by hand. Computed from the actual staged list and
     the recorded CORRECTNESS files so the plan cannot drift from the
-    artifacts."""
+    artifacts. The horizon simulation greedily rotates the window
+    (never-verified first, then stalest cohort — rotate_window.py's
+    sort key) so a leftover cascade (e.g. the 9 r7 leftovers the r13
+    window displaces into r14) can never silently overflow a later
+    window. The staging-pace cap is the same inequality at horizon
+    round 1: pending staged must fit beside that round's due cohort."""
     import glob
     import json
     import math
@@ -418,13 +424,16 @@ def test_next_window_feasibility():
 
     repo_root = os.path.dirname(os.path.abspath(entry_mod.__file__))
     sys.path.insert(0, os.path.join(repo_root, "tests"))
+    sys.path.insert(0, os.path.join(repo_root, "tools"))
     import test_staged_round11 as staged_mod
+    import gen_registration as genreg_mod
 
-    staged_names = {name for name, _, _ in staged_mod.STAGED} | {
-        "bloom_size_sweep",
-        "ship_lag_profile",
-        "streaming_value_histogram",
-    }
+    # the special-wiring names come from the generator's own SPECIAL
+    # table (round-12 ADVICE: a hardcoded copy here would silently
+    # drift if the SPECIAL set changes)
+    staged_names = {name for name, _, _ in staged_mod.STAGED} | set(
+        genreg_mod.SPECIAL
+    )
     registered = set(entry_mod.queries())
     pending = staged_names - registered  # register next round, never-verified
 
@@ -445,24 +454,35 @@ def test_next_window_feasibility():
         return
     latest = max(rounds)
     names = list(entry_mod.queries())
-    # this round's window verifies positions 0-49 at round latest+1;
-    # the round AFTER that (latest+2) is the next one we must plan for
+    # this round's window verifies positions 0-49 at round latest+1
     n_after = len(names) + len(pending)
     cycle = math.ceil(n_after / 50)
     simulated = dict(last_round)
     for i, name in enumerate(names):
         if i < 50:
             simulated[name] = latest + 1  # driver verifies this window
-    due_next = [
-        name
-        for name in names
-        if name in simulated and simulated[name] < (latest + 2) - cycle
-    ]
-    assert len(pending) + len(due_next) <= 50, (
-        f"next window infeasible: {len(pending)} pending staged "
-        f"registrations + {len(due_next)} entries hitting the staleness "
-        f"bound exceed the 50-slot window: {due_next}"
-    )
+    # simulate the next two rounds: each window = [pending staged,
+    # then stalest registered entries], matching rotate_window.py
+    pend = set(pending)
+    universe = set(names) | pend
+    for rnd in (latest + 2, latest + 3):
+        due = [
+            name
+            for name in universe - pend
+            if simulated.get(name, 0) < rnd - cycle
+        ]
+        assert len(pend) + len(due) <= 50, (
+            f"window at round {rnd} infeasible: {len(pend)} pending "
+            f"staged registrations + {len(due)} entries hitting the "
+            f"staleness bound exceed the 50-slot window: {sorted(due)[:10]}"
+        )
+        stale_order = sorted(
+            universe - pend, key=lambda n: (simulated.get(n, -1), n)
+        )
+        window = sorted(pend) + stale_order[: 50 - len(pend)]
+        for name in window:
+            simulated[name] = rnd
+        pend = set()  # registered at the first simulated round
 
 
 def test_driver_window_rotation_staleness():
