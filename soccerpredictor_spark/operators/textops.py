@@ -5766,3 +5766,156 @@ FROM (
 ) CROSS JOIN fert
 ORDER BY cnt DESC, piece ASC
 """
+
+
+# --------------------------------------------------------------------------
+# published-vocab-ladder calibration
+# --------------------------------------------------------------------------
+
+#: Published production tokenizer vocabulary sizes (all public: the
+#: GPT-2 paper/repo, BERT paper, T5 paper, LLaMA-2 paper, OpenAI
+#: tiktoken registry, Gemma technical report), plus a V=0 rung that
+#: anchors the curve at the pure character baseline. This is the
+#: fixture-embedded ladder the round-12 verdict asked for: it makes
+#: the corpus-learned tokenizer family's fertility numbers
+#: (bpe_merge_curve, unigram_lm_pieces, doc_token_budget) readable
+#: against real vocab budgets. Also documented in FIXTURES.md §B.
+PUBLISHED_VOCAB_LADDER: list[tuple[str, int]] = [
+    ("char_baseline", 0),
+    ("bert_base_wordpiece", 30522),
+    ("llama2_sentencepiece", 32000),
+    ("t5_sentencepiece", 32100),
+    ("gpt2_bpe", 50257),
+    ("cl100k_base", 100256),
+    ("o200k_base", 199998),
+    ("gemma_sentencepiece", 256000),
+]
+
+
+def vocab_ladder_fertility(
+    docs: DataFrame,
+    ladder: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """Corpus fertility and OOV rate at each PUBLISHED vocab size —
+    the calibration table that turns this corpus' learned-tokenizer
+    numbers into statements about real tokenizers: for every ladder
+    rung V, take the top-V corpus word types (count desc, word asc —
+    deterministic) as the vocabulary and charge every out-of-vocab
+    occurrence its character length, the same worst-case byte
+    fallback ``doc_token_budget`` models. fertility(V=0) is the exact
+    char baseline; fertility(V >= n_types) floors at 1.0; a
+    production run reads where its corpus sits between them at each
+    published budget.
+
+    One corpus scan builds the word-type table (vocab-bounded, the
+    tokenizer-family convention); each rung is then a conditional
+    aggregation over (types x 8 rungs) rows — no second pass, no
+    per-rung scan (the sweep-table family: dedup_threshold_sweep,
+    temperature_sweep, ivf_nprobe_sweep).
+
+    Output: (tokenizer, vocab_size, vocab_used, n_types,
+    token_coverage, oov_rate, fertility), ordered by vocab_size then
+    tokenizer.
+    """
+    from pyspark.sql.window import Window
+
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    rungs = ladder if ladder is not None else PUBLISHED_VOCAB_LADDER
+    types = _reliable_checkpoint(
+        fan_out(docs)
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(text, '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.length("word").alias("n_chars"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+            .alias("rk"),
+        )
+    )
+    rung_df = types.sparkSession.createDataFrame(
+        rungs, "tokenizer string, vocab_size long"
+    )
+    cells = types.crossJoin(F.broadcast(rung_df))
+    inv = F.col("rk") <= F.col("vocab_size")
+    return (
+        cells.groupBy("tokenizer", "vocab_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(inv, 1).otherwise(0)).cast("long").alias("vocab_used"),
+            F.sum(F.when(inv, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("cov_occ"),
+            F.sum(
+                F.when(inv, F.col("cnt")).otherwise(
+                    F.col("cnt") * F.col("n_chars")
+                )
+            )
+            .cast("long")
+            .alias("pieces"),
+            F.sum("cnt").cast("long").alias("total_occ"),
+        )
+        .select(
+            "tokenizer",
+            "vocab_size",
+            "vocab_used",
+            "n_types",
+            (
+                F.col("cov_occ").cast("double")
+                / F.col("total_occ").cast("double")
+            ).alias("token_coverage"),
+            (
+                (F.col("total_occ") - F.col("cov_occ")).cast("double")
+                / F.col("total_occ").cast("double")
+            ).alias("oov_rate"),
+            (
+                F.col("pieces").cast("double")
+                / F.col("total_occ").cast("double")
+            ).alias("fertility"),
+        )
+        .orderBy("vocab_size", "tokenizer")
+    )
+
+
+def vocab_ladder_fertility_sql(
+    ladder: list[tuple[str, int]] | None = None,
+) -> str:
+    """DuckDB twin of :func:`vocab_ladder_fertility`."""
+    rungs = ladder if ladder is not None else PUBLISHED_VOCAB_LADDER
+    values = ", ".join(f"('{name}', {v})" for name, v in rungs)
+    return f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
+  FROM documents
+), types AS (
+  SELECT word, COUNT(*) AS cnt, length(word) AS n_chars,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC) AS rk
+  FROM words GROUP BY word
+), ladder(tokenizer, vocab_size) AS (
+  VALUES {values}
+), cells AS (
+  SELECT * FROM types CROSS JOIN ladder
+)
+SELECT tokenizer,
+       CAST(vocab_size AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN rk <= vocab_size THEN 1 ELSE 0 END) AS BIGINT)
+         AS vocab_used,
+       COUNT(*) AS n_types,
+       CAST(SUM(CASE WHEN rk <= vocab_size THEN cnt ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(cnt) AS DOUBLE) AS token_coverage,
+       CAST(SUM(cnt) - SUM(CASE WHEN rk <= vocab_size THEN cnt ELSE 0 END)
+            AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS oov_rate,
+       CAST(SUM(CASE WHEN rk <= vocab_size THEN cnt
+                     ELSE cnt * n_chars END) AS DOUBLE)
+         / CAST(SUM(cnt) AS DOUBLE) AS fertility
+FROM cells
+GROUP BY tokenizer, vocab_size
+ORDER BY vocab_size, tokenizer
+"""

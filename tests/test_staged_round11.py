@@ -164,6 +164,13 @@ STAGED = [
      "documents"),
     ("unigram_lm_pieces", "soccerpredictor_spark.operators.textops",
      "documents"),
+    # round-13 staging (closed-form tests in test_staged_round13.py)
+    ("suffix_dedup_spans", "soccerpredictor_spark.operators.dedup",
+     "documents"),
+    ("vocab_ladder_fertility", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("lsh_band_sweep", "soccerpredictor_spark.operators.dedup",
+     "documents"),
 ]
 
 
@@ -1429,6 +1436,10 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: timeseries.activity_streaks(events),
         lambda: skew.gini_activity(events),
         lambda: timeseries.session_gap_sweep(events),
+        # round-13 staging
+        lambda: dedup.suffix_dedup_spans(docs),
+        lambda: textops.vocab_ladder_fertility(docs),
+        lambda: dedup.lsh_band_sweep(docs),
     ]
     for build in builders:
         clear_caches()
