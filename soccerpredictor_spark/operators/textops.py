@@ -5919,3 +5919,351 @@ FROM cells
 GROUP BY tokenizer, vocab_size
 ORDER BY vocab_size, tokenizer
 """
+
+
+# --------------------------------------------------------------------------
+# DSIR importance selection
+# --------------------------------------------------------------------------
+
+#: hashed-ngram feature space for DSIR (Xie et al. 2023 use 10k
+#: buckets; fixture-scaled so every bucket gets mass at sf0.001).
+DSIR_BUCKETS = 64
+#: the fixture source treated as the target distribution.
+DSIR_TARGET_SOURCE = "src0"
+#: selection quota: keep the top NUM/DEN of documents (ties-inclusive).
+DSIR_SELECT_NUM, DSIR_SELECT_DEN = 1, 5
+
+
+def dsir_importance_select(docs: DataFrame) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023) — the published data-selection method behind "pick raw-web
+    documents that look like the target corpus": score every document
+    by the log-likelihood ratio of a hashed-ngram bag model fit on the
+    TARGET slice (here the ``src0`` feed) vs the RAW corpus, then keep
+    the top quota. Deterministic engine variant:
+
+    - features are unigrams + adjacent bigrams of the lowercased
+      whitespace tokens (the ``_bigram_rows`` convention), hashed into
+      ``DSIR_BUCKETS`` buckets via the engine's md5 idiom;
+    - add-one-smoothed bucket probabilities; the per-bucket log ratio
+      log2(p_t(b) / p_r(b)) is QUANTIZED to integer bit lengths —
+      bitlen((t_b+1)(R+B)) - bitlen((r_b+1)(T+B)), via length(bin(x)),
+      identical in Spark and DuckDB — so document scores are pure
+      integer sums (the ``unigram_lm_pieces`` exactness convention;
+      float log-sums would diverge ulp-by-ulp cross-engine). Products
+      stay under 2^63 up to ~3e9-occurrence corpora per side; beyond
+      that, rescale counts per-million before the bitlen (documented
+      budget, same class as the banding guards);
+    - selection is the top ceil(n/5) documents by score,
+      TIES-INCLUSIVE at the boundary score (the paper resamples with
+      Gumbel noise; determinism here replaces noise with
+      include-the-tie), with the threshold found on the SCORE
+      HISTOGRAM (distinct integer scores, a bounded table) — never a
+      global sort of the doc stream.
+
+    Scale: one tokenize pass builds the feature stream; the model is
+    a B-row broadcast; the only wide ops are the bucket count (B keys)
+    and the doc-keyed score aggregation. Output: per source,
+    (source, n_docs, sum_weight, mean_weight, n_selected, sel_rate),
+    source-ordered — the mixture readout of who survives selection.
+    """
+    from pyspark.sql.window import Window
+
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    B = DSIR_BUCKETS
+    tok = fan_out(docs).select(
+        "doc_id", "source", X.tokens(F.lower(F.col("text"))).alias("w")
+    )
+    uni = tok.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(F.col("w"), lambda t: F.concat(F.lit("u:"), t))
+        ).alias("feat"),
+    )
+    bi = tok.filter(F.size("w") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("w")) - 2),
+                lambda i: F.concat(
+                    F.lit("b:"),
+                    F.element_at(F.col("w"), i + 1),
+                    F.lit(" "),
+                    F.element_at(F.col("w"), i + 2),
+                ),
+            )
+        ).alias("feat"),
+    )
+    feats = uni.unionByName(bi).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % F.lit(B)
+        ).alias("b"),
+    )
+    counts = feats.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
+        ).alias("t_cnt"),
+        F.count(F.lit(1)).alias("r_cnt"),
+    )
+    tot = counts.agg(
+        F.sum("t_cnt").alias("tt"), F.sum("r_cnt").alias("rt")
+    )
+    bitlen = lambda c: F.length(F.bin(c))  # noqa: E731
+    model = _reliable_checkpoint(
+        counts.crossJoin(F.broadcast(tot)).select(
+            "b",
+            (
+                bitlen((F.col("t_cnt") + 1) * (F.col("rt") + B))
+                - bitlen((F.col("r_cnt") + 1) * (F.col("tt") + B))
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    scored = _reliable_checkpoint(
+        feats.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("s").alias("score"))
+        .unionByName(
+            # docs with zero features score 0 (anti-join keeps grain)
+            docs.select("doc_id", "source")
+            .join(feats.select("doc_id").distinct(), "doc_id", "left_anti")
+            .select("doc_id", "source", F.lit(0).cast("long").alias("score"))
+        )
+    )
+    n_docs = scored.agg(F.count(F.lit(1)).alias("n"))
+    hist = scored.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    w_desc = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    thr = (
+        hist.crossJoin(F.broadcast(n_docs))
+        .select(
+            "score",
+            F.sum("c").over(w_desc).alias("cum"),
+            (F.floor((F.col("n") + DSIR_SELECT_DEN - 1) / DSIR_SELECT_DEN))
+            .cast("long")
+            .alias("k"),
+        )
+        .filter(F.col("cum") >= F.col("k"))
+        .agg(F.max("score").alias("s_star"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score").cast("long").alias("sum_weight"),
+            F.sum(
+                F.when(F.col("score") >= F.col("s_star"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_selected"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_weight",
+            (
+                F.col("sum_weight").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("mean_weight"),
+            "n_selected",
+            (
+                F.col("n_selected").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("sel_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def dsir_importance_select_sql() -> str:
+    """DuckDB twin of :func:`dsir_importance_select`."""
+    B = DSIR_BUCKETS
+    toks = _sql_tokens("lower(text)")
+    return f"""
+WITH tok AS (SELECT doc_id, source, {toks} AS w FROM documents),
+uni AS (
+  SELECT doc_id, source, 'u:' || unnest(w) AS feat FROM tok
+),
+bi AS (
+  SELECT doc_id, source, 'b:' || w[i] || ' ' || w[i+1] AS feat
+  FROM tok, UNNEST(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % {B} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+counts AS (
+  SELECT b,
+         SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END)
+           AS t_cnt,
+         COUNT(*) AS r_cnt
+  FROM feats GROUP BY b
+),
+tot AS (SELECT SUM(t_cnt) AS tt, SUM(r_cnt) AS rt FROM counts),
+model AS MATERIALIZED (
+  SELECT b,
+         CAST(length(bin((t_cnt + 1) * (rt + {B})))
+              - length(bin((r_cnt + 1) * (tt + {B}))) AS BIGINT) AS s
+  FROM counts CROSS JOIN tot
+),
+scored AS MATERIALIZED (
+  SELECT f.doc_id, f.source, CAST(SUM(m.s) AS BIGINT) AS score
+  FROM feats f JOIN model m ON f.b = m.b
+  GROUP BY f.doc_id, f.source
+  UNION ALL
+  SELECT d.doc_id, d.source, CAST(0 AS BIGINT) AS score
+  FROM documents d ANTI JOIN feats f ON d.doc_id = f.doc_id
+),
+n_docs AS (SELECT COUNT(*) AS n FROM scored),
+hist AS (SELECT score, COUNT(*) AS c FROM scored GROUP BY score),
+thr AS (
+  SELECT MAX(score) AS s_star
+  FROM (
+    SELECT score,
+           SUM(c) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+             AS cum,
+           (SELECT CAST(FLOOR((n + {DSIR_SELECT_DEN - 1})
+                              / {DSIR_SELECT_DEN}) AS BIGINT)
+            FROM n_docs) AS k
+    FROM hist
+  ) WHERE cum >= k
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(score) AS BIGINT) AS sum_weight,
+       CAST(SUM(score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_weight,
+       CAST(SUM(CASE WHEN score >= s_star THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(SUM(CASE WHEN score >= s_star THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS sel_rate
+FROM scored CROSS JOIN thr
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# minimum-length filter sweep
+# --------------------------------------------------------------------------
+
+#: min-token thresholds swept by length_filter_sweep (the universal
+#: first knob of web-corpus curation; C4 uses >= 3 sentences, Gopher
+#: 50-100k words — the sweep brackets the usual operating points).
+LENGTH_SWEEP = (10, 25, 50, 100, 200)
+
+
+def length_filter_sweep(docs: DataFrame) -> DataFrame:
+    """Documents and tokens surviving each minimum-length cut — the
+    curation family's cheapest tuning curve (every web pipeline sets
+    a min-length filter first; this table says what each candidate
+    threshold costs in docs AND in tokens, which diverge badly on
+    skewed length distributions).
+
+    One tokenize pass collapses the corpus to its LENGTH HISTOGRAM
+    (distinct token counts — bounded by max doc length, tiny); the
+    sweep is then a conditional aggregation over (histogram x 5
+    thresholds) rows. The threshold table is the output spine, so
+    every rung reports even when empty (the lsh_band_sweep shape).
+
+    Output: (min_tokens, n_docs_kept, docs_share, n_tokens_kept,
+    tokens_share), threshold-ordered.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    spark = docs.sparkSession
+    thr_df = spark.createDataFrame(
+        [(t,) for t in LENGTH_SWEEP], "min_tokens int"
+    )
+    hist = _reliable_checkpoint(
+        fan_out(docs)
+        .select(F.size(X.tokens("text")).alias("n_tokens"))
+        .groupBy("n_tokens")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = hist.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("tot_docs"),
+        F.coalesce(F.sum(F.col("n_docs") * F.col("n_tokens")), F.lit(0)).alias(
+            "tot_tokens"
+        ),
+    )
+    kept = (
+        thr_df.join(
+            hist, F.col("n_tokens") >= F.col("min_tokens"), "left"
+        )
+        .groupBy("min_tokens")
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_kept"),
+            F.coalesce(F.sum(F.col("n_docs") * F.col("n_tokens")), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+    )
+    return (
+        kept.crossJoin(F.broadcast(tot))
+        .select(
+            "min_tokens",
+            "n_docs_kept",
+            F.when(
+                F.col("tot_docs") > 0,
+                F.col("n_docs_kept").cast("double")
+                / F.col("tot_docs").cast("double"),
+            ).alias("docs_share"),
+            "n_tokens_kept",
+            F.when(
+                F.col("tot_tokens") > 0,
+                F.col("n_tokens_kept").cast("double")
+                / F.col("tot_tokens").cast("double"),
+            ).alias("tokens_share"),
+        )
+        .orderBy("min_tokens")
+    )
+
+
+def length_filter_sweep_sql() -> str:
+    """DuckDB twin of :func:`length_filter_sweep`."""
+    values = ", ".join(f"({t})" for t in LENGTH_SWEEP)
+    toks = _sql_tokens()
+    return f"""
+WITH hist AS (
+  SELECT len({toks}) AS n_tokens, COUNT(*) AS n_docs
+  FROM documents GROUP BY 1
+),
+thr(min_tokens) AS (VALUES {values}),
+tot AS (
+  SELECT COALESCE(SUM(n_docs), 0) AS tot_docs,
+         COALESCE(SUM(n_docs * n_tokens), 0) AS tot_tokens
+  FROM hist
+),
+kept AS (
+  SELECT t.min_tokens,
+         CAST(COALESCE(SUM(h.n_docs), 0) AS BIGINT) AS n_docs_kept,
+         CAST(COALESCE(SUM(h.n_docs * h.n_tokens), 0) AS BIGINT)
+           AS n_tokens_kept
+  FROM thr t LEFT JOIN hist h ON h.n_tokens >= t.min_tokens
+  GROUP BY t.min_tokens
+)
+SELECT min_tokens, n_docs_kept,
+       CASE WHEN tot_docs > 0
+            THEN CAST(n_docs_kept AS DOUBLE) / CAST(tot_docs AS DOUBLE)
+       END AS docs_share,
+       n_tokens_kept,
+       CASE WHEN tot_tokens > 0
+            THEN CAST(n_tokens_kept AS DOUBLE) / CAST(tot_tokens AS DOUBLE)
+       END AS tokens_share
+FROM kept CROSS JOIN tot
+ORDER BY min_tokens
+"""

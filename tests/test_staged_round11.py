@@ -171,6 +171,10 @@ STAGED = [
      "documents"),
     ("lsh_band_sweep", "soccerpredictor_spark.operators.dedup",
      "documents"),
+    ("dsir_importance_select", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("length_filter_sweep", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 
@@ -1440,6 +1444,8 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: dedup.suffix_dedup_spans(docs),
         lambda: textops.vocab_ladder_fertility(docs),
         lambda: dedup.lsh_band_sweep(docs),
+        lambda: textops.dsir_importance_select(docs),
+        lambda: textops.length_filter_sweep(docs),
     ]
     for build in builders:
         clear_caches()

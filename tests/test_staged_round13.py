@@ -263,3 +263,100 @@ class TestLshBandSweep:
             (r.n_true, r.n_hit, r.n_candidates, r.recall) == (0, 0, 0, None)
             for r in rows
         )
+
+
+class TestDsirImportanceSelect:
+    def test_target_source_scores_highest(self, spark):
+        """src0 docs repeat one vocabulary, src1 another: the hashed
+        bucket model gives src0 features positive log-ratio weight,
+        so src0's mean_weight strictly dominates and (with k =
+        ceil(6/5) = 2 and all three src0 docs tied at the boundary
+        score) ties-inclusive selection keeps ALL of src0 and none of
+        src1."""
+        from soccerpredictor_spark.operators.textops import (
+            dsir_importance_select,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "aa aa aa", "en", "src0", 8) for i in range(3)]
+            + [(10 + i, "zz zz zz", "en", "src1", 8) for i in range(3)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        rows = {r.source: r for r in dsir_importance_select(docs).collect()}
+        assert rows["src0"].mean_weight > rows["src1"].mean_weight
+        assert (rows["src0"].n_selected, rows["src0"].sel_rate) == (3, 1.0)
+        assert (rows["src1"].n_selected, rows["src1"].sel_rate) == (0, 0.0)
+
+    def test_single_source_selects_quota_with_ties(self, spark):
+        """All docs identical (one source): every score ties, so the
+        ties-inclusive top-20% keeps everything — sel_rate 1.0, the
+        documented deterministic replacement for Gumbel resampling."""
+        from soccerpredictor_spark.operators.textops import (
+            dsir_importance_select,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "w1 w2 w3", "en", "src0", 8) for i in range(5)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        [r] = dsir_importance_select(docs).collect()
+        assert (r.n_docs, r.n_selected, r.sel_rate) == (5, 5, 1.0)
+
+    def test_null_text_doc_scores_zero(self, spark):
+        """A NULL-text document has no feature rows; the anti-join
+        branch keeps it at score 0 so the per-source grain never
+        loses rows."""
+        from soccerpredictor_spark.operators.textops import (
+            dsir_importance_select,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "aa bb cc", "en", "src0", 8),
+                (2, None, "en", "srcnull", 0),
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        rows = {r.source: r for r in dsir_importance_select(docs).collect()}
+        assert rows["srcnull"].sum_weight == 0
+        assert rows["srcnull"].n_docs == 1
+
+
+class TestLengthFilterSweep:
+    def test_exact_counts_and_shares(self, spark):
+        """Docs of 3, 10 and 30 tokens against the fixed thresholds:
+        >=10 keeps 2 docs / 40 tokens, >=25 keeps 1 doc / 30 tokens,
+        >=50 and up keep nothing; shares are the exact ratios over
+        3 docs / 43 tokens."""
+        from soccerpredictor_spark.operators.textops import (
+            length_filter_sweep,
+        )
+
+        mk = lambda n: " ".join(f"t{i}" for i in range(n))  # noqa: E731
+        docs = spark.createDataFrame(
+            [(1, mk(3)), (2, mk(10)), (3, mk(30))], ["doc_id", "text"]
+        )
+        rows = {r.min_tokens: r for r in length_filter_sweep(docs).collect()}
+        assert sorted(rows) == [10, 25, 50, 100, 200]
+        assert (rows[10].n_docs_kept, rows[10].n_tokens_kept) == (2, 40)
+        assert rows[10].docs_share == 2.0 / 3.0
+        assert rows[10].tokens_share == 40.0 / 43.0
+        assert (rows[25].n_docs_kept, rows[25].n_tokens_kept) == (1, 30)
+        assert (rows[50].n_docs_kept, rows[200].n_tokens_kept) == (0, 0)
+
+    def test_empty_corpus_keeps_threshold_spine(self, spark):
+        """No documents: five rows still report, zero counts, NULL
+        shares (guarded division) — the sweep spine convention."""
+        from soccerpredictor_spark.operators.textops import (
+            length_filter_sweep,
+        )
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        rows = length_filter_sweep(docs).collect()
+        assert len(rows) == 5
+        assert all(
+            (r.n_docs_kept, r.n_tokens_kept, r.docs_share, r.tokens_share)
+            == (0, 0, None, None)
+            for r in rows
+        )
