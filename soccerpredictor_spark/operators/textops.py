@@ -6267,3 +6267,278 @@ SELECT min_tokens, n_docs_kept,
 FROM kept CROSS JOIN tot
 ORDER BY min_tokens
 """
+
+
+# --------------------------------------------------------------------------
+# template/boilerplate detection
+# --------------------------------------------------------------------------
+
+#: tokens of structural skeleton kept verbatim; everything else
+#: becomes a wildcard. The prefix length bounds the skeleton: headers,
+#: footers and form templates are positional, so the first tokens
+#: carry the template signature.
+TEMPLATE_PREFIX_TOKENS = 16
+#: deterministic output cap (TakeOrdered, never a full sort).
+TEMPLATE_TOP_K = 20
+
+
+def template_dedup(docs: DataFrame) -> DataFrame:
+    """Template/boilerplate family detection — the curation grain
+    BETWEEN exact dedup and near-dup: documents generated from one
+    form letter / scraper template share their STRUCTURE (stopword
+    scaffold and token positions) while differing in the filled-in
+    content, so neither exact hashing nor high-jaccard pairing
+    groups them. The skeleton is the first
+    ``TEMPLATE_PREFIX_TOKENS`` lowercased tokens with every
+    non-stopword replaced by '#' (stopwords are the scaffold;
+    content words are the variables); a template FAMILY is a
+    skeleton shared by >1 document with >1 distinct text (same-text
+    groups are exact dup territory, deliberately excluded).
+
+    Scale: one tokenize projection computes the skeleton per row;
+    one hash-partitioned groupBy on the md5 skeleton key; the output
+    is the deterministic top-K by family size (TakeOrdered), so
+    nothing global ever sorts. Per family: n_docs, n_texts,
+    n_sources — a cross-SOURCE family is a mirror/spam network, an
+    intra-source family is a crawler re-visiting one form.
+
+    Output: (tpl_id, n_docs, n_texts, n_sources), size-desc then
+    tpl_id, top ``TEMPLATE_TOP_K``.
+    """
+    stop_arr = F.array(*[F.lit(w) for w in X.STOPWORDS])
+    skel = F.array_join(
+        F.transform(
+            F.slice(
+                X.tokens(F.lower(F.col("text"))),
+                1,
+                TEMPLATE_PREFIX_TOKENS,
+            ),
+            lambda t: F.when(
+                F.array_contains(stop_arr, t), t
+            ).otherwise(F.lit("#")),
+        ),
+        " ",
+    )
+    sk = fan_out(docs).select(
+        "doc_id",
+        "source",
+        F.col("text"),
+        F.substring(F.md5(F.concat(F.lit("tpl:"), skel)), 1, 12).alias(
+            "tpl_id"
+        ),
+    )
+    fams = (
+        sk.groupBy("tpl_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # distinct over the md5, not the text — the full text
+            # never crosses this operator's shuffle
+            F.countDistinct(F.md5("text")).alias("n_texts"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter((F.col("n_docs") > 1) & (F.col("n_texts") > 1))
+        .orderBy(F.desc("n_docs"), F.asc("tpl_id"))
+        .limit(TEMPLATE_TOP_K)
+    )
+    return fams
+
+
+def template_dedup_sql() -> str:
+    """DuckDB twin of :func:`template_dedup`."""
+    stop_lit = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS) + "]"
+    toks = _sql_tokens("lower(text)")
+    return f"""
+WITH sk AS (
+  SELECT doc_id, source, text,
+         substr(md5('tpl:' || array_to_string(
+           list_transform(({toks})[1:{TEMPLATE_PREFIX_TOKENS}],
+             t -> CASE WHEN list_contains({stop_lit}, t)
+                       THEN t ELSE '#' END), ' ')), 1, 12) AS tpl_id
+  FROM documents
+)
+SELECT tpl_id, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_texts,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM sk
+GROUP BY tpl_id
+HAVING COUNT(*) > 1 AND COUNT(DISTINCT md5(text)) > 1
+ORDER BY n_docs DESC, tpl_id ASC
+LIMIT {TEMPLATE_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# compression-ratio quality signal
+# --------------------------------------------------------------------------
+
+#: pieces-per-byte histogram resolution (ratio bucketed at 1/20
+#: grain; the ratio lives in (0, ~0.5] for natural text).
+TPB_BUCKET_DEN = 20
+
+
+def tokens_per_byte(docs: DataFrame) -> DataFrame:
+    """Model-token-per-byte distribution by source — the
+    compression-ratio quality signal (highly repetitive/boilerplate
+    text packs many bytes per token; alphabet soup packs few): per
+    document, BPE-ish pieces (the engine's ``bpe_token_count``
+    pattern proxy) divided by byte length, bucketed to 1/20 grain
+    and rolled up per (source, bucket).
+
+    The ratio is bucketed by INTEGER cross-multiplication
+    (floor(20 * pieces / bytes) computed as integer division), never
+    a float divide-then-floor — the cast-trunc-vs-round trap.
+
+    One scan projection + one (source, bucket)-keyed partial
+    aggregation; nothing else moves at any scale. Output: (source,
+    tpb_bucket, n_docs, mean_tpb), source/bucket-ordered. Documents
+    with zero bytes are excluded (no signal).
+    """
+    n_pieces = X.bpe_token_count(F.col("text"))
+    n_bytes = F.octet_length(F.col("text"))
+    base = (
+        fan_out(docs)
+        .select(
+            "source",
+            n_pieces.cast("long").alias("p"),
+            n_bytes.cast("long").alias("nb"),
+        )
+        .filter(F.col("nb") > 0)
+    )
+    return (
+        base.select(
+            "source",
+            "p",
+            "nb",
+            # integer DIV, not double-divide-then-cast: a double
+            # quotient landing within half an ulp of the boundary
+            # truncates to the wrong bucket (cast-trunc trap)
+            F.expr(f"CAST(({TPB_BUCKET_DEN} * p) DIV nb AS BIGINT)").alias(
+                "tpb_bucket"
+            ),
+        )
+        .groupBy("source", "tpb_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # ratio of integer sums (bucket-aggregate tpb): ONE double
+            # division — a per-doc double-ratio sum would be an
+            # order-dependent float fold across partitions
+            (
+                F.sum("p").cast("double") / F.sum("nb").cast("double")
+            ).alias("mean_tpb"),
+        )
+        .orderBy("source", "tpb_bucket")
+    )
+
+
+def tokens_per_byte_sql() -> str:
+    """DuckDB twin of :func:`tokens_per_byte`."""
+    return f"""
+WITH base AS (
+  SELECT source,
+         CAST(length(regexp_extract_all(lower(text),
+              '{X.TOKEN_PATTERN}')) AS BIGINT) AS p,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+  FROM documents
+  WHERE octet_length(CAST(text AS BLOB)) > 0
+)
+SELECT source,
+       CAST(({TPB_BUCKET_DEN} * p) // nb AS BIGINT) AS tpb_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p) AS DOUBLE) / CAST(SUM(nb) AS DOUBLE) AS mean_tpb
+FROM base
+GROUP BY source, tpb_bucket
+ORDER BY source, tpb_bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity buckets
+# --------------------------------------------------------------------------
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet's head/middle/tail language-model buckets (Wenzek et
+    al. 2020): per LANGUAGE, split documents at the terciles of their
+    LM score and report each bucket's mass — the curation decision
+    CCNet ships (train on head, sometimes middle, drop tail) made
+    inspectable per language. The LM score is ``perplexity_filter``'s
+    rare-occurrence rate (the engine's log-free perplexity proxy,
+    monotone with the KenLM score CCNet uses).
+
+    Tercile edges are percentile_disc SELECTIONS per lang (actual
+    data values, no interpolation — the ``quantile_bins`` idiom,
+    identical to DuckDB's quantile_disc), broadcast back onto the
+    scored stream; bucket assignment is a pure comparison (ties land
+    low in both engines). The bucket's aggregate rate is the ratio
+    of integer sums sum(n_rare)/sum(n_bigrams) — never a float fold
+    of per-doc ratios. Documents without bigrams carry no LM
+    evidence and are absent, exactly as in ``perplexity_filter``.
+
+    Output: (lang, ppl_bucket, n_docs, bucket_rare_rate),
+    lang/bucket-ordered (head < middle < tail lexicographically by
+    design: 'a_head' < 'b_middle' < 'c_tail').
+    """
+    scored = perplexity_filter(docs).select(
+        "doc_id", "n_bigrams", "n_rare", "rare_rate"
+    )
+    withlang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    q1, q2 = 1.0 / 3.0, 2.0 / 3.0
+    edges = withlang.groupBy("lang").agg(
+        F.expr(
+            f"percentile_disc({q1!r}) WITHIN GROUP (ORDER BY rare_rate)"
+        ).alias("e1"),
+        F.expr(
+            f"percentile_disc({q2!r}) WITHIN GROUP (ORDER BY rare_rate)"
+        ).alias("e2"),
+    )
+    bucket = (
+        F.when(F.col("rare_rate") > F.col("e2"), F.lit("c_tail"))
+        .when(F.col("rare_rate") > F.col("e1"), F.lit("b_middle"))
+        .otherwise(F.lit("a_head"))
+    )
+    return (
+        withlang.join(F.broadcast(edges), "lang")
+        .select("lang", bucket.alias("ppl_bucket"), "n_rare", "n_bigrams")
+        .groupBy("lang", "ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum("n_rare").cast("double")
+                / F.sum("n_bigrams").cast("double")
+            ).alias("bucket_rare_rate"),
+        )
+        .orderBy("lang", "ppl_bucket")
+    )
+
+
+def ccnet_buckets_sql() -> str:
+    """DuckDB twin of :func:`ccnet_buckets` — composes the
+    perplexity_filter twin as a CTE."""
+    q1, q2 = 1.0 / 3.0, 2.0 / 3.0
+    return f"""
+WITH pf AS ({perplexity_filter_sql()}),
+withlang AS (
+  SELECT pf.doc_id, pf.n_bigrams, pf.n_rare, pf.rare_rate, d.lang
+  FROM pf JOIN documents d ON pf.doc_id = d.doc_id
+),
+edges AS (
+  SELECT lang,
+         quantile_disc(rare_rate, {q1!r}) AS e1,
+         quantile_disc(rare_rate, {q2!r}) AS e2
+  FROM withlang GROUP BY lang
+),
+tagged AS (
+  SELECT w.lang,
+         CASE WHEN w.rare_rate > e.e2 THEN 'c_tail'
+              WHEN w.rare_rate > e.e1 THEN 'b_middle'
+              ELSE 'a_head' END AS ppl_bucket,
+         w.n_rare, w.n_bigrams
+  FROM withlang w JOIN edges e ON w.lang = e.lang
+)
+SELECT lang, ppl_bucket, COUNT(*) AS n_docs,
+       CAST(SUM(n_rare) AS DOUBLE) / CAST(SUM(n_bigrams) AS DOUBLE)
+         AS bucket_rare_rate
+FROM tagged
+GROUP BY lang, ppl_bucket
+ORDER BY lang, ppl_bucket
+"""

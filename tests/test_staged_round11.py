@@ -175,6 +175,12 @@ STAGED = [
      "documents"),
     ("length_filter_sweep", "soccerpredictor_spark.operators.textops",
      "documents"),
+    ("template_dedup", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("tokens_per_byte", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("ccnet_buckets", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 
@@ -1446,6 +1452,9 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: dedup.lsh_band_sweep(docs),
         lambda: textops.dsir_importance_select(docs),
         lambda: textops.length_filter_sweep(docs),
+        lambda: textops.template_dedup(docs),
+        lambda: textops.tokens_per_byte(docs),
+        lambda: textops.ccnet_buckets(docs),
     ]
     for build in builders:
         clear_caches()

@@ -360,3 +360,150 @@ class TestLengthFilterSweep:
             == (0, 0, None, None)
             for r in rows
         )
+
+
+class TestTemplateDedup:
+    def test_shared_scaffold_different_content_is_a_family(self, spark):
+        """'the # of #' scaffold with different content words groups;
+        a doc with a different scaffold does not; an exact-dup pair
+        (same text twice) is EXCLUDED (n_texts must exceed 1 — that
+        grain belongs to exact dedup)."""
+        from soccerpredictor_spark.functions.text import STOPWORDS
+        from soccerpredictor_spark.operators.textops import template_dedup
+
+        assert {"the", "of", "a"} <= set(STOPWORDS)
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat of doom", "en", "s1", 10),
+                (2, "the dog of joy", "en", "s2", 10),
+                (3, "a lonely scaffold", "en", "s1", 10),
+                (4, "same exact text", "en", "s1", 10),
+                (5, "same exact text", "en", "s2", 10),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        rows = template_dedup(docs).collect()
+        assert len(rows) == 1
+        [r] = rows
+        assert (r.n_docs, r.n_texts, r.n_sources) == (2, 2, 2)
+
+    def test_divergence_past_prefix_still_groups(self, spark):
+        """The skeleton reads only the first 16 tokens: two docs
+        identical in scaffold up front but wildly different after
+        token 16 are still one family — boilerplate headers are
+        positional."""
+        from soccerpredictor_spark.operators.textops import template_dedup
+
+        head = "the x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15"
+        docs = spark.createDataFrame(
+            [
+                (1, head + " tail one here", "en", "s1", 10),
+                (2, head + " completely different ending words", "en", "s1", 10),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        rows = template_dedup(docs).collect()
+        assert len(rows) == 1 and rows[0].n_docs == 2
+
+
+class TestTokensPerByte:
+    def test_exact_bucket_and_ratio(self, spark):
+        """'ab ab' -> 2 pieces / 5 bytes: bucket 40 DIV 5 = 8, mean
+        0.4; 'aaaa' -> 1/4: bucket 5, mean 0.25. Integer DIV
+        bucketing and ratio-of-sums, exact on both engines."""
+        from soccerpredictor_spark.operators.textops import tokens_per_byte
+
+        docs = spark.createDataFrame(
+            [
+                (1, "ab ab", "en", "s1", 5),
+                (2, "aaaa", "en", "s1", 4),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        rows = {r.tpb_bucket: r for r in tokens_per_byte(docs).collect()}
+        assert rows[8].n_docs == 1 and rows[8].mean_tpb == 2.0 / 5.0
+        assert rows[5].n_docs == 1 and rows[5].mean_tpb == 1.0 / 4.0
+
+    def test_ratio_of_sums_within_bucket(self, spark):
+        """Two docs landing in one bucket aggregate as sum(p)/sum(nb)
+        — the order-independent bucket statistic, not a float fold of
+        per-doc ratios."""
+        from soccerpredictor_spark.operators.textops import tokens_per_byte
+
+        docs = spark.createDataFrame(
+            [
+                (1, "ab ab", "en", "s1", 5),      # 2/5 -> bucket 8
+                (2, "ab ab ab ab", "en", "s1", 11),  # 4/11 -> 80 DIV 11 = 7
+                (3, "cd cd", "en", "s1", 5),      # 2/5 -> bucket 8
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        rows = {r.tpb_bucket: r for r in tokens_per_byte(docs).collect()}
+        assert rows[8].n_docs == 2
+        assert rows[8].mean_tpb == (2 + 2) / (5 + 5)
+        assert rows[7].n_docs == 1
+
+    def test_empty_text_excluded(self, spark):
+        """Zero-byte documents carry no signal and are dropped, not
+        divided by zero."""
+        from soccerpredictor_spark.operators.textops import tokens_per_byte
+
+        docs = spark.createDataFrame(
+            [(1, "", "en", "s1", 0), (2, "ab", "en", "s1", 2)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        rows = tokens_per_byte(docs).collect()
+        assert len(rows) == 1 and rows[0].n_docs == 1
+
+
+class TestCcnetBuckets:
+    def test_buckets_monotone_and_mass_preserved(self, spark):
+        """On the sf0.001 fixture: per lang, the bucket aggregate
+        rare rate is strictly monotone head < middle < tail (the
+        property that makes the tercile split a QUALITY ordering) and
+        bucket doc counts sum back to the scored-doc count."""
+        from soccerpredictor_spark.operators.textops import (
+            ccnet_buckets,
+            perplexity_filter,
+        )
+        from soccerpredictor_spark.sources.catalog import read_table
+
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        rows = ccnet_buckets(docs).collect()
+        n_scored = perplexity_filter(docs).count()
+        assert sum(r.n_docs for r in rows) == n_scored
+        by_lang: dict[str, dict[str, float]] = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, {})[r.ppl_bucket] = r.bucket_rare_rate
+        for lang, b in by_lang.items():
+            assert set(b) == {"a_head", "b_middle", "c_tail"}, lang
+            assert b["a_head"] < b["b_middle"] < b["c_tail"], lang
+
+    def test_identical_docs_single_head_bucket(self, spark):
+        """Every document identical: one rare-rate value, so both
+        tercile edges equal it and EVERYTHING lands in head (ties
+        compare low) — no empty-bucket crashes, one row per lang."""
+        from soccerpredictor_spark.operators.textops import ccnet_buckets
+
+        docs = spark.createDataFrame(
+            [(i, "w1 w2 w1 w2 w3", "en", "s1", 10) for i in range(4)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        rows = ccnet_buckets(docs).collect()
+        assert len(rows) == 1
+        assert (rows[0].ppl_bucket, rows[0].n_docs) == ("a_head", 4)
+
+    def test_docs_without_bigrams_absent(self, spark):
+        """Single-token documents carry no LM evidence: they are
+        absent from the buckets, exactly as in perplexity_filter."""
+        from soccerpredictor_spark.operators.textops import ccnet_buckets
+
+        docs = spark.createDataFrame(
+            [
+                (1, "solo", "en", "s1", 4),
+                (2, "w1 w2 w1 w2", "en", "s1", 11),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        rows = ccnet_buckets(docs).collect()
+        assert sum(r.n_docs for r in rows) == 1
