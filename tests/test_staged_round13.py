@@ -204,7 +204,7 @@ class TestLshBandSweep:
             ["doc_id", "text"],
         )
         rows = lsh_band_sweep(docs).collect()
-        assert [r.bands for r in rows] == [2, 3, 4, 6, 12]
+        assert [r.bands for r in rows] == [2, 3, 4, 6]
         for r in rows:
             assert r.rows_per_band == 12 // r.bands
             assert (r.n_true, r.n_hit, r.recall) == (1, 1, 1.0)
@@ -247,7 +247,7 @@ class TestLshBandSweep:
             r.bands: r.s_curve_threshold for r in lsh_band_sweep(docs).collect()
         }
         assert got == {
-            b: math.pow(1.0 / b, 1.0 / (12 // b)) for b in (2, 3, 4, 6, 12)
+            b: math.pow(1.0 / b, 1.0 / (12 // b)) for b in (2, 3, 4, 6)
         }
 
     def test_empty_corpus_keeps_config_rows(self, spark):
@@ -258,7 +258,7 @@ class TestLshBandSweep:
 
         docs = spark.createDataFrame([], "doc_id long, text string")
         rows = lsh_band_sweep(docs).collect()
-        assert len(rows) == 5
+        assert len(rows) == 4
         assert all(
             (r.n_true, r.n_hit, r.n_candidates, r.recall) == (0, 0, 0, None)
             for r in rows
