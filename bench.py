@@ -72,6 +72,28 @@ def main() -> None:
         except Exception:
             pass
 
+    # Pre-warm the session family caches (plan_keyed_cache stores:
+    # minhash pair table + CC labels, embedding cosine pairs, graph
+    # edge list) OUTSIDE the per-query timers, reporting each build as
+    # its own `cache_warm` line. Without this, the one-time build cost
+    # lands on whichever family member runs first in dict order, so
+    # every window rotation produced phantom "regressions" that cost
+    # judge adjudication time two rounds running (r13 verdict task #2).
+    cache_warm: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_PREWARM", "1") != "0":
+        for warmer in ("dedup_clusters", "embedding_threshold_sweep",
+                       "graph_degree_stats"):
+            if warmer not in qs:
+                continue
+            t0 = time.perf_counter()
+            try:
+                qs[warmer](spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+                cache_warm[warmer] = round(time.perf_counter() - t0, 4)
+            except Exception:  # noqa: BLE001 - warm failure = cold timings only
+                pass
+            gc.collect()
+
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
@@ -118,6 +140,7 @@ def main() -> None:
     except OSError:
         load_end = None
     full = {"per_query": times, "sf": sf,
+            "cache_warm": cache_warm,
             "loadavg": {"ambient": load_ambient, "start": load_start,
                         "end": load_end}}
     if errors:
@@ -142,6 +165,8 @@ def main() -> None:
     }
     if sidecar:
         out["queries_full"] = "bench_queries.json"
+    if cache_warm:
+        out["cache_warm"] = {k: round(v, 2) for k, v in cache_warm.items()}
     if load_start is not None or load_end is not None:
         out["loadavg"] = {"ambient": load_ambient, "start": load_start,
                           "end": load_end}
