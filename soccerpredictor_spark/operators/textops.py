@@ -5808,10 +5808,17 @@ def vocab_ladder_fertility(
     published budget.
 
     One corpus scan builds the word-type table (vocab-bounded, the
-    tokenizer-family convention); each rung is then a conditional
-    aggregation over (types x 8 rungs) rows — no second pass, no
-    per-rung scan (the sweep-table family: dedup_threshold_sweep,
-    temperature_sweep, ivf_nprobe_sweep).
+    tokenizer-family convention); the global (cnt desc, word asc)
+    rank uses the BUCKETED two-level pattern (within-cnt-bucket
+    row_number + tiny cumulative bucket offsets) — a web-scale type
+    table (10^8+ types) never funnels through one partition, only the
+    distinct-count offset table does (Zipf-bounded). Each rung is
+    then a conditional aggregation over (types x 8 rungs) rows — no
+    second pass, no per-rung scan (the sweep-table family:
+    dedup_threshold_sweep, temperature_sweep, ivf_nprobe_sweep). The
+    ladder is the output SPINE (left join), so every rung reports
+    even on an empty corpus — the length_filter_sweep/lsh_band_sweep
+    convention.
 
     Output: (tokenizer, vocab_size, vocab_used, n_types,
     token_coverage, oov_rate, fertility), ordered by vocab_size then
@@ -5822,7 +5829,7 @@ def vocab_ladder_fertility(
     from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
 
     rungs = ladder if ladder is not None else PUBLISHED_VOCAB_LADDER
-    types = _reliable_checkpoint(
+    typ = (
         fan_out(docs)
         .select(
             F.explode(
@@ -5831,13 +5838,38 @@ def vocab_ladder_fertility(
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # bucketed global rank: offset(b) = # types with cnt strictly
+    # greater than b (cumulative over the tiny distinct-count table),
+    # rank = offset + row_number within the cnt bucket ordered by word
+    offsets = (
+        typ.groupBy("cnt")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .select(
+            "cnt",
+            (
+                F.sum("bsz").over(
+                    Window.orderBy(F.desc("cnt")).rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                )
+                - F.col("bsz")
+            ).alias("off"),
+        )
+    )
+    types = _reliable_checkpoint(
+        typ.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cnt").orderBy(F.asc("word"))
+            ),
+        )
+        .join(F.broadcast(offsets), "cnt")
         .select(
             "word",
             "cnt",
             F.length("word").alias("n_chars"),
-            F.row_number()
-            .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
-            .alias("rk"),
+            (F.col("off") + F.col("rn")).alias("rk"),
         )
     )
     rung_df = types.sparkSession.createDataFrame(
@@ -5845,28 +5877,32 @@ def vocab_ladder_fertility(
     )
     cells = types.crossJoin(F.broadcast(rung_df))
     inv = F.col("rk") <= F.col("vocab_size")
-    return (
-        cells.groupBy("tokenizer", "vocab_size")
-        .agg(
-            F.count(F.lit(1)).alias("n_types"),
-            F.sum(F.when(inv, 1).otherwise(0)).cast("long").alias("vocab_used"),
-            F.sum(F.when(inv, F.col("cnt")).otherwise(0))
-            .cast("long")
-            .alias("cov_occ"),
-            F.sum(
-                F.when(inv, F.col("cnt")).otherwise(
-                    F.col("cnt") * F.col("n_chars")
-                )
+    per_rung = cells.groupBy("tokenizer", "vocab_size").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(inv, 1).otherwise(0)).cast("long").alias("vocab_used"),
+        F.sum(F.when(inv, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("cov_occ"),
+        F.sum(
+            F.when(inv, F.col("cnt")).otherwise(
+                F.col("cnt") * F.col("n_chars")
             )
-            .cast("long")
-            .alias("pieces"),
-            F.sum("cnt").cast("long").alias("total_occ"),
         )
+        .cast("long")
+        .alias("pieces"),
+        F.sum("cnt").cast("long").alias("total_occ"),
+    )
+    return (
+        rung_df.join(per_rung, ["tokenizer", "vocab_size"], "left")
         .select(
             "tokenizer",
             "vocab_size",
-            "vocab_used",
-            "n_types",
+            F.coalesce(F.col("vocab_used"), F.lit(0).cast("long")).alias(
+                "vocab_used"
+            ),
+            F.coalesce(F.col("n_types"), F.lit(0).cast("long")).alias(
+                "n_types"
+            ),
             (
                 F.col("cov_occ").cast("double")
                 / F.col("total_occ").cast("double")
@@ -5902,22 +5938,33 @@ WITH words AS (
   VALUES {values}
 ), cells AS (
   SELECT * FROM types CROSS JOIN ladder
+), per_rung AS (
+  SELECT tokenizer, vocab_size,
+         COUNT(*) AS n_types,
+         CAST(SUM(CASE WHEN rk <= vocab_size THEN 1 ELSE 0 END) AS BIGINT)
+           AS vocab_used,
+         CAST(SUM(CASE WHEN rk <= vocab_size THEN cnt ELSE 0 END) AS BIGINT)
+           AS cov_occ,
+         CAST(SUM(CASE WHEN rk <= vocab_size THEN cnt
+                       ELSE cnt * n_chars END) AS BIGINT) AS pieces,
+         CAST(SUM(cnt) AS BIGINT) AS total_occ
+  FROM cells
+  GROUP BY tokenizer, vocab_size
 )
-SELECT tokenizer,
-       CAST(vocab_size AS BIGINT) AS vocab_size,
-       CAST(SUM(CASE WHEN rk <= vocab_size THEN 1 ELSE 0 END) AS BIGINT)
-         AS vocab_used,
-       COUNT(*) AS n_types,
-       CAST(SUM(CASE WHEN rk <= vocab_size THEN cnt ELSE 0 END) AS DOUBLE)
-         / CAST(SUM(cnt) AS DOUBLE) AS token_coverage,
-       CAST(SUM(cnt) - SUM(CASE WHEN rk <= vocab_size THEN cnt ELSE 0 END)
-            AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS oov_rate,
-       CAST(SUM(CASE WHEN rk <= vocab_size THEN cnt
-                     ELSE cnt * n_chars END) AS DOUBLE)
-         / CAST(SUM(cnt) AS DOUBLE) AS fertility
-FROM cells
-GROUP BY tokenizer, vocab_size
-ORDER BY vocab_size, tokenizer
+SELECT ladder.tokenizer,
+       CAST(ladder.vocab_size AS BIGINT) AS vocab_size,
+       COALESCE(vocab_used, 0) AS vocab_used,
+       COALESCE(n_types, 0) AS n_types,
+       CAST(cov_occ AS DOUBLE) / CAST(total_occ AS DOUBLE)
+         AS token_coverage,
+       CAST(total_occ - cov_occ AS DOUBLE) / CAST(total_occ AS DOUBLE)
+         AS oov_rate,
+       CAST(pieces AS DOUBLE) / CAST(total_occ AS DOUBLE) AS fertility
+FROM ladder
+LEFT JOIN per_rung
+  ON ladder.tokenizer = per_rung.tokenizer
+ AND ladder.vocab_size = per_rung.vocab_size
+ORDER BY 2, 1
 """
 
 
@@ -5951,9 +5998,11 @@ def dsir_importance_select(docs: DataFrame) -> DataFrame:
       identical in Spark and DuckDB — so document scores are pure
       integer sums (the ``unigram_lm_pieces`` exactness convention;
       float log-sums would diverge ulp-by-ulp cross-engine). Products
-      stay under 2^63 up to ~3e9-occurrence corpora per side; beyond
-      that, rescale counts per-million before the bitlen (documented
-      budget, same class as the banding guards);
+      stay under 2^63 up to ~3e9-occurrence corpora per side; the
+      bound is ENFORCED with a loud RuntimeError (same class as the
+      banding guards — Spark would wrap silently, DuckDB raises, so a
+      silent overflow is a cross-engine divergence); past it, rescale
+      counts per-million before the bitlen;
     - selection is the top ceil(n/5) documents by score,
       TIES-INCLUSIVE at the boundary score (the paper resamples with
       Gumbel noise; determinism here replaces noise with
@@ -6007,22 +6056,40 @@ def dsir_importance_select(docs: DataFrame) -> DataFrame:
             % F.lit(B)
         ).alias("b"),
     )
-    counts = feats.groupBy("b").agg(
-        F.sum(
-            F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
-        ).alias("t_cnt"),
-        F.count(F.lit(1)).alias("r_cnt"),
+    counts = _reliable_checkpoint(
+        feats.groupBy("b").agg(
+            F.sum(
+                F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
+            ).alias("t_cnt"),
+            F.count(F.lit(1)).alias("r_cnt"),
+        )
     )
-    tot = counts.agg(
+    # Bounded 1-row read off the checkpointed B-row table (the
+    # convergence-witness collect class): the totals feed BOTH the
+    # model literals and the int64 overflow guard below.
+    tot_row = counts.agg(
         F.sum("t_cnt").alias("tt"), F.sum("r_cnt").alias("rt")
-    )
+    ).collect()[0]
+    tt = int(tot_row["tt"] or 0)
+    rt = int(tot_row["rt"] or 0)
+    # Overflow guard (no silent wrap): every product below is bounded
+    # by (rt+1)*(rt+B) since t_cnt <= tt <= rt and r_cnt <= rt. Spark
+    # wraps int64 silently while DuckDB raises, so past the bound the
+    # engines would diverge exactly at scale — fail loudly instead,
+    # like candidate_budget_guard (exact arbitrary-precision check).
+    if (rt + 1) * (rt + B) >= 2**63:
+        raise RuntimeError(
+            f"dsir_importance_select: {rt} feature occurrences overflow "
+            "the int64 bitlen quantization; rescale counts per-million "
+            "before the bitlen (documented budget) or shard the corpus"
+        )
     bitlen = lambda c: F.length(F.bin(c))  # noqa: E731
     model = _reliable_checkpoint(
-        counts.crossJoin(F.broadcast(tot)).select(
+        counts.select(
             "b",
             (
-                bitlen((F.col("t_cnt") + 1) * (F.col("rt") + B))
-                - bitlen((F.col("r_cnt") + 1) * (F.col("tt") + B))
+                bitlen((F.col("t_cnt") + 1) * F.lit(rt + B))
+                - bitlen((F.col("r_cnt") + 1) * F.lit(tt + B))
             )
             .cast("long")
             .alias("s"),
