@@ -2605,3 +2605,423 @@ SELECT * FROM (
 {body}
 ) ORDER BY threshold
 """
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic dedup inside embedding clusters
+# --------------------------------------------------------------------------
+
+#: within-cluster cosine above this marks a semantic duplicate
+#: (Abbas et al. 2023 run 0.95+ on real embeddings; fixture-scaled so
+#: the synthetic corpus exercises the drop path).
+SEMDEDUP_THRESHOLD = 0.4
+
+#: target cluster population; the cluster count scales as
+#: max(16, ceil(n / SEMDEDUP_CLUSTER_TARGET)) — the paper's K ~ n
+#: regime — so the within-cluster pair volume stays LINEAR in n
+#: (~TARGET/2 candidate pairs per row) at every scale.
+SEMDEDUP_CLUSTER_TARGET = 48
+
+
+def semdedup(emb: DataFrame) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop semantic duplicates —
+    vectors whose cosine similarity inside the SAME embedding cluster
+    exceeds ``SEMDEDUP_THRESHOLD`` — keeping one representative per
+    duplicate neighborhood (deterministic keep-lowest-vec_id instead
+    of the paper's random pick). Per-cluster readout of how much of
+    the corpus semantic dedup removes.
+
+    Engine shape:
+    - clusters are the ``ivf_topk`` coarse quantizer (lowest-vec_id
+      seed centroids, exact int64 squared distance, argmin as a pure
+      ``array_min`` projection over ONE broadcast centroid row — no
+      shuffle, no window), with K = max(16, ceil(n /
+      SEMDEDUP_CLUSTER_TARGET)): the paper's K-grows-with-n regime,
+      which keeps the within-cluster self-join ~TARGET/2 pairs per
+      row — linear at 100 TB, guarded by ``candidate_budget_guard``
+      (loud abort, never a silent cap). A production run drops
+      trained k-means centroids into the same plan;
+    - the pairwise cosine is the ``cosine_near_dup`` convention:
+      exact int64 dot / sqrt norms — both engines evaluate the
+      identical expression tree, so the threshold compare is
+      bit-equal;
+    - a vector is DROPPED iff some same-cluster neighbor with a
+      smaller vec_id clears the threshold (one left-semi per
+      cluster member — no iteration, no connected components).
+
+    K is read once from a count (bounded 1-row read at build time,
+    the LSH-builder class). Output: (cluster_id, n_items, n_dropped,
+    keep_rate), cluster-ordered; clusters with no members are absent
+    (the centroid spine is data-driven).
+    """
+    from soccerpredictor_spark.operators.scale import candidate_budget_guard
+
+    n = emb.count()
+    k_clusters = max(16, -(-int(n) // SEMDEDUP_CLUSTER_TARGET))
+    base = fan_out(emb).select(
+        "vec_id", V.int_vec(F.col("embedding")).alias("iv")
+    ).select("vec_id", "iv", V.sq_norm_iv(F.col("iv")).alias("nrm"))
+    cents_arr = (
+        base.orderBy("vec_id")
+        .limit(k_clusters)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("cid"),
+                        F.col("iv").alias("civ"),
+                        F.col("nrm").alias("cnrm"),
+                    )
+                )
+            ).alias("cs")
+        )
+    )
+    dists = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            (
+                F.col("nrm") - 2 * V.int_dot_iv(F.col("iv"), c["civ"]) + c["cnrm"]
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cents_arr))
+        .withColumn("dists", dists)
+        .select(
+            "vec_id", "iv", "nrm",
+            F.array_min("dists")["cid"].alias("cluster_id"),
+        )
+    )
+    candidate_budget_guard(
+        assigned.select("vec_id", "cluster_id"), ["cluster_id"], "semdedup"
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("iv").alias("iv_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("iv").alias("iv_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = V.int_dot_iv(F.col("iv_a"), F.col("iv_b")).cast("double") / (
+        F.sqrt(F.col("nrm_a").cast("double"))
+        * F.sqrt(F.col("nrm_b").cast("double"))
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= SEMDEDUP_THRESHOLD)
+        .select("cluster_id", F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .join(dropped, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_items",
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias(
+                "n_dropped"
+            ),
+            (
+                (F.col("n_items") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+                .cast("double")
+                / F.col("n_items").cast("double")
+            ).alias("keep_rate"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def semdedup_sql() -> str:
+    """DuckDB twin of :func:`semdedup` (K computed in-SQL from the
+    same count + ceiling)."""
+    dot_ac = V.sql_dot("embedding", "cemb")
+    nrm_a = V.sql_dot("embedding", "embedding")
+    nrm_c = V.sql_dot("cemb", "cemb")
+    cos = V.sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH kk AS (
+  SELECT GREATEST(16, CAST(CEIL(CAST(COUNT(*) AS DOUBLE)
+         / {SEMDEDUP_CLUSTER_TARGET}.0) AS BIGINT)) AS k
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cemb
+  FROM (
+    SELECT vec_id, embedding,
+           ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS rn
+    FROM embeddings
+  ) CROSS JOIN kk
+  WHERE rn <= kk.k
+),
+ranked AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ({nrm_a}) - 2 * ({dot_ac}) + ({nrm_c}) ASC, c.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid AS cluster_id FROM ranked WHERE rn = 1
+),
+dropped AS (
+  SELECT cluster_id, COUNT(*) AS n_dropped
+  FROM (
+    SELECT DISTINCT a.cluster_id, b.vec_id
+    FROM assigned a JOIN assigned b USING (cluster_id)
+    WHERE a.vec_id < b.vec_id AND ({cos}) >= {SEMDEDUP_THRESHOLD}
+  )
+  GROUP BY cluster_id
+)
+SELECT s.cluster_id,
+       COUNT(*) AS n_items,
+       CAST(COALESCE(MAX(d.n_dropped), 0) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COALESCE(MAX(d.n_dropped), 0) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+FROM assigned s LEFT JOIN dropped d ON s.cluster_id = d.cluster_id
+GROUP BY s.cluster_id
+ORDER BY s.cluster_id
+"""
+
+
+# --------------------------------------------------------------------------
+# PQ subquantizer-count sweep
+# --------------------------------------------------------------------------
+
+#: subquantizer counts swept (PQ_EMB_DIM divisible by each; code size
+#: = m nibbles at PQ_K = 16, so the sweep reads bytes-vs-recall).
+PQ_M_SWEEP = (2, 4, 8)
+
+#: distortion is reported in 2^-30-scaled int64 units (per-vector
+#: encoding error summed over the corpus would overflow int64 raw:
+#: |sub - c|^2 ~ dim * (2 * SCALE)^2 ~ 2^54 per vector).
+PQ_DISTORTION_SHIFT = 1 << 30
+
+
+def pq_m_sweep(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Recall@k and corpus encoding distortion vs the number of PQ
+    subquantizers m — the bytes-per-vector dial of Jegou et al.'s
+    product quantization (``pq_topk`` pins one operating point; this
+    is its tuning table, the sweep-table family): more subspaces =
+    more code bytes = finer ADC and lower distortion.
+
+    Per rung: the ``pq_topk`` pipeline verbatim at m subspaces
+    (deterministic lowest-vec_id codebooks; per-subspace argmin by
+    exact int64 distance with ties to the lowest centroid id; ADC =
+    integer sum of the query's distances to the CHOSEN centroids) —
+    one broadcast codebook row and a pure scan projection per rung,
+    zero vector shuffles. The exact top-k computes once. Distortion
+    is the per-vector own-encoding error, 2^-30 scaled (integer DIV)
+    before the corpus sum so the total stays inside int64 at any n.
+
+    Output: (pq_m, n_exact, n_pq, n_hit, recall,
+    total_distortion_q30), m-ordered.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    exact = _reliable_checkpoint(
+        cosine_topk(emb, query_vec_id, k).select("vec_id")
+    )
+    base = fan_out(emb).select(
+        "vec_id", V.int_vec(F.col("embedding")).alias("iv")
+    )
+
+    def _sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    out = None
+    for m in PQ_M_SWEEP:
+        subdim = PQ_EMB_DIM // m
+        subs = base.select(
+            "vec_id",
+            *[
+                F.slice("iv", s * subdim + 1, subdim).alias(f"sub{s}")
+                for s in range(m)
+            ],
+        )
+        cb = (
+            subs.orderBy("vec_id")
+            .limit(PQ_K)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("vec_id").alias("cid"),
+                            *[
+                                F.col(f"sub{s}").alias(f"csub{s}")
+                                for s in range(m)
+                            ],
+                        )
+                    )
+                ).alias("cb")
+            )
+        )
+        q = subs.filter(F.col("vec_id") == query_vec_id).select(
+            *[F.col(f"sub{s}").alias(f"qsub{s}") for s in range(m)]
+        )
+
+        def _chosen(s: int):
+            def per_centroid(c):
+                return F.struct(
+                    _sqdist(F.col(f"sub{s}"), c[f"csub{s}"]).alias("d"),
+                    c["cid"].alias("cid"),
+                    _sqdist(F.col(f"qsub{s}"), c[f"csub{s}"]).alias("qd"),
+                )
+
+            return F.array_min(F.transform(F.col("cb"), per_centroid))
+
+        chosen = [_chosen(s) for s in range(m)]
+        approx = (
+            subs.crossJoin(F.broadcast(cb))
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                sum(
+                    [c["qd"] for c in chosen[1:]], chosen[0]["qd"]
+                ).alias("approx_dist"),
+                sum([c["d"] for c in chosen[1:]], chosen[0]["d"]).alias(
+                    "own_dist"
+                ),
+            )
+        )
+        approx = _reliable_checkpoint(approx)
+        topk = (
+            approx.orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+            .limit(k)
+            .select("vec_id")
+        )
+        hit = exact.join(topk, "vec_id", "left_semi")
+        row = (
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(topk.agg(F.count(F.lit(1)).alias("n_pq")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .crossJoin(
+                approx.agg(
+                    F.sum(
+                        F.expr(
+                            f"CAST(own_dist DIV {PQ_DISTORTION_SHIFT} "
+                            "AS BIGINT)"
+                        )
+                    )
+                    .cast("long")
+                    .alias("total_distortion_q30")
+                )
+            )
+            .select(
+                F.lit(int(m)).cast("long").alias("pq_m"),
+                "n_exact",
+                "n_pq",
+                "n_hit",
+                (F.col("n_hit").cast("double") / F.lit(float(k))).alias(
+                    "recall"
+                ),
+                F.coalesce(
+                    F.col("total_distortion_q30"), F.lit(0).cast("long")
+                ).alias("total_distortion_q30"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pq_m")
+
+
+def pq_m_sweep_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """DuckDB twin of :func:`pq_m_sweep` — one enc/adc leg per rung,
+    sharing the exact top-k CTE."""
+    iv = V.sql_int_vec("embedding")
+    sq = (
+        "list_sum(list_transform(range(1, {n}+1),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    legs = []
+    for m in PQ_M_SWEEP:
+        legs.append(f"""
+SELECT CAST({m} AS BIGINT) AS pq_m,
+       (SELECT COUNT(*) FROM exact_k) AS n_exact,
+       (SELECT COUNT(*) FROM tk{m}) AS n_pq,
+       (SELECT COUNT(*) FROM exact_k
+        WHERE vec_id IN (SELECT vec_id FROM tk{m})) AS n_hit,
+       CAST((SELECT COUNT(*) FROM exact_k
+             WHERE vec_id IN (SELECT vec_id FROM tk{m}))
+            AS DOUBLE) / {float(k)} AS recall,
+       (SELECT CAST(COALESCE(SUM(own_dist // {PQ_DISTORTION_SHIFT}), 0)
+               AS BIGINT) FROM adc{m}) AS total_distortion_q30""")
+    leg_sql = "\nUNION ALL\n".join(legs)
+    ctes = []
+    for m in PQ_M_SWEEP:
+        subdim = PQ_EMB_DIM // m
+        subcols = ", ".join(
+            f"((ivq)[{s * subdim + 1}:{(s + 1) * subdim}]) AS sub{s}"
+            for s in range(m)
+        )
+        ctes.append(f"""
+subs{m} AS (
+  SELECT vec_id, ivq, {subcols}
+  FROM (SELECT vec_id, {iv} AS ivq FROM embeddings)
+),
+cb{m} AS (
+  SELECT vec_id AS cid,
+         {", ".join(f"sub{s} AS csub{s}" for s in range(m))}
+  FROM subs{m} ORDER BY vec_id LIMIT {PQ_K}
+),
+q{m} AS (
+  SELECT {", ".join(f"sub{s} AS qsub{s}" for s in range(m))}
+  FROM subs{m} WHERE vec_id = {query_vec_id}
+),
+unp{m} AS (
+  SELECT e.vec_id, s.s,
+         CASE s.s {" ".join(f"WHEN {s} THEN e.sub{s}" for s in range(m))}
+         END AS sub,
+         CASE s.s {" ".join(f"WHEN {s} THEN q.qsub{s}" for s in range(m))}
+         END AS qsub
+  FROM subs{m} e CROSS JOIN q{m} q
+       CROSS JOIN (SELECT unnest(range({m})) AS s) s
+),
+cbu{m} AS (
+  SELECT cid, s.s,
+         CASE s.s {" ".join(f"WHEN {s} THEN csub{s}" for s in range(m))}
+         END AS csub
+  FROM cb{m} CROSS JOIN (SELECT unnest(range({m})) AS s) s
+),
+enc{m} AS (
+  SELECT u.vec_id, u.s,
+         {sq.format(n=subdim, a="u.qsub", b="c.csub")} AS qd,
+         {sq.format(n=subdim, a="u.sub", b="c.csub")} AS od,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.vec_id, u.s
+           ORDER BY {sq.format(n=subdim, a="u.sub", b="c.csub")} ASC,
+                    c.cid ASC
+         ) AS rn
+  FROM unp{m} u JOIN cbu{m} c USING (s)
+),
+adc{m} AS (
+  SELECT vec_id,
+         CAST(SUM(qd) AS BIGINT) AS approx_dist,
+         CAST(SUM(od) AS BIGINT) AS own_dist
+  FROM enc{m} WHERE rn = 1 GROUP BY vec_id
+),
+tk{m} AS (
+  SELECT vec_id FROM adc{m}
+  ORDER BY approx_dist ASC, vec_id ASC LIMIT {k}
+)""")
+    return f"""
+WITH exact_k AS MATERIALIZED (
+  SELECT vec_id FROM ({cosine_topk_sql(query_vec_id, k)}) e
+),{",".join(ctes)}
+SELECT * FROM (
+{leg_sql}
+) ORDER BY pq_m
+"""

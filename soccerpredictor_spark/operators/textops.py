@@ -6609,3 +6609,1007 @@ FROM tagged
 GROUP BY lang, ppl_bucket
 ORDER BY lang, ppl_bucket
 """
+
+
+# --------------------------------------------------------------------------
+# DoReMi domain-mixture reweighting
+# --------------------------------------------------------------------------
+
+#: hashed-unigram model space for the DoReMi losses (the DSIR bucket
+#: convention — fixture-scaled so every bucket gets mass at sf0.001).
+DOREMI_BUCKETS = 64
+
+#: Group-DRO iterations (unrolled — the domain table is tiny, so each
+#: step is one aggregate + one broadcast join over DOMAINS rows).
+DOREMI_STEPS = 4
+
+#: cap on the per-kilotoken integer excess-bits exponent, so the
+#: multiplicative update 2^e never overflows the 2^20 share scale.
+DOREMI_EXCESS_CAP = 16
+
+#: fixed-point share scale and uniform-smoothing mass (c = 0.2, the
+#: paper's smoothing mixed in at every step).
+DOREMI_SCALE = 1 << 20
+DOREMI_MIX = DOREMI_SCALE // 5
+
+
+def doremi_mixture(docs: DataFrame) -> DataFrame:
+    """DoReMi domain-mixture reweighting (Xie et al., NeurIPS 2023) —
+    the published data-mixture method: upweight domains with large
+    EXCESS LOSS (how much a generalist model underperforms on the
+    domain relative to what the domain supports), iterating
+    multiplicative Group-DRO updates with uniform smoothing.
+    Deterministic engine variant:
+
+    - the two losses come from add-one-smoothed hashed-unigram LMs
+      (the ``dsir_importance_select`` feature space): the GENERALIST
+      loss scores each domain's tokens under the full-corpus bucket
+      model; the SPECIALIST loss scores them under the domain's own
+      bucket model (the paper's trained-proxy/reference gap, replaced
+      by its closed-form n-gram analog so the result is bit-exact
+      cross-engine). Per-token bit costs are integer-quantized via
+      the ``length(bin(x))`` idiom; both losses are pure integer sums
+      over the (domain, bucket) count table — the corpus is scanned
+      ONCE, everything downstream is DOMAINS x BUCKETS rows;
+    - excess_d = max(0, generalist_bits_d - specialist_bits_d),
+      expressed per kilotoken (integer DIV) and capped at
+      ``DOREMI_EXCESS_CAP``;
+    - ``DOREMI_STEPS`` unrolled Group-DRO rounds on 2^20 fixed-point
+      shares: s <- normalize(s * (16 + excess)) — the first-order
+      integer surrogate (1 + eta*loss, eta = 1/16) of the paper's
+      exp(eta * excess), i.e. the classic multiplicative-weights
+      update — then mix c = 0.2 uniform mass back in (every product
+      stays far inside int64, every division is integer DIV — no
+      float drift at any scale);
+    - weights start at the baseline token shares, so a zero-excess
+      corpus returns (smoothed) baseline proportions.
+
+    Scale: the wide ops are one tokenize/explode and one
+    (source, bucket) count; the iteration state is a DOMAINS-row
+    table (domains << docs), exactly the bounded-loop shape the
+    100 TB design calls for. Budget: corpus tokens < 2^42 keeps
+    T_d * 2^20 inside int64 (documented, same class as the DSIR
+    guard). Output: (source, n_docs, n_tokens,
+    excess_bits_per_kilotoken, baseline_share, doremi_weight),
+    source-ordered.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    B = DOREMI_BUCKETS
+    tok = fan_out(docs).select(
+        "doc_id", "source", X.tokens(F.lower(F.col("text"))).alias("w")
+    )
+    occ = tok.select(
+        "source",
+        "doc_id",
+        F.explode("w").alias("t"),
+    ).select(
+        "source",
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+            % F.lit(B)
+        ).alias("b"),
+    )
+    dom_b = _reliable_checkpoint(
+        occ.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c_db"))
+    )
+    corpus_b = dom_b.groupBy("b").agg(F.sum("c_db").alias("c_b"))
+    tot = corpus_b.agg(F.sum("c_b").alias("tt"))
+    dom_tot = dom_b.groupBy("source").agg(F.sum("c_db").alias("t_d"))
+    bitlen = lambda c: F.length(F.bin(c))  # noqa: E731
+    per_dom = (
+        dom_b.join(corpus_b, "b")
+        .join(F.broadcast(dom_tot), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("t_d").cast("long").alias("n_tokens"),
+            F.max("tt").cast("long").alias("tt"),
+            F.sum(
+                F.col("c_db")
+                * (bitlen(F.col("tt") + B) - bitlen(F.col("c_b") + 1))
+            )
+            .cast("long")
+            .alias("gen_bits"),
+            F.sum(
+                F.col("c_db")
+                * (bitlen(F.col("t_d") + B) - bitlen(F.col("c_db") + 1))
+            )
+            .cast("long")
+            .alias("spec_bits"),
+        )
+    )
+    ndocs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    state = (
+        ndocs.join(per_dom, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.col("tt"), F.lit(0).cast("long")).alias("tt"),
+            # NULL-safe: Spark's greatest/least SKIP nulls, so a
+            # token-less domain must short-circuit to 0 explicitly or
+            # least(CAP, NULL) would hand it the CAP.
+            F.when(F.col("gen_bits").isNull(), F.lit(0).cast("long"))
+            .otherwise(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.least(
+                        F.lit(DOREMI_EXCESS_CAP).cast("long"),
+                        F.expr(
+                            "CAST((1000 * (gen_bits - spec_bits)) "
+                            "DIV n_tokens AS BIGINT)"
+                        ),
+                    ),
+                )
+            )
+            .alias("e"),
+        )
+        # baseline fixed-point shares: s0 = (t_d * SCALE) DIV T
+        .withColumn(
+            "s",
+            F.when(
+                F.col("tt") > 0,
+                F.expr(
+                    f"CAST(({DOREMI_SCALE} * n_tokens) DIV tt AS BIGINT)"
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    for _ in range(DOREMI_STEPS):
+        # u = s * (16 + e): the first-order integer surrogate of the
+        # paper's exp(eta * excess) with eta = 1/16 — the classic
+        # multiplicative-weights update (w *= 1 + eta*loss); the
+        # constant factor 16 cancels in the normalization.
+        stepped = state.withColumn(
+            "u", F.col("s") * (F.lit(16).cast("long") + F.col("e"))
+        )
+        sums = stepped.agg(
+            F.sum("u").alias("usum"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        state = (
+            stepped.crossJoin(F.broadcast(sums))
+            .withColumn(
+                "v",
+                F.when(
+                    F.col("usum") > 0,
+                    F.expr(
+                        f"CAST(({DOREMI_SCALE} * u) DIV usum AS BIGINT)"
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            .withColumn(
+                "s",
+                F.expr(
+                    f"CAST(({DOREMI_SCALE - DOREMI_MIX} * v "
+                    f"+ {DOREMI_MIX} * ({DOREMI_SCALE} DIV nd)) "
+                    f"DIV {DOREMI_SCALE} AS BIGINT)"
+                ),
+            )
+            .select("source", "n_docs", "n_tokens", "tt", "e", "s")
+        )
+    final_sum = state.agg(F.sum("s").alias("fsum"))
+    return (
+        state.crossJoin(F.broadcast(final_sum))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.col("e").alias("excess_bits_per_kilotoken"),
+            F.when(
+                F.col("tt") > 0,
+                F.col("n_tokens").cast("double") / F.col("tt").cast("double"),
+            ).alias("baseline_share"),
+            F.when(
+                F.col("fsum") > 0,
+                F.col("s").cast("double") / F.col("fsum").cast("double"),
+            ).alias("doremi_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def doremi_mixture_sql() -> str:
+    """DuckDB twin of :func:`doremi_mixture` — the four Group-DRO
+    rounds unrolled as chained CTEs (window SUM() OVER () for the
+    share normalizer; all-integer arithmetic, so the chain is
+    bit-exact against the Spark side)."""
+    B = DOREMI_BUCKETS
+    S = DOREMI_SCALE
+    MIX = DOREMI_MIX
+    CAP = DOREMI_EXCESS_CAP
+    toks = _sql_tokens("lower(text)")
+    steps = []
+    prev = "state0"
+    for t in range(1, DOREMI_STEPS + 1):
+        steps.append(f"""
+step{t} AS (
+  SELECT source, n_docs, n_tokens, tt, e,
+         CASE WHEN SUM(u) OVER () > 0
+              THEN (({S - MIX} * (({S} * u) // SUM(u) OVER ()))
+                    + {MIX} * ({S} // COUNT(*) OVER ())) // {S}
+              ELSE ({MIX} * ({S} // COUNT(*) OVER ())) // {S} END AS s
+  FROM (SELECT *, s * (16 + e) AS u FROM {prev})
+)""")
+        prev = f"step{t}"
+    steps_sql = ",".join(steps)
+    return f"""
+WITH tok AS (SELECT doc_id, source, {toks} AS w FROM documents),
+occ AS (
+  SELECT source,
+         CAST('0x' || substr(md5(unnest(w)), 1, 8) AS BIGINT) % {B} AS b
+  FROM tok
+),
+dom_b AS MATERIALIZED (
+  SELECT source, b, COUNT(*) AS c_db FROM occ GROUP BY source, b
+),
+corpus_b AS (SELECT b, SUM(c_db) AS c_b FROM dom_b GROUP BY b),
+tot AS (SELECT SUM(c_b) AS tt FROM corpus_b),
+dom_tot AS (SELECT source, SUM(c_db) AS t_d FROM dom_b GROUP BY source),
+per_dom AS (
+  SELECT d.source,
+         CAST(MAX(dt.t_d) AS BIGINT) AS n_tokens,
+         CAST(MAX(tt) AS BIGINT) AS tt,
+         CAST(SUM(d.c_db * (length(bin(tt + {B}))
+                            - length(bin(cb.c_b + 1)))) AS BIGINT)
+           AS gen_bits,
+         CAST(SUM(d.c_db * (length(bin(dt.t_d + {B}))
+                            - length(bin(d.c_db + 1)))) AS BIGINT)
+           AS spec_bits
+  FROM dom_b d
+  JOIN corpus_b cb ON d.b = cb.b
+  JOIN dom_tot dt ON d.source = dt.source
+  CROSS JOIN tot
+  GROUP BY d.source
+),
+nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+state0 AS (
+  SELECT n.source, n.n_docs,
+         COALESCE(p.n_tokens, 0) AS n_tokens,
+         COALESCE(p.tt, 0) AS tt,
+         CASE WHEN p.gen_bits IS NULL THEN 0
+              ELSE GREATEST(0, LEAST({CAP},
+                (1000 * (p.gen_bits - p.spec_bits)) // p.n_tokens))
+         END AS e,
+         CASE WHEN COALESCE(p.tt, 0) > 0
+              THEN ({S} * p.n_tokens) // p.tt ELSE 0 END AS s
+  FROM nd n LEFT JOIN per_dom p ON n.source = p.source
+),{steps_sql}
+SELECT source,
+       n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(e AS BIGINT) AS excess_bits_per_kilotoken,
+       CASE WHEN tt > 0
+            THEN CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) END
+         AS baseline_share,
+       CASE WHEN SUM(s) OVER () > 0
+            THEN CAST(s AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE) END
+         AS doremi_weight
+FROM {prev}
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules
+# --------------------------------------------------------------------------
+
+#: word-count bounds (Rae et al. 2021 use [50, 100k]; the minimum is
+#: fixture-scaled to 10 so the sf0.001 corpus exercises both sides).
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 10, 100_000
+
+#: mean-word-length bounds (chars per word), Gopher A1.1 verbatim.
+GOPHER_MIN_WLEN, GOPHER_MAX_WLEN = 3, 10
+
+#: the paper's "must contain 2 of" stopword list, verbatim.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(docs: DataFrame) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021 §A1.1, the
+    non-repetition half — repetition lives in
+    :func:`repetition_profile`): per source, how many documents fail
+    each rule and how many pass all of them.
+
+    Rules, each evaluated as PURE INTEGER comparisons (cross-engine
+    exact; never a float ratio): word count in
+    [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]; mean word length in
+    [3, 10] chars (3*n <= chars <= 10*n); symbol-to-word ratio <= 0.1
+    for '#' and '...' (10*symbols <= n); >= 80% of words contain an
+    alphabetic character (5*alpha >= 4*n); >= 2 distinct stopwords
+    from the paper's 8-word list.
+
+    Scale: one scan projection per document (token array expressions,
+    fully codegen'd, zero shuffles) + one (source)-keyed aggregation.
+    Output: (source, n_docs, fail_word_count, fail_word_length,
+    fail_symbol_ratio, fail_alpha_words, fail_stopwords, n_pass,
+    pass_rate), source-ordered.
+    """
+    w = X.tokens(F.lower(F.col("text")))
+    n = F.size(w)
+    wchars = F.aggregate(
+        F.transform(w, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    hash_cnt = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ell_cnt = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    symbols = (hash_cnt + ell_cnt).cast("long")
+    alpha = F.size(F.filter(w, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    nstop = F.size(F.array_intersect(F.array_distinct(w), stop_arr))
+    per_doc = fan_out(docs).select(
+        "source",
+        (
+            (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS)
+        ).alias("f_wc"),
+        (
+            (F.lit(GOPHER_MIN_WLEN) * n > wchars)
+            | (wchars > F.lit(GOPHER_MAX_WLEN) * n)
+        ).alias("f_wl"),
+        (F.lit(10) * symbols > n).alias("f_sym"),
+        (F.lit(5) * alpha < F.lit(4) * n).alias("f_al"),
+        (nstop < 2).alias("f_st"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("f_wc").alias("fail_word_count"),
+            cnt("f_wl").alias("fail_word_length"),
+            cnt("f_sym").alias("fail_symbol_ratio"),
+            cnt("f_al").alias("fail_alpha_words"),
+            cnt("f_st").alias("fail_stopwords"),
+            F.sum(
+                F.when(
+                    ~F.col("f_wc")
+                    & ~F.col("f_wl")
+                    & ~F.col("f_sym")
+                    & ~F.col("f_al")
+                    & ~F.col("f_st"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "fail_word_count",
+            "fail_word_length",
+            "fail_symbol_ratio",
+            "fail_alpha_words",
+            "fail_stopwords",
+            "n_pass",
+            (
+                F.col("n_pass").cast("double") / F.col("n_docs").cast("double")
+            ).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def gopher_quality_rules_sql() -> str:
+    """DuckDB twin of :func:`gopher_quality_rules`."""
+    toks = _sql_tokens("lower(text)")
+    stop_lit = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+         len(w) AS n,
+         list_sum(list_transform(w, t -> length(t))) AS wchars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS symbols,
+         len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS alpha,
+         len(list_intersect(list_distinct(w), {stop_lit})) AS nstop
+  FROM (SELECT source, text, {toks} AS w FROM documents)
+),
+flags AS (
+  SELECT source,
+         (n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS}) AS f_wc,
+         ({GOPHER_MIN_WLEN} * n > COALESCE(wchars, 0)
+          OR COALESCE(wchars, 0) > {GOPHER_MAX_WLEN} * n) AS f_wl,
+         (10 * symbols > n) AS f_sym,
+         (5 * alpha < 4 * n) AS f_al,
+         (nstop < 2) AS f_st
+  FROM per_doc
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_word_count,
+       CAST(SUM(CASE WHEN f_wl THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_word_length,
+       CAST(SUM(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_symbol_ratio,
+       CAST(SUM(CASE WHEN f_al THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_alpha_words,
+       CAST(SUM(CASE WHEN f_st THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_stopwords,
+       CAST(SUM(CASE WHEN NOT f_wc AND NOT f_wl AND NOT f_sym
+                      AND NOT f_al AND NOT f_st THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN NOT f_wc AND NOT f_wl AND NOT f_sym
+                      AND NOT f_al AND NOT f_st THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth curve
+# --------------------------------------------------------------------------
+
+#: number of nested corpus prefixes the growth curve is sampled at.
+HEAPS_RUNGS = 8
+
+
+def heaps_law_curve(docs: DataFrame) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law, V ~ K * N^beta): distinct
+    word types vs tokens over ``HEAPS_RUNGS`` nested corpus prefixes
+    — the diagnostic that says whether a corpus keeps yielding new
+    vocabulary as it grows (natural text: beta ~ 0.5) or has gone
+    boilerplate-flat.
+
+    Prefixes are DETERMINISTIC hash shards: each document lands in
+    bucket 1..R via the md5 idiom, prefix r = buckets 1..r (so the
+    curve is reproducible on any cluster layout, unlike an
+    input-order prefix, which doesn't exist in a distributed scan).
+    One tokenize pass; per word the FIRST bucket it appears in
+    (min), so types-at-rung-r = words with min_bucket <= r — a
+    cumulative sum over the R-row bucket table, never a rescan. The
+    rung table is the output spine (left join + running totals), so
+    all R rungs report even on an empty corpus.
+
+    Output: (rung, n_docs, n_tokens, n_types, type_token_ratio),
+    rung-ordered; n_* are cumulative (prefix) counts.
+    """
+    from pyspark.sql.window import Window
+
+    R = HEAPS_RUNGS
+    spine = docs.sparkSession.range(1, R + 1).select(
+        F.col("id").cast("long").alias("rung")
+    )
+    bucketed = fan_out(docs).select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("hp:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % R
+            + 1
+        ).alias("bkt"),
+        X.tokens(F.lower(F.col("text"))).alias("w"),
+    )
+    doc_stats = bucketed.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("docs_b"),
+        F.sum(F.size("w")).cast("long").alias("toks_b"),
+    )
+    first_bkt = (
+        bucketed.select("bkt", F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.min("bkt").alias("fb"))
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).alias("types_b"))
+    )
+    per_bkt = doc_stats.join(
+        first_bkt.withColumnRenamed("fb", "bkt"), "bkt", "full"
+    )
+    w_cum = Window.orderBy("rung").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(per_bkt.withColumnRenamed("bkt", "rung"), "rung", "left")
+        .select(
+            "rung",
+            F.coalesce(F.col("docs_b"), F.lit(0).cast("long")).alias("db"),
+            F.coalesce(F.col("toks_b"), F.lit(0).cast("long")).alias("tb"),
+            F.coalesce(F.col("types_b"), F.lit(0).cast("long")).alias("yb"),
+        )
+        .select(
+            "rung",
+            F.sum("db").over(w_cum).cast("long").alias("n_docs"),
+            F.sum("tb").over(w_cum).cast("long").alias("n_tokens"),
+            F.sum("yb").over(w_cum).cast("long").alias("n_types"),
+        )
+        .select(
+            "rung",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("rung")
+    )
+
+
+def heaps_law_curve_sql() -> str:
+    """DuckDB twin of :func:`heaps_law_curve`."""
+    R = HEAPS_RUNGS
+    toks = _sql_tokens("lower(text)")
+    return f"""
+WITH spine AS (SELECT unnest(range(1, {R} + 1)) AS rung),
+bucketed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('hp:' || doc_id), 1, 8) AS BIGINT)
+           % {R} + 1 AS bkt,
+         {toks} AS w
+  FROM documents
+),
+doc_stats AS (
+  SELECT bkt, COUNT(*) AS docs_b, CAST(SUM(len(w)) AS BIGINT) AS toks_b
+  FROM bucketed GROUP BY bkt
+),
+first_bkt AS (
+  SELECT fb AS bkt, COUNT(*) AS types_b
+  FROM (
+    SELECT t, MIN(bkt) AS fb
+    FROM (SELECT bkt, unnest(w) AS t FROM bucketed)
+    GROUP BY t
+  )
+  GROUP BY fb
+),
+per_bkt AS (
+  SELECT COALESCE(d.bkt, f.bkt) AS bkt, d.docs_b, d.toks_b, f.types_b
+  FROM doc_stats d FULL JOIN first_bkt f ON d.bkt = f.bkt
+),
+cum AS (
+  SELECT rung,
+         CAST(SUM(COALESCE(docs_b, 0)) OVER (ORDER BY rung
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs,
+         CAST(SUM(COALESCE(toks_b, 0)) OVER (ORDER BY rung
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens,
+         CAST(SUM(COALESCE(types_b, 0)) OVER (ORDER BY rung
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types
+  FROM spine LEFT JOIN per_bkt ON spine.rung = per_bkt.bkt
+)
+SELECT rung, n_docs, n_tokens, n_types,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
+         AS type_token_ratio
+FROM cum
+ORDER BY rung
+"""
+
+
+# --------------------------------------------------------------------------
+# quantized character-entropy profile
+# --------------------------------------------------------------------------
+
+
+def char_entropy_profile(docs: DataFrame) -> DataFrame:
+    """Character-entropy histogram — the classic Shannon-entropy
+    quality signal (near-zero entropy = degenerate repetition,
+    near-log2(alphabet) = alphabet soup; natural language sits in a
+    narrow band): per document, the INTEGER-quantized entropy
+    sum_c cnt_c * (bitlen(n) - bitlen(cnt_c)) — the ``bitlen`` idiom
+    standing in for -log2(cnt/n), identical in both engines — then a
+    histogram over deci-bits-per-char buckets (10 * E DIV n, integer
+    division; the ``tokens_per_byte`` bucketing convention).
+
+    The identity E = n*bitlen(n) - sum_c cnt_c*bitlen(cnt_c) needs
+    only the (doc, char) count table, so the whole operator is one
+    explode + two partial-aggregations; the shuffled volume is
+    distinct (doc, char) pairs — alphabet-bounded per document, a
+    tiny fraction of corpus bytes at any scale.
+
+    Output: (entropy_decibits, n_docs, total_chars),
+    bucket-ordered.
+    """
+    ch = (
+        fan_out(docs)
+        .select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
+        .filter(F.col("c") != "")
+    )
+    per_char = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    bitlen = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+    per_doc = per_char.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * bitlen(F.col("cnt"))).cast("long").alias("a"),
+    )
+    return (
+        per_doc.select(
+            F.expr(
+                "CAST((10 * (n * CAST(length(bin(n)) AS BIGINT) - a)) "
+                "DIV n AS BIGINT)"
+            ).alias("entropy_decibits"),
+            "n",
+        )
+        .groupBy("entropy_decibits")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_chars"),
+        )
+        .orderBy("entropy_decibits")
+    )
+
+
+def char_entropy_profile_sql() -> str:
+    """DuckDB twin of :func:`char_entropy_profile`."""
+    return """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+per_char AS (
+  SELECT doc_id, c, COUNT(*) AS cnt
+  FROM ch WHERE c <> '' GROUP BY doc_id, c
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * length(bin(cnt))) AS BIGINT) AS a
+  FROM per_char GROUP BY doc_id
+)
+SELECT CAST((10 * (n * length(bin(n)) - a)) // n AS BIGINT)
+         AS entropy_decibits,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_chars
+FROM per_doc
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# duplicated-n-gram character coverage (Gopher repetition, long grams)
+# --------------------------------------------------------------------------
+
+#: the long-gram rungs (Gopher A1.1 measures n = 5..10; the two ends
+#: bound the family and keep the sweep 2 passes).
+DUP_NGRAM_NS = (5, 10)
+
+
+def dup_ngram_char_fraction(docs: DataFrame) -> DataFrame:
+    """Gopher's long-gram repetition filter (Rae et al. 2021 §A1.1):
+    the fraction of characters covered by WITHIN-document duplicated
+    n-grams, for each rung in ``DUP_NGRAM_NS`` — the complement of
+    :func:`repetition_profile` (which measures 2/3-gram multiplicity)
+    and of :func:`~..dedup.suffix_dedup_spans` (which is CROSS-doc).
+
+    Per rung: explode token n-gram start positions, keep starts whose
+    gram occurs >= 2 times IN THE SAME document, expand each kept
+    start to its n covered token positions, de-duplicate positions
+    (overlaps counted once, as the paper specifies), and charge the
+    character length of covered tokens. The corpus-level readout is
+    the ratio of integer char sums — never a float fold. Char totals
+    count token characters (whitespace normalization is not
+    repetition).
+
+    Scale: per rung, one (doc, gram)-keyed count and one
+    (doc, position) distinct — both hash-partitioned by doc_id and
+    linear in corpus tokens. The rung table is the output spine.
+
+    Output: (gram_n, n_docs, n_docs_with_dup, total_token_chars,
+    dup_token_chars, dup_char_fraction), rung-ordered.
+    """
+    from pyspark.sql.window import Window
+
+    base = fan_out(docs).select(
+        "doc_id", X.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    toklens = base.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), F.length("tok").alias("tl"))
+    totals = base.select(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(
+            F.aggregate(
+                F.transform(F.col("t"), lambda x: F.length(x)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+        .cast("long")
+        .alias("tc"),
+    )
+    spine = docs.sparkSession.createDataFrame(
+        [(int(n),) for n in DUP_NGRAM_NS], "gram_n long"
+    )
+    parts = []
+    for n in DUP_NGRAM_NS:
+        pos = base.filter(F.size("t") >= n).select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - F.lit(n - 1))
+            ).alias("i"),
+            "t",
+        ).select(
+            "doc_id",
+            "i",
+            F.array_join(F.slice("t", F.col("i"), F.lit(n)), " ").alias("g"),
+        )
+        starts = (
+            pos.withColumn(
+                "cg",
+                F.count(F.lit(1)).over(Window.partitionBy("doc_id", "g")),
+            )
+            .filter(F.col("cg") >= 2)
+            .select("doc_id", "i")
+        )
+        covered = (
+            starts.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))
+                ).alias("p"),
+            )
+            .distinct()
+            .join(toklens, ["doc_id", "p"])
+        )
+        parts.append(
+            covered.groupBy()
+            .agg(
+                F.lit(int(n)).cast("long").alias("gram_n"),
+                F.countDistinct("doc_id").cast("long").alias("n_docs_with_dup"),
+                F.sum("tl").cast("long").alias("dup_chars"),
+            )
+        )
+    per_n = parts[0]
+    for p in parts[1:]:
+        per_n = per_n.unionByName(p)
+    return (
+        spine.join(per_n, "gram_n", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "gram_n",
+            F.col("nd").cast("long").alias("n_docs"),
+            F.coalesce(F.col("n_docs_with_dup"), F.lit(0).cast("long")).alias(
+                "n_docs_with_dup"
+            ),
+            F.coalesce(F.col("tc"), F.lit(0).cast("long")).alias(
+                "total_token_chars"
+            ),
+            F.coalesce(F.col("dup_chars"), F.lit(0).cast("long")).alias(
+                "dup_token_chars"
+            ),
+            F.when(
+                F.coalesce(F.col("tc"), F.lit(0)) > 0,
+                F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+                / F.col("tc").cast("double"),
+            ).alias("dup_char_fraction"),
+        )
+        .orderBy("gram_n")
+    )
+
+
+def dup_ngram_char_fraction_sql() -> str:
+    """DuckDB twin of :func:`dup_ngram_char_fraction`."""
+    toks = _sql_tokens("lower(text)")
+    blocks = []
+    for n in DUP_NGRAM_NS:
+        blocks.append(f"""
+  SELECT CAST({n} AS BIGINT) AS gram_n,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with_dup,
+         CAST(SUM(tl) AS BIGINT) AS dup_chars
+  FROM (
+    SELECT DISTINCT doc_id, p FROM (
+      SELECT doc_id, unnest(range(i, i + {n})) AS p
+      FROM (
+        SELECT doc_id, i,
+               COUNT(*) OVER (PARTITION BY doc_id, g) AS cg
+        FROM (
+          SELECT doc_id, i,
+                 array_to_string(list_slice(t, i, i + {n} - 1), ' ') AS g
+          FROM (
+            SELECT doc_id, unnest(range(1, len(t) - {n} + 2)) AS i, t
+            FROM base WHERE len(t) >= {n}
+          )
+        )
+      ) WHERE cg >= 2
+    )
+  ) cov JOIN toklens USING (doc_id, p)""")
+    union = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+toklens AS MATERIALIZED (
+  SELECT doc_id, i AS p, length(t[i]) AS tl
+  FROM base, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+totals AS (
+  SELECT COUNT(*) AS nd,
+         CAST(COALESCE(SUM(list_sum(list_transform(t, x -> length(x)))), 0)
+              AS BIGINT) AS tc
+  FROM base
+),
+spine(gram_n) AS (VALUES {", ".join(f"(CAST({n} AS BIGINT))" for n in DUP_NGRAM_NS)}),
+per_n AS (
+{union}
+)
+SELECT s.gram_n,
+       CAST(t.nd AS BIGINT) AS n_docs,
+       COALESCE(p.n_docs_with_dup, 0) AS n_docs_with_dup,
+       t.tc AS total_token_chars,
+       COALESCE(p.dup_chars, 0) AS dup_token_chars,
+       CASE WHEN t.tc > 0
+            THEN CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+                 / CAST(t.tc AS DOUBLE) END AS dup_char_fraction
+FROM spine s CROSS JOIN totals t
+LEFT JOIN per_n p ON s.gram_n = p.gram_n
+ORDER BY s.gram_n
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram entropy / diversity profile
+# --------------------------------------------------------------------------
+
+
+def ngram_entropy_profile(docs: DataFrame) -> DataFrame:
+    """Token-level Shannon diversity per source: quantized unigram
+    entropy and bigram CONDITIONAL entropy (the n-gram-diversity
+    readout used by corpus analyses like WIMBD, Elazar et al. 2024 —
+    low conditional entropy = templated/repetitive text even when
+    the unigram mix looks healthy; the gap H1 - H2 is how much of
+    the stream a bigram model already predicts).
+
+    Quantization is the ``bitlen`` idiom throughout (integer sums,
+    bit-exact cross-engine): H1 = sum_w c_w*(bitlen(T)-bitlen(c_w)),
+    H2 = sum_uv c_uv*(bitlen(c_u.)-bitlen(c_uv)) with c_u. the bigram
+    PREFIX count, both reported as deci-bits per occurrence (10*E
+    DIV occurrences — integer division).
+
+    Scale: two count tables — (source, word) and
+    (source, bigram) — both map-side combinable; the prefix counts
+    re-aggregate the bigram table (types, not occurrences). Nothing
+    else moves. Output: (source, n_tokens, n_types,
+    unigram_entropy_decibits, n_bigrams, n_bigram_types,
+    bigram_cond_entropy_decibits), source-ordered.
+    """
+    tok = fan_out(docs).select(
+        "doc_id", "source", X.tokens(F.lower(F.col("text"))).alias("w")
+    )
+    bitlen = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+    uni = (
+        tok.select("source", F.explode("w").alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni_tot = uni.groupBy("source").agg(F.sum("c").cast("long").alias("tt"))
+    h1 = (
+        uni.join(F.broadcast(uni_tot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("tt").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.col("c") * (bitlen(F.col("tt")) - bitlen(F.col("c"))))
+            .cast("long")
+            .alias("e1"),
+        )
+    )
+    bi = (
+        tok.filter(F.size("w") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("w"), i + 1).alias("u"),
+                        F.element_at(F.col("w"), i + 2).alias("v"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("source", F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .groupBy("source", "u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pre = bi.groupBy("source", "u").agg(F.sum("c").alias("cu"))
+    h2 = (
+        bi.join(pre, ["source", "u"])
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
+            F.sum(F.col("c") * (bitlen(F.col("cu")) - bitlen(F.col("c"))))
+            .cast("long")
+            .alias("e2"),
+        )
+    )
+    return (
+        h1.join(h2, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.expr("CAST((10 * e1) DIV n_tokens AS BIGINT)").alias(
+                "unigram_entropy_decibits"
+            ),
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("n_bigram_types"), F.lit(0).cast("long")).alias(
+                "n_bigram_types"
+            ),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.expr("CAST((10 * e2) DIV n_bigrams AS BIGINT)"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bigram_cond_entropy_decibits"),
+        )
+        .orderBy("source")
+    )
+
+
+def ngram_entropy_profile_sql() -> str:
+    """DuckDB twin of :func:`ngram_entropy_profile`."""
+    toks = _sql_tokens("lower(text)")
+    return f"""
+WITH tok AS (SELECT doc_id, source, {toks} AS w FROM documents),
+uni AS (
+  SELECT source, t, COUNT(*) AS c
+  FROM (SELECT source, unnest(w) AS t FROM tok)
+  GROUP BY source, t
+),
+uni_tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS tt FROM uni GROUP BY source
+),
+h1 AS (
+  SELECT u.source,
+         MAX(ut.tt) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(u.c * (length(bin(ut.tt)) - length(bin(u.c))))
+              AS BIGINT) AS e1
+  FROM uni u JOIN uni_tot ut ON u.source = ut.source
+  GROUP BY u.source
+),
+bi AS (
+  SELECT source, u, v, COUNT(*) AS c
+  FROM (
+    SELECT source, w[i] AS u, w[i+1] AS v
+    FROM tok, UNNEST(range(1, len(w))) AS un(i)
+    WHERE len(w) >= 2
+  )
+  GROUP BY source, u, v
+),
+pre AS (
+  SELECT source, u, SUM(c) AS cu FROM bi GROUP BY source, u
+),
+h2 AS (
+  SELECT b.source,
+         CAST(SUM(b.c) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+         CAST(SUM(b.c * (length(bin(p.cu)) - length(bin(b.c))))
+              AS BIGINT) AS e2
+  FROM bi b JOIN pre p ON b.source = p.source AND b.u = p.u
+  GROUP BY b.source
+)
+SELECT h1.source,
+       h1.n_tokens,
+       h1.n_types,
+       CAST((10 * h1.e1) // h1.n_tokens AS BIGINT)
+         AS unigram_entropy_decibits,
+       COALESCE(h2.n_bigrams, 0) AS n_bigrams,
+       COALESCE(h2.n_bigram_types, 0) AS n_bigram_types,
+       CASE WHEN h2.n_bigrams > 0
+            THEN CAST((10 * h2.e2) // h2.n_bigrams AS BIGINT)
+            ELSE 0 END AS bigram_cond_entropy_decibits
+FROM h1 LEFT JOIN h2 ON h1.source = h2.source
+ORDER BY h1.source
+"""

@@ -181,6 +181,23 @@ STAGED = [
      "documents"),
     ("ccnet_buckets", "soccerpredictor_spark.operators.textops",
      "documents"),
+    # round-14 staging (closed-form tests in test_staged_round14.py)
+    ("doremi_mixture", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("gopher_quality_rules", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("heaps_law_curve", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("char_entropy_profile", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("dup_ngram_char_fraction", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("ngram_entropy_profile", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("semdedup", "soccerpredictor_spark.operators.similarity",
+     "embeddings"),
+    ("pq_m_sweep", "soccerpredictor_spark.operators.similarity",
+     "embeddings"),
 ]
 
 
