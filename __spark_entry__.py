@@ -2462,6 +2462,38 @@ def _q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return textops.ccnet_buckets(read_table(spark, sf, "documents"))
 
 
+def _q_doremi_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.doremi_mixture(read_table(spark, sf, "documents"))
+
+
+def _q_gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.gopher_quality_rules(read_table(spark, sf, "documents"))
+
+
+def _q_heaps_law_curve(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.heaps_law_curve(read_table(spark, sf, "documents"))
+
+
+def _q_char_entropy_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.char_entropy_profile(read_table(spark, sf, "documents"))
+
+
+def _q_dup_ngram_char_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.dup_ngram_char_fraction(read_table(spark, sf, "documents"))
+
+
+def _q_ngram_entropy_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.ngram_entropy_profile(read_table(spark, sf, "documents"))
+
+
+def _q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.semdedup(read_table(spark, sf, "embeddings"))
+
+
+def _q_pq_m_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.pq_m_sweep(read_table(spark, sf, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness verifies the
     # first 50 entries in dict order (observed in CORRECTNESS_r01).
@@ -2474,58 +2506,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotations stay a pure prefix shift.  CI:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
         # --- never driver-verified (MUST be in the window) ---
-        "suffix_dedup_spans": _q_suffix_dedup_spans,
-        "vocab_ladder_fertility": _q_vocab_ladder_fertility,
-        "lsh_band_sweep": _q_lsh_band_sweep,
-        "dsir_importance_select": _q_dsir_importance_select,
-        "length_filter_sweep": _q_length_filter_sweep,
-        "template_dedup": _q_template_dedup,
-        "tokens_per_byte": _q_tokens_per_byte,
-        "ccnet_buckets": _q_ccnet_buckets,
-        # --- r7 cohort ---
-        "benford_check": _q_benford_check,
-        "weekly_change": _q_weekly_change,
-        "session_duration_histogram": _q_session_duration_histogram,
-        "media_chunk_dedup": _q_media_chunk_dedup,
-        "bloom_probe": _q_bloom_probe,
-        "heavy_hitters_cms": _q_heavy_hitters_cms,
-        "link_prediction": _q_link_prediction,
-        "roc_auc": _q_roc_auc,
-        "skyline_pareto": _q_skyline_pareto,
+        "doremi_mixture": _q_doremi_mixture,
+        "gopher_quality_rules": _q_gopher_quality_rules,
+        "heaps_law_curve": _q_heaps_law_curve,
+        "char_entropy_profile": _q_char_entropy_profile,
+        "dup_ngram_char_fraction": _q_dup_ngram_char_fraction,
+        "ngram_entropy_profile": _q_ngram_entropy_profile,
+        "semdedup": _q_semdedup,
+        "pq_m_sweep": _q_pq_m_sweep,
         # --- r8 cohort ---
-        "subsample_ci": _q_subsample_ci,
-        "grouped_ols": _q_grouped_ols,
-        "ndcg_at_k": _q_ndcg_at_k,
-        "conformal_interval": _q_conformal_interval,
-        "ab_test_ztest": _q_ab_test_ztest,
-        "attribution": _q_attribution,
-        "corr_matrix": _q_corr_matrix,
-        "text_canonicalize": _q_text_canonicalize,
-        "label_vote": _q_label_vote,
-        "calibration_bins": _q_calibration_bins,
-        "ks_drift": _q_ks_drift,
-        "ips_policy_eval": _q_ips_policy_eval,
-        "negative_sampling": _q_negative_sampling,
-        "time_weighted_average": _q_time_weighted_average,
-        "rfm_segments": _q_rfm_segments,
-        "simpson_diversity": _q_simpson_diversity,
-        "edit_distance_join": _q_edit_distance_join,
-        "basket_rules": _q_basket_rules,
-        "interval_merge": _q_interval_merge,
-        "linear_interpolate": _q_linear_interpolate,
-        "rrf_fusion": _q_rrf_fusion,
-        "tokenizer_fertility": _q_tokenizer_fertility,
-        "media_scene_segments": _q_media_scene_segments,
-        "snapshot_diff": _q_snapshot_diff,
-        "delta_attribution": _q_delta_attribution,
-        "embedding_pca_power": _q_embedding_pca_power,
-        "pii_redact": _q_pii_redact,
-        "ml_train_many_accuracy": _q_ml_train_many_accuracy,
-        "ml_train_many": _q_ml_train_many,
-        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "contamination_check": _q_contamination_check,
-        "dedup_clusters": _q_dedup_clusters,
         "dedup_containment": _q_dedup_containment,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -2798,6 +2787,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_profile": _q_hourly_profile,
         "rolling_distinct": _q_rolling_distinct,
         "centroid_shift": _q_centroid_shift,
+        # --- r14 cohort ---
+        "suffix_dedup_spans": _q_suffix_dedup_spans,
+        "vocab_ladder_fertility": _q_vocab_ladder_fertility,
+        "lsh_band_sweep": _q_lsh_band_sweep,
+        "dsir_importance_select": _q_dsir_importance_select,
+        "length_filter_sweep": _q_length_filter_sweep,
+        "template_dedup": _q_template_dedup,
+        "tokens_per_byte": _q_tokens_per_byte,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "benford_check": _q_benford_check,
+        "weekly_change": _q_weekly_change,
+        "session_duration_histogram": _q_session_duration_histogram,
+        "media_chunk_dedup": _q_media_chunk_dedup,
+        "bloom_probe": _q_bloom_probe,
+        "heavy_hitters_cms": _q_heavy_hitters_cms,
+        "link_prediction": _q_link_prediction,
+        "roc_auc": _q_roc_auc,
+        "skyline_pareto": _q_skyline_pareto,
+        "subsample_ci": _q_subsample_ci,
+        "grouped_ols": _q_grouped_ols,
+        "ndcg_at_k": _q_ndcg_at_k,
+        "conformal_interval": _q_conformal_interval,
+        "ab_test_ztest": _q_ab_test_ztest,
+        "attribution": _q_attribution,
+        "corr_matrix": _q_corr_matrix,
+        "text_canonicalize": _q_text_canonicalize,
+        "label_vote": _q_label_vote,
+        "calibration_bins": _q_calibration_bins,
+        "ks_drift": _q_ks_drift,
+        "ips_policy_eval": _q_ips_policy_eval,
+        "negative_sampling": _q_negative_sampling,
+        "time_weighted_average": _q_time_weighted_average,
+        "rfm_segments": _q_rfm_segments,
+        "simpson_diversity": _q_simpson_diversity,
+        "edit_distance_join": _q_edit_distance_join,
+        "basket_rules": _q_basket_rules,
+        "interval_merge": _q_interval_merge,
+        "linear_interpolate": _q_linear_interpolate,
+        "rrf_fusion": _q_rrf_fusion,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "media_scene_segments": _q_media_scene_segments,
+        "snapshot_diff": _q_snapshot_diff,
+        "delta_attribution": _q_delta_attribution,
+        "embedding_pca_power": _q_embedding_pca_power,
+        "pii_redact": _q_pii_redact,
+        "ml_train_many_accuracy": _q_ml_train_many_accuracy,
+        "ml_train_many": _q_ml_train_many,
+        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "contamination_check": _q_contamination_check,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -2825,6 +2865,14 @@ def oracle_sql() -> dict[str, str]:
         "template_dedup": textops.template_dedup_sql(),
         "tokens_per_byte": textops.tokens_per_byte_sql(),
         "ccnet_buckets": textops.ccnet_buckets_sql(),
+        "doremi_mixture": textops.doremi_mixture_sql(),
+        "gopher_quality_rules": textops.gopher_quality_rules_sql(),
+        "heaps_law_curve": textops.heaps_law_curve_sql(),
+        "char_entropy_profile": textops.char_entropy_profile_sql(),
+        "dup_ngram_char_fraction": textops.dup_ngram_char_fraction_sql(),
+        "ngram_entropy_profile": textops.ngram_entropy_profile_sql(),
+        "semdedup": similarity.semdedup_sql(),
+        "pq_m_sweep": similarity.pq_m_sweep_sql(),
         # --- round-13 registrations ---
         "ivf_nprobe_sweep": similarity.ivf_nprobe_sweep_sql(),
         "embedding_threshold_sweep": similarity.embedding_threshold_sweep_sql(),

@@ -7298,9 +7298,18 @@ def dup_ngram_char_fraction(docs: DataFrame) -> DataFrame:
     count token characters (whitespace normalization is not
     repetition).
 
-    Scale: per rung, one (doc, gram)-keyed count and one
-    (doc, position) distinct — both hash-partitioned by doc_id and
-    linear in corpus tokens. The rung table is the output spine.
+    Scale: per rung, the within-doc duplicate test runs behind the
+    ``suffix_dedup_spans`` fingerprint prefilter (round-14 advice):
+    the multiplicity count groups on (doc_id, md5-15-hex int64 fp of
+    the gram) — ~16 shuffled bytes per gram instead of the raw
+    up-to-10-token string — and only fp-duplicated candidates carry
+    their literal text into the exact (doc_id, gram) confirm window.
+    Equal text implies equal fp, so every true duplicate's full
+    occurrence set survives the prefilter and the confirmed set is
+    PROVABLY identical to the declarative criterion (the DuckDB twin
+    states that criterion directly). Then one (doc, position)
+    distinct — everything hash-partitioned by doc_id and linear in
+    corpus tokens. The rung table is the output spine.
 
     Output: (gram_n, n_docs, n_docs_with_dup, total_token_chars,
     dup_token_chars, dup_char_fraction), rung-ordered.
@@ -7341,8 +7350,25 @@ def dup_ngram_char_fraction(docs: DataFrame) -> DataFrame:
             "i",
             F.array_join(F.slice("t", F.col("i"), F.lit(n)), " ").alias("g"),
         )
+        grams = pos.withColumn(
+            "fp",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dg:"), F.col("g"))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        )
+        # pass 1: fp multiplicity — the shuffle moves (doc_id, fp) only
+        dup_fp = (
+            grams.groupBy("doc_id", "fp")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("doc_id", "fp")
+        )
+        # pass 2: exact confirm over the fp-duplicated candidates only
         starts = (
-            pos.withColumn(
+            grams.join(dup_fp, ["doc_id", "fp"])
+            .withColumn(
                 "cg",
                 F.count(F.lit(1)).over(Window.partitionBy("doc_id", "g")),
             )

@@ -18,41 +18,10 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 STAGED = [
-    (
-        "pq_recall_eval",
-        "soccerpredictor_spark.operators.similarity",
-        "embeddings",
-    ),
-    (
-        "theil_sen_trend",
-        "soccerpredictor_spark.operators.timeseries",
-        "events",
-    ),
-    (
-        "neyman_allocation",
-        "soccerpredictor_spark.operators.mlprep",
-        "orders",
-    ),
-    (
-        "rare_category_collapse",
-        "soccerpredictor_spark.operators.mlprep",
-        "lineitem",
-    ),
-    (
-        "hll_merge_audit",
-        "soccerpredictor_spark.operators.sketch",
-        "events",
-    ),
-    (
-        "cms_heavy_change",
-        "soccerpredictor_spark.operators.sketch",
-        "events",
-    ),
-    (
-        "mrr_at_k",
-        "soccerpredictor_spark.operators.mlprep",
-        "orders",
-    ),
+    # GRADUATION (round-15 housekeeping, r14 verdict #6): all 7
+    # round-9 staged ops registered in the round-10 window; their
+    # parity/plan gates run via tests/test_oracle_parity.py like every
+    # registered entry. Closed-form unit tests below are kept.
 ]
 
 

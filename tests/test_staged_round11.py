@@ -60,144 +60,14 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 STAGED = [
-    # stupid_backoff_lm, ngram_decontaminate, knn_label_eval graduated to
-    # the registry in round 11 (driver window positions 47-49); their
-    # parity now runs via tests/test_oracle_parity.py like every
-    # registered entry. Closed-form unit tests below are kept.
-    ("mann_whitney_u", "soccerpredictor_spark.operators.mlprep", "orders"),
-    ("holt_winters", "soccerpredictor_spark.operators.timeseries", "events"),
-    ("group_holdout_split", "soccerpredictor_spark.operators.mlprep",
-     "orders"),
-    ("mann_kendall", "soccerpredictor_spark.operators.timeseries", "events"),
-    ("bottomk_sample_audit", "soccerpredictor_spark.operators.sketch",
-     "events"),
-    ("clustering_coefficient", "soccerpredictor_spark.operators.graph",
-     "events"),
-    ("graph_assortativity", "soccerpredictor_spark.operators.graph",
-     "events"),
-    ("kcore_decomposition", "soccerpredictor_spark.operators.graph",
-     "events"),
-    ("bradley_terry_strength", "soccerpredictor_spark.operators.mlprep",
-     "lineitem"),
-    ("calibration_ece", "soccerpredictor_spark.operators.mlprep", "orders"),
-    ("source_overlap_matrix", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("lsh_pair_recall_eval", "soccerpredictor_spark.operators.dedup",
-     "documents"),
-    ("embedding_drift", "soccerpredictor_spark.operators.similarity",
-     "embeddings"),
-    ("stratified_kfold", "soccerpredictor_spark.operators.mlprep", "orders"),
-    ("dedup_threshold_sweep", "soccerpredictor_spark.operators.dedup",
-     "documents"),
-    ("burst_episodes", "soccerpredictor_spark.operators.timeseries",
-     "events"),
-    ("capped_mix_waterfill", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("ams_f2_audit", "soccerpredictor_spark.operators.sketch", "events"),
-    ("fd_audit", "soccerpredictor_spark.operators.quality", "lineitem"),
-    ("matthews_corr", "soccerpredictor_spark.operators.mlprep", "orders"),
-    ("overdispersion_audit", "soccerpredictor_spark.operators.timeseries",
-     "events"),
-    ("record_highs", "soccerpredictor_spark.operators.timeseries", "events"),
-    ("topk_churn", "soccerpredictor_spark.operators.timeseries", "events"),
-    ("histogram_overlap_drift", "soccerpredictor_spark.operators.quality",
-     "documents"),
-    ("weighted_median", "soccerpredictor_spark.operators.mlprep", "lineitem"),
-    ("interarrival_profile", "soccerpredictor_spark.operators.timeseries",
-     "events"),
-    ("dedup_shingle_sweep", "soccerpredictor_spark.operators.dedup",
-     "documents"),
-    ("hod_uniformity", "soccerpredictor_spark.operators.timeseries",
-     "events"),
-    ("table_checksum", "soccerpredictor_spark.operators.quality",
-     "lineitem"),
-    ("out_of_order_audit", "soccerpredictor_spark.operators.timeseries",
-     "events"),
-    ("dedup_cluster_sizes", "soccerpredictor_spark.operators.dedup",
-     "documents"),
-    ("attribution_compare", "soccerpredictor_spark.operators.windows",
-     "events"),
-    ("freshness_audit", "soccerpredictor_spark.operators.timeseries",
-     "events"),
-    ("hll_intersection_est", "soccerpredictor_spark.operators.sketch",
-     "events"),
-    ("value_concentration", "soccerpredictor_spark.operators.skew",
-     "events"),
-    ("temporal_leakage_audit", "soccerpredictor_spark.operators.mlprep",
-     "events"),
-    ("source_dup_rate", "soccerpredictor_spark.operators.dedup",
-     "documents"),
-    ("rank_stability_tau", "soccerpredictor_spark.operators.timeseries",
-     "events"),
-    ("activity_streaks", "soccerpredictor_spark.operators.timeseries",
-     "events"),
-    ("gini_activity", "soccerpredictor_spark.operators.skew", "events"),
-    ("session_gap_sweep", "soccerpredictor_spark.operators.timeseries",
-     "events"),
-    # round-11 staging
-    ("bpe_learn_merges", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("corpus_shuffle", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("kneser_ney_bigram", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("bpe_encode_fertility", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("curriculum_order", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("doc_token_budget", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("embedding_split_leakage", "soccerpredictor_spark.operators.similarity",
-     "embeddings"),
-    ("token_balanced_shards", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("temperature_sweep", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("ivf_nprobe_sweep", "soccerpredictor_spark.operators.similarity",
-     "embeddings"),
-    ("embedding_threshold_sweep", "soccerpredictor_spark.operators.similarity",
-     "embeddings"),
-    ("bpe_merge_curve", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("rfm_quintiles", "soccerpredictor_spark.operators.mlprep", "orders"),
-    ("kneser_ney_trigram", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("unigram_lm_pieces", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    # round-13 staging (closed-form tests in test_staged_round13.py)
-    ("suffix_dedup_spans", "soccerpredictor_spark.operators.dedup",
-     "documents"),
-    ("vocab_ladder_fertility", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("lsh_band_sweep", "soccerpredictor_spark.operators.dedup",
-     "documents"),
-    ("dsir_importance_select", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("length_filter_sweep", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("template_dedup", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("tokens_per_byte", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("ccnet_buckets", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    # round-14 staging (closed-form tests in test_staged_round14.py)
-    ("doremi_mixture", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("gopher_quality_rules", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("heaps_law_curve", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("char_entropy_profile", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("dup_ngram_char_fraction", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("ngram_entropy_profile", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("semdedup", "soccerpredictor_spark.operators.similarity",
-     "embeddings"),
-    ("pq_m_sweep", "soccerpredictor_spark.operators.similarity",
-     "embeddings"),
+    # GRADUATION (round-15 housekeeping, r14 verdict #6): every prior
+    # staged batch (r11 holdovers through the round-14 batch
+    # doremi_mixture..pq_m_sweep) is now REGISTERED, so parity/plan
+    # gates for all of them run via tests/test_oracle_parity.py and
+    # gen_plans-audited plans like every registered entry. Their
+    # closed-form unit tests below are kept. This list holds ONLY
+    # not-yet-registered staged operators: (name, module, table).
+    # round-15 staging (closed-form tests in test_staged_round15.py)
 ]
 
 
