@@ -2639,54 +2639,12 @@ SEMDEDUP_COARSE_MIN = 4
 SEMDEDUP_MAX_PAIRS_PER_ROW = 2 * SEMDEDUP_CLUSTER_TARGET
 
 
-def semdedup(emb: DataFrame) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): drop semantic duplicates —
-    vectors whose cosine similarity inside the SAME embedding cluster
-    exceeds ``SEMDEDUP_THRESHOLD`` — keeping one representative per
-    duplicate neighborhood (deterministic keep-lowest-vec_id instead
-    of the paper's random pick). Per-cluster readout of how much of
-    the corpus semantic dedup removes.
-
-    Engine shape:
-    - cluster count K = max(16, ceil(n / SEMDEDUP_CLUSTER_TARGET)):
-      the paper's K-grows-with-n regime, which keeps the
-      within-cluster self-join ~TARGET/2 pairs per row — the PAIR
-      volume is linear at 100 TB, guarded by
-      ``candidate_budget_guard`` (loud abort, never a silent cap);
-    - ASSIGNMENT is two-level (round-14 advice: a flat argmin over
-      all K centroids is O(n*K) = O(n^2/TARGET) work and a
-      with-n-growing single broadcast array row). A coarse quantizer
-      of K_coarse = max(SEMDEDUP_COARSE_MIN, ceil(sqrt(K)))
-      lowest-vec_id seeds is the only array broadcast to every row
-      (O(sqrt(K)) structs — ~4.6k entries at 10^9 vectors, bounded);
-      the K fine centroids (lowest-vec_id seeds; production drops
-      trained k-means centroids into the same plan) are themselves
-      coarse-assigned and grouped into per-cell arrays, and each row
-      joins to ITS cell by coarse_id — a key join Catalyst/AQE sizes
-      at runtime (broadcast at fixture scale, shuffle at 100 TB) —
-      then takes the fine argmin over ~sqrt(K) in-cell entries.
-      Total assignment work O(n*sqrt(K)); every fine centroid seeds
-      its own cell (distance 0 to itself), so no cell is empty. This
-      is IVF nprobe=1 semantics — both engines implement the
-      identical two-level rule, so assignments match bit-for-bit
-      (exact int64 distances, ties to the lowest centroid id);
-    - the pairwise cosine is the ``cosine_near_dup`` convention:
-      exact int64 dot / sqrt norms — both engines evaluate the
-      identical expression tree, so the threshold compare is
-      bit-equal;
-    - a vector is DROPPED iff some same-cluster neighbor with a
-      smaller vec_id clears the threshold (one left-semi per
-      cluster member — no iteration, no connected components).
-
-    K is read once from a count (bounded 1-row read at build time,
-    the LSH-builder class). The assigned (vec_id, cluster_id) frame
-    is materialized once via ``plan_keyed_cache`` + localCheckpoint
-    before the budget guard reads it (round-14 advice: the guard's
-    eager count must not re-evaluate the assignment for the output).
-    Output: (cluster_id, n_items, n_dropped, keep_rate),
-    cluster-ordered; clusters with no members are absent (the
-    centroid spine is data-driven).
-    """
+def _semdedup_assigned(emb: DataFrame) -> DataFrame:
+    """Shared two-level cluster assignment behind :func:`semdedup`
+    and :func:`semdedup_threshold_sweep`: (vec_id, iv, nrm,
+    cluster_id), materialized once per (session, input plan) via
+    ``plan_keyed_cache`` + localCheckpoint and budget-guarded. See
+    :func:`semdedup` for the full engine-shape rationale."""
     import math
 
     from soccerpredictor_spark.operators.scale import (
@@ -2777,6 +2735,13 @@ def semdedup(emb: DataFrame) -> DataFrame:
         "semdedup",
         max_pairs_per_row=SEMDEDUP_MAX_PAIRS_PER_ROW,
     )
+    return assigned
+
+
+def _semdedup_pairs(assigned: DataFrame):
+    """Within-cluster candidate pairs (cluster_id, vec_a, vec_b) plus
+    the exact-int cosine expression, shared by :func:`semdedup` and
+    :func:`semdedup_threshold_sweep`."""
     a = assigned.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("vec_a"),
@@ -2793,10 +2758,62 @@ def semdedup(emb: DataFrame) -> DataFrame:
         F.sqrt(F.col("nrm_a").cast("double"))
         * F.sqrt(F.col("nrm_b").cast("double"))
     )
+    pairs = a.join(b, "cluster_id").filter(F.col("vec_a") < F.col("vec_b"))
+    return pairs, sim
+
+
+def semdedup(emb: DataFrame) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop semantic duplicates —
+    vectors whose cosine similarity inside the SAME embedding cluster
+    exceeds ``SEMDEDUP_THRESHOLD`` — keeping one representative per
+    duplicate neighborhood (deterministic keep-lowest-vec_id instead
+    of the paper's random pick). Per-cluster readout of how much of
+    the corpus semantic dedup removes.
+
+    Engine shape:
+    - cluster count K = max(16, ceil(n / SEMDEDUP_CLUSTER_TARGET)):
+      the paper's K-grows-with-n regime, which keeps the
+      within-cluster self-join ~TARGET/2 pairs per row — the PAIR
+      volume is linear at 100 TB, guarded by
+      ``candidate_budget_guard`` (loud abort, never a silent cap);
+    - ASSIGNMENT is two-level (round-14 advice: a flat argmin over
+      all K centroids is O(n*K) = O(n^2/TARGET) work and a
+      with-n-growing single broadcast array row). A coarse quantizer
+      of K_coarse = max(SEMDEDUP_COARSE_MIN, ceil(sqrt(K)))
+      lowest-vec_id seeds is the only array broadcast to every row
+      (O(sqrt(K)) structs — ~4.6k entries at 10^9 vectors, bounded);
+      the K fine centroids (lowest-vec_id seeds; production drops
+      trained k-means centroids into the same plan) are themselves
+      coarse-assigned and grouped into per-cell arrays, and each row
+      joins to ITS cell by coarse_id — a key join Catalyst/AQE sizes
+      at runtime (broadcast at fixture scale, shuffle at 100 TB) —
+      then takes the fine argmin over ~sqrt(K) in-cell entries.
+      Total assignment work O(n*sqrt(K)); every fine centroid seeds
+      its own cell (distance 0 to itself), so no cell is empty. This
+      is IVF nprobe=1 semantics — both engines implement the
+      identical two-level rule, so assignments match bit-for-bit
+      (exact int64 distances, ties to the lowest centroid id);
+    - the pairwise cosine is the ``cosine_near_dup`` convention:
+      exact int64 dot / sqrt norms — both engines evaluate the
+      identical expression tree, so the threshold compare is
+      bit-equal;
+    - a vector is DROPPED iff some same-cluster neighbor with a
+      smaller vec_id clears the threshold (one left-semi per
+      cluster member — no iteration, no connected components).
+
+    K is read once from a count (bounded 1-row read at build time,
+    the LSH-builder class). The assigned (vec_id, cluster_id) frame
+    is materialized once via ``plan_keyed_cache`` + localCheckpoint
+    before the budget guard reads it (round-14 advice: the guard's
+    eager count must not re-evaluate the assignment for the output).
+    Output: (cluster_id, n_items, n_dropped, keep_rate),
+    cluster-ordered; clusters with no members are absent (the
+    centroid spine is data-driven).
+    """
+    assigned = _semdedup_assigned(emb)
+    pairs, sim = _semdedup_pairs(assigned)
     dropped = (
-        a.join(b, "cluster_id")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(sim >= SEMDEDUP_THRESHOLD)
+        pairs.filter(sim >= SEMDEDUP_THRESHOLD)
         .select("cluster_id", F.col("vec_b").alias("vec_id"))
         .distinct()
         .groupBy("cluster_id")
@@ -2822,11 +2839,12 @@ def semdedup(emb: DataFrame) -> DataFrame:
     )
 
 
-def semdedup_sql() -> str:
-    """DuckDB twin of :func:`semdedup` (K and K_coarse computed
-    in-SQL from the same count + ceilings; the identical two-level
-    coarse→fine assignment rule, exact int64 distances, ties to the
-    lowest centroid id at both levels)."""
+def _semdedup_assigned_sql() -> str:
+    """The shared WITH-chain (kk .. assigned) implementing the
+    identical two-level coarse→fine assignment rule in DuckDB (exact
+    int64 distances, ties to the lowest centroid id at both levels),
+    composed by :func:`semdedup_sql` and
+    :func:`semdedup_threshold_sweep_sql`."""
     nrm_f = V.sql_dot("f.cemb", "f.cemb")
     nrm_cc = V.sql_dot("c.ccemb", "c.ccemb")
     dot_fc = V.sql_dot("f.cemb", "c.ccemb")
@@ -2835,9 +2853,7 @@ def semdedup_sql() -> str:
     nrm_r = V.sql_dot("r.embedding", "r.embedding")
     nrm_fc2 = V.sql_dot("f.cemb", "f.cemb")
     dot_rf = V.sql_dot("r.embedding", "f.cemb")
-    cos = V.sql_cosine("a.embedding", "b.embedding")
-    return f"""
-WITH kk AS (
+    return f"""kk AS (
   SELECT GREATEST(16, CAST(CEIL(CAST(COUNT(*) AS DOUBLE)
          / {SEMDEDUP_CLUSTER_TARGET}.0) AS BIGINT)) AS k
   FROM embeddings
@@ -2892,7 +2908,16 @@ assigned AS (
            ) AS rn
     FROM row_coarse r JOIN fine_cell f ON r.coarse_id = f.coarse_id
   ) WHERE rn = 1
-),
+)"""
+
+
+def semdedup_sql() -> str:
+    """DuckDB twin of :func:`semdedup` (K and K_coarse computed
+    in-SQL from the same count + ceilings; assignment CTEs shared via
+    :func:`_semdedup_assigned_sql`)."""
+    cos = V.sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH {_semdedup_assigned_sql()},
 dropped AS (
   SELECT cluster_id, COUNT(*) AS n_dropped
   FROM (
@@ -2910,6 +2935,105 @@ SELECT s.cluster_id,
 FROM assigned s LEFT JOIN dropped d ON s.cluster_id = d.cluster_id
 GROUP BY s.cluster_id
 ORDER BY s.cluster_id
+"""
+
+
+#: thresholds swept by semdedup_threshold_sweep — brackets the
+#: operating point SEMDEDUP_THRESHOLD pins (the sweep-table family:
+#: ``pq_m_sweep`` reads bytes-vs-recall, this reads the paper's
+#: removal-rate-vs-threshold dial, Abbas et al. 2023 Fig. 2).
+SEMDEDUP_SWEEP = (0.2, 0.4, 0.6, 0.8)
+
+
+def semdedup_threshold_sweep(emb: DataFrame) -> DataFrame:
+    """Corpus removal rate vs the SemDeDup cosine threshold — the
+    tuning table for :func:`semdedup`'s single operating point: how
+    much of the corpus semantic dedup would drop at each rung of
+    ``SEMDEDUP_SWEEP``.
+
+    Engine shape: the two-level cluster assignment is SHARED with
+    :func:`semdedup` through the same ``plan_keyed_cache`` entry
+    (key "semdedup_assign" — a session running both pays the
+    checkpointed assignment once), and the within-cluster pair pass
+    runs ONCE for all rungs: per victim vector, keep the MAX cosine
+    against any smaller-vec_id same-cluster neighbor (one groupBy
+    over the budget-guarded pair stream), then every rung is a pure
+    comparison against that per-vector scalar — rungs cost one tiny
+    aggregation each, never a pair-join re-run. Drop semantics are
+    exactly :func:`semdedup`'s: dropped iff best incriminating
+    cosine >= threshold.
+
+    Output: (threshold, n_items, n_dropped, drop_rate),
+    threshold-ordered; n_items is the full corpus count on every
+    rung (the spine is the constant sweep tuple).
+    """
+    assigned = _semdedup_assigned(emb)
+    pairs, sim = _semdedup_pairs(assigned)
+    best = (
+        pairs.select(F.col("vec_b").alias("vec_id"), sim.alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("best_sim"))
+    )
+    spark = emb.sparkSession
+    spine = spark.createDataFrame(
+        [(float(t),) for t in SEMDEDUP_SWEEP], "threshold double"
+    )
+    n_items = assigned.agg(F.count(F.lit(1)).alias("n_items"))
+    dropped = (
+        spine.crossJoin(best)
+        .filter(F.col("best_sim") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        spine.join(dropped, "threshold", "left")
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            "threshold",
+            F.col("n_items").cast("long").alias("n_items"),
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias(
+                "n_dropped"
+            ),
+            F.when(
+                F.col("n_items") > 0,
+                F.coalesce(F.col("n_dropped"), F.lit(0)).cast("double")
+                / F.col("n_items").cast("double"),
+            ).alias("drop_rate"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def semdedup_threshold_sweep_sql() -> str:
+    """DuckDB twin of :func:`semdedup_threshold_sweep` (assignment
+    CTEs shared via :func:`_semdedup_assigned_sql`; the same
+    per-victim best-cosine collapse, rungs as a VALUES spine)."""
+    cos = V.sql_cosine("a.embedding", "b.embedding")
+    spine = ", ".join(f"(CAST({t!r} AS DOUBLE))" for t in SEMDEDUP_SWEEP)
+    return f"""
+WITH {_semdedup_assigned_sql()},
+best AS (
+  SELECT b.vec_id, MAX({cos}) AS best_sim
+  FROM assigned a JOIN assigned b USING (cluster_id)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY b.vec_id
+),
+spine(threshold) AS (VALUES {spine}),
+tot AS (SELECT COUNT(*) AS n_items FROM assigned),
+dropped AS (
+  SELECT s.threshold, COUNT(*) AS n_dropped
+  FROM spine s JOIN best b ON b.best_sim >= s.threshold
+  GROUP BY s.threshold
+)
+SELECT s.threshold,
+       CAST(t.n_items AS BIGINT) AS n_items,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CASE WHEN t.n_items > 0
+            THEN CAST(COALESCE(d.n_dropped, 0) AS DOUBLE)
+                 / CAST(t.n_items AS DOUBLE) END AS drop_rate
+FROM spine s CROSS JOIN tot t
+LEFT JOIN dropped d ON s.threshold = d.threshold
+ORDER BY s.threshold
 """
 
 

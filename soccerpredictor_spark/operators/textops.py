@@ -6523,6 +6523,36 @@ ORDER BY source, tpb_bucket
 # --------------------------------------------------------------------------
 
 
+def _ccnet_tagged(docs: DataFrame) -> DataFrame:
+    """Per-document CCNet bucket tags (doc_id, lang, ppl_bucket,
+    n_rare, n_bigrams) — the scored/bucketed stream shared by
+    :func:`ccnet_buckets` (bucket-mass aggregate) and
+    :func:`quality_calibration_bins` (per-doc bucket label).
+    Documents without bigrams carry no LM evidence and are absent,
+    exactly as in :func:`perplexity_filter`."""
+    scored = perplexity_filter(docs).select(
+        "doc_id", "n_bigrams", "n_rare", "rare_rate"
+    )
+    withlang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    q1, q2 = 1.0 / 3.0, 2.0 / 3.0
+    edges = withlang.groupBy("lang").agg(
+        F.expr(
+            f"percentile_disc({q1!r}) WITHIN GROUP (ORDER BY rare_rate)"
+        ).alias("e1"),
+        F.expr(
+            f"percentile_disc({q2!r}) WITHIN GROUP (ORDER BY rare_rate)"
+        ).alias("e2"),
+    )
+    bucket = (
+        F.when(F.col("rare_rate") > F.col("e2"), F.lit("c_tail"))
+        .when(F.col("rare_rate") > F.col("e1"), F.lit("b_middle"))
+        .otherwise(F.lit("a_head"))
+    )
+    return withlang.join(F.broadcast(edges), "lang").select(
+        "doc_id", "lang", bucket.alias("ppl_bucket"), "n_rare", "n_bigrams"
+    )
+
+
 def ccnet_buckets(docs: DataFrame) -> DataFrame:
     """CCNet's head/middle/tail language-model buckets (Wenzek et
     al. 2020): per LANGUAGE, split documents at the terciles of their
@@ -6545,27 +6575,9 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
     lang/bucket-ordered (head < middle < tail lexicographically by
     design: 'a_head' < 'b_middle' < 'c_tail').
     """
-    scored = perplexity_filter(docs).select(
-        "doc_id", "n_bigrams", "n_rare", "rare_rate"
-    )
-    withlang = scored.join(docs.select("doc_id", "lang"), "doc_id")
-    q1, q2 = 1.0 / 3.0, 2.0 / 3.0
-    edges = withlang.groupBy("lang").agg(
-        F.expr(
-            f"percentile_disc({q1!r}) WITHIN GROUP (ORDER BY rare_rate)"
-        ).alias("e1"),
-        F.expr(
-            f"percentile_disc({q2!r}) WITHIN GROUP (ORDER BY rare_rate)"
-        ).alias("e2"),
-    )
-    bucket = (
-        F.when(F.col("rare_rate") > F.col("e2"), F.lit("c_tail"))
-        .when(F.col("rare_rate") > F.col("e1"), F.lit("b_middle"))
-        .otherwise(F.lit("a_head"))
-    )
     return (
-        withlang.join(F.broadcast(edges), "lang")
-        .select("lang", bucket.alias("ppl_bucket"), "n_rare", "n_bigrams")
+        _ccnet_tagged(docs)
+        .select("lang", "ppl_bucket", "n_rare", "n_bigrams")
         .groupBy("lang", "ppl_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -6578,12 +6590,13 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
     )
 
 
-def ccnet_buckets_sql() -> str:
-    """DuckDB twin of :func:`ccnet_buckets` — composes the
-    perplexity_filter twin as a CTE."""
+def _ccnet_tagged_sql() -> str:
+    """The shared pf/withlang/edges/tagged CTE chain (per-document
+    CCNet bucket tags with doc_id) composed by
+    :func:`ccnet_buckets_sql` and
+    :func:`quality_calibration_bins_sql`."""
     q1, q2 = 1.0 / 3.0, 2.0 / 3.0
-    return f"""
-WITH pf AS ({perplexity_filter_sql()}),
+    return f"""pf AS ({perplexity_filter_sql()}),
 withlang AS (
   SELECT pf.doc_id, pf.n_bigrams, pf.n_rare, pf.rare_rate, d.lang
   FROM pf JOIN documents d ON pf.doc_id = d.doc_id
@@ -6595,13 +6608,20 @@ edges AS (
   FROM withlang GROUP BY lang
 ),
 tagged AS (
-  SELECT w.lang,
+  SELECT w.doc_id, w.lang,
          CASE WHEN w.rare_rate > e.e2 THEN 'c_tail'
               WHEN w.rare_rate > e.e1 THEN 'b_middle'
               ELSE 'a_head' END AS ppl_bucket,
          w.n_rare, w.n_bigrams
   FROM withlang w JOIN edges e ON w.lang = e.lang
-)
+)"""
+
+
+def ccnet_buckets_sql() -> str:
+    """DuckDB twin of :func:`ccnet_buckets` — bucket-tag CTEs shared
+    via :func:`_ccnet_tagged_sql`."""
+    return f"""
+WITH {_ccnet_tagged_sql()}
 SELECT lang, ppl_bucket, COUNT(*) AS n_docs,
        CAST(SUM(n_rare) AS DOUBLE) / CAST(SUM(n_bigrams) AS DOUBLE)
          AS bucket_rare_rate
@@ -6909,6 +6929,43 @@ GOPHER_MIN_WLEN, GOPHER_MAX_WLEN = 3, 10
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _gopher_per_doc(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher rule flags (doc_id, source, f_wc, f_wl,
+    f_sym, f_al, f_st) — the scan-projection shared by
+    :func:`gopher_quality_rules` (rule-level aggregate) and
+    :func:`quality_calibration_bins` (per-doc pass label). One scan,
+    fully codegen'd, zero shuffles."""
+    w = X.tokens(F.lower(F.col("text")))
+    n = F.size(w)
+    wchars = F.aggregate(
+        F.transform(w, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    hash_cnt = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ell_cnt = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    symbols = (hash_cnt + ell_cnt).cast("long")
+    alpha = F.size(F.filter(w, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    nstop = F.size(F.array_intersect(F.array_distinct(w), stop_arr))
+    return fan_out(docs).select(
+        "doc_id",
+        "source",
+        (
+            (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS)
+        ).alias("f_wc"),
+        (
+            (F.lit(GOPHER_MIN_WLEN) * n > wchars)
+            | (wchars > F.lit(GOPHER_MAX_WLEN) * n)
+        ).alias("f_wl"),
+        (F.lit(10) * symbols > n).alias("f_sym"),
+        (F.lit(5) * alpha < F.lit(4) * n).alias("f_al"),
+        (nstop < 2).alias("f_st"),
+    )
+
+
 def gopher_quality_rules(docs: DataFrame) -> DataFrame:
     """Gopher quality-filter rules (Rae et al. 2021 §A1.1, the
     non-repetition half — repetition lives in
@@ -6929,34 +6986,7 @@ def gopher_quality_rules(docs: DataFrame) -> DataFrame:
     fail_symbol_ratio, fail_alpha_words, fail_stopwords, n_pass,
     pass_rate), source-ordered.
     """
-    w = X.tokens(F.lower(F.col("text")))
-    n = F.size(w)
-    wchars = F.aggregate(
-        F.transform(w, lambda t: F.length(t)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    hash_cnt = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
-    ell_cnt = (
-        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
-    ) / F.lit(3)
-    symbols = (hash_cnt + ell_cnt).cast("long")
-    alpha = F.size(F.filter(w, lambda t: t.rlike("[a-z]")))
-    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    nstop = F.size(F.array_intersect(F.array_distinct(w), stop_arr))
-    per_doc = fan_out(docs).select(
-        "source",
-        (
-            (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS)
-        ).alias("f_wc"),
-        (
-            (F.lit(GOPHER_MIN_WLEN) * n > wchars)
-            | (wchars > F.lit(GOPHER_MAX_WLEN) * n)
-        ).alias("f_wl"),
-        (F.lit(10) * symbols > n).alias("f_sym"),
-        (F.lit(5) * alpha < F.lit(4) * n).alias("f_al"),
-        (nstop < 2).alias("f_st"),
-    )
+    per_doc = _gopher_per_doc(docs)
     cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
     return (
         per_doc.groupBy("source")
@@ -6997,13 +7027,14 @@ def gopher_quality_rules(docs: DataFrame) -> DataFrame:
     )
 
 
-def gopher_quality_rules_sql() -> str:
-    """DuckDB twin of :func:`gopher_quality_rules`."""
+def _gopher_flags_sql() -> str:
+    """The shared per_doc/flags CTE pair (per-document Gopher rule
+    flags with doc_id) composed by :func:`gopher_quality_rules_sql`
+    and :func:`quality_calibration_bins_sql`."""
     toks = _sql_tokens("lower(text)")
     stop_lit = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
-    return f"""
-WITH per_doc AS (
-  SELECT source,
+    return f"""per_doc AS (
+  SELECT doc_id, source,
          len(w) AS n,
          list_sum(list_transform(w, t -> length(t))) AS wchars,
          CAST(length(text) - length(replace(text, '#', ''))
@@ -7011,10 +7042,10 @@ WITH per_doc AS (
               AS BIGINT) AS symbols,
          len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS alpha,
          len(list_intersect(list_distinct(w), {stop_lit})) AS nstop
-  FROM (SELECT source, text, {toks} AS w FROM documents)
+  FROM (SELECT doc_id, source, text, {toks} AS w FROM documents)
 ),
 flags AS (
-  SELECT source,
+  SELECT doc_id, source,
          (n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS}) AS f_wc,
          ({GOPHER_MIN_WLEN} * n > COALESCE(wchars, 0)
           OR COALESCE(wchars, 0) > {GOPHER_MAX_WLEN} * n) AS f_wl,
@@ -7022,7 +7053,14 @@ flags AS (
          (5 * alpha < 4 * n) AS f_al,
          (nstop < 2) AS f_st
   FROM per_doc
-)
+)"""
+
+
+def gopher_quality_rules_sql() -> str:
+    """DuckDB twin of :func:`gopher_quality_rules` (flag CTEs shared
+    via :func:`_gopher_flags_sql`)."""
+    return f"""
+WITH {_gopher_flags_sql()}
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT)
@@ -7638,4 +7676,243 @@ SELECT h1.source,
             ELSE 0 END AS bigram_cond_entropy_decibits
 FROM h1 LEFT JOIN h2 ON h1.source = h2.source
 ORDER BY h1.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Quality-classifier calibration: CCNet buckets vs Gopher rules
+# --------------------------------------------------------------------------
+
+
+def quality_calibration_bins(docs: DataFrame) -> DataFrame:
+    """Calibration of the CCNet perplexity buckets against the Gopher
+    rule-based quality label (the round-14 verdict's named gap): per
+    (lang, ppl_bucket) cell, what fraction of documents pass ALL five
+    Gopher §A1.1 rules — the table that says whether the LM-score
+    buckets actually sort by rule-based quality (CCNet's premise:
+    head cleaner than tail) on THIS corpus, before anyone trains on
+    "head only".
+
+    Engine shape: composes the two existing scorers through their
+    shared per-doc projections — :func:`_ccnet_tagged` (bucket label;
+    one scored scan + tercile broadcast) and :func:`_gopher_per_doc`
+    (rule flags; one pure scan projection) — joined on doc_id (one
+    shuffle of two slim per-doc streams), then a (lang, bucket)
+    aggregation. Documents without bigrams carry no LM evidence and
+    are absent, exactly as in :func:`ccnet_buckets`. The pass label
+    is a pure integer 0/1, the rate a ratio of integer sums.
+
+    Output: (lang, ppl_bucket, n_docs, n_gopher_pass, pass_rate),
+    lang/bucket-ordered.
+    """
+    tagged = _ccnet_tagged(docs).select("doc_id", "lang", "ppl_bucket")
+    passed = (
+        ~F.col("f_wc") & ~F.col("f_wl") & ~F.col("f_sym")
+        & ~F.col("f_al") & ~F.col("f_st")
+    )
+    labels = _gopher_per_doc(docs).select(
+        "doc_id", F.when(passed, 1).otherwise(0).cast("long").alias("ok")
+    )
+    return (
+        tagged.join(labels, "doc_id")
+        .groupBy("lang", "ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ok").cast("long").alias("n_gopher_pass"),
+        )
+        .select(
+            "lang",
+            "ppl_bucket",
+            "n_docs",
+            "n_gopher_pass",
+            (
+                F.col("n_gopher_pass").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("pass_rate"),
+        )
+        .orderBy("lang", "ppl_bucket")
+    )
+
+
+def quality_calibration_bins_sql() -> str:
+    """DuckDB twin of :func:`quality_calibration_bins` — composes the
+    shared :func:`_ccnet_tagged_sql` and :func:`_gopher_flags_sql`
+    CTE chains."""
+    return f"""
+WITH {_ccnet_tagged_sql()},
+{_gopher_flags_sql()},
+labels AS (
+  SELECT doc_id,
+         CAST(CASE WHEN NOT f_wc AND NOT f_wl AND NOT f_sym
+                    AND NOT f_al AND NOT f_st THEN 1 ELSE 0 END
+              AS BIGINT) AS ok
+  FROM flags
+)
+SELECT t.lang, t.ppl_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(l.ok) AS BIGINT) AS n_gopher_pass,
+       CAST(SUM(l.ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+FROM tagged t JOIN labels l ON t.doc_id = l.doc_id
+GROUP BY t.lang, t.ppl_bucket
+ORDER BY t.lang, t.ppl_bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-source contamination matrix
+# --------------------------------------------------------------------------
+
+#: document-frequency cap for matrix shingles: a gram in more than
+#: this many documents is boilerplate, not contamination evidence —
+#: and capping df bounds the fp self-join at df*rows pairs (linear),
+#: the dedup-family max_df convention.
+CONTAM_MATRIX_MAX_DF = 20
+
+
+def contamination_matrix(docs: DataFrame) -> DataFrame:
+    """Cross-source contamination matrix (the round-14 verdict's
+    named gap): for every (eval_source, train_source) cell, how many
+    eval-side documents share at least one word {CONTAM_N}-gram with
+    a DIFFERENT document of the train source — the all-pairs
+    generalization of :func:`contamination_check` (which probes one
+    benchmark split) over the ``source`` grid, read before mixing
+    sources into one training corpus: a hot off-diagonal cell means
+    the eval suite leaks into that training source.
+
+    Engine shape: one tokenize pass; distinct (doc_id, source, fp)
+    rows where fp is the md5-15-hex int64 fingerprint of the shingle
+    (the ``suffix_dedup_spans`` convention — the wide join moves 8
+    bytes per gram, never the gram text; both engines compute the
+    identical fp, so even collisions agree and parity is exact).
+    Grams with corpus df > CONTAM_MATRIX_MAX_DF are boilerplate and
+    dropped — which also bounds the fp self-join at df-cap pairs per
+    row (linear; ``candidate_budget_guard``-checked) — and df < 2
+    grams cannot contaminate. The surviving fp join emits
+    (eval_doc, eval_source, train_source) triples, distinct, then
+    one (eval_source, train_source) count-distinct. The S x S source
+    grid is the output spine (every cell present, zero-filled).
+
+    Output: (eval_source, train_source, n_eval_docs, n_contaminated,
+    contamination_rate), grid-ordered. The diagonal reads
+    within-source near-dup leakage (self-doc matches excluded).
+    """
+    from soccerpredictor_spark.operators.scale import candidate_budget_guard
+
+    tok = fan_out(docs).select(
+        "doc_id", "source", X.tokens("text").alias("w")
+    )
+    rows = (
+        tok.select(
+            "doc_id",
+            "source",
+            F.explode(X.shingles_from_tokens(F.col("w"), CONTAM_N)).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("cx:"), F.col("g"))), 1, 15),
+                16,
+                10,
+            ).cast("long").alias("fp"),
+        )
+        .distinct()
+    )
+    df_ok = (
+        rows.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= CONTAM_MATRIX_MAX_DF))
+        .select("fp")
+    )
+    elig = rows.join(df_ok, "fp")
+    candidate_budget_guard(
+        elig.select("doc_id", "fp"), ["fp"], "contamination_matrix"
+    )
+    hits = (
+        elig.alias("a")
+        .join(elig.alias("b"), "fp")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("eval_doc"),
+            F.col("a.source").alias("eval_source"),
+            F.col("b.source").alias("train_source"),
+        )
+        .distinct()
+        .groupBy("eval_source", "train_source")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    per_source = docs.groupBy(F.col("source").alias("eval_source")).agg(
+        F.count(F.lit(1)).alias("n_eval_docs")
+    )
+    spine = per_source.crossJoin(
+        docs.select(F.col("source").alias("train_source")).distinct()
+    )
+    return (
+        spine.join(hits, ["eval_source", "train_source"], "left")
+        .select(
+            "eval_source",
+            "train_source",
+            F.col("n_eval_docs").cast("long").alias("n_eval_docs"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            (
+                F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                / F.col("n_eval_docs").cast("double")
+            ).alias("contamination_rate"),
+        )
+        .orderBy("eval_source", "train_source")
+    )
+
+
+def contamination_matrix_sql() -> str:
+    """DuckDB twin of :func:`contamination_matrix` — the identical
+    fp-keyed construction (same md5 fingerprints, same df cap)."""
+    toks = _sql_tokens()
+    n = CONTAM_N
+    parts = " || ' ' || ".join(f"w[i + {j + 1}]" for j in range(n))
+    sh = (
+        f"CASE WHEN len(w) >= {n} "
+        f"THEN list_distinct(list_transform(range(0, len(w) - {n - 1}), i -> {parts})) "
+        "ELSE [] END"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, source, {toks} AS w FROM documents),
+rows_ AS (
+  SELECT DISTINCT doc_id, source,
+         CAST('0x' || substr(md5('cx:' || g), 1, 15) AS BIGINT) AS fp
+  FROM (SELECT doc_id, source, UNNEST({sh}) AS g FROM tok)
+),
+df_ok AS (
+  SELECT fp FROM rows_ GROUP BY fp
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {CONTAM_MATRIX_MAX_DF}
+),
+elig AS (SELECT r.* FROM rows_ r JOIN df_ok USING (fp)),
+hits AS (
+  SELECT eval_source, train_source, COUNT(*) AS n_contaminated
+  FROM (
+    SELECT DISTINCT a.doc_id AS eval_doc, a.source AS eval_source,
+           b.source AS train_source
+    FROM elig a JOIN elig b USING (fp)
+    WHERE a.doc_id <> b.doc_id
+  )
+  GROUP BY eval_source, train_source
+),
+per_source AS (
+  SELECT source AS eval_source, COUNT(*) AS n_eval_docs
+  FROM documents GROUP BY source
+),
+spine AS (
+  SELECT p.eval_source, t.train_source, p.n_eval_docs
+  FROM per_source p CROSS JOIN (SELECT DISTINCT source AS train_source
+                                FROM documents) t
+)
+SELECT s.eval_source, s.train_source,
+       CAST(s.n_eval_docs AS BIGINT) AS n_eval_docs,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+         / CAST(s.n_eval_docs AS DOUBLE) AS contamination_rate
+FROM spine s LEFT JOIN hits h
+  ON s.eval_source = h.eval_source AND s.train_source = h.train_source
+ORDER BY s.eval_source, s.train_source
 """

@@ -68,6 +68,14 @@ STAGED = [
     # closed-form unit tests below are kept. This list holds ONLY
     # not-yet-registered staged operators: (name, module, table).
     # round-15 staging (closed-form tests in test_staged_round15.py)
+    ("quality_calibration_bins", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("contamination_matrix", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("neardup_edit_confirm", "soccerpredictor_spark.operators.dedup",
+     "documents"),
+    ("semdedup_threshold_sweep", "soccerpredictor_spark.operators.similarity",
+     "embeddings"),
 ]
 
 
