@@ -67,7 +67,15 @@ def _registered_names() -> set[str]:
 
 def main(argv: list[str]) -> None:
     staged = _staged()
-    wanted = set(argv) or {name for name, _, _ in staged} | set(SPECIAL)
+    # SPECIAL names that already graduated to the registry drop out of
+    # the default set quietly (their wiring stays here as the template
+    # for future special-wired ops); a REGISTERED name appearing in
+    # STAGED is still a loud collision below — that's the round-11
+    # rfm_segments bug class, and silence would hide the rename.
+    wanted = set(argv) or (
+        {name for name, _, _ in staged}
+        | (set(SPECIAL) - _registered_names())
+    )
     # A name already present in queries() would paste a silent duplicate
     # dict key (Python keeps the last), evicting a verified entry while
     # every count still says +1 — the round-11 judge caught exactly this
