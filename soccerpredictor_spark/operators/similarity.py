@@ -3268,3 +3268,162 @@ SELECT * FROM (
 {leg_sql}
 ) ORDER BY pq_m
 """
+
+
+# --------------------------------------------------------------------------
+# embedding integrity audit (pipeline pre-flight over docs x vectors)
+# --------------------------------------------------------------------------
+
+#: the audit's fixed check spine, alphabetical — every run emits all
+#: six rows (zero-filled), so downstream alerting can key on the check
+#: name without existence tests.
+EMBEDDING_AUDIT_CHECKS = (
+    "dim_mismatch",
+    "missing_embedding",
+    "non_finite",
+    "null_embedding",
+    "orphan_vector",
+    "zero_norm",
+)
+
+
+def embedding_integrity_audit(vecs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Pre-flight integrity audit of an embedding table against its
+    document spine — the check a pipeline runs BEFORE spending cluster
+    time on ANN/semdedup over a join that silently drops rows:
+
+    - ``missing_embedding`` — document with no vector row (the join
+      would drop it from every downstream similarity op);
+    - ``orphan_vector`` — vector with no document (stale embedding run);
+    - ``null_embedding`` — vector row present but the array is NULL;
+    - ``dim_mismatch`` — array length differs from the corpus MODE
+      dimension (most frequent length; ties break to the smallest —
+      a mixed-model embedding table);
+    - ``zero_norm`` — no non-zero element (a zeroed vector cosines to
+      NaN/garbage);
+    - ``non_finite`` — any NaN or +/-Inf element.
+
+    Checks overlap deliberately (a NULL array is neither zero_norm nor
+    dim_mismatch; a NaN vector may also be zero_norm-false) — each row
+    answers its own question.
+
+    Scale: one (dim)-keyed agg for the mode (then a 1-row broadcast),
+    one doc_id<->vec_id full outer equi-join (linear shuffle on the
+    64-bit key), element predicates via ``exists``/``filter`` higher-
+    order functions (JVM codegen, never Python), one global agg
+    unpivoted over the fixed 6-row spine.
+
+    Output: (check, n), check-ordered, always exactly 6 rows.
+    """
+    sized = vecs.select(
+        "vec_id",
+        "embedding",
+        F.when(
+            F.col("embedding").isNotNull(), F.size("embedding")
+        ).alias("dim"),
+    )
+    mode = (
+        sized.filter(F.col("dim").isNotNull())
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.max_by(
+                F.col("dim"), F.struct(F.col("cnt"), (-F.col("dim")).alias("neg"))
+            ).alias("mode_dim")
+        )
+    )
+    d = docs.select("doc_id")
+    j = d.join(sized, d.doc_id == sized.vec_id, "full_outer").join(
+        F.broadcast(mode), how="cross"
+    )
+    inf = F.lit(float("inf"))
+    flags = j.select(
+        F.when(F.col("vec_id").isNull() & F.col("doc_id").isNotNull(), 1)
+        .otherwise(0)
+        .alias("missing_embedding"),
+        F.when(F.col("doc_id").isNull() & F.col("vec_id").isNotNull(), 1)
+        .otherwise(0)
+        .alias("orphan_vector"),
+        F.when(F.col("vec_id").isNotNull() & F.col("embedding").isNull(), 1)
+        .otherwise(0)
+        .alias("null_embedding"),
+        F.when(F.col("dim") != F.col("mode_dim"), 1).otherwise(0).alias(
+            "dim_mismatch"
+        ),
+        F.when(
+            F.col("embedding").isNotNull()
+            & (F.col("dim") > 0)
+            & (F.size(F.filter("embedding", lambda x: x != F.lit(0.0))) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("zero_norm"),
+        F.when(
+            F.exists("embedding", lambda x: F.isnan(x) | (F.abs(x) == inf)),
+            1,
+        )
+        .otherwise(0)
+        .alias("non_finite"),
+    )
+    agg = flags.agg(
+        *[F.sum(c).cast("long").alias(c) for c in EMBEDDING_AUDIT_CHECKS]
+    )
+    stack_args = ", ".join(
+        f"'{c}', coalesce({c}, 0L)" for c in EMBEDDING_AUDIT_CHECKS
+    )
+    return (
+        agg.selectExpr(
+            f"stack({len(EMBEDDING_AUDIT_CHECKS)}, {stack_args}) AS (check, n)"
+        )
+        .orderBy("check")
+    )
+
+
+def embedding_integrity_audit_sql() -> str:
+    """DuckDB twin of :func:`embedding_integrity_audit` (scalar
+    subquery keeps the mode row present even on an empty table,
+    matching Spark's always-one-row global agg)."""
+    selects = []
+    for c in EMBEDDING_AUDIT_CHECKS:
+        selects.append(
+            f"SELECT '{c}' AS \"check\","
+            f" CAST(COALESCE(SUM({c}), 0) AS BIGINT) AS n FROM flags"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH sized AS (
+  SELECT vec_id, embedding,
+         CASE WHEN embedding IS NOT NULL THEN len(embedding) END AS dim
+  FROM embeddings
+),
+mode AS (
+  SELECT (SELECT dim FROM (SELECT dim, COUNT(*) AS cnt FROM sized
+                           WHERE dim IS NOT NULL GROUP BY dim)
+          ORDER BY cnt DESC, dim ASC LIMIT 1) AS mode_dim
+),
+j AS (
+  SELECT d.doc_id, s.vec_id, s.embedding, s.dim, m.mode_dim
+  FROM (SELECT doc_id FROM documents) d
+  FULL OUTER JOIN sized s ON d.doc_id = s.vec_id
+  CROSS JOIN mode m
+),
+flags AS (
+  SELECT
+    CASE WHEN vec_id IS NULL AND doc_id IS NOT NULL THEN 1 ELSE 0 END
+      AS missing_embedding,
+    CASE WHEN doc_id IS NULL AND vec_id IS NOT NULL THEN 1 ELSE 0 END
+      AS orphan_vector,
+    CASE WHEN vec_id IS NOT NULL AND embedding IS NULL THEN 1 ELSE 0 END
+      AS null_embedding,
+    CASE WHEN dim <> mode_dim THEN 1 ELSE 0 END AS dim_mismatch,
+    CASE WHEN embedding IS NOT NULL AND dim > 0
+              AND len(list_filter(embedding, x -> x != 0)) = 0
+         THEN 1 ELSE 0 END AS zero_norm,
+    CASE WHEN embedding IS NOT NULL
+              AND len(list_filter(embedding,
+                                  x -> isnan(x) OR isinf(x))) > 0
+         THEN 1 ELSE 0 END AS non_finite
+  FROM j
+)
+SELECT * FROM ({union}) ORDER BY "check"
+"""

@@ -7916,3 +7916,330 @@ FROM spine s LEFT JOIN hits h
   ON s.eval_source = h.eval_source AND s.train_source = h.train_source
 ORDER BY s.eval_source, s.train_source
 """
+
+
+# --------------------------------------------------------------------------
+# character-class census (script/encoding profiling without explode)
+# --------------------------------------------------------------------------
+
+
+def charclass_profile(docs: DataFrame) -> DataFrame:
+    """Per-language character-class census: how much of each
+    language's text is letters, digits, whitespace, punctuation, or
+    anything else — the cheap script/encoding health check a curation
+    pipeline runs before language-ID (mojibake, binary spill, and
+    markup-heavy sources all show up as a punct/other surge long
+    before a classifier sees them).
+
+    Classes are the ASCII-definable ones ONLY, each spelled
+    identically in Java regex and RE2: ``[A-Za-z]``, ``[0-9]``, an
+    explicit whitespace set (``[ \\t\\n\\r\\f]`` — NOT ``\\s``, whose
+    membership differs between engines on VT), and POSIX punct
+    (``\\p{Punct}`` == ``[[:punct:]]`` == the 32 ASCII marks).
+    Everything else — including ALL non-ASCII — is one residual
+    ``other`` class, because Unicode-script classes are spelled and
+    versioned differently per regex engine and could not be
+    oracle-pinned; at the profile level "unexpectedly non-ASCII" is
+    the actionable signal anyway.
+
+    Scale: every count is a length difference after a class-strip
+    ``regexp_replace`` — one scan projection, fully codegen'd, ZERO
+    explode (contrast :func:`char_entropy_profile`, which must
+    explode per character because entropy needs per-char counts) —
+    then one (lang)-keyed aggregation. Flat at 100 TB.
+
+    Output: (lang, n_docs, n_chars, n_alpha, n_digit, n_space,
+    n_punct, n_other, frac_alpha, frac_digit, frac_space, frac_punct,
+    frac_other), lang-ordered; fractions NULL for an all-empty-text
+    language (never 0/0).
+    """
+
+    def strip_count(pat: str) -> F.Column:
+        return F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+
+    per_doc = docs.select(
+        "lang",
+        F.length("text").alias("nc"),
+        strip_count("[A-Za-z]").alias("na"),
+        strip_count("[0-9]").alias("nd"),
+        strip_count("[ \\t\\n\\r\\f]").alias("ns"),
+        strip_count("\\p{Punct}").alias("np"),
+    )
+    s = lambda c: F.sum(c).cast("long")  # noqa: E731
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        s("nc").alias("n_chars"),
+        s("na").alias("n_alpha"),
+        s("nd").alias("n_digit"),
+        s("ns").alias("n_space"),
+        s("np").alias("n_punct"),
+    )
+    agg = agg.withColumn(
+        "n_other",
+        F.col("n_chars")
+        - F.col("n_alpha")
+        - F.col("n_digit")
+        - F.col("n_space")
+        - F.col("n_punct"),
+    )
+    frac = lambda c: F.when(F.col("n_chars") == 0, F.lit(None)).otherwise(  # noqa: E731
+        F.col(c).cast("double") / F.col("n_chars").cast("double")
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_alpha",
+        "n_digit",
+        "n_space",
+        "n_punct",
+        "n_other",
+        frac("n_alpha").alias("frac_alpha"),
+        frac("n_digit").alias("frac_digit"),
+        frac("n_space").alias("frac_space"),
+        frac("n_punct").alias("frac_punct"),
+        frac("n_other").alias("frac_other"),
+    ).orderBy("lang")
+
+
+def charclass_profile_sql() -> str:
+    """DuckDB twin of :func:`charclass_profile` (same ASCII-only
+    class definitions; ``[[:punct:]]`` is RE2's spelling of Java's
+    ``\\p{Punct}`` — both are exactly the 32 ASCII marks)."""
+    strip = lambda pat: (  # noqa: E731
+        f"length(text) - length(regexp_replace(text, '{pat}', '', 'g'))"
+    )
+    ws = strip("[ \\t\\n\\r\\f]")
+    return f"""
+WITH per_doc AS (
+  SELECT lang, length(text) AS nc,
+         {strip('[A-Za-z]')} AS na,
+         {strip('[0-9]')} AS nd,
+         {ws} AS ns,
+         {strip('[[:punct:]]')} AS np
+  FROM documents
+),
+agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(nc) AS BIGINT) AS n_chars,
+         CAST(SUM(na) AS BIGINT) AS n_alpha,
+         CAST(SUM(nd) AS BIGINT) AS n_digit,
+         CAST(SUM(ns) AS BIGINT) AS n_space,
+         CAST(SUM(np) AS BIGINT) AS n_punct
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, n_chars, n_alpha, n_digit, n_space, n_punct,
+       n_chars - n_alpha - n_digit - n_space - n_punct AS n_other,
+       CASE WHEN n_chars = 0 THEN NULL
+            ELSE CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+         AS frac_alpha,
+       CASE WHEN n_chars = 0 THEN NULL
+            ELSE CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+         AS frac_digit,
+       CASE WHEN n_chars = 0 THEN NULL
+            ELSE CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+         AS frac_space,
+       CASE WHEN n_chars = 0 THEN NULL
+            ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+         AS frac_punct,
+       CASE WHEN n_chars = 0 THEN NULL
+            ELSE CAST(n_chars - n_alpha - n_digit - n_space - n_punct
+                      AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+         AS frac_other
+FROM agg ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# data-constrained mixture (epoch-capped token waterfill)
+# --------------------------------------------------------------------------
+
+#: hard per-source repetition ceiling: no source contributes more than
+#: this many epochs (passes over its own tokens). 4 is the
+#: data-constrained-scaling finding (Muennighoff et al. 2023: up to
+#: ~4 epochs, repeated tokens are nearly as good as fresh ones;
+#: beyond that returns decay rapidly).
+DATA_MIX_MAX_EPOCHS = 4
+#: training token budget, expressed in corpus multiples: the run will
+#: consume BUDGET_EPOCHS x (total corpus tokens) training tokens.
+#: 2 < MAX_EPOCHS guarantees feasibility (sum of caps = 4x total
+#: always covers a 2x-total budget), so the waterfill never truncates.
+DATA_MIX_BUDGET_EPOCHS = 2
+
+
+def data_constrained_mix(docs: DataFrame) -> DataFrame:
+    """Epoch-capped uniform token allocation — the data-constrained
+    scaling mixture (Muennighoff et al. 2023): level a training-token
+    budget of ``DATA_MIX_BUDGET_EPOCHS x total corpus tokens``
+    UNIFORMLY across sources, except no source may repeat beyond
+    ``DATA_MIX_MAX_EPOCHS`` passes over its own data — scarce sources
+    hit the epoch ceiling and their unused share re-levels over the
+    rest. The complement of :func:`capped_mix_waterfill`: there the
+    cap is a source's SIZE (sampling without repetition, doc units);
+    here the cap is a MULTIPLE of its size (repetition allowed up to
+    the epoch wall, token units) and the budget derives from the
+    corpus itself rather than a constant.
+
+    Same exact waterline algorithm, all integer (sorted-by-cap prefix
+    scan; the first source that a uniform level of the remaining
+    budget does NOT push past its cap fixes the line; the division
+    remainder tops up the lexicographically first uncapped sources —
+    largest-remainder determinism), so
+    ``sum(alloc_tokens) == BUDGET_EPOCHS * total_tokens`` EXACTLY.
+
+    Scale: one corpus scan for per-source token counts, then the
+    entire waterfill runs on the SOURCE table (mixture-sized, tiny) —
+    windows over it are single-partition by construction and
+    irrelevant at any corpus size.
+
+    Output: (source, tokens, cap_tokens, alloc_tokens, at_cap,
+    epochs), source-ordered; ``epochs`` = alloc/tokens as a double
+    (NULL for an empty source — never 0/0).
+    """
+    from pyspark.sql import Window
+
+    caps = (
+        docs.groupBy("source")
+        .agg(F.sum(X.token_count("text").cast("long")).alias("tokens"))
+        .select(
+            "source",
+            "tokens",
+            (F.col("tokens") * DATA_MIX_MAX_EPOCHS).alias("cap"),
+        )
+    )
+    w_cap = Window.orderBy(F.col("cap").asc(), F.col("source").asc())
+    w_prefix = w_cap.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    ranked = caps.select(
+        "source",
+        "tokens",
+        "cap",
+        F.row_number().over(w_cap).alias("i"),
+        F.coalesce(F.sum("cap").over(w_prefix), F.lit(0)).alias(
+            "prefix_smaller"
+        ),
+        F.count(F.lit(1)).over(w_all).alias("n_src"),
+        F.sum("cap").over(w_all).alias("total_cap"),
+        (F.sum("tokens").over(w_all) * DATA_MIX_BUDGET_EPOCHS).alias(
+            "budget"
+        ),
+    )
+    eff_budget = F.least(F.col("budget"), F.col("total_cap"))
+    remaining = eff_budget - F.col("prefix_smaller")
+    n_rem = F.col("n_src") - F.col("i") + 1
+    is_capped = F.col("cap") * n_rem <= remaining
+    marked = ranked.select(
+        "source", "tokens", "cap", "i", "prefix_smaller", "n_src",
+        eff_budget.alias("eb"),
+        is_capped.cast("int").alias("capped"),
+    )
+    line = (
+        marked.filter(F.col("capped") == 0)
+        .select(
+            "i",
+            ((F.col("eb") - F.col("prefix_smaller"))
+             / (F.col("n_src") - F.col("i") + 1)).cast("long").alias("lvl_c"),
+            ((F.col("eb") - F.col("prefix_smaller"))
+             % (F.col("n_src") - F.col("i") + 1)).alias("rem_c"),
+        )
+        .agg(
+            F.coalesce(
+                F.min_by(F.col("lvl_c"), F.col("i")), F.lit(0)
+            ).alias("lvl"),
+            F.coalesce(
+                F.min_by(F.col("rem_c"), F.col("i")), F.lit(0)
+            ).alias("rem"),
+        )
+    )
+    out = (
+        marked.join(F.broadcast(line), how="cross")
+        .withColumn(
+            "alloc_base",
+            F.when(F.col("capped") == 1, F.col("cap")).otherwise(F.col("lvl")),
+        )
+        .withColumn(
+            "rnk_uncapped",
+            F.row_number().over(
+                Window.partitionBy("capped").orderBy(F.col("source").asc())
+            ),
+        )
+        .withColumn(
+            "alloc",
+            F.col("alloc_base")
+            + F.when(
+                (F.col("capped") == 0)
+                & (F.col("rnk_uncapped") <= F.col("rem")),
+                1,
+            ).otherwise(0),
+        )
+    )
+    epochs = F.when(F.col("tokens") == 0, F.lit(None)).otherwise(
+        F.col("alloc").cast("double") / F.col("tokens").cast("double")
+    )
+    return out.select(
+        "source",
+        "tokens",
+        F.col("cap").alias("cap_tokens"),
+        F.col("alloc").alias("alloc_tokens"),
+        F.col("capped").alias("at_cap"),
+        epochs.alias("epochs"),
+    ).orderBy("source")
+
+
+def data_constrained_mix_sql() -> str:
+    """DuckDB twin of :func:`data_constrained_mix` (the
+    ``capped_mix_waterfill_sql`` waterline, token-unit caps and a
+    corpus-derived budget)."""
+    toks = _sql_tokens()
+    return f"""
+WITH caps AS (
+  SELECT source,
+         CAST(SUM(len({toks})) AS BIGINT) AS tokens,
+         CAST(SUM(len({toks})) * {DATA_MIX_MAX_EPOCHS} AS BIGINT) AS cap
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, tokens, cap,
+         CAST(ROW_NUMBER() OVER (ORDER BY cap ASC, source ASC) AS BIGINT)
+           AS i,
+         COALESCE(SUM(cap) OVER (ORDER BY cap ASC, source ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix_smaller,
+         COUNT(*) OVER () AS n_src,
+         SUM(cap) OVER () AS total_cap,
+         SUM(tokens) OVER () * {DATA_MIX_BUDGET_EPOCHS} AS budget
+  FROM caps
+),
+marked AS (
+  SELECT source, tokens, cap, i, prefix_smaller, n_src,
+         LEAST(budget, total_cap) AS eb,
+         CASE WHEN cap * (n_src - i + 1)
+                   <= LEAST(budget, total_cap) - prefix_smaller
+              THEN 1 ELSE 0 END AS capped
+  FROM ranked
+),
+line AS (
+  SELECT CAST(COALESCE(arg_min((eb - prefix_smaller) // (n_src - i + 1), i),
+              0) AS BIGINT) AS lvl,
+         CAST(COALESCE(arg_min((eb - prefix_smaller) % (n_src - i + 1), i),
+              0) AS BIGINT) AS rem
+  FROM marked WHERE capped = 0
+),
+out AS (
+  SELECT m.source, m.tokens, m.cap, m.capped,
+         CASE WHEN m.capped = 1 THEN m.cap ELSE l.lvl END
+         + CASE WHEN m.capped = 0
+                     AND ROW_NUMBER() OVER (PARTITION BY m.capped
+                         ORDER BY m.source ASC) <= l.rem
+                THEN 1 ELSE 0 END AS alloc
+  FROM marked m CROSS JOIN line l
+)
+SELECT source, CAST(tokens AS BIGINT) AS tokens,
+       CAST(cap AS BIGINT) AS cap_tokens,
+       CAST(alloc AS BIGINT) AS alloc_tokens,
+       CAST(capped AS INT) AS at_cap,
+       CASE WHEN tokens = 0 THEN NULL
+            ELSE CAST(alloc AS DOUBLE) / CAST(tokens AS DOUBLE) END
+         AS epochs
+FROM out ORDER BY source
+"""

@@ -76,6 +76,19 @@ STAGED = [
      "documents"),
     ("semdedup_threshold_sweep", "soccerpredictor_spark.operators.similarity",
      "embeddings"),
+    # round-16 staging (closed-form tests in test_staged_round16.py);
+    # a TUPLE table entry means the operator takes several tables, in
+    # that order (embedding_integrity_audit audits vectors AGAINST the
+    # document spine, so it needs both).
+    ("charclass_profile", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("data_constrained_mix", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("dedup_tokens_saved", "soccerpredictor_spark.operators.dedup",
+     "documents"),
+    ("embedding_integrity_audit",
+     "soccerpredictor_spark.operators.similarity",
+     ("embeddings", "documents")),
 ]
 
 
@@ -95,7 +108,10 @@ def test_staged_parity_vs_duckdb(spark, name, module, table):
     from soccerpredictor_spark.sources.catalog import read_table
 
     mod = importlib.import_module(module)
-    sdf = getattr(mod, name)(read_table(spark, SF, table)).toPandas()
+    tables = table if isinstance(table, tuple) else (table,)
+    sdf = getattr(mod, name)(
+        *[read_table(spark, SF, t) for t in tables]
+    ).toPandas()
     con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part", "orders",
@@ -482,7 +498,8 @@ def test_staged_plan_stays_jvm_side(spark, name, module, table):
     from soccerpredictor_spark.sources.catalog import read_table
 
     mod = importlib.import_module(module)
-    df = getattr(mod, name)(read_table(spark, SF, table))
+    tables = table if isinstance(table, tuple) else (table,)
+    df = getattr(mod, name)(*[read_table(spark, SF, t) for t in tables])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan

@@ -98,10 +98,24 @@ def main(argv: list[str]) -> None:
         if name not in wanted:
             continue
         mod_attr = module.rsplit(".", 1)[1]
+        # a TUPLE table entry means the op takes several tables, in
+        # that order (mirrors the test_staged_round11 harness).
+        tables = table if isinstance(table, tuple) else (table,)
+        args = ", ".join(f'read_table(spark, sf, "{t}")' for t in tables)
+        if len(args) + len(mod_attr) + len(name) > 55:
+            call = (
+                f"    return {mod_attr}.{name}(\n"
+                + "".join(
+                    f'        read_table(spark, sf, "{t}"),\n' for t in tables
+                )
+                + "    )\n"
+            )
+        else:
+            call = f"    return {mod_attr}.{name}({args})\n"
         defs.append(
             f"def _q_{name}(spark: SparkSession, sf: str) -> DataFrame:\n"
             f"    from soccerpredictor_spark.operators import {mod_attr}\n\n"
-            f"    return {mod_attr}.{name}(read_table(spark, sf, \"{table}\"))\n"
+            + call
         )
         qlines.append(f'        "{name}": _q_{name},')
         olines.append(
