@@ -82,7 +82,11 @@ def main() -> None:
     cache_warm: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_PREWARM", "1") != "0":
         for warmer in ("dedup_clusters", "embedding_threshold_sweep",
-                       "graph_degree_stats"):
+                       "graph_degree_stats", "semdedup"):
+            # semdedup builds the checkpointed two-level assignment
+            # (similarity._PAIR_CACHE key "semdedup_assign") that
+            # semdedup_threshold_sweep shares once registered — the
+            # PLANS.md family-cache map's fourth store.
             if warmer not in qs:
                 continue
             t0 = time.perf_counter()
