@@ -1873,3 +1873,189 @@ def test_token_balanced_shards_invariants(spark, sizes):
     if len(rows) == 4:  # all shards populated -> spread bound applies
         chars = [r.chars for r in rows]
         assert max(chars) - min(chars) <= max(sizes)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                "abYZ09 \t\n\r\f!#,.:;?@[]_~é中"
+            ),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_charclass_profile_matches_python_census(spark, texts):
+    """For ANY text (including non-ASCII): the five class counts match
+    a per-character Python census, and the classes PARTITION n_chars
+    exactly (nothing double-counted, nothing dropped)."""
+    import string
+
+    from soccerpredictor_spark.operators.textops import charclass_profile
+
+    docs = spark.createDataFrame(
+        [(i, t, "xx", "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string",
+    )
+    [r] = charclass_profile(docs).collect()
+    punct = set(string.punctuation)  # the 32 ASCII marks == \p{Punct}
+    space = set(" \t\n\r\f")
+    exp = {"alpha": 0, "digit": 0, "space": 0, "punct": 0, "other": 0, "n": 0}
+    for t in texts:
+        for ch in t:
+            exp["n"] += 1
+            if ("a" <= ch <= "z") or ("A" <= ch <= "Z"):
+                exp["alpha"] += 1
+            elif "0" <= ch <= "9":
+                exp["digit"] += 1
+            elif ch in space:
+                exp["space"] += 1
+            elif ch in punct:
+                exp["punct"] += 1
+            else:
+                exp["other"] += 1
+    assert (r.n_chars, r.n_alpha, r.n_digit, r.n_space, r.n_punct,
+            r.n_other) == (exp["n"], exp["alpha"], exp["digit"],
+                           exp["space"], exp["punct"], exp["other"])
+    assert (r.n_alpha + r.n_digit + r.n_space + r.n_punct + r.n_other
+            == r.n_chars)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    tokens=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=5
+    )
+)
+def test_data_constrained_mix_matches_sequential_waterfill(spark, tokens):
+    """For ANY per-source token distribution: the allocation equals a
+    sequential Python waterfill (sort by cap, cap-or-level, largest-
+    remainder top-up), the budget identity sum(alloc) == 2*total holds
+    exactly, and no source exceeds its 4-epoch cap."""
+    from soccerpredictor_spark.operators.textops import (
+        DATA_MIX_BUDGET_EPOCHS,
+        DATA_MIX_MAX_EPOCHS,
+        data_constrained_mix,
+    )
+
+    srcs = [f"s{i}" for i in range(len(tokens))]
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n) if n else "", s)
+         for i, (s, n) in enumerate(zip(srcs, tokens))],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in data_constrained_mix(docs).collect()}
+
+    # the family tokenization convention (split(trim(text), '\s+'))
+    # counts the empty doc as ONE token ([''] on both engines) — the
+    # model must count the same corpus the operator counts.
+    tokens = [n if n > 0 else 1 for n in tokens]
+    # sequential model (mirrors the operator's documented waterline)
+    caps = sorted(
+        (DATA_MIX_MAX_EPOCHS * n, s) for s, n in zip(srcs, tokens)
+    )
+    budget = min(
+        DATA_MIX_BUDGET_EPOCHS * sum(tokens), sum(c for c, _ in caps)
+    )
+    alloc = {}
+    remaining, n_rem = budget, len(caps)
+    uncapped: list[str] = []
+    lvl = rem = 0
+    for cap, s in caps:
+        if cap * n_rem <= remaining:
+            alloc[s] = cap
+            remaining -= cap
+            n_rem -= 1
+        else:
+            if not uncapped:
+                lvl, rem = remaining // n_rem, remaining % n_rem
+            uncapped.append(s)
+    for s in sorted(uncapped)[:rem]:
+        alloc[s] = lvl + 1
+    for s in sorted(uncapped)[rem:]:
+        alloc[s] = lvl
+
+    assert {s: r.alloc_tokens for s, r in got.items()} == alloc
+    assert sum(r.alloc_tokens for r in got.values()) == budget
+    for s, n in zip(srcs, tokens):
+        assert got[s].alloc_tokens <= DATA_MIX_MAX_EPOCHS * n
+        if got[s].at_cap == 1:
+            assert got[s].alloc_tokens == got[s].cap_tokens
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vec_rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.sampled_from([0.0, 1.0, -2.5, float("nan"),
+                                     float("inf")]),
+                    max_size=3,
+                ),
+            ),
+        ),
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    doc_ids=st.lists(
+        st.integers(min_value=0, max_value=9), max_size=8, unique=True
+    ),
+)
+def test_embedding_integrity_audit_matches_python_model(
+    spark, vec_rows, doc_ids
+):
+    """For ANY docs x vectors configuration (missing rows, NULL
+    arrays, ragged dims, zero vectors, NaN/Inf): every check count
+    matches a direct Python model, including the mode-dim tie-break
+    to the smaller dimension."""
+    import math
+    from collections import Counter
+
+    import pyspark.sql.types as T
+
+    from soccerpredictor_spark.operators.similarity import (
+        embedding_integrity_audit,
+    )
+
+    vecs = spark.createDataFrame(
+        vec_rows,
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]),
+    )
+    docs = spark.createDataFrame([(i,) for i in doc_ids], "doc_id long")
+    got = {r["check"]: r.n for r in
+           embedding_integrity_audit(vecs, docs).collect()}
+
+    dims = Counter(len(e) for _, e in vec_rows if e is not None)
+    mode = min(
+        (d for d in dims if dims[d] == max(dims.values())), default=None
+    ) if dims else None
+    vids = {v for v, _ in vec_rows}
+    dset = set(doc_ids)
+    exp = {
+        "missing_embedding": len(dset - vids),
+        "orphan_vector": len(vids - dset),
+        "null_embedding": sum(1 for _, e in vec_rows if e is None),
+        "dim_mismatch": sum(
+            1 for _, e in vec_rows if e is not None and len(e) != mode
+        ),
+        "zero_norm": sum(
+            1 for _, e in vec_rows
+            if e is not None and len(e) > 0
+            and not any(x != 0 for x in e)
+        ),
+        "non_finite": sum(
+            1 for _, e in vec_rows
+            if e is not None
+            and any(math.isnan(x) or math.isinf(x) for x in e)
+        ),
+    }
+    assert got == exp
