@@ -8094,7 +8094,10 @@ def data_constrained_mix(docs: DataFrame) -> DataFrame:
 
     Output: (source, tokens, cap_tokens, alloc_tokens, at_cap,
     epochs), source-ordered; ``epochs`` = alloc/tokens as a double
-    (NULL for an empty source — never 0/0).
+    (NULL for a zero-token source — never 0/0; note that under the
+    family tokenization convention an EMPTY document still counts as
+    one token, ``split(trim(''))`` being ``['']`` on both engines, so
+    the guard is defensive rather than reachable from real corpora).
     """
     from pyspark.sql import Window
 
