@@ -44,13 +44,58 @@ DIM = 64
 ND_BANDS = 8
 ND_PLANES_PER_BAND = 8
 
+#: scale ladder for the per-band bucket DEPTH (round-15 sf1x finding:
+#: at 20k vectors the fixed 8-bit buckets left a ~7.4M candidate-pair
+#: bound — 46 pairs/row vs the 32/row budget — and the guard aborted
+#: the whole family — correctly, but the DEFAULT should survive a 10x
+#: decade). Random-collision candidates per row grow ~n / 2^depth per
+#: band, so depth gains 2 bits per 4x rows from the geometry's design
+#: point (sf0.1: 2000 vectors / 256 buckets = ~8 rows/bucket):
+#: n <= 2048 -> 8 bits (bit-identical to the historical geometry at
+#: every verified fixture scale), <= 8192 -> 10, beyond -> 12. The
+#: recall trade is the standard LSH one and concentrates where it
+#: should: at sim 0.99 recall stays ~0.999 at depth 12
+#: (p = 1 - acos(s)/pi = .955, 1-(1-p^12)^8); sim 0.95 -> ~0.92; the
+#: sim ~0.3 long tail decays hardest. True-duplicate clusters agree
+#: on EVERY bit, so their (wanted) candidate mass is depth-invariant.
+#: Past the ladder cap the geometry is deployment config (pass more
+#: bands/planes for a 10^9-vector corpus) and the budget guard still
+#: aborts loudly rather than degrade into all-pairs. Depth derives
+#: from COUNT(*) of the input — the SQL twins compute the identical
+#: CASE from the identical count, so both engines always agree.
+ND_EXT_PLANES_PER_BAND = 4
+ND_DEPTH_LADDER = ((2_048, 8), (8_192, 10))
+ND_DEPTH_MAX = ND_PLANES_PER_BAND + ND_EXT_PLANES_PER_BAND
+
+
+def _nd_depth(n: int) -> int:
+    """Bucket-prefix depth for an n-row corpus (see ND_DEPTH_LADDER)."""
+    for bound, depth in ND_DEPTH_LADDER:
+        if n <= bound:
+            return depth
+    return ND_DEPTH_MAX
+
+
+def _nd_depth_sql() -> str:
+    """The identical depth pick as a DuckDB scalar subquery."""
+    cases = " ".join(
+        f"WHEN COUNT(*) <= {b} THEN {d}" for b, d in ND_DEPTH_LADDER
+    )
+    return f"(SELECT CASE {cases} ELSE {ND_DEPTH_MAX} END FROM embeddings)"
+
 
 def _planes() -> list[list[float]]:
     return V.hyperplanes(BANDS * PLANES_PER_BAND, DIM)
 
 
-def _nd_planes() -> list[list[float]]:
-    return V.hyperplanes(ND_BANDS * ND_PLANES_PER_BAND, DIM)
+def _nd_all_planes() -> list[list[float]]:
+    """Base planes (indices 0-63, unchanged from the historical
+    geometry) followed by the ladder's extension planes (64-95) —
+    band i's full bucket is its 8 base bits + its 4 extension bits,
+    so a depth-8 prefix is BIT-IDENTICAL to the pre-ladder bucket."""
+    return V.hyperplanes(
+        ND_BANDS * (ND_PLANES_PER_BAND + ND_EXT_PLANES_PER_BAND), DIM
+    )
 
 
 def _nd_sketch_udf():
@@ -71,9 +116,11 @@ def _nd_sketch_udf():
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    P = np.asarray(_nd_planes(), dtype=np.int64)
+    P = np.asarray(_nd_all_planes(), dtype=np.int64)
     ppb = ND_PLANES_PER_BAND
+    epb = ND_EXT_PLANES_PER_BAND
     nb = ND_BANDS
+    base_n = nb * ppb
     scale = V.SCALE
 
     # NOTE: no type hints — `from __future__ import annotations` turns
@@ -98,8 +145,14 @@ def _nd_sketch_udf():
         D = IV @ P.T
         nrm = (IV * IV).sum(axis=1)
         bits = np.where(D >= 0, "1", "0")
+        # band i = 8 base bits + 4 ladder extension bits; consumers
+        # take a count-driven prefix (depth 8 == historical geometry)
         buckets = [
-            ["".join(r[i * ppb : (i + 1) * ppb]) for i in range(nb)]
+            [
+                "".join(r[i * ppb : (i + 1) * ppb])
+                + "".join(r[base_n + i * epb : base_n + (i + 1) * epb])
+                for i in range(nb)
+            ]
             for r in bits
         ]
         return pd.DataFrame(
@@ -452,9 +505,14 @@ def _cosine_near_dup_build(
     # consumer read the same materialization, and downstream plans see
     # a flat scan instead of the Arrow-matmul subtree
     base = _nd_sketch_base(emb)
+    # count-driven bucket depth (ND_DEPTH_LADDER): the base is an
+    # eagerly checkpointed session-cached table, so this count is a
+    # cheap scan of materialized blocks, and the depth is a pure
+    # function of the input the SQL twin derives identically
+    depth = _nd_depth(base.count())
     bnd = base.select(
         "vec_id", F.posexplode("buckets").alias("band", "bucket")
-    )
+    ).withColumn("bucket", F.substring("bucket", 1, depth))
     guard_kwargs = (
         {} if max_pairs_per_row is None
         else {"max_pairs_per_row": max_pairs_per_row}
@@ -489,11 +547,20 @@ def _cosine_near_dup_build(
 
 
 def cosine_near_dup_sql(threshold: float = 0.25) -> str:
-    planes = _nd_planes()
+    planes = _nd_all_planes()
+    base_n = ND_BANDS * ND_PLANES_PER_BAND
+    depth = _nd_depth_sql()
     band_selects = []
     for bi in range(ND_BANDS):
-        band_planes = planes[bi * ND_PLANES_PER_BAND : (bi + 1) * ND_PLANES_PER_BAND]
-        bucket = V.sql_lsh_bucket("embedding", band_planes)
+        band_planes = (
+            planes[bi * ND_PLANES_PER_BAND : (bi + 1) * ND_PLANES_PER_BAND]
+            + planes[base_n + bi * ND_EXT_PLANES_PER_BAND
+                     : base_n + (bi + 1) * ND_EXT_PLANES_PER_BAND]
+        )
+        bucket = (
+            f"substring(({V.sql_lsh_bucket('embedding', band_planes)}), "
+            f"1, {depth})"
+        )
         band_selects.append(
             f"SELECT vec_id, embedding, {bi} AS band, ({bucket}) AS bucket FROM embeddings"
         )
@@ -1074,7 +1141,10 @@ def knn_graph(emb: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     base = _nd_sketch_base(emb)
-    bnd = base.select("vec_id", F.posexplode("buckets").alias("band", "bucket"))
+    depth = _nd_depth(base.count())  # see ND_DEPTH_LADDER
+    bnd = base.select(
+        "vec_id", F.posexplode("buckets").alias("band", "bucket")
+    ).withColumn("bucket", F.substring("bucket", 1, depth))
     candidate_budget_guard(bnd, ["band", "bucket"], "knn_graph")
     a = bnd.alias("a")
     b = bnd.alias("b")
@@ -1126,11 +1196,20 @@ def knn_graph(emb: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
 
 
 def knn_graph_sql(k: int = KNN_GRAPH_K) -> str:
-    planes = _nd_planes()
+    planes = _nd_all_planes()
+    base_n = ND_BANDS * ND_PLANES_PER_BAND
+    depth = _nd_depth_sql()
     band_selects = []
     for bi in range(ND_BANDS):
-        band_planes = planes[bi * ND_PLANES_PER_BAND : (bi + 1) * ND_PLANES_PER_BAND]
-        bucket = V.sql_lsh_bucket("embedding", band_planes)
+        band_planes = (
+            planes[bi * ND_PLANES_PER_BAND : (bi + 1) * ND_PLANES_PER_BAND]
+            + planes[base_n + bi * ND_EXT_PLANES_PER_BAND
+                     : base_n + (bi + 1) * ND_EXT_PLANES_PER_BAND]
+        )
+        bucket = (
+            f"substring(({V.sql_lsh_bucket('embedding', band_planes)}), "
+            f"1, {depth})"
+        )
         band_selects.append(
             f"SELECT vec_id, embedding, {bi} AS band, ({bucket}) AS bucket FROM embeddings"
         )

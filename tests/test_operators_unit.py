@@ -876,3 +876,65 @@ def test_price_decile_edges_shared_across_family(spark):
     assert clear_caches() >= 2
     e4 = mlprep._price_decile_edges(orders, 10)
     assert e4 is not e1  # cleared -> rebuilt
+
+
+class TestNdDepthLadder:
+    """The count-driven bucket-depth ladder (round-15 sf1x fix):
+    depth 8 at every verified fixture scale (bit-identical to the
+    historical geometry), deepening 2 bits per 4x rows so candidate
+    volume stays inside the budget guard at the 10x decade."""
+
+    def test_ladder_values(self):
+        from soccerpredictor_spark.operators.similarity import (
+            ND_DEPTH_MAX,
+            _nd_depth,
+        )
+
+        assert _nd_depth(0) == 8
+        assert _nd_depth(500) == 8      # sf0.001 / sf0.01
+        assert _nd_depth(2000) == 8     # sf0.1 — committed bench scale
+        assert _nd_depth(2048) == 8
+        assert _nd_depth(2049) == 10
+        assert _nd_depth(8192) == 10
+        assert _nd_depth(8193) == 12
+        assert _nd_depth(20000) == 12   # sf1x
+        assert _nd_depth(10**9) == ND_DEPTH_MAX
+
+    def test_sql_depth_matches_python(self):
+        """The twin's CASE picks the identical depth for every ladder
+        region and at the exact boundaries."""
+        import duckdb
+
+        from soccerpredictor_spark.operators.similarity import (
+            _nd_depth,
+            _nd_depth_sql,
+        )
+
+        con = duckdb.connect()
+        for n in [0, 1, 500, 2000, 2048, 2049, 8192, 8193, 20000]:
+            con.execute("CREATE OR REPLACE VIEW embeddings AS "
+                        f"SELECT * FROM range({n})")
+            [(d,)] = con.execute(f"SELECT {_nd_depth_sql()}").fetchall()
+            assert d == _nd_depth(n), (n, d)
+
+    def test_depth8_prefix_is_historical_bucket(self):
+        """Band i's first 8 bits come from the SAME planes as the
+        pre-ladder geometry (extension planes are APPENDED at indices
+        64+), so a depth-8 prefix reproduces the historical bucket
+        bit-for-bit — which is why every oracle-scale result was
+        unchanged by the ladder."""
+        from soccerpredictor_spark.functions.vectors import hyperplanes
+        from soccerpredictor_spark.operators.similarity import (
+            DIM,
+            ND_BANDS,
+            ND_EXT_PLANES_PER_BAND,
+            ND_PLANES_PER_BAND,
+            _nd_all_planes,
+        )
+
+        hist = hyperplanes(ND_BANDS * ND_PLANES_PER_BAND, DIM)
+        full = _nd_all_planes()
+        assert full[: len(hist)] == hist
+        assert len(full) == ND_BANDS * (
+            ND_PLANES_PER_BAND + ND_EXT_PLANES_PER_BAND
+        )
