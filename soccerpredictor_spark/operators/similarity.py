@@ -1135,7 +1135,23 @@ def knn_graph(emb: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
     documented as for all LSH paths: vectors sharing no bucket are
     not candidates (the oracle twin reproduces the same bucket
     structure, so results match exactly).
+
+    The RANKED graph is checkpointed and SESSION-cached per
+    (emb plan, k) — ``mutual_knn``'s reciprocity self-join consumes
+    the directed list TWICE (both legs), and without the cut each leg
+    re-instantiated the union + rank window over the verified pairs
+    (round-15 sf1x reading: mutual_knn 22.3 s vs knn_graph's 8.9 —
+    the classic 2+-lazy-consumers shape this repo checkpoints on
+    sight). The table is n*k rows — tiny next to what builds it.
     """
+    from soccerpredictor_spark.operators.scale import plan_keyed_cache
+
+    return plan_keyed_cache(
+        _PAIR_CACHE, emb, ("knn_graph", k), lambda: _knn_graph_build(emb, k)
+    )
+
+
+def _knn_graph_build(emb: DataFrame, k: int) -> DataFrame:
     from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
     from soccerpredictor_spark.operators.scale import candidate_budget_guard
     from pyspark.sql.window import Window as W
@@ -1188,7 +1204,7 @@ def knn_graph(emb: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
         )
     )
     w = W.partitionBy("vec_a").orderBy(F.col("sim").desc(), F.col("vec_b").asc())
-    return (
+    return _reliable_checkpoint(
         directed.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("vec_a", "vec_b", "sim", "rnk")
