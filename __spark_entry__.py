@@ -2494,6 +2494,43 @@ def _q_pq_m_sweep(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.pq_m_sweep(read_table(spark, sf, "embeddings"))
 
 
+def _q_quality_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.quality_calibration_bins(read_table(spark, sf, "documents"))
+
+
+def _q_contamination_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.contamination_matrix(read_table(spark, sf, "documents"))
+
+
+def _q_neardup_edit_confirm(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.neardup_edit_confirm(read_table(spark, sf, "documents"))
+
+
+def _q_semdedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.semdedup_threshold_sweep(
+        read_table(spark, sf, "embeddings")
+    )
+
+
+def _q_charclass_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.charclass_profile(read_table(spark, sf, "documents"))
+
+
+def _q_data_constrained_mix(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.data_constrained_mix(read_table(spark, sf, "documents"))
+
+
+def _q_dedup_tokens_saved(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_tokens_saved(read_table(spark, sf, "documents"))
+
+
+def _q_embedding_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_integrity_audit(
+        read_table(spark, sf, "embeddings"),
+        read_table(spark, sf, "documents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness verifies the
     # first 50 entries in dict order (observed in CORRECTNESS_r01).
@@ -2506,58 +2543,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotations stay a pure prefix shift.  CI:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
         # --- never driver-verified (MUST be in the window) ---
-        "doremi_mixture": _q_doremi_mixture,
-        "gopher_quality_rules": _q_gopher_quality_rules,
-        "heaps_law_curve": _q_heaps_law_curve,
-        "char_entropy_profile": _q_char_entropy_profile,
-        "dup_ngram_char_fraction": _q_dup_ngram_char_fraction,
-        "ngram_entropy_profile": _q_ngram_entropy_profile,
-        "semdedup": _q_semdedup,
-        "pq_m_sweep": _q_pq_m_sweep,
-        # --- r8 cohort ---
-        "dedup_containment": _q_dedup_containment,
-        "dedup_jaccard": _q_dedup_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "doc_chunks": _q_doc_chunks,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "embedding_centroids": _q_embedding_centroids,
-        "fraction_avg": _q_fraction_avg,
-        "lang_confusion": _q_lang_confusion,
-        "left_join_dropna": _q_left_join_dropna,
-        "media_stats": _q_media_stats,
-        "multimodal_decode": _q_multimodal_decode,
-        "pack_sequences": _q_pack_sequences,
-        "pii_scan": _q_pii_scan,
-        "pivot_avg": _q_pivot_avg,
-        "range_join": _q_range_join,
-        "range_join_bands": _q_range_join_bands,
-        "regex_extract_all": _q_regex_extract_all,
+        "quality_calibration_bins": _q_quality_calibration_bins,
+        "contamination_matrix": _q_contamination_matrix,
+        "neardup_edit_confirm": _q_neardup_edit_confirm,
+        "semdedup_threshold_sweep": _q_semdedup_threshold_sweep,
+        "charclass_profile": _q_charclass_profile,
+        "data_constrained_mix": _q_data_constrained_mix,
+        "dedup_tokens_saved": _q_dedup_tokens_saved,
+        "embedding_integrity_audit": _q_embedding_integrity_audit,
         # --- r9 cohort ---
-        "export_roundtrip": _q_export_roundtrip,
-        "perplexity_filter": _q_perplexity_filter,
-        "media_phash_neardup": _q_media_phash_neardup,
-        "pr_auc": _q_pr_auc,
-        "kaplan_meier": _q_kaplan_meier,
-        "decision_stump": _q_decision_stump,
-        "cohen_kappa": _q_cohen_kappa,
-        "hll_distinct": _q_hll_distinct,
-        "temperature_mix": _q_temperature_mix,
-        "url_dedup": _q_url_dedup,
-        "graph_bfs": _q_graph_bfs,
-        "mutual_knn": _q_mutual_knn,
-        "item_cf": _q_item_cf,
-        "seasonal_decompose": _q_seasonal_decompose,
-        "cms_merge_audit": _q_cms_merge_audit,
-        "quantile_normalize": _q_quantile_normalize,
-        "jl_projection": _q_jl_projection,
-        "zipf_audit": _q_zipf_audit,
-        "cluster_labels": _q_cluster_labels,
-        "concurrency_profile": _q_concurrency_profile,
-        "conversion_lag": _q_conversion_lag,
-        "ivf_recall_eval": _q_ivf_recall_eval,
-        "repetition_profile": _q_repetition_profile,
-        "salted_agg": _q_salted_agg,
-        "salted_join": _q_salted_join,
         "semi_join": _q_semi_join,
         "soccer_pipeline": _q_soccer_pipeline,
         "stratified_sample": _q_stratified_sample,
@@ -2838,6 +2832,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "contamination_check": _q_contamination_check,
         "dedup_clusters": _q_dedup_clusters,
+        # --- r15 cohort ---
+        "doremi_mixture": _q_doremi_mixture,
+        "gopher_quality_rules": _q_gopher_quality_rules,
+        "heaps_law_curve": _q_heaps_law_curve,
+        "char_entropy_profile": _q_char_entropy_profile,
+        "dup_ngram_char_fraction": _q_dup_ngram_char_fraction,
+        "ngram_entropy_profile": _q_ngram_entropy_profile,
+        "semdedup": _q_semdedup,
+        "pq_m_sweep": _q_pq_m_sweep,
+        "dedup_containment": _q_dedup_containment,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "doc_chunks": _q_doc_chunks,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_centroids": _q_embedding_centroids,
+        "fraction_avg": _q_fraction_avg,
+        "lang_confusion": _q_lang_confusion,
+        "left_join_dropna": _q_left_join_dropna,
+        "media_stats": _q_media_stats,
+        "multimodal_decode": _q_multimodal_decode,
+        "pack_sequences": _q_pack_sequences,
+        "pii_scan": _q_pii_scan,
+        "pivot_avg": _q_pivot_avg,
+        "range_join": _q_range_join,
+        "range_join_bands": _q_range_join_bands,
+        "regex_extract_all": _q_regex_extract_all,
+        "export_roundtrip": _q_export_roundtrip,
+        "perplexity_filter": _q_perplexity_filter,
+        "media_phash_neardup": _q_media_phash_neardup,
+        "pr_auc": _q_pr_auc,
+        "kaplan_meier": _q_kaplan_meier,
+        "decision_stump": _q_decision_stump,
+        "cohen_kappa": _q_cohen_kappa,
+        "hll_distinct": _q_hll_distinct,
+        "temperature_mix": _q_temperature_mix,
+        "url_dedup": _q_url_dedup,
+        "graph_bfs": _q_graph_bfs,
+        "mutual_knn": _q_mutual_knn,
+        "item_cf": _q_item_cf,
+        "seasonal_decompose": _q_seasonal_decompose,
+        "cms_merge_audit": _q_cms_merge_audit,
+        "quantile_normalize": _q_quantile_normalize,
+        "jl_projection": _q_jl_projection,
+        "zipf_audit": _q_zipf_audit,
+        "cluster_labels": _q_cluster_labels,
+        "concurrency_profile": _q_concurrency_profile,
+        "conversion_lag": _q_conversion_lag,
+        "ivf_recall_eval": _q_ivf_recall_eval,
+        "repetition_profile": _q_repetition_profile,
+        "salted_agg": _q_salted_agg,
+        "salted_join": _q_salted_join,
     }
 
 
@@ -2856,6 +2901,15 @@ def _pivot_avg_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- round-16 registrations ---
+        "quality_calibration_bins": textops.quality_calibration_bins_sql(),
+        "contamination_matrix": textops.contamination_matrix_sql(),
+        "neardup_edit_confirm": dedup.neardup_edit_confirm_sql(),
+        "semdedup_threshold_sweep": similarity.semdedup_threshold_sweep_sql(),
+        "charclass_profile": textops.charclass_profile_sql(),
+        "data_constrained_mix": textops.data_constrained_mix_sql(),
+        "dedup_tokens_saved": dedup.dedup_tokens_saved_sql(),
+        "embedding_integrity_audit": similarity.embedding_integrity_audit_sql(),
         # --- round-14 registrations ---
         "suffix_dedup_spans": dedup.suffix_dedup_spans_sql(),
         "vocab_ladder_fertility": textops.vocab_ladder_fertility_sql(),

@@ -77,7 +77,19 @@ def _nd_depth(n: int) -> int:
 
 
 def _nd_depth_sql() -> str:
-    """The identical depth pick as a DuckDB scalar subquery."""
+    """The identical depth pick as a DuckDB scalar subquery.
+
+    FULL-TABLE COUPLING: this counts the whole ``embeddings`` view,
+    while the Spark side derives depth from the ACTUAL input frame
+    (``_nd_depth(df.count())``). Registered queries pass the full
+    table, so the two always agree; a caller handing
+    :func:`cosine_near_dup` / :func:`knn_graph` a FILTERED or
+    alternate embedding set whose row count straddles a ladder
+    boundary (2048 / 8192) would get a different depth than this SQL
+    twin — silently different bucket geometry. If you need subset
+    inputs with oracle parity, register the subset as its own view
+    and parameterize this builder with that relation name.
+    """
     cases = " ".join(
         f"WHEN COUNT(*) <= {b} THEN {d}" for b, d in ND_DEPTH_LADDER
     )
@@ -481,6 +493,16 @@ def cosine_near_dup(
     ``embedding_dedup_clusters`` share this entire sketch + bucket +
     verify prerequisite (the ``scale.plan_keyed_cache`` contract — a
     different input or parameter can never hit a stale entry).
+
+    Deployment config: bucket depth steps with corpus size via
+    ``ND_DEPTH_LADDER`` (count-driven CASE, identical on both
+    engines); past the ladder cap (depth 12) the budget guard still
+    aborts loudly — a larger deployment RAISES the ladder (more
+    extension planes/bands), it is not a bug. Oracle-parity caveat:
+    the SQL twin derives depth from COUNT(*) of the FULL
+    ``embeddings`` view (see ``_nd_depth_sql``), so pass the full
+    table — a filtered subset straddling a ladder boundary would get
+    a different depth than its twin.
     """
     from soccerpredictor_spark.operators.scale import plan_keyed_cache
 
@@ -1143,6 +1165,13 @@ def knn_graph(emb: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
     (round-15 sf1x reading: mutual_knn 22.3 s vs knn_graph's 8.9 —
     the classic 2+-lazy-consumers shape this repo checkpoints on
     sight). The table is n*k rows — tiny next to what builds it.
+
+    Deployment config + parity caveat as for ``cosine_near_dup``:
+    bucket depth is the count-driven ``ND_DEPTH_LADDER`` (raise the
+    ladder past depth 12 for larger corpora; the guard aborts loudly
+    meanwhile), and the SQL twin counts the FULL ``embeddings`` view
+    (``_nd_depth_sql``) — subset inputs near a 2048/8192 boundary
+    would diverge from their oracle.
     """
     from soccerpredictor_spark.operators.scale import plan_keyed_cache
 

@@ -4198,8 +4198,14 @@ def capped_mix_waterfill(docs: DataFrame) -> DataFrame:
         marked.filter(F.col("capped") == 0)
         .select(
             "i",
-            ((F.col("eb") - F.col("prefix_smaller"))
-             / (F.col("n_src") - F.col("i") + 1)).cast("long").alias("lvl_c"),
+            # True integer division (`div`), matching DuckDB's `//`
+            # bit-for-bit: budgets can approach 2^53 at the 100 TB
+            # envelope, where a double quotient truncated via
+            # cast('long') could disagree with exact BIGINT division
+            # (the `rem` companion is already exact `%`).
+            F.expr(
+                "(eb - prefix_smaller) div (n_src - i + 1)"
+            ).alias("lvl_c"),
             ((F.col("eb") - F.col("prefix_smaller"))
              % (F.col("n_src") - F.col("i") + 1)).alias("rem_c"),
         )
@@ -8140,8 +8146,14 @@ def data_constrained_mix(docs: DataFrame) -> DataFrame:
         marked.filter(F.col("capped") == 0)
         .select(
             "i",
-            ((F.col("eb") - F.col("prefix_smaller"))
-             / (F.col("n_src") - F.col("i") + 1)).cast("long").alias("lvl_c"),
+            # True integer division (`div`), matching DuckDB's `//`
+            # bit-for-bit: budgets can approach 2^53 at the 100 TB
+            # envelope, where a double quotient truncated via
+            # cast('long') could disagree with exact BIGINT division
+            # (the `rem` companion is already exact `%`).
+            F.expr(
+                "(eb - prefix_smaller) div (n_src - i + 1)"
+            ).alias("lvl_c"),
             ((F.col("eb") - F.col("prefix_smaller"))
              % (F.col("n_src") - F.col("i") + 1)).alias("rem_c"),
         )

@@ -60,35 +60,15 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 STAGED = [
-    # GRADUATION (round-15 housekeeping, r14 verdict #6): every prior
-    # staged batch (r11 holdovers through the round-14 batch
-    # doremi_mixture..pq_m_sweep) is now REGISTERED, so parity/plan
-    # gates for all of them run via tests/test_oracle_parity.py and
-    # gen_plans-audited plans like every registered entry. Their
-    # closed-form unit tests below are kept. This list holds ONLY
-    # not-yet-registered staged operators: (name, module, table).
-    # round-15 staging (closed-form tests in test_staged_round15.py)
-    ("quality_calibration_bins", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("contamination_matrix", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("neardup_edit_confirm", "soccerpredictor_spark.operators.dedup",
-     "documents"),
-    ("semdedup_threshold_sweep", "soccerpredictor_spark.operators.similarity",
-     "embeddings"),
-    # round-16 staging (closed-form tests in test_staged_round16.py);
-    # a TUPLE table entry means the operator takes several tables, in
-    # that order (embedding_integrity_audit audits vectors AGAINST the
-    # document spine, so it needs both).
-    ("charclass_profile", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("data_constrained_mix", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("dedup_tokens_saved", "soccerpredictor_spark.operators.dedup",
-     "documents"),
-    ("embedding_integrity_audit",
-     "soccerpredictor_spark.operators.similarity",
-     ("embeddings", "documents")),
+    # GRADUATION (round-16 housekeeping): every prior staged batch —
+    # r11 holdovers through the round-15/16 batches
+    # (quality_calibration_bins..embedding_integrity_audit) — is now
+    # REGISTERED, so parity/plan gates for all of them run via
+    # tests/test_oracle_parity.py and gen_plans-audited plans like
+    # every registered entry. Their closed-form unit tests below are
+    # kept. This list holds ONLY not-yet-registered staged operators:
+    # (name, module, table); a TUPLE table entry means the operator
+    # takes several tables, in that order.
 ]
 
 

@@ -102,7 +102,11 @@ def main(argv: list[str]) -> None:
         # that order (mirrors the test_staged_round11 harness).
         tables = table if isinstance(table, tuple) else (table,)
         args = ", ".join(f'read_table(spark, sf, "{t}")' for t in tables)
-        if len(args) + len(mod_attr) + len(name) > 55:
+        one_line = f"    return {mod_attr}.{name}({args})\n"
+        # wrap when the ACTUAL emitted line (incl. the fixed
+        # '    return ' / '.' / '()' overhead) would bust the style
+        # limit — not a three-part length approximation
+        if len(one_line.rstrip("\n")) > 79:
             call = (
                 f"    return {mod_attr}.{name}(\n"
                 + "".join(
@@ -111,7 +115,7 @@ def main(argv: list[str]) -> None:
                 + "    )\n"
             )
         else:
-            call = f"    return {mod_attr}.{name}({args})\n"
+            call = one_line
         defs.append(
             f"def _q_{name}(spark: SparkSession, sf: str) -> DataFrame:\n"
             f"    from soccerpredictor_spark.operators import {mod_attr}\n\n"
