@@ -2511,6 +2511,148 @@ FROM stats CROSS JOIN contaminated CROSS JOIN n_eval
 """
 
 
+def embedding_eval_contamination(
+    emb: DataFrame, max_pairs_per_row: float | None = None
+) -> DataFrame:
+    """Per-eval-vector contamination detail table — the dense-space
+    counterpart of :func:`textops.contamination_matrix`'s grid and
+    the drill-down behind :func:`embedding_split_leakage`'s one-row
+    summary: for EVERY vector in the ``kv:`` md5 eval holdout
+    (bucket 4 — the exact split ``knn_label_eval`` holds out), the
+    maximum cosine to any TRAIN-side vector among the verified
+    near-duplicate pairs, the nearest such train vector, and the
+    per-vector contaminated verdict — the list a curation run
+    publishes so contaminated benchmark rows can be dropped
+    individually (the way ``ngram_decontaminate`` lists text hits).
+
+    Candidates are ``cosine_near_dup``'s banded-LSH + exact-verify
+    pair table (SESSION-CACHED via ``_PAIR_CACHE`` — a pipeline that
+    already ran any near-dup entry pays nothing here; recall caveat
+    as for the whole family: eval/train twins sharing no LSH bucket
+    are not candidates). Nearest-train tie-break is deterministic on
+    both engines: rank by (sim DESC, train_id ASC) — a ROW_NUMBER
+    window, never an argmax-by-struct (the DuckDB arg_min ordering
+    trap).
+
+    Scale: the pair table is the family's amortized prerequisite;
+    tagging + the rank window run over THAT small table (partitioned
+    by eval vector — per-row pair counts are budget-guarded
+    upstream, so keys are bounded); the spine join is one map-side
+    filter of the corpus plus an equi-join against the per-eval
+    aggregate. Nothing new is pair-shaped.
+
+    Output: (vec_id, n_train_neighbors, max_train_sim,
+    nearest_train_id, contaminated), vec_id-ordered over the FULL
+    eval spine — untouched eval vectors appear with zero neighbors
+    and NULL sim/nearest, so the clean rows are auditable too.
+    """
+    pairs = cosine_near_dup(emb, max_pairs_per_row=max_pairs_per_row)
+    tagged = pairs.select(
+        "sim",
+        "vec_a",
+        "vec_b",
+        (_kv_eval_bucket(F.col("vec_a")) == 4).alias("a_eval"),
+        (_kv_eval_bucket(F.col("vec_b")) == 4).alias("b_eval"),
+    )
+    cross = (
+        tagged.filter(F.col("a_eval") & ~F.col("b_eval"))
+        .select(
+            F.col("vec_a").alias("eval_id"),
+            F.col("vec_b").alias("train_id"),
+            "sim",
+        )
+        .unionByName(
+            tagged.filter(F.col("b_eval") & ~F.col("a_eval")).select(
+                F.col("vec_b").alias("eval_id"),
+                F.col("vec_a").alias("train_id"),
+                "sim",
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("eval_id").orderBy(
+        F.col("sim").desc(), F.col("train_id").asc()
+    )
+    per_eval = (
+        cross.withColumn("rn", F.row_number().over(w))
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_neighbors"),
+            F.max(F.when(F.col("rn") == 1, F.col("sim"))).alias(
+                "max_train_sim"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("train_id"))).alias(
+                "nearest_train_id"
+            ),
+        )
+    )
+    spine = emb.select("vec_id").filter(_kv_eval_bucket(F.col("vec_id")) == 4)
+    return (
+        spine.join(
+            per_eval, spine["vec_id"] == per_eval["eval_id"], "left"
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_train_neighbors"), F.lit(0).cast("long"))
+            .alias("n_train_neighbors"),
+            "max_train_sim",
+            "nearest_train_id",
+            F.col("eval_id").isNotNull().alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def embedding_eval_contamination_sql(threshold: float = 0.25) -> str:
+    """DuckDB twin of :func:`embedding_eval_contamination` — nests
+    :func:`cosine_near_dup_sql`, identical split tag, rank window and
+    eval spine."""
+    bkt = (
+        "(CAST(concat('0x', substr(md5('kv:' || CAST({c} AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 5 = 4)"
+    )
+    a_eval, b_eval, v_eval = (
+        bkt.format(c="vec_a"), bkt.format(c="vec_b"), bkt.format(c="vec_id")
+    )
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT * FROM ({cosine_near_dup_sql(threshold)}) q
+),
+tagged AS (
+  SELECT sim, vec_a, vec_b, {a_eval} AS a_eval, {b_eval} AS b_eval
+  FROM pairs
+),
+cross_d AS (
+  SELECT vec_a AS eval_id, vec_b AS train_id, sim
+  FROM tagged WHERE a_eval AND NOT b_eval
+  UNION ALL
+  SELECT vec_b AS eval_id, vec_a AS train_id, sim
+  FROM tagged WHERE b_eval AND NOT a_eval
+),
+ranked AS (
+  SELECT eval_id, train_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY eval_id
+                            ORDER BY sim DESC, train_id ASC) AS rn
+  FROM cross_d
+),
+per_eval AS (
+  SELECT eval_id,
+         CAST(COUNT(*) AS BIGINT) AS n_train_neighbors,
+         MAX(CASE WHEN rn = 1 THEN sim END) AS max_train_sim,
+         MAX(CASE WHEN rn = 1 THEN train_id END) AS nearest_train_id
+  FROM ranked GROUP BY eval_id
+),
+spine AS (SELECT vec_id FROM embeddings WHERE {v_eval})
+SELECT s.vec_id,
+       COALESCE(p.n_train_neighbors, 0) AS n_train_neighbors,
+       p.max_train_sim, p.nearest_train_id,
+       (p.eval_id IS NOT NULL) AS contaminated
+FROM spine s LEFT JOIN per_eval p ON s.vec_id = p.eval_id
+ORDER BY s.vec_id
+"""
+
+
 # --------------------------------------------------------------------------
 # IVF nprobe sweep (recall-vs-probes tuning table)
 # --------------------------------------------------------------------------

@@ -8258,3 +8258,243 @@ SELECT source, CAST(tokens AS BIGINT) AS tokens,
          AS epochs
 FROM out ORDER BY source
 """
+
+# --------------------------------------------------------------------------
+# Domain blocklist filter (broadcast anti-join over URL-domain parse)
+# --------------------------------------------------------------------------
+
+#: registrable domains dropped by the blocklist filter. A real
+#: deployment loads this as a TABLE (millions of rows at crawl scale)
+#: and the engine shape below — broadcast the blocklist, never the
+#: corpus — is exactly why this is not a literal IN-list (the E7
+#: anti-pattern SURVEY §2.6 sheds): the join stays a map-side hash
+#: probe per doc at any corpus size. One entry is a guaranteed miss
+#: (the pii_redact hit-and-miss synthesis convention).
+DOMAIN_BLOCKLIST = ("src3.com", "src7.net", "src11.org", "tracking-farm.net")
+
+
+def _synth_host():
+    """Deterministic host synthesis from the documents fixture (it
+    has no URL column; the :func:`_synth_url` convention, richer on
+    the domain axis): subdomain by doc_id % 4, registrable domain =
+    source + tld with the tld rotating by doc_id % 3 — so every
+    source fans out over three registrable domains and blocklist
+    hits/misses are both exercised."""
+    sub = (
+        F.when(F.col("doc_id") % 4 == 0, "cdn.")
+        .when(F.col("doc_id") % 4 == 1, "www.")
+        .when(F.col("doc_id") % 4 == 2, "")
+        .otherwise("m.")
+    )
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, ".com")
+        .when(F.col("doc_id") % 3 == 1, ".org")
+        .otherwise(".net")
+    )
+    return F.concat(sub, F.col("source"), tld)
+
+
+_SQL_SYNTH_HOST = (
+    "CASE doc_id % 4 WHEN 0 THEN 'cdn.' WHEN 1 THEN 'www.'"
+    " WHEN 2 THEN '' ELSE 'm.' END || source ||"
+    " CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org'"
+    " ELSE '.net' END"
+)
+
+
+def domain_blocklist_filter(docs: DataFrame) -> DataFrame:
+    """Per-domain kept/dropped audit of a domain-blocklist filter —
+    the first URL-level gate of every crawl curation pipeline
+    (spam/SEO-farm/adult blocklists drop whole registrable domains
+    before any content is read). Extracts the registrable domain
+    (last two dot-labels — the eTLD+1 approximation that needs no
+    suffix table) from the host, flags it against
+    ``DOMAIN_BLOCKLIST``, and reports per-domain document and token
+    counts with the verdict, so the filter's cost is auditable before
+    anyone applies it.
+
+    Engine shape: the domain parse is one ``regexp_extract``
+    projection (codegen, no UDF); the blocklist — tiny by definition
+    next to the corpus — is a BROADCAST left join used as a
+    semi/anti flag (never a literal IN-list: at deployment scale the
+    blocklist is a table, and broadcasting it keeps the probe
+    map-side with zero corpus shuffle); then one (domain) aggregation.
+    Linear at 100 TB.
+
+    Output: (domain, n_docs, n_tokens, blocked), domain-ordered.
+    Kept corpus = the ``NOT blocked`` rows' documents; the audit
+    reports both sides.
+    """
+    spark = docs.sparkSession
+    block = spark.createDataFrame(
+        [(d,) for d in DOMAIN_BLOCKLIST], "domain string"
+    ).withColumn("blk", F.lit(True))
+    tagged = (
+        fan_out(docs)
+        .select(
+            F.regexp_extract(
+                _synth_host(), r"([^.]+\.[^.]+)$", 1
+            ).alias("domain"),
+            X.token_count("text").cast("long").alias("n_tokens"),
+        )
+        .join(F.broadcast(block), "domain", "left")
+    )
+    return (
+        tagged.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.max("blk"), F.lit(False)).alias("blocked"),
+        )
+        .orderBy("domain")
+    )
+
+
+def domain_blocklist_filter_sql() -> str:
+    """DuckDB twin of :func:`domain_blocklist_filter` — the blocklist
+    as a VALUES relation (a table, as deployed), identical host
+    synthesis and domain regex."""
+    toks = _sql_tokens()
+    values = ", ".join(f"('{d}')" for d in DOMAIN_BLOCKLIST)
+    return f"""
+WITH block(domain) AS (VALUES {values}),
+tagged AS (
+  SELECT regexp_extract({_SQL_SYNTH_HOST}, '([^.]+\\.[^.]+)$', 1) AS domain,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT t.domain, COUNT(*) AS n_docs,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+       COALESCE(MAX(b.domain IS NOT NULL), FALSE) AS blocked
+FROM tagged t LEFT JOIN block b ON t.domain = b.domain
+GROUP BY t.domain ORDER BY t.domain
+"""
+
+
+# --------------------------------------------------------------------------
+# Script-language consistency audit (charclass x lang agreement)
+# --------------------------------------------------------------------------
+
+#: ASCII-alpha-fraction bins (0..SCRIPT_BINS-1) used by the
+#: consistency grid; bin = min(n_alpha * SCRIPT_BINS div n_chars,
+#: SCRIPT_BINS - 1) — EXACT integer arithmetic, identical on both
+#: engines (no double multiply near a bin edge can flip a bucket).
+SCRIPT_BINS = 5
+
+
+def script_lang_consistency(docs: DataFrame) -> DataFrame:
+    """Script-language consistency audit: bucket every document by
+    its ASCII-alpha character fraction (the dominant-script proxy
+    :func:`charclass_profile` aggregates per language) and cross-tab
+    the buckets against the language label. A healthy monolingual
+    source concentrates in ONE bin per language; a language whose
+    docs spread across bins is flagging mixed encodings, mojibake,
+    markup spill, or mislabeled language — read BEFORE trusting lang
+    for mixture weighting. The modal bin's share is the per-language
+    agreement rate (pure rational, never entropy — ln() is not
+    oracle-pinnable across engines at 1 ulp).
+
+    Engine shape: the alpha count is one length-difference after a
+    class-strip ``regexp_replace`` (the :func:`charclass_profile`
+    projection — one scan, zero explode); the bin is exact integer
+    arithmetic; the grid is a (lang x bin) spine LEFT-joined with the
+    counts (every cell present, zero-filled) and the windows run over
+    that mixture-sized grid — irrelevant at any corpus size. Empty
+    documents carry no character evidence and are excluded (a lang
+    appears iff it has at least one non-empty doc, so shares are
+    never 0/0).
+
+    Output: (lang, alpha_bin, n_docs, share, is_modal),
+    lang/bin-ordered; ``is_modal`` marks the language's largest bin
+    (smaller-bin tie-break, deterministic on both engines).
+    """
+    from pyspark.sql import Window
+
+    per_doc = (
+        fan_out(docs)
+        .filter(F.length("text") > 0)
+        .select(
+            "lang",
+            F.length("text").alias("nc"),
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+            ).alias("na"),
+        )
+        .select(
+            "lang",
+            F.least(
+                F.expr(f"na * {SCRIPT_BINS} div nc"),
+                F.lit(SCRIPT_BINS - 1).cast("long"),
+            ).alias("alpha_bin"),
+        )
+    )
+    counts = per_doc.groupBy("lang", "alpha_bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = (
+        per_doc.select("lang")
+        .distinct()
+        .select(
+            "lang",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.lit(SCRIPT_BINS - 1).cast("long"),
+                )
+            ).alias("alpha_bin"),
+        )
+    )
+    grid = spine.join(counts, ["lang", "alpha_bin"], "left").select(
+        "lang", "alpha_bin", F.coalesce(F.col("n"), F.lit(0)).alias("n_docs")
+    )
+    w_lang = Window.partitionBy("lang")
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("n_docs").desc(), F.col("alpha_bin").asc()
+    )
+    return grid.select(
+        "lang",
+        "alpha_bin",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w_lang).cast("double")
+        ).alias("share"),
+        (F.row_number().over(w_rank) == 1).alias("is_modal"),
+    ).orderBy("lang", "alpha_bin")
+
+
+def script_lang_consistency_sql() -> str:
+    """DuckDB twin of :func:`script_lang_consistency` — identical
+    integer binning, spine, and window tie-breaks."""
+    return f"""
+WITH per_doc AS (
+  SELECT lang,
+         LEAST((length(text)
+                - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+               * {SCRIPT_BINS} // length(text),
+               {SCRIPT_BINS - 1}) AS alpha_bin
+  FROM documents WHERE length(text) > 0
+),
+counts AS (
+  SELECT lang, alpha_bin, COUNT(*) AS n FROM per_doc GROUP BY lang, alpha_bin
+),
+spine AS (
+  SELECT lang, b AS alpha_bin
+  FROM (SELECT DISTINCT lang FROM per_doc)
+  CROSS JOIN (SELECT UNNEST(range({SCRIPT_BINS})) AS b)
+),
+grid AS (
+  SELECT s.lang, CAST(s.alpha_bin AS BIGINT) AS alpha_bin,
+         COALESCE(c.n, 0) AS n_docs
+  FROM spine s LEFT JOIN counts c
+    ON s.lang = c.lang AND s.alpha_bin = c.alpha_bin
+)
+SELECT lang, alpha_bin, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS share,
+       (ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY n_docs DESC, alpha_bin ASC) = 1)
+         AS is_modal
+FROM grid ORDER BY lang, alpha_bin
+"""

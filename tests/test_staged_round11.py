@@ -69,6 +69,16 @@ STAGED = [
     # kept. This list holds ONLY not-yet-registered staged operators:
     # (name, module, table); a TUPLE table entry means the operator
     # takes several tables, in that order.
+    # round-17 staging (closed-form tests in test_staged_round17.py)
+    ("domain_blocklist_filter", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("script_lang_consistency", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("dedup_keep_best", "soccerpredictor_spark.operators.dedup",
+     "documents"),
+    ("embedding_eval_contamination",
+     "soccerpredictor_spark.operators.similarity",
+     "embeddings"),
 ]
 
 

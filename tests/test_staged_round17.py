@@ -1,0 +1,269 @@
+"""Closed-form semantic tests for the round-17 staged batch (staged
+during round 16; parity + plan-purity + empty-input gates run through
+the shared harness in test_staged_round11.py):
+
+- domain_blocklist_filter: broadcast-blocklist domain audit
+- script_lang_consistency: charclass x lang agreement grid
+- dedup_keep_best: quality-aware (longest-doc) dedup survivor rule
+- embedding_eval_contamination: per-eval-vector dense contamination
+"""
+
+from __future__ import annotations
+
+
+class TestDomainBlocklistFilter:
+    def test_hit_and_miss_domains(self, spark):
+        """doc 0 (src3, %3=0 -> .com) lands on blocked src3.com; doc 1
+        (src3, %3=1 -> .org) lands on clean src3.org; doc 2 (src7,
+        %3=2 -> .net) lands on blocked src7.net. Counts and token sums
+        are per registrable domain regardless of subdomain."""
+        from soccerpredictor_spark.operators.textops import (
+            domain_blocklist_filter,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c", "src3"),     # cdn.src3.com  -> src3.com
+                (1, "d e", "src3"),       # www.src3.org  -> src3.org
+                (2, "f", "src7"),         # src7.net      -> src7.net
+                (12, "g h i j", "src3"),  # cdn.src3.com  -> src3.com
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {r.domain: r for r in domain_blocklist_filter(docs).collect()}
+        assert set(rows) == {"src3.com", "src3.org", "src7.net"}
+        assert rows["src3.com"].blocked and rows["src7.net"].blocked
+        assert not rows["src3.org"].blocked
+        assert (rows["src3.com"].n_docs, rows["src3.com"].n_tokens) == (2, 7)
+        assert (rows["src3.org"].n_docs, rows["src3.org"].n_tokens) == (1, 2)
+        assert (rows["src7.net"].n_docs, rows["src7.net"].n_tokens) == (1, 1)
+
+    def test_subdomains_collapse_to_registrable_domain(self, spark):
+        """doc_ids 0/1/2/3 of one source and tld cycle through all
+        four subdomain variants but 0 and 12 share (.com) while 3/15
+        share m. + .com — the domain regex strips every subdomain."""
+        from soccerpredictor_spark.operators.textops import (
+            domain_blocklist_filter,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "x", "s"), (12, "x", "s"), (3, "x", "s"), (15, "x", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = domain_blocklist_filter(docs).collect()
+        assert [(r.domain, r.n_docs) for r in rows] == [("s.com", 4)]
+        assert not rows[0].blocked
+
+    def test_empty_corpus_empty_output(self, spark):
+        from soccerpredictor_spark.operators.textops import (
+            domain_blocklist_filter,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+        assert domain_blocklist_filter(docs).collect() == []
+
+
+class TestScriptLangConsistency:
+    def test_bins_shares_and_modal(self, spark):
+        """en: 'abcde' and 'ab1de' both bin 4 (25//5, 20//5), 'a1111'
+        bin 1 -> shares 2/3 @ bin4 (modal), 1/3 @ bin1, zero-filled
+        elsewhere. zh: all non-ASCII -> bin 0, share 1.0, modal."""
+        from soccerpredictor_spark.operators.textops import (
+            script_lang_consistency,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "abcde", "en"),
+                (2, "ab1de", "en"),
+                (3, "a1111", "en"),
+                (4, "你好世界", "zh"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        rows = script_lang_consistency(docs).collect()
+        grid = {(r.lang, r.alpha_bin): r for r in rows}
+        assert len(rows) == 10  # 2 langs x 5 bins, every cell present
+        assert grid[("en", 4)].n_docs == 2 and grid[("en", 4)].is_modal
+        assert grid[("en", 4)].share == 2 / 3
+        assert grid[("en", 1)].n_docs == 1 and not grid[("en", 1)].is_modal
+        assert grid[("en", 0)].n_docs == 0 and grid[("en", 0)].share == 0.0
+        assert grid[("zh", 0)].n_docs == 1 and grid[("zh", 0)].is_modal
+        assert grid[("zh", 0)].share == 1.0
+
+    def test_modal_tie_breaks_to_smaller_bin(self, spark):
+        """One doc in bin 0 and one in bin 4: the tie resolves to the
+        smaller bin (deterministic on both engines)."""
+        from soccerpredictor_spark.operators.textops import (
+            script_lang_consistency,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "11111", "fr"), (2, "aaaaa", "fr")],
+            "doc_id long, text string, lang string",
+        )
+        modal = [
+            r.alpha_bin
+            for r in script_lang_consistency(docs).collect()
+            if r.is_modal
+        ]
+        assert modal == [0]
+
+    def test_empty_text_excluded(self, spark):
+        """An empty document carries no character evidence: it joins
+        no bin and does not create its language's spine."""
+        from soccerpredictor_spark.operators.textops import (
+            script_lang_consistency,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "", "de"), (2, "abc", "en")],
+            "doc_id long, text string, lang string",
+        )
+        rows = script_lang_consistency(docs).collect()
+        assert {r.lang for r in rows} == {"en"}
+        assert sum(r.n_docs for r in rows) == 1
+
+    def test_empty_corpus_empty_output(self, spark):
+        from soccerpredictor_spark.operators.textops import (
+            script_lang_consistency,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, lang string"
+        )
+        assert script_lang_consistency(docs).collect() == []
+
+
+class TestDedupKeepBest:
+    def test_longest_doc_wins_cluster(self, spark):
+        """Docs 1 (12 tokens, src a) and 2 (15 tokens = doc 1 + 3
+        extra, src b) near-duplicate (shingle jaccard 10/13); doc 3
+        (src a) unique. keep-min-id keeps doc 1; keep-best keeps doc
+        2 — the survivor MOVES from source a to source b and b gains
+        doc 2's 15 tokens."""
+        from soccerpredictor_spark.operators.dedup import dedup_keep_best
+        from soccerpredictor_spark.operators.scale import clear_caches
+
+        clear_caches()
+        base = " ".join(f"tok{i}" for i in range(12))
+        docs = spark.createDataFrame(
+            [
+                (1, base, "a"),
+                (2, base + " xa xb xc", "b"),
+                (3, " ".join(f"zzz{i}" for i in range(8)), "a"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {r.source: r for r in dedup_keep_best(docs).collect()}
+        a, b = rows["a"], rows["b"]
+        assert (a.n_docs, a.n_kept_minid, a.n_kept_best) == (2, 2, 1)
+        assert (a.tokens_kept_minid, a.tokens_kept_best) == (20, 8)
+        assert a.tokens_gained == -12
+        assert (b.n_docs, b.n_kept_minid, b.n_kept_best) == (1, 0, 1)
+        assert (b.tokens_kept_minid, b.tokens_kept_best) == (0, 15)
+        assert b.tokens_gained == 15
+        # one survivor per cluster under BOTH rules
+        assert a.n_kept_minid + b.n_kept_minid == a.n_kept_best + b.n_kept_best
+        clear_caches()
+
+    def test_token_tie_breaks_to_min_id(self, spark):
+        """Exact duplicates have equal token counts: keep-best
+        degenerates to keep-min-id (doc_id ASC tie-break)."""
+        from soccerpredictor_spark.operators.dedup import dedup_keep_best
+        from soccerpredictor_spark.operators.scale import clear_caches
+
+        clear_caches()
+        dup = " ".join(f"tok{i}" for i in range(12))
+        docs = spark.createDataFrame(
+            [(10, dup, "s"), (11, dup, "s")],
+            "doc_id long, text string, source string",
+        )
+        [r] = dedup_keep_best(docs).collect()
+        assert (r.n_kept_minid, r.n_kept_best) == (1, 1)
+        assert r.tokens_kept_best == r.tokens_kept_minid == 12
+        assert r.tokens_gained == 0
+        clear_caches()
+
+    def test_empty_corpus_empty_output(self, spark):
+        from soccerpredictor_spark.operators.dedup import dedup_keep_best
+        from soccerpredictor_spark.operators.scale import clear_caches
+
+        clear_caches()
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+        assert dedup_keep_best(docs).collect() == []
+        clear_caches()
+
+
+class TestEmbeddingEvalContamination:
+    # kv: md5 split buckets (verified in-test below): 4/18/27 are the
+    # only eval ids (bucket 4) among the ids used here.
+    EVALS = (4, 18, 27)
+
+    @staticmethod
+    def _bucket(i: int) -> int:
+        import hashlib
+
+        return int(hashlib.md5(f"kv:{i}".encode()).hexdigest()[:8], 16) % 5
+
+    def test_split_constants_still_hold(self):
+        assert [i for i in range(30) if self._bucket(i) == 4] == [4, 18, 27]
+
+    def test_nearest_train_and_clean_spine(self, spark):
+        """Eval vec 4 duplicates train vecs 0 AND 1 (identical
+        vectors -> certain LSH collision, equal sim): nearest ties
+        break to the smaller train_id (0). Evals 18/27 duplicate only
+        EACH OTHER — an eval-eval pair is not contamination, so both
+        appear on the spine clean."""
+        from soccerpredictor_spark.operators.scale import clear_caches
+        from soccerpredictor_spark.operators.similarity import (
+            embedding_eval_contamination,
+        )
+
+        clear_caches()
+
+        def v(axis):
+            e = [0.0] * 64
+            e[axis] = 1.0
+            return e
+
+        emb = spark.createDataFrame(
+            [
+                (0, v(0), 0),
+                (1, v(0), 0),
+                (4, v(0), 0),
+                (18, v(7), 1),
+                (27, v(7), 1),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        rows = {r.vec_id: r for r in
+                embedding_eval_contamination(emb).collect()}
+        assert set(rows) == set(self.EVALS)
+        r4 = rows[4]
+        assert r4.contaminated and r4.n_train_neighbors == 2
+        assert r4.nearest_train_id == 0
+        assert r4.max_train_sim > 0.999
+        for vid in (18, 27):
+            r = rows[vid]
+            assert not r.contaminated
+            assert r.n_train_neighbors == 0
+            assert r.max_train_sim is None and r.nearest_train_id is None
+        clear_caches()
+
+    def test_empty_embeddings_empty_output(self, spark):
+        from soccerpredictor_spark.operators.scale import clear_caches
+        from soccerpredictor_spark.operators.similarity import (
+            embedding_eval_contamination,
+        )
+
+        clear_caches()
+        emb = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        )
+        assert embedding_eval_contamination(emb).collect() == []
+        clear_caches()
