@@ -509,3 +509,120 @@ SELECT COUNT(*) AS n_rows,
          AS sum_checksum
 FROM fps
 """
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (quasi-identifier equivalence-class size profile)
+# --------------------------------------------------------------------------
+
+#: k rungs audited (a doc is "at risk at k" when its quasi-identifier
+#: equivalence class holds fewer than k documents).
+K_ANON_RUNGS = (2, 5, 10)
+
+#: width (chars) of the n_chars quasi-identifier bucket — coarse
+#: enough that length alone does not shatter classes, exact integer
+#: division on both engines.
+K_ANON_LEN_BUCKET = 64
+
+
+def k_anonymity_audit(docs: DataFrame) -> DataFrame:
+    """k-anonymity profile over the release quasi-identifiers — the
+    privacy pre-flight a corpus publisher runs before sharing
+    metadata: treating (lang, source, length-bucket) as the
+    quasi-identifier tuple, how many documents sit in an equivalence
+    class smaller than k (re-identifiable by the QI combination
+    alone) for each rung of ``K_ANON_RUNGS``. The Sweeney k-anonymity
+    measure as a plain groupBy profile.
+
+    Engine shape: ONE (lang, source, bucket) aggregation builds the
+    class-size table (linear scan, one shuffle on the QI key); the
+    rung grid is a broadcast 3-row spine cross-applied to a
+    class-size aggregate, so every rung reads the same tiny class
+    table — never one corpus pass per k. The class table is
+    checkpointed: the rung cross-join and the totals both consume it
+    (the 2+-lazy-consumers rule).
+
+    Output: (k, n_classes, n_classes_below_k, n_docs,
+    n_docs_at_risk, at_risk_frac), k-ordered; ``at_risk_frac`` NULL
+    on an empty corpus (fixed 3-row spine either way — alerting keys
+    on the rungs).
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    spark = docs.sparkSession
+    classes = _reliable_checkpoint(
+        docs.groupBy(
+            "lang",
+            "source",
+            F.expr(f"n_chars div {K_ANON_LEN_BUCKET}").alias("len_bucket"),
+        ).agg(F.count(F.lit(1)).alias("sz"))
+    )
+    rungs = spark.createDataFrame([(k,) for k in K_ANON_RUNGS], "k long")
+    per_k = (
+        F.broadcast(rungs)
+        .join(classes, how="cross")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum((F.col("sz") < F.col("k")).cast("long")).alias(
+                "n_classes_below_k"
+            ),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_at_risk"),
+        )
+    )
+    out = rungs.join(per_k, "k", "left").select(
+        "k",
+        F.coalesce(F.col("n_classes"), F.lit(0).cast("long")).alias(
+            "n_classes"
+        ),
+        F.coalesce(F.col("n_classes_below_k"), F.lit(0).cast("long")).alias(
+            "n_classes_below_k"
+        ),
+        F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias("n_docs"),
+        F.coalesce(F.col("n_docs_at_risk"), F.lit(0).cast("long")).alias(
+            "n_docs_at_risk"
+        ),
+    )
+    frac = F.when(F.col("n_docs") == 0, F.lit(None)).otherwise(
+        F.col("n_docs_at_risk").cast("double") / F.col("n_docs").cast("double")
+    )
+    return out.withColumn("at_risk_frac", frac).orderBy("k")
+
+
+def k_anonymity_audit_sql() -> str:
+    """DuckDB twin of :func:`k_anonymity_audit` — identical QI
+    bucketing, rung spine and zero-filled aggregates."""
+    rungs = ", ".join(f"({k})" for k in K_ANON_RUNGS)
+    return f"""
+WITH classes AS (
+  SELECT lang, source, n_chars // {K_ANON_LEN_BUCKET} AS len_bucket,
+         COUNT(*) AS sz
+  FROM documents GROUP BY 1, 2, 3
+),
+rungs(k) AS (VALUES {rungs}),
+per_k AS (
+  SELECT r.k,
+         COUNT(*) AS n_classes,
+         CAST(SUM(CASE WHEN c.sz < r.k THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_classes_below_k,
+         CAST(SUM(c.sz) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN c.sz < r.k THEN c.sz ELSE 0 END) AS BIGINT)
+           AS n_docs_at_risk
+  FROM rungs r CROSS JOIN classes c GROUP BY r.k
+)
+SELECT CAST(r.k AS BIGINT) AS k,
+       COALESCE(p.n_classes, 0) AS n_classes,
+       COALESCE(p.n_classes_below_k, 0) AS n_classes_below_k,
+       COALESCE(p.n_docs, 0) AS n_docs,
+       COALESCE(p.n_docs_at_risk, 0) AS n_docs_at_risk,
+       CASE WHEN COALESCE(p.n_docs, 0) = 0 THEN NULL
+            ELSE CAST(p.n_docs_at_risk AS DOUBLE)
+                 / CAST(p.n_docs AS DOUBLE) END AS at_risk_frac
+FROM rungs r LEFT JOIN per_k p ON r.k = p.k
+ORDER BY k
+"""

@@ -3693,3 +3693,70 @@ flags AS (
 )
 SELECT * FROM ({union}) ORDER BY "check"
 """
+
+
+# --------------------------------------------------------------------------
+# Split balance audit (kv: eval-holdout composition per label)
+# --------------------------------------------------------------------------
+
+#: nominal eval share of the kv: md5 split (bucket 4 of 5).
+SPLIT_EXPECTED_EVAL_FRAC = 0.2
+
+
+def split_balance_audit(emb: DataFrame) -> DataFrame:
+    """Composition audit of the ``kv:`` md5 eval holdout per class
+    label — the pre-training check that the hash split did not land
+    skewed on any class (a label whose eval fraction drifts far from
+    the nominal 20% biases every eval metric computed on the split;
+    hash splits are only uniform in expectation). The companion every
+    consumer of the split (``knn_label_eval``,
+    ``embedding_split_leakage``, ``embedding_eval_contamination``)
+    reads before trusting per-class eval numbers.
+
+    Engine shape: one scan projecting the split bucket (the shared
+    ``_kv_eval_bucket`` md5 expression — identical on both engines),
+    one (label) aggregation. Flat at any corpus size.
+
+    Output: (label, n_total, n_eval, eval_frac, dev_from_expected),
+    label-ordered; ``dev_from_expected`` = eval_frac -
+    ``SPLIT_EXPECTED_EVAL_FRAC`` (labels never have n_total = 0 by
+    construction — a label row exists only if vectors carry it).
+    """
+    tagged = emb.select(
+        "label",
+        (_kv_eval_bucket(F.col("vec_id")) == 4).cast("long").alias("e"),
+    )
+    agg = tagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("e").cast("long").alias("n_eval"),
+    )
+    frac = F.col("n_eval").cast("double") / F.col("n_total").cast("double")
+    return (
+        agg.withColumn("eval_frac", frac)
+        .withColumn(
+            "dev_from_expected",
+            F.col("eval_frac") - F.lit(SPLIT_EXPECTED_EVAL_FRAC),
+        )
+        .orderBy("label")
+    )
+
+
+def split_balance_audit_sql() -> str:
+    """DuckDB twin of :func:`split_balance_audit` — the identical
+    md5 bucket expression and double arithmetic."""
+    bkt = (
+        "(CAST(concat('0x', substr(md5('kv:' || CAST(vec_id AS VARCHAR)), "
+        "1, 8)) AS BIGINT) % 5 = 4)"
+    )
+    return f"""
+WITH agg AS (
+  SELECT label, COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN {bkt} THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+  FROM embeddings GROUP BY label
+)
+SELECT label, n_total, n_eval,
+       CAST(n_eval AS DOUBLE) / CAST(n_total AS DOUBLE) AS eval_frac,
+       CAST(n_eval AS DOUBLE) / CAST(n_total AS DOUBLE)
+         - CAST({SPLIT_EXPECTED_EVAL_FRAC} AS DOUBLE) AS dev_from_expected
+FROM agg ORDER BY label
+"""

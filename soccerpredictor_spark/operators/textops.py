@@ -8498,3 +8498,271 @@ SELECT lang, alpha_bin, n_docs,
          AS is_modal
 FROM grid ORDER BY lang, alpha_bin
 """
+
+# --------------------------------------------------------------------------
+# Dedup survivorship quality shift (does dedup drop the bad docs?)
+# --------------------------------------------------------------------------
+
+#: fixed output spine of dedup_quality_shift.
+DEDUP_SHIFT_STATUSES = ("dropped", "kept")
+
+
+def dedup_quality_shift(docs: DataFrame) -> DataFrame:
+    """Quality shift under near-duplicate survivorship: compare the
+    KEPT corpus against the DROPPED one on the Gopher all-rules pass
+    rate and token mass — the sanity check a curation run publishes
+    after dedup (near-duplicates skew boilerplate/templated, so the
+    dropped side should pass the rule filters at a visibly lower
+    rate; a dedup pass that preferentially drops HIGH-quality docs is
+    misconfigured and this table is where that shows).
+
+    Composes two cached/shared prerequisites: the CC survivor labels
+    (:func:`dedup.near_dup_clusters` via ``_LABEL_CACHE`` — the
+    keep-min-id rule, as in :func:`dedup.dedup_tokens_saved`) and the
+    per-doc Gopher flags (:func:`_gopher_per_doc`, one scan
+    projection). One doc_id equi-join of two slim streams, then a
+    2-group aggregation — nothing pair-shaped.
+
+    Output: (status, n_docs, n_gopher_pass, pass_rate, tokens_total,
+    mean_tokens) on the fixed {dropped, kept} spine, status-ordered;
+    rates NULL on an empty side (never 0/0).
+    """
+    from soccerpredictor_spark.operators.dedup import near_dup_clusters
+
+    spark = docs.sparkSession
+    labels = near_dup_clusters(docs)
+    flags = _gopher_per_doc(docs)
+    passed = (
+        ~F.col("f_wc") & ~F.col("f_wl") & ~F.col("f_sym")
+        & ~F.col("f_al") & ~F.col("f_st")
+    )
+    base = docs.select(
+        "doc_id", X.token_count("text").cast("long").alias("n_tokens")
+    )
+    j = (
+        base.join(labels, "doc_id", "left")
+        .join(flags.select("doc_id", passed.alias("ok")), "doc_id")
+        .select(
+            F.when(
+                F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+                == F.col("doc_id"),
+                "kept",
+            )
+            .otherwise("dropped")
+            .alias("status"),
+            "n_tokens",
+            F.col("ok").cast("long").alias("ok"),
+        )
+    )
+    agg = j.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_gopher_pass"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+    )
+    spine = spark.createDataFrame(
+        [(s,) for s in DEDUP_SHIFT_STATUSES], "status string"
+    )
+    out = spine.join(agg, "status", "left").select(
+        "status",
+        F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias("n_docs"),
+        F.coalesce(F.col("n_gopher_pass"), F.lit(0).cast("long")).alias(
+            "n_gopher_pass"
+        ),
+        F.coalesce(F.col("tokens_total"), F.lit(0).cast("long")).alias(
+            "tokens_total"
+        ),
+    )
+    rate = F.when(F.col("n_docs") == 0, F.lit(None)).otherwise(
+        F.col("n_gopher_pass").cast("double") / F.col("n_docs").cast("double")
+    )
+    mean_t = F.when(F.col("n_docs") == 0, F.lit(None)).otherwise(
+        F.col("tokens_total").cast("double") / F.col("n_docs").cast("double")
+    )
+    return (
+        out.withColumn("pass_rate", rate)
+        .withColumn("mean_tokens", mean_t)
+        .select(
+            "status", "n_docs", "n_gopher_pass", "pass_rate",
+            "tokens_total", "mean_tokens",
+        )
+        .orderBy("status")
+    )
+
+
+def dedup_quality_shift_sql() -> str:
+    """DuckDB twin of :func:`dedup_quality_shift` — nests
+    :func:`dedup.near_dup_clusters_sql` and the shared
+    :func:`_gopher_flags_sql` CTE chain."""
+    from soccerpredictor_spark.operators.dedup import near_dup_clusters_sql
+
+    toks = _sql_tokens()
+    statuses = ", ".join(f"('{s}')" for s in DEDUP_SHIFT_STATUSES)
+    return f"""
+WITH labels AS ({near_dup_clusters_sql()}),
+{_gopher_flags_sql()},
+base AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents
+),
+j AS (
+  SELECT CASE WHEN COALESCE(l.cluster_id, b.doc_id) = b.doc_id
+              THEN 'kept' ELSE 'dropped' END AS status,
+         b.n_tokens,
+         CAST(CASE WHEN NOT f.f_wc AND NOT f.f_wl AND NOT f.f_sym
+                    AND NOT f.f_al AND NOT f.f_st THEN 1 ELSE 0 END
+              AS BIGINT) AS ok
+  FROM base b
+  LEFT JOIN labels l USING (doc_id)
+  JOIN flags f USING (doc_id)
+),
+agg AS (
+  SELECT status, COUNT(*) AS n_docs,
+         CAST(SUM(ok) AS BIGINT) AS n_gopher_pass,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+  FROM j GROUP BY status
+),
+spine(status) AS (VALUES {statuses})
+SELECT s.status,
+       COALESCE(a.n_docs, 0) AS n_docs,
+       COALESCE(a.n_gopher_pass, 0) AS n_gopher_pass,
+       CASE WHEN COALESCE(a.n_docs, 0) = 0 THEN NULL
+            ELSE CAST(a.n_gopher_pass AS DOUBLE)
+                 / CAST(a.n_docs AS DOUBLE) END AS pass_rate,
+       COALESCE(a.tokens_total, 0) AS tokens_total,
+       CASE WHEN COALESCE(a.n_docs, 0) = 0 THEN NULL
+            ELSE CAST(a.tokens_total AS DOUBLE)
+                 / CAST(a.n_docs AS DOUBLE) END AS mean_tokens
+FROM spine s LEFT JOIN agg a ON s.status = a.status
+ORDER BY s.status
+"""
+
+
+# --------------------------------------------------------------------------
+# Source signature terms (per-source distinctive vocabulary)
+# --------------------------------------------------------------------------
+
+#: signature terms reported per source.
+SIG_TOP_K = 5
+
+#: minimum in-source term frequency for signature candidacy (kills
+#: singleton noise before the rank window).
+SIG_MIN_TF = 3
+
+
+def source_signature_terms(docs: DataFrame) -> DataFrame:
+    """Top-``SIG_TOP_K`` distinctive terms per source by relative-
+    frequency lift — the "what IS this source" fingerprint a mixture
+    designer reads next to the weights (tf-idf-flavored, but the
+    score is a pure frequency RATIO: lift = (tf_s/tokens_s) /
+    (tf_c/tokens_c), computed as the identical double expression
+    tree on both engines — never idf's ln()).
+
+    Engine shape: ONE tokenize scan -> (source, term) counts; the
+    corpus term totals derive from that same table (no second scan);
+    source and corpus token totals are mixture-sized broadcasts.
+    Signature candidacy requires tf_s >= SIG_MIN_TF AND lift > 1 (a
+    signature term is by definition over-represented), which prunes
+    the rank-window input before the per-source (lift DESC, term
+    ASC) top-k. The window partitions by source — parallel across
+    sources; within one source it sorts that source's candidate
+    vocabulary, the standard per-group top-k shape.
+
+    Output: (source, rank, term, tf_source, tf_corpus, lift),
+    (source, rank)-ordered; sources with no qualifying term simply
+    emit fewer (possibly zero) rows.
+    """
+    from pyspark.sql import Window
+
+    tf_s = (
+        fan_out(docs)
+        .select(
+            "source",
+            F.explode(X.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf_source"))
+    )
+    totals_s = tf_s.groupBy("source").agg(
+        F.sum("tf_source").cast("long").alias("tokens_source")
+    )
+    tf_c = tf_s.groupBy("term").agg(
+        F.sum("tf_source").cast("long").alias("tf_corpus")
+    )
+    total_c = tf_s.agg(
+        F.sum("tf_source").cast("long").alias("tokens_corpus")
+    )
+    lift = (
+        F.col("tf_source").cast("double")
+        / F.col("tokens_source").cast("double")
+    ) / (
+        F.col("tf_corpus").cast("double")
+        / F.col("tokens_corpus").cast("double")
+    )
+    cand = (
+        tf_s.filter(F.col("tf_source") >= SIG_MIN_TF)
+        .join(tf_c, "term")
+        .join(F.broadcast(totals_s), "source")
+        .join(F.broadcast(total_c), how="cross")
+        .withColumn("lift", lift)
+        .filter(F.col("lift") > 1.0)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("lift").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIG_TOP_K)
+        .select(
+            "source",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf_source").cast("long").alias("tf_source"),
+            "tf_corpus",
+            "lift",
+        )
+        .orderBy("source", "rank")
+    )
+
+
+def source_signature_terms_sql() -> str:
+    """DuckDB twin of :func:`source_signature_terms` — identical
+    count derivations, lift expression tree, and rank tie-break."""
+    return f"""
+WITH tf_s AS (
+  SELECT source, term, COUNT(*) AS tf_source
+  FROM (SELECT source, UNNEST({_sql_tokens('lower(text)')}) AS term
+        FROM documents)
+  GROUP BY source, term
+),
+totals_s AS (
+  SELECT source, CAST(SUM(tf_source) AS BIGINT) AS tokens_source
+  FROM tf_s GROUP BY source
+),
+tf_c AS (
+  SELECT term, CAST(SUM(tf_source) AS BIGINT) AS tf_corpus
+  FROM tf_s GROUP BY term
+),
+total_c AS (
+  SELECT CAST(SUM(tf_source) AS BIGINT) AS tokens_corpus FROM tf_s
+),
+cand AS (
+  SELECT s.source, s.term, s.tf_source, c.tf_corpus,
+         (CAST(s.tf_source AS DOUBLE) / CAST(t.tokens_source AS DOUBLE))
+           / (CAST(c.tf_corpus AS DOUBLE) / CAST(g.tokens_corpus AS DOUBLE))
+           AS lift
+  FROM tf_s s
+  JOIN tf_c c ON s.term = c.term
+  JOIN totals_s t ON s.source = t.source
+  CROSS JOIN total_c g
+  WHERE s.tf_source >= {SIG_MIN_TF}
+),
+ranked AS (
+  SELECT source, term, tf_source, tf_corpus, lift,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY lift DESC, term ASC) AS rank
+  FROM cand WHERE lift > 1.0
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, term,
+       CAST(tf_source AS BIGINT) AS tf_source, tf_corpus, lift
+FROM ranked WHERE rank <= {SIG_TOP_K}
+ORDER BY source, rank
+"""

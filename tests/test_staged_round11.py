@@ -79,6 +79,16 @@ STAGED = [
     ("embedding_eval_contamination",
      "soccerpredictor_spark.operators.similarity",
      "embeddings"),
+    # round-17 staging, second session (closed-form tests also in
+    # test_staged_round17.py)
+    ("k_anonymity_audit", "soccerpredictor_spark.operators.quality",
+     "documents"),
+    ("dedup_quality_shift", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("source_signature_terms", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("split_balance_audit", "soccerpredictor_spark.operators.similarity",
+     "embeddings"),
 ]
 
 

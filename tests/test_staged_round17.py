@@ -267,3 +267,193 @@ class TestEmbeddingEvalContamination:
         )
         assert embedding_eval_contamination(emb).collect() == []
         clear_caches()
+
+
+# ---- second staging session of round 16 ---------------------------------
+
+
+class TestKAnonymityAudit:
+    def test_class_profile_rungs(self, spark):
+        """Classes: (en,a,0) x3, (en,b,0) x1, (fr,a,1) x2. k=2 flags
+        only the singleton; k=5 and k=10 flag everything."""
+        from soccerpredictor_spark.operators.quality import k_anonymity_audit
+
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "a", 10), (2, "en", "a", 20), (3, "en", "a", 30),
+                (4, "en", "b", 10),
+                (5, "fr", "a", 100), (6, "fr", "a", 120),
+            ],
+            "doc_id long, lang string, source string, n_chars long",
+        )
+        rows = {r.k: r for r in k_anonymity_audit(docs).collect()}
+        assert sorted(rows) == [2, 5, 10]
+        r2 = rows[2]
+        assert (r2.n_classes, r2.n_classes_below_k) == (3, 1)
+        assert (r2.n_docs, r2.n_docs_at_risk) == (6, 1)
+        assert r2.at_risk_frac == 1 / 6
+        for k in (5, 10):
+            r = rows[k]
+            assert (r.n_classes_below_k, r.n_docs_at_risk) == (3, 6)
+            assert r.at_risk_frac == 1.0
+
+    def test_length_bucket_boundary(self, spark):
+        """n_chars 63 and 64 land in different buckets (64-wide
+        integer division), so same (lang, source) still splits."""
+        from soccerpredictor_spark.operators.quality import k_anonymity_audit
+
+        docs = spark.createDataFrame(
+            [(1, "en", "a", 63), (2, "en", "a", 64)],
+            "doc_id long, lang string, source string, n_chars long",
+        )
+        r2 = {r.k: r for r in k_anonymity_audit(docs).collect()}[2]
+        assert (r2.n_classes, r2.n_classes_below_k) == (2, 2)
+
+    def test_empty_corpus_keeps_rung_spine(self, spark):
+        from soccerpredictor_spark.operators.quality import (
+            K_ANON_RUNGS,
+            k_anonymity_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, lang string, source string, n_chars long"
+        )
+        rows = k_anonymity_audit(docs).collect()
+        assert [r.k for r in rows] == list(K_ANON_RUNGS)
+        assert all(
+            (r.n_classes, r.n_docs, r.at_risk_frac) == (0, 0, None)
+            for r in rows
+        )
+
+
+class TestDedupQualityShift:
+    def test_dropped_side_accounted(self, spark):
+        """Docs 1 (passes Gopher) and 2 (passes, longer) are
+        near-dups -> keep-min-id keeps 1, drops 2; doc 3 fails the
+        word-count rule and is kept (unique). kept = {1, 3}: pass
+        rate 1/2, tokens 20; dropped = {2}: pass rate 1, tokens 15."""
+        from soccerpredictor_spark.operators.scale import clear_caches
+        from soccerpredictor_spark.operators.textops import (
+            dedup_quality_shift,
+        )
+
+        clear_caches()
+        base = "the be " + " ".join(f"tok{i}" for i in range(10))  # 12 words
+        docs = spark.createDataFrame(
+            [
+                (1, base, "a"),
+                (2, base + " xa xb xc", "b"),          # 15 words, near-dup
+                (3, " ".join(f"zz{i}" for i in range(8)), "a"),  # f_wc fails
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {r.status: r for r in dedup_quality_shift(docs).collect()}
+        k, d = rows["kept"], rows["dropped"]
+        assert (k.n_docs, k.n_gopher_pass, k.tokens_total) == (2, 1, 20)
+        assert k.pass_rate == 0.5 and k.mean_tokens == 10.0
+        assert (d.n_docs, d.n_gopher_pass, d.tokens_total) == (1, 1, 15)
+        assert d.pass_rate == 1.0 and d.mean_tokens == 15.0
+        clear_caches()
+
+    def test_empty_corpus_keeps_status_spine(self, spark):
+        from soccerpredictor_spark.operators.scale import clear_caches
+        from soccerpredictor_spark.operators.textops import (
+            dedup_quality_shift,
+        )
+
+        clear_caches()
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+        rows = dedup_quality_shift(docs).collect()
+        assert [r.status for r in rows] == ["dropped", "kept"]
+        assert all(
+            (r.n_docs, r.pass_rate, r.mean_tokens) == (0, None, None)
+            for r in rows
+        )
+        clear_caches()
+
+
+class TestSourceSignatureTerms:
+    def test_lift_rank_and_exclusions(self, spark):
+        """A = aaa x3 aab x3 ccc x3, B = bbb x3 ccc x3. aaa/aab tie at
+        lift 5/3 (term ASC tie-break); ccc is excluded from A (lift
+        5/6 < 1) but included for B (lift 5/4 > 1); bbb leads B at
+        lift 5/2."""
+        from soccerpredictor_spark.operators.textops import (
+            source_signature_terms,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "aaa aaa aaa aab aab aab ccc ccc ccc", "A"),
+                (2, "bbb bbb bbb ccc ccc ccc", "B"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = [
+            (r.source, r.rank, r.term, r.tf_source, r.tf_corpus, r.lift)
+            for r in source_signature_terms(docs).collect()
+        ]
+        assert rows == [
+            ("A", 1, "aaa", 3, 3, (3 / 9) / (3 / 15)),
+            ("A", 2, "aab", 3, 3, (3 / 9) / (3 / 15)),
+            ("B", 1, "bbb", 3, 3, (3 / 6) / (3 / 15)),
+            ("B", 2, "ccc", 3, 6, (3 / 6) / (6 / 15)),
+        ]
+
+    def test_min_tf_gate(self, spark):
+        """A source-unique term with tf 2 < SIG_MIN_TF never
+        qualifies, however large its lift."""
+        from soccerpredictor_spark.operators.textops import (
+            source_signature_terms,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "rare rare fill fill fill", "A"),
+             (2, "fill fill fill", "B")],
+            "doc_id long, text string, source string",
+        )
+        terms = {r.term for r in source_signature_terms(docs).collect()}
+        assert "rare" not in terms
+
+    def test_empty_corpus_empty_output(self, spark):
+        from soccerpredictor_spark.operators.textops import (
+            source_signature_terms,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+        assert source_signature_terms(docs).collect() == []
+
+
+class TestSplitBalanceAudit:
+    def test_per_label_composition(self, spark):
+        """ids 0..29: eval bucket hits exactly {4, 18, 27} (pinned in
+        TestEmbeddingEvalContamination). label 0 = ids 0..9 -> 1/10
+        eval; label 1 = ids 10..29 -> 2/20 eval."""
+        from soccerpredictor_spark.operators.similarity import (
+            split_balance_audit,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [0.0] * 64, 0 if i < 10 else 1) for i in range(30)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        rows = {r.label: r for r in split_balance_audit(emb).collect()}
+        assert (rows[0].n_total, rows[0].n_eval) == (10, 1)
+        assert (rows[1].n_total, rows[1].n_eval) == (20, 2)
+        for lbl in (0, 1):
+            assert rows[lbl].eval_frac == 0.1
+            assert abs(rows[lbl].dev_from_expected + 0.1) < 1e-12
+
+    def test_empty_embeddings_empty_output(self, spark):
+        from soccerpredictor_spark.operators.similarity import (
+            split_balance_audit,
+        )
+
+        emb = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        )
+        assert split_balance_audit(emb).collect() == []
