@@ -2059,3 +2059,129 @@ def test_embedding_integrity_audit_matches_python_model(
         ),
     }
     assert got == exp
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # lang idx
+            st.integers(min_value=0, max_value=2),    # source idx
+            st.integers(min_value=0, max_value=400),  # n_chars
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_k_anonymity_monotone_in_k_property(spark, rows):
+    """For ANY corpus: at-risk classes/docs are non-decreasing in k,
+    totals are k-invariant, and the k=2 at-risk doc count equals the
+    number of singleton QI classes."""
+    from collections import Counter
+
+    from soccerpredictor_spark.operators.quality import (
+        K_ANON_LEN_BUCKET,
+        k_anonymity_audit,
+    )
+
+    pdf = pd.DataFrame(
+        [
+            (i, f"l{li}", f"s{si}", nc)
+            for i, (li, si, nc) in enumerate(rows)
+        ],
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    out = sorted(
+        k_anonymity_audit(spark.createDataFrame(pdf)).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.n_docs for r in out] == [len(rows)] * 3
+    assert [r.n_classes for r in out] == [out[0].n_classes] * 3
+    risk_docs = [r.n_docs_at_risk for r in out]
+    risk_cls = [r.n_classes_below_k for r in out]
+    assert risk_docs == sorted(risk_docs) and risk_cls == sorted(risk_cls)
+    classes = Counter(
+        (l, s, nc // K_ANON_LEN_BUCKET) for l, s, nc in rows
+    )
+    assert out[0].n_docs_at_risk == sum(
+        1 for v in classes.values() if v < 2
+    )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # lang idx
+            st.integers(min_value=0, max_value=30),  # n alpha chars
+            st.integers(min_value=0, max_value=30),  # n digit chars
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_script_lang_consistency_shares_property(spark, rows):
+    """For ANY corpus: per-lang shares sum to 1 over the 5-bin spine,
+    exactly one modal cell per lang, and n_docs totals match."""
+    from soccerpredictor_spark.operators.textops import (
+        script_lang_consistency,
+    )
+
+    pdf = pd.DataFrame(
+        [
+            (i, "a" * na + "1" * nd, f"l{li}")
+            for i, (li, na, nd) in enumerate(rows)
+            if na + nd > 0
+        ],
+        columns=["doc_id", "text", "lang"],
+    )
+    if pdf.empty:
+        return
+    out = script_lang_consistency(spark.createDataFrame(pdf)).collect()
+    langs = {r.lang for r in out}
+    for lang in langs:
+        cells = [r for r in out if r.lang == lang]
+        assert len(cells) == 5
+        assert abs(sum(r.share for r in cells) - 1.0) < 1e-12
+        assert sum(1 for r in cells if r.is_modal) == 1
+        modal = max(cells, key=lambda r: (r.n_docs, -r.alpha_bin))
+        assert next(r for r in cells if r.is_modal).n_docs == modal.n_docs
+    assert sum(r.n_docs for r in out) == len(pdf)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_split_balance_audit_totals_property(spark, ids):
+    """For ANY id set: per-label totals partition the corpus, n_eval
+    matches the md5 bucket computed independently in Python, and
+    eval_frac stays in [0, 1]."""
+    import hashlib
+
+    from soccerpredictor_spark.operators.similarity import (
+        split_balance_audit,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [[0.0] * 64 for _ in ids],
+            "label": [i % 3 for i in ids],
+        }
+    )
+    out = split_balance_audit(spark.createDataFrame(pdf)).collect()
+    assert sum(r.n_total for r in out) == len(ids)
+
+    def is_eval(i):
+        return int(hashlib.md5(f"kv:{i}".encode()).hexdigest()[:8], 16) % 5 == 4
+
+    for r in out:
+        expect = sum(1 for i in ids if i % 3 == r.label and is_eval(i))
+        assert r.n_eval == expect
+        assert 0.0 <= r.eval_frac <= 1.0
