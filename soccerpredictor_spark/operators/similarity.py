@@ -864,8 +864,17 @@ def ann_recall_eval(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataF
     list (bucket pruned below k) is visible rather than silently
     inflating recall.
     """
-    exact = cosine_topk(emb, query_vec_id, k).select("vec_id")
-    approx = lsh_ann_topk(emb, query_vec_id, k).select("vec_id")
+    # exact/approx are k-row sets each consumed TWICE (the hit
+    # semi-join and their own counts) — checkpointed so the final
+    # plan reads two k-row pins instead of re-running each corpus
+    # TakeOrdered scan per consumer (the 2+-lazy-consumers rule).
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+    exact = _reliable_checkpoint(
+        cosine_topk(emb, query_vec_id, k).select("vec_id")
+    )
+    approx = _reliable_checkpoint(
+        lsh_ann_topk(emb, query_vec_id, k).select("vec_id")
+    )
     hits = exact.join(approx, "vec_id", "left_semi")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -1097,7 +1106,14 @@ def int8_recall_eval(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> Data
         .limit(k)
         .select("vec_id")
     )
-    approx = int8_topk(emb, query_vec_id, k).select("vec_id")
+    # ref/approx are k-row sets each consumed TWICE (the hit join and
+    # their own counts) — checkpointed so the final plan reads two
+    # k-row pins instead of re-running each corpus TakeOrdered scan
+    # per consumer (the 2+-lazy-consumers rule).
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    ref = _reliable_checkpoint(ref)
+    approx = _reliable_checkpoint(int8_topk(emb, query_vec_id, k).select("vec_id"))
     hit = ref.join(approx, "vec_id")
     return (
         ref.agg(F.count(F.lit(1)).alias("n_ref"))
@@ -2003,8 +2019,17 @@ def ivf_recall_eval(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataF
     shortfalls surface via n_ivf < k rather than silently inflating
     recall (the ann_recall_eval convention).
     """
-    exact = cosine_topk(emb, query_vec_id, k).select("vec_id")
-    approx = ivf_topk(emb, query_vec_id, k).select("vec_id")
+    # exact/approx are k-row sets each consumed TWICE (the hit
+    # semi-join and their own counts) — checkpointed so the final
+    # plan reads two k-row pins instead of re-running each corpus
+    # TakeOrdered scan per consumer (the 2+-lazy-consumers rule).
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+    exact = _reliable_checkpoint(
+        cosine_topk(emb, query_vec_id, k).select("vec_id")
+    )
+    approx = _reliable_checkpoint(
+        ivf_topk(emb, query_vec_id, k).select("vec_id")
+    )
     hit = exact.join(approx, "vec_id", "left_semi")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -2043,8 +2068,17 @@ def pq_recall_eval(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFr
     join, recall over the exact set; a short PQ candidate list
     surfaces via n_pq < k rather than silently inflating recall.
     """
-    exact = cosine_topk(emb, query_vec_id, k).select("vec_id")
-    approx = pq_topk(emb, query_vec_id, k).select("vec_id")
+    # exact/approx are k-row sets each consumed TWICE (the hit
+    # semi-join and their own counts) — checkpointed so the final
+    # plan reads two k-row pins instead of re-running each corpus
+    # TakeOrdered scan per consumer (the 2+-lazy-consumers rule).
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+    exact = _reliable_checkpoint(
+        cosine_topk(emb, query_vec_id, k).select("vec_id")
+    )
+    approx = _reliable_checkpoint(
+        pq_topk(emb, query_vec_id, k).select("vec_id")
+    )
     hit = exact.join(approx, "vec_id", "left_semi")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))

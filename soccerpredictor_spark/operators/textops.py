@@ -1373,7 +1373,14 @@ def domain_mix(docs: DataFrame) -> DataFrame:
     rate * 2^32 in doubles (both engines: exact int->double, one
     correctly-rounded multiply).
     """
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    # checkpointed: the min-target aggregate AND the rate projection
+    # both consume `counts` — left lazy, each re-instantiates the
+    # stratum-count scan (the 2+-lazy-consumers rule; strata-sized).
+    counts = _reliable_checkpoint(
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    )
     tgt = counts.agg(F.min("n_before").alias("target"))
     rates = counts.crossJoin(F.broadcast(tgt)).select(
         "lang",
@@ -4186,10 +4193,16 @@ def capped_mix_waterfill(docs: DataFrame) -> DataFrame:
     # source is CAPPED iff leveling the remaining budget over the
     # remaining sources would exceed its cap
     is_capped = F.col("cap") * n_rem <= remaining
-    marked = ranked.select(
+    # checkpointed: the water-line aggregate AND the output join both
+    # consume `marked` — left lazy, each re-instantiates the
+    # corpus count scan (2 FileScans; the 2+-lazy-consumers rule).
+    # The table is mixture-sized (#sources rows), so the pin is free.
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    marked = _reliable_checkpoint(ranked.select(
         "source", "cap", "i", "prefix_smaller", "n_src", eff_budget.alias("eb"),
         is_capped.cast("int").alias("capped"),
-    )
+    ))
     # the water line comes from the FIRST uncapped source's state;
     # min_by over an EMPTY filter (budget >= sum caps: every source
     # capped) yields a NULL row, coalesced to a 0-line — the
@@ -6785,6 +6798,13 @@ def doremi_mixture(docs: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0).cast("long")),
         )
     )
+    # DOMAINS-row iteration state is checkpointed at every round
+    # boundary (the near_dup_clusters convention): each round reads
+    # `stepped` TWICE (the normalization aggregate and the crossJoin),
+    # so an un-pinned state doubles the number of upstream plan
+    # instantiations per round — 2^(DOREMI_STEPS+1) = 32 replicas of
+    # the per-source count scan in the final plan before this pin.
+    state = _reliable_checkpoint(state)
     for _ in range(DOREMI_STEPS):
         # u = s * (16 + e): the first-order integer surrogate of the
         # paper's exp(eta * excess) with eta = 1/16 — the classic
@@ -6818,6 +6838,7 @@ def doremi_mixture(docs: DataFrame) -> DataFrame:
             )
             .select("source", "n_docs", "n_tokens", "tt", "e", "s")
         )
+        state = _reliable_checkpoint(state)
     final_sum = state.agg(F.sum("s").alias("fsum"))
     return (
         state.crossJoin(F.broadcast(final_sum))
@@ -8137,11 +8158,17 @@ def data_constrained_mix(docs: DataFrame) -> DataFrame:
     remaining = eff_budget - F.col("prefix_smaller")
     n_rem = F.col("n_src") - F.col("i") + 1
     is_capped = F.col("cap") * n_rem <= remaining
-    marked = ranked.select(
+    # checkpointed: the water-line aggregate AND the output join both
+    # consume `marked` — left lazy, each re-instantiates the
+    # corpus TOKENIZE scan (the expensive pass, twice at 100 TB; the
+    # 2+-lazy-consumers rule). Mixture-sized, so the pin is free.
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    marked = _reliable_checkpoint(ranked.select(
         "source", "tokens", "cap", "i", "prefix_smaller", "n_src",
         eff_budget.alias("eb"),
         is_capped.cast("int").alias("capped"),
-    )
+    ))
     line = (
         marked.filter(F.col("capped") == 0)
         .select(
