@@ -8793,3 +8793,476 @@ SELECT source, CAST(rank AS BIGINT) AS rank, term,
 FROM ranked WHERE rank <= {SIG_TOP_K}
 ORDER BY source, rank
 """
+
+# --------------------------------------------------------------------------
+# Markup / tag-density audit (HTML-spill gate)
+# --------------------------------------------------------------------------
+
+#: tag-shaped pattern, spelled identically in Java regex and RE2 (no
+#: \w, no lookaround): an optional '/' then a letter-led name then
+#: anything that is not an angle bracket, closed by '>'.
+MARKUP_TAG_RE = r"</?[a-zA-Z][a-zA-Z0-9]*[^<>]*>"
+
+
+def _synth_markup():
+    """Deterministic markup injection (the ``pii_scan`` synthesis
+    convention — the fixture corpus carries no markup, so hit AND
+    miss paths must both be oracle-checkable): doc_id % 9 rows gain a
+    div-wrapped boilerplate span, doc_id % 17 rows a lone <br>."""
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.lit(' <div class="ad">subscribe now</div>'),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" <br>")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+_SQL_SYNTH_MARKUP = (
+    "text || CASE WHEN doc_id % 9 = 0"
+    " THEN ' <div class=\"ad\">subscribe now</div>' ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0 THEN ' <br>' ELSE '' END"
+)
+
+
+def markup_density_audit(docs: DataFrame) -> DataFrame:
+    """Markup-spill gate: per source, how many documents carry
+    tag-shaped spans and what fraction of their characters sits
+    INSIDE tags — the cheap pre-filter a crawl pipeline runs before
+    boilerplate removal (a source whose tag-char fraction surges is
+    shipping raw HTML, not text; on real data the synthesis
+    projection is dropped and the scan runs as-is).
+
+    Engine shape: one scan projection — ``regexp_extract_all`` of the
+    tag pattern, tag count and tag-char mass via an integer fold of
+    the match lengths (exact, order-free) — then one (source)
+    aggregation. Zero shuffle beyond the final group. Linear at
+    100 TB.
+
+    Output: (source, n_docs, n_docs_with_markup, n_chars,
+    tag_chars, tag_char_fraction), source-ordered; the fraction is
+    NULL for an all-empty-text source (never 0/0).
+    """
+    t = _synth_markup()
+    per_doc = fan_out(docs).select(
+        "source",
+        F.length(t).alias("nc"),
+        F.size(F.regexp_extract_all(t, F.lit(MARKUP_TAG_RE), F.lit(0))).alias(
+            "n_tags"
+        ),
+        F.aggregate(
+            F.transform(
+                F.regexp_extract_all(t, F.lit(MARKUP_TAG_RE), F.lit(0)),
+                lambda m: F.length(m),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("tag_chars"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_tags") > 0).cast("long")).alias(
+            "n_docs_with_markup"
+        ),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.sum("tag_chars").cast("long").alias("tag_chars"),
+    )
+    frac = F.when(F.col("n_chars") == 0, F.lit(None)).otherwise(
+        F.col("tag_chars").cast("double") / F.col("n_chars").cast("double")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("n_docs_with_markup").cast("long").alias("n_docs_with_markup"),
+        "n_chars",
+        "tag_chars",
+        frac.alias("tag_char_fraction"),
+    ).orderBy("source")
+
+
+def markup_density_audit_sql() -> str:
+    """DuckDB twin of :func:`markup_density_audit` — identical tag
+    pattern (RE2-safe) and integer char accounting."""
+    return f"""
+WITH per_doc AS (
+  SELECT source, length(t) AS nc,
+         len(regexp_extract_all(t, '{MARKUP_TAG_RE}')) AS n_tags,
+         COALESCE(list_sum(list_transform(
+           regexp_extract_all(t, '{MARKUP_TAG_RE}'), m -> length(m))), 0)
+           AS tag_chars
+  FROM (SELECT source, {_SQL_SYNTH_MARKUP} AS t FROM documents)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_tags > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_markup,
+       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       CAST(SUM(tag_chars) AS BIGINT) AS tag_chars,
+       CASE WHEN SUM(nc) = 0 THEN NULL
+            ELSE CAST(SUM(tag_chars) AS DOUBLE)
+                 / CAST(SUM(nc) AS DOUBLE) END AS tag_char_fraction
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+# --------------------------------------------------------------------------
+# PII x quality cross-tab
+# --------------------------------------------------------------------------
+
+
+def pii_quality_crosstab(docs: DataFrame) -> DataFrame:
+    """Joint census of the two per-document gates a curation run
+    applies independently — PII presence (the :func:`pii_scan`
+    patterns, same deterministic synthesis) and the Gopher all-rules
+    quality pass (:func:`_gopher_per_doc`) — on the fixed 2x2 spine:
+    how much of the corpus is clean-and-good, and whether PII
+    correlates with low quality ON THIS CORPUS (if it does, the PII
+    redaction pass is mostly shadowed by the quality filter and its
+    cost budget can say so).
+
+    Engine shape: two one-scan per-doc projections joined on doc_id
+    (slim streams), one 4-group aggregation, zero-filled onto the
+    constant spine. Linear at 100 TB.
+
+    Output: (has_pii, gopher_pass, n_docs, n_tokens, share),
+    spine-ordered; ``share`` is each cell's document fraction (NULL
+    on an empty corpus — the spine survives).
+    """
+    spark = docs.sparkSession
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(" call 555-0142 today")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit(" id 123-45-6789 leaked")
+        ).otherwise(F.lit("")),
+    )
+    no_ssn = F.regexp_replace(synth, PII_SSN, "#")
+    pii = docs.select(
+        "doc_id",
+        X.token_count("text").cast("long").alias("n_tokens"),
+        (
+            F.regexp_count(synth, F.lit(PII_EMAIL))
+            + F.regexp_count(no_ssn, F.lit(PII_PHONE))
+            + F.regexp_count(synth, F.lit(PII_SSN))
+            > 0
+        ).alias("has_pii"),
+    )
+    passed = (
+        ~F.col("f_wc") & ~F.col("f_wl") & ~F.col("f_sym")
+        & ~F.col("f_al") & ~F.col("f_st")
+    )
+    flags = _gopher_per_doc(docs).select(
+        "doc_id", passed.alias("gopher_pass")
+    )
+    agg = (
+        pii.join(flags, "doc_id")
+        .groupBy("has_pii", "gopher_pass")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [(p, g) for p in (False, True) for g in (False, True)],
+        "has_pii boolean, gopher_pass boolean",
+    )
+    out = spine.join(agg, ["has_pii", "gopher_pass"], "left").select(
+        "has_pii",
+        "gopher_pass",
+        F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias("n_docs"),
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n_docs").over(Window.partitionBy())
+    share = F.when(total == 0, F.lit(None)).otherwise(
+        F.col("n_docs").cast("double") / total.cast("double")
+    )
+    return out.select(
+        "has_pii", "gopher_pass", "n_docs", "n_tokens", share.alias("share")
+    ).orderBy("has_pii", "gopher_pass")
+
+
+def pii_quality_crosstab_sql() -> str:
+    """DuckDB twin of :func:`pii_quality_crosstab` — the pii_scan
+    synthesis/count CTE joined with the shared Gopher flags chain on
+    the constant 2x2 spine."""
+    toks = _sql_tokens()
+    synth = (
+        "text || "
+        "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END || "
+        "CASE WHEN doc_id % 11 = 0 THEN ' call 555-0142 today' ELSE '' END || "
+        "CASE WHEN doc_id % 13 = 0 THEN ' id 123-45-6789 leaked' ELSE '' END"
+    )
+    return f"""
+WITH {_gopher_flags_sql()},
+pii AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens,
+         (len(regexp_extract_all(t, '{PII_EMAIL}'))
+          + len(regexp_extract_all(regexp_replace(t, '{PII_SSN}', '#', 'g'),
+                                   '{PII_PHONE}'))
+          + len(regexp_extract_all(t, '{PII_SSN}'))) > 0 AS has_pii
+  FROM (SELECT doc_id, text, {synth} AS t FROM documents)
+),
+lab AS (
+  SELECT p.has_pii,
+         (NOT f.f_wc AND NOT f.f_wl AND NOT f.f_sym
+          AND NOT f.f_al AND NOT f.f_st) AS gopher_pass,
+         p.n_tokens
+  FROM pii p JOIN flags f USING (doc_id)
+),
+agg AS (
+  SELECT has_pii, gopher_pass, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM lab GROUP BY has_pii, gopher_pass
+),
+spine(has_pii, gopher_pass) AS
+  (VALUES (FALSE, FALSE), (FALSE, TRUE), (TRUE, FALSE), (TRUE, TRUE))
+SELECT s.has_pii, s.gopher_pass,
+       COALESCE(a.n_docs, 0) AS n_docs,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       CASE WHEN SUM(COALESCE(a.n_docs, 0)) OVER () = 0 THEN NULL
+            ELSE CAST(COALESCE(a.n_docs, 0) AS DOUBLE)
+                 / CAST(SUM(COALESCE(a.n_docs, 0)) OVER () AS DOUBLE) END
+         AS share
+FROM spine s LEFT JOIN agg a
+  ON s.has_pii = a.has_pii AND s.gopher_pass = a.gopher_pass
+ORDER BY s.has_pii, s.gopher_pass
+"""
+
+# --------------------------------------------------------------------------
+# Blocklist coverage sweep (kept/dropped mass as the blocklist grows)
+# --------------------------------------------------------------------------
+
+
+def blocklist_coverage_sweep(docs: DataFrame) -> DataFrame:
+    """Coverage curve of the domain blocklist — the sweep-table
+    companion of :func:`domain_blocklist_filter` (the family pattern:
+    ``dedup_threshold_sweep`` / ``lsh_band_sweep`` / ...): applying
+    the blocklist one entry at a time IN ORDER, how many documents
+    and tokens does each growing prefix drop — the marginal-cost
+    readout a curation run consults before adopting a longer list
+    (a rung that adds nothing is a candidate to prune; the final
+    rung equals the filter's full verdict).
+
+    Engine shape: the corpus aggregates ONCE by blocklist index
+    (a broadcast join against the indexed list — at most
+    len(blocklist)+1 groups, checkpointed because every rung reads
+    it), then the rung table is a constant spine whose cumulative
+    sums run over that tiny table. Never one corpus pass per rung.
+
+    Output: (rung, added_domain, n_docs_dropped, n_tokens_dropped,
+    drop_doc_frac), rung-ordered; fractions NULL on an empty corpus.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    spark = docs.sparkSession
+    idx = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(DOMAIN_BLOCKLIST)],
+        "idx long, domain string",
+    )
+    tagged = (
+        fan_out(docs)
+        .select(
+            F.regexp_extract(
+                _synth_host(), r"([^.]+\.[^.]+)$", 1
+            ).alias("domain"),
+            X.token_count("text").cast("long").alias("n_tokens"),
+        )
+        .join(F.broadcast(idx), "domain", "left")
+    )
+    by_idx = _reliable_checkpoint(
+        tagged.groupBy("idx").agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("n_tokens").cast("long").alias("nt"),
+        )
+    )
+    rungs = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(DOMAIN_BLOCKLIST)],
+        "rung long, added_domain string",
+    )
+    per_rung = (
+        F.broadcast(rungs)
+        .join(by_idx, F.col("idx") <= F.col("rung"), "left")
+        .groupBy("rung", "added_domain")
+        .agg(
+            F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias(
+                "n_docs_dropped"
+            ),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias(
+                "n_tokens_dropped"
+            ),
+        )
+    )
+    totals = by_idx.agg(
+        F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("total_docs")
+    )
+    frac = F.when(F.col("total_docs") == 0, F.lit(None)).otherwise(
+        F.col("n_docs_dropped").cast("double")
+        / F.col("total_docs").cast("double")
+    )
+    return (
+        per_rung.crossJoin(F.broadcast(totals))
+        .select(
+            "rung",
+            "added_domain",
+            "n_docs_dropped",
+            "n_tokens_dropped",
+            frac.alias("drop_doc_frac"),
+        )
+        .orderBy("rung")
+    )
+
+
+def blocklist_coverage_sweep_sql() -> str:
+    """DuckDB twin of :func:`blocklist_coverage_sweep` — identical
+    indexed list, per-index aggregation, and rung cumulative sums."""
+    toks = _sql_tokens()
+    vals = ", ".join(
+        f"({i + 1}, '{d}')" for i, d in enumerate(DOMAIN_BLOCKLIST)
+    )
+    return f"""
+WITH blk(idx, domain) AS (VALUES {vals}),
+tagged AS (
+  SELECT b.idx, CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM (SELECT regexp_extract({_SQL_SYNTH_HOST}, '([^.]+\\.[^.]+)$', 1)
+           AS domain,
+         text
+        FROM documents) d
+  LEFT JOIN blk b ON d.domain = b.domain
+),
+by_idx AS (
+  SELECT idx, COUNT(*) AS nd, CAST(SUM(n_tokens) AS BIGINT) AS nt
+  FROM tagged GROUP BY idx
+),
+rungs(rung, added_domain) AS (VALUES {vals}),
+per_rung AS (
+  SELECT r.rung, r.added_domain,
+         CAST(COALESCE(SUM(i.nd), 0) AS BIGINT) AS n_docs_dropped,
+         CAST(COALESCE(SUM(i.nt), 0) AS BIGINT) AS n_tokens_dropped
+  FROM rungs r LEFT JOIN by_idx i ON i.idx <= r.rung
+  GROUP BY r.rung, r.added_domain
+),
+totals AS (
+  SELECT CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS total_docs FROM by_idx
+)
+SELECT CAST(p.rung AS BIGINT) AS rung, p.added_domain,
+       p.n_docs_dropped, p.n_tokens_dropped,
+       CASE WHEN t.total_docs = 0 THEN NULL
+            ELSE CAST(p.n_docs_dropped AS DOUBLE)
+                 / CAST(t.total_docs AS DOUBLE) END AS drop_doc_frac
+FROM per_rung p CROSS JOIN totals t
+ORDER BY p.rung
+"""
+
+
+# --------------------------------------------------------------------------
+# Decontamination loss report (what eval hygiene costs per source)
+# --------------------------------------------------------------------------
+
+
+def decontamination_loss_report(docs: DataFrame) -> DataFrame:
+    """Per-source cost of n-gram decontamination — the accounting a
+    curation run publishes next to :func:`ngram_decontaminate`'s
+    per-document span table: if every contaminated span (13-token
+    gram shared with the benchmark sources) is cut, how many
+    documents are touched and how many training tokens does each
+    source lose. The decision readout between span-cutting and
+    whole-doc dropping.
+
+    Composes :func:`ngram_decontaminate` (the doc-grain span table;
+    its broadcast-asymmetric build is the heavy half and is shared
+    verbatim) with one token-count corpus projection: a doc_id LEFT
+    join of two slim streams and a (source) aggregation — nothing
+    new is corpus-shaped. Benchmark-source documents are not
+    training rows and carry no span entry; they count in their
+    source's totals with zero loss (they are what the hygiene
+    protects, not what it cuts).
+
+    Output: (source, n_docs, n_contaminated, contam_doc_frac,
+    tokens_total, contam_tokens, contam_token_frac), source-ordered;
+    fractions NULL for an empty source side (never 0/0).
+    """
+    decon = ngram_decontaminate(docs).select(
+        "doc_id", "n_contam_spans", "contam_tokens"
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        X.token_count("text").cast("long").alias("n_tokens"),
+    )
+    j = base.join(decon, "doc_id", "left")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_contam_spans").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.coalesce(F.sum("contam_tokens"), F.lit(0))
+        .cast("long")
+        .alias("contam_tokens"),
+    )
+    dfrac = F.when(F.col("n_docs") == 0, F.lit(None)).otherwise(
+        F.col("n_contaminated").cast("double") / F.col("n_docs").cast("double")
+    )
+    tfrac = F.when(F.col("tokens_total") == 0, F.lit(None)).otherwise(
+        F.col("contam_tokens").cast("double")
+        / F.col("tokens_total").cast("double")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_contaminated",
+        dfrac.alias("contam_doc_frac"),
+        "tokens_total",
+        "contam_tokens",
+        tfrac.alias("contam_token_frac"),
+    ).orderBy("source")
+
+
+def decontamination_loss_report_sql() -> str:
+    """DuckDB twin of :func:`decontamination_loss_report` — nests
+    :func:`ngram_decontaminate_sql` and the same join + (source)
+    accounting."""
+    toks = _sql_tokens()
+    return f"""
+WITH decon AS ({ngram_decontaminate_sql()}),
+base AS (
+  SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+j AS (
+  SELECT b.source, b.n_tokens, d.n_contam_spans, d.contam_tokens
+  FROM base b LEFT JOIN decon d USING (doc_id)
+),
+agg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN n_contam_spans IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_contaminated,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+         CAST(COALESCE(SUM(contam_tokens), 0) AS BIGINT) AS contam_tokens
+  FROM j GROUP BY source
+)
+SELECT source, n_docs, n_contaminated,
+       CASE WHEN n_docs = 0 THEN NULL
+            ELSE CAST(n_contaminated AS DOUBLE) / CAST(n_docs AS DOUBLE) END
+         AS contam_doc_frac,
+       tokens_total, contam_tokens,
+       CASE WHEN tokens_total = 0 THEN NULL
+            ELSE CAST(contam_tokens AS DOUBLE)
+                 / CAST(tokens_total AS DOUBLE) END AS contam_token_frac
+FROM agg ORDER BY source
+"""

@@ -89,6 +89,17 @@ STAGED = [
      "documents"),
     ("split_balance_audit", "soccerpredictor_spark.operators.similarity",
      "embeddings"),
+    # round-17 staging, third session (closed-form tests also in
+    # test_staged_round17.py)
+    ("markup_density_audit", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("pii_quality_crosstab", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("blocklist_coverage_sweep", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("decontamination_loss_report",
+     "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 

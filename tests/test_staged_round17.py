@@ -457,3 +457,185 @@ class TestSplitBalanceAudit:
             [], "vec_id long, embedding array<float>, label int"
         )
         assert split_balance_audit(emb).collect() == []
+
+
+# ---- third staging session of round 16 -----------------------------------
+
+
+class TestMarkupDensityAudit:
+    DIV = ' <div class="ad">subscribe now</div>'
+    BR = " <br>"
+
+    def test_synth_hit_and_miss(self, spark):
+        """doc 9 (%9) gains the div block (2 tags), doc 17 (%17) the
+        lone <br> (1 tag), doc 1 stays clean — counts and tag-char
+        mass computed from the literal synthesis strings."""
+        from soccerpredictor_spark.operators.textops import (
+            markup_density_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [(9, "hello", "a"), (1, "x", "a"), (17, "yy", "b")],
+            "doc_id long, text string, source string",
+        )
+        rows = {r.source: r for r in markup_density_audit(docs).collect()}
+        a, b = rows["a"], rows["b"]
+        assert (a.n_docs, a.n_docs_with_markup) == (2, 1)
+        assert a.n_chars == len("hello") + len(self.DIV) + len("x")
+        assert a.tag_chars == len('<div class="ad">') + len("</div>")
+        assert a.tag_char_fraction == a.tag_chars / a.n_chars
+        assert (b.n_docs, b.n_docs_with_markup) == (1, 1)
+        assert b.tag_chars == len("<br>")
+        assert b.n_chars == len("yy") + len(self.BR)
+
+    def test_clean_corpus_zero_fractions(self, spark):
+        from soccerpredictor_spark.operators.textops import (
+            markup_density_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "plain words only", "s")],
+            "doc_id long, text string, source string",
+        )
+        [r] = markup_density_audit(docs).collect()
+        assert (r.n_docs_with_markup, r.tag_chars) == (0, 0)
+        assert r.tag_char_fraction == 0.0
+
+    def test_empty_corpus_empty_output(self, spark):
+        from soccerpredictor_spark.operators.textops import (
+            markup_density_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+        assert markup_density_audit(docs).collect() == []
+
+
+class TestPiiQualityCrosstab:
+    PASS = "the be " + " ".join(f"tok{i}" for i in range(10))  # 12 words
+    FAIL = "zz zz"  # 2 words -> f_wc
+
+    def test_all_four_cells(self, spark):
+        """ids 7 (email synth) and 13 (SSN synth) carry PII; the PASS
+        text clears every Gopher rule, FAIL trips word count — one
+        doc per cell, shares 1/4 each."""
+        from soccerpredictor_spark.operators.textops import (
+            pii_quality_crosstab,
+        )
+
+        docs = spark.createDataFrame(
+            [(7, self.PASS, "s"), (1, self.PASS, "s"), (2, self.FAIL, "s"),
+             (13, self.FAIL, "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = {(r.has_pii, r.gopher_pass): r
+                for r in pii_quality_crosstab(docs).collect()}
+        assert len(rows) == 4
+        for cell in rows.values():
+            assert cell.n_docs == 1 and cell.share == 0.25
+        assert rows[(True, True)].n_tokens == 12
+        assert rows[(True, False)].n_tokens == 2
+
+    def test_empty_corpus_keeps_spine(self, spark):
+        from soccerpredictor_spark.operators.textops import (
+            pii_quality_crosstab,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+        rows = pii_quality_crosstab(docs).collect()
+        assert [(r.has_pii, r.gopher_pass) for r in rows] == [
+            (False, False), (False, True), (True, False), (True, True)
+        ]
+        assert all((r.n_docs, r.share) == (0, None) for r in rows)
+
+
+class TestBlocklistCoverageSweep:
+    def test_cumulative_and_flat_tail(self, spark):
+        """Hits: doc 0 -> src3.com (rung 1, 2 tokens), doc 2 ->
+        src7.net (rung 2, 3 tokens), doc 4 -> src11.org (rung 3,
+        1 token); doc 1 is never blocked. The curve is cumulative and
+        the miss entry (rung 4) adds nothing."""
+        from soccerpredictor_spark.operators.textops import (
+            blocklist_coverage_sweep,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a b", "src3"), (1, "c", "src3"),
+             (2, "d e f", "src7"), (4, "g", "src11")],
+            "doc_id long, text string, source string",
+        )
+        rows = {r.rung: r for r in blocklist_coverage_sweep(docs).collect()}
+        assert [rows[k].n_docs_dropped for k in (1, 2, 3, 4)] == [1, 2, 3, 3]
+        assert [rows[k].n_tokens_dropped for k in (1, 2, 3, 4)] == [2, 5, 6, 6]
+        assert rows[4].added_domain == "tracking-farm.net"
+        assert rows[3].drop_doc_frac == 3 / 4
+
+    def test_empty_corpus_keeps_rungs(self, spark):
+        from soccerpredictor_spark.operators.textops import (
+            DOMAIN_BLOCKLIST,
+            blocklist_coverage_sweep,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+        rows = blocklist_coverage_sweep(docs).collect()
+        assert [r.added_domain for r in rows] == list(DOMAIN_BLOCKLIST)
+        assert all(
+            (r.n_docs_dropped, r.drop_doc_frac) == (0, None) for r in rows
+        )
+
+
+class TestDecontaminationLossReport:
+    def test_span_loss_accounting(self, spark):
+        """Train doc 2 shares a full 13-gram with bench doc 1
+        (source src0): 13 of its 15 tokens are contaminated; doc 3
+        is clean. Bench docs report zero loss in their own source."""
+        from soccerpredictor_spark.operators.textops import (
+            decontamination_loss_report,
+        )
+
+        common = " ".join(f"w{i}" for i in range(13))
+        docs = spark.createDataFrame(
+            [
+                (1, common, "src0"),
+                (2, common + " extra1 extra2", "a"),
+                (3, "u0 u1 u2 u3 u4", "a"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {r.source: r for r in
+                decontamination_loss_report(docs).collect()}
+        a, bench = rows["a"], rows["src0"]
+        assert (a.n_docs, a.n_contaminated) == (2, 1)
+        assert (a.tokens_total, a.contam_tokens) == (20, 13)
+        assert a.contam_doc_frac == 0.5
+        assert a.contam_token_frac == 13 / 20
+        assert (bench.n_contaminated, bench.contam_tokens) == (0, 0)
+
+    def test_clean_corpus_zero_loss(self, spark):
+        from soccerpredictor_spark.operators.textops import (
+            decontamination_loss_report,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"a{i}" for i in range(14)), "src0"),
+             (2, " ".join(f"b{i}" for i in range(14)), "t")],
+            "doc_id long, text string, source string",
+        )
+        rows = {r.source: r for r in
+                decontamination_loss_report(docs).collect()}
+        assert all(r.n_contaminated == 0 for r in rows.values())
+
+    def test_empty_corpus_empty_output(self, spark):
+        from soccerpredictor_spark.operators.textops import (
+            decontamination_loss_report,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+        assert decontamination_loss_report(docs).collect() == []
