@@ -1556,10 +1556,14 @@ def test_conversion_lag_single_scan_single_window(spark, sf001):
 
 
 def test_ivf_recall_eval_zero_vector_shuffle(spark, sf001):
-    """Both rankings are TakeOrdered shapes; no sort-merge join and
-    no Python anywhere."""
+    """Both rankings build as TakeOrdered shapes and are CHECKPOINTED
+    (round-16: each k-row set has two consumers — the hit join and
+    its own count — so the final plan reads two pins instead of
+    re-running the corpus TakeOrdered per consumer); no sort-merge
+    join and no Python anywhere."""
     plan = _plan(entry.queries()["ivf_recall_eval"](spark, sf001))
-    assert "TakeOrderedAndProject" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan" not in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
 
