@@ -9266,3 +9266,168 @@ SELECT source, n_docs, n_contaminated,
                  / CAST(tokens_total AS DOUBLE) END AS contam_token_frac
 FROM agg ORDER BY source
 """
+
+# --------------------------------------------------------------------------
+# Mixture policy comparison (uniform-capped vs temperature vs DoReMi)
+# --------------------------------------------------------------------------
+
+
+def mixture_policy_compare(docs: DataFrame) -> DataFrame:
+    """Side-by-side per-source shares under the engine's three
+    registered mixture policies — uniform-with-caps
+    (:func:`capped_mix_waterfill`, doc units), temperature T=1/2
+    (:func:`temperature_mix`, doc units), and DoReMi excess-loss
+    reweighting (:func:`doremi_mixture`, token units) — against the
+    natural token baseline: THE table a mixture designer actually
+    reads, because the policies disagree exactly where the corpus is
+    skewed and the per-source spread quantifies how much the policy
+    choice matters (spread ~ 0 means any policy works; a hot spread
+    row is where training-mix debates are really about).
+
+    Engine shape: all three policies are mixture-sized outputs
+    (their corpus scans are each ONE pass, shared nothing); this op
+    is a 3-way equi-join of tiny tables plus broadcast share
+    normalization for the capped allocation. Units are deliberately
+    NOT converted (docs vs tokens) — the policies are compared as
+    published, and the baseline column anchors them.
+
+    Output: (source, share_baseline_tokens, share_capped,
+    share_temperature, share_doremi, spread), source-ordered;
+    ``spread`` = max - min over the three policy shares (exact
+    greatest/least double arithmetic, identical on both engines).
+    """
+    from pyspark.sql import Window
+
+    dm = doremi_mixture(docs).select(
+        "source",
+        F.col("baseline_share").alias("share_baseline_tokens"),
+        F.col("doremi_weight").alias("share_doremi"),
+    )
+    tm = temperature_mix(docs).select(
+        "source", F.col("share").alias("share_temperature")
+    )
+    total_alloc = F.sum("alloc").over(Window.partitionBy())
+    cm = capped_mix_waterfill(docs).select(
+        "source",
+        F.when(total_alloc == 0, F.lit(None))
+        .otherwise(F.col("alloc").cast("double") / total_alloc.cast("double"))
+        .alias("share_capped"),
+    )
+    joined = dm.join(cm, "source").join(tm, "source")
+    hi = F.greatest("share_capped", "share_temperature", "share_doremi")
+    lo = F.least("share_capped", "share_temperature", "share_doremi")
+    return joined.select(
+        "source",
+        "share_baseline_tokens",
+        "share_capped",
+        "share_temperature",
+        "share_doremi",
+        (hi - lo).alias("spread"),
+    ).orderBy("source")
+
+
+def mixture_policy_compare_sql() -> str:
+    """DuckDB twin of :func:`mixture_policy_compare` — the three
+    policy twins nested as CTEs, identical normalization and spread
+    arithmetic."""
+    return f"""
+WITH dm AS (SELECT source, baseline_share AS share_baseline_tokens,
+                   doremi_weight AS share_doremi
+            FROM ({doremi_mixture_sql()}) d),
+tm AS (SELECT source, share AS share_temperature
+       FROM ({temperature_mix_sql()}) t),
+cm0 AS (SELECT source, alloc FROM ({capped_mix_waterfill_sql()}) c),
+cm AS (SELECT source,
+              CASE WHEN SUM(alloc) OVER () = 0 THEN NULL
+                   ELSE CAST(alloc AS DOUBLE)
+                        / CAST(SUM(alloc) OVER () AS DOUBLE) END
+                AS share_capped
+       FROM cm0)
+SELECT dm.source, dm.share_baseline_tokens, cm.share_capped,
+       tm.share_temperature, dm.share_doremi,
+       GREATEST(cm.share_capped, tm.share_temperature, dm.share_doremi)
+         - LEAST(cm.share_capped, tm.share_temperature, dm.share_doremi)
+         AS spread
+FROM dm JOIN cm ON dm.source = cm.source
+JOIN tm ON dm.source = tm.source
+ORDER BY dm.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Span-cut plan (the per-document decontamination rewrite decision)
+# --------------------------------------------------------------------------
+
+
+def span_cut_plan(docs: DataFrame) -> DataFrame:
+    """Per-document decontamination ACTION plan — the table the
+    rewrite job consumes after :func:`ngram_decontaminate` finds the
+    spans and :func:`decontamination_loss_report` prices them: for
+    every document, cut its contaminated spans, drop it entirely, or
+    keep it intact. A cut that leaves fewer than ``GOPHER_MIN_WORDS``
+    tokens destroys the document's training value (it would fail the
+    quality gate anyway), so those docs are dropped whole — the
+    standard span-cut-with-minimum-residual protocol.
+
+    Engine shape: one doc_id LEFT join of the decon span table (its
+    broadcast-asymmetric build shared verbatim) against a token-count
+    projection, then a pure CASE projection. Doc-grain output by
+    design — this IS the rewrite driver's work list.
+
+    Output: (doc_id, source, n_tokens, contam_tokens, tokens_after,
+    action), doc_id-ordered; action in {'keep_intact', 'cut_spans',
+    'drop_doc'}.
+    """
+    decon = ngram_decontaminate(docs).select("doc_id", "contam_tokens")
+    base = docs.select(
+        "doc_id",
+        "source",
+        X.token_count("text").cast("long").alias("n_tokens"),
+    )
+    j = base.join(decon, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.col("contam_tokens"), F.lit(0))
+        .cast("long")
+        .alias("contam_tokens"),
+    )
+    after = F.col("n_tokens") - F.col("contam_tokens")
+    action = (
+        F.when(F.col("contam_tokens") == 0, "keep_intact")
+        .when(after >= GOPHER_MIN_WORDS, "cut_spans")
+        .otherwise("drop_doc")
+    )
+    return j.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "contam_tokens",
+        after.alias("tokens_after"),
+        action.alias("action"),
+    ).orderBy("doc_id")
+
+
+def span_cut_plan_sql() -> str:
+    """DuckDB twin of :func:`span_cut_plan` — nests
+    :func:`ngram_decontaminate_sql`, identical residual-minimum CASE."""
+    toks = _sql_tokens()
+    return f"""
+WITH decon AS ({ngram_decontaminate_sql()}),
+base AS (
+  SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+j AS (
+  SELECT b.doc_id, b.source, b.n_tokens,
+         CAST(COALESCE(d.contam_tokens, 0) AS BIGINT) AS contam_tokens
+  FROM base b LEFT JOIN decon d USING (doc_id)
+)
+SELECT doc_id, source, n_tokens, contam_tokens,
+       n_tokens - contam_tokens AS tokens_after,
+       CASE WHEN contam_tokens = 0 THEN 'keep_intact'
+            WHEN n_tokens - contam_tokens >= {GOPHER_MIN_WORDS}
+              THEN 'cut_spans'
+            ELSE 'drop_doc' END AS action
+FROM j ORDER BY doc_id
+"""

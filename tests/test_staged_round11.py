@@ -100,6 +100,12 @@ STAGED = [
     ("decontamination_loss_report",
      "soccerpredictor_spark.operators.textops",
      "documents"),
+    # round-17 staging, fourth session (closed-form tests also in
+    # test_staged_round17.py)
+    ("mixture_policy_compare", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("span_cut_plan", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 

@@ -639,3 +639,89 @@ class TestDecontaminationLossReport:
             [], "doc_id long, text string, source string"
         )
         assert decontamination_loss_report(docs).collect() == []
+
+
+# ---- fourth staging session of round 16 ----------------------------------
+
+
+class TestMixturePolicyCompare:
+    def test_policy_shares_and_spread(self, spark):
+        """A = 3 docs, B = 1 doc (uniform 4-token texts, disjoint
+        vocab). Budget (300) exceeds the corpus, so the capped policy
+        degenerates to natural doc shares (0.75/0.25); temperature
+        T=1/2 gives sqrt(3):(sqrt(3)+1); every policy's shares sum to
+        ~1 and spread is exactly max-min of the three."""
+        import math
+
+        from soccerpredictor_spark.operators.textops import (
+            mixture_policy_compare,
+        )
+
+        def doc(i, pre):
+            return (i, " ".join(f"{pre}{i}x{j}" for j in range(4)),
+                    "a" if pre == "a" else "b")
+
+        docs = spark.createDataFrame(
+            [doc(1, "a"), doc(2, "a"), doc(3, "a"), doc(4, "b")],
+            "doc_id long, text string, source string",
+        )
+        rows = {r.source: r for r in mixture_policy_compare(docs).collect()}
+        a, b = rows["a"], rows["b"]
+        assert a.share_capped == 0.75 and b.share_capped == 0.25
+        s3 = math.sqrt(3.0)
+        assert abs(a.share_temperature - s3 / (s3 + 1.0)) < 1e-15
+        assert a.share_baseline_tokens == 0.75
+        for r in (a, b):
+            hi = max(r.share_capped, r.share_temperature, r.share_doremi)
+            lo = min(r.share_capped, r.share_temperature, r.share_doremi)
+            assert r.spread == hi - lo and r.spread >= 0.0
+        assert abs(a.share_doremi + b.share_doremi - 1.0) < 1e-4
+
+    def test_single_source_degenerate(self, spark):
+        """One source: every policy gives share 1 and spread 0."""
+        from soccerpredictor_spark.operators.textops import (
+            mixture_policy_compare,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "t0 t1 t2 t3", "s"), (2, "t4 t5 t6 t7", "s")],
+            "doc_id long, text string, source string",
+        )
+        [r] = mixture_policy_compare(docs).collect()
+        assert r.share_capped == 1.0 and r.share_temperature == 1.0
+        assert abs(r.share_doremi - 1.0) < 1e-4
+        assert r.spread < 1e-4
+
+
+class TestSpanCutPlan:
+    def test_three_actions(self, spark):
+        """Train doc 2 keeps exactly GOPHER_MIN_WORDS tokens after
+        the cut (boundary -> cut_spans); doc 3 keeps 2 (-> drop_doc);
+        doc 4 and the benchmark doc are intact."""
+        from soccerpredictor_spark.operators.textops import span_cut_plan
+
+        common = " ".join(f"w{i}" for i in range(13))
+        docs = spark.createDataFrame(
+            [
+                (1, common, "src0"),
+                (2, common + " " + " ".join(f"e{i}" for i in range(10)), "a"),
+                (3, common + " x y", "a"),
+                (4, "u0 u1 u2", "a"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {r.doc_id: r for r in span_cut_plan(docs).collect()}
+        assert len(rows) == 4
+        assert rows[1].action == "keep_intact"
+        assert (rows[2].contam_tokens, rows[2].tokens_after) == (13, 10)
+        assert rows[2].action == "cut_spans"
+        assert (rows[3].tokens_after, rows[3].action) == (2, "drop_doc")
+        assert rows[4].action == "keep_intact"
+
+    def test_empty_corpus_empty_output(self, spark):
+        from soccerpredictor_spark.operators.textops import span_cut_plan
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+        assert span_cut_plan(docs).collect() == []
