@@ -2546,7 +2546,9 @@ FROM stats CROSS JOIN contaminated CROSS JOIN n_eval
 
 
 def embedding_eval_contamination(
-    emb: DataFrame, max_pairs_per_row: float | None = None
+    emb: DataFrame,
+    threshold: float = 0.25,
+    max_pairs_per_row: float | None = None,
 ) -> DataFrame:
     """Per-eval-vector contamination detail table — the dense-space
     counterpart of :func:`textops.contamination_matrix`'s grid and
@@ -2580,7 +2582,9 @@ def embedding_eval_contamination(
     eval spine — untouched eval vectors appear with zero neighbors
     and NULL sim/nearest, so the clean rows are auditable too.
     """
-    pairs = cosine_near_dup(emb, max_pairs_per_row=max_pairs_per_row)
+    pairs = cosine_near_dup(
+        emb, threshold=threshold, max_pairs_per_row=max_pairs_per_row
+    )
     tagged = pairs.select(
         "sim",
         "vec_a",

@@ -9345,8 +9345,14 @@ cm AS (SELECT source,
        FROM cm0)
 SELECT dm.source, dm.share_baseline_tokens, cm.share_capped,
        tm.share_temperature, dm.share_doremi,
-       GREATEST(cm.share_capped, tm.share_temperature, dm.share_doremi)
-         - LEAST(cm.share_capped, tm.share_temperature, dm.share_doremi)
+       -- COALESCE(share_capped -> share_temperature) makes the spread
+       -- null-SKIPPING like Spark's greatest/least on every DuckDB
+       -- version (pre-1.1 GREATEST/LEAST propagate NULL); coalescing
+       -- to an operand already in the set leaves max/min unchanged.
+       GREATEST(COALESCE(cm.share_capped, tm.share_temperature),
+                tm.share_temperature, dm.share_doremi)
+         - LEAST(COALESCE(cm.share_capped, tm.share_temperature),
+                 tm.share_temperature, dm.share_doremi)
          AS spread
 FROM dm JOIN cm ON dm.source = cm.source
 JOIN tm ON dm.source = tm.source

@@ -60,52 +60,16 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 STAGED = [
-    # GRADUATION (round-16 housekeeping): every prior staged batch —
-    # r11 holdovers through the round-15/16 batches
-    # (quality_calibration_bins..embedding_integrity_audit) — is now
-    # REGISTERED, so parity/plan gates for all of them run via
+    # GRADUATION (round-17 housekeeping): every prior staged batch —
+    # r11 holdovers through the 14-op round-16 batch
+    # (domain_blocklist_filter..span_cut_plan) — is now REGISTERED,
+    # so parity/plan gates for all of them run via
     # tests/test_oracle_parity.py and gen_plans-audited plans like
-    # every registered entry. Their closed-form unit tests below are
-    # kept. This list holds ONLY not-yet-registered staged operators:
+    # every registered entry. Their closed-form unit tests (here and
+    # in test_staged_round17.py) are kept. This list holds ONLY
+    # not-yet-registered staged operators:
     # (name, module, table); a TUPLE table entry means the operator
     # takes several tables, in that order.
-    # round-17 staging (closed-form tests in test_staged_round17.py)
-    ("domain_blocklist_filter", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("script_lang_consistency", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("dedup_keep_best", "soccerpredictor_spark.operators.dedup",
-     "documents"),
-    ("embedding_eval_contamination",
-     "soccerpredictor_spark.operators.similarity",
-     "embeddings"),
-    # round-17 staging, second session (closed-form tests also in
-    # test_staged_round17.py)
-    ("k_anonymity_audit", "soccerpredictor_spark.operators.quality",
-     "documents"),
-    ("dedup_quality_shift", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("source_signature_terms", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("split_balance_audit", "soccerpredictor_spark.operators.similarity",
-     "embeddings"),
-    # round-17 staging, third session (closed-form tests also in
-    # test_staged_round17.py)
-    ("markup_density_audit", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("pii_quality_crosstab", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("blocklist_coverage_sweep", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("decontamination_loss_report",
-     "soccerpredictor_spark.operators.textops",
-     "documents"),
-    # round-17 staging, fourth session (closed-form tests also in
-    # test_staged_round17.py)
-    ("mixture_policy_compare", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("span_cut_plan", "soccerpredictor_spark.operators.textops",
-     "documents"),
 ]
 
 
