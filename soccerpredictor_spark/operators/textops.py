@@ -9437,3 +9437,487 @@ SELECT doc_id, source, n_tokens, contam_tokens,
             ELSE 'drop_doc' END AS action
 FROM j ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Span-cut APPLY stats (the post-rewrite corpus, priced per source)
+# --------------------------------------------------------------------------
+
+
+def span_cut_apply_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus statistics AFTER applying
+    :func:`span_cut_plan`'s actions — the step past
+    :func:`decontamination_loss_report` (which prices the spans) and
+    :func:`span_cut_plan` (which decides per document): what does the
+    corpus actually look like once the rewrite job runs. Intact docs
+    keep every token, cut docs keep their residual, dropped docs
+    contribute nothing — the before/after table a curation run
+    publishes next to the decontamination report.
+
+    Engine shape: ONE aggregation over the doc-grain plan table
+    (``span_cut_plan`` shares ``ngram_decontaminate``'s
+    broadcast-asymmetric build verbatim); all sums are exact BIGINT
+    folds, the retention ratio is a single double division.
+
+    Output: (source, docs_total, docs_intact, docs_cut, docs_dropped,
+    tokens_before, tokens_after, token_retention), source-ordered;
+    token_retention NULL for a zero-token source.
+    """
+    plan = span_cut_plan(docs)
+    kept = F.when(F.col("action") == "keep_intact", F.col("n_tokens")).when(
+        F.col("action") == "cut_spans", F.col("tokens_after")
+    ).otherwise(F.lit(0))
+    agg = plan.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_total"),
+        F.sum((F.col("action") == "keep_intact").cast("long"))
+        .cast("long")
+        .alias("docs_intact"),
+        F.sum((F.col("action") == "cut_spans").cast("long"))
+        .cast("long")
+        .alias("docs_cut"),
+        F.sum((F.col("action") == "drop_doc").cast("long"))
+        .cast("long")
+        .alias("docs_dropped"),
+        F.sum("n_tokens").cast("long").alias("tokens_before"),
+        F.sum(kept).cast("long").alias("tokens_after"),
+    )
+    retention = F.when(F.col("tokens_before") == 0, F.lit(None)).otherwise(
+        F.col("tokens_after").cast("double")
+        / F.col("tokens_before").cast("double")
+    )
+    return agg.select(
+        "source",
+        "docs_total",
+        "docs_intact",
+        "docs_cut",
+        "docs_dropped",
+        "tokens_before",
+        "tokens_after",
+        retention.alias("token_retention"),
+    ).orderBy("source")
+
+
+def span_cut_apply_stats_sql() -> str:
+    """DuckDB twin of :func:`span_cut_apply_stats` — nests
+    :func:`span_cut_plan_sql`, identical kept-token CASE and single
+    retention division."""
+    return f"""
+WITH plan AS ({span_cut_plan_sql()}),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS docs_total,
+         CAST(SUM(CASE WHEN action = 'keep_intact' THEN 1 ELSE 0 END)
+              AS BIGINT) AS docs_intact,
+         CAST(SUM(CASE WHEN action = 'cut_spans' THEN 1 ELSE 0 END)
+              AS BIGINT) AS docs_cut,
+         CAST(SUM(CASE WHEN action = 'drop_doc' THEN 1 ELSE 0 END)
+              AS BIGINT) AS docs_dropped,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+         CAST(SUM(CASE WHEN action = 'keep_intact' THEN n_tokens
+                       WHEN action = 'cut_spans' THEN tokens_after
+                       ELSE 0 END) AS BIGINT) AS tokens_after
+  FROM plan GROUP BY source
+)
+SELECT source, docs_total, docs_intact, docs_cut, docs_dropped,
+       tokens_before, tokens_after,
+       CASE WHEN tokens_before = 0 THEN NULL
+            ELSE CAST(tokens_after AS DOUBLE)
+                 / CAST(tokens_before AS DOUBLE) END AS token_retention
+FROM agg ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Robots-style URL-path deny filter (crawl-hygiene gate)
+# --------------------------------------------------------------------------
+
+#: Synthesized path sections, indexed by doc_id % 8 (the pii_scan
+#: hit-and-miss convention: four land on deny rules, four stay clean).
+ROBOTS_SECTIONS = (
+    "articles", "admin", "login", "blog", "search", "tag", "docs", "news",
+)
+
+#: Deny rules applied IN ORDER (first match wins) — the robots.txt
+#: Disallow prefixes every crawl pipeline honours before content work.
+ROBOTS_DENY_RULES = ("/admin", "/login", "/search", "/tag")
+
+
+def _synth_path():
+    """Deterministic URL-path synthesis from the documents fixture
+    (no URL column): '/<section>/<source>/page-<doc_id%40>' with the
+    section cycling doc_id % 8 through :data:`ROBOTS_SECTIONS`, so
+    deny hits and clean paths are both oracle-checkable (the
+    _synth_url / _synth_host convention)."""
+    section = F.element_at(
+        F.array(*[F.lit(s) for s in ROBOTS_SECTIONS]),
+        (F.col("doc_id") % 8).cast("int") + 1,
+    )
+    return F.concat(
+        F.lit("/"),
+        section,
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/page-"),
+        (F.col("doc_id") % 40).cast("string"),
+    )
+
+
+_SQL_SYNTH_PATH = (
+    "'/' || ["
+    + ", ".join(f"'{s}'" for s in ROBOTS_SECTIONS)
+    + "][CAST(doc_id % 8 AS INT) + 1]"
+    " || '/' || source || '/page-' || CAST(doc_id % 40 AS VARCHAR)"
+)
+
+
+def url_path_filter(docs: DataFrame) -> DataFrame:
+    """Robots-style URL-path deny filter census — the crawl-hygiene
+    gate that runs before any content filter: paths under Disallow'd
+    prefixes (/admin, /login, /search, /tag — boilerplate, auth walls
+    and infinite facet spaces) are dropped, and the census reports
+    how much document/token mass each rule removes next to the
+    'allowed' remainder.
+
+    First-match attribution is a pure CASE chain over
+    ``startswith`` — a projection, never a join or a doc-grain
+    shuffle — then ONE tiny aggregation by rule index joined to the
+    constant rule spine (every rule appears, zero-filled, plus the
+    'allowed' row; the blocklist_coverage_sweep spine pattern).
+
+    Output: (rule_idx, rule, n_docs, n_tokens, doc_share),
+    rule_idx-ordered; doc_share NULL on an empty corpus.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    spark = docs.sparkSession
+    path = _synth_path()
+    idx = F.lit(len(ROBOTS_DENY_RULES) + 1)
+    for i in range(len(ROBOTS_DENY_RULES) - 1, -1, -1):
+        idx = F.when(
+            path.startswith(ROBOTS_DENY_RULES[i]), F.lit(i + 1)
+        ).otherwise(idx)
+    by_idx = _reliable_checkpoint(
+        fan_out(docs)
+        .select(
+            idx.cast("long").alias("rule_idx"),
+            X.token_count("text").cast("long").alias("n_tokens"),
+        )
+        .groupBy("rule_idx")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("n_tokens").cast("long").alias("nt"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [(i + 1, r) for i, r in enumerate(ROBOTS_DENY_RULES)]
+        + [(len(ROBOTS_DENY_RULES) + 1, "allowed")],
+        "rule_idx long, rule string",
+    )
+    totals = by_idx.agg(
+        F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("total_docs")
+    )
+    share = F.when(F.col("total_docs") == 0, F.lit(None)).otherwise(
+        F.col("n_docs").cast("double") / F.col("total_docs").cast("double")
+    )
+    return (
+        F.broadcast(spine)
+        .join(by_idx, "rule_idx", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumns(
+            {
+                "n_docs": F.coalesce(F.col("nd"), F.lit(0)).cast("long"),
+                "n_tokens": F.coalesce(F.col("nt"), F.lit(0)).cast("long"),
+            }
+        )
+        .select(
+            "rule_idx", "rule", "n_docs", "n_tokens", share.alias("doc_share")
+        )
+        .orderBy("rule_idx")
+    )
+
+
+def url_path_filter_sql() -> str:
+    """DuckDB twin of :func:`url_path_filter` — identical path
+    synthesis, first-match CASE chain, and VALUES spine."""
+    toks = _sql_tokens()
+    n_rules = len(ROBOTS_DENY_RULES)
+    cases = " ".join(
+        f"WHEN starts_with(p, '{r}') THEN {i + 1}"
+        for i, r in enumerate(ROBOTS_DENY_RULES)
+    )
+    vals = ", ".join(
+        f"({i + 1}, '{r}')" for i, r in enumerate(ROBOTS_DENY_RULES)
+    ) + f", ({n_rules + 1}, 'allowed')"
+    return f"""
+WITH tagged AS (
+  SELECT CAST(CASE {cases} ELSE {n_rules + 1} END AS BIGINT) AS rule_idx,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM (SELECT {_SQL_SYNTH_PATH} AS p, text FROM documents)
+),
+by_idx AS (
+  SELECT rule_idx, COUNT(*) AS nd, CAST(SUM(n_tokens) AS BIGINT) AS nt
+  FROM tagged GROUP BY rule_idx
+),
+spine(rule_idx, rule) AS (VALUES {vals}),
+totals AS (
+  SELECT CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS total_docs FROM by_idx
+)
+SELECT CAST(s.rule_idx AS BIGINT) AS rule_idx, s.rule,
+       CAST(COALESCE(i.nd, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(i.nt, 0) AS BIGINT) AS n_tokens,
+       CASE WHEN t.total_docs = 0 THEN NULL
+            ELSE CAST(COALESCE(i.nd, 0) AS DOUBLE)
+                 / CAST(t.total_docs AS DOUBLE) END AS doc_share
+FROM spine s LEFT JOIN by_idx i ON s.rule_idx = i.rule_idx
+CROSS JOIN totals t
+ORDER BY s.rule_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# Mixture temperature ladder (how sensitive is the mix to T)
+# --------------------------------------------------------------------------
+
+#: Temperature rungs expressible as repeated square roots —
+#: n^(1/T) for T in (1, 2, 4, 8) is n, sqrt(n), sqrt(sqrt(n)),
+#: sqrt(sqrt(sqrt(n))): every rung is IEEE-correctly-rounded in BOTH
+#: engines (a general pow(n, 1/T) is libm-dependent; the log/pow-free
+#: determinism convention picks the sqrt ladder, as temperature_mix
+#: picked T = 1/2 alone).
+MIX_TEMPERATURE_LADDER = (1, 2, 4, 8)
+
+
+def mixture_temperature_ladder(docs: DataFrame) -> DataFrame:
+    """Per-source share across the whole temperature ladder — the
+    sensitivity table behind :func:`temperature_mix`'s single-T
+    answer and :func:`mixture_policy_compare`'s policy table: how a
+    source's sampling share moves as T sweeps natural (T=1) toward
+    uniform (T→inf), and the per-source spread across the ladder —
+    the number a mixture review reads to see which sources the
+    temperature knob actually fights over.
+
+    Engine shape: ONE count aggregation (checkpointed — it feeds the
+    four weight columns, the fold denominators and the output rows),
+    then the four share denominators computed in a single pass of
+    strict LEFT FOLDS over source order (the double-fold convention;
+    a plain SUM over doubles would be partition-order-dependent) and
+    broadcast back. Everything after the count is mixture-sized
+    arithmetic.
+
+    Output: (source, n_docs, share_t1, share_t2, share_t4, share_t8,
+    ladder_spread), source-ordered; spread = max - min of the four
+    shares (all non-NULL on a non-empty corpus).
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    counts = _reliable_checkpoint(
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    n = F.col("n_docs").cast("double")
+    w = {1: n, 2: F.sqrt(n), 4: F.sqrt(F.sqrt(n)), 8: F.sqrt(F.sqrt(F.sqrt(n)))}
+    wts = counts.select(
+        "source",
+        "n_docs",
+        *[w[t].alias(f"w{t}") for t in MIX_TEMPERATURE_LADDER],
+    )
+
+    def _fold(t: int):
+        # single-param lambda via factory: a two-param HOF lambda
+        # binds its second argument to the element INDEX (the
+        # default-arg closure idiom silently reads the index column)
+        def pick(x):
+            return x[f"w{t}"]
+
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("source").alias("s"), F.col(f"w{t}"))
+                    )
+                ),
+                pick,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{t}")
+
+    denoms = wts.agg(*[_fold(t) for t in MIX_TEMPERATURE_LADDER])
+    shares = [
+        (F.col(f"w{t}") / F.col(f"d{t}")).alias(f"share_t{t}")
+        for t in MIX_TEMPERATURE_LADDER
+    ]
+    out = wts.crossJoin(F.broadcast(denoms)).select(
+        "source", "n_docs", *shares
+    )
+    share_cols = [F.col(f"share_t{t}") for t in MIX_TEMPERATURE_LADDER]
+    return out.select(
+        "source",
+        "n_docs",
+        *[f"share_t{t}" for t in MIX_TEMPERATURE_LADDER],
+        (F.greatest(*share_cols) - F.least(*share_cols)).alias(
+            "ladder_spread"
+        ),
+    ).orderBy("source")
+
+
+def mixture_temperature_ladder_sql() -> str:
+    """DuckDB twin of :func:`mixture_temperature_ladder` — identical
+    sqrt ladder, source-ordered list_reduce folds, spread arithmetic.
+    GREATEST/LEAST here see only non-NULL operands, so the pre-1.1
+    NULL-propagation difference cannot bite."""
+    wexpr = {
+        1: "CAST(n_docs AS DOUBLE)",
+        2: "sqrt(CAST(n_docs AS DOUBLE))",
+        4: "sqrt(sqrt(CAST(n_docs AS DOUBLE)))",
+        8: "sqrt(sqrt(sqrt(CAST(n_docs AS DOUBLE))))",
+    }
+    wcols = ", ".join(f"{wexpr[t]} AS w{t}" for t in MIX_TEMPERATURE_LADDER)
+    folds = ", ".join(
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list(w{t} ORDER BY source ASC)), (acc, x) -> acc + x) AS d{t}"
+        for t in MIX_TEMPERATURE_LADDER
+    )
+    shares = ", ".join(
+        f"w{t} / d{t} AS share_t{t}" for t in MIX_TEMPERATURE_LADDER
+    )
+    hi = ", ".join(f"share_t{t}" for t in MIX_TEMPERATURE_LADDER)
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+wts AS (SELECT source, n_docs, {wcols} FROM counts),
+denoms AS (SELECT {folds} FROM wts),
+shared AS (
+  SELECT source, n_docs, {shares} FROM wts CROSS JOIN denoms
+)
+SELECT source, n_docs, {hi},
+       GREATEST({hi}) - LEAST({hi}) AS ladder_spread
+FROM shared ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Language-conditional source mixture (two-level stratified budget)
+# --------------------------------------------------------------------------
+
+
+def lang_conditional_mix(docs: DataFrame) -> DataFrame:
+    """Two-level stratified mixture at (lang, source) grain — the
+    multilingual-pipeline protocol the flat per-source mixtures
+    (:func:`temperature_mix`, :func:`doremi_mixture`) can't express:
+    FIRST fix each language's token budget proportional to its
+    natural token mass (languages are a product decision, not a
+    sampling knob), THEN temperature-mix the sources WITHIN each
+    language (sqrt weights — the T=1/2 determinism convention), so a
+    source dominant in one language cannot crowd out another
+    language's sources.
+
+    Engine shape: ONE (lang, source) aggregation (checkpointed — it
+    feeds the lang totals, the corpus total, the within-lang folds
+    and the output rows); lang token totals are exact BIGINT sums
+    (order-free), the within-lang share denominator is a strict LEFT
+    FOLD over source order per language, and the quota is one
+    left-associated double product floored — the identical expression
+    tree on both engines.
+
+    Output: (lang, source, n_docs, n_tokens, lang_token_share,
+    within_share, quota), (lang, source)-ordered.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    cell = _reliable_checkpoint(
+        docs.select(
+            "lang",
+            "source",
+            X.token_count("text").cast("long").alias("tc"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").cast("long").alias("n_tokens"),
+        )
+    )
+    lang_tot = cell.groupBy("lang").agg(
+        F.sum("n_tokens").cast("long").alias("lang_tokens"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("source").alias("s"),
+                            F.sqrt(F.col("n_docs").cast("double")).alias("w"),
+                        )
+                    )
+                ),
+                lambda x: x["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("within_denom"),
+    )
+    total = lang_tot.agg(
+        F.sum("lang_tokens").cast("long").alias("total_tokens")
+    )
+    j = (
+        cell.join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(total))
+    )
+    lang_share = F.when(F.col("total_tokens") == 0, F.lit(None)).otherwise(
+        F.col("lang_tokens").cast("double")
+        / F.col("total_tokens").cast("double")
+    )
+    within = F.sqrt(F.col("n_docs").cast("double")) / F.col("within_denom")
+    return j.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        lang_share.alias("lang_token_share"),
+        within.alias("within_share"),
+        F.floor(
+            lang_share * within * F.lit(float(TEMP_MIX_BUDGET))
+        )
+        .cast("long")
+        .alias("quota"),
+    ).orderBy("lang", "source")
+
+
+def lang_conditional_mix_sql() -> str:
+    """DuckDB twin of :func:`lang_conditional_mix` — identical cell
+    aggregation, per-lang source-ordered fold, and the same
+    left-associated quota product."""
+    toks = _sql_tokens()
+    return f"""
+WITH cell AS MATERIALIZED (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(len({toks}) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+lang_tot AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source ASC)),
+           (acc, x) -> acc + x) AS within_denom
+  FROM cell GROUP BY lang
+),
+total AS (
+  SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM lang_tot
+)
+SELECT c.lang, c.source, c.n_docs, c.n_tokens,
+       CASE WHEN t.total_tokens = 0 THEN NULL
+            ELSE CAST(l.lang_tokens AS DOUBLE)
+                 / CAST(t.total_tokens AS DOUBLE) END AS lang_token_share,
+       sqrt(CAST(c.n_docs AS DOUBLE)) / l.within_denom AS within_share,
+       CAST(floor(
+         CASE WHEN t.total_tokens = 0 THEN NULL
+              ELSE CAST(l.lang_tokens AS DOUBLE)
+                   / CAST(t.total_tokens AS DOUBLE) END
+         * (sqrt(CAST(c.n_docs AS DOUBLE)) / l.within_denom)
+         * CAST({float(TEMP_MIX_BUDGET)!r} AS DOUBLE)) AS BIGINT) AS quota
+FROM cell c
+JOIN lang_tot l ON c.lang = l.lang
+CROSS JOIN total t
+ORDER BY c.lang, c.source
+"""

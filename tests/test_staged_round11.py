@@ -70,6 +70,15 @@ STAGED = [
     # not-yet-registered staged operators:
     # (name, module, table); a TUPLE table entry means the operator
     # takes several tables, in that order.
+    # round-18 staging (closed-form tests in test_staged_round18.py)
+    ("span_cut_apply_stats", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("url_path_filter", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("mixture_temperature_ladder", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("lang_conditional_mix", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 
