@@ -626,3 +626,121 @@ SELECT CAST(r.k AS BIGINT) AS k,
 FROM rungs r LEFT JOIN per_k p ON r.k = p.k
 ORDER BY k
 """
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit (does each QI class hide WHICH feed a doc is from)
+# --------------------------------------------------------------------------
+
+#: distinct-l rungs, the Machanavajhala et al. (2007) measure's grid
+#: (l=2 is the bare minimum: a class with ONE sensitive value leaks
+#: it to anyone who can place a record in the class).
+L_DIV_RUNGS = (2, 3, 5)
+
+
+def l_diversity_audit(docs: DataFrame) -> DataFrame:
+    """Distinct l-diversity profile — the privacy audit k-anonymity
+    can't express (:func:`k_anonymity_audit` is the sibling): a QI
+    class can be large (k-anonymous) yet every record in it share ONE
+    sensitive value, so membership alone discloses the attribute.
+    Here the quasi-identifier is (lang, length-bucket) — what an
+    observer sees in released metadata — and the sensitive attribute
+    is ``source`` (which feed a document came from, the thing a
+    corpus publisher often must not disclose per-document): for each
+    rung l in :data:`L_DIV_RUNGS`, how many QI classes carry fewer
+    than l distinct sources, and how many documents sit in them.
+
+    Engine shape: ONE (lang, len_bucket) aggregation computing class
+    size and distinct-source count together (a map-side-combinable
+    count-distinct over a bounded universe); the rung grid is a
+    broadcast 3-row spine over that checkpointed class table (never
+    one corpus pass per rung — the k_anonymity_audit shape).
+
+    Output: (l, n_classes, n_classes_below_l, n_docs,
+    n_docs_at_risk, at_risk_frac), l-ordered; fixed 3-row spine on an
+    empty corpus with NULL fraction.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    spark = docs.sparkSession
+    classes = _reliable_checkpoint(
+        docs.groupBy(
+            "lang",
+            F.expr(f"n_chars div {K_ANON_LEN_BUCKET}").alias("len_bucket"),
+        ).agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.countDistinct("source").cast("long").alias("n_sensitive"),
+        )
+    )
+    rungs = spark.createDataFrame([(l,) for l in L_DIV_RUNGS], "l long")
+    per_l = (
+        F.broadcast(rungs)
+        .join(classes, how="cross")
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum((F.col("n_sensitive") < F.col("l")).cast("long")).alias(
+                "n_classes_below_l"
+            ),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_sensitive") < F.col("l"), F.col("sz"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_at_risk"),
+        )
+    )
+    out = rungs.join(per_l, "l", "left").select(
+        "l",
+        F.coalesce(F.col("n_classes"), F.lit(0).cast("long")).alias(
+            "n_classes"
+        ),
+        F.coalesce(F.col("n_classes_below_l"), F.lit(0).cast("long")).alias(
+            "n_classes_below_l"
+        ),
+        F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias("n_docs"),
+        F.coalesce(F.col("n_docs_at_risk"), F.lit(0).cast("long")).alias(
+            "n_docs_at_risk"
+        ),
+    )
+    frac = F.when(F.col("n_docs") == 0, F.lit(None)).otherwise(
+        F.col("n_docs_at_risk").cast("double") / F.col("n_docs").cast("double")
+    )
+    return out.withColumn("at_risk_frac", frac).orderBy("l")
+
+
+def l_diversity_audit_sql() -> str:
+    """DuckDB twin of :func:`l_diversity_audit` — identical QI
+    bucketing, distinct-source count, rung spine and zero-fills."""
+    rungs = ", ".join(f"({l})" for l in L_DIV_RUNGS)
+    return f"""
+WITH classes AS (
+  SELECT lang, n_chars // {K_ANON_LEN_BUCKET} AS len_bucket,
+         COUNT(*) AS sz,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sensitive
+  FROM documents GROUP BY 1, 2
+),
+rungs(l) AS (VALUES {rungs}),
+per_l AS (
+  SELECT r.l,
+         COUNT(*) AS n_classes,
+         CAST(SUM(CASE WHEN c.n_sensitive < r.l THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_classes_below_l,
+         CAST(SUM(c.sz) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN c.n_sensitive < r.l THEN c.sz ELSE 0 END)
+           AS BIGINT) AS n_docs_at_risk
+  FROM rungs r CROSS JOIN classes c
+  GROUP BY r.l
+)
+SELECT CAST(r.l AS BIGINT) AS l,
+       COALESCE(p.n_classes, 0) AS n_classes,
+       COALESCE(p.n_classes_below_l, 0) AS n_classes_below_l,
+       COALESCE(p.n_docs, 0) AS n_docs,
+       COALESCE(p.n_docs_at_risk, 0) AS n_docs_at_risk,
+       CASE WHEN COALESCE(p.n_docs, 0) = 0 THEN NULL
+            ELSE CAST(p.n_docs_at_risk AS DOUBLE)
+                 / CAST(p.n_docs AS DOUBLE) END AS at_risk_frac
+FROM rungs r LEFT JOIN per_l p ON r.l = p.l
+ORDER BY l
+"""

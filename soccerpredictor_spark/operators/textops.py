@@ -9675,129 +9675,6 @@ ORDER BY s.rule_idx
 
 
 # --------------------------------------------------------------------------
-# Mixture temperature ladder (how sensitive is the mix to T)
-# --------------------------------------------------------------------------
-
-#: Temperature rungs expressible as repeated square roots —
-#: n^(1/T) for T in (1, 2, 4, 8) is n, sqrt(n), sqrt(sqrt(n)),
-#: sqrt(sqrt(sqrt(n))): every rung is IEEE-correctly-rounded in BOTH
-#: engines (a general pow(n, 1/T) is libm-dependent; the log/pow-free
-#: determinism convention picks the sqrt ladder, as temperature_mix
-#: picked T = 1/2 alone).
-MIX_TEMPERATURE_LADDER = (1, 2, 4, 8)
-
-
-def mixture_temperature_ladder(docs: DataFrame) -> DataFrame:
-    """Per-source share across the whole temperature ladder — the
-    sensitivity table behind :func:`temperature_mix`'s single-T
-    answer and :func:`mixture_policy_compare`'s policy table: how a
-    source's sampling share moves as T sweeps natural (T=1) toward
-    uniform (T→inf), and the per-source spread across the ladder —
-    the number a mixture review reads to see which sources the
-    temperature knob actually fights over.
-
-    Engine shape: ONE count aggregation (checkpointed — it feeds the
-    four weight columns, the fold denominators and the output rows),
-    then the four share denominators computed in a single pass of
-    strict LEFT FOLDS over source order (the double-fold convention;
-    a plain SUM over doubles would be partition-order-dependent) and
-    broadcast back. Everything after the count is mixture-sized
-    arithmetic.
-
-    Output: (source, n_docs, share_t1, share_t2, share_t4, share_t8,
-    ladder_spread), source-ordered; spread = max - min of the four
-    shares (all non-NULL on a non-empty corpus).
-    """
-    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
-
-    counts = _reliable_checkpoint(
-        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-    n = F.col("n_docs").cast("double")
-    w = {1: n, 2: F.sqrt(n), 4: F.sqrt(F.sqrt(n)), 8: F.sqrt(F.sqrt(F.sqrt(n)))}
-    wts = counts.select(
-        "source",
-        "n_docs",
-        *[w[t].alias(f"w{t}") for t in MIX_TEMPERATURE_LADDER],
-    )
-
-    def _fold(t: int):
-        # single-param lambda via factory: a two-param HOF lambda
-        # binds its second argument to the element INDEX (the
-        # default-arg closure idiom silently reads the index column)
-        def pick(x):
-            return x[f"w{t}"]
-
-        return F.aggregate(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("source").alias("s"), F.col(f"w{t}"))
-                    )
-                ),
-                pick,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias(f"d{t}")
-
-    denoms = wts.agg(*[_fold(t) for t in MIX_TEMPERATURE_LADDER])
-    shares = [
-        (F.col(f"w{t}") / F.col(f"d{t}")).alias(f"share_t{t}")
-        for t in MIX_TEMPERATURE_LADDER
-    ]
-    out = wts.crossJoin(F.broadcast(denoms)).select(
-        "source", "n_docs", *shares
-    )
-    share_cols = [F.col(f"share_t{t}") for t in MIX_TEMPERATURE_LADDER]
-    return out.select(
-        "source",
-        "n_docs",
-        *[f"share_t{t}" for t in MIX_TEMPERATURE_LADDER],
-        (F.greatest(*share_cols) - F.least(*share_cols)).alias(
-            "ladder_spread"
-        ),
-    ).orderBy("source")
-
-
-def mixture_temperature_ladder_sql() -> str:
-    """DuckDB twin of :func:`mixture_temperature_ladder` — identical
-    sqrt ladder, source-ordered list_reduce folds, spread arithmetic.
-    GREATEST/LEAST here see only non-NULL operands, so the pre-1.1
-    NULL-propagation difference cannot bite."""
-    wexpr = {
-        1: "CAST(n_docs AS DOUBLE)",
-        2: "sqrt(CAST(n_docs AS DOUBLE))",
-        4: "sqrt(sqrt(CAST(n_docs AS DOUBLE)))",
-        8: "sqrt(sqrt(sqrt(CAST(n_docs AS DOUBLE))))",
-    }
-    wcols = ", ".join(f"{wexpr[t]} AS w{t}" for t in MIX_TEMPERATURE_LADDER)
-    folds = ", ".join(
-        f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
-        f" list(w{t} ORDER BY source ASC)), (acc, x) -> acc + x) AS d{t}"
-        for t in MIX_TEMPERATURE_LADDER
-    )
-    shares = ", ".join(
-        f"w{t} / d{t} AS share_t{t}" for t in MIX_TEMPERATURE_LADDER
-    )
-    hi = ", ".join(f"share_t{t}" for t in MIX_TEMPERATURE_LADDER)
-    return f"""
-WITH counts AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
-  FROM documents GROUP BY source
-),
-wts AS (SELECT source, n_docs, {wcols} FROM counts),
-denoms AS (SELECT {folds} FROM wts),
-shared AS (
-  SELECT source, n_docs, {shares} FROM wts CROSS JOIN denoms
-)
-SELECT source, n_docs, {hi},
-       GREATEST({hi}) - LEAST({hi}) AS ladder_spread
-FROM shared ORDER BY source
-"""
-
-
-# --------------------------------------------------------------------------
 # Language-conditional source mixture (two-level stratified budget)
 # --------------------------------------------------------------------------
 
@@ -9920,4 +9797,126 @@ FROM cell c
 JOIN lang_tot l ON c.lang = l.lang
 CROSS JOIN total t
 ORDER BY c.lang, c.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Mixture repetition audit (does the policy's quota hit the epoch wall)
+# --------------------------------------------------------------------------
+
+
+def mixture_repetition_audit(docs: DataFrame) -> DataFrame:
+    """Policy-implied repetition per source — the audit BETWEEN
+    :func:`temperature_mix` (which proposes token shares) and
+    :func:`data_constrained_mix` (which enforces the epoch wall): if
+    the sqrt-temperature policy's share of a
+    ``DATA_MIX_BUDGET_EPOCHS``-passes token budget were sampled as
+    proposed, how many EPOCHS over its own data would each source
+    run, which sources breach the ``DATA_MIX_MAX_EPOCHS`` wall
+    (Muennighoff et al. 2023: value decays fast past ~4 passes), and
+    how many target tokens sit beyond the wall — the table that says
+    whether the policy is even feasible before any reallocation runs.
+
+    Determinism: token-grain sqrt weights (the T=1/2 convention, the
+    only libm-free temperature); the share denominator is the strict
+    LEFT FOLD over source order; the target is ONE left-associated
+    double product floored identically on both engines; epoch ratios
+    are single divisions of exact BIGINTs.
+
+    Scale: one tokenize aggregation of the corpus (checkpointed — it
+    feeds the fold, the budget total and the output rows); everything
+    downstream is mixture-sized arithmetic.
+
+    Output: (source, tokens, share, target_tokens, epochs_implied,
+    over_cap, excess_tokens), source-ordered; ``epochs_implied`` NULL
+    only for a zero-token source (defensive — under the family
+    tokenization convention an empty doc still counts one token).
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    counts = _reliable_checkpoint(
+        docs.groupBy("source").agg(
+            F.sum(X.token_count("text").cast("long")).cast("long").alias(
+                "tokens"
+            )
+        )
+    )
+    wts = counts.select(
+        "source", "tokens", F.sqrt(F.col("tokens").cast("double")).alias("w")
+    )
+    denom = wts.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("source").alias("s"), F.col("w"))
+                    )
+                ),
+                lambda x: x["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("denom"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+    )
+    share = F.col("w") / F.col("denom")
+    budget = F.col("total_tokens") * F.lit(DATA_MIX_BUDGET_EPOCHS)
+    target = F.floor(share * budget.cast("double")).cast("long")
+    cap = F.col("tokens") * F.lit(DATA_MIX_MAX_EPOCHS)
+    epochs = F.when(F.col("tokens") == 0, F.lit(None)).otherwise(
+        target.cast("double") / F.col("tokens").cast("double")
+    )
+    return (
+        wts.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "tokens",
+            share.alias("share"),
+            target.alias("target_tokens"),
+            epochs.alias("epochs_implied"),
+            (target > cap).alias("over_cap"),
+            F.greatest(target - cap, F.lit(0).cast("long")).alias(
+                "excess_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_repetition_audit_sql() -> str:
+    """DuckDB twin of :func:`mixture_repetition_audit` — identical
+    sqrt weights, source-ordered fold, left-associated target product
+    and epoch-wall arithmetic."""
+    toks = _sql_tokens()
+    return f"""
+WITH counts AS (
+  SELECT source,
+         CAST(SUM(CAST(len({toks}) AS BIGINT)) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+wts AS (
+  SELECT source, tokens, sqrt(CAST(tokens AS DOUBLE)) AS w FROM counts
+),
+denom AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY source ASC)),
+           (acc, x) -> acc + x) AS denom,
+         CAST(SUM(tokens) AS BIGINT) AS total_tokens
+  FROM wts
+),
+tgt AS (
+  SELECT source, tokens, w / denom AS share,
+         CAST(floor((w / denom)
+              * CAST(total_tokens * {DATA_MIX_BUDGET_EPOCHS} AS DOUBLE))
+           AS BIGINT) AS target_tokens,
+         tokens * {DATA_MIX_MAX_EPOCHS} AS cap
+  FROM wts CROSS JOIN denom
+)
+SELECT source, tokens, share, target_tokens,
+       CASE WHEN tokens = 0 THEN NULL
+            ELSE CAST(target_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)
+       END AS epochs_implied,
+       target_tokens > cap AS over_cap,
+       GREATEST(target_tokens - cap, 0) AS excess_tokens
+FROM tgt ORDER BY source
 """

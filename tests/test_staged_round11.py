@@ -75,9 +75,12 @@ STAGED = [
      "documents"),
     ("url_path_filter", "soccerpredictor_spark.operators.textops",
      "documents"),
-    ("mixture_temperature_ladder", "soccerpredictor_spark.operators.textops",
-     "documents"),
     ("lang_conditional_mix", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    # round-18 staging, second session
+    ("mixture_repetition_audit", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("l_diversity_audit", "soccerpredictor_spark.operators.quality",
      "documents"),
 ]
 

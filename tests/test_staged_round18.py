@@ -4,8 +4,9 @@ the shared harness in test_staged_round11.py):
 
 - span_cut_apply_stats: post-rewrite per-source corpus accounting
 - url_path_filter: robots-style first-match path deny census
-- mixture_temperature_ladder: per-source share across T in (1,2,4,8)
 - lang_conditional_mix: two-level (lang budget, within-lang T=1/2) mix
+- mixture_repetition_audit: policy-implied epochs vs the 4-epoch wall
+- l_diversity_audit: distinct-l privacy profile (k-anonymity sibling)
 """
 
 from __future__ import annotations
@@ -113,54 +114,6 @@ class TestUrlPathFilter:
         assert paths == ["/admin/srcX/page-1", "/admin/srcY/page-1"]
 
 
-class TestMixtureTemperatureLadder:
-    def test_shares_and_spread(self, spark):
-        """Two sources 9:1. T=1 shares 0.9/0.1; T=2 3:1; T=4
-        sqrt(3):1; T=8 3^(1/4):1 — each rung exactly the repeated-sqrt
-        closed form, big source's share strictly decreasing in T."""
-        from soccerpredictor_spark.operators.textops import (
-            mixture_temperature_ladder,
-        )
-
-        docs = spark.createDataFrame(
-            [(i, "t", "big" if i < 9 else "small") for i in range(10)],
-            "doc_id long, text string, source string",
-        )
-        rows = {r.source: r for r in mixture_temperature_ladder(docs).collect()}
-        big = rows["big"]
-        assert math.isclose(big.share_t1, 0.9)
-        assert math.isclose(big.share_t2, 3.0 / 4.0)
-        w4 = math.sqrt(3.0)
-        assert math.isclose(big.share_t4, w4 / (w4 + 1.0))
-        w8 = math.sqrt(math.sqrt(math.sqrt(9.0)))
-        assert math.isclose(big.share_t8, w8 / (w8 + 1.0))
-        assert big.share_t1 > big.share_t2 > big.share_t4 > big.share_t8
-        assert math.isclose(big.ladder_spread, big.share_t1 - big.share_t8)
-        small = rows["small"]
-        assert small.share_t1 < small.share_t2 < small.share_t4 < small.share_t8
-        assert math.isclose(small.ladder_spread, small.share_t8 - small.share_t1)
-        # every rung's shares sum to 1
-        for t in (1, 2, 4, 8):
-            assert math.isclose(
-                getattr(big, f"share_t{t}") + getattr(small, f"share_t{t}"),
-                1.0,
-            )
-
-    def test_uniform_corpus_is_t_invariant(self, spark):
-        from soccerpredictor_spark.operators.textops import (
-            mixture_temperature_ladder,
-        )
-
-        docs = spark.createDataFrame(
-            [(i, "t", f"s{i % 4}") for i in range(8)],
-            "doc_id long, text string, source string",
-        )
-        for r in mixture_temperature_ladder(docs).collect():
-            for t in (1, 2, 4, 8):
-                assert math.isclose(getattr(r, f"share_t{t}"), 0.25)
-            assert math.isclose(r.ladder_spread, 0.0, abs_tol=1e-15)
-
-
 class TestLangConditionalMix:
     def test_two_level_arithmetic(self, spark):
         """en: 2 sources (4 and 1 docs, 1 token each); fr: 1 source,
@@ -210,3 +163,115 @@ class TestLangConditionalMix:
         (r,) = lang_conditional_mix(docs).collect()
         assert r.lang_token_share == 1.0 and r.within_share == 1.0
         assert r.quota == TEMP_MIX_BUDGET
+
+
+class TestMixtureRepetitionAudit:
+    def test_epoch_wall_arithmetic(self, spark):
+        """Two sources 16:1 tokens. sqrt weights 4:1 -> shares
+        0.8/0.2 of a 2x34=68-token budget -> targets 54 and 13.
+        The small source's 13 tokens over its 2-token corpus is 6.5
+        epochs — over the 4-epoch wall by 13-8=5 tokens; the big one
+        (54/32 = 1.7 epochs) is fine."""
+        from soccerpredictor_spark.operators.textops import (
+            mixture_repetition_audit,
+        )
+
+        big = " ".join(f"t{i}" for i in range(16))
+        docs = spark.createDataFrame(
+            [(1, big, "big"), (2, big, "big"), (3, "a b", "small")],
+            "doc_id long, text string, source string",
+        )
+        rows = {r.source: r for r in mixture_repetition_audit(docs).collect()}
+        b, s = rows["big"], rows["small"]
+        assert (b.tokens, s.tokens) == (32, 2)
+        # weights sqrt(32), sqrt(2): shares 4/5 and 1/5 exactly
+        import math
+
+        w_b, w_s = math.sqrt(32.0), math.sqrt(2.0)
+        assert math.isclose(b.share, w_b / (w_b + w_s))
+        assert math.isclose(s.share, w_s / (w_b + w_s))
+        assert b.target_tokens == math.floor(b.share * 68.0)
+        assert s.target_tokens == math.floor(s.share * 68.0)
+        assert not b.over_cap and b.excess_tokens == 0
+        assert s.over_cap
+        assert s.excess_tokens == s.target_tokens - 2 * 4
+        assert math.isclose(s.epochs_implied, s.target_tokens / 2.0)
+
+    def test_single_source_exact_budget_epochs(self, spark):
+        """One source takes the whole budget: exactly
+        DATA_MIX_BUDGET_EPOCHS epochs, never over the 4-epoch wall."""
+        from soccerpredictor_spark.operators.textops import (
+            DATA_MIX_BUDGET_EPOCHS,
+            mixture_repetition_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d", "s")], "doc_id long, text string, source string"
+        )
+        (r,) = mixture_repetition_audit(docs).collect()
+        assert r.share == 1.0
+        assert r.target_tokens == 4 * DATA_MIX_BUDGET_EPOCHS
+        assert r.epochs_implied == float(DATA_MIX_BUDGET_EPOCHS)
+        assert not r.over_cap and r.excess_tokens == 0
+
+
+class TestLDiversityAudit:
+    def test_distinct_l_rungs(self, spark):
+        """Two QI classes (same lang, len buckets 0 and 1): bucket 0
+        holds 3 docs from 2 sources, bucket 1 holds 2 docs from 1
+        source. l=2: only bucket 1 below (2 docs at risk); l=3 and
+        l=5: both classes below (all 5 docs at risk)."""
+        from soccerpredictor_spark.operators.quality import (
+            l_diversity_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "sA", 10),
+                (2, "en", "sA", 20),
+                (3, "en", "sB", 30),
+                (4, "en", "sC", 70),
+                (5, "en", "sC", 90),
+            ],
+            "doc_id long, lang string, source string, n_chars long",
+        )
+        rows = {r.l: r for r in l_diversity_audit(docs).collect()}
+        assert sorted(rows) == [2, 3, 5]
+        assert rows[2].n_classes == 2
+        assert (rows[2].n_classes_below_l, rows[2].n_docs_at_risk) == (1, 2)
+        assert rows[2].at_risk_frac == 0.4
+        for l in (3, 5):
+            assert (rows[l].n_classes_below_l, rows[l].n_docs_at_risk) == (
+                2, 5,
+            )
+            assert rows[l].at_risk_frac == 1.0
+
+    def test_diverse_class_never_at_risk(self, spark):
+        """A single class with 5 distinct sources passes every rung."""
+        from soccerpredictor_spark.operators.quality import (
+            l_diversity_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "fr", f"s{i}", 5) for i in range(5)],
+            "doc_id long, lang string, source string, n_chars long",
+        )
+        rows = l_diversity_audit(docs).collect()
+        assert all(r.n_classes_below_l == 0 for r in rows)
+        assert all(r.at_risk_frac == 0.0 for r in rows)
+
+    def test_empty_corpus_fixed_spine(self, spark):
+        from soccerpredictor_spark.operators.quality import (
+            L_DIV_RUNGS,
+            l_diversity_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, lang string, source string, n_chars long"
+        )
+        rows = l_diversity_audit(docs).collect()
+        assert [r.l for r in rows] == list(L_DIV_RUNGS)
+        assert all(
+            (r.n_classes, r.n_docs, r.at_risk_frac) == (0, 0, None)
+            for r in rows
+        )
