@@ -9920,3 +9920,227 @@ SELECT source, tokens, share, target_tokens,
        GREATEST(target_tokens - cap, 0) AS excess_tokens
 FROM tgt ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# Packing fragmentation sweep (context-length cost of concat-and-chunk)
+# --------------------------------------------------------------------------
+
+#: context-length rungs for the fragmentation sweep — the training
+#: sequence lengths a pretraining run actually chooses between.
+PACK_SWEEP_CTX = (256, 512, 1024, 2048)
+
+
+def packing_fragmentation_sweep(docs: DataFrame) -> DataFrame:
+    """Document-boundary fragmentation across context lengths — the
+    sweep-table companion of :func:`pack_sequences` (the family
+    pattern: ``dedup_threshold_sweep`` / ``lsh_band_sweep``): under
+    GPT-style concat-and-chunk packing there is no padding waste, but
+    every document that straddles a chunk boundary is split across
+    training sequences (attention masking or truncation territory) —
+    and how many are split is a function of the context length the
+    run is about to commit to. One row per candidate ctx: documents
+    split, total boundary crossings, and the split fraction.
+
+    Engine shape: ONE tokenize pass builds the per-source running
+    offsets (:func:`pack_sequences`' window, verbatim: partitioned by
+    source — nothing global), checkpointed because every rung reads
+    it; the rung grid is a broadcast 4-row spine cross-applied to
+    that slim stream, and bin indices are exact integer division
+    (``div`` / ``//`` — the data_constrained_mix convention, never a
+    float floor near 2^53).
+
+    Output: (ctx, n_docs, n_docs_split, n_crossings, split_frac),
+    ctx-ordered; fixed spine with zero fills and NULL fraction on an
+    empty corpus.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    tok = docs.select(
+        "doc_id", "source", X.token_count("text").cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w).cast("long")
+    spans = _reliable_checkpoint(
+        tok.select(
+            (cum - F.col("n_tokens")).alias("start_tok"),
+            (cum - F.lit(1)).alias("end_tok"),
+        )
+    )
+    rungs = spark.createDataFrame([(c,) for c in PACK_SWEEP_CTX], "ctx long")
+    crossings = F.expr("end_tok div ctx") - F.expr("start_tok div ctx")
+    per_ctx = (
+        F.broadcast(rungs)
+        .join(spans, how="cross")
+        .groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((crossings > 0).cast("long")).alias("n_docs_split"),
+            F.sum(crossings).cast("long").alias("n_crossings"),
+        )
+    )
+    out = rungs.join(per_ctx, "ctx", "left").select(
+        "ctx",
+        F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias("n_docs"),
+        F.coalesce(F.col("n_docs_split"), F.lit(0).cast("long")).alias(
+            "n_docs_split"
+        ),
+        F.coalesce(F.col("n_crossings"), F.lit(0).cast("long")).alias(
+            "n_crossings"
+        ),
+    )
+    frac = F.when(F.col("n_docs") == 0, F.lit(None)).otherwise(
+        F.col("n_docs_split").cast("double") / F.col("n_docs").cast("double")
+    )
+    return out.withColumn("split_frac", frac).orderBy("ctx")
+
+
+def packing_fragmentation_sweep_sql() -> str:
+    """DuckDB twin of :func:`packing_fragmentation_sweep` — identical
+    per-source running offsets, integer-division bins, rung spine."""
+    toks = _sql_tokens()
+    vals = ", ".join(f"({c})" for c in PACK_SWEEP_CTX)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+spans AS MATERIALIZED (
+  SELECT CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS start_tok,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - 1 AS end_tok
+  FROM tok
+),
+rungs(ctx) AS (VALUES {vals}),
+per_ctx AS (
+  SELECT r.ctx,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN s.end_tok // r.ctx - s.start_tok // r.ctx > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split,
+         CAST(SUM(s.end_tok // r.ctx - s.start_tok // r.ctx) AS BIGINT)
+           AS n_crossings
+  FROM rungs r CROSS JOIN spans s
+  GROUP BY r.ctx
+)
+SELECT CAST(r.ctx AS BIGINT) AS ctx,
+       COALESCE(p.n_docs, 0) AS n_docs,
+       COALESCE(p.n_docs_split, 0) AS n_docs_split,
+       COALESCE(p.n_crossings, 0) AS n_crossings,
+       CASE WHEN COALESCE(p.n_docs, 0) = 0 THEN NULL
+            ELSE CAST(p.n_docs_split AS DOUBLE) / CAST(p.n_docs AS DOUBLE)
+       END AS split_frac
+FROM rungs r LEFT JOIN per_ctx p ON r.ctx = p.ctx
+ORDER BY ctx
+"""
+
+
+# --------------------------------------------------------------------------
+# Shuffle run audit (does the training order actually interleave)
+# --------------------------------------------------------------------------
+
+
+def shuffle_run_audit(docs: DataFrame) -> DataFrame:
+    """Source-run statistics of the :func:`corpus_shuffle` training
+    order — the audit that the shuffle a run is about to train on
+    actually interleaves its sources: consecutive same-source
+    documents form a RUN (gaps-and-islands over the shuffled
+    positions), and clumped runs mean gradient batches dominated by
+    one feed. Per source: run count, mean and max run length, and
+    the clump factor — mean run length over its random-permutation
+    expectation N / (N - n_s + 1) (expected #runs of an n_s-subset
+    in a random N-permutation is n_s (N - n_s + 1) / N), so ~1.0
+    certifies the shuffle and >>1 flags clumping.
+
+    Engine shape: the shuffled position is ``corpus_shuffle``'s
+    two-level bucketed rank (nothing global at corpus grain); the
+    island key is pos - row_number within source (a SOURCE-partitioned
+    window — parallel across sources); runs then aggregate twice
+    (run grain, then source grain, both map-side combinable). The
+    clump expectation is exact-integer arithmetic with two divisions
+    in an identical left-associated tree on both engines.
+
+    Output: (source, n_docs, n_runs, mean_run_len, max_run_len,
+    clump_factor), source-ordered.
+    """
+    from pyspark.sql.window import Window
+
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    order = corpus_shuffle(docs).select("doc_id", "pos")
+    tagged = order.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy("pos")
+    grp = (F.col("pos") - F.row_number().over(w)).alias("grp")
+    runs = (
+        tagged.select("source", "pos")
+        .select("source", grp)
+        .groupBy("source", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    # checkpointed: the corpus-total agg AND the output join both
+    # consume per_src, and its subtree is the whole shuffle-rank
+    # build (the 2+-lazy-consumers rule; mixture-sized pin).
+    per_src = _reliable_checkpoint(runs.groupBy("source").agg(
+        F.sum("run_len").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").cast("long").alias("max_run_len"),
+    ))
+    total = per_src.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    mean_run = F.col("n_docs").cast("double") / F.col("n_runs").cast("double")
+    clump = mean_run * (
+        (F.col("n_total") - F.col("n_docs") + F.lit(1)).cast("double")
+        / F.col("n_total").cast("double")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_runs",
+            mean_run.alias("mean_run_len"),
+            "max_run_len",
+            clump.alias("clump_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+def shuffle_run_audit_sql() -> str:
+    """DuckDB twin of :func:`shuffle_run_audit` — nests
+    :func:`corpus_shuffle_sql`, identical islands and clump tree."""
+    return f"""
+WITH ord AS ({corpus_shuffle_sql()}),
+tagged AS (
+  SELECT d.source, o.pos,
+         o.pos - ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY o.pos)
+           AS grp
+  FROM ord o JOIN documents d ON o.doc_id = d.doc_id
+),
+runs AS (
+  SELECT source, grp, COUNT(*) AS run_len
+  FROM tagged GROUP BY source, grp
+),
+per_src AS MATERIALIZED (
+  SELECT source, CAST(SUM(run_len) AS BIGINT) AS n_docs,
+         COUNT(*) AS n_runs,
+         CAST(MAX(run_len) AS BIGINT) AS max_run_len
+  FROM runs GROUP BY source
+),
+total AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM per_src)
+SELECT source, n_docs, n_runs,
+       CAST(n_docs AS DOUBLE) / CAST(n_runs AS DOUBLE) AS mean_run_len,
+       max_run_len,
+       CAST(n_docs AS DOUBLE) / CAST(n_runs AS DOUBLE)
+         * (CAST(n_total - n_docs + 1 AS DOUBLE) / CAST(n_total AS DOUBLE))
+         AS clump_factor
+FROM per_src CROSS JOIN total
+ORDER BY source
+"""

@@ -82,6 +82,12 @@ STAGED = [
      "documents"),
     ("l_diversity_audit", "soccerpredictor_spark.operators.quality",
      "documents"),
+    # round-18 staging, third session
+    ("packing_fragmentation_sweep",
+     "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("shuffle_run_audit", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 

@@ -7,6 +7,8 @@ the shared harness in test_staged_round11.py):
 - lang_conditional_mix: two-level (lang budget, within-lang T=1/2) mix
 - mixture_repetition_audit: policy-implied epochs vs the 4-epoch wall
 - l_diversity_audit: distinct-l privacy profile (k-anonymity sibling)
+- packing_fragmentation_sweep: chunk-boundary doc splits across ctx
+- shuffle_run_audit: source-run islands of the corpus_shuffle order
 """
 
 from __future__ import annotations
@@ -275,3 +277,139 @@ class TestLDiversityAudit:
             (r.n_classes, r.n_docs, r.at_risk_frac) == (0, 0, None)
             for r in rows
         )
+
+
+class TestPackingFragmentationSweep:
+    def test_crossing_arithmetic(self, spark):
+        """One source, docs of 200/100/300 tokens -> spans [0,199],
+        [200,299], [300,599]. ctx=256: doc 2 crosses once (bins 0->1),
+        doc 3 crosses once (bins 1->2); ctx=512: only doc 3 crosses;
+        ctx=1024 and 2048: nothing crosses."""
+        from soccerpredictor_spark.operators.textops import (
+            PACK_SWEEP_CTX,
+            packing_fragmentation_sweep,
+        )
+
+        def words(n, tag):
+            return " ".join(f"{tag}{i}" for i in range(n))
+
+        docs = spark.createDataFrame(
+            [
+                (1, words(200, "a"), "s"),
+                (2, words(100, "b"), "s"),
+                (3, words(300, "c"), "s"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {r.ctx: r for r in packing_fragmentation_sweep(docs).collect()}
+        assert sorted(rows) == sorted(PACK_SWEEP_CTX)
+        assert (rows[256].n_docs_split, rows[256].n_crossings) == (2, 2)
+        assert (rows[512].n_docs_split, rows[512].n_crossings) == (1, 1)
+        assert (rows[1024].n_docs_split, rows[1024].n_crossings) == (0, 0)
+        assert rows[256].split_frac == 2.0 / 3.0
+        assert rows[2048].split_frac == 0.0
+
+    def test_per_source_offsets_independent(self, spark):
+        """Two sources each with one 300-token doc: offsets restart per
+        source, so at ctx=256 BOTH docs cross exactly once (a global
+        concat would give different counts)."""
+        from soccerpredictor_spark.operators.textops import (
+            packing_fragmentation_sweep,
+        )
+
+        text = " ".join(f"w{i}" for i in range(300))
+        docs = spark.createDataFrame(
+            [(1, text, "sA"), (2, text, "sB")],
+            "doc_id long, text string, source string",
+        )
+        rows = {r.ctx: r for r in packing_fragmentation_sweep(docs).collect()}
+        assert (rows[256].n_docs_split, rows[256].n_crossings) == (2, 2)
+        assert rows[512].n_docs_split == 0
+
+    def test_empty_corpus_fixed_spine(self, spark):
+        from soccerpredictor_spark.operators.textops import (
+            PACK_SWEEP_CTX,
+            packing_fragmentation_sweep,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+        rows = packing_fragmentation_sweep(docs).collect()
+        assert [r.ctx for r in rows] == sorted(PACK_SWEEP_CTX)
+        assert all(
+            (r.n_docs, r.n_crossings, r.split_frac) == (0, 0, None)
+            for r in rows
+        )
+
+
+class TestShuffleRunAudit:
+    def test_runs_and_clump_factor(self, spark):
+        """Verify islands against the actual corpus_shuffle order: the
+        audit's run decomposition must match one computed directly
+        from the shuffled positions."""
+        from soccerpredictor_spark.operators.textops import (
+            corpus_shuffle,
+            shuffle_run_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "t", "sA" if i % 3 else "sB") for i in range(30)],
+            "doc_id long, text string, source string",
+        )
+        order = {
+            r.doc_id: r.pos for r in corpus_shuffle(docs).collect()
+        }
+        seq = [
+            ("sA" if d % 3 else "sB")
+            for d in sorted(order, key=lambda d: order[d])
+        ]
+        import itertools
+
+        expected = {}
+        for src, grp in itertools.groupby(seq):
+            n = len(list(grp))
+            runs, mx, docs_n = expected.get(src, (0, 0, 0))
+            expected[src] = (runs + 1, max(mx, n), docs_n + n)
+        rows = {r.source: r for r in shuffle_run_audit(docs).collect()}
+        assert set(rows) == set(expected)
+        N = 30
+        for src, (runs, mx, n) in expected.items():
+            r = rows[src]
+            assert (r.n_runs, r.max_run_len, r.n_docs) == (runs, mx, n)
+            assert r.mean_run_len == n / runs
+            import math
+
+            assert math.isclose(
+                r.clump_factor, (n / runs) * ((N - n + 1) / N)
+            )
+
+    def test_perfect_interleave_clump_near_one(self, spark):
+        """Alternating tiny corpus where the md5 order happens to mix:
+        clump_factor stays bounded and mean_run_len >= 1 always."""
+        from soccerpredictor_spark.operators.textops import (
+            shuffle_run_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "t", f"s{i % 4}") for i in range(40)],
+            "doc_id long, text string, source string",
+        )
+        for r in shuffle_run_audit(docs).collect():
+            assert 1.0 <= r.mean_run_len <= r.max_run_len
+            assert r.clump_factor > 0.0
+
+    def test_single_source_one_run(self, spark):
+        from soccerpredictor_spark.operators.textops import (
+            shuffle_run_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "t", "only") for i in range(7)],
+            "doc_id long, text string, source string",
+        )
+        (r,) = shuffle_run_audit(docs).collect()
+        assert (r.n_runs, r.n_docs, r.max_run_len) == (1, 7, 7)
+        assert r.mean_run_len == 7.0
+        # N == n_s -> expectation N/(N-n+1) = N, clump = 1 exactly
+        assert r.clump_factor == 1.0
