@@ -88,6 +88,8 @@ STAGED = [
      "documents"),
     ("shuffle_run_audit", "soccerpredictor_spark.operators.textops",
      "documents"),
+    ("dedup_cluster_density", "soccerpredictor_spark.operators.dedup",
+     "documents"),
 ]
 
 

@@ -9,6 +9,7 @@ the shared harness in test_staged_round11.py):
 - l_diversity_audit: distinct-l privacy profile (k-anonymity sibling)
 - packing_fragmentation_sweep: chunk-boundary doc splits across ctx
 - shuffle_run_audit: source-run islands of the corpus_shuffle order
+- dedup_cluster_density: clique density per cluster size (chain alarm)
 """
 
 from __future__ import annotations
@@ -413,3 +414,89 @@ class TestShuffleRunAudit:
         assert r.mean_run_len == 7.0
         # N == n_s -> expectation N/(N-n+1) = N, clump = 1 exactly
         assert r.clump_factor == 1.0
+
+
+class TestDedupClusterDensity:
+    def test_clique_density_one(self, spark):
+        """Two 3-doc exact-copy cliques: every pair is a verified
+        edge, so the size-3 row shows 3 edges per cluster of 3
+        possible — density exactly 1.0."""
+        from soccerpredictor_spark.operators.dedup import (
+            dedup_cluster_density,
+        )
+
+        t1 = "x0 x1 x2 x3 x4 x5 x6 x7"
+        t2 = "y0 y1 y2 y3 y4 y5 y6 y7"
+        docs = spark.createDataFrame(
+            [
+                (1, t1, "s"), (2, t1, "s"), (3, t1, "s"),
+                (4, t2, "s"), (5, t2, "s"), (6, t2, "s"),
+                (7, "unrelated words entirely here now", "s"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = dedup_cluster_density(docs).collect()
+        assert [
+            (r.cluster_size, r.n_clusters, r.n_edges, r.n_possible, r.density)
+            for r in rows
+        ] == [(3, 2, 6, 6, 1.0)]
+
+    def test_density_consistent_with_pair_and_label_tables(self, spark):
+        """On a mixed corpus the per-size rows must equal the edge and
+        possible counts recomputed directly from the session-cached
+        pair and label tables (chaining, if the banding finds any,
+        shows up as density < 1 — either way the accounting holds)."""
+        import collections
+
+        from soccerpredictor_spark.operators.dedup import (
+            dedup_cluster_density,
+            minhash_lsh_pairs,
+            near_dup_clusters,
+        )
+
+        a = " ".join(f"a{i}" for i in range(12))
+        b = a + " " + " ".join(f"c{i}" for i in range(4))
+        docs = spark.createDataFrame(
+            [
+                (1, "p0 p1 p2 p3 p4 p5", "s"), (2, "p0 p1 p2 p3 p4 p5", "s"),
+                (10, a, "s"), (11, b, "s"),
+                (20, "solo document with its own words", "s"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        labels = {
+            r.doc_id: r.cluster_id for r in near_dup_clusters(docs).collect()
+        }
+        edges = [
+            labels[r.doc_a]
+            for r in minhash_lsh_pairs(docs).select("doc_a", "doc_b").collect()
+        ]
+        sz = collections.Counter(collections.Counter(labels.values()).values())
+        edge_by_size = collections.Counter()
+        cluster_sizes = collections.Counter(labels.values())
+        for cid in edges:
+            edge_by_size[cluster_sizes[cid]] += 1
+        rows = {r.cluster_size: r for r in dedup_cluster_density(docs).collect()}
+        assert set(rows) == set(sz)
+        for size, n_clusters in sz.items():
+            r = rows[size]
+            poss = n_clusters * (size * (size - 1) // 2)
+            assert (r.n_clusters, r.n_edges, r.n_possible) == (
+                n_clusters, edge_by_size[size], poss,
+            )
+            assert r.density == edge_by_size[size] / poss
+
+    def test_pair_cluster_density_one(self, spark):
+        """Two exact copies: one 2-doc cluster, 1 edge of 1 possible."""
+        from soccerpredictor_spark.operators.dedup import (
+            dedup_cluster_density,
+        )
+
+        text = "p0 p1 p2 p3 p4 p5"
+        docs = spark.createDataFrame(
+            [(1, text, "s"), (2, text, "s"), (3, "unrelated words here", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = dedup_cluster_density(docs).collect()
+        assert [(r.cluster_size, r.n_clusters, r.n_edges, r.n_possible,
+                 r.density) for r in rows] == [(2, 1, 1, 1, 1.0)]
