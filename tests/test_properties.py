@@ -2185,3 +2185,145 @@ def test_split_balance_audit_totals_property(spark, ids):
         expect = sum(1 for i in ids if i % 3 == r.label and is_eval(i))
         assert r.n_eval == expect
         assert 0.0 <= r.eval_frac <= 1.0
+
+
+PACK_CORPUS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),   # doc_id (may collide; deduped)
+        st.integers(min_value=1, max_value=600),  # token count
+        st.sampled_from(["sA", "sB", "sC"]),      # source
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=PACK_CORPUS)
+def test_packing_fragmentation_property(spark, rows):
+    """For ANY corpus: every rung sees the same n_docs; crossings and
+    split counts are exactly the per-source cumulative-offset
+    recomputation; and both are monotone non-increasing as ctx doubles
+    (multiples of 2c are a subset of multiples of c)."""
+    from soccerpredictor_spark.operators.textops import (
+        PACK_SWEEP_CTX,
+        packing_fragmentation_sweep,
+    )
+
+    rows = list({d: (d, n, s) for d, n, s in rows}.values())
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"t{i}" for i in range(n)), s) for d, n, s in rows],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.ctx: (r.n_docs, r.n_docs_split, r.n_crossings)
+        for r in packing_fragmentation_sweep(docs).collect()
+    }
+    # independent recomputation: per-source offsets in doc_id order
+    spans = []
+    for src in {s for _, _, s in rows}:
+        cum = 0
+        for d, n, s in sorted(r for r in rows if r[2] == src):
+            spans.append((cum, cum + n - 1))
+            cum += n
+    for ctx in PACK_SWEEP_CTX:
+        crossings = sum(e // ctx - st_ // ctx for st_, e in spans)
+        split = sum(1 for st_, e in spans if e // ctx != st_ // ctx)
+        assert got[ctx] == (len(spans), split, crossings)
+    ordered = [got[c] for c in sorted(PACK_SWEEP_CTX)]
+    assert all(a[1] >= b[1] and a[2] >= b[2] for a, b in zip(ordered, ordered[1:]))
+
+
+SHUFFLE_CORPUS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),
+        st.sampled_from(["sA", "sB", "sC", "sD"]),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=SHUFFLE_CORPUS)
+def test_shuffle_run_audit_property(spark, rows):
+    """For ANY corpus: the audit equals an independent Python
+    recomputation of the md5 shuffle order's islands (hashlib oracle
+    of the SHUFFLE_SEED convention), and the internal identities hold
+    (sum n_docs = corpus, mean_run * n_runs = n_docs, max <= n_docs)."""
+    import hashlib
+    import itertools
+
+    from soccerpredictor_spark.operators.textops import (
+        SHUFFLE_KEY_HEX,
+        SHUFFLE_SEED,
+        shuffle_run_audit,
+    )
+
+    rows = list({d: (d, s) for d, s in rows}.values())
+    docs = spark.createDataFrame(
+        [(d, "tok", s) for d, s in rows],
+        "doc_id long, text string, source string",
+    )
+
+    def key(d):
+        h = hashlib.md5(f"{SHUFFLE_SEED}{d}".encode()).hexdigest()
+        return int(h[:SHUFFLE_KEY_HEX], 16)
+
+    seq = [s for _, s in sorted(rows, key=lambda r: (key(r[0]), r[0]))]
+    expected = {}
+    for src, grp in itertools.groupby(seq):
+        n = len(list(grp))
+        runs, mx, total = expected.get(src, (0, 0, 0))
+        expected[src] = (runs + 1, max(mx, n), total + n)
+    got = {r.source: r for r in shuffle_run_audit(docs).collect()}
+    assert set(got) == set(expected)
+    for src, (runs, mx, total) in expected.items():
+        r = got[src]
+        assert (r.n_runs, r.max_run_len, r.n_docs) == (runs, mx, total)
+        assert r.mean_run_len * r.n_runs == r.n_docs
+        assert r.max_run_len <= r.n_docs
+
+
+MIX_CORPUS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=1, max_value=40),
+        st.sampled_from(["sA", "sB", "sC"]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=MIX_CORPUS)
+def test_mixture_repetition_audit_property(spark, rows):
+    """For ANY corpus: shares sum to 1; the floored targets sum to at
+    most the 2-epoch budget and miss it by less than n_sources;
+    epochs * tokens == target exactly; excess = max(0, target-4*tok)."""
+    from soccerpredictor_spark.operators.textops import (
+        DATA_MIX_BUDGET_EPOCHS,
+        DATA_MIX_MAX_EPOCHS,
+        mixture_repetition_audit,
+    )
+
+    rows = list({d: (d, n, s) for d, n, s in rows}.values())
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"t{i}" for i in range(n)), s) for d, n, s in rows],
+        "doc_id long, text string, source string",
+    )
+    out = mixture_repetition_audit(docs).collect()
+    total = sum(n for _, n, _ in rows)
+    budget = total * DATA_MIX_BUDGET_EPOCHS
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-12
+    tsum = sum(r.target_tokens for r in out)
+    assert budget - len(out) < tsum <= budget
+    for r in out:
+        assert r.epochs_implied == r.target_tokens / r.tokens
+        assert r.excess_tokens == max(
+            0, r.target_tokens - DATA_MIX_MAX_EPOCHS * r.tokens
+        )
+        assert r.over_cap == (
+            r.target_tokens > DATA_MIX_MAX_EPOCHS * r.tokens
+        )
