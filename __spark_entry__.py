@@ -2619,6 +2619,56 @@ def _q_span_cut_plan(spark: SparkSession, sf: str) -> DataFrame:
     return textops.span_cut_plan(read_table(spark, sf, "documents"))
 
 
+def _q_span_cut_apply_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import textops
+
+    return textops.span_cut_apply_stats(read_table(spark, sf, "documents"))
+
+
+def _q_url_path_filter(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import textops
+
+    return textops.url_path_filter(read_table(spark, sf, "documents"))
+
+
+def _q_lang_conditional_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import textops
+
+    return textops.lang_conditional_mix(read_table(spark, sf, "documents"))
+
+
+def _q_mixture_repetition_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import textops
+
+    return textops.mixture_repetition_audit(read_table(spark, sf, "documents"))
+
+
+def _q_l_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import quality
+
+    return quality.l_diversity_audit(read_table(spark, sf, "documents"))
+
+
+def _q_packing_fragmentation_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import textops
+
+    return textops.packing_fragmentation_sweep(
+        read_table(spark, sf, "documents"),
+    )
+
+
+def _q_shuffle_run_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import textops
+
+    return textops.shuffle_run_audit(read_table(spark, sf, "documents"))
+
+
+def _q_dedup_cluster_density(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import dedup
+
+    return dedup.dedup_cluster_density(read_table(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness verifies the
     # first 50 entries in dict order (observed in CORRECTNESS_r01).
@@ -2631,58 +2681,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotations stay a pure prefix shift.  CI:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
         # --- never driver-verified (MUST be in the window) ---
-        "domain_blocklist_filter": _q_domain_blocklist_filter,
-        "script_lang_consistency": _q_script_lang_consistency,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "embedding_eval_contamination": _q_embedding_eval_contamination,
-        "k_anonymity_audit": _q_k_anonymity_audit,
-        "dedup_quality_shift": _q_dedup_quality_shift,
-        "source_signature_terms": _q_source_signature_terms,
-        "split_balance_audit": _q_split_balance_audit,
-        "markup_density_audit": _q_markup_density_audit,
-        "pii_quality_crosstab": _q_pii_quality_crosstab,
-        "blocklist_coverage_sweep": _q_blocklist_coverage_sweep,
-        "decontamination_loss_report": _q_decontamination_loss_report,
-        "mixture_policy_compare": _q_mixture_policy_compare,
-        "span_cut_plan": _q_span_cut_plan,
-        # --- r10 cohort ---
-        "window_rank_stats": _q_window_rank_stats,
-        "approx_distinct_check": _q_approx_distinct_check,
-        "curation_funnel": _q_curation_funnel,
-        "minhash_est_vs_exact": _q_minhash_est_vs_exact,
-        "ann_recall_eval": _q_ann_recall_eval,
-        "skew_profile": _q_skew_profile,
-        "asof_join": _q_asof_join,
-        "cohort_retention": _q_cohort_retention,
-        "funnel_stages": _q_funnel_stages,
-        "mad_outliers": _q_mad_outliers,
-        "window_trailing_range": _q_window_trailing_range,
-        "window_running_sum": _q_window_running_sum,
-        "window_ntiles": _q_window_ntiles,
-        "events_hourly_rollup": _q_events_hourly,
-        "events_sessionize": _q_events_sessionize,
-        "json_extract": _q_json_extract,
-        "event_deltas": _q_event_deltas,
-        "rollup_agg": _q_rollup_agg,
-        "cube_agg": _q_cube_agg,
-        "percentile_stats": _q_percentile_stats,
-        "set_intersect": _q_set_intersect,
-        "set_union": _q_set_union,
-        "upsert_latest": _q_upsert_latest,
-        "streaming_hourly": _q_streaming_hourly,
-        "pq_recall_eval": _q_pq_recall_eval,
-        "theil_sen_trend": _q_theil_sen_trend,
-        "neyman_allocation": _q_neyman_allocation,
-        "rare_category_collapse": _q_rare_category_collapse,
-        "hll_merge_audit": _q_hll_merge_audit,
-        "cms_heavy_change": _q_cms_heavy_change,
-        "mrr_at_k": _q_mrr_at_k,
-        "substring_dedup": _q_substring_dedup,
-        "dedup_canonical": _q_dedup_canonical,
+        "span_cut_apply_stats": _q_span_cut_apply_stats,
+        "url_path_filter": _q_url_path_filter,
+        "lang_conditional_mix": _q_lang_conditional_mix,
+        "mixture_repetition_audit": _q_mixture_repetition_audit,
+        "l_diversity_audit": _q_l_diversity_audit,
+        "packing_fragmentation_sweep": _q_packing_fragmentation_sweep,
+        "shuffle_run_audit": _q_shuffle_run_audit,
+        "dedup_cluster_density": _q_dedup_cluster_density,
         # --- r11 cohort ---
-        "int8_recall_eval": _q_int8_recall_eval,
-        "streaming_cdc": _q_streaming_cdc,
-        "doc_sim_knn": _q_doc_sim_knn,
         "event_transitions": _q_event_transitions,
         "date_spine_fill": _q_date_spine_fill,
         "share_of_total": _q_share_of_total,
@@ -2985,6 +2992,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate_sample": _q_quality_gate_sample,
         "full_outer_reconcile": _q_full_outer_reconcile,
         "sorted_layout_prune": _q_sorted_layout_prune,
+        # --- r17 cohort ---
+        "domain_blocklist_filter": _q_domain_blocklist_filter,
+        "script_lang_consistency": _q_script_lang_consistency,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "embedding_eval_contamination": _q_embedding_eval_contamination,
+        "k_anonymity_audit": _q_k_anonymity_audit,
+        "dedup_quality_shift": _q_dedup_quality_shift,
+        "source_signature_terms": _q_source_signature_terms,
+        "split_balance_audit": _q_split_balance_audit,
+        "markup_density_audit": _q_markup_density_audit,
+        "pii_quality_crosstab": _q_pii_quality_crosstab,
+        "blocklist_coverage_sweep": _q_blocklist_coverage_sweep,
+        "decontamination_loss_report": _q_decontamination_loss_report,
+        "mixture_policy_compare": _q_mixture_policy_compare,
+        "span_cut_plan": _q_span_cut_plan,
+        "window_rank_stats": _q_window_rank_stats,
+        "approx_distinct_check": _q_approx_distinct_check,
+        "curation_funnel": _q_curation_funnel,
+        "minhash_est_vs_exact": _q_minhash_est_vs_exact,
+        "ann_recall_eval": _q_ann_recall_eval,
+        "skew_profile": _q_skew_profile,
+        "asof_join": _q_asof_join,
+        "cohort_retention": _q_cohort_retention,
+        "funnel_stages": _q_funnel_stages,
+        "mad_outliers": _q_mad_outliers,
+        "window_trailing_range": _q_window_trailing_range,
+        "window_running_sum": _q_window_running_sum,
+        "window_ntiles": _q_window_ntiles,
+        "events_hourly_rollup": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "json_extract": _q_json_extract,
+        "event_deltas": _q_event_deltas,
+        "rollup_agg": _q_rollup_agg,
+        "cube_agg": _q_cube_agg,
+        "percentile_stats": _q_percentile_stats,
+        "set_intersect": _q_set_intersect,
+        "set_union": _q_set_union,
+        "upsert_latest": _q_upsert_latest,
+        "streaming_hourly": _q_streaming_hourly,
+        "pq_recall_eval": _q_pq_recall_eval,
+        "theil_sen_trend": _q_theil_sen_trend,
+        "neyman_allocation": _q_neyman_allocation,
+        "rare_category_collapse": _q_rare_category_collapse,
+        "hll_merge_audit": _q_hll_merge_audit,
+        "cms_heavy_change": _q_cms_heavy_change,
+        "mrr_at_k": _q_mrr_at_k,
+        "substring_dedup": _q_substring_dedup,
+        "dedup_canonical": _q_dedup_canonical,
+        "int8_recall_eval": _q_int8_recall_eval,
+        "streaming_cdc": _q_streaming_cdc,
+        "doc_sim_knn": _q_doc_sim_knn,
     }
 
 
@@ -3003,6 +3061,15 @@ def _pivot_avg_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- round-18 registrations ---
+        "span_cut_apply_stats": textops.span_cut_apply_stats_sql(),
+        "url_path_filter": textops.url_path_filter_sql(),
+        "lang_conditional_mix": textops.lang_conditional_mix_sql(),
+        "mixture_repetition_audit": textops.mixture_repetition_audit_sql(),
+        "l_diversity_audit": _quality_mod().l_diversity_audit_sql(),
+        "packing_fragmentation_sweep": textops.packing_fragmentation_sweep_sql(),
+        "shuffle_run_audit": textops.shuffle_run_audit_sql(),
+        "dedup_cluster_density": dedup.dedup_cluster_density_sql(),
         # --- round-17 registrations ---
         "domain_blocklist_filter": textops.domain_blocklist_filter_sql(),
         "script_lang_consistency": textops.script_lang_consistency_sql(),

@@ -70,26 +70,9 @@ STAGED = [
     # not-yet-registered staged operators:
     # (name, module, table); a TUPLE table entry means the operator
     # takes several tables, in that order.
-    # round-18 staging (closed-form tests in test_staged_round18.py)
-    ("span_cut_apply_stats", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("url_path_filter", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("lang_conditional_mix", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    # round-18 staging, second session
-    ("mixture_repetition_audit", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("l_diversity_audit", "soccerpredictor_spark.operators.quality",
-     "documents"),
-    # round-18 staging, third session
-    ("packing_fragmentation_sweep",
-     "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("shuffle_run_audit", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("dedup_cluster_density", "soccerpredictor_spark.operators.dedup",
-     "documents"),
+    # Round-18 housekeeping: the 8-op round-17 staged batch
+    # (span_cut_apply_stats..dedup_cluster_density) is now REGISTERED;
+    # their closed-form tests stay in test_staged_round18.py.
 ]
 
 
