@@ -901,6 +901,188 @@ SELECT (SELECT COUNT(*) FROM exact_k) AS n_exact,
 """
 
 
+#: recall@k rungs measured by :func:`ann_recall_k_sweep`.
+RECALL_K_RUNGS = (1, 2, 5, 10, 20)
+#: probe query vector ids for the multi-probe recall sweep (the
+#: deterministic low-id convention the IVF centroids also use).
+RECALL_PROBE_IDS = (0, 1, 2, 3)
+#: salt fan-out for the two-level exact top-k (stage-1 local ranks).
+_RECALL_SALT = 32
+
+
+def ann_recall_k_sweep(emb: DataFrame) -> DataFrame:
+    """Recall-vs-k curve for the sign-LSH ANN index over a PROBE SET —
+    the operating-curve readout :func:`ann_recall_eval` (one probe,
+    one fixed k) can't give: how recall decays (or holds) as the
+    requested neighbor count k grows, aggregated over
+    ``RECALL_PROBE_IDS``. The acceptance artifact for choosing k
+    before routing a 100 TB corpus through the approximate path: a
+    k where recall collapses means the single-band bucket is
+    exhausted and the index needs more bands or probes, and the
+    n_approx column shows the exhaustion directly (bucket pruned
+    below k inflates nothing — the :func:`ann_recall_eval`
+    convention, per rung).
+
+    Engine shape: the cached single-band quantized base
+    (``_band0_base``) is scanned twice — once crossJoined against
+    the broadcast 4-row probe table for the exact leg, once
+    bucket-equi-joined for the approximate leg. Per-probe exact
+    top-maxK is the TWO-LEVEL rank (stage 1 ranks within
+    (probe, vec_id % salt) and keeps maxK — an exact superset of the
+    global top-maxK; stage 2 ranks the surviving
+    probes x salt x maxK rows), never a single-partition global
+    window: with 4 probe groups a flat window would funnel the whole
+    corpus through 4 reducers. Both ranked lists are checkpointed
+    (every rung reads them); every rung aggregate runs over
+    <= |probes| * maxK rows.
+
+    Output: (k, n_exact, n_approx, n_hit, recall), k-ordered;
+    recall = n_hit / n_exact summed over probes, NULL on an empty
+    corpus (never 0/0).
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    spark = emb.sparkSession
+    max_k = max(RECALL_K_RUNGS)
+    base = _band0_base(emb)
+    probes = base.filter(
+        F.col("vec_id").isin(list(RECALL_PROBE_IDS))
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("iv").alias("q_iv"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    sim = V.int_dot_iv(F.col("iv"), F.col("q_iv")).cast("double") / (
+        F.sqrt(F.col("nrm").cast("double"))
+        * F.sqrt(F.col("q_nrm").cast("double"))
+    )
+
+    from pyspark.sql.window import Window
+
+    def ranked(cand: DataFrame) -> DataFrame:
+        w1 = Window.partitionBy("probe_id", "salt").orderBy(
+            F.col("sim").desc(), F.col("vec_id").asc()
+        )
+        w2 = Window.partitionBy("probe_id").orderBy(
+            F.col("sim").desc(), F.col("vec_id").asc()
+        )
+        local = (
+            cand.withColumn("salt", F.col("vec_id") % _RECALL_SALT)
+            .withColumn("lr", F.row_number().over(w1))
+            .filter(F.col("lr") <= max_k)
+        )
+        return _reliable_checkpoint(
+            local.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= max_k)
+            .select("probe_id", "vec_id", "rnk")
+        )
+
+    exact_r = ranked(
+        base.crossJoin(F.broadcast(probes)).select(
+            "probe_id", "vec_id", sim.alias("sim")
+        )
+    )
+    approx_r = ranked(
+        base.join(
+            F.broadcast(probes), F.col("bucket") == F.col("q_bucket")
+        ).select("probe_id", "vec_id", sim.alias("sim"))
+    )
+    hits = exact_r.join(
+        approx_r.select(
+            "probe_id", "vec_id", F.col("rnk").alias("rnk_a")
+        ),
+        ["probe_id", "vec_id"],
+    )
+    spine = spark.createDataFrame(
+        [(int(k),) for k in RECALL_K_RUNGS], "k long"
+    )
+    n_exact_k = (
+        F.broadcast(spine)
+        .join(exact_r, F.col("rnk") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.count("rnk").alias("n_exact"))
+    )
+    n_approx_k = (
+        F.broadcast(spine)
+        .join(approx_r, F.col("rnk") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.count("rnk").alias("n_approx"))
+    )
+    n_hit_k = (
+        F.broadcast(spine)
+        .join(
+            hits,
+            (F.col("rnk") <= F.col("k")) & (F.col("rnk_a") <= F.col("k")),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count("rnk").alias("n_hit"))
+    )
+    recall = F.when(F.col("n_exact") == 0, F.lit(None)).otherwise(
+        F.col("n_hit").cast("double") / F.col("n_exact").cast("double")
+    )
+    return (
+        n_exact_k.join(n_approx_k, "k")
+        .join(n_hit_k, "k")
+        .select("k", "n_exact", "n_approx", "n_hit", recall.alias("recall"))
+        .orderBy("k")
+    )
+
+
+def ann_recall_k_sweep_sql() -> str:
+    """DuckDB twin of :func:`ann_recall_k_sweep` — identical probe
+    set, single-band bucket restriction, rank windows (flat windows
+    are fine at oracle scale) and per-rung counts."""
+    planes = _planes()[:PLANES_PER_BAND]
+    bucket = V.sql_lsh_bucket("e.embedding", planes)
+    q_bucket = V.sql_lsh_bucket("q.embedding", planes)
+    cos = V.sql_cosine("e.embedding", "q.embedding")
+    probe_list = ", ".join(str(p) for p in RECALL_PROBE_IDS)
+    rung_vals = ", ".join(f"({int(k)})" for k in RECALL_K_RUNGS)
+    max_k = max(RECALL_K_RUNGS)
+    return f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding FROM embeddings
+  WHERE vec_id IN ({probe_list})
+),
+exact_r AS (
+  SELECT probe_id, vec_id, rnk FROM (
+    SELECT q.probe_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.probe_id
+                              ORDER BY {cos} DESC, e.vec_id ASC) AS rnk
+    FROM embeddings e CROSS JOIN probes q
+  ) WHERE rnk <= {max_k}
+),
+approx_r AS (
+  SELECT probe_id, vec_id, rnk FROM (
+    SELECT q.probe_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.probe_id
+                              ORDER BY {cos} DESC, e.vec_id ASC) AS rnk
+    FROM embeddings e JOIN probes q ON ({bucket}) = ({q_bucket})
+  ) WHERE rnk <= {max_k}
+),
+hits AS (
+  SELECT x.probe_id, x.vec_id, x.rnk, a.rnk AS rnk_a
+  FROM exact_r x JOIN approx_r a USING (probe_id, vec_id)
+),
+spine(k) AS (VALUES {rung_vals})
+SELECT CAST(s.k AS BIGINT) AS k,
+       (SELECT COUNT(*) FROM exact_r WHERE rnk <= s.k) AS n_exact,
+       (SELECT COUNT(*) FROM approx_r WHERE rnk <= s.k) AS n_approx,
+       (SELECT COUNT(*) FROM hits WHERE rnk <= s.k AND rnk_a <= s.k)
+         AS n_hit,
+       CASE WHEN (SELECT COUNT(*) FROM exact_r WHERE rnk <= s.k) = 0
+            THEN NULL
+            ELSE CAST((SELECT COUNT(*) FROM hits
+                       WHERE rnk <= s.k AND rnk_a <= s.k) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM exact_r
+                         WHERE rnk <= s.k) AS DOUBLE) END AS recall
+FROM spine s
+ORDER BY s.k
+"""
+
+
 def embedding_dedup_clusters(
     emb: DataFrame,
     threshold: float = 0.25,

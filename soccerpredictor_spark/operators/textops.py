@@ -6956,12 +6956,13 @@ GOPHER_MIN_WLEN, GOPHER_MAX_WLEN = 3, 10
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def _gopher_per_doc(docs: DataFrame) -> DataFrame:
-    """Per-document Gopher rule flags (doc_id, source, f_wc, f_wl,
-    f_sym, f_al, f_st) — the scan-projection shared by
-    :func:`gopher_quality_rules` (rule-level aggregate) and
-    :func:`quality_calibration_bins` (per-doc pass label). One scan,
-    fully codegen'd, zero shuffles."""
+def _gopher_flag_cols() -> dict[str, "F.Column"]:
+    """The five per-document Gopher rule flag Columns over the raw
+    ``text`` column — shared by :func:`_gopher_per_doc` and the
+    :func:`curate_corpus` gate projection so the capstone evaluates
+    the rules inside its own single corpus scan (never a doc-grain
+    join of two scans). Pure integer comparisons, cross-engine exact.
+    """
     w = X.tokens(F.lower(F.col("text")))
     n = F.size(w)
     wchars = F.aggregate(
@@ -6977,19 +6978,27 @@ def _gopher_per_doc(docs: DataFrame) -> DataFrame:
     alpha = F.size(F.filter(w, lambda t: t.rlike("[a-z]")))
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     nstop = F.size(F.array_intersect(F.array_distinct(w), stop_arr))
+    return {
+        "f_wc": (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS),
+        "f_wl": (F.lit(GOPHER_MIN_WLEN) * n > wchars)
+        | (wchars > F.lit(GOPHER_MAX_WLEN) * n),
+        "f_sym": F.lit(10) * symbols > n,
+        "f_al": F.lit(5) * alpha < F.lit(4) * n,
+        "f_st": nstop < 2,
+    }
+
+
+def _gopher_per_doc(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher rule flags (doc_id, source, f_wc, f_wl,
+    f_sym, f_al, f_st) — the scan-projection shared by
+    :func:`gopher_quality_rules` (rule-level aggregate) and
+    :func:`quality_calibration_bins` (per-doc pass label). One scan,
+    fully codegen'd, zero shuffles."""
+    flags = _gopher_flag_cols()
     return fan_out(docs).select(
         "doc_id",
         "source",
-        (
-            (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS)
-        ).alias("f_wc"),
-        (
-            (F.lit(GOPHER_MIN_WLEN) * n > wchars)
-            | (wchars > F.lit(GOPHER_MAX_WLEN) * n)
-        ).alias("f_wl"),
-        (F.lit(10) * symbols > n).alias("f_sym"),
-        (F.lit(5) * alpha < F.lit(4) * n).alias("f_al"),
-        (nstop < 2).alias("f_st"),
+        *[flags[k].alias(k) for k in ("f_wc", "f_wl", "f_sym", "f_al", "f_st")],
     )
 
 
@@ -9349,6 +9358,12 @@ SELECT dm.source, dm.share_baseline_tokens, cm.share_capped,
        -- null-SKIPPING like Spark's greatest/least on every DuckDB
        -- version (pre-1.1 GREATEST/LEAST propagate NULL); coalescing
        -- to an operand already in the set leaves max/min unchanged.
+       -- Only share_capped needs the shim: share_temperature and
+       -- share_doremi are non-NULL by construction whenever a join
+       -- row exists (their denominators SUM over all-positive
+       -- per-source token/weight totals), while share_capped's
+       -- denominator can be 0 only in the degenerate empty-alloc
+       -- case its CASE guards.
        GREATEST(COALESCE(cm.share_capped, tm.share_temperature),
                 tm.share_temperature, dm.share_doremi)
          - LEAST(COALESCE(cm.share_capped, tm.share_temperature),
@@ -9671,6 +9686,208 @@ SELECT CAST(s.rule_idx AS BIGINT) AS rule_idx, s.rule,
 FROM spine s LEFT JOIN by_idx i ON s.rule_idx = i.rule_idx
 CROSS JOIN totals t
 ORDER BY s.rule_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# Robots deny-rule marginal-coverage sweep (rule-redundancy audit)
+# --------------------------------------------------------------------------
+
+#: Ordered deny ladder audited by :func:`robots_rule_marginal_sweep`.
+#: DELIBERATELY overlapping — unlike :data:`ROBOTS_DENY_RULES` (the
+#: production list, disjoint first segments) this ladder contains
+#: nested prefixes ('/admin/src1' under '/admin', '/search' under
+#: '/s') so the shadowed-rule readout is exercised, plus one
+#: guaranteed miss ('/checkout' — the pii_redact hit-and-miss
+#: synthesis convention).
+ROBOTS_SWEEP_RULES = (
+    "/admin", "/admin/src1", "/s", "/search", "/tag", "/checkout",
+)
+
+
+def robots_rule_marginal_sweep(docs: DataFrame) -> DataFrame:
+    """Marginal-coverage audit of an ordered robots deny ladder — the
+    rule-redundancy readout :func:`url_path_filter` (first-match
+    census) can't give: for each rule, its RAW coverage (docs whose
+    path matches it, ignoring order) next to its MARGINAL coverage
+    (docs whose FIRST match it is — what the rule actually removes
+    given its position), the cumulative drop through that rung, and
+    the shadowed fraction 1 - marginal/raw. A rule with raw mass but
+    zero marginal is fully shadowed by earlier rules — the candidate
+    to prune before anyone ships a longer robots list (the
+    :func:`blocklist_coverage_sweep` decision pattern, applied to
+    overlapping prefix rules where raw != marginal).
+
+    Engine shape: ONE corpus pass projects the first-match index
+    (ordered ``startswith`` CASE chain — a projection, never a join)
+    plus one raw-match indicator per rule, then ONE tiny aggregation
+    by first-match index carrying the per-rule raw sums
+    (checkpointed: the raw totals, the cumulative rung join and the
+    corpus totals all read it). Everything downstream is
+    rule-ladder-sized. Never one corpus pass per rung.
+
+    Output: (rung, rule, n_match_raw, n_docs_marginal,
+    n_tokens_marginal, n_docs_cum, cum_doc_frac, shadowed_frac),
+    rung-ordered; cum_doc_frac NULL on an empty corpus,
+    shadowed_frac NULL for a rule with zero raw matches.
+    """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    spark = docs.sparkSession
+    rules = ROBOTS_SWEEP_RULES
+    path = _synth_path()
+    first_idx = F.lit(len(rules) + 1)
+    for i in range(len(rules) - 1, -1, -1):
+        first_idx = F.when(
+            path.startswith(rules[i]), F.lit(i + 1)
+        ).otherwise(first_idx)
+    by_idx = _reliable_checkpoint(
+        fan_out(docs)
+        .select(
+            first_idx.cast("long").alias("idx"),
+            X.token_count("text").cast("long").alias("n_tokens"),
+            *[
+                path.startswith(r).cast("long").alias(f"m_{i + 1}")
+                for i, r in enumerate(rules)
+            ],
+        )
+        .groupBy("idx")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("n_tokens").cast("long").alias("nt"),
+            *[
+                F.sum(f"m_{i + 1}").cast("long").alias(f"raw_{i + 1}")
+                for i in range(len(rules))
+            ],
+        )
+    )
+    raws = by_idx.agg(
+        *[
+            F.coalesce(F.sum(f"raw_{i + 1}"), F.lit(0))
+            .cast("long")
+            .alias(f"r_{i + 1}")
+            for i in range(len(rules))
+        ],
+        F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("total_docs"),
+    )
+    spine = spark.createDataFrame(
+        [(i + 1, r) for i, r in enumerate(rules)],
+        "rung long, rule string",
+    )
+    cum = (
+        F.broadcast(spine)
+        .join(by_idx, F.col("idx") <= F.col("rung"), "left")
+        .groupBy("rung", "rule")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("idx") == F.col("rung"), F.col("nd"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_docs_marginal"),
+            F.coalesce(
+                F.sum(F.when(F.col("idx") == F.col("rung"), F.col("nt"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_tokens_marginal"),
+            F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("n_docs_cum"),
+        )
+    )
+    raw_pick = F.lit(None).cast("long")
+    for i in range(len(rules), 0, -1):
+        raw_pick = F.when(F.col("rung") == i, F.col(f"r_{i}")).otherwise(
+            raw_pick
+        )
+    cum_frac = F.when(F.col("total_docs") == 0, F.lit(None)).otherwise(
+        F.col("n_docs_cum").cast("double") / F.col("total_docs").cast("double")
+    )
+    shadowed = F.when(F.col("n_match_raw") == 0, F.lit(None)).otherwise(
+        F.lit(1.0)
+        - F.col("n_docs_marginal").cast("double")
+        / F.col("n_match_raw").cast("double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(raws))
+        .withColumn("n_match_raw", raw_pick)
+        .select(
+            "rung",
+            "rule",
+            "n_match_raw",
+            "n_docs_marginal",
+            "n_tokens_marginal",
+            "n_docs_cum",
+            cum_frac.alias("cum_doc_frac"),
+            shadowed.alias("shadowed_frac"),
+        )
+        .orderBy("rung")
+    )
+
+
+def robots_rule_marginal_sweep_sql() -> str:
+    """DuckDB twin of :func:`robots_rule_marginal_sweep` — identical
+    path synthesis, first-match CASE chain, per-rule raw indicator
+    sums and rung cumulative join."""
+    rules = ROBOTS_SWEEP_RULES
+    toks = _sql_tokens()
+    first_cases = " ".join(
+        f"WHEN starts_with(p, '{r}') THEN {i + 1}"
+        for i, r in enumerate(rules)
+    )
+    raw_cols = ", ".join(
+        f"CAST(starts_with(p, '{r}') AS BIGINT) AS m_{i + 1}"
+        for i, r in enumerate(rules)
+    )
+    raw_sums = ", ".join(
+        f"CAST(COALESCE(SUM(raw_{i + 1}), 0) AS BIGINT) AS r_{i + 1}"
+        for i in range(len(rules))
+    )
+    by_raw = ", ".join(
+        f"CAST(SUM(m_{i + 1}) AS BIGINT) AS raw_{i + 1}"
+        for i in range(len(rules))
+    )
+    vals = ", ".join(f"({i + 1}, '{r}')" for i, r in enumerate(rules))
+    raw_pick = " ".join(
+        f"WHEN s.rung = {i + 1} THEN r.r_{i + 1}"
+        for i in range(len(rules))
+    )
+    return f"""
+WITH tagged AS (
+  SELECT CAST(CASE {first_cases} ELSE {len(rules) + 1} END AS BIGINT) AS idx,
+         CAST(len({toks}) AS BIGINT) AS n_tokens, {raw_cols}
+  FROM (SELECT {_SQL_SYNTH_PATH} AS p, text FROM documents)
+),
+by_idx AS (
+  SELECT idx, COUNT(*) AS nd, CAST(SUM(n_tokens) AS BIGINT) AS nt, {by_raw}
+  FROM tagged GROUP BY idx
+),
+raws AS (
+  SELECT {raw_sums},
+         CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS total_docs
+  FROM by_idx
+),
+spine(rung, rule) AS (VALUES {vals}),
+cum AS (
+  SELECT s.rung, s.rule,
+         CAST(COALESCE(SUM(CASE WHEN i.idx = s.rung THEN i.nd END), 0)
+              AS BIGINT) AS n_docs_marginal,
+         CAST(COALESCE(SUM(CASE WHEN i.idx = s.rung THEN i.nt END), 0)
+              AS BIGINT) AS n_tokens_marginal,
+         CAST(COALESCE(SUM(i.nd), 0) AS BIGINT) AS n_docs_cum
+  FROM spine s LEFT JOIN by_idx i ON i.idx <= s.rung
+  GROUP BY s.rung, s.rule
+)
+SELECT CAST(s.rung AS BIGINT) AS rung, s.rule,
+       CAST(CASE {raw_pick} END AS BIGINT) AS n_match_raw,
+       s.n_docs_marginal, s.n_tokens_marginal, s.n_docs_cum,
+       CASE WHEN r.total_docs = 0 THEN NULL
+            ELSE CAST(s.n_docs_cum AS DOUBLE)
+                 / CAST(r.total_docs AS DOUBLE) END AS cum_doc_frac,
+       CASE WHEN (CASE {raw_pick} END) = 0 THEN NULL
+            ELSE CAST(1.0 AS DOUBLE) - CAST(s.n_docs_marginal AS DOUBLE)
+                 / CAST(CASE {raw_pick} END AS DOUBLE) END AS shadowed_frac
+FROM cum s CROSS JOIN raws r
+ORDER BY s.rung
 """
 
 
@@ -10143,4 +10360,360 @@ SELECT source, n_docs, n_runs,
          AS clump_factor
 FROM per_src CROSS JOIN total
 ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# curate_corpus — the end-to-end ACT capstone (audit -> apply, one funnel)
+# --------------------------------------------------------------------------
+
+#: ordered stages of the curation capstone funnel.
+CURATE_STAGES = (
+    "base", "robots", "blocklist", "gopher", "dedup_keep_best",
+    "span_cut", "source_quota",
+)
+
+
+def curate_corpus(docs: DataFrame) -> DataFrame:
+    """The end-to-end curation capstone: APPLY the full gauntlet the
+    registry's audit operators price individually — robots path deny
+    (:data:`ROBOTS_DENY_RULES`), domain blocklist
+    (:data:`DOMAIN_BLOCKLIST`), Gopher quality rules
+    (:func:`gopher_quality_rules`'s flags), quality-aware near-dup
+    survivorship (:func:`dedup.dedup_keep_best`'s longest-survivor
+    rule, restricted to gate survivors), decontamination span cuts
+    (:func:`span_cut_plan`'s residual-minimum actions), and a uniform
+    per-source token quota — in ONE pipeline, and report the funnel:
+    documents and tokens surviving each stage, with retention vs
+    base. This closes the audit->act loop: every rung of the funnel
+    is individually auditable by a registered operator, and this is
+    the number the curation run actually ships.
+
+    Engine shape: ONE corpus scan projects the robots flag, the
+    registrable domain, the five Gopher flags
+    (:func:`_gopher_flag_cols` — shared expressions, not a join of
+    two scans) and the token count; the blocklist is a broadcast
+    left join (map-side, zero corpus shuffle). Two SLIM doc-grain
+    left joins bring in the session-cached near-dup cluster labels
+    (paired docs only) and the decontamination span table
+    (contaminated docs only) — both builds shared verbatim with
+    their audit operators via ``plan_keyed_cache``. Survivorship
+    ranks ONLY the labeled gate-surviving slice (bounded-skew
+    component keys, the :func:`dedup.dedup_keep_best` shape) into a
+    mixture-sized loser aggregate; the corpus is scanned twice
+    (funnel aggregation + loser slice — the subtrees differ, so no
+    pin pretends otherwise), every other table is source-ladder
+    sized and the per-source table is checkpointed (the quota line,
+    the stage totals and the quota fold all read it). The
+    per-source quota is the uniform line L = floor(total_after_cuts
+    / surviving_sources) (exact BIGINT division) — the one-shot cap
+    :func:`capped_mix_waterfill` re-levels iteratively; here it caps
+    token mass, not documents, so ``n_docs`` is flat across the
+    last stage by design.
+
+    Output: (stage_idx, stage, n_docs, n_tokens, doc_retention,
+    token_retention), stage-ordered per :data:`CURATE_STAGES`;
+    retentions NULL on an empty corpus.
+    """
+    from soccerpredictor_spark.operators.dedup import (
+        _reliable_checkpoint,
+        near_dup_clusters,
+    )
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    gf = _gopher_flag_cols()
+    path = _synth_path()
+    deny = path.startswith(ROBOTS_DENY_RULES[0])
+    for r in ROBOTS_DENY_RULES[1:]:
+        deny = deny | path.startswith(r)
+    gopher_fail = (
+        gf["f_wc"] | gf["f_wl"] | gf["f_sym"] | gf["f_al"] | gf["f_st"]
+    )
+    block = spark.createDataFrame(
+        [(d,) for d in DOMAIN_BLOCKLIST], "domain string"
+    ).withColumn("blk", F.lit(True))
+    scan = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            "source",
+            X.token_count("text").cast("long").alias("n_tokens"),
+            (~deny).alias("g_robots"),
+            F.regexp_extract(_synth_host(), r"([^.]+\.[^.]+)$", 1).alias(
+                "domain"
+            ),
+            (~gopher_fail).alias("g_gopher"),
+        )
+        .join(F.broadcast(block), "domain", "left")
+    )
+    labels = near_dup_clusters(docs).select("doc_id", "cluster_id")
+    decon = ngram_decontaminate(docs).select("doc_id", "contam_tokens")
+    contam = F.coalesce(F.col("contam_tokens"), F.lit(0)).cast("long")
+    after = F.col("n_tokens") - F.col("contam")
+    verdict = (
+        scan.join(labels, "doc_id", "left")
+        .join(decon, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "cluster_id",
+            contam.alias("contam"),
+            F.col("g_robots").alias("s2"),
+            (F.col("g_robots") & F.col("blk").isNull()).alias("s3"),
+            (
+                F.col("g_robots") & F.col("blk").isNull() & F.col("g_gopher")
+            ).alias("s4"),
+        )
+        .select(
+            "*",
+            (
+                (F.col("contam") == 0) | (after >= GOPHER_MIN_WORDS)
+            ).alias("keep_span"),
+            F.when(F.col("contam") == 0, F.col("n_tokens"))
+            .when(after >= GOPHER_MIN_WORDS, after)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept_tok"),
+        )
+    )
+    cnt_if = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
+    sum_if = lambda c, x: F.coalesce(  # noqa: E731
+        F.sum(F.when(c, x)), F.lit(0)
+    ).cast("long")
+    main = verdict.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("t_base"),
+        cnt_if(F.col("s2")).alias("n2"),
+        sum_if(F.col("s2"), F.col("n_tokens")).alias("t2"),
+        cnt_if(F.col("s3")).alias("n3"),
+        sum_if(F.col("s3"), F.col("n_tokens")).alias("t3"),
+        cnt_if(F.col("s4")).alias("n4"),
+        sum_if(F.col("s4"), F.col("n_tokens")).alias("t4"),
+        cnt_if(F.col("s4") & F.col("keep_span")).alias("n4s"),
+        sum_if(F.col("s4") & F.col("keep_span"), F.col("kept_tok")).alias(
+            "t4s"
+        ),
+    )
+    w_best = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    lose = (
+        verdict.filter(F.col("s4") & F.col("cluster_id").isNotNull())
+        .withColumn("rnk", F.row_number().over(w_best))
+        .filter(F.col("rnk") > 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("nl"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tl"),
+            cnt_if(F.col("keep_span")).alias("nls"),
+            sum_if(F.col("keep_span"), F.col("kept_tok")).alias("tls"),
+        )
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    per_src = _reliable_checkpoint(
+        main.join(lose, "source", "left").select(
+            "source",
+            "n_base",
+            "t_base",
+            "n2",
+            "t2",
+            "n3",
+            "t3",
+            "n4",
+            "t4",
+            (F.col("n4") - z("nl")).alias("n5"),
+            (F.col("t4") - z("tl")).alias("t5"),
+            (F.col("n4s") - z("nls")).alias("n6"),
+            (F.col("t4s") - z("tls")).alias("t6"),
+        )
+    )
+    line_row = per_src.agg(
+        F.coalesce(F.sum("t6"), F.lit(0)).cast("long").alias("t6_tot"),
+        F.count(F.when(F.col("t6") > 0, F.lit(1))).alias("nz"),
+    ).select(
+        F.when(F.col("nz") == 0, F.lit(0))
+        .otherwise(F.expr("t6_tot div nz"))
+        .cast("long")
+        .alias("line")
+    )
+    tot = per_src.crossJoin(F.broadcast(line_row)).agg(
+        *[
+            F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(c)
+            for c in (
+                "n_base", "t_base", "n2", "t2", "n3", "t3",
+                "n4", "t4", "n5", "t5", "n6", "t6",
+            )
+        ],
+        F.coalesce(F.sum(F.least(F.col("t6"), F.col("line"))), F.lit(0))
+        .cast("long")
+        .alias("t7"),
+    )
+    nb, tb = F.col("n_base"), F.col("t_base")
+
+    def stage(i: int, name: str, nd, nt):
+        dr = F.when(nb == 0, F.lit(None).cast("double")).otherwise(
+            nd.cast("double") / nb.cast("double")
+        )
+        tr = F.when(tb == 0, F.lit(None).cast("double")).otherwise(
+            nt.cast("double") / tb.cast("double")
+        )
+        return F.struct(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            nd.cast("long").alias("n_docs"),
+            nt.cast("long").alias("n_tokens"),
+            dr.alias("doc_retention"),
+            tr.alias("token_retention"),
+        )
+
+    stages = [
+        stage(1, "base", nb, tb),
+        stage(2, "robots", F.col("n2"), F.col("t2")),
+        stage(3, "blocklist", F.col("n3"), F.col("t3")),
+        stage(4, "gopher", F.col("n4"), F.col("t4")),
+        stage(5, "dedup_keep_best", F.col("n5"), F.col("t5")),
+        stage(6, "span_cut", F.col("n6"), F.col("t6")),
+        stage(7, "source_quota", F.col("n6"), F.col("t7")),
+    ]
+    return tot.select(F.inline(F.array(*stages))).orderBy("stage_idx")
+
+
+def curate_corpus_sql() -> str:
+    """DuckDB twin of :func:`curate_corpus` — the identical gate
+    expressions, the nested :func:`near_dup_clusters_sql` /
+    :func:`ngram_decontaminate_sql` prerequisites, the same loser
+    window, per-source diffs, BIGINT quota line and stage UNION."""
+    from soccerpredictor_spark.operators.dedup import near_dup_clusters_sql
+
+    toks = _sql_tokens()
+    deny = " OR ".join(
+        f"starts_with({_SQL_SYNTH_PATH}, '{r}')" for r in ROBOTS_DENY_RULES
+    )
+    block_vals = ", ".join(f"('{d}')" for d in DOMAIN_BLOCKLIST)
+    return f"""
+WITH {_gopher_flags_sql()},
+labels AS ({near_dup_clusters_sql()}),
+decon AS ({ngram_decontaminate_sql()}),
+block(domain) AS (VALUES {block_vals}),
+base0 AS (
+  SELECT doc_id, source,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         NOT ({deny}) AS g_robots,
+         regexp_extract({_SQL_SYNTH_HOST}, '([^.]+\\.[^.]+)$', 1) AS domain
+  FROM documents
+),
+scan AS (
+  SELECT b0.doc_id, b0.source, b0.n_tokens, b0.g_robots,
+         b.domain IS NULL AS g_domain,
+         NOT (f.f_wc OR f.f_wl OR f.f_sym OR f.f_al OR f.f_st) AS g_gopher
+  FROM base0 b0
+  JOIN flags f USING (doc_id)
+  LEFT JOIN block b ON b0.domain = b.domain
+),
+verdict AS (
+  SELECT s.doc_id, s.source, s.n_tokens, l.cluster_id,
+         CAST(COALESCE(dc.contam_tokens, 0) AS BIGINT) AS contam,
+         s.g_robots AS s2,
+         s.g_robots AND s.g_domain AS s3,
+         s.g_robots AND s.g_domain AND s.g_gopher AS s4
+  FROM scan s
+  LEFT JOIN labels l USING (doc_id)
+  LEFT JOIN decon dc USING (doc_id)
+),
+v2 AS (
+  SELECT *,
+         (contam = 0 OR n_tokens - contam >= {GOPHER_MIN_WORDS})
+           AS keep_span,
+         CAST(CASE WHEN contam = 0 THEN n_tokens
+                   WHEN n_tokens - contam >= {GOPHER_MIN_WORDS}
+                     THEN n_tokens - contam
+                   ELSE 0 END AS BIGINT) AS kept_tok
+  FROM verdict
+),
+main AS (
+  SELECT source,
+         COUNT(*) AS n_base,
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t_base,
+         COUNT(CASE WHEN s2 THEN 1 END) AS n2,
+         CAST(COALESCE(SUM(CASE WHEN s2 THEN n_tokens END), 0) AS BIGINT)
+           AS t2,
+         COUNT(CASE WHEN s3 THEN 1 END) AS n3,
+         CAST(COALESCE(SUM(CASE WHEN s3 THEN n_tokens END), 0) AS BIGINT)
+           AS t3,
+         COUNT(CASE WHEN s4 THEN 1 END) AS n4,
+         CAST(COALESCE(SUM(CASE WHEN s4 THEN n_tokens END), 0) AS BIGINT)
+           AS t4,
+         COUNT(CASE WHEN s4 AND keep_span THEN 1 END) AS n4s,
+         CAST(COALESCE(SUM(CASE WHEN s4 AND keep_span THEN kept_tok END), 0)
+              AS BIGINT) AS t4s
+  FROM v2 GROUP BY source
+),
+lose AS (
+  SELECT source,
+         COUNT(*) AS nl,
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tl,
+         COUNT(CASE WHEN keep_span THEN 1 END) AS nls,
+         CAST(COALESCE(SUM(CASE WHEN keep_span THEN kept_tok END), 0)
+              AS BIGINT) AS tls
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_tokens DESC, doc_id ASC) AS rnk
+    FROM v2 WHERE s4 AND cluster_id IS NOT NULL
+  ) WHERE rnk > 1
+  GROUP BY source
+),
+per_src AS MATERIALIZED (
+  SELECT m.source, m.n_base, m.t_base, m.n2, m.t2, m.n3, m.t3,
+         m.n4, m.t4,
+         m.n4 - CAST(COALESCE(l.nl, 0) AS BIGINT) AS n5,
+         m.t4 - CAST(COALESCE(l.tl, 0) AS BIGINT) AS t5,
+         m.n4s - CAST(COALESCE(l.nls, 0) AS BIGINT) AS n6,
+         m.t4s - CAST(COALESCE(l.tls, 0) AS BIGINT) AS t6
+  FROM main m LEFT JOIN lose l USING (source)
+),
+line AS (
+  SELECT CAST(CASE WHEN COUNT(CASE WHEN t6 > 0 THEN 1 END) = 0 THEN 0
+              ELSE CAST(COALESCE(SUM(t6), 0) AS BIGINT)
+                   // COUNT(CASE WHEN t6 > 0 THEN 1 END) END AS BIGINT)
+           AS line
+  FROM per_src
+),
+tot AS (
+  SELECT CAST(COALESCE(SUM(n_base), 0) AS BIGINT) AS n_base,
+         CAST(COALESCE(SUM(t_base), 0) AS BIGINT) AS t_base,
+         CAST(COALESCE(SUM(n2), 0) AS BIGINT) AS n2,
+         CAST(COALESCE(SUM(t2), 0) AS BIGINT) AS t2,
+         CAST(COALESCE(SUM(n3), 0) AS BIGINT) AS n3,
+         CAST(COALESCE(SUM(t3), 0) AS BIGINT) AS t3,
+         CAST(COALESCE(SUM(n4), 0) AS BIGINT) AS n4,
+         CAST(COALESCE(SUM(t4), 0) AS BIGINT) AS t4,
+         CAST(COALESCE(SUM(n5), 0) AS BIGINT) AS n5,
+         CAST(COALESCE(SUM(t5), 0) AS BIGINT) AS t5,
+         CAST(COALESCE(SUM(n6), 0) AS BIGINT) AS n6,
+         CAST(COALESCE(SUM(t6), 0) AS BIGINT) AS t6,
+         CAST(COALESCE(SUM(LEAST(t6, l.line)), 0) AS BIGINT) AS t7
+  FROM per_src CROSS JOIN line l
+),
+funnel(stage_idx, stage, n_docs, n_tokens) AS (
+  SELECT 1, 'base', n_base, t_base FROM tot
+  UNION ALL SELECT 2, 'robots', n2, t2 FROM tot
+  UNION ALL SELECT 3, 'blocklist', n3, t3 FROM tot
+  UNION ALL SELECT 4, 'gopher', n4, t4 FROM tot
+  UNION ALL SELECT 5, 'dedup_keep_best', n5, t5 FROM tot
+  UNION ALL SELECT 6, 'span_cut', n6, t6 FROM tot
+  UNION ALL SELECT 7, 'source_quota', n6, t7 FROM tot
+)
+SELECT CAST(f.stage_idx AS BIGINT) AS stage_idx, f.stage,
+       CAST(f.n_docs AS BIGINT) AS n_docs,
+       CAST(f.n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN t.n_base = 0 THEN NULL
+            ELSE CAST(f.n_docs AS DOUBLE) / CAST(t.n_base AS DOUBLE) END
+         AS doc_retention,
+       CASE WHEN t.t_base = 0 THEN NULL
+            ELSE CAST(f.n_tokens AS DOUBLE) / CAST(t.t_base AS DOUBLE) END
+         AS token_retention
+FROM funnel f CROSS JOIN tot t
+ORDER BY f.stage_idx
 """

@@ -73,6 +73,13 @@ STAGED = [
     # Round-18 housekeeping: the 8-op round-17 staged batch
     # (span_cut_apply_stats..dedup_cluster_density) is now REGISTERED;
     # their closed-form tests stay in test_staged_round18.py.
+    # round-19 staging (closed-form tests in test_staged_round19.py)
+    ("robots_rule_marginal_sweep", "soccerpredictor_spark.operators.textops",
+     "documents"),
+    ("ann_recall_k_sweep", "soccerpredictor_spark.operators.similarity",
+     "embeddings"),
+    ("curate_corpus", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 
@@ -1351,6 +1358,10 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: textops.template_dedup(docs),
         lambda: textops.tokens_per_byte(docs),
         lambda: textops.ccnet_buckets(docs),
+        # round-19 staging
+        lambda: textops.robots_rule_marginal_sweep(docs),
+        lambda: similarity.ann_recall_k_sweep(emb),
+        lambda: textops.curate_corpus(docs),
     ]
     for build in builders:
         clear_caches()
