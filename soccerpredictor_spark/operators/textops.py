@@ -6956,12 +6956,19 @@ GOPHER_MIN_WLEN, GOPHER_MAX_WLEN = 3, 10
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def _gopher_flag_cols() -> dict[str, "F.Column"]:
+def _gopher_flag_cols(min_stopwords: int = 2) -> dict[str, "F.Column"]:
     """The five per-document Gopher rule flag Columns over the raw
     ``text`` column — shared by :func:`_gopher_per_doc` and the
     :func:`curate_corpus` gate projection so the capstone evaluates
     the rules inside its own single corpus scan (never a doc-grain
     join of two scans). Pure integer comparisons, cross-engine exact.
+
+    ``min_stopwords`` defaults to the paper's 2; the curate capstone
+    passes :data:`CURATE_GOPHER_MIN_STOPWORDS` = 1 because the
+    synthetic fixture vocabulary carries exactly ONE of the paper's
+    8 stopwords ('the'), making the >=2 rule a degenerate 100%-fail
+    gate there (gopher_quality_rules keeps the paper threshold and
+    reports that readout unchanged).
     """
     w = X.tokens(F.lower(F.col("text")))
     n = F.size(w)
@@ -6984,7 +6991,7 @@ def _gopher_flag_cols() -> dict[str, "F.Column"]:
         | (wchars > F.lit(GOPHER_MAX_WLEN) * n),
         "f_sym": F.lit(10) * symbols > n,
         "f_al": F.lit(5) * alpha < F.lit(4) * n,
-        "f_st": nstop < 2,
+        "f_st": nstop < min_stopwords,
     }
 
 
@@ -7063,10 +7070,12 @@ def gopher_quality_rules(docs: DataFrame) -> DataFrame:
     )
 
 
-def _gopher_flags_sql() -> str:
+def _gopher_flags_sql(min_stopwords: int = 2) -> str:
     """The shared per_doc/flags CTE pair (per-document Gopher rule
-    flags with doc_id) composed by :func:`gopher_quality_rules_sql`
-    and :func:`quality_calibration_bins_sql`."""
+    flags with doc_id) composed by :func:`gopher_quality_rules_sql`,
+    :func:`quality_calibration_bins_sql` and (with the capstone's
+    ``min_stopwords=1``, see :func:`_gopher_flag_cols`) the curate
+    twins."""
     toks = _sql_tokens("lower(text)")
     stop_lit = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
     return f"""per_doc AS (
@@ -7087,7 +7096,7 @@ flags AS (
           OR COALESCE(wchars, 0) > {GOPHER_MAX_WLEN} * n) AS f_wl,
          (10 * symbols > n) AS f_sym,
          (5 * alpha < 4 * n) AS f_al,
-         (nstop < 2) AS f_st
+         (nstop < {min_stopwords}) AS f_st
   FROM per_doc
 )"""
 
@@ -10367,11 +10376,109 @@ ORDER BY source
 # curate_corpus — the end-to-end ACT capstone (audit -> apply, one funnel)
 # --------------------------------------------------------------------------
 
+#: capstone Gopher stopword minimum. The paper requires >= 2 distinct
+#: stopwords from its 8-word list; the synthetic fixture vocabulary
+#: carries exactly ONE list word ('the'), so the paper threshold is a
+#: degenerate 100%-fail gate here (measured: 500/500 fail at sf0.001,
+#: gopher_quality_rules' standing readout). The capstone runs the
+#: SAME five rules with the stopword minimum at 1 (392/500 pass —
+#: real hit-and-miss bite); a natural-language deployment sets this
+#: back to 2. gopher_quality_rules itself keeps the paper threshold.
+CURATE_GOPHER_MIN_STOPWORDS = 1
+
 #: ordered stages of the curation capstone funnel.
 CURATE_STAGES = (
     "base", "robots", "blocklist", "gopher", "dedup_keep_best",
     "span_cut", "source_quota",
 )
+
+
+def _curate_verdict(docs: DataFrame) -> DataFrame:
+    """The shared per-document verdict table behind
+    :func:`curate_corpus` (funnel report) and
+    :func:`curate_corpus_write` (materialization): ONE corpus scan
+    projecting the robots flag, registrable domain, Gopher flags
+    (:func:`_gopher_flag_cols`) and token count; broadcast blocklist
+    join; two SLIM doc-grain left joins against the session-cached
+    near-dup cluster labels and decon span table. Columns:
+    (doc_id, source, n_tokens, cluster_id, contam, s2, s3, s4,
+    keep_span, kept_tok)."""
+    from soccerpredictor_spark.operators.dedup import near_dup_clusters
+
+    spark = docs.sparkSession
+    gf = _gopher_flag_cols(CURATE_GOPHER_MIN_STOPWORDS)
+    path = _synth_path()
+    deny = path.startswith(ROBOTS_DENY_RULES[0])
+    for r in ROBOTS_DENY_RULES[1:]:
+        deny = deny | path.startswith(r)
+    gopher_fail = (
+        gf["f_wc"] | gf["f_wl"] | gf["f_sym"] | gf["f_al"] | gf["f_st"]
+    )
+    block = spark.createDataFrame(
+        [(d,) for d in DOMAIN_BLOCKLIST], "domain string"
+    ).withColumn("blk", F.lit(True))
+    scan = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            "source",
+            X.token_count("text").cast("long").alias("n_tokens"),
+            (~deny).alias("g_robots"),
+            F.regexp_extract(_synth_host(), r"([^.]+\.[^.]+)$", 1).alias(
+                "domain"
+            ),
+            (~gopher_fail).alias("g_gopher"),
+        )
+        .join(F.broadcast(block), "domain", "left")
+    )
+    labels = near_dup_clusters(docs).select("doc_id", "cluster_id")
+    decon = ngram_decontaminate(docs).select("doc_id", "contam_tokens")
+    contam = F.coalesce(F.col("contam_tokens"), F.lit(0)).cast("long")
+    after = F.col("n_tokens") - F.col("contam")
+    return (
+        scan.join(labels, "doc_id", "left")
+        .join(decon, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "cluster_id",
+            contam.alias("contam"),
+            F.col("g_robots").alias("s2"),
+            (F.col("g_robots") & F.col("blk").isNull()).alias("s3"),
+            (
+                F.col("g_robots") & F.col("blk").isNull() & F.col("g_gopher")
+            ).alias("s4"),
+        )
+        .select(
+            "*",
+            (
+                (F.col("contam") == 0) | (after >= GOPHER_MIN_WORDS)
+            ).alias("keep_span"),
+            F.when(F.col("contam") == 0, F.col("n_tokens"))
+            .when(after >= GOPHER_MIN_WORDS, after)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept_tok"),
+        )
+    )
+
+
+def _curate_loser_rows(verdict: DataFrame) -> DataFrame:
+    """Non-best members of each near-dup cluster among gate
+    survivors — the rows keep-best survivorship removes. Ranks ONLY
+    the labeled gate-surviving slice (bounded-skew component keys,
+    the dedup_keep_best shape)."""
+    from pyspark.sql.window import Window
+
+    w_best = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        verdict.filter(F.col("s4") & F.col("cluster_id").isNotNull())
+        .withColumn("rnk", F.row_number().over(w_best))
+        .filter(F.col("rnk") > 1)
+    )
 
 
 def curate_corpus(docs: DataFrame) -> DataFrame:
@@ -10415,69 +10522,9 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
     token_retention), stage-ordered per :data:`CURATE_STAGES`;
     retentions NULL on an empty corpus.
     """
-    from soccerpredictor_spark.operators.dedup import (
-        _reliable_checkpoint,
-        near_dup_clusters,
-    )
-    from pyspark.sql.window import Window
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
 
-    spark = docs.sparkSession
-    gf = _gopher_flag_cols()
-    path = _synth_path()
-    deny = path.startswith(ROBOTS_DENY_RULES[0])
-    for r in ROBOTS_DENY_RULES[1:]:
-        deny = deny | path.startswith(r)
-    gopher_fail = (
-        gf["f_wc"] | gf["f_wl"] | gf["f_sym"] | gf["f_al"] | gf["f_st"]
-    )
-    block = spark.createDataFrame(
-        [(d,) for d in DOMAIN_BLOCKLIST], "domain string"
-    ).withColumn("blk", F.lit(True))
-    scan = (
-        fan_out(docs)
-        .select(
-            "doc_id",
-            "source",
-            X.token_count("text").cast("long").alias("n_tokens"),
-            (~deny).alias("g_robots"),
-            F.regexp_extract(_synth_host(), r"([^.]+\.[^.]+)$", 1).alias(
-                "domain"
-            ),
-            (~gopher_fail).alias("g_gopher"),
-        )
-        .join(F.broadcast(block), "domain", "left")
-    )
-    labels = near_dup_clusters(docs).select("doc_id", "cluster_id")
-    decon = ngram_decontaminate(docs).select("doc_id", "contam_tokens")
-    contam = F.coalesce(F.col("contam_tokens"), F.lit(0)).cast("long")
-    after = F.col("n_tokens") - F.col("contam")
-    verdict = (
-        scan.join(labels, "doc_id", "left")
-        .join(decon, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            "cluster_id",
-            contam.alias("contam"),
-            F.col("g_robots").alias("s2"),
-            (F.col("g_robots") & F.col("blk").isNull()).alias("s3"),
-            (
-                F.col("g_robots") & F.col("blk").isNull() & F.col("g_gopher")
-            ).alias("s4"),
-        )
-        .select(
-            "*",
-            (
-                (F.col("contam") == 0) | (after >= GOPHER_MIN_WORDS)
-            ).alias("keep_span"),
-            F.when(F.col("contam") == 0, F.col("n_tokens"))
-            .when(after >= GOPHER_MIN_WORDS, after)
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("kept_tok"),
-        )
-    )
+    verdict = _curate_verdict(docs)
     cnt_if = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
     sum_if = lambda c, x: F.coalesce(  # noqa: E731
         F.sum(F.when(c, x)), F.lit(0)
@@ -10496,13 +10543,8 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
             "t4s"
         ),
     )
-    w_best = Window.partitionBy("cluster_id").orderBy(
-        F.col("n_tokens").desc(), F.col("doc_id").asc()
-    )
     lose = (
-        verdict.filter(F.col("s4") & F.col("cluster_id").isNotNull())
-        .withColumn("rnk", F.row_number().over(w_best))
-        .filter(F.col("rnk") > 1)
+        _curate_loser_rows(verdict)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("nl"),
@@ -10580,11 +10622,11 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
     return tot.select(F.inline(F.array(*stages))).orderBy("stage_idx")
 
 
-def curate_corpus_sql() -> str:
-    """DuckDB twin of :func:`curate_corpus` — the identical gate
-    expressions, the nested :func:`near_dup_clusters_sql` /
-    :func:`ngram_decontaminate_sql` prerequisites, the same loser
-    window, per-source diffs, BIGINT quota line and stage UNION."""
+def _curate_cte_prefix() -> str:
+    """The shared CTE chain of the curate twins (per_doc/flags,
+    labels, decon, blocklist, scan, doc-grain verdict ``v2`` and the
+    keep-best ``losers_rows``) — composed by :func:`curate_corpus_sql`
+    and :func:`curate_corpus_write_sql`."""
     from soccerpredictor_spark.operators.dedup import near_dup_clusters_sql
 
     toks = _sql_tokens()
@@ -10592,8 +10634,7 @@ def curate_corpus_sql() -> str:
         f"starts_with({_SQL_SYNTH_PATH}, '{r}')" for r in ROBOTS_DENY_RULES
     )
     block_vals = ", ".join(f"('{d}')" for d in DOMAIN_BLOCKLIST)
-    return f"""
-WITH {_gopher_flags_sql()},
+    return f"""{_gopher_flags_sql(CURATE_GOPHER_MIN_STOPWORDS)},
 labels AS ({near_dup_clusters_sql()}),
 decon AS ({ngram_decontaminate_sql()}),
 block(domain) AS (VALUES {block_vals}),
@@ -10632,6 +10673,23 @@ v2 AS (
                    ELSE 0 END AS BIGINT) AS kept_tok
   FROM verdict
 ),
+losers_rows AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_tokens DESC, doc_id ASC) AS rnk
+    FROM v2 WHERE s4 AND cluster_id IS NOT NULL
+  ) WHERE rnk > 1
+)"""
+
+
+def curate_corpus_sql() -> str:
+    """DuckDB twin of :func:`curate_corpus` — the shared
+    :func:`_curate_cte_prefix` chain (nested
+    :func:`near_dup_clusters_sql` / :func:`ngram_decontaminate_sql`
+    prerequisites, identical gate expressions and loser window), then
+    per-source diffs, the BIGINT quota line and the stage UNION."""
+    return f"""
+WITH {_curate_cte_prefix()},
 main AS (
   SELECT source,
          COUNT(*) AS n_base,
@@ -10657,11 +10715,7 @@ lose AS (
          COUNT(CASE WHEN keep_span THEN 1 END) AS nls,
          CAST(COALESCE(SUM(CASE WHEN keep_span THEN kept_tok END), 0)
               AS BIGINT) AS tls
-  FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
-                                 ORDER BY n_tokens DESC, doc_id ASC) AS rnk
-    FROM v2 WHERE s4 AND cluster_id IS NOT NULL
-  ) WHERE rnk > 1
+  FROM losers_rows
   GROUP BY source
 ),
 per_src AS MATERIALIZED (
@@ -10716,4 +10770,95 @@ SELECT CAST(f.stage_idx AS BIGINT) AS stage_idx, f.stage,
          AS token_retention
 FROM funnel f CROSS JOIN tot t
 ORDER BY f.stage_idx
+"""
+
+
+def curate_corpus_write(docs: DataFrame, out_dir: str | None = None) -> DataFrame:
+    """The materialization half of the capstone: WRITE the curated
+    corpus — every gate survivor after keep-best survivorship, with
+    span-cut token accounting — to source-partitioned parquet, read
+    it back, and report the shipped per-source composition from the
+    READ-BACK (so the write itself is what is verified, the
+    ``write_roundtrip`` S3 convention). :func:`curate_corpus` prices
+    the funnel; this ships it. The per-source token quota is a
+    sampling budget, not a document filter (see curate_corpus), so
+    the shipped table is the span_cut-stage corpus and carries
+    ``kept_tok`` for the sampler.
+
+    Engine shape: the shared :func:`_curate_verdict` scan; survivors
+    = gate passers minus span-dropped docs minus the keep-best
+    losers (a LEFT ANTI join against the SLIM loser-id table — the
+    loser side is a fraction of the labeled slice, broadcastable at
+    any corpus scale where near-dup clusters are). The write is a
+    distributed hive-partitioned parquet sink (one shuffle-free pass
+    from the verdict projection); the read-back aggregation proves
+    losslessness including the partition column's values.
+
+    Output: (source, n_docs, n_docs_cut, tokens_shipped,
+    tokens_before_cuts), source-ordered.
+    """
+    import tempfile
+
+    from soccerpredictor_spark.sources.catalog import read_any
+    from soccerpredictor_spark.sources.sinks import write_parquet
+
+    spark = docs.sparkSession
+    verdict = _curate_verdict(docs)
+    loser_ids = _curate_loser_rows(verdict).select("doc_id")
+    survivors = (
+        verdict.filter(F.col("s4") & F.col("keep_span"))
+        .join(F.broadcast(loser_ids), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.col("kept_tok") > 0).alias("was_cut"),
+            "kept_tok",
+            "source",
+        )
+    )
+    out = out_dir or tempfile.mkdtemp(prefix="curate_corpus_") + "/curated"
+    write_parquet(survivors, out, partition_by=("source",))
+    back = read_any(
+        spark, out, "parquet",
+        schema="doc_id bigint, n_tokens bigint, was_cut boolean, "
+               "kept_tok bigint, source string",
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("was_cut"), F.lit(1))).alias("n_docs_cut"),
+            F.coalesce(F.sum("kept_tok"), F.lit(0))
+            .cast("long")
+            .alias("tokens_shipped"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("tokens_before_cuts"),
+        )
+        .orderBy("source")
+    )
+
+
+def curate_corpus_write_sql() -> str:
+    """DuckDB twin of :func:`curate_corpus_write` — the shared
+    :func:`_curate_cte_prefix` chain, then the survivor anti-join and
+    per-source shipped aggregation (no write on the oracle side: the
+    Spark leg's read-back equality IS the write verification)."""
+    return f"""
+WITH {_curate_cte_prefix()},
+survivors AS (
+  SELECT doc_id, n_tokens, (n_tokens - kept_tok > 0) AS was_cut,
+         kept_tok, source
+  FROM v2
+  WHERE s4 AND keep_span
+    AND doc_id NOT IN (SELECT doc_id FROM losers_rows)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN was_cut THEN 1 END) AS n_docs_cut,
+       CAST(COALESCE(SUM(kept_tok), 0) AS BIGINT) AS tokens_shipped,
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tokens_before_cuts
+FROM survivors
+GROUP BY source
+ORDER BY source
 """

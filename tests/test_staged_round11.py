@@ -80,6 +80,8 @@ STAGED = [
      "embeddings"),
     ("curate_corpus", "soccerpredictor_spark.operators.textops",
      "documents"),
+    ("curate_corpus_write", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 
@@ -1362,6 +1364,7 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: textops.robots_rule_marginal_sweep(docs),
         lambda: similarity.ann_recall_k_sweep(emb),
         lambda: textops.curate_corpus(docs),
+        lambda: textops.curate_corpus_write(docs),
     ]
     for build in builders:
         clear_caches()

@@ -9,6 +9,9 @@ the shared harness in test_staged_round11.py):
 - curate_corpus: the end-to-end curation capstone funnel (robots ->
   blocklist -> gopher -> keep-best survivorship -> span cuts ->
   uniform source token quota)
+- curate_corpus_write: the materialization half — write the curated
+  survivors to source-partitioned parquet, report the shipped
+  composition from the READ-BACK (the write_roundtrip convention)
 
 Feasibility note recorded at staging time: ``code_switch_matrix``
 (within-doc language-mixing census over LANG_MARKERS pairs) was
@@ -312,3 +315,66 @@ class TestCurateCorpus:
         for r in rows:
             assert (r.n_docs, r.n_tokens) == (0, 0)
             assert r.doc_retention is None and r.token_retention is None
+
+
+class TestCurateCorpusWrite:
+    def test_shipped_composition_from_readback(self, spark):
+        """The span-cut fixture shipped: the benchmark doc (13 intact)
+        and the clean doc (10 intact) ship uncut; the contaminated doc
+        ships its 47-token residual flagged was_cut. The report comes
+        from the parquet READ-BACK, so these values prove the
+        source-partitioned write is lossless."""
+        from soccerpredictor_spark.operators.scale import clear_caches
+        from soccerpredictor_spark.operators.textops import (
+            curate_corpus_write,
+        )
+
+        clear_caches()
+        common = "the and " + " ".join(f"tok{i}" for i in range(11))
+        resid = " ".join(f"res{i}" for i in range(47))
+        docs = spark.createDataFrame(
+            [
+                _doc(8, common, "src0"),
+                _doc(16, common + " " + resid, "gamma"),
+                _doc(24, TestCurateCorpus.GOOD, "delta"),
+            ],
+            DOC_SCHEMA,
+        )
+        rows = {r.source: r for r in curate_corpus_write(docs).collect()}
+        assert set(rows) == {"src0", "gamma", "delta"}
+        assert (rows["src0"].n_docs, rows["src0"].n_docs_cut) == (1, 0)
+        assert rows["src0"].tokens_shipped == 13
+        g = rows["gamma"]
+        assert (g.n_docs, g.n_docs_cut) == (1, 1)
+        assert (g.tokens_shipped, g.tokens_before_cuts) == (47, 60)
+        assert rows["delta"].tokens_shipped == 10
+        clear_caches()
+
+    def test_keep_best_loser_not_shipped(self, spark):
+        """The duplicate pair ships exactly one copy (the min-id
+        survivor); the shipped doc count equals the funnel's
+        dedup_keep_best stage."""
+        from soccerpredictor_spark.operators.scale import clear_caches
+        from soccerpredictor_spark.operators.textops import (
+            curate_corpus_write,
+        )
+
+        clear_caches()
+        dup = TestCurateCorpus.GOOD + " omega0 omega1"
+        other = (
+            "the and when gamma0 gamma1 gamma2 gamma3 gamma4 gamma5 gamma6"
+        )
+        docs = spark.createDataFrame(
+            [
+                _doc(8, dup, "alpha"),
+                _doc(16, dup, "beta"),
+                _doc(24, other, "gamma"),
+            ],
+            DOC_SCHEMA,
+        )
+        rows = {r.source: r for r in curate_corpus_write(docs).collect()}
+        assert set(rows) == {"alpha", "gamma"}  # beta's copy lost
+        assert rows["alpha"].n_docs == 1
+        assert rows["alpha"].tokens_shipped == 12
+        assert rows["gamma"].tokens_shipped == 10
+        clear_caches()
