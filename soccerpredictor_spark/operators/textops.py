@@ -10481,6 +10481,64 @@ def _curate_loser_rows(verdict: DataFrame) -> DataFrame:
     )
 
 
+def _curate_per_src(docs: DataFrame) -> DataFrame:
+    """The checkpointed per-source stage table behind
+    :func:`curate_corpus` (global funnel), :func:`curate_funnel_by_source`
+    (per-source attribution) and the quota line: (source, n_base,
+    t_base, n2, t2, n3, t3, n4, t4, n5, t5, n6, t6) — document and
+    token mass surviving each gate, per source. Source-ladder sized;
+    the pin is free and every consumer reads it."""
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
+    verdict = _curate_verdict(docs)
+    cnt_if = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
+    sum_if = lambda c, x: F.coalesce(  # noqa: E731
+        F.sum(F.when(c, x)), F.lit(0)
+    ).cast("long")
+    main = verdict.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("t_base"),
+        cnt_if(F.col("s2")).alias("n2"),
+        sum_if(F.col("s2"), F.col("n_tokens")).alias("t2"),
+        cnt_if(F.col("s3")).alias("n3"),
+        sum_if(F.col("s3"), F.col("n_tokens")).alias("t3"),
+        cnt_if(F.col("s4")).alias("n4"),
+        sum_if(F.col("s4"), F.col("n_tokens")).alias("t4"),
+        cnt_if(F.col("s4") & F.col("keep_span")).alias("n4s"),
+        sum_if(F.col("s4") & F.col("keep_span"), F.col("kept_tok")).alias(
+            "t4s"
+        ),
+    )
+    lose = (
+        _curate_loser_rows(verdict)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("nl"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tl"),
+            cnt_if(F.col("keep_span")).alias("nls"),
+            sum_if(F.col("keep_span"), F.col("kept_tok")).alias("tls"),
+        )
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return _reliable_checkpoint(
+        main.join(lose, "source", "left").select(
+            "source",
+            "n_base",
+            "t_base",
+            "n2",
+            "t2",
+            "n3",
+            "t3",
+            "n4",
+            "t4",
+            (F.col("n4") - z("nl")).alias("n5"),
+            (F.col("t4") - z("tl")).alias("t5"),
+            (F.col("n4s") - z("nls")).alias("n6"),
+            (F.col("t4s") - z("tls")).alias("t6"),
+        )
+    )
+
+
 def curate_corpus(docs: DataFrame) -> DataFrame:
     """The end-to-end curation capstone: APPLY the full gauntlet the
     registry's audit operators price individually — robots path deny
@@ -10522,55 +10580,7 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
     token_retention), stage-ordered per :data:`CURATE_STAGES`;
     retentions NULL on an empty corpus.
     """
-    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
-
-    verdict = _curate_verdict(docs)
-    cnt_if = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
-    sum_if = lambda c, x: F.coalesce(  # noqa: E731
-        F.sum(F.when(c, x)), F.lit(0)
-    ).cast("long")
-    main = verdict.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_base"),
-        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("t_base"),
-        cnt_if(F.col("s2")).alias("n2"),
-        sum_if(F.col("s2"), F.col("n_tokens")).alias("t2"),
-        cnt_if(F.col("s3")).alias("n3"),
-        sum_if(F.col("s3"), F.col("n_tokens")).alias("t3"),
-        cnt_if(F.col("s4")).alias("n4"),
-        sum_if(F.col("s4"), F.col("n_tokens")).alias("t4"),
-        cnt_if(F.col("s4") & F.col("keep_span")).alias("n4s"),
-        sum_if(F.col("s4") & F.col("keep_span"), F.col("kept_tok")).alias(
-            "t4s"
-        ),
-    )
-    lose = (
-        _curate_loser_rows(verdict)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("nl"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tl"),
-            cnt_if(F.col("keep_span")).alias("nls"),
-            sum_if(F.col("keep_span"), F.col("kept_tok")).alias("tls"),
-        )
-    )
-    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
-    per_src = _reliable_checkpoint(
-        main.join(lose, "source", "left").select(
-            "source",
-            "n_base",
-            "t_base",
-            "n2",
-            "t2",
-            "n3",
-            "t3",
-            "n4",
-            "t4",
-            (F.col("n4") - z("nl")).alias("n5"),
-            (F.col("t4") - z("tl")).alias("t5"),
-            (F.col("n4s") - z("nls")).alias("n6"),
-            (F.col("t4s") - z("tls")).alias("t6"),
-        )
-    )
+    per_src = _curate_per_src(docs)
     line_row = per_src.agg(
         F.coalesce(F.sum("t6"), F.lit(0)).cast("long").alias("t6_tot"),
         F.count(F.when(F.col("t6") > 0, F.lit(1))).alias("nz"),
@@ -10682,15 +10692,11 @@ losers_rows AS (
 )"""
 
 
-def curate_corpus_sql() -> str:
-    """DuckDB twin of :func:`curate_corpus` — the shared
-    :func:`_curate_cte_prefix` chain (nested
-    :func:`near_dup_clusters_sql` / :func:`ngram_decontaminate_sql`
-    prerequisites, identical gate expressions and loser window), then
-    per-source diffs, the BIGINT quota line and the stage UNION."""
-    return f"""
-WITH {_curate_cte_prefix()},
-main AS (
+def _curate_per_src_sql() -> str:
+    """The main/lose/per_src CTE trio shared by
+    :func:`curate_corpus_sql` and :func:`curate_funnel_by_source_sql`
+    (the SQL twin of :func:`_curate_per_src`)."""
+    return """main AS (
   SELECT source,
          COUNT(*) AS n_base,
          CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t_base,
@@ -10726,7 +10732,19 @@ per_src AS MATERIALIZED (
          m.n4s - CAST(COALESCE(l.nls, 0) AS BIGINT) AS n6,
          m.t4s - CAST(COALESCE(l.tls, 0) AS BIGINT) AS t6
   FROM main m LEFT JOIN lose l USING (source)
-),
+)"""
+
+
+def curate_corpus_sql() -> str:
+    """DuckDB twin of :func:`curate_corpus` — the shared
+    :func:`_curate_cte_prefix` chain (nested
+    :func:`near_dup_clusters_sql` / :func:`ngram_decontaminate_sql`
+    prerequisites, identical gate expressions and loser window), then
+    the shared per-source trio, the BIGINT quota line and the stage
+    UNION."""
+    return f"""
+WITH {_curate_cte_prefix()},
+{_curate_per_src_sql()},
 line AS (
   SELECT CAST(CASE WHEN COUNT(CASE WHEN t6 > 0 THEN 1 END) = 0 THEN 0
               ELSE CAST(COALESCE(SUM(t6), 0) AS BIGINT)
@@ -10861,4 +10879,91 @@ SELECT source,
 FROM survivors
 GROUP BY source
 ORDER BY source
+"""
+
+
+def curate_funnel_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source attribution of the capstone funnel — WHICH source
+    loses document/token mass at WHICH gate, the readout a curation
+    run consults when :func:`curate_corpus`'s aggregate funnel shows
+    an unexpectedly large bite (a robots-heavy crawl source, a
+    blocklisted mirror, a low-quality source the Gopher rules
+    decimate): one funnel row per (source, stage), with the stage-7
+    quota applied per source against the same global water line.
+
+    Engine shape: reads ONLY the shared checkpointed per-source
+    stage table (:func:`_curate_per_src` — the identical build
+    :func:`curate_corpus` pins, so within a session the second of
+    the pair is mixture-sized work) plus the 1-row quota line;
+    the stage fan-out is a 7-struct inline over the source ladder.
+
+    Output: (source, stage_idx, stage, n_docs, n_tokens),
+    (source, stage_idx)-ordered.
+    """
+    per_src = _curate_per_src(docs)
+    line_row = per_src.agg(
+        F.coalesce(F.sum("t6"), F.lit(0)).cast("long").alias("t6_tot"),
+        F.count(F.when(F.col("t6") > 0, F.lit(1))).alias("nz"),
+    ).select(
+        F.when(F.col("nz") == 0, F.lit(0))
+        .otherwise(F.expr("t6_tot div nz"))
+        .cast("long")
+        .alias("line")
+    )
+
+    def stage(i: int, name: str, nd, nt):
+        return F.struct(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            nd.cast("long").alias("n_docs"),
+            nt.cast("long").alias("n_tokens"),
+        )
+
+    stages = [
+        stage(1, "base", F.col("n_base"), F.col("t_base")),
+        stage(2, "robots", F.col("n2"), F.col("t2")),
+        stage(3, "blocklist", F.col("n3"), F.col("t3")),
+        stage(4, "gopher", F.col("n4"), F.col("t4")),
+        stage(5, "dedup_keep_best", F.col("n5"), F.col("t5")),
+        stage(6, "span_cut", F.col("n6"), F.col("t6")),
+        stage(7, "source_quota", F.col("n6"),
+              F.least(F.col("t6"), F.col("line"))),
+    ]
+    return (
+        per_src.crossJoin(F.broadcast(line_row))
+        .select("source", F.inline(F.array(*stages)))
+        .orderBy("source", "stage_idx")
+    )
+
+
+def curate_funnel_by_source_sql() -> str:
+    """DuckDB twin of :func:`curate_funnel_by_source` — the shared
+    prefix + per-source trio + quota line, then the per-source stage
+    UNION."""
+    return f"""
+WITH {_curate_cte_prefix()},
+{_curate_per_src_sql()},
+line AS (
+  SELECT CAST(CASE WHEN COUNT(CASE WHEN t6 > 0 THEN 1 END) = 0 THEN 0
+              ELSE CAST(COALESCE(SUM(t6), 0) AS BIGINT)
+                   // COUNT(CASE WHEN t6 > 0 THEN 1 END) END AS BIGINT)
+           AS line
+  FROM per_src
+),
+funnel AS (
+  SELECT source, 1 AS stage_idx, 'base' AS stage,
+         n_base AS n_docs, t_base AS n_tokens FROM per_src
+  UNION ALL SELECT source, 2, 'robots', n2, t2 FROM per_src
+  UNION ALL SELECT source, 3, 'blocklist', n3, t3 FROM per_src
+  UNION ALL SELECT source, 4, 'gopher', n4, t4 FROM per_src
+  UNION ALL SELECT source, 5, 'dedup_keep_best', n5, t5 FROM per_src
+  UNION ALL SELECT source, 6, 'span_cut', n6, t6 FROM per_src
+  UNION ALL SELECT source, 7, 'source_quota', n6,
+    LEAST(per_src.t6, (SELECT line FROM line)) FROM per_src
+)
+SELECT source, CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM funnel
+ORDER BY source, stage_idx
 """

@@ -82,6 +82,8 @@ STAGED = [
      "documents"),
     ("curate_corpus_write", "soccerpredictor_spark.operators.textops",
      "documents"),
+    ("curate_funnel_by_source", "soccerpredictor_spark.operators.textops",
+     "documents"),
 ]
 
 
@@ -1365,6 +1367,7 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: similarity.ann_recall_k_sweep(emb),
         lambda: textops.curate_corpus(docs),
         lambda: textops.curate_corpus_write(docs),
+        lambda: textops.curate_funnel_by_source(docs),
     ]
     for build in builders:
         clear_caches()

@@ -12,6 +12,9 @@ the shared harness in test_staged_round11.py):
 - curate_corpus_write: the materialization half — write the curated
   survivors to source-partitioned parquet, report the shipped
   composition from the READ-BACK (the write_roundtrip convention)
+- curate_funnel_by_source: the per-source attribution form of the
+  funnel (which source loses mass at which gate), riding the shared
+  checkpointed per-source stage table
 
 Feasibility note recorded at staging time: ``code_switch_matrix``
 (within-doc language-mixing census over LANG_MARKERS pairs) was
@@ -348,6 +351,39 @@ class TestCurateCorpusWrite:
         assert (g.n_docs, g.n_docs_cut) == (1, 1)
         assert (g.tokens_shipped, g.tokens_before_cuts) == (47, 60)
         assert rows["delta"].tokens_shipped == 10
+        clear_caches()
+
+    def test_funnel_by_source_attribution(self, spark):
+        """The gates-only fixture at (source, stage) grain: alpha's
+        robots casualty, src3's blocklist wipe-out and beta's gopher
+        failure each show up in THEIR source's funnel row, and the
+        quota stage applies the global line per source."""
+        from soccerpredictor_spark.operators.scale import clear_caches
+        from soccerpredictor_spark.operators.textops import (
+            curate_funnel_by_source,
+        )
+
+        clear_caches()
+        docs = spark.createDataFrame(
+            [
+                _doc(8, TestCurateCorpus.GOOD, "alpha"),
+                _doc(9, TestCurateCorpus.GOOD, "alpha"),   # /admin
+                _doc(24, TestCurateCorpus.GOOD, "src3"),   # blocked domain
+                _doc(16, "a b", "beta"),                   # gopher f_wc
+            ],
+            DOC_SCHEMA,
+        )
+        out = curate_funnel_by_source(docs).collect()
+        assert len(out) == 3 * 7
+        got = {(r.source, r.stage): (r.n_docs, r.n_tokens) for r in out}
+        assert got[("alpha", "base")] == (2, 20)
+        assert got[("alpha", "robots")] == (1, 10)   # doc 9 dropped HERE
+        assert got[("alpha", "source_quota")] == (1, 10)  # line = 10 div 1
+        assert got[("src3", "robots")] == (1, 10)    # survives robots...
+        assert got[("src3", "blocklist")] == (0, 0)  # ...dies HERE
+        assert got[("beta", "blocklist")] == (1, 2)
+        assert got[("beta", "gopher")] == (0, 0)     # dies HERE
+        assert got[("beta", "source_quota")] == (0, 0)
         clear_caches()
 
     def test_keep_best_loser_not_shipped(self, spark):
