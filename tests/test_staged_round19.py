@@ -31,6 +31,9 @@ import math
 import pytest
 
 
+SF_DIR = "/root/testdata/sf0.001"
+
+
 def _doc(doc_id: int, text: str, source: str, lang: str = "en"):
     return (doc_id, text, lang, source, len(text))
 
@@ -302,6 +305,48 @@ class TestCurateCorpus:
         # quota: three sources (13, 47, 10), line = 70 div 3 = 23:
         # src0 keeps 13, gamma capped at 23, delta keeps 10
         assert rows["source_quota"].n_tokens == 46
+        clear_caches()
+
+    def test_cross_op_invariants_on_fixture(self, spark):
+        """The three curate views of one corpus must agree (run on
+        the real sf0.001 fixture so the invariants see the full
+        gate/cluster/span machinery, sharing one family-cache build):
+
+        - the global funnel is monotone non-increasing in docs and
+          (through stage 6) in tokens, and the quota stage can only
+          shave tokens;
+        - curate_funnel_by_source sums to curate_corpus exactly at
+          every stage (including the quota stage — same water line);
+        - curate_corpus_write ships exactly the span_cut stage:
+          doc count == stage-6 n_docs, tokens_shipped == stage-6
+          n_tokens."""
+        from soccerpredictor_spark.operators.scale import clear_caches
+        from soccerpredictor_spark.operators.textops import (
+            curate_corpus,
+            curate_corpus_write,
+            curate_funnel_by_source,
+        )
+        from soccerpredictor_spark.sources.catalog import read_table
+
+        clear_caches()
+        docs = read_table(spark, SF_DIR, "documents")
+        funnel = {r.stage_idx: r for r in curate_corpus(docs).collect()}
+        assert funnel[1].n_docs > 0  # non-degenerate on the fixture
+        for i in range(2, 7):
+            assert funnel[i].n_docs <= funnel[i - 1].n_docs
+            assert funnel[i].n_tokens <= funnel[i - 1].n_tokens
+        assert funnel[7].n_docs == funnel[6].n_docs
+        assert funnel[7].n_tokens <= funnel[6].n_tokens
+        by_src = curate_funnel_by_source(docs).collect()
+        sums: dict[int, list[int]] = {}
+        for r in by_src:
+            nd, nt = sums.setdefault(r.stage_idx, [0, 0])
+            sums[r.stage_idx] = [nd + r.n_docs, nt + r.n_tokens]
+        for i in range(1, 8):
+            assert sums[i] == [funnel[i].n_docs, funnel[i].n_tokens], i
+        shipped = curate_corpus_write(docs).collect()
+        assert sum(r.n_docs for r in shipped) == funnel[6].n_docs
+        assert sum(r.tokens_shipped for r in shipped) == funnel[6].n_tokens
         clear_caches()
 
     def test_empty_corpus_keeps_stages(self, spark):
