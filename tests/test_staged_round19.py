@@ -171,6 +171,34 @@ class TestAnnRecallKSweep:
             assert r.recall == 1.0
         clear_caches()
 
+    def test_fixture_invariants(self, spark):
+        """On the real sf0.001 embeddings: counts are monotone
+        non-decreasing in k (looser rank cutoffs can only admit
+        more), the approximate candidate list can never out-size the
+        exact one, and recall stays in (0, 1]."""
+        from soccerpredictor_spark.operators.similarity import (
+            RECALL_PROBE_IDS,
+            ann_recall_k_sweep,
+        )
+        from soccerpredictor_spark.operators.scale import clear_caches
+        from soccerpredictor_spark.sources.catalog import read_table
+
+        clear_caches()
+        emb = read_table(spark, SF_DIR, "embeddings")
+        rows = ann_recall_k_sweep(emb).orderBy("k").collect()
+        prev = None
+        for r in rows:
+            assert r.n_exact == len(RECALL_PROBE_IDS) * min(r.k, 500)
+            assert r.n_approx <= r.n_exact
+            assert r.n_hit <= min(r.n_approx, r.n_exact)
+            assert 0.0 < r.recall <= 1.0
+            if prev is not None:
+                assert r.n_exact >= prev.n_exact
+                assert r.n_approx >= prev.n_approx
+                assert r.n_hit >= prev.n_hit
+            prev = r
+        clear_caches()
+
     def test_empty_corpus_keeps_spine(self, spark):
         """No vectors -> no probes: all counts 0, recall NULL, but
         the 5-rung spine survives (the zero-filled-spine convention)."""
