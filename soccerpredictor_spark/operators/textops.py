@@ -10567,9 +10567,12 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
     component keys, the :func:`dedup.dedup_keep_best` shape) into a
     mixture-sized loser aggregate; the corpus is scanned twice
     (funnel aggregation + loser slice — the subtrees differ, so no
-    pin pretends otherwise), every other table is source-ladder
-    sized and the per-source table is checkpointed (the quota line,
-    the stage totals and the quota fold all read it). The
+    pin pretends otherwise; at a 100 TB deployment, persist the SLIM
+    verdict projection — tens of bytes/doc, ~1% of corpus bytes — to
+    cut the second scan's IO to a cache read), every other table is
+    source-ladder sized and the per-source table is checkpointed
+    (the quota line, the stage totals and the quota fold all read
+    it). The
     per-source quota is the uniform line L = floor(total_after_cuts
     / surviving_sources) (exact BIGINT division) — the one-shot cap
     :func:`capped_mix_waterfill` re-levels iteratively; here it caps
