@@ -998,21 +998,18 @@ def ann_recall_k_sweep(emb: DataFrame) -> DataFrame:
         [(int(k),) for k in RECALL_K_RUNGS], "k long"
     )
     n_exact_k = (
-        F.broadcast(spine)
-        .join(exact_r, F.col("rnk") <= F.col("k"), "left")
+        spine.join(F.broadcast(exact_r), F.col("rnk") <= F.col("k"), "left")
         .groupBy("k")
         .agg(F.count("rnk").alias("n_exact"))
     )
     n_approx_k = (
-        F.broadcast(spine)
-        .join(approx_r, F.col("rnk") <= F.col("k"), "left")
+        spine.join(F.broadcast(approx_r), F.col("rnk") <= F.col("k"), "left")
         .groupBy("k")
         .agg(F.count("rnk").alias("n_approx"))
     )
     n_hit_k = (
-        F.broadcast(spine)
-        .join(
-            hits,
+        spine.join(
+            F.broadcast(hits),
             (F.col("rnk") <= F.col("k")) & (F.col("rnk_a") <= F.col("k")),
             "left",
         )

@@ -9784,8 +9784,7 @@ def robots_rule_marginal_sweep(docs: DataFrame) -> DataFrame:
         "rung long, rule string",
     )
     cum = (
-        F.broadcast(spine)
-        .join(by_idx, F.col("idx") <= F.col("rung"), "left")
+        spine.join(F.broadcast(by_idx), F.col("idx") <= F.col("rung"), "left")
         .groupBy("rung", "rule")
         .agg(
             F.coalesce(
@@ -10393,7 +10392,9 @@ CURATE_STAGES = (
 )
 
 
-def _curate_verdict(docs: DataFrame) -> DataFrame:
+def _curate_verdict(
+    docs: DataFrame, min_stopwords: int = CURATE_GOPHER_MIN_STOPWORDS
+) -> DataFrame:
     """The shared per-document verdict table behind
     :func:`curate_corpus` (funnel report) and
     :func:`curate_corpus_write` (materialization): ONE corpus scan
@@ -10402,11 +10403,14 @@ def _curate_verdict(docs: DataFrame) -> DataFrame:
     join; two SLIM doc-grain left joins against the session-cached
     near-dup cluster labels and decon span table. Columns:
     (doc_id, source, n_tokens, cluster_id, contam, s2, s3, s4,
-    keep_span, kept_tok)."""
+    keep_span, kept_tok). ``min_stopwords`` parameterizes the Gopher
+    stopword gate (default = the fixture-calibrated
+    :data:`CURATE_GOPHER_MIN_STOPWORDS`; a natural-language
+    deployment passes the paper's 2 explicitly)."""
     from soccerpredictor_spark.operators.dedup import near_dup_clusters
 
     spark = docs.sparkSession
-    gf = _gopher_flag_cols(CURATE_GOPHER_MIN_STOPWORDS)
+    gf = _gopher_flag_cols(min_stopwords)
     path = _synth_path()
     deny = path.startswith(ROBOTS_DENY_RULES[0])
     for r in ROBOTS_DENY_RULES[1:]:
@@ -10481,7 +10485,9 @@ def _curate_loser_rows(verdict: DataFrame) -> DataFrame:
     )
 
 
-def _curate_per_src(docs: DataFrame) -> DataFrame:
+def _curate_per_src(
+    docs: DataFrame, min_stopwords: int = CURATE_GOPHER_MIN_STOPWORDS
+) -> DataFrame:
     """The checkpointed per-source stage table behind
     :func:`curate_corpus` (global funnel), :func:`curate_funnel_by_source`
     (per-source attribution) and the quota line: (source, n_base,
@@ -10490,7 +10496,7 @@ def _curate_per_src(docs: DataFrame) -> DataFrame:
     the pin is free and every consumer reads it."""
     from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
 
-    verdict = _curate_verdict(docs)
+    verdict = _curate_verdict(docs, min_stopwords)
     cnt_if = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
     sum_if = lambda c, x: F.coalesce(  # noqa: E731
         F.sum(F.when(c, x)), F.lit(0)
@@ -10539,7 +10545,9 @@ def _curate_per_src(docs: DataFrame) -> DataFrame:
     )
 
 
-def curate_corpus(docs: DataFrame) -> DataFrame:
+def curate_corpus(
+    docs: DataFrame, min_stopwords: int = CURATE_GOPHER_MIN_STOPWORDS
+) -> DataFrame:
     """The end-to-end curation capstone: APPLY the full gauntlet the
     registry's audit operators price individually — robots path deny
     (:data:`ROBOTS_DENY_RULES`), domain blocklist
@@ -10583,7 +10591,7 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
     token_retention), stage-ordered per :data:`CURATE_STAGES`;
     retentions NULL on an empty corpus.
     """
-    per_src = _curate_per_src(docs)
+    per_src = _curate_per_src(docs, min_stopwords)
     line_row = per_src.agg(
         F.coalesce(F.sum("t6"), F.lit(0)).cast("long").alias("t6_tot"),
         F.count(F.when(F.col("t6") > 0, F.lit(1))).alias("nz"),
@@ -10794,7 +10802,11 @@ ORDER BY f.stage_idx
 """
 
 
-def curate_corpus_write(docs: DataFrame, out_dir: str | None = None) -> DataFrame:
+def curate_corpus_write(
+    docs: DataFrame,
+    out_dir: str | None = None,
+    min_stopwords: int = CURATE_GOPHER_MIN_STOPWORDS,
+) -> DataFrame:
     """The materialization half of the capstone: WRITE the curated
     corpus — every gate survivor after keep-best survivorship, with
     span-cut token accounting — to source-partitioned parquet, read
@@ -10808,12 +10820,19 @@ def curate_corpus_write(docs: DataFrame, out_dir: str | None = None) -> DataFram
 
     Engine shape: the shared :func:`_curate_verdict` scan; survivors
     = gate passers minus span-dropped docs minus the keep-best
-    losers (a LEFT ANTI join against the SLIM loser-id table — the
-    loser side is a fraction of the labeled slice, broadcastable at
-    any corpus scale where near-dup clusters are). The write is a
+    losers (a LEFT ANTI join against the SLIM loser-id table — no
+    forced broadcast hint: on a typical corpus the loser side is a
+    fraction of the labeled slice and AQE picks the broadcast
+    anti-join on its own from the measured size, while on a
+    crawl-heavy corpus with a 30-50% dup rate the loser table is
+    billions of rows and a forced broadcast would OOM the executors
+    — AQE falls back to a shuffled anti-join there). The write is a
     distributed hive-partitioned parquet sink (one shuffle-free pass
     from the verdict projection); the read-back aggregation proves
-    losslessness including the partition column's values.
+    losslessness including the partition column's values. With
+    ``out_dir=None`` the sink is a deterministic session-scoped temp
+    path (overwritten per invocation — repeated bench/verify runs in
+    one session don't accumulate corpus-sized litter under /tmp).
 
     Output: (source, n_docs, n_docs_cut, tokens_shipped,
     tokens_before_cuts), source-ordered.
@@ -10824,11 +10843,11 @@ def curate_corpus_write(docs: DataFrame, out_dir: str | None = None) -> DataFram
     from soccerpredictor_spark.sources.sinks import write_parquet
 
     spark = docs.sparkSession
-    verdict = _curate_verdict(docs)
+    verdict = _curate_verdict(docs, min_stopwords)
     loser_ids = _curate_loser_rows(verdict).select("doc_id")
     survivors = (
         verdict.filter(F.col("s4") & F.col("keep_span"))
-        .join(F.broadcast(loser_ids), "doc_id", "left_anti")
+        .join(loser_ids, "doc_id", "left_anti")
         .select(
             "doc_id",
             "n_tokens",
@@ -10837,7 +10856,10 @@ def curate_corpus_write(docs: DataFrame, out_dir: str | None = None) -> DataFram
             "source",
         )
     )
-    out = out_dir or tempfile.mkdtemp(prefix="curate_corpus_") + "/curated"
+    out = out_dir or (
+        tempfile.gettempdir()
+        + f"/curate_corpus_{spark.sparkContext.applicationId}/curated"
+    )
     write_parquet(survivors, out, partition_by=("source",))
     back = read_any(
         spark, out, "parquet",
@@ -10885,7 +10907,9 @@ ORDER BY source
 """
 
 
-def curate_funnel_by_source(docs: DataFrame) -> DataFrame:
+def curate_funnel_by_source(
+    docs: DataFrame, min_stopwords: int = CURATE_GOPHER_MIN_STOPWORDS
+) -> DataFrame:
     """Per-source attribution of the capstone funnel — WHICH source
     loses document/token mass at WHICH gate, the readout a curation
     run consults when :func:`curate_corpus`'s aggregate funnel shows
@@ -10903,7 +10927,7 @@ def curate_funnel_by_source(docs: DataFrame) -> DataFrame:
     Output: (source, stage_idx, stage, n_docs, n_tokens),
     (source, stage_idx)-ordered.
     """
-    per_src = _curate_per_src(docs)
+    per_src = _curate_per_src(docs, min_stopwords)
     line_row = per_src.agg(
         F.coalesce(F.sum("t6"), F.lit(0)).cast("long").alias("t6_tot"),
         F.count(F.when(F.col("t6") > 0, F.lit(1))).alias("nz"),
