@@ -2669,6 +2669,38 @@ def _q_dedup_cluster_density(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_cluster_density(read_table(spark, sf, "documents"))
 
 
+def _q_robots_rule_marginal_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import textops
+
+    return textops.robots_rule_marginal_sweep(
+        read_table(spark, sf, "documents"),
+    )
+
+
+def _q_ann_recall_k_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import similarity
+
+    return similarity.ann_recall_k_sweep(read_table(spark, sf, "embeddings"))
+
+
+def _q_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import textops
+
+    return textops.curate_corpus(read_table(spark, sf, "documents"))
+
+
+def _q_curate_corpus_write(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import textops
+
+    return textops.curate_corpus_write(read_table(spark, sf, "documents"))
+
+
+def _q_curate_funnel_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    from soccerpredictor_spark.operators import textops
+
+    return textops.curate_funnel_by_source(read_table(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness verifies the
     # first 50 entries in dict order (observed in CORRECTNESS_r01).
@@ -2681,57 +2713,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotations stay a pure prefix shift.  CI:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
         # --- never driver-verified (MUST be in the window) ---
-        "span_cut_apply_stats": _q_span_cut_apply_stats,
-        "url_path_filter": _q_url_path_filter,
-        "lang_conditional_mix": _q_lang_conditional_mix,
-        "mixture_repetition_audit": _q_mixture_repetition_audit,
-        "l_diversity_audit": _q_l_diversity_audit,
-        "packing_fragmentation_sweep": _q_packing_fragmentation_sweep,
-        "shuffle_run_audit": _q_shuffle_run_audit,
-        "dedup_cluster_density": _q_dedup_cluster_density,
+        "robots_rule_marginal_sweep": _q_robots_rule_marginal_sweep,
+        "ann_recall_k_sweep": _q_ann_recall_k_sweep,
+        "curate_corpus": _q_curate_corpus,
+        "curate_corpus_write": _q_curate_corpus_write,
+        "curate_funnel_by_source": _q_curate_funnel_by_source,
         # --- r11 cohort ---
-        "event_transitions": _q_event_transitions,
-        "date_spine_fill": _q_date_spine_fill,
-        "share_of_total": _q_share_of_total,
-        "cdc_apply": _q_cdc_apply,
-        "compact_roundtrip": _q_compact_roundtrip,
-        "shuffle_hash_join": _q_shuffle_hash_join,
-        "robust_scale": _q_robust_scale,
-        "zorder_prune": _q_zorder_prune,
-        "fk_integrity_audit": _q_fk_integrity_audit,
-        "table_profile": _q_table_profile,
-        "asof_join_tolerance": _q_asof_join_tolerance,
-        "forward_fill": _q_forward_fill,
-        "mode_per_group": _q_mode_per_group,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "media_dedup": _q_media_dedup,
-        "feature_corr": _q_feature_corr,
-        "class_weights": _q_class_weights,
-        "feature_hashing": _q_feature_hashing,
-        "onehot_encode": _q_onehot_encode,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_simhash": _q_dedup_simhash,
-        "distinct_agg": _q_distinct_agg,
-        "hash_split": _q_hash_split,
-        "length_histogram": _q_length_histogram,
-        "ngram_topk": _q_ngram_topk,
-        "set_except": _q_set_except,
-        "text_profile": _q_text_profile,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q22": _q_tpch_q22,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q9": _q_tpch_q9,
         "window_topn_per_group": _q_window_topn,
         "distinct_projection": _q_distinct_projection,
         "stupid_backoff_lm": _q_stupid_backoff_lm,
@@ -3043,6 +3030,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_recall_eval": _q_int8_recall_eval,
         "streaming_cdc": _q_streaming_cdc,
         "doc_sim_knn": _q_doc_sim_knn,
+        # --- r18 cohort ---
+        "span_cut_apply_stats": _q_span_cut_apply_stats,
+        "url_path_filter": _q_url_path_filter,
+        "lang_conditional_mix": _q_lang_conditional_mix,
+        "mixture_repetition_audit": _q_mixture_repetition_audit,
+        "l_diversity_audit": _q_l_diversity_audit,
+        "packing_fragmentation_sweep": _q_packing_fragmentation_sweep,
+        "shuffle_run_audit": _q_shuffle_run_audit,
+        "dedup_cluster_density": _q_dedup_cluster_density,
+        "event_transitions": _q_event_transitions,
+        "date_spine_fill": _q_date_spine_fill,
+        "share_of_total": _q_share_of_total,
+        "cdc_apply": _q_cdc_apply,
+        "compact_roundtrip": _q_compact_roundtrip,
+        "shuffle_hash_join": _q_shuffle_hash_join,
+        "robust_scale": _q_robust_scale,
+        "zorder_prune": _q_zorder_prune,
+        "fk_integrity_audit": _q_fk_integrity_audit,
+        "table_profile": _q_table_profile,
+        "asof_join_tolerance": _q_asof_join_tolerance,
+        "forward_fill": _q_forward_fill,
+        "mode_per_group": _q_mode_per_group,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "media_dedup": _q_media_dedup,
+        "feature_corr": _q_feature_corr,
+        "class_weights": _q_class_weights,
+        "feature_hashing": _q_feature_hashing,
+        "onehot_encode": _q_onehot_encode,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_simhash": _q_dedup_simhash,
+        "distinct_agg": _q_distinct_agg,
+        "hash_split": _q_hash_split,
+        "length_histogram": _q_length_histogram,
+        "ngram_topk": _q_ngram_topk,
+        "set_except": _q_set_except,
+        "text_profile": _q_text_profile,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q22": _q_tpch_q22,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
     }
 
 
@@ -3061,6 +3099,12 @@ def _pivot_avg_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- round-19 registrations ---
+        "robots_rule_marginal_sweep": textops.robots_rule_marginal_sweep_sql(),
+        "ann_recall_k_sweep": similarity.ann_recall_k_sweep_sql(),
+        "curate_corpus": textops.curate_corpus_sql(),
+        "curate_corpus_write": textops.curate_corpus_write_sql(),
+        "curate_funnel_by_source": textops.curate_funnel_by_source_sql(),
         # --- round-18 registrations ---
         "span_cut_apply_stats": textops.span_cut_apply_stats_sql(),
         "url_path_filter": textops.url_path_filter_sql(),

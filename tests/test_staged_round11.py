@@ -73,17 +73,13 @@ STAGED = [
     # Round-18 housekeeping: the 8-op round-17 staged batch
     # (span_cut_apply_stats..dedup_cluster_density) is now REGISTERED;
     # their closed-form tests stay in test_staged_round18.py.
-    # round-19 staging (closed-form tests in test_staged_round19.py)
-    ("robots_rule_marginal_sweep", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("ann_recall_k_sweep", "soccerpredictor_spark.operators.similarity",
-     "embeddings"),
-    ("curate_corpus", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("curate_corpus_write", "soccerpredictor_spark.operators.textops",
-     "documents"),
-    ("curate_funnel_by_source", "soccerpredictor_spark.operators.textops",
-     "documents"),
+    # Round-19 housekeeping: the 5-op round-18 staged batch
+    # (robots_rule_marginal_sweep, ann_recall_k_sweep, the
+    # curate_corpus capstone trio) is now REGISTERED; their
+    # closed-form tests stay in test_staged_round19.py. The list is
+    # EMPTY until a genuinely new family is staged (the registry is
+    # at semantic saturation on these fixtures — grep registry names
+    # and the PLANS.md NOT-feasible list before adding here).
 ]
 
 
@@ -1362,7 +1358,7 @@ def test_staged_ops_survive_empty_tables(spark):
         lambda: textops.template_dedup(docs),
         lambda: textops.tokens_per_byte(docs),
         lambda: textops.ccnet_buckets(docs),
-        # round-19 staging
+        # round-19 registrations (kept: empty-input regression)
         lambda: textops.robots_rule_marginal_sweep(docs),
         lambda: similarity.ann_recall_k_sweep(emb),
         lambda: textops.curate_corpus(docs),
