@@ -9113,8 +9113,7 @@ def blocklist_coverage_sweep(docs: DataFrame) -> DataFrame:
         "rung long, added_domain string",
     )
     per_rung = (
-        F.broadcast(rungs)
-        .join(by_idx, F.col("idx") <= F.col("rung"), "left")
+        rungs.join(F.broadcast(by_idx), F.col("idx") <= F.col("rung"), "left")
         .groupBy("rung", "added_domain")
         .agg(
             F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias(
@@ -9644,8 +9643,7 @@ def url_path_filter(docs: DataFrame) -> DataFrame:
         F.col("n_docs").cast("double") / F.col("total_docs").cast("double")
     )
     return (
-        F.broadcast(spine)
-        .join(by_idx, "rule_idx", "left")
+        spine.join(F.broadcast(by_idx), "rule_idx", "left")
         .crossJoin(F.broadcast(totals))
         .withColumns(
             {
