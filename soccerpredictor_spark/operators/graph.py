@@ -303,9 +303,14 @@ def graph_triangles(events: DataFrame) -> DataFrame:
     lesser_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
+    # no broadcast hint on the degree table: it has one row per NODE,
+    # which scales with the graph (billions at 100 TB) — a forced
+    # broadcast would OOM executors there. AQE picks the broadcast
+    # join on its own when the measured degree table is small, and
+    # falls back to a shuffled equi-join when it isn't.
     oriented = (
-        e.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        e.join(du, "u")
+        .join(dv, "v")
         .select(
             F.when(lesser_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lesser_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
@@ -636,9 +641,14 @@ def clustering_coefficient(events: DataFrame) -> DataFrame:
     lesser_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
+    # no broadcast hint on the degree table: it has one row per NODE,
+    # which scales with the graph (billions at 100 TB) — a forced
+    # broadcast would OOM executors there. AQE picks the broadcast
+    # join on its own when the measured degree table is small, and
+    # falls back to a shuffled equi-join when it isn't.
     oriented = (
-        e.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        e.join(du, "u")
+        .join(dv, "v")
         .select(
             F.when(lesser_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lesser_first, F.col("v")).otherwise(F.col("u")).alias("dst"),

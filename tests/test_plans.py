@@ -745,13 +745,22 @@ def test_pagerank_int64_no_cartesian(spark, sf001):
     assert dict(df.dtypes)["rank_micro"] == "bigint"
 
 
-def test_triangles_oriented_wedges_broadcast_degrees(spark, sf001):
-    """Triangle census: degrees broadcast onto the edge list for the
-    orientation; the wedge join and the closing check are equi-joins
-    (src / (b,c)); nothing goes cartesian."""
+def test_triangles_oriented_wedges_all_equi_joins(spark, sf001):
+    """Triangle census: the degree orientation, the wedge join and
+    the closing check are ALL equi-joins (u / v / src / (b,c)) —
+    nothing goes cartesian or nested-loop. The degree table carries
+    one row per NODE (graph-scaled), so it is deliberately NOT
+    hint-broadcast: AQE broadcasts it when the measured size is
+    small and shuffles when it isn't (the curate_corpus_write
+    loser-id lesson, applied here in round 19)."""
     plan = _plan(entry.queries()["graph_triangles"](spark, sf001))
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the 1-row census cross-combines
+    # (n_nodes x n_edges x n_triangles); every keyed join stays hash
+    import re as _re
+
+    bnlj = _re.findall(r"BroadcastNestedLoopJoin [^,]*, (\w+)", plan)
+    assert all(t == "Cross" for t in bnlj), bnlj
 
 
 def test_autocorr_single_scan_stack(spark, sf001):
