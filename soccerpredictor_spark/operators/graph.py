@@ -279,21 +279,23 @@ LIMIT {PAGERANK_TOPK}
 """
 
 
-def graph_triangles(events: DataFrame) -> DataFrame:
-    """One-row triangle census of the co-activity graph:
-    (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
-    clustering = 3*triangles/wedges (the global clustering
-    coefficient).
+def _oriented_triangles(e: DataFrame) -> tuple:
+    """Degree table and once-enumerated triangle set ``(a, b, c)`` of
+    the undirected edge list ``e`` via the classic degree-ordered
+    orientation: every edge points from its lower-(degree, id)
+    endpoint to the higher, so each triangle is generated exactly
+    once and the wedge join's fan-out is bounded by the oriented
+    out-degree. Shared by :func:`graph_triangles` (global census) and
+    :func:`clustering_coefficient` (per-vertex counts) — one
+    implementation, so an orientation/planner change can never
+    silently diverge the two.
 
-    Scale: the classic degree-ordered orientation — every edge is
-    directed from its lower-(degree, id) endpoint to the higher, so
-    each triangle is generated exactly once and the wedge join's
-    fan-out is bounded by the oriented out-degree (O(sqrt(m)) on
-    arbitrary graphs, O(B) here thanks to the bucket cap) instead of
-    the raw degree. The wedge set is then semi-joined back against the
-    oriented edges; no step is quadratic in nodes.
+    No broadcast hint on the degree table: it has one row per NODE,
+    which scales with the graph (billions at 100 TB) — a forced
+    broadcast would OOM executors there. AQE picks the broadcast
+    join on its own when the measured degree table is small, and
+    falls back to a shuffled equi-join when it isn't.
     """
-    e = _edges_checkpointed(events).select("u", "v")
     sym = e.select(F.col("u").alias("user_id")).unionAll(
         e.select(F.col("v").alias("user_id"))
     )
@@ -303,11 +305,6 @@ def graph_triangles(events: DataFrame) -> DataFrame:
     lesser_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
-    # no broadcast hint on the degree table: it has one row per NODE,
-    # which scales with the graph (billions at 100 TB) — a forced
-    # broadcast would OOM executors there. AQE picks the broadcast
-    # join on its own when the measured degree table is small, and
-    # falls back to a shuffled equi-join when it isn't.
     oriented = (
         e.join(du, "u")
         .join(dv, "v")
@@ -324,6 +321,25 @@ def graph_triangles(events: DataFrame) -> DataFrame:
         F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
     )
     tri = wedges.join(closing, ["b", "c"], "left_semi")
+    return deg, tri
+
+
+def graph_triangles(events: DataFrame) -> DataFrame:
+    """One-row triangle census of the co-activity graph:
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
+    clustering = 3*triangles/wedges (the global clustering
+    coefficient).
+
+    Scale: the classic degree-ordered orientation — every edge is
+    directed from its lower-(degree, id) endpoint to the higher, so
+    each triangle is generated exactly once and the wedge join's
+    fan-out is bounded by the oriented out-degree (O(sqrt(m)) on
+    arbitrary graphs, O(B) here thanks to the bucket cap) instead of
+    the raw degree. The wedge set is then semi-joined back against the
+    oriented edges; no step is quadratic in nodes.
+    """
+    e = _edges_checkpointed(events).select("u", "v")
+    deg, tri = _oriented_triangles(e)
     # all census counts stay distributed aggregations (no driver-side
     # .count() actions); the three 1-row sides crossJoin for free
     node_stats = deg.agg(
@@ -632,35 +648,7 @@ def clustering_coefficient(events: DataFrame) -> DataFrame:
     no defined coefficient and emit no row (their wedge count is 0).
     """
     e = _edges_checkpointed(events).select("u", "v")
-    sym = e.select(F.col("u").alias("user_id")).unionAll(
-        e.select(F.col("v").alias("user_id"))
-    )
-    deg = sym.groupBy("user_id").agg(F.count(F.lit(1)).alias("deg"))
-    du = deg.select(F.col("user_id").alias("u"), F.col("deg").alias("deg_u"))
-    dv = deg.select(F.col("user_id").alias("v"), F.col("deg").alias("deg_v"))
-    lesser_first = (F.col("deg_u") < F.col("deg_v")) | (
-        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
-    )
-    # no broadcast hint on the degree table: it has one row per NODE,
-    # which scales with the graph (billions at 100 TB) — a forced
-    # broadcast would OOM executors there. AQE picks the broadcast
-    # join on its own when the measured degree table is small, and
-    # falls back to a shuffled equi-join when it isn't.
-    oriented = (
-        e.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lesser_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(lesser_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
-    )
-    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
-    closing = oriented.select(
-        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
-    )
-    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    deg, tri = _oriented_triangles(e)
     corners = tri.select(
         F.explode(F.array("a", "b", "c")).alias("user_id")
     )

@@ -10389,6 +10389,39 @@ CURATE_STAGES = (
     "span_cut", "source_quota",
 )
 
+#: the default-sink directories curate_corpus_write has created this
+#: process (at most one live at a time: each new invocation retires
+#: the previous one, and the last is removed at interpreter exit).
+_CURATE_SINK_DIRS: list = []
+
+
+def _curate_default_sink() -> str:
+    """A fresh 0700 per-invocation sink root for
+    :func:`curate_corpus_write` (``tempfile.mkdtemp`` — unique and
+    unpredictable, so a held read-back DataFrame can never silently
+    see a LATER invocation's rows, and no other local user can
+    pre-place the path). Litter stays bounded: the previous default
+    sink is deleted here (a DataFrame still lazily reading it fails
+    LOUDLY instead of returning the wrong corpus) and the final one
+    at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    while _CURATE_SINK_DIRS:
+        shutil.rmtree(_CURATE_SINK_DIRS.pop(), ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="curate_corpus_")
+    if not getattr(_curate_default_sink, "_atexit_armed", False):
+        atexit.register(
+            lambda: [
+                shutil.rmtree(d, ignore_errors=True)
+                for d in _CURATE_SINK_DIRS
+            ]
+        )
+        _curate_default_sink._atexit_armed = True
+    _CURATE_SINK_DIRS.append(root)
+    return root + "/curated"
+
 
 def _curate_verdict(
     docs: DataFrame, min_stopwords: int = CURATE_GOPHER_MIN_STOPWORDS
@@ -10828,15 +10861,15 @@ def curate_corpus_write(
     distributed hive-partitioned parquet sink (one shuffle-free pass
     from the verdict projection); the read-back aggregation proves
     losslessness including the partition column's values. With
-    ``out_dir=None`` the sink is a deterministic session-scoped temp
-    path (overwritten per invocation — repeated bench/verify runs in
-    one session don't accumulate corpus-sized litter under /tmp).
+    ``out_dir=None`` the sink is a fresh per-invocation
+    ``tempfile.mkdtemp`` path (0700, unguessable — a held read-back
+    DataFrame can never silently see a later invocation's rows);
+    litter stays bounded because each invocation retires the
+    previous default sink and the last is removed at exit.
 
     Output: (source, n_docs, n_docs_cut, tokens_shipped,
     tokens_before_cuts), source-ordered.
     """
-    import tempfile
-
     from soccerpredictor_spark.sources.catalog import read_any
     from soccerpredictor_spark.sources.sinks import write_parquet
 
@@ -10854,10 +10887,7 @@ def curate_corpus_write(
             "source",
         )
     )
-    out = out_dir or (
-        tempfile.gettempdir()
-        + f"/curate_corpus_{spark.sparkContext.applicationId}/curated"
-    )
+    out = out_dir or _curate_default_sink()
     write_parquet(survivors, out, partition_by=("source",))
     back = read_any(
         spark, out, "parquet",

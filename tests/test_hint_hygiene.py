@@ -58,15 +58,12 @@ def _join_how(call: ast.Call) -> str | None:
     for kw in call.keywords:
         if kw.arg == "how" and isinstance(kw.value, ast.Constant):
             return str(kw.value.value).lower()
-    # positional: join(other, on, how)
+    # positional: join(other, on, how) — `how` is only ever the THIRD
+    # positional or the keyword; a 2-positional join(other, "left")
+    # is an INNER join on a column literally named "left" in PySpark,
+    # so a 2-arg call never carries a join type.
     if len(call.args) >= 3 and isinstance(call.args[2], ast.Constant):
         return str(call.args[2].value).lower()
-    # join(other, "left") — 2nd positional is the join type only when
-    # it is one of the known type strings (else it is an `on` column)
-    if len(call.args) == 2 and isinstance(call.args[1], ast.Constant):
-        v = str(call.args[1].value).lower()
-        if v in LEFT_PRESERVED | RIGHT_PRESERVED | FULL | {"inner", "cross"}:
-            return v
     return None
 
 
@@ -137,6 +134,12 @@ def ok2(a, b):
 
 def ok3(a, b):
     return F.broadcast(a).join(b, how="cross")
+
+def ok4(a, b):
+    # PySpark treats the 2nd positional as the ON column, never the
+    # join type: this is an INNER join on a column named "left", so
+    # the hint is usable and must NOT be flagged.
+    return F.broadcast(a).join(b, "left")
 """
     p = tmp_path / "sample.py"
     p.write_text(src)

@@ -487,3 +487,31 @@ class TestCurateCorpusWrite:
         assert rows["alpha"].tokens_shipped == 12
         assert rows["gamma"].tokens_shipped == 10
         clear_caches()
+
+    def test_default_sink_is_per_invocation_and_retired(self, spark):
+        """The default sink contract: each invocation gets a FRESH
+        mkdtemp directory (0700 — a held read-back DataFrame can
+        never silently see a later invocation's rows), the previous
+        default sink is retired so litter stays bounded at one live
+        directory, and a retired-path read fails LOUDLY instead of
+        returning the wrong corpus."""
+        import os
+
+        from soccerpredictor_spark.operators import textops as T
+        from soccerpredictor_spark.operators.scale import clear_caches
+
+        clear_caches()
+        docs = spark.createDataFrame(
+            [_doc(8, TestCurateCorpus.GOOD, "src0")], DOC_SCHEMA
+        )
+        held = T.curate_corpus_write(docs)  # never executed
+        d1 = list(T._CURATE_SINK_DIRS)
+        assert len(d1) == 1
+        assert (os.stat(d1[0]).st_mode & 0o777) == 0o700
+        T.curate_corpus_write(docs).collect()  # retires d1
+        d2 = list(T._CURATE_SINK_DIRS)
+        assert len(d2) == 1 and d2[0] != d1[0]
+        assert not os.path.exists(d1[0]) and os.path.isdir(d2[0])
+        with pytest.raises(Exception, match="FILE_NOT_EXIST|FileNotFound"):
+            held.collect()
+        clear_caches()
