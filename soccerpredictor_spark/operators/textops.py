@@ -1671,18 +1671,44 @@ def doc_sim_knn(docs: DataFrame, k: int = SIM_K, max_df: int = SIM_MAX_DF) -> Da
     Returns (doc_a, doc_b, sim, rank), doc_a != doc_b, k rows max per
     doc_a, ties broken by doc_b.
     """
+    from pyspark.sql import Window as W
+
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
     tok = fan_out(docs).select("doc_id", X.tokens("text").alias("tk"))
     tf = tok.select(
         "doc_id",
         F.explode(X.shingles_from_tokens(F.col("tk"), SIM_SHINGLE_N)).alias("term"),
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= max_df
+    # r19 optimization — the ``_sized_shingles`` shape (guide §2.3/§3):
+    # previously the df weights were attached by joining the full
+    # shingle stream against the SURVIVING-term dfreq table — exactly
+    # the shape dedup.py's round-3 rewrite documents as the wrong one
+    # (at scale the vocab-sized dfreq no longer broadcasts and the
+    # stream shuffles on hot keys; locally the stream re-evaluates per
+    # consumer). Now: (1) the tiny HOT set (df > max_df, stop-phrases
+    # only) is computed with map-side partial aggregation and
+    # broadcast-ANTI-joined, so the big stream never shuffles for the
+    # cap; (2) the surviving stream attaches its exact df with a
+    # window over ``term`` whose partitions are bounded by max_df (no
+    # skew by construction); (3) the weighted posting table is
+    # checkpointed ONCE for its three consumers (norms, both self-join
+    # sides) instead of re-evaluating tokenize+explode per consumer.
+    hot = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("term")
     )
-    w = tf.join(dfreq, "term").select(
-        "term",
-        "doc_id",
-        F.round(F.lit(SIM_W_SCALE) / F.col("df")).cast("long").alias("wq"),
+    keep = tf.join(F.broadcast(hot), "term", "left_anti")
+    w = _reliable_checkpoint(
+        keep.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("term"))
+        ).select(
+            "term",
+            "doc_id",
+            F.round(F.lit(SIM_W_SCALE) / F.col("df")).cast("long").alias("wq"),
+        )
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("wq") * F.col("wq")).alias("nrm")
@@ -1700,8 +1726,6 @@ def doc_sim_knn(docs: DataFrame, k: int = SIM_K, max_df: int = SIM_MAX_DF) -> Da
     sim = F.col("dot").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
-    from pyspark.sql import Window as W
-
     rw = W.partitionBy("doc_a").orderBy(F.col("sim").desc(), F.col("doc_b").asc())
     return (
         dots.join(na, "doc_a")
@@ -6075,12 +6099,31 @@ def dsir_importance_select(docs: DataFrame) -> DataFrame:
             % F.lit(B)
         ).alias("b"),
     )
+    # r19 optimization (guide §2.3 "aggregate before you shuffle" +
+    # §2.4 "remove shuffles outright"): the raw feature-occurrence
+    # stream (tokenize + explode + md5 per occurrence — the CPU-heavy
+    # part) previously had THREE lazy consumers (bucket counts, the
+    # score join, and the zero-feature anti-join), so the whole
+    # pipeline ran three times. Fold multiplicity into a compact
+    # per-(doc, source, bucket) count table ONCE, checkpoint it, and
+    # derive all three consumers from that: identical integer sums
+    # (score = Σ_occurrences s  ==  Σ_buckets s·cnt), one corpus scan
+    # instead of three. Measured warm cell 2.9 s → see
+    # OPTIMIZATION_r19.md; at 100 TB this is two fewer full corpus
+    # tokenization passes.
+    per_doc = _reliable_checkpoint(
+        feats.groupBy("doc_id", "source", "b").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    )
     counts = _reliable_checkpoint(
-        feats.groupBy("b").agg(
+        per_doc.groupBy("b").agg(
             F.sum(
-                F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
+                F.when(
+                    F.col("source") == DSIR_TARGET_SOURCE, F.col("cnt")
+                ).otherwise(F.lit(0))
             ).alias("t_cnt"),
-            F.count(F.lit(1)).alias("r_cnt"),
+            F.sum("cnt").alias("r_cnt"),
         )
     )
     # Bounded 1-row read off the checkpointed B-row table (the
@@ -6115,13 +6158,13 @@ def dsir_importance_select(docs: DataFrame) -> DataFrame:
         )
     )
     scored = _reliable_checkpoint(
-        feats.join(F.broadcast(model), "b")
+        per_doc.join(F.broadcast(model), "b")
         .groupBy("doc_id", "source")
-        .agg(F.sum("s").alias("score"))
+        .agg(F.sum(F.col("s") * F.col("cnt")).alias("score"))
         .unionByName(
             # docs with zero features score 0 (anti-join keeps grain)
             docs.select("doc_id", "source")
-            .join(feats.select("doc_id").distinct(), "doc_id", "left_anti")
+            .join(per_doc.select("doc_id").distinct(), "doc_id", "left_anti")
             .select("doc_id", "source", F.lit(0).cast("long").alias("score"))
         )
     )
@@ -7841,12 +7884,23 @@ def contamination_matrix(docs: DataFrame) -> DataFrame:
     contamination_rate), grid-ordered. The diagonal reads
     within-source near-dup leakage (self-doc matches excluded).
     """
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
     from soccerpredictor_spark.operators.scale import candidate_budget_guard
 
     tok = fan_out(docs).select(
         "doc_id", "source", X.tokens("text").alias("w")
     )
-    rows = (
+    # r19 optimization (guide §2.4 / the repo's own multi-consumer
+    # checkpoint idiom): this distinct (doc_id, source, fp) table has
+    # FOUR downstream evaluation sites — the df_ok aggregation, both
+    # sides of the fp self-join, and the candidate-budget guard's
+    # separate count job — and none of those subtrees share an
+    # exchange, so the tokenize + explode + md5 + distinct pipeline
+    # previously ran four times per invocation. Checkpoint it once;
+    # the table is the COMPACT representation (8-byte fp per distinct
+    # gram, never the gram text), so the materialization is the small
+    # thing and the saved corpus passes are the big thing.
+    rows = _reliable_checkpoint(
         tok.select(
             "doc_id",
             "source",
