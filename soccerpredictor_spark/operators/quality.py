@@ -238,24 +238,47 @@ def fd_audit(lineitem: DataFrame) -> DataFrame:
     with a '|' separator purely as an injective grouping key (never
     surfaced); all outputs are exact integer counts.
     """
+    # r19 optimization (guide §2.3 "narrower types / shuffle fewer
+    # bytes"): the unpivoted stream previously carried the FD name and
+    # stringified keys/values — ~50 B of string per row, stringify CPU
+    # per cell, string hashing in both aggregations. Every candidate's
+    # key fits two BIGINTs and every RHS value maps injectively onto a
+    # DOUBLE (ints < 2^53 cast exactly; the single-char status code via
+    # ascii(); quantity is already a double), so the shuffled row is
+    # now (tinyint fd id, long, long, double) — same group identities,
+    # same distinct counts, bit-identical outputs after the 4-row
+    # name re-map at the end.
     pairs = []
-    for name, lhs, rhs in FD_CANDIDATES:
-        key = F.concat_ws("|", *[F.col(c).cast("string") for c in lhs])
+    for idx, (_, lhs, rhs) in enumerate(FD_CANDIDATES):
+        k1 = F.col(lhs[0]).cast("long")
+        k2 = (
+            F.col(lhs[1]).cast("long") if len(lhs) > 1
+            else F.lit(None).cast("long")
+        )
+        v = F.col(rhs)
+        if rhs == "l_linestatus":
+            v = F.ascii(v)
         pairs.append(
             F.struct(
-                F.lit(name).alias("fd"),
-                key.alias("k"),
-                F.col(rhs).cast("string").alias("v"),
+                F.lit(idx).cast("int").alias("fd"),
+                k1.alias("k1"),
+                k2.alias("k2"),
+                v.cast("double").alias("v"),
             )
         )
     exploded = lineitem.select(
         F.explode(F.array(*pairs)).alias("e")
-    ).select("e.fd", "e.k", "e.v")
-    groups = exploded.groupBy("fd", "k").agg(
+    ).select("e.fd", "e.k1", "e.k2", "e.v")
+    groups = exploded.groupBy("fd", "k1", "k2").agg(
         F.countDistinct("v").alias("nd"),
         F.count(F.lit(1)).alias("cnt"),
     )
     viol = F.col("nd") > 1
+    fd_name = F.col("fd")
+    for idx, (name, _, _) in enumerate(FD_CANDIDATES):
+        fd_name = F.when(F.col("fd") == idx, name) if idx == 0 else fd_name.when(
+            F.col("fd") == idx, name
+        )
     return (
         groups.groupBy("fd")
         .agg(
@@ -267,7 +290,8 @@ def fd_audit(lineitem: DataFrame) -> DataFrame:
             F.max("nd").alias("max_rhs_variants"),
         )
         .select(
-            "fd", "n_groups", "n_violating_groups", "n_violating_rows",
+            fd_name.alias("fd"),
+            "n_groups", "n_violating_groups", "n_violating_rows",
             "max_rhs_variants",
             (F.col("n_violating_groups") == 0).cast("int").alias("holds"),
         )

@@ -7442,29 +7442,43 @@ def dup_ngram_char_fraction(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+
     base = fan_out(docs).select(
         "doc_id", X.tokens(F.lower(F.col("text"))).alias("t")
     )
-    toklens = base.select(
-        "doc_id", F.posexplode("t").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), F.length("tok").alias("tl"))
-    totals = base.select(
-        F.count(F.lit(1)).alias("nd"),
-        F.sum(
-            F.aggregate(
-                F.transform(F.col("t"), lambda x: F.length(x)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
+    # r19 optimization (guide §1.2 per-task work + §2.4): (1) the
+    # (doc_id, position, token-length) table is checkpointed ONCE and
+    # shared by both rungs' char-accounting joins and the corpus char
+    # total — previously each consumer re-ran tokenize+posexplode;
+    # (2) the corpus totals derive from that table plus a column-
+    # pruned doc count instead of a third tokenize pass with a
+    # per-row fold.
+    toklens = _reliable_checkpoint(
+        base.select(
+            "doc_id", F.posexplode("t").alias("p0", "tok")
+        ).select(
+            "doc_id", (F.col("p0") + 1).alias("p"), F.length("tok").alias("tl")
         )
-        .cast("long")
-        .alias("tc"),
+    )
+    totals = docs.select(F.count(F.lit(1)).alias("nd")).crossJoin(
+        toklens.select(F.sum("tl").cast("long").alias("tc"))
     )
     spine = docs.sparkSession.createDataFrame(
         [(int(n),) for n in DUP_NGRAM_NS], "gram_n long"
     )
     parts = []
     for n in DUP_NGRAM_NS:
+        # r19 optimization (the suffix_dedup_spans rewrite, same
+        # argument): the prefilter fingerprint is INTERNAL — the
+        # oracle states the criterion on literal gram text and the
+        # exact confirm drops collisions — so pass 1 hashes the
+        # token-array slice with codegen-native xxhash64 and never
+        # builds a gram string; only fp-surviving candidates
+        # re-attach their token array (by doc_id — AQE broadcasts the
+        # rare candidate side) and materialize literal text for the
+        # exact confirm. Equal text => equal slice => equal hash, so
+        # the confirmed set is provably unchanged.
         pos = base.filter(F.size("t") >= n).select(
             "doc_id",
             F.explode(
@@ -7474,26 +7488,27 @@ def dup_ngram_char_fraction(docs: DataFrame) -> DataFrame:
         ).select(
             "doc_id",
             "i",
-            F.array_join(F.slice("t", F.col("i"), F.lit(n)), " ").alias("g"),
-        )
-        grams = pos.withColumn(
-            "fp",
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit("dg:"), F.col("g"))), 1, 15),
-                16,
-                10,
-            ).cast("long"),
+            F.xxhash64(F.slice("t", F.col("i"), F.lit(n))).alias("fp"),
         )
         # pass 1: fp multiplicity — the shuffle moves (doc_id, fp) only
         dup_fp = (
-            grams.groupBy("doc_id", "fp")
+            pos.groupBy("doc_id", "fp")
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") >= 2)
             .select("doc_id", "fp")
         )
+        candpos = pos.join(dup_fp, ["doc_id", "fp"]).select("doc_id", "i")
         # pass 2: exact confirm over the fp-duplicated candidates only
         starts = (
-            grams.join(dup_fp, ["doc_id", "fp"])
+            base.select("doc_id", "t")
+            .join(candpos, "doc_id")
+            .select(
+                "doc_id",
+                "i",
+                F.array_join(
+                    F.slice("t", F.col("i"), F.lit(n)), " "
+                ).alias("g"),
+            )
             .withColumn(
                 "cg",
                 F.count(F.lit(1)).over(Window.partitionBy("doc_id", "g")),
