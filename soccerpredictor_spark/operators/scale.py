@@ -229,7 +229,8 @@ def plan_keyed_cache(cache: dict, df_in: DataFrame, extra_key, build, max_entrie
 def clear_caches() -> int:
     """Empty every ``plan_keyed_cache`` store in the package (graph
     edge lists, minhash verified pairs, dedup CC labels, embedding
-    near-dup pairs, sign-LSH sketch bases, shared price-decile edges)
+    near-dup pairs, sign-LSH sketch bases, shared price-decile edges,
+    curate-capstone verdict/per-source tables, BPE merge-loop states)
     and return how many entries were dropped.
 
     The cache key is (analyzed plan, params, session) — it cannot see
@@ -241,7 +242,13 @@ def clear_caches() -> int:
     already-materialized checkpoint handles; dropping them affects
     future lookups only.
     """
-    from soccerpredictor_spark.operators import dedup, graph, mlprep, similarity
+    from soccerpredictor_spark.operators import (
+        dedup,
+        graph,
+        mlprep,
+        similarity,
+        textops,
+    )
 
     stores = (
         graph._EDGE_CACHE,
@@ -250,6 +257,8 @@ def clear_caches() -> int:
         similarity._PAIR_CACHE,
         similarity._SKETCH_CACHE,
         mlprep._PRICE_EDGES_CACHE,
+        textops._CURATE_CACHE,
+        textops._BPE_CACHE,
     )
     n = sum(len(s) for s in stores)
     for s in stores:

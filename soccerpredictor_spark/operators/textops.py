@@ -4394,10 +4394,58 @@ def bpe_learn_merges(
     engines. Reference scope: the reference engine ships no tokenizer
     (SURVEY.md §2 extension family).
     """
-    merges, _ = _bpe_loop(docs, n_merges, vocab_cap)
+    merges, _ = _bpe_loop_pinned(docs, n_merges, vocab_cap)
     return docs.sparkSession.createDataFrame(
         merges, "round int, lhs string, rhs string, merged string, pair_count bigint"
     ).orderBy("round")
+
+
+#: session-lifetime ``plan_keyed_cache`` store for the shared BPE
+#: merge loop: (merges list, final word-type table, per-round state
+#: tables) keyed ("bpe", n_merges, vocab_cap). Cleared by
+#: ``operators.scale.clear_caches``.
+_BPE_CACHE: dict = {}
+
+
+def _bpe_loop_pinned(
+    docs: DataFrame,
+    n_merges: int,
+    vocab_cap: int,
+    on_state=None,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Session-cached front of :func:`_bpe_loop` (round-19). FOUR
+    registered queries run the identical merge loop on the identical
+    corpus (``bpe_learn_merges``, ``bpe_encode_fertility``,
+    ``doc_token_budget``, ``bpe_merge_curve``); each used to pay the
+    corpus tokenize + capped-vocab build + 10 driver-round-trip merge
+    rounds per invocation. The loop is deterministic (count-desc,
+    word-asc tie-broken top pair per round over a checkpointed type
+    table), so one run per (session, corpus plan, n_merges,
+    vocab_cap) serves the family — the ``plan_keyed_cache``
+    convention. Per-round states are recorded once and REPLAYED to
+    ``on_state`` consumers (the merge-curve sweep), preserving the
+    exact callback sequence the uncached loop delivers (k=0 pre-merge
+    state, one per round, exhausted rounds re-delivering the final
+    table)."""
+    from soccerpredictor_spark.operators.scale import plan_keyed_cache
+
+    def build():
+        states: dict[int, DataFrame] = {}
+        merges, final = _bpe_loop(
+            docs,
+            n_merges,
+            vocab_cap,
+            on_state=lambda k, cur: states.__setitem__(k, cur),
+        )
+        return (merges, final, states)
+
+    merges, final, states = plan_keyed_cache(
+        _BPE_CACHE, docs, ("bpe", n_merges, vocab_cap), build
+    )
+    if on_state is not None:
+        for k in sorted(states):
+            on_state(k, states[k])
+    return merges, final
 
 
 def _bpe_loop(
@@ -4577,7 +4625,7 @@ def bpe_encode_fertility(
     rewritten type table. Piece counts are exact integers; the two
     ratios are single double divisions.
     """
-    merges, final_words = _bpe_loop(docs, n_merges, vocab_cap)
+    merges, final_words = _bpe_loop_pinned(docs, n_merges, vocab_cap)
     n_pieces = F.size(_bpe_syms("seq"))
     return final_words.agg(
         F.count(F.lit(1)).alias("n_types"),
@@ -4944,7 +4992,7 @@ def doc_token_budget(
     (explode preserves row locality, so map-side combine collapses to
     one row per doc before the shuffle) + a bucket-keyed rollup.
     """
-    _, final_words = _bpe_loop(docs, n_merges, vocab_cap)
+    _, final_words = _bpe_loop_pinned(docs, n_merges, vocab_cap)
     wp = final_words.select(
         "word", F.size(_bpe_syms("seq")).alias("n_pieces")
     )
@@ -5275,7 +5323,7 @@ def bpe_merge_curve(
         )
 
     snaps: list[DataFrame] = []
-    _bpe_loop(
+    _bpe_loop_pinned(
         docs,
         max_k,
         vocab_cap,
@@ -10463,6 +10511,13 @@ CURATE_STAGES = (
 #: the previous one, and the last is removed at interpreter exit).
 _CURATE_SINK_DIRS: list = []
 
+#: session-lifetime ``plan_keyed_cache`` store for the curate
+#: capstone family's shared materializations — the SLIM doc-grain
+#: verdict table (keyed ("verdict", min_stopwords)) and the
+#: source-ladder-sized per-source stage table (keyed ("per_src",
+#: min_stopwords)). Cleared by ``operators.scale.clear_caches``.
+_CURATE_CACHE: dict = {}
+
 
 def _curate_default_sink() -> str:
     """A fresh 0700 per-invocation sink root for
@@ -10506,7 +10561,14 @@ def _curate_verdict(
     keep_span, kept_tok). ``min_stopwords`` parameterizes the Gopher
     stopword gate (default = the fixture-calibrated
     :data:`CURATE_GOPHER_MIN_STOPWORDS`; a natural-language
-    deployment passes the paper's 2 explicitly)."""
+    deployment passes the paper's 2 explicitly).
+
+    Lazy single-consumer view — family members share it through
+    :func:`_curate_verdict_pinned` (round-19: checkpointed once per
+    (session, corpus plan, min_stopwords) via ``plan_keyed_cache``),
+    which is exactly the "persist the SLIM verdict projection — tens
+    of bytes/doc" move the capstone docstring prescribes for a 100 TB
+    deployment."""
     from soccerpredictor_spark.operators.dedup import near_dup_clusters
 
     spark = docs.sparkSession
@@ -10568,6 +10630,30 @@ def _curate_verdict(
     )
 
 
+def _curate_verdict_pinned(
+    docs: DataFrame, min_stopwords: int = CURATE_GOPHER_MIN_STOPWORDS
+) -> DataFrame:
+    """The SLIM verdict table, checkpointed ONCE per (session, corpus
+    plan, min_stopwords) and shared by every capstone family member
+    (round-19). Before this pin each of the three registered capstone
+    queries re-ran the corpus scan + gopher flags + doc-grain joins
+    per invocation — and :func:`curate_corpus` ran it twice within
+    one query (funnel aggregation + loser slice are different
+    subtrees, so AQE exchange reuse cannot dedup them). The verdict
+    is tens of bytes per document (~1% of corpus bytes), the same
+    slim projection the capstone docstring tells a 100 TB deployment
+    to persist."""
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+    from soccerpredictor_spark.operators.scale import plan_keyed_cache
+
+    return plan_keyed_cache(
+        _CURATE_CACHE,
+        docs,
+        ("verdict", min_stopwords),
+        lambda: _reliable_checkpoint(_curate_verdict(docs, min_stopwords)),
+    )
+
+
 def _curate_loser_rows(verdict: DataFrame) -> DataFrame:
     """Non-best members of each near-dup cluster among gate
     survivors — the rows keep-best survivorship removes. Ranks ONLY
@@ -10593,10 +10679,30 @@ def _curate_per_src(
     (per-source attribution) and the quota line: (source, n_base,
     t_base, n2, t2, n3, t3, n4, t4, n5, t5, n6, t6) — document and
     token mass surviving each gate, per source. Source-ladder sized;
-    the pin is free and every consumer reads it."""
+    the pin is free and every consumer reads it. Round-19: both this
+    table and the verdict it aggregates are ``plan_keyed_cache``d, so
+    within a session the capstone family pays ONE corpus scan total
+    (the funnel docstring's amortization claim, now actually true —
+    previously each registered member rebuilt the scan)."""
+    from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
+    from soccerpredictor_spark.operators.scale import plan_keyed_cache
+
+    def build() -> DataFrame:
+        return _curate_per_src_build(docs, min_stopwords)
+
+    return plan_keyed_cache(
+        _CURATE_CACHE, docs, ("per_src", min_stopwords), build
+    )
+
+
+def _curate_per_src_build(
+    docs: DataFrame, min_stopwords: int
+) -> DataFrame:
+    """Uncached body of :func:`_curate_per_src` (reads the pinned
+    verdict; returns the checkpointed source-ladder table)."""
     from soccerpredictor_spark.operators.dedup import _reliable_checkpoint
 
-    verdict = _curate_verdict(docs, min_stopwords)
+    verdict = _curate_verdict_pinned(docs, min_stopwords)
     cnt_if = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
     sum_if = lambda c, x: F.coalesce(  # noqa: E731
         F.sum(F.when(c, x)), F.lit(0)
@@ -10673,11 +10779,14 @@ def curate_corpus(
     their audit operators via ``plan_keyed_cache``. Survivorship
     ranks ONLY the labeled gate-surviving slice (bounded-skew
     component keys, the :func:`dedup.dedup_keep_best` shape) into a
-    mixture-sized loser aggregate; the corpus is scanned twice
-    (funnel aggregation + loser slice — the subtrees differ, so no
-    pin pretends otherwise; at a 100 TB deployment, persist the SLIM
-    verdict projection — tens of bytes/doc, ~1% of corpus bytes — to
-    cut the second scan's IO to a cache read), every other table is
+    mixture-sized loser aggregate; the funnel aggregation and the
+    loser slice are different subtrees (AQE exchange reuse cannot
+    dedup them), so both read the PINNED verdict checkpoint
+    (:func:`_curate_verdict_pinned`, round-19) — the corpus is
+    scanned once per session for the whole family, and the "persist
+    the SLIM verdict projection — tens of bytes/doc, ~1% of corpus
+    bytes" deployment note is now the implemented shape rather than
+    advice. Every other table is
     source-ladder sized and the per-source table is checkpointed
     (the quota line, the stage totals and the quota fold all read
     it). The
@@ -10943,7 +11052,7 @@ def curate_corpus_write(
     from soccerpredictor_spark.sources.sinks import write_parquet
 
     spark = docs.sparkSession
-    verdict = _curate_verdict(docs, min_stopwords)
+    verdict = _curate_verdict_pinned(docs, min_stopwords)
     loser_ids = _curate_loser_rows(verdict).select("doc_id")
     survivors = (
         verdict.filter(F.col("s4") & F.col("keep_span"))

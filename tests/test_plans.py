@@ -1586,3 +1586,59 @@ def test_substring_dedup_single_scan_no_joins(spark, sf001):
     assert plan.count("FileScan") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_curate_family_shares_pinned_verdict(spark, sf001):
+    """Round-19: the capstone family materializes the SLIM verdict
+    table once per (session, corpus plan, min_stopwords) — after any
+    member builds, the other members' registered plans read pinned
+    checkpoints (no parquet re-scan of documents), and clearing the
+    caches rebuilds to identical results."""
+    from soccerpredictor_spark.operators import textops
+    from soccerpredictor_spark.operators.scale import clear_caches
+
+    clear_caches()
+    funnel_cold = (
+        entry.queries()["curate_funnel_by_source"](spark, sf001)
+        .toPandas()
+    )
+    # the build populated both family entries: verdict + per_src
+    keys = {k[1][0] for k in textops._CURATE_CACHE}
+    assert keys == {"verdict", "per_src"}, keys
+    # warm members build without touching parquet: every scan in the
+    # registered plans is a checkpoint handle
+    for name in ("curate_corpus", "curate_funnel_by_source"):
+        plan = _plan(entry.queries()[name](spark, sf001))
+        assert "FileScan" not in plan, name
+        assert "Scan ExistingRDD" in plan, name
+    # and a cleared cache rebuilds to the identical result
+    clear_caches()
+    funnel_rebuilt = (
+        entry.queries()["curate_funnel_by_source"](spark, sf001)
+        .toPandas()
+    )
+    assert funnel_cold.equals(funnel_rebuilt)
+
+
+def test_bpe_family_shares_pinned_loop(spark, sf001):
+    """Round-19: the BPE merge loop (corpus tokenize + capped vocab +
+    10 driver-round-trip merge rounds) runs once per (session, corpus
+    plan, n_merges, vocab_cap) and serves all four family members —
+    including the merge-curve sweep, whose per-round on_state
+    callbacks are replayed from the recorded states. A cleared cache
+    rebuilds to identical results."""
+    from soccerpredictor_spark.operators import textops
+    from soccerpredictor_spark.operators.scale import clear_caches
+
+    clear_caches()
+    learn_cold = entry.queries()["bpe_learn_merges"](spark, sf001).toPandas()
+    assert len(textops._BPE_CACHE) == 1
+    # the other members build from the cached loop — no new entries,
+    # and the curve's on_state replay yields every requested point
+    curve = entry.queries()["bpe_merge_curve"](spark, sf001).toPandas()
+    assert len(textops._BPE_CACHE) == 1
+    assert sorted(curve["n_merges"]) == sorted(textops.BPE_CURVE_POINTS)
+    # cleared cache rebuilds to the identical merge table
+    clear_caches()
+    learn_rebuilt = entry.queries()["bpe_learn_merges"](spark, sf001).toPandas()
+    assert learn_cold.equals(learn_rebuilt)
