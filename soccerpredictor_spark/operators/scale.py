@@ -259,6 +259,7 @@ def clear_caches() -> int:
         mlprep._PRICE_EDGES_CACHE,
         textops._CURATE_CACHE,
         textops._BPE_CACHE,
+        textops._MIX_CACHE,
     )
     n = sum(len(s) for s in stores)
     for s in stores:

@@ -3151,7 +3151,32 @@ FROM tot, prod
 TEMP_MIX_BUDGET = 10_000
 
 
+#: session-lifetime ``plan_keyed_cache`` store for the mixture-policy
+#: family: the three policy outputs (mixture-sized tables over
+#: per-invocation eager builds — temperature's corpus-count
+#: checkpoint, the waterfill checkpoint, DoReMi's per-round state
+#: checkpoints) are computed once per (session, corpus plan) and
+#: shared by the standalone policy queries and
+#: ``mixture_policy_compare``. Cleared by
+#: ``operators.scale.clear_caches``.
+_MIX_CACHE: dict = {}
+
+
+def _mix_pinned(docs: DataFrame, name: str, build) -> DataFrame:
+    """Round-19 family front for the three mixture policies: each
+    policy's eager build runs once per (session, corpus plan) and its
+    mixture-sized output plan is shared by every consumer (the
+    standalone registered query and the 3-way compare)."""
+    from soccerpredictor_spark.operators.scale import plan_keyed_cache
+
+    return plan_keyed_cache(_MIX_CACHE, docs, name, build)
+
+
 def temperature_mix(docs: DataFrame) -> DataFrame:
+    return _mix_pinned(docs, "temperature_mix", lambda: _temperature_mix_build(docs))
+
+
+def _temperature_mix_build(docs: DataFrame) -> DataFrame:
     """Temperature-scaled source mixture — the multilingual/multi-
     domain rebalancing rule (mBERT/XLM-R style): sample source s with
     probability proportional to n_s^T, which upweights small sources
@@ -4174,6 +4199,10 @@ WATERFILL_BUDGET = 300
 
 
 def capped_mix_waterfill(docs: DataFrame) -> DataFrame:
+    return _mix_pinned(docs, "capped_mix_waterfill", lambda: _capped_mix_waterfill_build(docs))
+
+
+def _capped_mix_waterfill_build(docs: DataFrame) -> DataFrame:
     """Uniform-with-caps mixture allocation (waterfilling): give
     every source an equal share of the sample budget EXCEPT where a
     source simply doesn't have that many documents — cap it at its
@@ -6764,6 +6793,10 @@ DOREMI_MIX = DOREMI_SCALE // 5
 
 
 def doremi_mixture(docs: DataFrame) -> DataFrame:
+    return _mix_pinned(docs, "doremi_mixture", lambda: _doremi_mixture_build(docs))
+
+
+def _doremi_mixture_build(docs: DataFrame) -> DataFrame:
     """DoReMi domain-mixture reweighting (Xie et al., NeurIPS 2023) —
     the published data-mixture method: upweight domains with large
     EXCESS LOSS (how much a generalist model underperforms on the

@@ -1642,3 +1642,29 @@ def test_bpe_family_shares_pinned_loop(spark, sf001):
     clear_caches()
     learn_rebuilt = entry.queries()["bpe_learn_merges"](spark, sf001).toPandas()
     assert learn_cold.equals(learn_rebuilt)
+
+
+def test_mixture_family_shares_pinned_policies(spark, sf001):
+    """Round-19: each mixture policy's eager build (temperature's
+    corpus-count checkpoint, the waterfill checkpoint, DoReMi's
+    per-round state pins) runs once per (session, corpus plan) and
+    its output plan is shared by the standalone query and the 3-way
+    compare. Cleared cache rebuilds to identical results."""
+    from soccerpredictor_spark.operators import textops
+    from soccerpredictor_spark.operators.scale import clear_caches
+
+    clear_caches()
+    dm_cold = entry.queries()["doremi_mixture"](spark, sf001).toPandas()
+    assert {k[1] for k in textops._MIX_CACHE} == {"doremi_mixture"}
+    cmp_df = entry.queries()["mixture_policy_compare"](spark, sf001)
+    cmp_cold = cmp_df.toPandas()
+    assert {k[1] for k in textops._MIX_CACHE} == {
+        "doremi_mixture", "temperature_mix", "capped_mix_waterfill"
+    }
+    clear_caches()
+    assert dm_cold.equals(
+        entry.queries()["doremi_mixture"](spark, sf001).toPandas()
+    )
+    assert cmp_cold.equals(
+        entry.queries()["mixture_policy_compare"](spark, sf001).toPandas()
+    )
