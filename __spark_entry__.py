@@ -2712,59 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # always [new registrations + the stalest cohort] and future
         # rotations stay a pure prefix shift.  CI:
         # tests/test_operators_unit.py::test_driver_window_rotation_staleness.
-        # --- never driver-verified (MUST be in the window) ---
-        "robots_rule_marginal_sweep": _q_robots_rule_marginal_sweep,
-        "ann_recall_k_sweep": _q_ann_recall_k_sweep,
-        "curate_corpus": _q_curate_corpus,
-        "curate_corpus_write": _q_curate_corpus_write,
-        "curate_funnel_by_source": _q_curate_funnel_by_source,
-        # --- r11 cohort ---
-        "window_topn_per_group": _q_window_topn,
-        "distinct_projection": _q_distinct_projection,
-        "stupid_backoff_lm": _q_stupid_backoff_lm,
-        "ngram_decontaminate": _q_ngram_decontaminate,
-        "knn_label_eval": _q_knn_label_eval,
         # --- r12 cohort ---
-        "mann_whitney_u": _q_mann_whitney_u,
-        "holt_winters": _q_holt_winters,
-        "group_holdout_split": _q_group_holdout_split,
-        "mann_kendall": _q_mann_kendall,
-        "bottomk_sample_audit": _q_bottomk_sample_audit,
-        "clustering_coefficient": _q_clustering_coefficient,
-        "graph_assortativity": _q_graph_assortativity,
-        "kcore_decomposition": _q_kcore_decomposition,
-        "bradley_terry_strength": _q_bradley_terry_strength,
-        "calibration_ece": _q_calibration_ece,
-        "source_overlap_matrix": _q_source_overlap_matrix,
-        "lsh_pair_recall_eval": _q_lsh_pair_recall_eval,
-        "embedding_drift": _q_embedding_drift,
-        "stratified_kfold": _q_stratified_kfold,
-        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
-        "burst_episodes": _q_burst_episodes,
-        "capped_mix_waterfill": _q_capped_mix_waterfill,
-        "ams_f2_audit": _q_ams_f2_audit,
-        "fd_audit": _q_fd_audit,
-        "matthews_corr": _q_matthews_corr,
-        "overdispersion_audit": _q_overdispersion_audit,
-        "record_highs": _q_record_highs,
-        "topk_churn": _q_topk_churn,
-        "histogram_overlap_drift": _q_histogram_overlap_drift,
-        "weighted_median": _q_weighted_median,
-        "interarrival_profile": _q_interarrival_profile,
-        "dedup_shingle_sweep": _q_dedup_shingle_sweep,
-        "hod_uniformity": _q_hod_uniformity,
-        "table_checksum": _q_table_checksum,
-        "out_of_order_audit": _q_out_of_order_audit,
-        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
-        "attribution_compare": _q_attribution_compare,
-        "freshness_audit": _q_freshness_audit,
-        "hll_intersection_est": _q_hll_intersection_est,
-        "value_concentration": _q_value_concentration,
-        "temporal_leakage_audit": _q_temporal_leakage_audit,
-        "source_dup_rate": _q_source_dup_rate,
-        "rank_stability_tau": _q_rank_stability_tau,
-        "activity_streaks": _q_activity_streaks,
-        "gini_activity": _q_gini_activity,
         "session_gap_sweep": _q_session_gap_sweep,
         "bpe_learn_merges": _q_bpe_learn_merges,
         "corpus_shuffle": _q_corpus_shuffle,
@@ -3081,6 +3029,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
+        # --- r19 cohort ---
+        "robots_rule_marginal_sweep": _q_robots_rule_marginal_sweep,
+        "ann_recall_k_sweep": _q_ann_recall_k_sweep,
+        "curate_corpus": _q_curate_corpus,
+        "curate_corpus_write": _q_curate_corpus_write,
+        "curate_funnel_by_source": _q_curate_funnel_by_source,
+        "window_topn_per_group": _q_window_topn,
+        "distinct_projection": _q_distinct_projection,
+        "stupid_backoff_lm": _q_stupid_backoff_lm,
+        "ngram_decontaminate": _q_ngram_decontaminate,
+        "knn_label_eval": _q_knn_label_eval,
+        "mann_whitney_u": _q_mann_whitney_u,
+        "holt_winters": _q_holt_winters,
+        "group_holdout_split": _q_group_holdout_split,
+        "mann_kendall": _q_mann_kendall,
+        "bottomk_sample_audit": _q_bottomk_sample_audit,
+        "clustering_coefficient": _q_clustering_coefficient,
+        "graph_assortativity": _q_graph_assortativity,
+        "kcore_decomposition": _q_kcore_decomposition,
+        "bradley_terry_strength": _q_bradley_terry_strength,
+        "calibration_ece": _q_calibration_ece,
+        "source_overlap_matrix": _q_source_overlap_matrix,
+        "lsh_pair_recall_eval": _q_lsh_pair_recall_eval,
+        "embedding_drift": _q_embedding_drift,
+        "stratified_kfold": _q_stratified_kfold,
+        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
+        "burst_episodes": _q_burst_episodes,
+        "capped_mix_waterfill": _q_capped_mix_waterfill,
+        "ams_f2_audit": _q_ams_f2_audit,
+        "fd_audit": _q_fd_audit,
+        "matthews_corr": _q_matthews_corr,
+        "overdispersion_audit": _q_overdispersion_audit,
+        "record_highs": _q_record_highs,
+        "topk_churn": _q_topk_churn,
+        "histogram_overlap_drift": _q_histogram_overlap_drift,
+        "weighted_median": _q_weighted_median,
+        "interarrival_profile": _q_interarrival_profile,
+        "dedup_shingle_sweep": _q_dedup_shingle_sweep,
+        "hod_uniformity": _q_hod_uniformity,
+        "table_checksum": _q_table_checksum,
+        "out_of_order_audit": _q_out_of_order_audit,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "attribution_compare": _q_attribution_compare,
+        "freshness_audit": _q_freshness_audit,
+        "hll_intersection_est": _q_hll_intersection_est,
+        "value_concentration": _q_value_concentration,
+        "temporal_leakage_audit": _q_temporal_leakage_audit,
+        "source_dup_rate": _q_source_dup_rate,
+        "rank_stability_tau": _q_rank_stability_tau,
+        "activity_streaks": _q_activity_streaks,
+        "gini_activity": _q_gini_activity,
     }
 
 
