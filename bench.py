@@ -171,6 +171,11 @@ def main() -> None:
         out["queries_full"] = "bench_queries.json"
     if cache_warm:
         out["cache_warm"] = {k: round(v, 2) for k, v in cache_warm.items()}
+        # the prewarm builds are real work a cold session pays; report
+        # the combined figure so the headline total_runtime (timed
+        # cells only) never understates a cold session (r19 verdict
+        # item 7 — additions-only, the driver's parser is unaffected)
+        out["total_with_warm"] = round(total + sum(cache_warm.values()), 4)
     if load_start is not None or load_end is not None:
         out["loadavg"] = {"ambient": load_ambient, "start": load_start,
                           "end": load_end}

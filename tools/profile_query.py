@@ -31,7 +31,13 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--plans", default=None, help="directory for explain dumps (optional)")
     ap.add_argument("--suffix", default="_before")
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--runs",
+        type=int,
+        default=3,
+        help="warm runs per query, >= 1 (one cold run is always added first, "
+        "so each query executes runs+1 times)",
+    )
     ap.add_argument("--no-prewarm", action="store_true")
     ap.add_argument(
         "--plan-only",
@@ -40,6 +46,9 @@ def main() -> None:
         "(for noisy-host sessions where only plan shape is wanted)",
     )
     args = ap.parse_args()
+    if args.runs < 1:
+        # min(warm)/min(builds[1:]) below need at least one warm run
+        ap.error("--runs must be >= 1 (use --plan-only for untimed dumps)")
 
     from soccerpredictor_spark.session import get_spark
 
