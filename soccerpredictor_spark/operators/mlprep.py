@@ -295,19 +295,31 @@ def _price_decile_edges(orders: DataFrame, n_bins: int) -> DataFrame:
             )
         )
         n = orders.agg(F.count(F.lit(1)).alias("n_all"))
-        cd = (F.col("w_below") + F.col("w_in")).cast("double") / F.col(
-            "n_all"
-        ).cast("double")
+        # r20 (ADVICE): the boundary test cume_dist >= q is done in
+        # EXACT integer arithmetic — deciles are rational i/n_bins, so
+        # "cum/n >= i/n_bins" is "cum * n_bins >= i * n_all" on longs
+        # (no overflow: cum, n_all < 2^63/n_bins at any corpus scale).
+        # The previous double division could round opposite ways at
+        # exact-boundary (cum, n) pairs; verified bit-identical edges
+        # on sf0.001/0.01/0.1 and the r19 adversarial distributions.
         cum = (
             within.join(bucket_cum, "bucket")
             .crossJoin(F.broadcast(n))
-            .select("v", cd.alias("cd"))
+            .select(
+                "v",
+                (F.col("w_below") + F.col("w_in")).alias("cum"),
+                "n_all",
+            )
         )
         edges = cum.agg(
             *[
-                F.min(F.when(F.col("cd") >= F.lit(q), F.col("v"))).alias(
-                    f"e{i}"
-                )
+                F.min(
+                    F.when(
+                        F.col("cum") * F.lit(n_bins)
+                        >= F.lit(i) * F.col("n_all"),
+                        F.col("v"),
+                    )
+                ).alias(f"e{i}")
                 for i, q in enumerate(qs, start=1)
             ]
         )
@@ -2280,8 +2292,10 @@ def quantile_normalize(lineitem: DataFrame) -> DataFrame:
     buckets (the edges only affect BALANCE — any constants give the
     identical rank, since equal values share a bucket and lower
     buckets' counts are exact offsets), rows row_number WITHIN their
-    bucket on the (v, l_orderkey, l_linenumber) total order, and
-    rank = bucket offset + within-rank. Measured: the single-
+    bucket ordered by v (ties arbitrary — equal values are
+    interchangeable under rank-mean aggregation, see the r20 note
+    below), and rank = bucket offset + within-rank. Measured: the
+    single-
     partition sort was 51 s at the 10x decade; bucketed it
     re-linearizes. Rank means are exact-integer aggregations (one
     double division).
@@ -2298,14 +2312,23 @@ def quantile_normalize(lineitem: DataFrame) -> DataFrame:
     checkpoint both disappear; values are bit-identical (same norm_v
     set per feature, exact-integer sums).
     """
+    # r20 (§2.3 narrower shuffle types — the fd_audit trick): the
+    # unpivoted stream carries an INT feature code (1=discount,
+    # 2=price, 3=quantity; alphabetical so code order == name order)
+    # instead of the name string, and DROPS the (l_orderkey,
+    # l_linenumber) tie-break columns entirely: row_number ties among
+    # equal v then land in arbitrary order, but equal values are
+    # interchangeable in every consumer — rank_means groups by rnk
+    # over the same v either way, and counts/sums are order-free — so
+    # the output is bit-identical while the big window exchange moves
+    # (int, long, int) rows instead of (string, long, long, int, int)
+    # and sorts on v alone. Names re-attach on the 3-row result.
     feats = lineitem.select(
-        "l_orderkey",
-        "l_linenumber",
         F.expr(
             "stack(3,"
-            " 'quantity', CAST(l_quantity AS BIGINT) * 100,"
-            " 'price', CAST(round(l_extendedprice * 100) AS BIGINT),"
-            " 'discount', CAST(round(l_discount * 10000) AS BIGINT))"
+            " 3, CAST(l_quantity AS BIGINT) * 100,"
+            " 2, CAST(round(l_extendedprice * 100) AS BIGINT),"
+            " 1, CAST(round(l_discount * 10000) AS BIGINT))"
         ).alias("feature", "v"),
     )
     # balance-only approximate edges (31 cuts -> <=32 range buckets per
@@ -2349,13 +2372,9 @@ def quantile_normalize(lineitem: DataFrame) -> DataFrame:
     bucketed = feats.select(
         "feature",
         "v",
-        "l_orderkey",
-        "l_linenumber",
         vb_final.alias("vb"),
     )
-    w_in = Window.partitionBy("feature", "vb").orderBy(
-        F.col("v").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
-    )
+    w_in = Window.partitionBy("feature", "vb").orderBy(F.col("v").asc())
     winned = (
         bucketed.withColumn("rn_in", F.row_number().over(w_in))
         .select("feature", "vb", "v", "rn_in")
@@ -2420,9 +2439,16 @@ def quantile_normalize(lineitem: DataFrame) -> DataFrame:
     # of the normalized column (identical across features up to
     # row-count parity — the property quantile normalization exists
     # to enforce) plus the pre-normalization integer sum
+    name = (
+        F.when(F.col("feature") == 1, F.lit("discount"))
+        .when(F.col("feature") == 2, F.lit("price"))
+        .otherwise(F.lit("quantity"))
+    )
     return (
         totals.join(stats, "feature")
-        .select("feature", "n_rows", "raw_sum", "norm_min", "norm_max")
+        .select(
+            name.alias("feature"), "n_rows", "raw_sum", "norm_min", "norm_max"
+        )
         .orderBy("feature")
     )
 
@@ -3184,6 +3210,11 @@ def bradley_terry_strength(lineitem: DataFrame) -> DataFrame:
             ).alias("tot"),
             F.count(F.lit(1)).alias("n_items"),
         )
+        # per-round eager checkpoint: measured AGAINST batching two MM
+        # rounds per checkpoint in r20 (paired interleaved A/B, sf0.1:
+        # 1.18x SLOWER batched — the fused round's doubled
+        # broadcast-build work costs more than the saved driver
+        # round-trip), so the r19 shape stays.
         strengths = _reliable_checkpoint(
             raw.crossJoin(F.broadcast(total)).select(
                 "i",
