@@ -1686,10 +1686,13 @@ def doc_sim_knn(docs: DataFrame, k: int = SIM_K, max_df: int = SIM_MAX_DF) -> Da
     # the shape dedup.py's round-3 rewrite documents as the wrong one
     # (at scale the vocab-sized dfreq no longer broadcasts and the
     # stream shuffles on hot keys; locally the stream re-evaluates per
-    # consumer). Now: (1) the tiny HOT set (df > max_df, stop-phrases
-    # only) is computed with map-side partial aggregation and
-    # broadcast-ANTI-joined, so the big stream never shuffles for the
-    # cap; (2) the surviving stream attaches its exact df with a
+    # consumer). Now: (1) the usually-tiny HOT set (df > max_df,
+    # stop-words only) is computed with map-side partial aggregation
+    # and ANTI-joined — unhinted since r20 (verdict item 2): AQE
+    # broadcasts it at runtime from the aggregate's real size, and on
+    # a stop-word-heavy 100 TB crawl where the hot set is huge it
+    # degrades to a shuffle instead of OOMing the driver; (2) the
+    # surviving stream attaches its exact df with a
     # window over ``term`` whose partitions are bounded by max_df (no
     # skew by construction); (3) the weighted posting table is
     # checkpointed ONCE for its three consumers (norms, both self-join
@@ -1700,7 +1703,7 @@ def doc_sim_knn(docs: DataFrame, k: int = SIM_K, max_df: int = SIM_MAX_DF) -> Da
         .filter(F.col("df") > max_df)
         .select("term")
     )
-    keep = tf.join(F.broadcast(hot), "term", "left_anti")
+    keep = tf.join(hot, "term", "left_anti")
     w = _reliable_checkpoint(
         keep.withColumn(
             "df", F.count(F.lit(1)).over(W.partitionBy("term"))

@@ -147,3 +147,51 @@ def ok4(a, b):
     assert len(msgs) == 3, msgs
     assert sum("LEFT" in m for m in msgs) == 2
     assert sum("RIGHT" in m for m in msgs) == 1
+
+
+# ---------------------------------------------------------------------------
+# r20 (verdict item 2): df-cap HOT sets must never carry a forced
+# broadcast hint. The hot set (every shingle/term with df > max_df) is
+# unbounded — on a boilerplate-heavy 100 TB crawl it is millions of
+# strings, and a forced broadcast OOMs the driver where AQE would
+# degrade to a shuffle. Two layers: a static guard on the naming
+# convention (the df-cap hot sets are all bound to a variable named
+# ``hot``), and a runtime check that AQE still CHOOSES the broadcast
+# anti-join at fixture scale, so dropping the hint cost nothing here.
+# ---------------------------------------------------------------------------
+
+
+def test_no_forced_broadcast_of_hot_sets():
+    files = glob.glob(
+        os.path.join(REPO, "soccerpredictor_spark", "**", "*.py"),
+        recursive=True,
+    )
+    bad = []
+    for path in files:
+        tree = ast.parse(open(path).read(), filename=path)
+        for node in ast.walk(tree):
+            if (
+                _is_broadcast_call(node)
+                and node.args
+                and isinstance(node.args[0], ast.Name)
+                and node.args[0].id == "hot"
+            ):
+                rel = os.path.relpath(path, REPO)
+                bad.append(
+                    f"{rel}:{node.lineno}: forced broadcast of a df-cap "
+                    "hot set (unbounded at crawl scale)"
+                )
+    assert not bad, "\n".join(bad)
+
+
+def test_hot_set_anti_join_broadcasts_via_aqe(spark, sf_dir):
+    """Without the hint, AQE must still pick a broadcast LeftAnti at
+    fixture scale (from the hot aggregate's real materialized size)."""
+    from soccerpredictor_spark.operators.dedup import _sized_shingles
+    from soccerpredictor_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    df = _sized_shingles(docs, 3, 100)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
