@@ -827,12 +827,27 @@ def item_cf(lineitem: DataFrame) -> DataFrame:
     )
     a = items.select("oid", F.col("item").alias("item_a"))
     b = items.select("oid", F.col("item").alias("item_b"))
-    pair_counts = (
+    # r20 (§2.3 shuffle fewer bytes — the embedding_pca_power triangle
+    # trick): co-purchase counts are SYMMETRIC (c_ij == c_ji), so the
+    # basket self-join emits only the upper triangle (item_a < item_b)
+    # — half the pair rows through the groupBy exchange — and the
+    # lower triangle is mirrored from the AGGREGATED pair table, where
+    # the copy is pair-count-sized and free. The mirrored union is the
+    # identical (item_a, item_b, c_xy) multiset the != filter built,
+    # so every downstream row is unchanged.
+    pair_counts_ut = (
         a.join(b, "oid")
-        .filter(F.col("item_a") != F.col("item_b"))
+        .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .filter(F.col("c_xy") >= ITEM_CF_MIN_CO)
+    )
+    pair_counts = pair_counts_ut.unionByName(
+        pair_counts_ut.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "c_xy",
+        )
     )
     item_counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     withc = (
